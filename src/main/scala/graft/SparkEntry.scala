@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2, one entry per
+  * implemented operator; `oracleSql` carries the DuckDB-equivalent ANSI SQL
+  * for every SQL-expressible entry (keys absent here get the weaker
+  * rows-only check: approximate sketches, hash-based dedup/LSH, custom
+  * expressions, streaming-only ops).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    operators.Pipeline.flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.CoreOps.queries ++
+      operators.Joins.queries ++
+      operators.Aggregates.queries ++
+      operators.Windows.queries ++
+      operators.SetOps.queries ++
+      operators.Pipeline.queries ++
+      functions.ScalarFuncs.queries
+
+  def oracleSql: Map[String, String] =
+    operators.CoreOps.oracles ++
+      operators.Joins.oracles ++
+      operators.Aggregates.oracles ++
+      operators.Windows.oracles ++
+      operators.SetOps.oracles ++
+      operators.Pipeline.oracles ++
+      functions.ScalarFuncs.oracles
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet table catalog for the driver-generated testdata star schema
+  * (TESTDATA.md). At production scale these would be partitioned
+  * directories; here each table is one parquet file. Always read with
+  * `spark.read.parquet` so filter pushdown / column pruning reach the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `events.ts` is TIMESTAMP(NANOS) parquet, which Spark has no native
+    // type for: sessions set spark.sql.legacy.parquet.nanosAsLong, and the
+    // loader truncates to microsecond TimestampType here (identical to
+    // DuckDB's epoch_us for positive epochs).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql-based queries). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Determinism helpers shared by every oracle-checked query.
+  *
+  * Cross-engine float discipline (vs the DuckDB oracle):
+  *  - per-row double arithmetic (+,-,*,/ on the same inputs) is IEEE-754
+  *    bit-identical across engines → safe to emit raw;
+  *  - double AGGREGATION order is engine/partition dependent → always sum
+  *    through an exact DECIMAL cast, then CAST the final result to DOUBLE;
+  *  - transcendental fns (log, pow) may differ in the last ulp → round.
+  *  - `events.ts` carries sub-microsecond precision that Spark truncates on
+  *    read → order/compare timestamps via `unix_micros` (oracle: epoch_us).
+  */
+object U {
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  def dbl(c: Column): Column = c.cast(DoubleType)
+  def lng(c: Column): Column = c.cast(LongType)
+  /** Exact (decimal-bridged) double sum, deterministic at any parallelism. */
+  def dsum(c: Column): Column = dbl(sum(dec4(c)))
+  /** Microsecond epoch — the canonical event-time ordering key. */
+  def tsUs(c: Column): Column = unix_micros(c)
+}

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pandas.to_numeric-style coercion (bad cast → null), matching the
+      // reference (bin/concatenate.py:110) and DuckDB TRY_CAST semantics.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet uses TIMESTAMP(NANOS); see graft.Tables.t
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

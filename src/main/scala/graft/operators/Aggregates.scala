@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Aggregation matrix — SURVEY.md §2 A.4 + B.2.
+  *
+  * Reference instances: cell count (`bin/concatenate.py:142-143`), id-list
+  * collection (`:122-123`), product stats (`:81-96`), donor concept pivot
+  * (`make_uuids_tsv.py:91-142`).
+  *
+  * All double sums go through exact DECIMAL casts (see [[graft.U]]) so the
+  * result is independent of partitioning/merge order — the property that
+  * makes these aggregations safe on a 1000-executor cluster, not just
+  * reproducible against the oracle. HashAggregateExec gives partial
+  * (map-side) + final aggregation automatically.
+  */
+object Aggregates {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Typed custom aggregation (B.2 agg_typed_custom): exact money sum in
+    * integer cents — associative, overflow-safe at test scale, and a
+    * template for sparse-vector sums. Registered per the Aggregator API
+    * (user-space, no Catalyst internals needed).
+    */
+  object CentSum extends Aggregator[(String, Long), Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: (String, Long)): Long = b + a._2
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped scan-heavy group-by: the canonical map-side-combine
+    // aggregation (tiny key cardinality → partial agg collapses the scan).
+    "agg_hash_group" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          U.dsum(col("l_quantity")).as("sum_qty"),
+          U.dsum(col("l_extendedprice")).as("sum_price"),
+          U.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          (U.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // agg_count_cells (bin/concatenate.py:142-143)
+    "agg_count_rows" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))),
+
+    // agg_collect_ids (bin/concatenate.py:122-123): sorted collected list,
+    // emitted as CSV string for a type-stable oracle compare.
+    "agg_collect_sorted" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("names_csv"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey")),
+
+    "agg_distinct_count" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // HLL++ sketch — the 100 TB path for distinct counts (no oracle:
+    // approximate by design; bounds asserted in ScalaTest instead).
+    "agg_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    "agg_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), U.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "agg_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    // Typed Aggregator over a Dataset — exact integer-cents money sum.
+    "agg_typed_custom" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(CentSum.toColumn.name("cents_total"))
+        .toDF("flag", "cents_total")
+        .orderBy("flag")
+    }),
+
+    // pivot_donor_concepts (make_uuids_tsv.py:91-142): long→wide pivot
+    // with an explicit value list (no extra pass to discover keys).
+    "pivot_event_type" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id")
+    }),
+
+    // agg_product_stats (bin/concatenate.py:81-96): one-row product
+    // metadata scalars (deterministic subset — no uuid()/now()).
+    "agg_product_stats" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+          .as("n_cells"),
+        U.dsum(col("l_quantity")).as("total_quantity")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_hash_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_rows" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+        |  count(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_typed_custom" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+    "pivot_event_type" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_product_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey || '-' || l_linenumber) AS n_cells,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_quantity
+        |FROM lineitem""".stripMargin
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, limits — SURVEY.md §2 Part A.1/A.2.
+  *
+  * Mirrors the reference's column pruning / predicate ordering behaviors
+  * (`bin/concatenate.py:62-77,108`, `make_directory.py:48-49`,
+  * `make_uuids_tsv.py:15-38`) as declarative plans so Catalyst pushes the
+  * filters and projections into the parquet scan (checked via
+  * `PushedFilters`/`ReadSchema` in the plan, see BenchNotes).
+  */
+object CoreOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pruned scan: filter + 3-column projection reach the parquet reader.
+    "scan_parquet_pushdown" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // project_select (make_directory.py:48 `df[["uuid"]]`)
+    "project_select" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // project_drop_col (bin/concatenate.py:108 drop junk column)
+    "project_drop_col" -> ((s, d) =>
+      t(s, d, "part").drop("p_type", "p_retailprice").orderBy("p_partkey")),
+
+    // project_add_cols (bin/concatenate.py:66-77 derive barcode/dataset/
+    // tissue/cell_id): surrogate key + literal + per-row arithmetic.
+    "project_add_cols" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("cell_id",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+        .withColumn("modality", lit("atac_cell_by_bin"))
+        .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .select("l_orderkey", "l_linenumber", "cell_id", "modality", "rev")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // filter_notnull (make_directory.py:49 dropna on key col)
+    "filter_notnull" -> ((s, d) =>
+      t(s, d, "events")
+        .na.drop(Seq("props", "event_type"))
+        .select("event_id", "event_type")
+        .orderBy("event_id")),
+
+    // filter_conj_pred (make_uuids_tsv.py:15-38 conjunctive bool query
+    // incl. IS-NOT-MISSING term)
+    "filter_conj_pred" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000 &&
+          col("o_orderdate").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // filter_exists_semi (make_directory.py:29-31 QC-file existence
+    // predicate as a left-semi join — shuffle-free when right side small)
+    "filter_exists_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // filter_group_having (bin/concatenate.py:126 "dirs with >1 entry")
+    "filter_group_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") > 3)
+        .orderBy("l_orderkey")),
+
+    // limit_first_match (bin/concatenate.py:38-45 first file matching a
+    // pattern — made deterministic by explicit total order)
+    "limit_first_match" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .limit(1)),
+
+    // limit_page (make_uuids_tsv.py:24-25 from/size pagination)
+    "limit_page" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100).limit(100))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "project_select" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "project_drop_col" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "project_add_cols" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey || '-' || l_linenumber AS cell_id,
+        |  'atac_cell_by_bin' AS modality,
+        |  l_extendedprice * (1.0 - l_discount) AS rev
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_notnull" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE props IS NOT NULL AND event_type IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "filter_conj_pred" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+        |  AND o_orderdate IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_exists_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "filter_group_having" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 3 ORDER BY l_orderkey""".stripMargin,
+    "limit_first_match" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 1""".stripMargin,
+    "limit_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin
+  )
+}

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join matrix — SURVEY.md §2 A.3 + B.1.
+  *
+  * Reference instances: donor-metadata inner join (`bin/concatenate.py:
+  * 105-111`), intersect_obs semi-join (`:99-102`), dict-lookup dim joins
+  * (`:27-35`), positional concat (`make_uuids_tsv.py:153-157`).
+  *
+  * Scale notes (100 TB): dims (nation/customer at these ratios) are
+  * broadcast so the fact side never shuffles; large-large joins pick
+  * SHUFFLE_HASH / MERGE explicitly where the default would be wrong; the
+  * as-of join is the single-shuffle union+window formulation (not a
+  * per-key loop); the interval join is bucketed into an equi-join so it
+  * avoids the BroadcastNestedLoop cartesian fallback.
+  */
+object Joins {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dim⋈fact broadcast chain (bin/concatenate.py:105-111 donor join):
+    // both dims broadcast → zero shuffle on the orders side.
+    "join_broadcast_inner" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = broadcast(t(s, d, "customer"))
+      val n = broadcast(t(s, d, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(o("o_orderkey"), c("c_name"), n("n_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // large⋈large with an explicit shuffled-hash-join (no sort phase;
+    // right choice when both sides are big but partitions fit in memory).
+    "join_shuffle_hash" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders").hint("SHUFFLE_HASH")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          U.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_rev"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // large⋈large sort-merge (robust default for skew-free huge joins).
+    "join_sort_merge" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders").hint("MERGE")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), U.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          coalesce(U.dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      val cn = t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, d, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full")
+        .select(
+          coalesce(cn("c_nationkey"), sn("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // left-semi: existence (generalizes filter_qc_exists / intersect_obs,
+    // bin/concatenate.py:99-102)
+    "join_left_semi" -> ((s, d) => {
+      val sp = t(s, d, "supplier")
+      val l = t(s, d, "lineitem")
+      sp.join(l, sp("s_suppkey") === l("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    }),
+
+    "join_left_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // theta/band join against a generated bands dim — broadcast nested
+    // loop on a tiny build side, never a full cartesian.
+    "join_theta_band" -> ((s, d) => {
+      val bands = broadcast(s.range(0, 60).select(
+        col("id").as("band_id"),
+        (col("id") * 10000.0).as("lo"),
+        ((col("id") + 1) * 10000.0).as("hi")))
+      t(s, d, "orders")
+        .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id").agg(count(lit(1)).as("n_orders"))
+        .orderBy("band_id")
+    }),
+
+    // As-of join: each click matched to the most recent view (ts_view <=
+    // ts_click) of the same user. Single-shuffle union+window formulation:
+    // tag sides, sort (ts, side) within user, carry last non-null right
+    // value forward. Scales as one exchange on user_id — no per-key work.
+    "join_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .withColumn("view_value", lit(null).cast("double"))
+        .withColumn("side", lit(1))
+      val r = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("side", lit(0))
+        .select("event_id", "user_id", "tsu", "view_value", "side")
+      val w = Window.partitionBy("user_id").orderBy("tsu", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.unionByName(r)
+        .withColumn("matched", last("view_value", ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("event_id", "user_id", "matched")
+        .orderBy("event_id")
+    }),
+
+    // Interval-overlap join, bucketed: explode each interval into fixed-
+    // width buckets, equi-join on bucket, re-check the residual predicate,
+    // dedup. Turns the nested-loop range join into a shuffle hash join —
+    // the 100 TB-safe plan for genomic bin↔gene-body style overlaps.
+    "join_interval_overlap" -> ((s, d) => {
+      val W = 50L
+      val a = t(s, d, "part").select(
+        col("p_partkey").as("a_id"),
+        (col("p_size") * 10).as("a_lo"),
+        (col("p_size") * 10 + 25).as("a_hi"))
+      val b = t(s, d, "supplier").select(
+        col("s_suppkey").as("b_id"),
+        ((col("s_suppkey") * 13) % 500).as("b_lo"),
+        ((col("s_suppkey") * 13) % 500 + 40).as("b_hi"))
+      def bucketed(df: DataFrame, lo: String, hi: String) =
+        df.withColumn("bucket",
+          explode(sequence(floor(col(lo) / W).cast("long"),
+            floor(col(hi) / W).cast("long"))))
+      bucketed(a, "a_lo", "a_hi")
+        .join(bucketed(b, "b_lo", "b_hi"), Seq("bucket"))
+        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Positional concat (make_uuids_tsv.py:153-157 pandas axis=1): no row
+    // identity in Spark → synthesize row_number over explicit orders.
+    "join_positional_concat" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val wl = Window.orderBy("n_name")
+      val wr = Window.orderBy(col("n_nationkey").desc)
+      val left = n.select(col("n_name")).withColumn("rn", row_number().over(wl))
+      val right = n.select(col("n_nationkey")).withColumn("rn", row_number().over(wr))
+      left.join(right, Seq("rn")).select("rn", "n_name", "n_nationkey").orderBy("rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_broadcast_inner" ->
+      """SELECT o_orderkey, c_name, n_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_shuffle_hash" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_sort_merge" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS sum_price
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        |     sn AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta_band" ->
+      """SELECT band_id, count(*) AS n_orders
+        |FROM orders JOIN (
+        |  SELECT t.range AS band_id, t.range * 10000.0 AS lo,
+        |         (t.range + 1) * 10000.0 AS hi
+        |  FROM range(60) t) b
+        |ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.vv AS matched
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+        |ORDER BY l.event_id""".stripMargin,
+    "join_interval_overlap" ->
+      """SELECT DISTINCT p_partkey AS a_id, s_suppkey AS b_id
+        |FROM part, supplier
+        |WHERE p_size * 10 <= (s_suppkey * 13) % 500 + 40
+        |  AND (s_suppkey * 13) % 500 <= p_size * 10 + 25
+        |ORDER BY a_id, b_id""".stripMargin,
+    "join_positional_concat" ->
+      """WITH l AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation),
+        |     r AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey DESC) AS rn FROM nation)
+        |SELECT l.rn AS rn, n_name, n_nationkey FROM l JOIN r ON l.rn = r.rn
+        |ORDER BY rn""".stripMargin
+  )
+}

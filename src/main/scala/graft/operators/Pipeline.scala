@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flagship query — the reference's end-to-end data-product build
+  * (`pipeline.cwl` → `bin/concatenate.py:119-152`) re-expressed as ONE
+  * declarative Spark plan over the star-schema testdata (SURVEY.md §3.3,
+  * §7.2):
+  *
+  *   per-modality fact tables (annotate: surrogate cell_id, dataset tag;
+  *   `concatenate.py:66-77`) → vertical union (`:138-139` outer concat) →
+  *   intersect_obs semi-restriction to cells present in every modality
+  *   (`:99-102`) → donor-dimension broadcast join (`:105-111`) → product
+  *   stats aggregation (`:81-96,142-143`).
+  *
+  * Scale shape: one shuffle for the intersect (key-level, projected to the
+  * narrow cell_id column), one co-partitioned join on the fact key, one
+  * partial+final aggregation; the customer dim is broadcast.
+  */
+object Pipeline {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val cellId = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+
+    // Modality 1: "cell_by_bin" — part-keyed measurements.
+    val cbb = li.select(
+      cellId.as("cell_id"), col("l_orderkey"),
+      col("l_partkey").as("feature_id"), col("l_quantity").as("value"),
+      col("l_returnflag").as("dataset"))
+      .withColumn("modality", lit("cell_by_bin"))
+    // Modality 2: "cell_by_gene" — supplier-keyed, only finalized lines
+    // (so the obs intersection is a strict subset, as in multi-modality
+    // MuData where not every cell appears in every assay).
+    val cbg = li.filter(col("l_linestatus") === "F").select(
+      cellId.as("cell_id"), col("l_orderkey"),
+      col("l_suppkey").as("feature_id"), col("l_extendedprice").as("value"),
+      col("l_returnflag").as("dataset"))
+      .withColumn("modality", lit("cell_by_gene"))
+
+    // mu.pp.intersect_obs: cells present in ALL modalities.
+    val common = cbb.select("cell_id").intersect(cbg.select("cell_id"))
+    val fact = cbb.unionByName(cbg)
+      .join(common, Seq("cell_id"), "left_semi")
+
+    // Donor metadata join (orders→customer, customer broadcast).
+    val donor = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"))
+
+    fact.join(donor, fact("l_orderkey") === donor("o_orderkey"))
+      .groupBy("modality", "dataset", "segment")
+      .agg(
+        countDistinct(col("cell_id")).as("n_cells"),
+        count(lit(1)).as("n_rows"),
+        U.dsum(col("value")).as("sum_value"))
+      .orderBy("modality", "dataset", "segment")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flagship_product_build" -> ((s, d) => flagship(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "flagship_product_build" ->
+      """WITH cbb AS (
+        |  SELECT l_orderkey || '-' || l_linenumber AS cell_id, l_orderkey,
+        |         l_partkey AS feature_id, l_quantity AS value,
+        |         l_returnflag AS dataset, 'cell_by_bin' AS modality
+        |  FROM lineitem),
+        |cbg AS (
+        |  SELECT l_orderkey || '-' || l_linenumber AS cell_id, l_orderkey,
+        |         l_suppkey AS feature_id, l_extendedprice AS value,
+        |         l_returnflag AS dataset, 'cell_by_gene' AS modality
+        |  FROM lineitem WHERE l_linestatus = 'F'),
+        |common AS (SELECT cell_id FROM cbb INTERSECT SELECT cell_id FROM cbg),
+        |fact AS (
+        |  SELECT * FROM cbb WHERE cell_id IN (SELECT cell_id FROM common)
+        |  UNION ALL
+        |  SELECT * FROM cbg WHERE cell_id IN (SELECT cell_id FROM common)),
+        |donor AS (
+        |  SELECT o_orderkey, c_mktsegment AS segment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT modality, dataset, segment,
+        |  count(DISTINCT cell_id) AS n_cells,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM fact JOIN donor ON fact.l_orderkey = donor.o_orderkey
+        |GROUP BY modality, dataset, segment
+        |ORDER BY modality, dataset, segment""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set operations — SURVEY.md §2 A.3 (`union_outer_concat`) + B.4.
+  *
+  * `union_by_name_outer` reproduces the reference's outer concat semantics
+  * (`bin/concatenate.py:128-139` anndata.concat(join="outer")): union of
+  * column sets, absent entries filled with 0 — encoded once here via
+  * `unionByName(allowMissingColumns=true)` + coalesce-to-zero (SURVEY §7.4
+  * risk 2).
+  */
+object SetOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private def custNations(s: SparkSession, d: String) =
+    t(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+  private def suppNations(s: SparkSession, d: String) =
+    t(s, d, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_all" -> ((s, d) =>
+      custNations(s, d).withColumn("src", lit("customer"))
+        .unionByName(suppNations(s, d).withColumn("src", lit("supplier")))
+        .groupBy("nationkey", "src").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey", "src")),
+
+    "set_union_distinct" -> ((s, d) =>
+      custNations(s, d).union(suppNations(s, d)).distinct().orderBy("nationkey")),
+
+    "set_intersect" -> ((s, d) =>
+      custNations(s, d).intersect(suppNations(s, d)).orderBy("nationkey")),
+
+    "set_except" -> ((s, d) =>
+      custNations(s, d).except(suppNations(s, d)).orderBy("nationkey")),
+
+    // anndata outer-concat: two modality projections with disjoint value
+    // columns, vertically unioned by name, missing entries = 0.
+    "union_by_name_outer" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val x = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_quantity").as("qty"))
+      val y = li.filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_extendedprice").as("price"))
+      x.unionByName(y, allowMissingColumns = true)
+        .select(col("l_orderkey"),
+          coalesce(col("qty"), lit(0.0)).as("qty"),
+          coalesce(col("price"), lit(0.0)).as("price"))
+        .groupBy("l_orderkey")
+        .agg(U.dsum(col("qty")).as("sum_qty"),
+          U.dsum(col("price")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "set_union_all" ->
+      """SELECT nationkey, src, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier)
+        |GROUP BY nationkey, src ORDER BY nationkey, src""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "union_by_name_outer" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT l_orderkey, l_quantity AS qty, 0.0 AS price
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT l_orderkey, 0.0 AS qty, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windows, sorts, top-k — SURVEY.md §2 B.3.
+  *
+  * Every window partitions by a real key (customer / user) so state stays
+  * bounded per partition at scale; the only global sorts are the ones whose
+  * semantics demand total order (`sort_global`, `topk_limit` — the latter
+  * compiles to TakeOrderedAndProjectExec, i.e. per-partition top-k + merge,
+  * never a full global sort).
+  */
+object Windows {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running sum per user in event-time order (exact via decimal bridge).
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value", U.dbl(sum(U.dec6(col("value"))).over(w)))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("event_id")
+    }),
+
+    "window_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select("event_id", "user_id", "delta")
+        .orderBy("event_id")
+    }),
+
+    // Moving average over the last 5 events per user (row frame).
+    "window_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("mov_sum", U.dbl(sum(U.dec6(col("value"))).over(w)))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+        .select("event_id", "user_id", "mov_avg")
+        .orderBy("event_id")
+    }),
+
+    "sort_global" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")),
+
+    // Global top-k → TakeOrderedAndProject (no full sort/exchange of data).
+    "topk_limit" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_rank_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "window_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value, 1) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_moving_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "sort_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "topk_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin
+  )
+}
