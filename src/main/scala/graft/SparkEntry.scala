@@ -22,7 +22,12 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SetOps.queries ++
       operators.Pipeline.queries ++
-      functions.ScalarFuncs.queries
+      functions.ScalarFuncs.queries ++
+      functions.TextOps.queries ++
+      dedup.Dedup.queries ++
+      similarity.Similarity.queries ++
+      multimodal.Multimodal.queries ++
+      streaming.StreamingOps.queries
 
   def oracleSql: Map[String, String] =
     operators.CoreOps.oracles ++
@@ -31,5 +36,10 @@ object SparkEntry {
       operators.Windows.oracles ++
       operators.SetOps.oracles ++
       operators.Pipeline.oracles ++
-      functions.ScalarFuncs.oracles
+      functions.ScalarFuncs.oracles ++
+      functions.TextOps.oracles ++
+      dedup.Dedup.oracles ++
+      similarity.Similarity.oracles ++
+      multimodal.Multimodal.oracles ++
+      streaming.StreamingOps.oracles
 }

@@ -1,0 +1,224 @@
+package graft.dedup
+
+import graft.{Tables, U}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the `documents` / `embeddings` tables —
+  * SURVEY.md §2 B.6 (`dedup_exact`, `dedup_minhash`, + SimHash / n-gram
+  * Jaccard / embedding-cosine variants mandated by the north star).
+  *
+  * Scale shapes:
+  *  - exact dedup = one hash-partitioned groupBy on the text hash
+  *    (group by the 128-bit digest, never the full text, so the shuffle
+  *    carries 16 bytes + ids, not documents);
+  *  - MinHash/LSH = signatures computed in one codegen'd scan (no UDF),
+  *    banded into (band, band_hash) buckets, candidate pairs only within
+  *    buckets, verified with exact Jaccard — O(n·K) + bucket-local pairs
+  *    instead of O(n²); oversized buckets (degenerate/stopword-heavy
+  *    shingle sets) are dropped by a count guard, which also caps skew;
+  *  - SimHash = 64-bit signature per doc in one scan; near-dups are
+  *    Hamming-close signatures (bit_count(xor));
+  *  - embedding near-dup = sign-bit LSH buckets then exact cosine within
+  *    bucket (same hyperplanes as graft.similarity).
+  */
+object Dedup {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Distinct lower-cased word set — the shingle unit for set-similarity
+    * ops here (documents in this corpus are word-order permutations, so
+    * word-set Jaccard is the discriminative signal; swap in
+    * `wordKShingles` for positional n-grams). */
+  def wordSet(text: Column): Column = array_distinct(split(lower(text), " "))
+
+  /** Positional k-word shingles (n-gram Jaccard flavor). */
+  def wordKShingles(text: Column, k: Int): Column = {
+    val words = split(lower(text), " ")
+    when(size(words) >= k,
+      array_distinct(transform(sequence(lit(0), size(words) - k),
+        i => array_join(slice(words, i + 1, lit(k)), " "))))
+      .otherwise(array(array_join(words, " ")))
+  }
+
+  /** K minhashes of a shingle-set column: h_j = min over shingles of
+    * xxhash64(shingle, j). Pure built-ins → whole-stage codegen. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, sh => xxhash64(sh, j))))
+
+  /** 64-bit SimHash of a token multiset: per bit, sum +1/-1 weighted by
+    * token-hash bit, take the sign. Order-insensitive by construction. */
+  def simhash64(tokens: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(tokens, lit(0L),
+        (s, w) => s + when(call_function("shiftright", xxhash64(w), b)
+          .bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)) > 0L, 1L).otherwise(0L))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, i) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, i + 1), i)))
+  }
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification. */
+  def minhashPairs(s: SparkSession, d: String, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), wordSet(col("text")).as("words"))
+    val sig = docs.withColumn("sig", minhashSignature(col("words"), numHashes))
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bh"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Skew/noise guard: drop buckets with too many members.
+    val counted = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+    val cand = counted.as("x").join(counted.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    // Verify candidates with exact Jaccard (join shingle sets back by id —
+    // candidates are few, the doc table is the big side).
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("words").as("wa")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("words").as("wb")), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by digest, keep min id (dropDuplicates analog
+    // with a deterministic survivor).
+    "dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    // Exact dedup after canonicalization (case/punctuation/whitespace).
+    "dedup_exact_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      t(s, d, "documents")
+        .groupBy(sha2(norm, 256).as("norm_sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // Exact word-set Jaccard on adjacent-id pairs (the oracle-checkable
+    // slice of set-similarity; the LSH path below generalizes it).
+    "dedup_jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id"), wordSet(col("text")).as("wa"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        wordSet(col("text")).as("wb"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id").as("id1"),
+          round(jaccard(col("wa"), col("wb")), 6).as("jaccard"))
+        .orderBy("id1")
+    }),
+
+    // MinHash+LSH near-dup pairs (no oracle: xxhash64 family is
+    // engine-defined; recall/precision asserted in DedupSpec).
+    "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
+
+    // Per-doc 64-bit SimHash signatures (no oracle: hash-defined).
+    "dedup_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs on adjacent ids via Hamming distance.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("sh"))
+      val a = sh.select(col("doc_id"), col("sh").as("sha"))
+      val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("shb"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id").as("id1"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
+        .orderBy("id1")
+    }),
+
+    // Embedding cosine on adjacent-id pairs (oracle-checked numeric path).
+    "dedup_embed_cosine_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("va"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("vb"))
+      a.join(b, Seq("vec_id"))
+        .select(col("vec_id").as("id1"),
+          round(VectorOps.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .orderBy("id1")
+    }),
+
+    // Embedding near-dup candidates via sign-bit LSH buckets + exact
+    // cosine within bucket, ranked (no oracle: bucketing engine-defined;
+    // threshold-detection behavior checked on a planted-duplicates fixture
+    // in DedupSpec). Coarse 4-bit buckets here because this corpus has no
+    // true near-dups; production uses more bits + a cosine threshold.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .withColumn("vd", VectorOps.toDouble(col("embedding")))
+        .withColumn("bucket",
+          graft.similarity.Similarity.bucketCol(col("vd"), nBits = 4))
+      e.as("x").join(e.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+          round(VectorOps.cosine(col("x.vd"), col("y.vd")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_exact_norm" ->
+      """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_sha,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH w AS (SELECT DISTINCT doc_id,
+        |             unnest(string_split(lower(text), ' ')) AS wd
+        |           FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS id1, count(*) AS c
+        |      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND a.wd = b.wd
+        |      GROUP BY a.doc_id)
+        |SELECT s1.doc_id AS id1,
+        |  round(COALESCE(i.c, 0) * 1.0 /
+        |        (s1.n + s2.n - COALESCE(i.c, 0)), 6) AS jaccard
+        |FROM sz s1 JOIN sz s2 ON s2.doc_id = s1.doc_id + 1
+        |LEFT JOIN i ON i.id1 = s1.doc_id
+        |ORDER BY id1""".stripMargin,
+    "dedup_embed_cosine_pairs" ->
+      """SELECT a.vec_id AS id1,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])))), 6)
+        |    AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id1""".stripMargin
+  )
+}

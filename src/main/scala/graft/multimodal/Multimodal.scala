@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media asset: opaque payload bytes + typed metadata (SURVEY.md §2 B.6
+  * `multimodal_cols` — the MuData-analog composition of §1.4 applied to
+  * image/audio/video payloads).
+  */
+case class MediaAsset(
+    doc_id: Long,
+    payload: Array[Byte],
+    media_type: String,
+    width: Int,
+    height: Int)
+
+/** Extracted features for one asset. */
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    byte_len: Long,
+    mean_byte: Double,
+    head_features: Seq[Float])
+
+/** Multimodal column plumbing: binary payload columns with typed metadata,
+  * decoded/feature-extracted in distributed per-partition batches.
+  *
+  * The Spark-side shape is the real thing: `binary` payload column +
+  * metadata struct, `Dataset[MediaAsset]`, `mapPartitions` batch decode
+  * (one decoder instance per partition, streamed over the iterator — the
+  * Scala-native equivalent of a `mapInPandas` batch UDF), columnar output.
+  *
+  * ==== STUB BOUNDARY ====
+  * Real image/audio codecs are not available in this environment, so
+  * [[decodeStub]] is a clearly-marked deterministic fake standing in for
+  * e.g. JPEG decode + CNN feature extraction. Swapping it for a real
+  * decoder changes NOTHING in the pipeline shape: same schema, same
+  * partitioning, same per-partition batch execution.
+  */
+object Multimodal {
+
+  /** STUB: deterministic fake "decode + featurize". A real implementation
+    * would decode `payload` (image bytes → pixels) and run a feature
+    * extractor; this computes cheap deterministic stand-ins. */
+  def decodeStub(a: MediaAsset): MediaFeatures = {
+    val len = a.payload.length.toLong
+    val mean = if (len == 0) 0.0
+      else a.payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / len
+    val head = a.payload.take(8).map(b => (b & 0xff) / 255.0f).toSeq
+    MediaFeatures(a.doc_id, a.media_type, len, mean, head)
+  }
+
+  /** Build a media table from `documents` by treating the text payload as
+    * opaque bytes (the ingest boundary where real pipelines read blob
+    * columns or object-store keys). */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      // Typed metadata travels with the payload, never inside it.
+      when(col("doc_id") % 2 === 0, "image/fake").otherwise("audio/fake")
+        .as("media_type"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      lit(480).as("height"))
+
+  /** Distributed batch decode: one partition = one decoder lifecycle. */
+  def extractFeatures(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.as[MediaAsset]
+      .mapPartitions(batch => batch.map(decodeStub))
+      .toDF()
+  }
+
+  /** Frame sampling on binary payloads: slice every `stride`-th chunk —
+    * the shape of video frame-sampling over an opaque byte column. */
+  def sampleChunks(media: DataFrame, chunk: Int, stride: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ((length(col("payload")) - 1) / (chunk * stride)).cast("int")),
+        i => substring(col("payload"), (i * chunk * stride + 1).cast("int"), lit(chunk)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_bytes")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rows-only check (decode is stubbed): schema + plumbing are real.
+    "multimodal_decode" -> ((s, d) =>
+      extractFeatures(s, mediaTable(s, d))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("head_features"))
+        .orderBy("doc_id")),
+
+    // Byte-length accounting is decoder-independent → oracle-checkable.
+    "multimodal_meta" -> ((s, d) =>
+      extractFeatures(s, mediaTable(s, d))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_assets"), sum(col("byte_len")).as("total_bytes"))
+        .orderBy("media_type")),
+
+    "multimodal_chunks" -> ((s, d) =>
+      sampleChunks(mediaTable(s, d), chunk = 32, stride = 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
+        |            ELSE 'audio/fake' END AS media_type,
+        |  count(*) AS n_assets,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface — SURVEY.md §2 B.7.
+  *
+  * Each transform below is written against a plain DataFrame so the SAME
+  * code path serves both batch (static `events` table — what the DuckDB
+  * oracle checks) and streaming (`readStream`/MemoryStream — exercised in
+  * StreamingSpec with watermarks and incremental triggers). That
+  * batch/stream unification is the Structured Streaming model: the
+  * streaming run incrementalizes the identical logical plan.
+  *
+  * State-boundedness at scale: every stateful op below keys its state by
+  * (window|session, …) and the streaming tests attach watermarks so the
+  * state store evicts; nothing accumulates unboundedly.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windows per event_type. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-minute windows every 5 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n"))
+
+  /** Session windows per user with a 30-minute inactivity gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("ss_us"), col("n"))
+
+  /** Streaming-dedup analog: keep the first event per (user, type). In a
+    * stream this is `dropDuplicatesWithinWatermark` (see StreamingSpec);
+    * the batch equivalent is rank-1 in event-time order. */
+  def firstPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(U.tsUs(col("ts")), col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> ((s, d) =>
+      tumblingAgg(Tables.t(s, d, "events")).orderBy("ws_us", "event_type")),
+    "stream_sliding_agg" -> ((s, d) =>
+      slidingAgg(Tables.t(s, d, "events")).orderBy("ws_us")),
+    "stream_session_agg" -> ((s, d) =>
+      sessionAgg(Tables.t(s, d, "events")).orderBy("user_id", "ss_us")),
+    "stream_dedup_first" -> ((s, d) =>
+      firstPerKey(Tables.t(s, d, "events"))
+        .orderBy("user_id", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour',
+        |         make_timestamp(epoch_us(ts)))) AS ws_us,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sliding_agg" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '5 minutes',
+        |         make_timestamp(epoch_us(ts)))
+        |         - k.k * INTERVAL '5 minutes') AS ws_us,
+        |  count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_session_agg" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS mts
+        |           FROM events),
+        |m AS (SELECT user_id, mts,
+        |        CASE WHEN lag(mts) OVER (PARTITION BY user_id ORDER BY mts)
+        |                  IS NULL
+        |             OR mts - lag(mts) OVER (PARTITION BY user_id ORDER BY mts)
+        |                  >= INTERVAL '30 minutes'
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, mts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY mts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, epoch_us(min(mts)) AS ss_us, count(*) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, ss_us""".stripMargin,
+    "stream_dedup_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}
