@@ -42,13 +42,36 @@ object Dedup {
   }
 
   /** K minhashes of a shingle-set column: h_j = min over shingles of
-    * xxhash64(shingle, j). Pure built-ins → whole-stage codegen. */
+    * xxhash64(shingle, j). Compact HOF form — correct everywhere, but
+    * higher-order functions evaluate interpreted (outside codegen), so for
+    * large corpora use [[minhashSignatures]] below. */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(shingles, sh => xxhash64(sh, j))))
 
+  /** Scale path for minhash: explode shingles, compute the K seed-hashes
+    * as K plain codegen'd columns, partial+final min-aggregate per doc.
+    * Same signature values as [[minhashSignature]] (asserted in DedupSpec)
+    * but every operator stays inside WholeStageCodegen and the map-side
+    * partial aggregation collapses each doc's shingles before the shuffle.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    // Testdata tables are single small parquet files → one input split;
+    // hashing is compute-bound, so fan out explicitly. On production
+    // multi-file data the scan is already parallel and this coalesces
+    // nothing away (cost: one narrow round-robin exchange of raw docs).
+    val fanned = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val exploded = fanned.select(col("doc_id"),
+      explode(wordSet(col(textCol))).as("w"))
+    val mins = (0 until k).map(j => min(xxhash64(col("w"), lit(j))).as(s"h$j"))
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
   /** 64-bit SimHash of a token multiset: per bit, sum +1/-1 weighted by
-    * token-hash bit, take the sign. Order-insensitive by construction. */
+    * token-hash bit, take the sign. Order-insensitive by construction.
+    * HOF form for small/literal inputs; use [[simhashTable]] at scale. */
   def simhash64(tokens: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)), b =>
       when(aggregate(tokens, lit(0L),
@@ -57,6 +80,27 @@ object Dedup {
           .otherwise(-1L)) > 0L, 1L).otherwise(0L))
     aggregate(sequence(lit(0), lit(63)), lit(0L),
       (acc, i) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, i + 1), i)))
+  }
+
+  /** Scale path for SimHash: one xxhash64 per token (not per token×bit),
+    * then 64 conditional-sum aggregates (all codegen'd, map-side partial)
+    * and a constant-shift bit pack. Identical values to [[simhash64]]
+    * (asserted in DedupSpec). The HOF form evaluates interpreted and
+    * re-hashes every token for each of the 64 bits — ~100× more work.
+    */
+  def simhashTable(docs: DataFrame, textCol: String): DataFrame = {
+    val fanned = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val words = fanned.select(col("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    val packed = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(when(col(s"b$b") > 0L, lit(1L << b)).otherwise(0L))
+    }
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
 
   private def jaccard(a: Column, b: Column): Column = {
@@ -71,7 +115,7 @@ object Dedup {
     val rows = numHashes / bands
     val docs = t(s, d, "documents")
       .select(col("doc_id"), wordSet(col("text")).as("words"))
-    val sig = docs.withColumn("sig", minhashSignature(col("words"), numHashes))
+    val sig = minhashSignatures(t(s, d, "documents"), "text", numHashes)
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -138,14 +182,12 @@ object Dedup {
 
     // Per-doc 64-bit SimHash signatures (no oracle: hash-defined).
     "dedup_simhash" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("simhash"))
-        .orderBy("doc_id")),
+      simhashTable(t(s, d, "documents"), "text").orderBy("doc_id")),
 
     // SimHash near-dup pairs on adjacent ids via Hamming distance.
     "dedup_simhash_pairs" -> ((s, d) => {
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), simhash64(split(lower(col("text")), " ")).as("sh"))
+      val sh = simhashTable(t(s, d, "documents"), "text")
+        .withColumnRenamed("simhash", "sh")
       val a = sh.select(col("doc_id"), col("sh").as("sha"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("shb"))
       a.join(b, Seq("doc_id"))
@@ -173,13 +215,18 @@ object Dedup {
     // true near-dups; production uses more bits + a cosine threshold.
     "dedup_embedding_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("vd", VectorOps.toDouble(col("embedding")))
         .withColumn("bucket",
-          graft.similarity.Similarity.bucketCol(col("vd"), nBits = 4))
+          graft.similarity.Similarity.bucketCol(col("vd"), nBits = 8))
+        // Precompute norms once per vector: the bucket-local pair stage
+        // then costs one dot product per pair instead of three.
+        .withColumn("nrm", VectorOps.l2norm(col("vd")))
       e.as("x").join(e.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-          round(VectorOps.cosine(col("x.vd"), col("y.vd")), 6).as("cos_sim"))
+          round(VectorOps.dot(col("x.vd"), col("y.vd")) /
+            (col("x.nrm") * col("y.nrm")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
         .limit(20)
     })

@@ -66,6 +66,26 @@ class DedupSpec extends SparkSpec {
     assert(sh(2L) === Seq("a b"))
   }
 
+  test("simhashTable (codegen path) matches HOF simhash64 exactly") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    val viaHof = docs.select($"doc_id",
+      Dedup.simhash64(split(lower($"text"), " ")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaTable = Dedup.simhashTable(docs, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaTable === viaHof)
+  }
+
+  test("minhashSignatures (codegen path) matches HOF minhashSignature exactly") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    val viaHof = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordSet($"text"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaTable = Dedup.minhashSignatures(docs, "text", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaTable === viaHof)
+  }
+
   test("registered dedup queries run and are sane on testdata") {
     val exact = Dedup.queries("dedup_exact")(spark, sfDir)
     assert(exact.count() === 500) // corpus has no exact dups

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (the 100 TB contract, SURVEY.md §4): each test
+  * pins a property of the compiled plan that makes the operator scale —
+  * filter/column pushdown into the parquet scan, broadcast vs shuffle join
+  * selection, top-k without a global sort, map-side partial aggregation,
+  * and absence of nested-loop fallbacks where a bucketed rewrite is used.
+  * Regressions here are performance bugs even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    plan(SparkEntry.queries(name)(spark, sfDir))
+
+  test("parquet scan gets pushed filters and pruned columns") {
+    val p = formatted("scan_parquet_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"missing pushed filter:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan reads more than the 3 projected columns:\n$p")
+  }
+
+  test("dim joins broadcast; no shuffle of the fact side for the dim join") {
+    val p = formatted("join_broadcast_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("join hints select shuffled-hash and sort-merge respectively") {
+    assert(formatted("join_shuffle_hash").contains("ShuffledHashJoin"))
+    assert(formatted("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = formatted("topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"top-k range-shuffles:\n$p")
+  }
+
+  test("hash aggregation is partial+final (map-side combine)") {
+    val p = formatted("agg_hash_group")
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange → at least two HashAggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("bucketed interval join avoids nested-loop/cartesian fallback") {
+    val p = formatted("join_interval_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian fallback:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ fallback:\n$p")
+  }
+
+  test("theta band join broadcasts the tiny bands side") {
+    val p = formatted("join_theta_band")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("as-of join is one exchange on the key, not a per-key loop") {
+    val p = formatted("join_asof")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("codegen'd scale paths: simhash plan contains no interpreted HOF aggregate") {
+    val p = formatted("dedup_simhash")
+    assert(!p.contains("ArrayAggregate"),
+      s"simhash fell back to interpreted higher-order aggregate:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("flagship pipeline: broadcast dim join present, no cartesian anywhere") {
+    val p = formatted("flagship_product_build")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen covers the hot relational queries") {
+    // AQE only materializes the final (codegen-annotated) plan after an
+    // action, so execute first and inspect the finalized plan.
+    Seq("agg_hash_group", "join_broadcast_inner", "window_rank_topk").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // `*(n)` is the WholeStageCodegen stage marker in simpleString.
+      assert(p.contains("*("), s"$q has no codegen span:\n$p")
+    }
+  }
+}
