@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources & sinks — SURVEY.md §2 A.1.
+  *
+  * The reference's I/O boundary re-expressed Spark-first:
+  *  - TSV with an explicit schema, never inference (`bin/concatenate.py:
+  *    121` reads TSV all-string; schema inference is a full extra scan at
+  *    100 TB, so the engine requires a `StructType` at every text source);
+  *  - multiLine JSON documents (`bin/upload.py:26-28`);
+  *  - the data product sink (`bin/concatenate.py:150-152` .h5mu + metadata
+  *    JSON): modality/dataset-partitioned parquet + a one-row JSON sidecar
+  *    carrying uuid/creation-time/counts — partition columns give
+  *    partition pruning on every downstream read, and the sidecar is the
+  *    `uns` dict analog (SURVEY §1.4). Writing to `s3a://` URIs is the
+  *    same call — no separate upload step (`bin/upload.py:14-22`).
+  */
+object ProductSink {
+
+  /** Explicit-schema TSV source (scan_tsv_typed). */
+  def readTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("sep", "\t").option("header", "true")
+      .csv(path)
+
+  /** TSV sink with header (sink_tsv, make_uuids_tsv.py:164). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "true")
+      .csv(path)
+
+  /** multiLine JSON document source (scan_json_doc). */
+  def readJsonDoc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", "true").json(path)
+
+  /** Write a multimodal data product: fact rows partitioned by
+    * (modality, dataset) + metadata JSON sidecar. Mirrors
+    * `bin/concatenate.py:81-96,140-152`: product uuid, creation time,
+    * dataset list, total cell count. The non-deterministic fields
+    * (uuid(), current_timestamp()) live only here — never in
+    * oracle-checked query output (SURVEY §7.4.1).
+    */
+  def writeProduct(fact: DataFrame, outDir: String): Unit = {
+    fact.write.mode(SaveMode.Overwrite)
+      .partitionBy("modality", "dataset")
+      .parquet(s"$outDir/fact")
+
+    val meta = fact.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("cell_id")).as("total_cell_count"),
+      sort_array(collect_set(col("dataset"))).as("datasets"))
+      .withColumn("product_uuid", expr("uuid()"))
+      .withColumn("creation_time", date_format(current_timestamp(),
+        "yyyy-MM-dd HH:mm:ss"))
+    meta.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$outDir/metadata")
+  }
+
+  /** Read a written product back with partition pruning available on
+    * modality/dataset. */
+  def readProduct(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/fact")
+}

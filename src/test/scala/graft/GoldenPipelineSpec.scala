@@ -1,0 +1,120 @@
+package graft
+
+import graft.sources.{EsResponse, ProductSink}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Golden end-to-end tests (SURVEY.md §5.2 item 3): the reference's three
+  * entry points exercised through the engine's source→transform→sink path
+  * on miniature fixtures with hand-computed expected outputs.
+  */
+class GoldenPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = Files.createTempDirectory("graft-golden").toString
+
+  test("ES discovery: nested hits extraction + donor concept pivot (entry point 1)") {
+    // Miniature of the reference's search response (make_uuids_tsv.py:67-142):
+    // one organ donor (Age/Sex via different value sources), one living
+    // donor, one hit with no donor metadata at all.
+    val json =
+      """{"hits": {"hits": [
+        |  {"_source": {"uuid": "u1", "hubmap_id": "HBM1",
+        |    "origin_samples_unique_mapped_organs": ["Lung (Left)"],
+        |    "donor": {"metadata": {"organ_donor_data": [
+        |      {"grouping_concept_preferred_term": "Age", "data_value": "61", "preferred_term": "years"},
+        |      {"grouping_concept_preferred_term": "Sex", "data_value": "1", "preferred_term": "Female"}]}}}},
+        |  {"_source": {"uuid": "u2", "hubmap_id": "HBM2",
+        |    "origin_samples_unique_mapped_organs": ["Heart"],
+        |    "donor": {"metadata": {"living_donor_data": [
+        |      {"grouping_concept_preferred_term": "Body Mass Index", "data_value": "27.5", "preferred_term": "kg/m^2"}]}}}},
+        |  {"_source": {"uuid": "u3", "hubmap_id": "HBM3",
+        |    "origin_samples_unique_mapped_organs": ["Heart"]}}
+        |]}}""".stripMargin
+    val path = s"$tmp/es_response.json"
+    Files.writeString(Paths.get(path), json)
+
+    val out = EsResponse.datasetsFromResponse(spark, path)
+      .orderBy("uuid")
+      .select("uuid", "hubmap_id", "organ", "age", "sex", "bmi")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+
+    assert(out.toSeq === Seq(
+      ("u1", "HBM1", "Lung (Left)", Some(61.0), Some("Female"), None),
+      ("u2", "HBM2", "Heart", None, None, Some(27.5)),
+      ("u3", "HBM3", "Heart", None, None, None)))
+  }
+
+  test("TSV round-trip with explicit schema (entry point 2 staging table)") {
+    val schema = StructType(Seq(
+      StructField("uuid", StringType), StructField("hubmap_id", StringType)))
+    val df = Seq(("u1", "HBM1"), ("u2", "HBM2")).toDF("uuid", "hubmap_id")
+    ProductSink.writeTsv(df, s"$tmp/uuids_tsv")
+    val back = ProductSink.readTsv(spark, s"$tmp/uuids_tsv", schema)
+    assert(back.schema === schema)
+    assert(back.orderBy("uuid").as[(String, String)].collect().toSeq ===
+      Seq(("u1", "HBM1"), ("u2", "HBM2")))
+  }
+
+  test("product build + partitioned sink + metadata sidecar (entry point 3)") {
+    // 3 synthetic datasets × 2 modalities, outer-union semantics.
+    val fact = Seq(
+      ("d1-c1", "d1", "f1", 1.0, "cell_by_bin"),
+      ("d1-c1", "d1", "g1", 5.0, "cell_by_gene"),
+      ("d1-c2", "d1", "f2", 2.0, "cell_by_bin"),
+      ("d2-c1", "d2", "f1", 3.0, "cell_by_bin"),
+      ("d2-c1", "d2", "g2", 6.0, "cell_by_gene"),
+      ("d3-c1", "d3", "f3", 4.0, "cell_by_bin"))
+      .toDF("cell_id", "dataset", "feature_id", "value", "modality")
+
+    ProductSink.writeProduct(fact, s"$tmp/product")
+
+    // Fact readable with partition pruning on modality/dataset.
+    val back = ProductSink.readProduct(spark, s"$tmp/product")
+    assert(back.count() === 6)
+    val pruned = back.filter($"modality" === "cell_by_gene" && $"dataset" === "d1")
+    assert(pruned.count() === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:"), scan)
+
+    // Metadata sidecar: counts + sorted dataset list + product uuid/time.
+    val meta = spark.read.json(s"$tmp/product/metadata")
+    val row = meta.select("n_rows", "total_cell_count", "datasets",
+      "product_uuid", "creation_time").head()
+    assert(row.getLong(0) === 6L)
+    assert(row.getLong(1) === 4L) // d1-c1, d1-c2, d2-c1, d3-c1
+    assert(row.getSeq[String](2) === Seq("d1", "d2", "d3"))
+    assert(row.getString(3).matches("[0-9a-f-]{36}"))
+    assert(row.getString(4).matches("\\d{4}-\\d{2}-\\d{2} .*"))
+  }
+
+  test("flagship query equals its de-sugared relational form (self-consistency)") {
+    // The flagship plan (annotate→union→intersect→donor-join→stats) must
+    // agree with an independently-written SQL formulation on real data.
+    Tables.registerViews(spark, sfDir)
+    val viaSql = spark.sql(
+      """WITH cbb AS (SELECT l_orderkey || '-' || l_linenumber AS cell_id,
+        |    l_orderkey, l_quantity AS value, l_returnflag AS dataset,
+        |    'cell_by_bin' AS modality FROM lineitem),
+        |cbg AS (SELECT l_orderkey || '-' || l_linenumber AS cell_id,
+        |    l_orderkey, l_extendedprice AS value, l_returnflag AS dataset,
+        |    'cell_by_gene' AS modality FROM lineitem WHERE l_linestatus = 'F'),
+        |common AS (SELECT cell_id FROM cbb INTERSECT SELECT cell_id FROM cbg),
+        |fact AS (SELECT * FROM cbb WHERE cell_id IN (SELECT cell_id FROM common)
+        |  UNION ALL
+        |  SELECT * FROM cbg WHERE cell_id IN (SELECT cell_id FROM common)),
+        |donor AS (SELECT o_orderkey, c_mktsegment AS segment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT modality, dataset, segment, count(DISTINCT cell_id) AS n_cells,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM fact JOIN donor ON fact.l_orderkey = donor.o_orderkey
+        |GROUP BY modality, dataset, segment
+        |ORDER BY modality, dataset, segment""".stripMargin).collect().toSeq
+    val viaApi = operators.Pipeline.flagship(spark, sfDir).collect().toSeq
+    assert(viaApi === viaSql)
+  }
+}
