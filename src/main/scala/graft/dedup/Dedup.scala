@@ -103,6 +103,17 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** Fastest signature path: the fused native expression (one codegen'd
+    * pass in the scan — no explode, no shuffle; see
+    * [[graft.plans.MinHashSig]]). Values identical to both other paths. */
+  def minhashSignaturesFused(s: SparkSession, docs: DataFrame,
+      textCol: String, k: Int): DataFrame = {
+    graft.plans.MinHashSig.register(s)
+    docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        call_function("minhash_sig", wordSet(col(textCol)), lit(k)).as("sig"))
+  }
+
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
@@ -115,7 +126,7 @@ object Dedup {
     val rows = numHashes / bands
     val docs = t(s, d, "documents")
       .select(col("doc_id"), wordSet(col("text")).as("words"))
-    val sig = minhashSignatures(t(s, d, "documents"), "text", numHashes)
+    val sig = minhashSignaturesFused(s, t(s, d, "documents"), "text", numHashes)
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),

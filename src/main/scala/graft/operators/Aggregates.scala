@@ -127,6 +127,24 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // Exact interpolated percentiles per group (B.2; the exact path —
+    // the 100 TB variant is approx_percentile below).
+    "agg_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // t-digest style sketch percentile (no oracle: approximate; bounds
+    // asserted in ScalaTest like approx_count_distinct).
+    "agg_approx_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
+        .orderBy("l_returnflag")),
+
     // agg_product_stats (bin/concatenate.py:81-96): one-row product
     // metadata scalars (deterministic subset — no uuid()/now()).
     "agg_product_stats" -> ((s, d) =>
@@ -182,6 +200,11 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_product_stats" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey || '-' || l_linenumber) AS n_cells,

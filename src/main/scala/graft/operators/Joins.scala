@@ -159,6 +159,19 @@ object Joins {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dict-lookup dim join via a broadcast literal map (bin/concatenate.py
+    // :27-35, make_uuids_tsv.py:146-148: organ-code dict): the 54-row-dim
+    // case where a typedlit(Map) beats even a broadcast join — the lookup
+    // compiles into the row pipeline as a codegen'd map probe.
+    "join_lookup_code" -> ((s, d) => {
+      val regionMap: Map[Int, String] = t(s, d, "region")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          element_at(typedlit(regionMap), col("n_regionkey")).as("region_name"))
+        .orderBy("n_nationkey")
+    }),
+
     // Positional concat (make_uuids_tsv.py:153-157 pandas axis=1): no row
     // identity in Spark → synthesize row_number over explicit orders.
     "join_positional_concat" -> ((s, d) => {
@@ -229,6 +242,10 @@ object Joins {
         |WHERE p_size * 10 <= (s_suppkey * 13) % 500 + 40
         |  AND (s_suppkey * 13) % 500 <= p_size * 10 + 25
         |ORDER BY a_id, b_id""".stripMargin,
+    "join_lookup_code" ->
+      """SELECT n_nationkey, n_name, r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
     "join_positional_concat" ->
       """WITH l AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation),
         |     r AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey DESC) AS rn FROM nation)

@@ -61,6 +61,18 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Range frame: sum over a value-range window (orders within ±1 of the
+    // current key) — rangeBetween, not rowsBetween.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderkey"))
+        .rangeBetween(-5, 0)
+      t(s, d, "orders")
+        .withColumn("range_sum", U.dbl(sum(U.dec4(col("o_totalprice"))).over(w)))
+        .select("o_orderkey", "o_orderstatus", "range_sum")
+        .orderBy("o_orderkey")
+    }),
+
     "sort_global" -> ((s, d) =>
       t(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -102,6 +114,12 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sort_global" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,

@@ -80,8 +80,13 @@ object PolyHash64 {
   * functions in every session without touching the registry by hand.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("poly_hash64"),
       new ExpressionInfo(classOf[PolyHash64].getName, "poly_hash64"),
       (exprs: Seq[Expression]) => PolyHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+  }
 }

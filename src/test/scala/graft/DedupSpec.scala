@@ -86,6 +86,35 @@ class DedupSpec extends SparkSpec {
     assert(viaTable === viaHof)
   }
 
+  test("fused MinHashSig expression matches both other signature paths") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    val viaHof = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordSet($"text"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaFused = Dedup.minhashSignaturesFused(spark, docs, "text", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaFused === viaHof)
+  }
+
+  test("fused MinHashSig: codegen and interpreted eval agree, nulls pass through") {
+    graft.plans.MinHashSig.register(spark)
+    val df = Seq(Some(Seq("a", "b")), Some(Seq.empty[String]), None).toDF("arr")
+    val out = df.select(expr("minhash_sig(arr, 4)")).collect()
+    // non-empty: real mins; empty: MaxValue sentinels; null: null
+    assert(out(0).getSeq[Long](0).forall(_ != Long.MaxValue))
+    assert(out(1).getSeq[Long](0).forall(_ == Long.MaxValue))
+    assert(out(2).isNullAt(0))
+    // interpreted eval path (no codegen) must agree with the collected row
+    val e = graft.plans.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("a", "b"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 4)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.toSeq === out(0).getSeq[Long](0))
+  }
+
   test("registered dedup queries run and are sane on testdata") {
     val exact = Dedup.queries("dedup_exact")(spark, sfDir)
     assert(exact.count() === 500) // corpus has no exact dups
