@@ -14,6 +14,7 @@ object Verify {
       // pandas.to_numeric-style coercion (bad cast → null), matching the
       // reference (bin/concatenate.py:110) and DuckDB TRY_CAST semantics.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet uses TIMESTAMP(NANOS); see graft.Tables.t
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -159,6 +159,24 @@ object Joins {
         .orderBy("a_id", "b_id")
     }),
 
+    // Same overlap join written NAIVELY — the declarative form a user
+    // would write. The graft.plans.RangeJoinRewrite optimizer rule
+    // (enabled via GraftExtensions) rewrites it into the bucketed
+    // equi-join automatically; PlanSpec asserts no nested-loop remains.
+    "join_interval_overlap_auto" -> ((s, d) => {
+      val a = t(s, d, "part").select(
+        col("p_partkey").as("a_id"),
+        (col("p_size") * 10).as("a_lo"),
+        (col("p_size") * 10 + 25).as("a_hi"))
+      val b = t(s, d, "supplier").select(
+        col("s_suppkey").as("b_id"),
+        ((col("s_suppkey") * 13) % 500).as("b_lo"),
+        ((col("s_suppkey") * 13) % 500 + 40).as("b_hi"))
+      a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Dict-lookup dim join via a broadcast literal map (bin/concatenate.py
     // :27-35, make_uuids_tsv.py:146-148: organ-code dict): the 54-row-dim
     // case where a typedlit(Map) beats even a broadcast join — the lookup
@@ -238,6 +256,12 @@ object Joins {
         |ORDER BY l.event_id""".stripMargin,
     "join_interval_overlap" ->
       """SELECT DISTINCT p_partkey AS a_id, s_suppkey AS b_id
+        |FROM part, supplier
+        |WHERE p_size * 10 <= (s_suppkey * 13) % 500 + 40
+        |  AND (s_suppkey * 13) % 500 <= p_size * 10 + 25
+        |ORDER BY a_id, b_id""".stripMargin,
+    "join_interval_overlap_auto" ->
+      """SELECT p_partkey AS a_id, s_suppkey AS b_id
         |FROM part, supplier
         |WHERE p_size * 10 <= (s_suppkey * 13) % 500 + 40
         |  AND (s_suppkey * 13) % 500 <= p_size * 10 + 25

@@ -88,5 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: rewrite interval-overlap theta joins into bucketed
+  * equi-joins (SURVEY.md §4.3 — the range-join weakness of vanilla Spark).
+  *
+  * Pattern: an inner join whose condition contains the overlap predicate
+  *
+  *   a_lo <= b_hi  AND  b_lo <= a_hi
+  *
+  * over integral columns from opposite sides and NO equi-join conjunct.
+  * Vanilla Spark can only plan that as BroadcastNestedLoopJoin (or a
+  * cartesian product) — O(|A|·|B|) comparisons and a broadcast
+  * requirement. The rewrite explodes each interval into fixed-width
+  * buckets and joins on bucket equality:
+  *
+  *   Generate(explode(sequence(lo div W, hi div W)))  on each side
+  *   JOIN ON bucket_a = bucket_b            — hash-partitionable!
+  *        AND <original overlap predicate>  — residual exactness
+  *        AND bucket_a = greatest(a_lo div W, b_lo div W)
+  *                                          — emit each pair exactly once
+  *                                            (in its first shared bucket)
+  *
+  * The equality key makes the join shuffle-hash/sort-merge plannable: at
+  * 100 TB both sides hash-partition by bucket and only bucket-local pairs
+  * are compared. The canonical-bucket conjunct replaces a Distinct — no
+  * extra shuffle for dedup.
+  *
+  * Preconditions (documented contract, standard for range-join
+  * optimizers): intervals are well-formed (lo <= hi per row). Bucket width
+  * comes from `spark.graft.rangeJoin.bucketWidth` (default 50) — tune to
+  * the typical interval length so each interval spans O(1) buckets.
+  *
+  * Enabled via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BucketAttrPrefix = "__graft_bucket_"
+
+  private def bucketWidth: Long =
+    conf.getConfString("spark.graft.rangeJoin.bucketWidth", "50").toLong
+
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Extract (aLo, aHi, bLo, bHi, others) where a* reference only `left`
+    * and b* only `right`. */
+  private def matchOverlap(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Expression, Expression, Seq[Expression])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // No equi conjunct across sides — otherwise Spark already has a key.
+    val hasEqui = conjuncts.exists {
+      case EqualTo(l, r) =>
+        (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+          (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // Normalize each cross-side <= into (leftExpr, rightExpr) meaning
+    // leftExpr <= rightExpr.
+    def asLe(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThanOrEqual(l, r) => Some((l, r))
+      case GreaterThanOrEqual(l, r) => Some((r, l))
+      case _ => None
+    }
+    def fromLeft(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(left.outputSet) && isIntegral(e)
+    def fromRight(e: Expression) =
+      e.references.nonEmpty && e.references.subsetOf(right.outputSet) && isIntegral(e)
+
+    val les = conjuncts.flatMap(asLe)
+    // a_lo <= b_hi : left-expr <= right-expr
+    val lr = les.filter { case (l, r) => fromLeft(l) && fromRight(r) }
+    // b_lo <= a_hi : right-expr <= left-expr
+    val rl = les.filter { case (l, r) => fromRight(l) && fromLeft(r) }
+    (lr, rl) match {
+      case (Seq((aLo, bHi)), Seq((bLo, aHi))) =>
+        val used: Set[Expression] = Set(
+          LessThanOrEqual(aLo, bHi), GreaterThanOrEqual(bHi, aLo),
+          LessThanOrEqual(bLo, aHi), GreaterThanOrEqual(aHi, bLo))
+        val others = conjuncts.filterNot(c => used.exists(_.semanticEquals(c)))
+        // `others` must not be the source of the matched predicates; keep
+        // any genuinely extra conjuncts as residuals.
+        Some((aLo, aHi, bLo, bHi, others.filterNot(c => asLe(c).exists(p =>
+          (p._1.semanticEquals(aLo) && p._2.semanticEquals(bHi)) ||
+            (p._1.semanticEquals(bLo) && p._2.semanticEquals(aHi))))))
+      case _ => None
+    }
+  }
+
+  private def divW(e: Expression, w: Long): Expression =
+    new IntegralDivide(Cast(e, LongType), Literal(w))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !j.output.exists(_.name.startsWith(BucketAttrPrefix)) =>
+      matchOverlap(cond, left, right) match {
+        case Some((aLo, aHi, bLo, bHi, _)) =>
+          val w = bucketWidth
+          // sequence() over non-null integral bounds yields non-null
+          // elements; the attr nullability must match Explode's schema.
+          val bucketL = AttributeReference(BucketAttrPrefix + "l", LongType,
+            nullable = false)()
+          val bucketR = AttributeReference(BucketAttrPrefix + "r", LongType,
+            nullable = false)()
+          def gen(child: LogicalPlan, lo: Expression, hi: Expression,
+              out: AttributeReference) =
+            Generate(
+              // Post-analysis construction: TimeZoneAwareExpression needs
+              // an explicit timeZoneId to count as resolved.
+              Explode(Sequence(divW(lo, w), divW(hi, w), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(out), child = child)
+          val newLeft = gen(left, aLo, aHi, bucketL)
+          val newRight = gen(right, bLo, bHi, bucketR)
+          val canonical = EqualTo(bucketL,
+            Greatest(Seq(divW(aLo, w), divW(bLo, w))))
+          val newCond = And(And(EqualTo(bucketL, bucketR), cond), canonical)
+          Project(j.output,
+            Join(newLeft, newRight, Inner, Some(newCond), hint))
+        case None => j
+      }
+  }
+}

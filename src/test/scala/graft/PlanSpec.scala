@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ fallback:\n$p")
   }
 
+  test("RangeJoinRewrite: naive overlap join auto-rewrites to bucketed equi-join") {
+    val df = SparkEntry.queries("join_interval_overlap_auto")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join not rewritten:\n$p")
+    assert(p.contains("Generate explode(sequence"), s"no bucket explode:\n$p")
+    // and the rewrite preserves the exact result of the manual form
+    val auto = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val manual = SparkEntry.queries("join_interval_overlap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto === manual)
+  }
+
   test("theta band join broadcasts the tiny bands side") {
     val p = formatted("join_theta_band")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
