@@ -21,10 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/IO warmup on an untimed query so per-query numbers reflect
-    // steady-state execution, not first-run classloading.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // JIT/IO warmup on untimed queries so per-query numbers reflect
+    // steady-state execution, not first-run classloading (the JSON-path
+    // machinery alone costs ~9s of one-time class loading).
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
+      graft.Tables.t(spark, sfDir, "events").limit(1).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

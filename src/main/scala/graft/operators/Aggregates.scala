@@ -127,6 +127,26 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // Salted two-phase aggregation — the skew pattern (SURVEY §2 intro,
+    // §7.4.7): when one group key dominates, a straight groupBy sends the
+    // hot key to one reducer. Phase 1 groups by (key, salt) spreading the
+    // hot key over 16 partitions; phase 2 merges the partials. Decimal
+    // partials keep the merged sum exact. Result is identical to the
+    // plain groupBy (that's what the oracle checks).
+    "agg_salted_skew" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val partials = li
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(U.dec4(col("l_quantity"))).as("psum"),
+          count(lit(1)).as("pcnt"))
+      partials.groupBy("l_returnflag")
+        .agg(U.dbl(sum(col("psum"))).as("sum_qty"),
+          sum(col("pcnt")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact interpolated percentiles per group (B.2; the exact path —
     // the 100 TB variant is approx_percentile below).
     "agg_percentile" -> ((s, d) =>
@@ -200,6 +220,11 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_salted_skew" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -103,6 +103,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: stream restarts resume from state, no reprocessing") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val input = MemoryStream[(Timestamp, Long)]
+    def start() = input.toDF().toDF("ts", "user_id")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((ts(1), 1L), (ts(2), 2L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Restart against the same checkpoint: only new data lands.
+    val q2 = start()
+    try {
+      input.addData((ts(3), 3L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+    assert(rows.count() === 3) // 2 from run 1 + 1 from run 2, no dupes
+  }
+
   test("session window batch path groups by inactivity gap") {
     val df = Seq(
       (1L, ts(0)), (1L, ts(10)),          // session 1 (gap < 30min)
