@@ -98,10 +98,15 @@ object ScalarFuncs {
       val inverted = withMap.withColumn("inv",
         map_from_entries(transform(map_entries(col("m")),
           e => struct(e.getField("value").as("key"), e.getField("key").as("value")))))
-      inverted.select(
+      // map_project_desc (make_uuids_tsv.py:146-148): project one field of
+      // each map value via transform_values.
+      val projected = inverted.withColumn("desc_map",
+        transform_values(col("m"), (_, v) => concat(lit("key="), v)))
+      projected.select(
         col("n_nationkey"),
         element_at(map_keys(col("m")), 1).as("name_from_map"),
-        element_at(col("inv"), col("n_nationkey").cast("string")).as("name_from_inv"))
+        element_at(col("inv"), col("n_nationkey").cast("string")).as("name_from_inv"),
+        element_at(col("desc_map"), col("n_name")).as("projected_desc"))
         .orderBy("n_nationkey")
     })
   )
@@ -163,7 +168,8 @@ object ScalarFuncs {
         |  CAST(embedding[1] AS DOUBLE) AS first_el
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "map_funcs" ->
-      """SELECT n_nationkey, n_name AS name_from_map, n_name AS name_from_inv
+      """SELECT n_nationkey, n_name AS name_from_map, n_name AS name_from_inv,
+        |  'key=' || n_nationkey AS projected_desc
         |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }

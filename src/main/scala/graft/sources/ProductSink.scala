@@ -48,10 +48,18 @@ object ProductSink {
       .partitionBy("modality", "dataset")
       .parquet(s"$outDir/fact")
 
+    // fs_file_size (bin/concatenate.py:151): product size via the Hadoop
+    // FileSystem API — works identically against s3a:// at scale.
+    val spark = fact.sparkSession
+    val factPath = new org.apache.hadoop.fs.Path(s"$outDir/fact")
+    val fs = factPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byteSize = fs.getContentSummary(factPath).getLength
+
     val meta = fact.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("cell_id")).as("total_cell_count"),
       sort_array(collect_set(col("dataset"))).as("datasets"))
+      .withColumn("raw_file_size_bytes", lit(byteSize))
       .withColumn("product_uuid", expr("uuid()"))
       .withColumn("creation_time", date_format(current_timestamp(),
         "yyyy-MM-dd HH:mm:ss"))

@@ -91,6 +91,33 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(row.getString(4).matches("\\d{4}-\\d{2}-\\d{2} .*"))
   }
 
+  test("filesystem catalog: glob scan, per-file identity, first match") {
+    // scan_fs_walk / limit_first_match (bin/concatenate.py:38-45,
+    // make_directory.py:11-26): directory-per-dataset layout scanned via
+    // glob; file identity via input_file_name(); deterministic first hit.
+    val base = s"$tmp/datasets"
+    Seq(("c1", 1.0)).toDF("cell_id", "v").write.parquet(s"$base/ds1/cell_by_bin.parquet")
+    Seq(("c2", 2.0)).toDF("cell_id", "v").write.parquet(s"$base/ds2/cell_by_bin.parquet")
+    val scanned = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(base)
+      .withColumn("src_file", input_file_name())
+    assert(scanned.count() === 2)
+    assert(scanned.select("src_file").distinct().count() === 2)
+    val first = scanned.orderBy("src_file", "cell_id").limit(1)
+      .select("cell_id").as[String].head()
+    assert(first === "c1")
+  }
+
+  test("product metadata records filesystem byte size") {
+    val fact = Seq(("d1-c1", "d1", "f1", 1.0, "m1"))
+      .toDF("cell_id", "dataset", "feature_id", "value", "modality")
+    ProductSink.writeProduct(fact, s"$tmp/product_sz")
+    val meta = spark.read.json(s"$tmp/product_sz/metadata")
+    assert(meta.select("raw_file_size_bytes").head().getLong(0) > 0L)
+  }
+
   test("flagship query equals its de-sugared relational form (self-consistency)") {
     // The flagship plan (annotate→union→intersect→donor-join→stats) must
     // agree with an independently-written SQL formulation on real data.
