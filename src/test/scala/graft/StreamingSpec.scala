@@ -127,6 +127,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() === 3) // 2 from run 1 + 1 from run 2, no dupes
   }
 
+  test("transformWithState (Spark 4 arbitrary-state API): running max per user") {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    class RunningMax extends StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+      @transient private var maxState: ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        maxState = getHandle.getValueState[Double]("max",
+          Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          timerValues: TimerValues): Iterator[(Long, Double)] = {
+        val prev = if (maxState.exists()) maxState.get() else Double.MinValue
+        val mx = rows.foldLeft(prev)((m, r) => math.max(m, r._2))
+        maxState.update(mx)
+        Iterator((key, mx))
+      }
+    }
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Double)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new RunningMax, org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update)
+      val q = out.toDF("user_id", "running_max").writeStream
+        .format("memory").queryName("tws_out").outputMode("update").start()
+      try {
+        input.addData((1L, 2.0), (1L, 5.0), (2L, 1.0))
+        q.processAllAvailable()
+        input.addData((1L, 3.0)) // below running max → max stays 5
+        q.processAllAvailable()
+        val last = spark.table("tws_out")
+          .groupBy("user_id").agg(max("running_max").as("m"))
+          .as[(Long, Double)].collect().toSet
+        assert(last === Set((1L, 5.0), (2L, 1.0)))
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session window batch path groups by inactivity gap") {
     val df = Seq(
       (1L, ts(0)), (1L, ts(10)),          // session 1 (gap < 30min)
