@@ -115,6 +115,16 @@ object Aggregates {
         .orderBy("flag")
     }),
 
+    // Heavy-hitters: exact top-k by frequency (oracled). At 100 TB the
+    // same shape runs on a count-min/approx pass first; the exact groupBy
+    // here is already partial-aggregated so the shuffle carries one row
+    // per distinct key per partition.
+    "agg_top_frequent" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l_partkey"))
+        .limit(10)),
+
     // pivot_donor_concepts (make_uuids_tsv.py:91-142): long→wide pivot
     // with an explicit value list (no extra pass to discover keys).
     "pivot_event_type" -> ((s, d) => {
@@ -212,6 +222,9 @@ object Aggregates {
       """SELECT l_returnflag AS flag,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
         |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+    "agg_top_frequent" ->
+      """SELECT l_partkey, count(*) AS freq FROM lineitem
+        |GROUP BY l_partkey ORDER BY freq DESC, l_partkey LIMIT 10""".stripMargin,
     "pivot_event_type" ->
       """SELECT user_id,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -85,7 +85,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained with
+    * deterministic init (the first `k` vectors by id) and a fixed number
+    * of Lloyd iterations, all as DataFrame aggregations. Returns the
+    * centroid vectors. At 100 TB: train on a sample, then `assignCol` is
+    * one broadcast argmin per row and `centroid_id` becomes the storage
+    * partition key — a query probes `nProbe` partitions instead of the
+    * full corpus (the IVF counterpart of the LSH bucket path above).
+    */
+  def trainIvfCentroids(s: SparkSession, d: String, k: Int,
+      iters: Int = 2): Array[(Int, Array[Double])] = {
+    val vecs = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .filter(col("vec_id") < k).orderBy("vec_id").collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cid", assignCol(col("vd"), centroids))
+      // new centroid = elementwise mean of member vectors
+      val dims = centroids.head._2.length
+      val sums = assigned
+        .select(col("cid") +: (0 until dims).map(i =>
+          element_at(col("vd"), i + 1).as(s"x$i")): _*)
+        .groupBy("cid")
+        .agg(avg("x0").as("m0"), (1 until dims).map(i => avg(s"x$i").as(s"m$i")): _*)
+        .collect()
+      centroids = sums.map(r =>
+        r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)).toArray)
+        .sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** Argmin-distance centroid assignment as a codegen'd column (squared
+    * L2 against broadcast centroid literals). */
+  def assignCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    def sqDist(c: Array[Double]): Column = {
+      val diff = zip_with(vec, typedlit(c.toSeq), (x, y) => x - y)
+      aggregate(diff, lit(0.0), (s, x) => s + x * x)
+    }
+    // argmin via array_min over (dist, id) structs (lexicographic).
+    val scored = centroids.map { case (id, c) =>
+      struct(sqDist(c).as("dist"), lit(id).as("id"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("id")
+  }
+
+  /** IVF ANN: probe the `nProbe` nearest centroids, exact cosine inside. */
+  def ivfTopK(s: SparkSession, d: String, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = trainIvfCentroids(s, d, nCentroids)
+    val qv = queryVector(s, d, queryId)
+    def sq(c: Array[Double]): Double =
+      c.indices.foldLeft(0.0)((acc, i) => acc + (c(i) - qv(i)) * (c(i) - qv(i)))
+    val probes = centroids.sortBy(c => sq(c._2)).take(nProbe).map(_._1)
+    val q = typedlit(qv.toSeq)
+    Tables.t(s, d, "embeddings")
+      .withColumn("vd", toDouble(col("embedding")))
+      .withColumn("cid", assignCol(col("vd"), centroids))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("vd"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF variant (no oracle: quantizer engine-defined; recall asserted
+    // in SimilaritySpec).
+    "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, queryId = 0L, k = 10)),
+
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
     // No oracle (bucketing is engine-defined): recall vs brute force is
     // asserted in SimilaritySpec instead.

@@ -57,6 +57,24 @@ class SimilaritySpec extends SparkSpec {
     assert(probed < total / 2, s"probed $probed of $total — not selective")
   }
 
+  test("IVF: centroid assignment is total, probes are selective, recall useful") {
+    val cents = Similarity.trainIvfCentroids(spark, sfDir, 16)
+    assert(cents.length === 16)
+    val assigned = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("vd", VectorOps.toDouble($"embedding"))
+      .withColumn("cid", Similarity.assignCol($"vd", cents))
+    assert(assigned.filter($"cid".isNull).count() === 0)
+    val sizes = assigned.groupBy("cid").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum === 500L)
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size === 10)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
   test("brute-force top-k is ordered by similarity desc") {
     val rows = Similarity.bruteForceTopK(spark, sfDir, 0L, 20)
       .select("cos_sim").as[Double].collect()

@@ -127,6 +127,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() === 3) // 2 from run 1 + 1 from run 2, no dupes
   }
 
+  test("watermarked stream-stream join bounds state and matches in-window pairs") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "20 minutes")
+    val clkDf = clicks.toDF().toDF("ad_id2", "clk_ts").withWatermark("clk_ts", "20 minutes")
+    val joined = impDf.join(clkDf,
+      expr("""ad_id = ad_id2 AND
+             |clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 10 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    // Non-epoch-zero base: watermark arithmetic near 1970-01-01 floors at
+    // zero and suppresses emission.
+    def mts(minutes: Long): Timestamp =
+      new Timestamp((50L * 365 * 24 * 60 + minutes) * 60 * 1000)
+    try {
+      imps.addData((1L, mts(0)), (2L, mts(0)))
+      q.processAllAvailable()
+      clicks.addData((1L, mts(5)))   // in window → match
+      clicks.addData((2L, mts(15)))  // 15min > 10min window → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").select("ad_id")
+        .as[Long].collect().toSeq
+      assert(rows === Seq(1L))
+    } finally q.stop()
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API): running max per user") {
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
