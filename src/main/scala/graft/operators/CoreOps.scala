@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
 object CoreOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** filter_dynamic_pred (make_uuids_tsv.py:20-21): the organ predicate is
+    * appended only when the argument is present — predicate composition is
+    * plain Scala over Columns; Catalyst still sees one conjunction and
+    * pushes the whole thing to the scan. */
+  def dynamicFilter(df: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.Column,
+      optional: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame =
+    df.filter(optional.map(base && _).getOrElse(base))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pruned scan: filter + 3-column projection reach the parquet reader.
     "scan_parquet_pushdown" -> ((s, d) =>

@@ -61,15 +61,19 @@ object EsResponse {
   /** Pivot concept/value structs to fixed donor columns, honoring the
     * per-concept data_value vs preferred_term choice. */
   def pivotDonorConcepts(hits: DataFrame): DataFrame = {
+    // str_strip_laterality (bin/concatenate.py:28): "Lung (Left)" → "Lung"
+    // so organ joins the 54-code dimension regardless of laterality.
+    val organBase = regexp_replace(col("organ"), " \\((Left|Right)\\)$", "")
     val exploded = hits.select(col("uuid"), col("hubmap_id"), col("organ"),
+      organBase.as("organ_base"),
       explode_outer(col("donor_data")).as("d"))
-      .select(col("uuid"), col("hubmap_id"), col("organ"),
+      .select(col("uuid"), col("hubmap_id"), col("organ"), col("organ_base"),
         col("d.grouping_concept_preferred_term").as("concept"),
         col("d.data_value").as("data_value"),
         col("d.preferred_term").as("preferred_term"))
     def pick(concept: String, src: String) =
       first(when(col("concept") === concept, col(src)), ignoreNulls = true)
-    exploded.groupBy("uuid", "hubmap_id", "organ").agg(
+    exploded.groupBy("uuid", "hubmap_id", "organ", "organ_base").agg(
       pick("Age", "data_value").cast("double").as("age"),
       pick("Sex", "preferred_term").as("sex"),
       pick("Height", "data_value").cast("double").as("height"),

@@ -48,6 +48,20 @@ class GoldenPipelineSpec extends SparkSpec {
       ("u3", "HBM3", "Heart", None, None, None)))
   }
 
+  test("laterality stripping and dynamic predicate composition") {
+    val lat = EsResponse.datasetsFromResponse(spark, s"$tmp/es_response.json")
+      .select("organ", "organ_base").orderBy("uuid")
+      .as[(String, String)].collect()
+    assert(lat.toSeq === Seq(("Lung (Left)", "Lung"), ("Heart", "Heart"), ("Heart", "Heart")))
+
+    val orders = Tables.t(spark, sfDir, "orders")
+    val base = col("o_orderstatus") === "F"
+    val without = operators.CoreOps.dynamicFilter(orders, base, None).count()
+    val withOrgan = operators.CoreOps.dynamicFilter(orders, base,
+      Some(col("o_totalprice") > 1000)).count()
+    assert(withOrgan <= without && withOrgan > 0)
+  }
+
   test("TSV round-trip with explicit schema (entry point 2 staging table)") {
     val schema = StructType(Seq(
       StructField("uuid", StringType), StructField("hubmap_id", StringType)))
