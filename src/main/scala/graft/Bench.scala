@@ -41,7 +41,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val sf = sfDir.replaceAll(".*sf", "")
+    // sf is numeric when the dir follows the .../sfN.N convention; quote
+    // anything else so the output line stays valid JSON.
+    val sfRaw = sfDir.replaceAll(".*sf", "")
+    val sf = if (sfRaw.matches("""-?\d+(\.\d+)?""")) sfRaw
+      else "\"" + sfRaw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }

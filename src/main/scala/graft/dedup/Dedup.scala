@@ -222,8 +222,8 @@ object Dedup {
     // Embedding near-dup candidates via sign-bit LSH buckets + exact
     // cosine within bucket, ranked (no oracle: bucketing engine-defined;
     // threshold-detection behavior checked on a planted-duplicates fixture
-    // in DedupSpec). Coarse 4-bit buckets here because this corpus has no
-    // true near-dups; production uses more bits + a cosine threshold.
+    // in DedupSpec). Coarse 8-bit buckets (256) here because this corpus
+    // has no true near-dups; production uses more bits + a cosine threshold.
     "dedup_embedding_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)

@@ -85,11 +85,15 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rows-only check (decode is stubbed): schema + plumbing are real.
+    // The feature vector is emitted as a scalar digest column — array
+    // columns aren't sortable/hashable by the driver's pandas compare.
     "multimodal_decode" -> ((s, d) =>
       extractFeatures(s, mediaTable(s, d))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           round(col("mean_byte"), 6).as("mean_byte"),
-          col("head_features"))
+          concat_ws(",",
+            transform(col("head_features"),
+              f => round(f, 6).cast("string"))).as("head_sig"))
         .orderBy("doc_id")),
 
     // Byte-length accounting is decoder-independent → oracle-checkable.
@@ -107,10 +111,18 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
+      // strlen = UTF-8 BYTES in DuckDB (length() counts characters, which
+      // diverges from the binary payload length on non-ASCII corpora).
       """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
         |            ELSE 'audio/fake' END AS media_type,
         |  count(*) AS n_assets,
-        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // n_chunks for chunk=32, stride=4: sequence(0, (len-1) div 128) has
+    // 1 + floor((len-1)/128) elements (len >= 1 in this corpus).
+    "multimodal_chunks" ->
+      """SELECT doc_id,
+        |  1 + CAST(floor((strlen(text) - 1) / 128.0) AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -88,21 +88,29 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSig {
-  private val info = new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig")
+  private[plans] val info =
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig")
+
+  /** Validated builder shared by [[register]] and
+    * [[GraftExtensions]]: checks arity and that `k` is a foldable integer
+    * literal before eval, so misuse fails with a clear message instead of
+    * an opaque IndexOutOfBounds/ClassCast at analysis time. */
+  private[plans] val builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "minhash_sig(array<string>, k)")
+    require(exprs(1).foldable,
+      "minhash_sig k must be a foldable integer literal")
+    val k = exprs(1).eval(null) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig k must be an integer literal, got $other")
+    }
+    MinHashSig(exprs.head, k)
+  }
 
   /** Register `minhash_sig(arr, k)` on an existing session (k must be a
     * foldable integer literal). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_sig"), info,
-      exprs => {
-        require(exprs.length == 2, "minhash_sig(array<string>, k)")
-        val k = exprs(1).eval(null) match {
-          case n: Int => n
-          case n: Long => n.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig k must be an integer literal, got $other")
-        }
-        MinHashSig(exprs.head, k)
-      })
+      FunctionIdentifier("minhash_sig"), info, builder)
 }

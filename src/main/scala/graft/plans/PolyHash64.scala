@@ -84,10 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_hash64"),
       new ExpressionInfo(classOf[PolyHash64].getName, "poly_hash64"),
       (exprs: Seq[Expression]) => PolyHash64(exprs.head)))
+    // Same validated builder as MinHashSig.register (arity + foldable-
+    // literal check) so misuse fails with a descriptive error.
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+      MinHashSig.info, MinHashSig.builder))
     // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

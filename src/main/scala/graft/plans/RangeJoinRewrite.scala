@@ -45,6 +45,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bucketWidth: Long =
     conf.getConfString("spark.graft.rangeJoin.bucketWidth", "50").toLong
 
+  /** Runtime guard: an interval spanning more than this many buckets
+    * (relative to bucketWidth) raises a descriptive error instead of
+    * exploding into a near-unbounded `sequence()` (array-size limit / OOM
+    * with a message that wouldn't mention this rule). Raise the width or
+    * this cap for genuinely huge intervals. */
+  private def maxSpanBuckets: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxSpanBuckets", "4096").toLong
+
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
@@ -111,15 +119,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             nullable = false)()
           val bucketR = AttributeReference(BucketAttrPrefix + "r", LongType,
             nullable = false)()
+          val maxSpan = maxSpanBuckets
           def gen(child: LogicalPlan, lo: Expression, hi: Expression,
-              out: AttributeReference) =
-            Generate(
-              // Post-analysis construction: TimeZoneAwareExpression needs
-              // an explicit timeZoneId to count as resolved.
-              Explode(Sequence(divW(lo, w), divW(hi, w), None,
-                Some(conf.sessionLocalTimeZone))),
+              out: AttributeReference) = {
+            val loB = divW(lo, w)
+            val hiB = divW(hi, w)
+            // Post-analysis construction: TimeZoneAwareExpression needs
+            // an explicit timeZoneId to count as resolved.
+            val seq = Sequence(loB, hiB, None, Some(conf.sessionLocalTimeZone))
+            // Per-row span guard: fail with a message that names the rule
+            // and the tuning knobs rather than an opaque array-size error.
+            val guarded = If(
+              LessThanOrEqual(Subtract(hiB, loB), Literal(maxSpan)),
+              seq,
+              Cast(new RaiseError(Literal(
+                s"graft.plans.RangeJoinRewrite: interval spans more than " +
+                  s"$maxSpan buckets at bucketWidth=$w; raise " +
+                  "spark.graft.rangeJoin.bucketWidth or " +
+                  "spark.graft.rangeJoin.maxSpanBuckets")), seq.dataType))
+            Generate(Explode(guarded),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(out), child = child)
+          }
           val newLeft = gen(left, aLo, aHi, bucketL)
           val newRight = gen(right, bLo, bHi, bucketR)
           val canonical = EqualTo(bucketL,

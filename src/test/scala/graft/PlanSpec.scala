@@ -61,7 +61,9 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"overlap join not rewritten:\n$p")
-    assert(p.contains("Generate explode(sequence"), s"no bucket explode:\n$p")
+    // Span-guarded bucket explode: explode(if (span <= cap) sequence(...))
+    assert(p.contains("Generate explode(") && p.contains("sequence("),
+      s"no bucket explode:\n$p")
     // and the rewrite preserves the exact result of the manual form
     val auto = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val manual = SparkEntry.queries("join_interval_overlap")(spark, sfDir)
