@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Small-SF parallelism: AQE's default 1M floor coalesces every tiny
+      // post-shuffle stage to ONE partition (serial). A lower floor keeps
+      // local stages parallel; at production sizes totalBytes/parallelism
+      // dwarfs the floor, so this is a no-op there.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,14 +35,24 @@ object Bench {
       spark.range(1).select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
       graft.Tables.t(spark, sfDir, "events").limit(1).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Optional args restrict the run to named queries (dev loop); the
+    // driver passes no args and gets the full suite. SPARK_GRAFT_REPEAT=n
+    // (dev-only) times the n-th pass, isolating steady-state execution
+    // from first-run classload/codegen-compile cost.
+    val only = args.toSet
+    val passes = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = (1 to passes).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.last
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev tool: run one registered query and print per-stage wall time,
+  * task count, and shuffle bytes — the feedback loop for deciding which
+  * exchange/scan dominates a slow query.
+  *
+  * Usage: StageTime <queryName> [sfDir] [cpus]
+  */
+object StageTime {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = args.lift(2).getOrElse("32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stages = ArrayBuffer[(Int, String, Long, Int, Long, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+          yield c - s).getOrElse(-1L)
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), wall,
+          si.numTasks, si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    })
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s — $name @ $sfDir")
+    println(f"${"stage"}%5s ${"wall_ms"}%8s ${"tasks"}%5s ${"shW_MB"}%8s ${"shR_MB"}%8s  name")
+    stages.sortBy(_._1).foreach { case (id, n, w, t, sw, sr) =>
+      println(f"$id%5d $w%8d $t%5d ${sw / 1e6}%8.1f ${sr / 1e6}%8.1f  $n")
+    }
+    spark.stop()
+  }
+}

@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet uses TIMESTAMP(NANOS); see graft.Tables.t
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep tiny post-shuffle stages parallel at test SF (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -119,7 +119,16 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification. */
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Bucket-local pair generation: group each (band, bucket-hash) into its
+    * sorted member-id list and emit the id pairs from within the list —
+    * ONE aggregation of the banded signatures instead of a windowed count
+    * plus a self-join that would re-run the whole signature pipeline on
+    * both sides. The maxBucket size guard (skew/noise cap for degenerate
+    * stopword-heavy buckets) bounds the per-group pair fan-out at
+    * maxBucket²/2, so the local generation never explodes.
+    */
   def minhashPairs(s: SparkSession, d: String, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.8,
       maxBucket: Int = 64): DataFrame = {
@@ -133,16 +142,18 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bh"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // Skew/noise guard: drop buckets with too many members.
-    val counted = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-    val cand = counted.as("x").join(counted.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    val ids = col("ids")
+    val cand = banded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids).between(2, maxBucket))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ids) - 2),
+        i => transform(slice(ids, i + 2, size(ids)),
+          y => struct(element_at(ids, i + 1).as("id1"), y.as("id2"))))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // a pair can collide in several bands — emit it once
       .dropDuplicates("id1", "id2")
     // Verify candidates with exact Jaccard (join shingle sets back by id —
     // candidates are few, the doc table is the big side).
@@ -195,10 +206,14 @@ object Dedup {
     "dedup_simhash" -> ((s, d) =>
       simhashTable(t(s, d, "documents"), "text").orderBy("doc_id")),
 
-    // SimHash near-dup pairs on adjacent ids via Hamming distance.
+    // SimHash near-dup pairs on adjacent ids via Hamming distance. The
+    // signature table feeds both join sides, so persist it: one pass over
+    // the corpus instead of two (the narrow (id, sig) table is tiny
+    // relative to the documents it summarizes — 16 bytes/doc).
     "dedup_simhash_pairs" -> ((s, d) => {
       val sh = simhashTable(t(s, d, "documents"), "text")
         .withColumnRenamed("simhash", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sh.select(col("doc_id"), col("sh").as("sha"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("shb"))
       a.join(b, Seq("doc_id"))

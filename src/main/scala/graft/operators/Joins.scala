@@ -135,9 +135,11 @@ object Joins {
     }),
 
     // Interval-overlap join, bucketed: explode each interval into fixed-
-    // width buckets, equi-join on bucket, re-check the residual predicate,
-    // dedup. Turns the nested-loop range join into a shuffle hash join —
-    // the 100 TB-safe plan for genomic bin↔gene-body style overlaps.
+    // width buckets, equi-join on bucket, re-check the residual predicate.
+    // Each pair is emitted exactly once — in its first SHARED bucket
+    // (bucket == max of the two start buckets) — so no Distinct and no
+    // extra dedup shuffle. Turns the nested-loop range join into a shuffle
+    // hash join — the 100 TB-safe plan for genomic bin↔gene-body overlaps.
     "join_interval_overlap" -> ((s, d) => {
       val W = 50L
       val a = t(s, d, "part").select(
@@ -154,8 +156,10 @@ object Joins {
             floor(col(hi) / W).cast("long"))))
       bucketed(a, "a_lo", "a_hi")
         .join(bucketed(b, "b_lo", "b_hi"), Seq("bucket"))
-        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
-        .select("a_id", "b_id").distinct()
+        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
+          col("bucket") === greatest(floor(col("a_lo") / W).cast("long"),
+            floor(col("b_lo") / W).cast("long")))
+        .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
     }),
 

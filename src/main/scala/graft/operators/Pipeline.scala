@@ -26,25 +26,38 @@ object Pipeline {
     val li = t(s, d, "lineitem")
     val cellId = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
 
-    // Modality 1: "cell_by_bin" — part-keyed measurements.
-    val cbb = li.select(
+    // ONE scan emits every modality's rows: per line, "cell_by_bin"
+    // (part-keyed) always and "cell_by_gene" (supplier-keyed) only for
+    // finalized lines — so the obs intersection is a strict subset, as in
+    // multi-modality MuData where not every cell appears in every assay.
+    // (The previous formulation scanned lineitem once per modality and
+    // twice more for the INTERSECT.)
+    val modalities = array(
+      struct(lit("cell_by_bin").as("modality"),
+        col("l_partkey").as("feature_id"),
+        col("l_quantity").cast("double").as("value"),
+        lit(true).as("keep")),
+      struct(lit("cell_by_gene").as("modality"),
+        col("l_suppkey").as("feature_id"),
+        col("l_extendedprice").cast("double").as("value"),
+        (col("l_linestatus") === "F").as("keep")))
+    val fact0 = li.select(
       cellId.as("cell_id"), col("l_orderkey"),
-      col("l_partkey").as("feature_id"), col("l_quantity").as("value"),
-      col("l_returnflag").as("dataset"))
-      .withColumn("modality", lit("cell_by_bin"))
-    // Modality 2: "cell_by_gene" — supplier-keyed, only finalized lines
-    // (so the obs intersection is a strict subset, as in multi-modality
-    // MuData where not every cell appears in every assay).
-    val cbg = li.filter(col("l_linestatus") === "F").select(
-      cellId.as("cell_id"), col("l_orderkey"),
-      col("l_suppkey").as("feature_id"), col("l_extendedprice").as("value"),
-      col("l_returnflag").as("dataset"))
-      .withColumn("modality", lit("cell_by_gene"))
+      col("l_returnflag").as("dataset"),
+      explode(filter(modalities, m => m.getField("keep"))).as("m"))
+      .select(col("cell_id"), col("l_orderkey"), col("dataset"),
+        col("m.modality").as("modality"), col("m.feature_id").as("feature_id"),
+        col("m.value").as("value"))
 
-    // mu.pp.intersect_obs: cells present in ALL modalities.
-    val common = cbb.select("cell_id").intersect(cbg.select("cell_id"))
-    val fact = cbb.unionByName(cbg)
-      .join(common, Seq("cell_id"), "left_semi")
+    // mu.pp.intersect_obs: cells present in ALL modalities — one window
+    // shuffle on cell_id instead of two distinct-aggregates + an INTERSECT
+    // join + a semi-join of the full fact.
+    val nModalities = 2
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell_id")
+    val fact = fact0
+      .withColumn("__nmod", size(collect_set(col("modality")).over(w)))
+      .filter(col("__nmod") === nModalities)
+      .drop("__nmod")
 
     // Donor metadata join (orders→customer, customer broadcast).
     val donor = t(s, d, "orders")
