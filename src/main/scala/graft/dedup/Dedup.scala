@@ -114,6 +114,16 @@ object Dedup {
         call_function("minhash_sig", wordSet(col(textCol)), lit(k)).as("sig"))
   }
 
+  /** Fused SimHash path ([[graft.plans.SimHash64]]): signature in the
+    * scan itself — the map-only analog of [[simhashTable]] (identical
+    * values, asserted in DedupSpec). */
+  def simhashFused(s: SparkSession, docs: DataFrame, textCol: String): DataFrame = {
+    graft.plans.SimHash64.register(s)
+    docs.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        call_function("simhash64", split(lower(col(textCol)), " ")).as("simhash"))
+  }
+
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     inter.cast("double") / (size(a) + size(b) - inter)
@@ -202,18 +212,19 @@ object Dedup {
     // engine-defined; recall/precision asserted in DedupSpec).
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
 
-    // Per-doc 64-bit SimHash signatures (no oracle: hash-defined).
+    // Per-doc 64-bit SimHash signatures via the fused native expression
+    // (one codegen'd scan, no explode/shuffle; values identical to
+    // simhashTable — asserted in DedupSpec). No oracle: hash-defined.
     "dedup_simhash" -> ((s, d) =>
-      simhashTable(t(s, d, "documents"), "text").orderBy("doc_id")),
+      simhashFused(s, t(s, d, "documents"), "text").orderBy("doc_id")),
 
-    // SimHash near-dup pairs on adjacent ids via Hamming distance. The
-    // signature table feeds both join sides, so persist it: one pass over
-    // the corpus instead of two (the narrow (id, sig) table is tiny
-    // relative to the documents it summarizes — 16 bytes/doc).
+    // SimHash near-dup pairs on adjacent ids via Hamming distance. With
+    // the fused signature the recompute on the second join side is just
+    // another map-only scan — no persist needed, no shuffle until the
+    // narrow (id, sig) join itself.
     "dedup_simhash_pairs" -> ((s, d) => {
-      val sh = simhashTable(t(s, d, "documents"), "text")
+      val sh = simhashFused(s, t(s, d, "documents"), "text")
         .withColumnRenamed("simhash", "sh")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sh.select(col("doc_id"), col("sh").as("sha"))
       val b = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("shb"))
       a.join(b, Seq("doc_id"))

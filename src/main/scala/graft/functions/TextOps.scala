@@ -80,15 +80,16 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Heuristic language ID (no oracle: heuristic is engine-defined;
-    // accuracy on a labeled fixture asserted in TextOpsSpec).
+    // Heuristic language ID (deterministic stopword-hit argmax, ties to
+    // the earliest profile — oracled as a CASE cascade in DuckDB).
     "text_lang_id" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), col("lang").as("labeled_lang"),
         langIdCol(split(lower(col("text")), " ")).as("predicted_lang"))
         .orderBy("doc_id")),
 
-    // Composite quality score (no oracle: engine-defined heuristic).
+    // Composite quality score (deterministic per-row double arithmetic —
+    // oracled; see graft.U scaladoc for the cross-engine float rules).
     "text_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), round(qualityCol(col("text")), 6).as("quality"))
@@ -100,6 +101,42 @@ object TextOps {
       t(s, d, "documents")
         .select(col("doc_id"), expr("poly_hash64(text)").as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // PII-style redaction over the raw event payloads: mask email-shaped
+    // tokens and digit runs, count what was masked. One codegen'd scan —
+    // the shape of a scrubbing pass over 100 TB of crawl text.
+    "text_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]+"
+      val p = col("props")
+      t(s, d, "events").select(
+        col("event_id"),
+        regexp_replace(regexp_replace(p, emailRe, "<EMAIL>"), numRe, "<NUM>")
+          .as("redacted"),
+        U.lng(size(regexp_extract_all(p, lit(numRe), lit(0)))).as("n_num_runs"))
+        .orderBy("event_id")
+    }),
+
+    // Token-window chunking with overlap (chunk=16 tokens, stride=12):
+    // the standard context-window prep for LLM training corpora. Chunks
+    // are derived per row with array ops — no shuffle until the output agg.
+    "text_chunk_tokens" -> ((s, d) => {
+      val chunk = 16
+      val stride = 12
+      val toks = split(col("text"), " ")
+      val nChunks = when(size(toks) <= chunk, lit(1))
+        .otherwise(ceil((size(toks) - chunk).cast("double") / stride)
+          .cast("int") + 1)
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("nc") - 1),
+            i => slice(col("toks"), i * stride + 1, lit(chunk)))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          U.lng(size(col("col"))).as("n_toks"),
+          element_at(col("col"), 1).as("first_tok"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -123,6 +160,62 @@ object TextOps {
         |  round(CAST(length(text) AS DOUBLE) /
         |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6)
         |    AS chars_per_token
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same op order as qualityCol so the per-row double math is
+    // bit-identical; CASTs keep DuckDB in DOUBLE (not DECIMAL) arithmetic.
+    "text_quality_score" ->
+      """SELECT doc_id, round(
+        |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |  (1.0 - least(CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      * 10.0 / length(text), 1.0)) * 0.3 +
+        |  least(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','in','is','that','with',
+        |       'der','die','und','das','ist','mit','von','nicht',
+        |       'el','la','de','y','los','que','es','con',
+        |       'le','et','les','des','est','dans',
+        |       'shi','zai','wo','you','he','ni'])) AS DOUBLE) / 3.0, 1.0) * 0.3,
+        |  6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_distinct(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, labeled_lang,
+        |    len(list_intersect(w, ['the','and','of','to','in','is','that','with'])) AS s_en,
+        |    len(list_intersect(w, ['der','die','und','das','ist','mit','von','nicht'])) AS s_de,
+        |    len(list_intersect(w, ['el','la','de','y','los','que','es','con'])) AS s_es,
+        |    len(list_intersect(w, ['le','la','et','les','des','que','est','dans'])) AS s_fr,
+        |    len(list_intersect(w, ['de','shi','le','zai','wo','you','he','ni'])) AS s_zh
+        |  FROM s)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num_runs
+        |FROM events ORDER BY event_id""".stripMargin,
+    "text_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CASE WHEN len(string_split(text, ' ')) <= 16 THEN 1
+        |         ELSE CAST(ceil((len(string_split(text, ' ')) - 16) / 12.0)
+        |              AS BIGINT) + 1 END AS nc
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i
+        |      FROM t)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(len(toks[i*12+1 : i*12+16]) AS BIGINT) AS n_toks,
+        |  toks[i*12+1] AS first_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -91,6 +91,34 @@ object CoreOps {
         .select("l_orderkey", "l_linenumber", "l_partkey")
         .limit(1)),
 
+    // Scalar subquery: rows above half the global maximum — the 1-row
+    // aggregate is broadcast and the comparison stays in the scan's filter
+    // (no shuffle of the fact side). max is order-independent and exact,
+    // so the filter boundary is engine-stable (avg would round).
+    "filter_scalar_subquery" -> ((s, d) => {
+      val maxPrice = t(s, d, "orders")
+        .agg(max(col("o_totalprice")).as("max_price"))
+      t(s, d, "orders")
+        .crossJoin(broadcast(maxPrice))
+        .filter(col("o_totalprice") > col("max_price") * 0.5)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // IN-subquery over a derived set: customers in nations that have at
+    // least 4 suppliers — semi join against an aggregate-defined key set
+    // (tiny → broadcast; the customer side never shuffles).
+    "filter_in_subquery" -> ((s, d) => {
+      val bigNations = t(s, d, "supplier")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        .filter(col("n_supp") >= 4)
+        .select(col("s_nationkey").as("nk"))
+      val c = t(s, d, "customer")
+      c.join(broadcast(bigNations), c("c_nationkey") === col("nk"), "left_semi")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
+
     // limit_page (make_uuids_tsv.py:24-25 from/size pagination)
     "limit_page" -> ((s, d) =>
       t(s, d, "orders")
@@ -135,6 +163,16 @@ object CoreOps {
         |ORDER BY l_orderkey, l_linenumber LIMIT 1""".stripMargin,
     "limit_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin,
+    "filter_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_in_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT s_nationkey FROM supplier
+        |  GROUP BY s_nationkey HAVING count(*) >= 4)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -73,6 +73,56 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // Distribution functions: quartile bucket + relative rank + cumulative
+    // distribution per nation's customers by account balance.
+    "window_ntile_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select("c_custkey", "c_nationkey", "quartile", "pct_rank", "cume")
+        .orderBy("c_custkey")
+    }),
+
+    // Frame navigation: first/last/nth order per customer (full frame for
+    // last/nth so the answer is frame-independent and oracle-stable).
+    "window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .select("o_orderkey", "o_custkey", "first_key", "last_key", "second_key")
+        .orderBy("o_orderkey")
+    }),
+
+    // Batch sessionization (gaps-and-islands): a new session starts when
+    // the gap to the previous event of the same user exceeds 30 minutes;
+    // session id = running count of session starts. Two stacked windows
+    // over the SAME (user, time) ordering — one shuffle, two local passes.
+    // The batch analog of session_window (stream_session_agg).
+    "window_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(U.tsUs(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            U.tsUs(col("ts")) - col("prev_ts") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(U.tsUs(col("ts"))).as("sess_start_us"),
+          max(U.tsUs(col("ts"))).as("sess_end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "sort_global" -> ((s, d) =>
       t(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -120,6 +170,45 @@ object Windows {
         |    PARTITION BY o_orderstatus ORDER BY o_orderkey
         |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "window_ntile_dist" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev_ts IS NULL OR tsu - prev_ts > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |sid AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  min(tsu) AS sess_start_us, max(tsu) AS sess_end_us
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "sort_global" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,

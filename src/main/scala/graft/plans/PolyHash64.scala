@@ -88,6 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // literal check) so misuse fails with a descriptive error.
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       MinHashSig.info, MinHashSig.builder))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      SimHash64.info, SimHash64.builder))
     // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

@@ -76,6 +76,26 @@ class DedupSpec extends SparkSpec {
     assert(viaTable === viaHof)
   }
 
+  test("fused SimHash64 expression matches both other simhash paths") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    val viaHof = docs.select($"doc_id",
+      Dedup.simhash64(split(lower($"text"), " ")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val viaFused = Dedup.simhashFused(spark, docs, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaFused === viaHof)
+    // interpreted eval agrees with the doGenCode path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val tokens = Seq("the", "quick", "brown", "fox")
+    val viaEval = graft.plans.SimHash64(
+      Literal.create(tokens, ArrayType(StringType))).eval(null)
+    val viaDf = Seq(1L -> tokens.mkString(" ")).toDF("doc_id", "text")
+    val expected = Dedup.simhashFused(spark, viaDf, "text")
+      .as[(Long, Long)].collect().head._2
+    assert(viaEval === expected)
+  }
+
   test("minhashSignatures (codegen path) matches HOF minhashSignature exactly") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
     val viaHof = docs.select($"doc_id",

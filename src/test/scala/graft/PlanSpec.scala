@@ -83,11 +83,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
-  test("codegen'd scale paths: simhash plan contains no interpreted HOF aggregate") {
+  test("codegen'd scale paths: simhash is a map-only scan via the fused expression") {
     val p = formatted("dedup_simhash")
     assert(!p.contains("ArrayAggregate"),
       s"simhash fell back to interpreted higher-order aggregate:\n$p")
-    assert(p.contains("HashAggregate"), p)
+    // fused SimHash64: signature computed in the scan projection — no
+    // explode, no aggregate, no extra exchange beyond the output sort
+    assert(p.contains("simhash64("), p)
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
   }
 
   test("flagship pipeline: broadcast dim join present, no cartesian anywhere") {

@@ -57,6 +57,32 @@ class TextOpsSpec extends SparkSpec {
     assert(scores(1L) > scores(3L))
   }
 
+  test("token chunking covers every token with the configured overlap") {
+    // chunk=16/stride=12 (the registered query's config): n<=16 → one
+    // chunk; otherwise chunks start at 0,12,24,… and the last one starts
+    // at <= n-1 so no token beyond position 16 is orphaned.
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),     // short: 1 chunk
+      (2L, (1 to 16).map(i => s"t$i").mkString(" ")),    // exact: 1 chunk
+      (3L, (1 to 17).map(i => s"t$i").mkString(" ")),    // 2 chunks
+      (4L, (1 to 40).map(i => s"t$i").mkString(" ")))    // 3 chunks
+      .toDF("doc_id", "text")
+    val out = functions.TextOps.queries("text_chunk_tokens")(spark, sfDir)
+    // same chunking plan over the fixture
+    val toks = split(col("text"), " ")
+    val nChunks = when(size(toks) <= 16, lit(1))
+      .otherwise(ceil((size(toks) - 16).cast("double") / 12).cast("int") + 1)
+    val byDoc = docs.select(col("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("toks"), i * 12 + 1, lit(16)))))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "chunk_idx", "n_toks", "first_tok"))
+  }
+
   test("registered text queries run on the documents table") {
     val stats = TextOps.queries("text_stats")(spark, sfDir)
     assert(stats.count() === 500)
