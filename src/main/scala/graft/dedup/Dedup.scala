@@ -212,6 +212,24 @@ object Dedup {
     // engine-defined; recall/precision asserted in DedupSpec).
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
 
+    // Positional k-gram MinHash signatures (n-gram flavor: 3-word
+    // shingles instead of word sets — order-sensitive, so permuted docs
+    // stop colliding). Same fused expression, different shingle unit.
+    // No oracle: hash-defined; shingling semantics tested in DedupSpec.
+    "dedup_minhash_kshingle" -> ((s, d) => {
+      graft.plans.MinHashSig.register(s)
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          call_function("minhash_sig", wordKShingles(col("text"), 3), lit(16))
+            .as("sig"))
+        .select(col("doc_id"),
+          // emit a stable scalar digest of the signature (array columns
+          // aren't sortable by the driver's compare)
+          xxhash64(col("sig")).as("sig_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Per-doc 64-bit SimHash signatures via the fused native expression
     // (one codegen'd scan, no explode/shuffle; values identical to
     // simhashTable — asserted in DedupSpec). No oracle: hash-defined.

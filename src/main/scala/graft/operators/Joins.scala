@@ -194,6 +194,26 @@ object Joins {
         .orderBy("n_nationkey")
     }),
 
+    // Salted skew join: when one join key dominates (hot user, stopword
+    // shingle, viral item), replicate the dim side R ways and spread the
+    // fact side across the replicas with a deterministic salt — every
+    // straggler partition becomes R even ones. Same result as the plain
+    // join (oracle-checked); AQE skew splitting is the automatic variant,
+    // this is the explicit one for when you know the hot keys up front.
+    "join_salted_skew" -> ((s, d) => {
+      val R = 8
+      val ev = t(s, d, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(R)).cast("int"))
+      val users = t(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+        .crossJoin(s.range(0, R).select(col("id").cast("int").as("salt")))
+      ev.join(users, Seq("user_id", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          U.dsum(col("value") * col("n_user_events")).as("weighted"))
+        .orderBy("event_type")
+    }),
+
     // Positional concat (make_uuids_tsv.py:153-157 pandas axis=1): no row
     // identity in Spark → synthesize row_number over explicit orders.
     "join_positional_concat" -> ((s, d) => {
@@ -274,6 +294,14 @@ object Joins {
       """SELECT n_nationkey, n_name, r_name AS region_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "join_salted_skew" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_user_events
+        |           FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value * n_user_events AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS weighted
+        |FROM events JOIN u USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_positional_concat" ->
       """WITH l AS (SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn FROM nation),
         |     r AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey DESC) AS rn FROM nation)
