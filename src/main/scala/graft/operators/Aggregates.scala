@@ -182,7 +182,38 @@ object Aggregates {
         count(lit(1)).as("n_rows"),
         countDistinct(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
           .as("n_cells"),
-        U.dsum(col("l_quantity")).as("total_quantity")))
+        U.dsum(col("l_quantity")).as("total_quantity"))),
+
+    // Moment statistics (mean/variance/stddev) from EXACT decimal sums:
+    // the built-in stddev/var aggregates combine partial co-moments in
+    // partition order (results drift run-to-run on doubles); Σx and Σx²
+    // through the decimal bridge are order-invariant, and the closing
+    // algebra is per-row double math — bit-identical across engines.
+    "agg_stats_moments" -> ((s, d) => {
+      val x = U.dec4(col("c_acctbal"))
+      t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          U.dbl(sum(x)).as("sx"), U.dbl(sum(x * x)).as("sxx"))
+        .select(col("c_nationkey"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean"),
+          round((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1), 6).as("variance"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)), 6).as("stddev"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Unpivot/melt: wide metrics → long (variable, value) — the inverse
+    // of pivot_event_type; pure narrow transform, no shuffle.
+    "agg_unpivot_melt" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "val")
+        .orderBy("c_custkey", "metric"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +278,25 @@ object Aggregates {
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey || '-' || l_linenumber) AS n_cells,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_quantity
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "agg_stats_moments" ->
+      """WITH s AS (
+        |  SELECT c_nationkey, count(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))
+        |           * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, n,
+        |  round(sx / n, 6) AS mean,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS variance,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev
+        |FROM s ORDER BY c_nationkey""".stripMargin,
+    "agg_unpivot_melt" ->
+      """SELECT c_custkey, 'acctbal' AS metric,
+        |       CAST(c_acctbal AS DOUBLE) AS val FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        |FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin
   )
 }

@@ -51,7 +51,26 @@ object StreamingOps {
       .select(col("user_id"), col("event_type"), col("event_id"))
   }
 
+  /** Stream-stream interval join (batch analog): each click matched to
+    * the views of the same user in the preceding 10 minutes. Equi-key on
+    * user_id (the state key in the streaming run; see StreamingSpec's
+    * watermarked version) + a time-range residual — exactly the shape
+    * whose state Structured Streaming bounds with two watermarks. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        U.tsUs(col("ts")).as("ctu"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), U.tsUs(col("ts")).as("vtu"))
+    c.join(v, Seq("user_id"))
+      .filter(col("vtu") <= col("ctu") &&
+        col("ctu") - col("vtu") <= 10L * 60 * 1000000)
+      .groupBy("click_id").agg(count(lit(1)).as("n_views"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_interval" -> ((s, d) =>
+      clickViewJoin(Tables.t(s, d, "events")).orderBy("click_id")),
     "stream_tumbling_agg" -> ((s, d) =>
       tumblingAgg(Tables.t(s, d, "events")).orderBy("ws_us", "event_type")),
     "stream_sliding_agg" -> ((s, d) =>
@@ -64,6 +83,14 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join_interval" ->
+      """SELECT c.event_id AS click_id, count(*) AS n_views
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND epoch_us(v.ts) <= epoch_us(c.ts)
+        | AND epoch_us(c.ts) - epoch_us(v.ts) <= 600000000
+        |GROUP BY c.event_id ORDER BY click_id""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour',
         |         make_timestamp(epoch_us(ts)))) AS ws_us,
