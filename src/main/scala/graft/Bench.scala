@@ -11,21 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Small-SF parallelism: AQE's default 1M floor coalesces every tiny
-      // post-shuffle stage to ONE partition (serial). A lower floor keeps
-      // local stages parallel; at production sizes totalBytes/parallelism
-      // dwarfs the floor, so this is a no-op there.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session semantics centralized in GraftSession (incl. the AQE
+    // coalesce floor that keeps tiny test-SF stages parallel).
+    val spark = GraftSession.local(cpus)
     // JIT/IO warmup on untimed queries so per-query numbers reflect
     // steady-state execution, not first-run classloading (the JSON-path
     // machinery alone costs ~9s of one-time class loading).

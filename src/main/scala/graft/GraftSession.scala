@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's session entry point: one place that encodes every
+  * session-level semantic the library depends on, so applications,
+  * the CLI mains (Verify/Bench/PlanDump/StageTime), and tests all run
+  * with identical behavior.
+  *
+  * Semantics pinned here:
+  *  - `GraftExtensions` (native functions poly_hash64 / minhash_sig /
+  *    simhash64 + the RangeJoinRewrite optimizer rule);
+  *  - ANSI off: cast-failure-to-null, matching the reference's
+  *    pandas.to_numeric coercion (`bin/concatenate.py:110`) and DuckDB
+  *    TRY_CAST (Spark 4 defaults ANSI on);
+  *  - UTC session time zone (event-time arithmetic is zone-free);
+  *  - nanosAsLong for TIMESTAMP(NANOS) parquet (see Tables.t);
+  *  - a low AQE coalesce floor so small-scale stages keep parallelism
+  *    (inert at production sizes — see DESIGN_SCALE.md).
+  *
+  * On a cluster, call `configure(SparkSession.builder())` without
+  * `master` and submit normally; the local knobs here are for the
+  * single-JVM harness.
+  */
+object GraftSession {
+
+  /** Apply the engine's required configs to any builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+
+  /** Local harness session: `local[cpus]`, shuffle partitions = cores. */
+  def local(cpus: String, uiEnabled: Boolean = false): SparkSession = {
+    val spark = configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", uiEnabled.toString))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
