@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Aggregates.queries ++
       operators.Windows.queries ++
       operators.SetOps.queries ++
+      operators.SqlSurface.queries ++
       operators.Pipeline.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.Aggregates.oracles ++
       operators.Windows.oracles ++
       operators.SetOps.oracles ++
+      operators.SqlSurface.oracles ++
       operators.Pipeline.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL front-end surface: the same engine driven through `spark.sql`
+  * over registered views — proving the library is usable from the SQL
+  * side (catalog views, ANSI-off cast semantics, and the native
+  * extension functions injected by GraftExtensions are all visible to
+  * SQL, not just to the DataFrame API).
+  */
+object SqlSurface {
+
+  private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
+    Tables.registerViews(s, d)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The TPC-H Q1 shape in pure SQL (decimal-bridged double sums, no
+    // avg — graft.U rules apply to SQL text too).
+    "sql_q1_pricing" -> ((s, d) => withViews(s, d)(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_quantity < 48
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Native extension functions from SQL (poly_hash64 / simhash64 /
+    // minhash_sig are injected by GraftExtensions — no registration call
+    // needed in a GraftSession; the explicit registrations below only
+    // cover bare test sessions). Rows-only: hash family is
+    // engine-defined; parity is asserted in DedupSpec/TextOpsSpec.
+    "sql_native_fns" -> ((s, d) => {
+      graft.plans.PolyHash64.register(s)
+      graft.plans.MinHashSig.register(s)
+      graft.plans.SimHash64.register(s)
+      withViews(s, d)(
+      """SELECT doc_id,
+        |  poly_hash64(text) AS fp,
+        |  simhash64(split(lower(text), ' ')) AS sh,
+        |  xxhash64(minhash_sig(array_distinct(split(lower(text), ' ')), 8))
+        |    AS mh_digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sql_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_quantity < 48
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

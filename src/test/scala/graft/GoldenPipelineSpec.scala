@@ -73,6 +73,15 @@ class GoldenPipelineSpec extends SparkSpec {
       Seq(("u1", "HBM1"), ("u2", "HBM2")))
   }
 
+  test("ORC round-trip (alternate columnar sink/source)") {
+    val df = Tables.t(spark, sfDir, "nation")
+    df.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val back = spark.read.orc(s"$tmp/nation_orc")
+    assert(back.schema === df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("product build + partitioned sink + metadata sidecar (entry point 3)") {
     // 3 synthetic datasets × 2 modalities, outer-union semantics.
     val fact = Seq(

@@ -93,6 +93,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
   }
 
+  test("RangeJoinRewrite span guard raises a descriptive error on huge intervals") {
+    import spark.implicits._
+    // one interval spanning ~4M buckets at width 50 — far past the cap
+    val a = Seq((1L, 0L, 200000000L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((2L, 5L, 10L)).toDF("b_id", "b_lo", "b_hi")
+    val joined = a.join(b,
+      col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+    val e = intercept[Exception] {
+      joined.collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RangeJoinRewrite")),
+      s"error did not name the rule: ${messages(e).mkString(" | ")}")
+  }
+
   test("flagship pipeline: broadcast dim join present, no cartesian anywhere") {
     val p = formatted("flagship_product_build")
     assert(p.contains("BroadcastHashJoin"), p)
