@@ -90,6 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       SimHash64.info, SimHash64.builder))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"),
+      NearestCentroid.info, NearestCentroid.builder))
     // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

@@ -95,6 +95,7 @@ object Similarity {
     */
   def trainIvfCentroids(s: SparkSession, d: String, k: Int,
       iters: Int = 2): Array[(Int, Array[Double])] = {
+    graft.plans.NearestCentroid.register(s)
     val vecs = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
     var centroids: Array[(Int, Array[Double])] = vecs
@@ -118,23 +119,38 @@ object Similarity {
     centroids
   }
 
-  /** Argmin-distance centroid assignment as a codegen'd column (squared
-    * L2 against broadcast centroid literals). */
-  def assignCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+  /** Argmin-distance centroid assignment, HOF form (reference
+    * implementation: squared L2 via zip_with/aggregate, argmin via
+    * array_min over (dist, id) structs — evaluates interpreted). */
+  def assignColHof(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
     def sqDist(c: Array[Double]): Column = {
       val diff = zip_with(vec, typedlit(c.toSeq), (x, y) => x - y)
       aggregate(diff, lit(0.0), (s, x) => s + x * x)
     }
-    // argmin via array_min over (dist, id) structs (lexicographic).
     val scored = centroids.map { case (id, c) =>
       struct(sqDist(c).as("dist"), lit(id).as("id"))
     }
     array_min(array(scored.toIndexedSeq: _*)).getField("id")
   }
 
+  /** Scale path: the fused native expression (k×d primitive loop inside
+    * the scan — see [[graft.plans.NearestCentroid]]). Same assignments as
+    * [[assignColHof]] (asserted in SimilaritySpec). The expression
+    * returns a matrix INDEX; the trailing lookup maps it back to the
+    * centroid id, which matters when Lloyd iterations empty a cluster
+    * and ids stop being contiguous. */
+  def assignCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val matrix: Seq[Seq[Double]] = sorted.map(_._2.toSeq).toSeq
+    val ids: Seq[Int] = sorted.map(_._1).toSeq
+    element_at(typedlit(ids),
+      call_function("nearest_centroid", vec, typedlit(matrix)) + 1)
+  }
+
   /** IVF ANN: probe the `nProbe` nearest centroids, exact cosine inside. */
   def ivfTopK(s: SparkSession, d: String, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.plans.NearestCentroid.register(s)
     val centroids = trainIvfCentroids(s, d, nCentroids)
     val qv = queryVector(s, d, queryId)
     def sq(c: Array[Double]): Double =

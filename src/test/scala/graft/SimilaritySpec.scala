@@ -75,6 +75,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("fused NearestCentroid matches the HOF argmin, incl. tie-break and gaps") {
+    graft.plans.NearestCentroid.register(spark)
+    val centroids: Array[(Int, Array[Double])] = Array(
+      0 -> Array(0.0, 0.0),
+      // non-contiguous id (cluster 1 "emptied"): index→id mapping must hold
+      2 -> Array(10.0, 0.0),
+      3 -> Array(0.0, 10.0),
+      // duplicate of id 0: ties must break to the LOWER id
+      4 -> Array(0.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(1.0, 1.0)),    // → 0 (tie with 4 → lower id)
+      (2L, Seq(9.0, 1.0)),    // → 2
+      (3L, Seq(1.0, 9.0)),    // → 3
+      (4L, Seq(0.0, 0.0)))    // → 0 (exact tie with 4)
+      .toDF("id", "vd")
+    val fused = vecs.select($"id",
+      Similarity.assignCol($"vd", centroids).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    val hof = vecs.select($"id",
+      Similarity.assignColHof($"vd", centroids).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    assert(fused === hof)
+    assert(fused === Map(1L -> 0, 2L -> 2, 3L -> 3, 4L -> 0))
+  }
+
   test("brute-force top-k is ordered by similarity desc") {
     val rows = Similarity.bruteForceTopK(spark, sfDir, 0L, 20)
       .select("cos_sim").as[Double].collect()
