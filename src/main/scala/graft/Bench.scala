@@ -14,14 +14,30 @@ object Bench {
     // Session semantics centralized in GraftSession (incl. the AQE
     // coalesce floor that keeps tiny test-SF stages parallel).
     val spark = GraftSession.local(cpus)
-    // JIT/IO warmup on untimed queries so per-query numbers reflect
-    // steady-state execution, not first-run classloading (the JSON-path
-    // machinery alone costs ~9s of one-time class loading).
+    // JIT/IO warmup on untimed toy plans so per-query numbers reflect
+    // steady-state execution, not first-run classloading: the JSON-path
+    // machinery, WindowExec, the join execs, HashAggregate, Generate, and
+    // the whole-stage-codegen compiler each cost O(100ms..s) of one-time
+    // class loading/compilation that would otherwise land on whichever
+    // query alphabetically touches them first.
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       spark.range(1).select(get_json_object(lit("""{"k":1}"""), "$.k")).count()
       graft.Tables.t(spark, sfDir, "events").limit(1).count()
+      val r = spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+      // window machinery
+      r.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy("id"))).count()
+      // broadcast + sort-merge join paths
+      r.join(broadcast(r.limit(10)), "id").count()
+      r.hint("MERGE").join(r.select((col("id") + 1).as("id")), "id").count()
+      // aggregate + generate (explode) paths
+      r.select(explode(sequence(lit(0), col("id") % 3)).as("e"))
+        .groupBy("e").agg(count(lit(1)), sum("e")).count()
+      // noop sink registration
+      r.write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // Optional args restrict the run to named queries (dev loop); the
     // driver passes no args and gets the full suite. SPARK_GRAFT_REPEAT=n
