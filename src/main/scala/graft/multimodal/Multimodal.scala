@@ -40,16 +40,24 @@ case class MediaFeatures(
   */
 object Multimodal {
 
+  /** STUB decoder with the real lifecycle shape: in production this
+    * holds the expensive native state (codec context, model weights) that
+    * must be created ONCE per partition and reused across the iterator —
+    * exactly where a `mapInPandas` batch UDF would hold its model. */
+  final class StubDecoder {
+    def decode(a: MediaAsset): MediaFeatures = {
+      val len = a.payload.length.toLong
+      val mean = if (len == 0) 0.0
+        else a.payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / len
+      val head = a.payload.take(8).map(b => (b & 0xff) / 255.0f).toSeq
+      MediaFeatures(a.doc_id, a.media_type, len, mean, head)
+    }
+  }
+
   /** STUB: deterministic fake "decode + featurize". A real implementation
     * would decode `payload` (image bytes → pixels) and run a feature
     * extractor; this computes cheap deterministic stand-ins. */
-  def decodeStub(a: MediaAsset): MediaFeatures = {
-    val len = a.payload.length.toLong
-    val mean = if (len == 0) 0.0
-      else a.payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / len
-    val head = a.payload.take(8).map(b => (b & 0xff) / 255.0f).toSeq
-    MediaFeatures(a.doc_id, a.media_type, len, mean, head)
-  }
+  def decodeStub(a: MediaAsset): MediaFeatures = new StubDecoder().decode(a)
 
   /** Build a media table from `documents` by treating the text payload as
     * opaque bytes (the ingest boundary where real pipelines read blob
@@ -64,11 +72,16 @@ object Multimodal {
       (col("n_chars") % 640).cast("int").as("width"),
       lit(480).as("height"))
 
-  /** Distributed batch decode: one partition = one decoder lifecycle. */
+  /** Distributed batch decode: one partition = one decoder lifecycle
+    * (the decoder instantiates once per partition and streams the
+    * iterator — never one init per row, never a collect). */
   def extractFeatures(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
     media.as[MediaAsset]
-      .mapPartitions(batch => batch.map(decodeStub))
+      .mapPartitions { batch =>
+        val decoder = new StubDecoder // per-partition init, reused per row
+        batch.map(decoder.decode)
+      }
       .toDF()
   }
 

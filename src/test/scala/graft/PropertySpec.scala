@@ -93,6 +93,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRewrite result equals brute-force overlap on random intervals") {
+    // Random interval tables through the real optimizer rule (the test
+    // session has GraftExtensions) compared against a driver-side
+    // brute-force O(n·m) reference — the rule's correctness contract
+    // (each overlapping pair exactly once, nothing else) on shapes the
+    // hand-written queries don't cover: nested, touching, point, and
+    // disjoint intervals.
+    val intervals = Gen.listOfN(25,
+      for {
+        lo <- Gen.choose(0L, 300L)
+        len <- Gen.choose(0L, 80L)
+      } yield (lo, lo + len))
+    check(Gen.zip(intervals, intervals), n = 8) { case (as, bs) =>
+      val a = as.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("a_id", "a_lo", "a_hi")
+      val b = bs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("b_id", "b_lo", "b_hi")
+      // multiset compare: catches duplicate emission, not just misses
+      val got = a.join(b,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val expected = (for {
+        ((alo, ahi), ai) <- as.zipWithIndex
+        ((blo, bhi), bi) <- bs.zipWithIndex
+        if alo <= bhi && blo <= ahi
+      } yield (ai.toLong, bi.toLong)).sorted
+      assert(got === expected)
+    }
+  }
+
   test("pivot is the inverse of explode for the concept table") {
     // make_uuids_tsv.py:91-142 risk item (SURVEY §7.4.5): pivoting concept
     // rows to columns then reading columns back yields the original pairs.
