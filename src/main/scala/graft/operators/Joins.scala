@@ -67,6 +67,25 @@ object Joins {
         .orderBy("c_custkey")
     }),
 
+    // right outer: every order kept, customer columns null when the
+    // (synthetic) filtered dim misses — completes the outer-join matrix.
+    "join_right_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "right")
+        .select(o("o_orderkey"), o("o_custkey"),
+          coalesce(c("c_name"), lit("<none>")).as("cust_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // explicit cross join of two tiny dims (the only sanctioned
+    // cartesian: both sides are dimension-sized; anything larger must be
+    // an equi/bucketed join — PlanSpec bans accidental CartesianProduct).
+    "join_cross_dims" -> ((s, d) =>
+      t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        .crossJoin(t(s, d, "nation").select(col("n_nationkey")))
+        .orderBy("r_regionkey", "n_nationkey")),
+
     "join_full_outer" -> ((s, d) => {
       val cn = t(s, d, "customer").groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"))
@@ -247,6 +266,16 @@ object Joins {
         |  COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS sum_price
         |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "join_right_outer" ->
+      """SELECT o_orderkey, o_custkey,
+        |  COALESCE(c_name, '<none>') AS cust_name
+        |FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+        |RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_cross_dims" ->
+      """SELECT r_regionkey, r_name, n_nationkey
+        |FROM region CROSS JOIN (SELECT n_nationkey FROM nation)
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
     "join_full_outer" ->
       """WITH cn AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
         |     sn AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
