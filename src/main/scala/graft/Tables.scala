@@ -51,4 +51,21 @@ object U {
   def dsum(c: Column): Column = dbl(sum(dec4(c)))
   /** Microsecond epoch — the canonical event-time ordering key. */
   def tsUs(c: Column): Column = unix_micros(c)
+
+  /** Cross-engine 6-decimal rounding for RATIO columns.
+    *
+    * `round(x, 6)` is NOT engine-stable on doubles: Spark rounds the
+    * shortest decimal string of the double (BigDecimal.valueOf), DuckDB
+    * rounds the exact binary value — they disagree whenever the quotient
+    * of small integers lands on an exact 7-decimal half (e.g.
+    * 333/640 = 0.5203125 → 0.520313 vs 0.520312; bit us at sf0.1).
+    * `round(x * 1e6) / 1e6` is stable: both engines agree on rounding at
+    * integer halves (half-up == half-away-from-zero for the magnitudes
+    * here), and the final division of identical values is exact IEEE.
+    * Oracle SQL must use the same spelling:
+    * `round(x * 1000000) / 1000000`. Only needed where x is a ratio of
+    * small integers; transcendental outputs can keep `round(x, 6)`
+    * (boundary probability ~0) but the helper is always safe for
+    * |x| < 2^53 / 1e6. */
+  def round6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
 }

@@ -204,7 +204,7 @@ object Dedup {
         wordSet(col("text")).as("wb"))
       a.join(b, Seq("doc_id"))
         .select(col("doc_id").as("id1"),
-          round(jaccard(col("wa"), col("wb")), 6).as("jaccard"))
+          U.round6(jaccard(col("wa"), col("wb"))).as("jaccard"))
         .orderBy("id1")
     }),
 
@@ -306,8 +306,8 @@ object Dedup {
         |      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND a.wd = b.wd
         |      GROUP BY a.doc_id)
         |SELECT s1.doc_id AS id1,
-        |  round(COALESCE(i.c, 0) * 1.0 /
-        |        (s1.n + s2.n - COALESCE(i.c, 0)), 6) AS jaccard
+        |  round(CAST(COALESCE(i.c, 0) AS DOUBLE) /
+        |        (s1.n + s2.n - COALESCE(i.c, 0)) * 1000000) / 1000000 AS jaccard
         |FROM sz s1 JOIN sz s2 ON s2.doc_id = s1.doc_id + 1
         |LEFT JOIN i ON i.id1 = s1.doc_id
         |ORDER BY id1""".stripMargin,

@@ -59,12 +59,12 @@ object TextOps {
         col("doc_id"),
         U.lng(length(text)).as("n_chars"),
         U.lng(size(tokens)).as("n_tokens"),
-        round(length(regexp_replace(text, " ", "")).cast("double") /
-          size(tokens), 6).as("avg_token_len"),
-        round((length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
-          .cast("double") / length(text), 6).as("punct_ratio"),
-        round(size(array_intersect(array_distinct(tokens), stops))
-          .cast("double") / size(array_distinct(tokens)), 6).as("stop_hit_ratio"))
+        U.round6(length(regexp_replace(text, " ", "")).cast("double") /
+          size(tokens)).as("avg_token_len"),
+        U.round6((length(text) - length(regexp_replace(text, "[.,!?;:]", "")))
+          .cast("double") / length(text)).as("punct_ratio"),
+        U.round6(size(array_intersect(array_distinct(tokens), stops))
+          .cast("double") / size(array_distinct(tokens))).as("stop_hit_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -76,7 +76,8 @@ object TextOps {
         col("doc_id"),
         U.lng(size(split(text, " "))).as("ws_tokens"),
         U.lng(size(bpeish)).as("bpe_tokens"),
-        round(length(text).cast("double") / size(bpeish), 6).as("chars_per_token"))
+        U.round6(length(text).cast("double") / size(bpeish))
+          .as("chars_per_token"))
         .orderBy("doc_id")
     }),
 
@@ -92,7 +93,7 @@ object TextOps {
     // oracled; see graft.U scaladoc for the cross-engine float rules).
     "text_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(
-        col("doc_id"), round(qualityCol(col("text")), 6).as("quality"))
+        col("doc_id"), U.round6(qualityCol(col("text"))).as("quality"))
         .orderBy("doc_id")),
 
     // Document fingerprint via the native codegen'd expression.
@@ -146,25 +147,27 @@ object TextOps {
         |  length(text) AS n_chars,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
-        |        len(string_split(text, ' ')), 6) AS avg_token_len,
+        |        len(string_split(text, ' ')) * 1000000) / 1000000
+        |    AS avg_token_len,
         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-        |        AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |        AS DOUBLE) / length(text) * 1000000) / 1000000 AS punct_ratio,
         |  round(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
         |        ['the','a','of','and','or','to','in'])) AS DOUBLE) /
-        |        len(list_distinct(string_split(text, ' '))), 6) AS stop_hit_ratio
+        |        len(list_distinct(string_split(text, ' '))) * 1000000) / 1000000
+        |    AS stop_hit_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
         |  round(CAST(length(text) AS DOUBLE) /
-        |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6)
-        |    AS chars_per_token
+        |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |        * 1000000) / 1000000 AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Same op order as qualityCol so the per-row double math is
     // bit-identical; CASTs keep DuckDB in DOUBLE (not DECIMAL) arithmetic.
     "text_quality_score" ->
-      """SELECT doc_id, round(
+      """SELECT doc_id, round((
         |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0) * 0.4 +
         |  (1.0 - least(CAST(length(text) -
         |      length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
@@ -174,8 +177,8 @@ object TextOps {
         |       'der','die','und','das','ist','mit','von','nicht',
         |       'el','la','de','y','los','que','es','con',
         |       'le','et','les','des','est','dans',
-        |       'shi','zai','wo','you','he','ni'])) AS DOUBLE) / 3.0, 1.0) * 0.3,
-        |  6) AS quality
+        |       'shi','zai','wo','you','he','ni'])) AS DOUBLE) / 3.0, 1.0) * 0.3
+        |  ) * 1000000) / 1000000 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH s AS (

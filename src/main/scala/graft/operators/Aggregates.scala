@@ -196,11 +196,11 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
           U.dbl(sum(x)).as("sx"), U.dbl(sum(x * x)).as("sxx"))
         .select(col("c_nationkey"), col("n"),
-          round(col("sx") / col("n"), 6).as("mean"),
-          round((col("sxx") - col("sx") * col("sx") / col("n"))
-            / (col("n") - 1), 6).as("variance"),
-          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-            / (col("n") - 1)), 6).as("stddev"))
+          U.round6(col("sx") / col("n")).as("mean"),
+          U.round6((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)).as("variance"),
+          U.round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1))).as("stddev"))
         .orderBy("c_nationkey")
     }),
 
@@ -287,9 +287,10 @@ object Aggregates {
         |           * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx
         |  FROM customer GROUP BY c_nationkey)
         |SELECT c_nationkey, n,
-        |  round(sx / n, 6) AS mean,
-        |  round((sxx - sx * sx / n) / (n - 1), 6) AS variance,
-        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev
+        |  round(sx / n * 1000000) / 1000000 AS mean,
+        |  round((sxx - sx * sx / n) / (n - 1) * 1000000) / 1000000 AS variance,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
+        |    AS stddev
         |FROM s ORDER BY c_nationkey""".stripMargin,
     "agg_unpivot_melt" ->
       """SELECT c_custkey, 'acctbal' AS metric,

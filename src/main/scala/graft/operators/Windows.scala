@@ -56,7 +56,7 @@ object Windows {
       t(s, d, "events")
         .withColumn("mov_sum", U.dbl(sum(U.dec6(col("value"))).over(w)))
         .withColumn("mov_n", count(lit(1)).over(w))
-        .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+        .withColumn("mov_avg", U.round6(col("mov_sum") / col("mov_n")))
         .select("event_id", "user_id", "mov_avg")
         .orderBy("event_id")
     }),
@@ -80,8 +80,8 @@ object Windows {
         .orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, d, "customer")
         .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("pct_rank", U.round6(percent_rank().over(w)))
+        .withColumn("cume", U.round6(cume_dist().over(w)))
         .select("c_custkey", "c_nationkey", "quartile", "pct_rank", "cume")
         .orderBy("c_custkey")
     }),
@@ -158,8 +158,8 @@ object Windows {
         |FROM events ORDER BY event_id""".stripMargin,
     "window_moving_avg" ->
       """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-        |    / count(*) OVER w AS mov_avg
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w * 1000000) / 1000000 AS mov_avg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -170,11 +170,13 @@ object Windows {
         |    PARTITION BY o_orderstatus ORDER BY o_orderkey
         |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // round(x*1e6)/1e6 — see U.round6: round(x, 6) is engine-unstable on
+    // exact 7-decimal halves, which rank/count ratios do hit (sf0.1).
     "window_ntile_dist" ->
       """SELECT c_custkey, c_nationkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+        |  round(cume_dist() OVER w * 1000000) / 1000000 AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
