@@ -32,11 +32,17 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
 
-  /** Local harness session: `local[cpus]`, shuffle partitions = cores. */
+  /** Local harness session: `local[cpus]`, shuffle partitions = cores.
+    * `maxPartitionBytes` is lowered HERE (not in [[configure]]) because
+    * the testdata tables are single small parquet files — at the default
+    * 128 MB every scan is 1-3 tasks and the scan stage runs nearly
+    * serial on 32 cores. Production guidance stays 256 MB
+    * (DESIGN_SCALE.md): real layouts have many files. */
   def local(cpus: String, uiEnabled: Boolean = false): SparkSession = {
     val spark = configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
