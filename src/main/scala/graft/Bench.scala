@@ -44,7 +44,8 @@ object Bench {
     // (dev-only) times the n-th pass, isolating steady-state execution
     // from first-run classload/codegen-compile cost.
     val only = args.toSet
-    val passes = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     val results = (1 to passes).map { _ =>

@@ -23,18 +23,25 @@ object StageTime {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), wall,
-          si.numTasks, si.taskMetrics.shuffleWriteMetrics.bytesWritten,
-          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+        stages.synchronized {
+          stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), wall,
+            si.numTasks, si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+        }
       }
     })
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s — $name @ $sfDir")
+    // listener events are delivered async: give the bus time to drain so
+    // the final stages (usually the interesting ones) appear.
+    Thread.sleep(1500)
     println(f"${"stage"}%5s ${"wall_ms"}%8s ${"tasks"}%5s ${"shW_MB"}%8s ${"shR_MB"}%8s  name")
-    stages.sortBy(_._1).foreach { case (id, n, w, t, sw, sr) =>
-      println(f"$id%5d $w%8d $t%5d ${sw / 1e6}%8.1f ${sr / 1e6}%8.1f  $n")
+    stages.synchronized {
+      stages.sortBy(_._1).foreach { case (id, n, w, t, sw, sr) =>
+        println(f"$id%5d $w%8d $t%5d ${sw / 1e6}%8.1f ${sr / 1e6}%8.1f  $n")
+      }
     }
     spark.stop()
   }

@@ -197,10 +197,14 @@ object Aggregates {
           U.dbl(sum(x)).as("sx"), U.dbl(sum(x * x)).as("sxx"))
         .select(col("c_nationkey"), col("n"),
           U.round6(col("sx") / col("n")).as("mean"),
-          U.round6((col("sxx") - col("sx") * col("sx") / col("n"))
-            / (col("n") - 1)).as("variance"),
-          U.round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-            / (col("n") - 1))).as("stddev"))
+          // n == 1 guard: Spark (ANSI off) yields NULL for x/0 but
+          // DuckDB IEEE division yields NaN/inf — pin both to NULL.
+          when(col("n") > 1,
+            U.round6((col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1))).as("variance"),
+          when(col("n") > 1,
+            U.round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1)))).as("stddev"))
         .orderBy("c_nationkey")
     }),
 
@@ -288,9 +292,12 @@ object Aggregates {
         |  FROM customer GROUP BY c_nationkey)
         |SELECT c_nationkey, n,
         |  round(sx / n * 1000000) / 1000000 AS mean,
-        |  round((sxx - sx * sx / n) / (n - 1) * 1000000) / 1000000 AS variance,
-        |  round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
-        |    AS stddev
+        |  CASE WHEN n > 1 THEN
+        |    round((sxx - sx * sx / n) / (n - 1) * 1000000) / 1000000
+        |  END AS variance,
+        |  CASE WHEN n > 1 THEN
+        |    round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
+        |  END AS stddev
         |FROM s ORDER BY c_nationkey""".stripMargin,
     "agg_unpivot_melt" ->
       """SELECT c_custkey, 'acctbal' AS metric,

@@ -12,7 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlSurface {
 
   private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
-    Tables.registerViews(s, d)
+    // Register the catalog views once per (session, dir) — re-reading 10
+    // parquet schemas on every sql_* query would tax the bench numbers.
+    val tag = "graft.views.dir"
+    if (s.conf.getOption(tag).forall(_ != d)) {
+      Tables.registerViews(s, d)
+      s.conf.set(tag, d)
+    }
     s.sql(sql)
   }
 

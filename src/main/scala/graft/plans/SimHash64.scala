@@ -22,8 +22,9 @@ import org.apache.spark.sql.SparkSession
   * row per (doc, token) — fine when you need the per-token relation
   * anyway, but pure overhead for signatures. At 100 TB of documents this
   * form is a map-only scan: hash each token once, 64 counter bumps, emit
-  * one long per document. Null tokens are skipped (contribute nothing),
-  * matching the explode path where null tokens drop out of the join.
+  * one long per document. Null tokens vote with hash = 42 (the seed),
+  * because that is what `xxhash64(null)` evaluates to in both reference
+  * paths — a null column leaves the running hash at its seed.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -40,13 +41,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+      // xxhash64(null) = seed: null tokens vote with h = 42L
+      val h = if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }
@@ -70,11 +71,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"""
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  if (!$c.isNullAt($i)) {
-         |    long $h = $xxh.hashUTF8String($c.getUTF8String($i), 42L);
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      $votes[$b] += (int) ((($h >>> $b) & 1L) << 1) - 1;
-         |    }
+         |  long $h = $c.isNullAt($i)
+         |    ? 42L : $xxh.hashUTF8String($c.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += (int) ((($h >>> $b) & 1L) << 1) - 1;
          |  }
          |}
          |long $sig = 0L;

@@ -104,13 +104,19 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
     for (_ <- 0 until iters) {
       val assigned = vecs.withColumn("cid", assignCol(col("vd"), centroids))
-      // new centroid = elementwise mean of member vectors
+      // New centroid = elementwise mean of member vectors. Means go
+      // through the exact decimal bridge (sum(DECIMAL)/n) so centroid
+      // coordinates — and therefore every downstream assignment — are
+      // identical at any partition count (raw double avg combines in
+      // partition order; see graft.U).
       val dims = centroids.head._2.length
+      def m(i: Int) = (graft.U.dbl(sum(graft.U.dec6(col(s"x$i"))))
+        / count(lit(1))).as(s"m$i")
       val sums = assigned
         .select(col("cid") +: (0 until dims).map(i =>
           element_at(col("vd"), i + 1).as(s"x$i")): _*)
         .groupBy("cid")
-        .agg(avg("x0").as("m0"), (1 until dims).map(i => avg(s"x$i").as(s"m$i")): _*)
+        .agg(m(0), (1 until dims).map(m): _*)
         .collect()
       centroids = sums.map(r =>
         r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 1)).toArray)
@@ -135,10 +141,13 @@ object Similarity {
 
   /** Scale path: the fused native expression (k×d primitive loop inside
     * the scan — see [[graft.plans.NearestCentroid]]). Same assignments as
-    * [[assignColHof]] (asserted in SimilaritySpec). The expression
-    * returns a matrix INDEX; the trailing lookup maps it back to the
-    * centroid id, which matters when Lloyd iterations empty a cluster
-    * and ids stop being contiguous. */
+    * [[assignColHof]] for well-formed vectors of the centroid dimension
+    * (asserted in SimilaritySpec); on truncated vectors the paths differ
+    * by design — the HOF's zip_with null-pads to a null distance, this
+    * one scores the shared prefix. The expression returns a matrix
+    * INDEX; the trailing lookup maps it back to the centroid id, which
+    * matters when Lloyd iterations empty a cluster and ids stop being
+    * contiguous. */
   def assignCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
     val sorted = centroids.sortBy(_._1)
     val matrix: Seq[Seq[Double]] = sorted.map(_._2.toSeq).toSeq

@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(viaEval === expected)
   }
 
+  test("fused SimHash64 matches the HOF path on arrays with null tokens") {
+    // xxhash64(null) = the seed (42), so null tokens VOTE in the HOF
+    // path; the fused expression must vote identically.
+    graft.plans.SimHash64.register(spark)
+    val df = Seq(1L, 2L).toDF("id").select($"id",
+      when($"id" === 1L, typedlit(Seq[Option[String]](Some("a"), None, Some("b"))))
+        .otherwise(typedlit(Seq[Option[String]](Some("a"), Some("b")))).as("toks"))
+    val hof = df.select($"id", Dedup.simhash64($"toks").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val fused = df.select($"id", call_function("simhash64", $"toks").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused === hof)
+  }
+
   test("minhashSignatures (codegen path) matches HOF minhashSignature exactly") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
     val viaHof = docs.select($"doc_id",
