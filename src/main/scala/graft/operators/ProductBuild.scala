@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.sources.ProductSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship flow (`pipeline.cwl` → `bin/concatenate.py:
+  * 119-152`) as ONE public API a reference user calls instead of the
+  * CWL pipeline: annotate per-modality matrices, outer-union them,
+  * restrict to cells present in every modality (`mu.pp.intersect_obs`),
+  * attach donor metadata, write the partitioned product + metadata
+  * sidecar.
+  *
+  * Inputs are long-form fact tables (SURVEY.md §1.4: sparse X as COO —
+  * absent entry = 0, exactly AnnData sparse semantics), one DataFrame
+  * per modality with columns (cell_id, dataset, feature_id, value).
+  * [[Pipeline.flagship]] is this flow inlined over the synthetic star
+  * schema; GoldenPipelineSpec drives THIS entry point end-to-end.
+  *
+  * Scale shape: modality tagging and union are map-only; the
+  * intersection is one window shuffle on cell_id; the donor join
+  * broadcasts the dim; the write is hash-partitioned by
+  * (modality, dataset) for downstream partition pruning.
+  */
+object ProductBuild {
+
+  /** Tag + outer-union the modalities, then keep only cells present in
+    * ALL of them (`anndata.concat(join="outer")` + `intersect_obs`,
+    * `bin/concatenate.py:99-102,138-139`). */
+  def unionIntersect(modalities: Map[String, DataFrame]): DataFrame = {
+    require(modalities.nonEmpty, "at least one modality")
+    val tagged = modalities.map { case (name, df) =>
+      df.select(col("cell_id"), col("dataset"), col("feature_id"),
+        col("value").cast("double").as("value"))
+        .withColumn("modality", lit(name))
+    }
+    val fact = tagged.reduce(_ unionByName _)
+    val w = Window.partitionBy("cell_id")
+    fact
+      .withColumn("__nmod", size(collect_set(col("modality")).over(w)))
+      .filter(col("__nmod") === modalities.size)
+      .drop("__nmod")
+  }
+
+  /** Attach donor metadata by dataset uuid (inner broadcast join — cells
+    * with unknown uuid drop, `bin/concatenate.py:105-111`) and coerce
+    * the numeric donor fields (`pd.to_numeric`, `:110`). */
+  def annotateDonors(fact: DataFrame, donors: DataFrame): DataFrame = {
+    val dim = broadcast(donors.withColumn("age", col("age").cast("double")))
+    fact.join(dim, fact("dataset") === dim("uuid"), "inner")
+      .drop("uuid")
+  }
+
+  /** Full build: returns the annotated fact and writes the partitioned
+    * product + metadata sidecar via [[graft.sources.ProductSink]]. */
+  def build(modalities: Map[String, DataFrame], donors: DataFrame,
+      outDir: String): DataFrame = {
+    val product = annotateDonors(unionIntersect(modalities), donors)
+    ProductSink.writeProduct(product, outDir)
+    product
+  }
+}

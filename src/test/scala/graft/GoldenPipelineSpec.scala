@@ -82,6 +82,45 @@ class GoldenPipelineSpec extends SparkSpec {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("ProductBuild facade: union + intersect_obs + donor join + sink (entry point 3 API)") {
+    // Two modalities with partially overlapping cells; donor dim missing
+    // one dataset — exercises every drop rule of concatenate.py in one
+    // public call.
+    val cbb = Seq(
+      ("d1-c1", "d1", "f1", 1.0),
+      ("d1-c2", "d1", "f2", 2.0),   // c2 absent from gene modality → drop
+      ("d2-c1", "d2", "f1", 3.0),
+      ("d3-c1", "d3", "f3", 4.0))   // d3 absent from donors → drop
+      .toDF("cell_id", "dataset", "feature_id", "value")
+    val cbg = Seq(
+      ("d1-c1", "d1", "g1", 5.0),
+      ("d2-c1", "d2", "g2", 6.0),
+      ("d3-c1", "d3", "g3", 7.0))
+      .toDF("cell_id", "dataset", "feature_id", "value")
+    val donors = Seq(
+      ("d1", "55", "Male"), ("d2", "bad-age", "Female"))
+      .toDF("uuid", "age", "sex")
+
+    val product = operators.ProductBuild.build(
+      Map("cell_by_bin" -> cbb, "cell_by_gene" -> cbg), donors,
+      s"$tmp/api_product")
+
+    val rows = product
+      .select("cell_id", "modality", "feature_id", "age", "sex")
+      .orderBy("cell_id", "modality")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)), r.getString(4))).toSeq
+    assert(rows === Seq(
+      ("d1-c1", "cell_by_bin", "f1", Some(55.0), "Male"),
+      ("d1-c1", "cell_by_gene", "g1", Some(55.0), "Male"),
+      // d2 donor age unparseable → null (pd.to_numeric coercion)
+      ("d2-c1", "cell_by_bin", "f1", None, "Female"),
+      ("d2-c1", "cell_by_gene", "g2", None, "Female")))
+    // the sink wrote the partitioned product + sidecar
+    val meta = spark.read.json(s"$tmp/api_product/metadata")
+    assert(meta.select("total_cell_count").head().getLong(0) === 2L)
+  }
+
   test("product build + partitioned sink + metadata sidecar (entry point 3)") {
     // 3 synthetic datasets × 2 modalities, outer-union semantics.
     val fact = Seq(
