@@ -208,6 +208,23 @@ object Aggregates {
         .orderBy("c_nationkey")
     }),
 
+    // Mergeable HLL sketches (DataSketches): per-group sketches built
+    // once, UNIONED at query time — the 100 TB pattern where per-
+    // partition/day sketches are precomputed and distinct counts over any
+    // group-union become a cheap merge instead of a re-scan. No oracle
+    // (sketch binary is engine-defined); the estimate-vs-exact bound is
+    // asserted in ScalaTest.
+    "agg_hll_sketch_merge" -> ((s, d) => {
+      val perNation = t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+          count(lit(1)).as("n"))
+      perNation.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
+          .as("est_distinct_total"),
+        sum(col("n")).as("n_rows"))
+    }),
+
     // Unpivot/melt: wide metrics → long (variable, value) — the inverse
     // of pivot_event_type; pure narrow transform, no shuffle.
     "agg_unpivot_melt" -> ((s, d) =>

@@ -92,4 +92,17 @@ class OperatorSemanticsSpec extends SparkSpec {
     val approx = df.select(approx_count_distinct($"l_partkey", 0.02)).as[Long].head().toDouble
     assert(math.abs(approx - exact) / exact < 0.1)
   }
+
+  test("merged per-group HLL sketches estimate the global distinct count") {
+    // the sketch-merge pattern: per-nation sketches unioned == one global
+    // sketch, both close to the exact distinct count
+    val df = Tables.t(spark, sfDir, "customer")
+    val exact = df.select(countDistinct($"c_custkey")).as[Long].head().toDouble
+    val merged = df.groupBy($"c_nationkey")
+      .agg(hll_sketch_agg($"c_custkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).cast("long"))
+      .as[Long].head().toDouble
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
 }
