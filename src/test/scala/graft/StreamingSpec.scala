@@ -154,6 +154,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_join_interval: streaming execution matches the batch analog") {
+    // The registered batch query (StreamingOps.clickViewJoin) and a
+    // watermarked stream-stream join over the same rows must agree on
+    // the per-click view counts.
+    implicit val ctx = spark.sqlContext
+    def mts(minutes: Long): Timestamp =
+      new Timestamp((50L * 365 * 24 * 60 + minutes) * 60 * 1000)
+    // (event_id, user_id, event_type, ts)
+    val rows = Seq(
+      (1L, 10L, "view", mts(0)), (2L, 10L, "view", mts(5)),
+      (3L, 10L, "click", mts(8)),   // matches views at 0 and 5
+      (4L, 20L, "view", mts(0)),
+      (5L, 20L, "click", mts(15)),  // 15 > 10min window → no match
+      (6L, 10L, "click", mts(30)))  // no views in window
+    val batch = graft.streaming.StreamingOps.clickViewJoin(
+      rows.toDF("event_id", "user_id", "event_type", "ts"))
+      .as[(Long, Long)].collect().toMap
+    assert(batch === Map(3L -> 2L))
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("click_id", "user_id", "cts")
+      .withWatermark("cts", "30 minutes")
+    val vDf = views.toDF().toDF("vuser_id", "vts")
+      .withWatermark("vts", "30 minutes")
+    val joined = cDf.join(vDf,
+      expr("""user_id = vuser_id AND vts <= cts AND
+             |cts <= vts + interval 10 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("cvj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(rows.filter(_._3 == "view").map(r => (r._2, r._4)): _*)
+      clicks.addData(rows.filter(_._3 == "click").map(r => (r._1, r._2, r._4)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cvj_out").select("click_id")
+        .as[Long].collect().toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API): running max per user") {
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
