@@ -44,8 +44,16 @@ object Bench {
     // (dev-only) times the n-th pass, isolating steady-state execution
     // from first-run classload/codegen-compile cost.
     val only = args.toSet
-    val passes = math.max(1,
-      sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
+    val passes = sys.env.get("SPARK_GRAFT_REPEAT") match {
+      case Some(v) => v.trim.toIntOption.filter(_ >= 1).getOrElse {
+        // loud fallback: a silently-cold pass would get recorded as a
+        // steady-state number
+        System.err.println(
+          s"[bench] invalid SPARK_GRAFT_REPEAT='$v', running 1 pass")
+        1
+      }
+      case None => 1
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     val results = (1 to passes).map { _ =>

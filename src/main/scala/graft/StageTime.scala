@@ -34,9 +34,17 @@ object StageTime {
     SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s — $name @ $sfDir")
-    // listener events are delivered async: give the bus time to drain so
-    // the final stages (usually the interesting ones) appear.
-    Thread.sleep(1500)
+    // listener events are delivered async: poll until the stage list is
+    // stable (fixed sleeps lose the final stages under machine load).
+    var last = -1
+    var stable = 0
+    var waited = 0
+    while (stable < 3 && waited < 10000) {
+      val n = stages.synchronized(stages.size)
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      Thread.sleep(200)
+      waited += 200
+    }
     println(f"${"stage"}%5s ${"wall_ms"}%8s ${"tasks"}%5s ${"shW_MB"}%8s ${"shR_MB"}%8s  name")
     stages.synchronized {
       stages.sortBy(_._1).foreach { case (id, n, w, t, sw, sr) =>

@@ -27,7 +27,11 @@ object ProductBuild {
 
   /** Tag + outer-union the modalities, then keep only cells present in
     * ALL of them (`anndata.concat(join="outer")` + `intersect_obs`,
-    * `bin/concatenate.py:99-102,138-139`). */
+    * `bin/concatenate.py:99-102,138-139`). Cell identity is
+    * (dataset, cell_id): raw AnnData barcodes are only unique within a
+    * dataset until the annotate step prefixes them
+    * (`bin/concatenate.py:71-76`), so intersecting on cell_id alone
+    * would conflate same-barcode cells from different datasets. */
   def unionIntersect(modalities: Map[String, DataFrame]): DataFrame = {
     require(modalities.nonEmpty, "at least one modality")
     val tagged = modalities.map { case (name, df) =>
@@ -36,7 +40,7 @@ object ProductBuild {
         .withColumn("modality", lit(name))
     }
     val fact = tagged.reduce(_ unionByName _)
-    val w = Window.partitionBy("cell_id")
+    val w = Window.partitionBy("dataset", "cell_id")
     fact
       .withColumn("__nmod", size(collect_set(col("modality")).over(w)))
       .filter(col("__nmod") === modalities.size)
@@ -53,10 +57,16 @@ object ProductBuild {
   }
 
   /** Full build: returns the annotated fact and writes the partitioned
-    * product + metadata sidecar via [[graft.sources.ProductSink]]. */
+    * product + metadata sidecar via [[graft.sources.ProductSink]]. The
+    * product is persisted (MEMORY_AND_DISK) because the sink consumes it
+    * twice (parquet write + metadata aggregation) and callers usually act
+    * on the returned frame too — without it the union + window + join DAG
+    * would re-execute for each consumer. Callers may `unpersist()` when
+    * done. */
   def build(modalities: Map[String, DataFrame], donors: DataFrame,
       outDir: String): DataFrame = {
     val product = annotateDonors(unionIntersect(modalities), donors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ProductSink.writeProduct(product, outDir)
     product
   }

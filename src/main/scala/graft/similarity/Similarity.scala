@@ -110,8 +110,10 @@ object Similarity {
       // identical at any partition count (raw double avg combines in
       // partition order; see graft.U).
       val dims = centroids.head._2.length
+      // count(col) not count(*): avg semantics exclude null coordinates
+      // (short vectors), the decimal sum keeps the mean order-invariant.
       def m(i: Int) = (graft.U.dbl(sum(graft.U.dec6(col(s"x$i"))))
-        / count(lit(1))).as(s"m$i")
+        / count(col(s"x$i"))).as(s"m$i")
       val sums = assigned
         .select(col("cid") +: (0 until dims).map(i =>
           element_at(col("vd"), i + 1).as(s"x$i")): _*)

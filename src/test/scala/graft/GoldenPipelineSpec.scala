@@ -121,6 +121,24 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(meta.select("total_cell_count").head().getLong(0) === 2L)
   }
 
+  test("ProductBuild intersect scopes cell identity to (dataset, cell_id)") {
+    // Same raw barcode in two datasets, each present in only ONE
+    // modality: neither is multimodal, so both must drop. An
+    // intersect on cell_id alone would wrongly keep both.
+    val cbb = Seq(("AAAC", "d1", "f1", 1.0)).toDF("cell_id", "dataset", "feature_id", "value")
+    val cbg = Seq(("AAAC", "d2", "g1", 2.0)).toDF("cell_id", "dataset", "feature_id", "value")
+    val out = operators.ProductBuild.unionIntersect(
+      Map("cell_by_bin" -> cbb, "cell_by_gene" -> cbg))
+    assert(out.count() === 0)
+    // and a genuinely shared (dataset, cell) survives
+    val cbb2 = cbb.union(Seq(("AAAC", "d2", "f9", 3.0))
+      .toDF("cell_id", "dataset", "feature_id", "value"))
+    val out2 = operators.ProductBuild.unionIntersect(
+      Map("cell_by_bin" -> cbb2, "cell_by_gene" -> cbg))
+    assert(out2.select("dataset").distinct().as[String].collect().toSeq === Seq("d2"))
+    assert(out2.count() === 2)
+  }
+
   test("product build + partitioned sink + metadata sidecar (entry point 3)") {
     // 3 synthetic datasets × 2 modalities, outer-union semantics.
     val fact = Seq(
