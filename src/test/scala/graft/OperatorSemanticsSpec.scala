@@ -93,6 +93,26 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.1)
   }
 
+  test("DataFrameStatFunctions sketch surface: bloom filter, count-min, freqItems") {
+    val df = Tables.t(spark, sfDir, "lineitem")
+    // Bloom filter: no false negatives on present keys.
+    val bf = df.stat.bloomFilter($"l_orderkey", expectedNumItems = 10000, fpp = 0.01)
+    val present = df.select($"l_orderkey").distinct().as[Long].collect()
+    assert(present.forall(bf.mightContain))
+    // Count-min sketch: estimate >= true frequency (one-sided error).
+    val cms = df.stat.countMinSketch($"l_suppkey", eps = 0.01, confidence = 0.95, seed = 42)
+    val trueFreq = df.groupBy($"l_suppkey").count()
+      .as[(Long, Long)].collect().toMap
+    assert(trueFreq.forall { case (k, n) => cms.estimateCount(k) >= n })
+    // freqItems: every key above the support threshold must appear.
+    val heavy = df.stat.freqItems(Array("l_returnflag"), 0.3)
+      .head().getSeq[String](0).toSet
+    val exactHeavy = df.groupBy($"l_returnflag").count()
+      .filter($"count" > df.count() * 0.3)
+      .select("l_returnflag").as[String].collect().toSet
+    assert(exactHeavy.subsetOf(heavy))
+  }
+
   test("merged per-group HLL sketches estimate the global distinct count") {
     // the sketch-merge pattern: per-nation sketches unioned == one global
     // sketch, both close to the exact distinct count
