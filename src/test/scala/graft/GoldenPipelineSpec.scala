@@ -73,6 +73,33 @@ class GoldenPipelineSpec extends SparkSpec {
       Seq(("u1", "HBM1"), ("u2", "HBM2")))
   }
 
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    // The 100 TB read-path contract: a fact table partitioned on the
+    // join key is pruned at RUNTIME by the dim-side filter — only
+    // matching partitions are scanned. (The star-schema testdata is
+    // single-file, so the behavior is pinned here on a partitioned
+    // fixture.)
+    val fact = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    fact.write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(s"$tmp/orders_part")
+    val partFact = spark.read.parquet(s"$tmp/orders_part")
+    // dim must be a real scan: a literal LocalRelation constant-folds the
+    // filter away and DPP sees no selective predicate to reuse
+    Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "label")
+      .write.mode("overwrite").parquet(s"$tmp/status_dim")
+    val dim = spark.read.parquet(s"$tmp/status_dim")
+    val joined = partFact.join(
+        dim.filter($"label" === "finished"),
+        partFact("o_orderstatus") === dim("status"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery:\n$plan")
+    // and the pruned result equals the statically-filtered one
+    val expected = fact.filter($"o_orderstatus" === "F").count()
+    assert(joined.count() === expected)
+  }
+
   test("ORC round-trip (alternate columnar sink/source)") {
     val df = Tables.t(spark, sfDir, "nation")
     df.write.mode("overwrite").orc(s"$tmp/nation_orc")
