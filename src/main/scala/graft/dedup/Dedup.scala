@@ -129,6 +129,39 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Resolve survivor-pointer chains to their canonical roots by pointer
+    * doubling: each round replaces every pointer with its target's
+    * pointer, halving chain depth — fixpoint in ceil(log2(maxDepth))
+    * rounds of one self-join each, so even ten-million-deep chains cost
+    * ~24 joins. The iterative-DataFrame pattern (convergence-checked
+    * loop) that PageRank/label-propagation/connected-components share.
+    *
+    * Precondition: parent <= id per row (pointers only point backward),
+    * which makes the chase monotone and loop-free.
+    */
+  def canonicalResolve(pointers: DataFrame, maxIters: Int = 30): DataFrame = {
+    var cur = pointers.select(col("id"), col("parent").as("root"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val targets = cur.select(col("id").as("t_id"), col("root").as("t_root"))
+      val next = cur.join(targets, cur("root") === col("t_id"))
+        .select(col("id"), col("t_root").as("root"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stable = next.select(col("id"), col("root").as("new_root"))
+        .join(cur, Seq("id"))
+        .filter(col("new_root") =!= col("root"))
+        .isEmpty
+      val prev = cur
+      cur = next
+      prev.unpersist()
+      done = stable
+      iters += 1
+    }
+    cur
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Bucket-local pair generation: group each (band, bucket-hash) into its
@@ -251,6 +284,45 @@ object Dedup {
         .orderBy("id1")
     }),
 
+    // Canonical survivor resolution — the cluster step of a real dedup
+    // pipeline: exact-dup groups elect a keeper (min id per text digest);
+    // near-identical CONSECUTIVE keepers (word-set jaccard >= 0.9 to the
+    // previous keeper) chain onto it; chains resolve to one canonical doc
+    // per cluster via pointer-doubling ([[canonicalResolve]]). Oracle:
+    // the same pointer table chased with a DuckDB recursive CTE.
+    "dedup_canonical_resolve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keeperOf = docs
+        .withColumn("keeper",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text")))))
+        .select(col("doc_id"), col("keeper"))
+      // Adjacent-keeper linkage. Window over global keeper order: the
+      // keeper table is already collapsed (one row per distinct text);
+      // at scale, range-partition and stitch boundaries instead.
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val keepers = docs
+        .join(keeperOf.filter(col("doc_id") === col("keeper"))
+          .select(col("doc_id").as("id")), col("doc_id") === col("id"))
+        .select(col("id"), wordSet(col("text")).as("w"))
+        .withColumn("prev_id", lag(col("id"), 1).over(w))
+        .withColumn("prev_w", lag(col("w"), 1).over(w))
+        .withColumn("parent",
+          when(col("prev_id").isNotNull &&
+            jaccard(col("w"), col("prev_w")) >= 0.9, col("prev_id"))
+            .otherwise(col("id")))
+        .select(col("id").as("k_id"), col("parent").as("k_parent"))
+      // every doc points at its keeper; keepers point per the chain
+      val pointers = keeperOf
+        .join(keepers, keeperOf("keeper") === keepers("k_id"))
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") === col("keeper"), col("k_parent"))
+            .otherwise(col("keeper")).as("parent"))
+      canonicalResolve(pointers)
+        .select(col("id").as("doc_id"), col("root").as("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding cosine on adjacent-id pairs (oracle-checked numeric path).
     "dedup_embed_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -311,6 +383,37 @@ object Dedup {
         |FROM sz s1 JOIN sz s2 ON s2.doc_id = s1.doc_id + 1
         |LEFT JOIN i ON i.id1 = s1.doc_id
         |ORDER BY id1""".stripMargin,
+    "dedup_canonical_resolve" ->
+      """WITH RECURSIVE
+        |grp AS (SELECT doc_id,
+        |          min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |        FROM documents),
+        |kd AS (SELECT d.doc_id AS id,
+        |         list_distinct(string_split(lower(d.text), ' ')) AS w
+        |       FROM documents d
+        |       JOIN (SELECT DISTINCT keeper FROM grp) k ON k.keeper = d.doc_id),
+        |ord AS (SELECT id, w,
+        |          lag(id) OVER (ORDER BY id) AS prev_id,
+        |          lag(w) OVER (ORDER BY id) AS prev_w
+        |        FROM kd),
+        |kp AS (SELECT id,
+        |         CASE WHEN prev_id IS NOT NULL AND
+        |           CAST(len(list_intersect(w, prev_w)) AS DOUBLE) /
+        |             (len(w) + len(prev_w) - len(list_intersect(w, prev_w)))
+        |             >= 0.9
+        |         THEN prev_id ELSE id END AS parent
+        |       FROM ord),
+        |p AS (SELECT g.doc_id AS id,
+        |        CASE WHEN g.doc_id = g.keeper THEN kp.parent
+        |             ELSE g.keeper END AS parent
+        |      FROM grp g JOIN kp ON kp.id = g.keeper),
+        |chase(id, cur) AS (
+        |  SELECT id, parent FROM p
+        |  UNION
+        |  SELECT c.id, pp.parent FROM chase c JOIN p pp ON pp.id = c.cur
+        |)
+        |SELECT id AS doc_id, min(cur) AS canonical_id
+        |FROM chase GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine_pairs" ->
       """SELECT a.vec_id AS id1,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),

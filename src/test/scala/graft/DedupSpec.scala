@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
     assert(viaEval === expected)
   }
 
+  test("canonicalResolve collapses deep pointer chains in O(log depth) rounds") {
+    // one 100-deep chain (9900..9999 → 9900), a 2-cycle of selves, and a
+    // star — all resolve to their roots
+    val chain = (9901L to 9999L).map(i => (i, i - 1))
+    val star = Seq((5L, 1L), (6L, 1L), (7L, 1L))
+    val selfs = Seq((9900L, 9900L), (1L, 1L), (42L, 42L))
+    val pointers = (chain ++ star ++ selfs).toDF("id", "parent")
+    val resolved = Dedup.canonicalResolve(pointers)
+      .as[(Long, Long)].collect().toMap
+    assert((9901L to 9999L).forall(resolved(_) === 9900L))
+    assert(Seq(5L, 6L, 7L).forall(resolved(_) === 1L))
+    assert(resolved(42L) === 42L)
+  }
+
   test("fused SimHash64 matches the HOF path on arrays with null tokens") {
     // xxhash64(null) = the seed (42), so null tokens VOTE in the HOF
     // path; the fused expression must vote identically.
