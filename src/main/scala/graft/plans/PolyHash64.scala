@@ -92,6 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash64.info, SimHash64.builder))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"),
       NearestCentroid.info, NearestCentroid.builder))
+    ext.injectFunction((FunctionIdentifier("zorder64"),
+      ZOrder64.info, ZOrder64.builder))
     // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
