@@ -132,33 +132,47 @@ object Dedup {
   /** Resolve survivor-pointer chains to their canonical roots by pointer
     * doubling: each round replaces every pointer with its target's
     * pointer, halving chain depth — fixpoint in ceil(log2(maxDepth))
-    * rounds of one self-join each, so even ten-million-deep chains cost
-    * ~24 joins. The iterative-DataFrame pattern (convergence-checked
-    * loop) that PageRank/label-propagation/connected-components share.
+    * rounds of ONE self-join each (the convergence check reuses the same
+    * join output), so even ten-million-deep chains cost ~24 joins. The
+    * iterative-DataFrame pattern (convergence-checked loop) that
+    * PageRank/label-propagation/connected-components share.
     *
-    * Precondition: parent <= id per row (pointers only point backward),
-    * which makes the chase monotone and loop-free.
+    * Total over any input: a parent with no row of its own is treated as
+    * a root (left join + coalesce), so rows never drop. Precondition for
+    * termination: parent <= id per row (pointers only point backward),
+    * which makes the chase monotone and loop-free. Throws if the
+    * fixpoint isn't reached within maxIters — partially-resolved roots
+    * must never masquerade as canonical ids.
     */
   def canonicalResolve(pointers: DataFrame, maxIters: Int = 30): DataFrame = {
-    var cur = pointers.select(col("id"), col("parent").as("root"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // `handle` is the DataFrame persist() was called on — unpersist must
+    // hit that exact plan, not a projection of it.
+    var handle = pointers.select(col("id"), col("parent").as("root")).persist(lvl)
+    var cur = handle
     var iters = 0
     var done = false
     while (!done && iters < maxIters) {
       val targets = cur.select(col("id").as("t_id"), col("root").as("t_root"))
-      val next = cur.join(targets, cur("root") === col("t_id"))
-        .select(col("id"), col("t_root").as("root"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stable = next.select(col("id"), col("root").as("new_root"))
-        .join(cur, Seq("id"))
-        .filter(col("new_root") =!= col("root"))
-        .isEmpty
-      val prev = cur
-      cur = next
-      prev.unpersist()
+      // One join serves both the doubling step and the stability check.
+      val step = cur.join(targets, cur("root") === col("t_id"), "left")
+        .select(col("id"), col("root").as("old_root"),
+          coalesce(col("t_root"), col("root")).as("root"))
+        .persist(lvl)
+      // Materialize fully BEFORE unpersisting the previous level —
+      // isEmpty alone caches only the partitions it touched, and the
+      // next round would recompute the rest through unpersisted lineage.
+      step.count()
+      val stable = step.filter(col("root") =!= col("old_root")).isEmpty
+      handle.unpersist()
+      handle = step
+      cur = step.select(col("id"), col("root"))
       done = stable
       iters += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"canonicalResolve did not converge in $maxIters rounds " +
+        "(cycle, forward pointer, or raise maxIters)")
     cur
   }
 

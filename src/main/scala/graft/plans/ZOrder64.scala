@@ -16,10 +16,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Bit layout: the low 32 bits of each input, interleaved x at even and
   * y at odd positions, via the standard mask-shift spread (no loops —
-  * 5 shift/mask steps per side, branch-free in codegen). Inputs are
-  * treated as unsigned 32-bit: callers with signed/larger domains
-  * should normalize first (e.g. subtract the min). Curve locality:
-  * equal high-order z-bits ⇒ same power-of-two quadrant of (x, y).
+  * 5 shift/mask steps per side). Inputs must fit in unsigned 32 bits;
+  * out-of-range values (epoch-millis timestamps, snowflake ids, any
+  * negative) RAISE an error rather than silently wrapping every 2^32 —
+  * a wrapped key would interleave distant time ranges into the same key
+  * space and quietly destroy the clustering win. Normalize wide domains
+  * first: dense ranks, minute-resolution buckets, value - min. Curve
+  * locality: equal high-order z-bits ⇒ same power-of-two quadrant.
   */
 case class ZOrder64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,17 +41,17 @@ case class ZOrder64(left: Expression, right: Expression)
   override def prettyName: String = "zorder64"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val x = ZOrder64.spread(ZOrder64.low32(l))
-    val y = ZOrder64.spread(ZOrder64.low32(r))
+    val x = ZOrder64.spread(ZOrder64.checked(l))
+    val y = ZOrder64.spread(ZOrder64.checked(r))
     x | (y << 1)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (l, r) => {
-      // call the companion's spread via the module instance (static
-      // forwarder presence isn't guaranteed alongside a case class)
+      // call the companion via the module instance (static forwarder
+      // presence isn't guaranteed alongside a case class)
       val z = "graft.plans.ZOrder64$.MODULE$"
-      s"($z.spread((long)$l & 0xffffffffL) | ($z.spread((long)$r & 0xffffffffL) << 1))"
+      s"($z.spread($z.checkRange((long)$l)) | ($z.spread($z.checkRange((long)$r)) << 1))"
     })
 
   override protected def withNewChildrenInternal(
@@ -57,12 +60,22 @@ case class ZOrder64(left: Expression, right: Expression)
 }
 
 object ZOrder64 {
-  private[plans] def low32(v: Any): Long = (v match {
+  private[plans] def checked(v: Any): Long = checkRange(v match {
     case b: Byte => b.toLong
     case s: Short => s.toLong
     case i: Int => i.toLong
     case l: Long => l
-  }) & 0xffffffffL
+  })
+
+  /** Range guard (also called from generated code): zorder inputs must
+    * be in [0, 2^32) — wrapping would silently interleave distant key
+    * ranges together. */
+  def checkRange(v: Long): Long = {
+    if ((v & ~0xffffffffL) != 0L) throw new IllegalArgumentException(
+      s"zorder64 input $v outside [0, 2^32): normalize the domain first " +
+        "(dense rank, coarser bucket, or value - min)")
+    v
+  }
 
   /** Spread the low 32 bits of v to the even bit positions of a long
     * (classic Morton mask-shift cascade). Public + JVM-static-reachable

@@ -108,6 +108,18 @@ class DedupSpec extends SparkSpec {
     assert((9901L to 9999L).forall(resolved(_) === 9900L))
     assert(Seq(5L, 6L, 7L).forall(resolved(_) === 1L))
     assert(resolved(42L) === 42L)
+    // total over parents with no row of their own: (2 -> 1) with no row
+    // for 1 must resolve 2 -> 1, not drop it
+    val dangling = Dedup.canonicalResolve(Seq((2L, 1L)).toDF("id", "parent"))
+      .as[(Long, Long)].collect().toMap
+    assert(dangling === Map(2L -> 1L))
+    // non-convergence fails loudly: a 3-cycle is a permutation whose
+    // doubling (sigma^(2^k)) never reaches the identity, so the loop
+    // can't stabilize
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id", "parent")
+    intercept[IllegalStateException] {
+      Dedup.canonicalResolve(cyc, maxIters = 5)
+    }
   }
 
   test("fused SimHash64 matches the HOF path on arrays with null tokens") {

@@ -26,6 +26,14 @@ class ZOrderSpec extends SparkSpec {
     rows.foreach { case (x, y, z) => assert(z === morton(x, y), s"($x,$y)") }
     // full-width interleave of all-ones = all-ones
     assert(rows.last._3 === -1L)
+    // out-of-range inputs fail loudly instead of silently wrapping
+    val e = intercept[Exception] {
+      Seq((1L << 33, 0L)).toDF("x", "y")
+        .select(call_function("zorder64", $"x", $"y")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("zorder64 input")), msgs(e).mkString("|"))
   }
 
   test("z-order file clustering tightens per-file ranges on BOTH dimensions") {
