@@ -58,7 +58,11 @@ object ScalarFuncs {
         U.lng(dayofweek(col("o_orderdate"))).as("dow"),
         U.lng(datediff(to_date(lit("1995-06-01")),
           col("o_orderdate").cast("date"))).as("days_to_ref"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3mo"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        U.lng(quarter(col("o_orderdate"))).as("qtr"),
+        U.lng(weekofyear(col("o_orderdate"))).as("iso_week"))
         .orderBy("o_orderkey")),
 
     "math_funcs" -> ((s, d) =>
@@ -145,7 +149,11 @@ object ScalarFuncs {
         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
         |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1995-06-01') AS BIGINT) AS days_to_ref,
-        |  epoch_us(o_orderdate) AS epoch_us
+        |  epoch_us(o_orderdate) AS epoch_us,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "math_funcs" ->
       """SELECT p_partkey,
