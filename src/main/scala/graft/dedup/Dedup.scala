@@ -298,6 +298,21 @@ object Dedup {
         .orderBy("id1")
     }),
 
+    // Boilerplate detection: the most-repeated word 5-grams across the
+    // corpus (C4/RefinedWeb-style repeated-n-gram filtering — shared
+    // shingles across many documents mark templated text). One explode +
+    // one partial+final count; top-k via TakeOrderedAndProject.
+    "dedup_repeated_ngrams" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"),
+        explode(wordKShingles(lower(col("text")), 5)).as("gram"))
+        .groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(20)
+    }),
+
     // Canonical survivor resolution — the cluster step of a real dedup
     // pipeline: exact-dup groups elect a keeper (min id per text digest);
     // near-identical CONSECUTIVE keepers (word-set jaccard >= 0.9 to the
@@ -397,6 +412,18 @@ object Dedup {
         |FROM sz s1 JOIN sz s2 ON s2.doc_id = s1.doc_id + 1
         |LEFT JOIN i ON i.id1 = s1.doc_id
         |ORDER BY id1""".stripMargin,
+    "dedup_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 4, 1)),
+        |    i -> CASE WHEN len(w) >= 5 THEN array_to_string(w[i:i+4], ' ')
+        |         ELSE array_to_string(w, ' ') END))) AS gram
+        |  FROM toks)
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
     "dedup_canonical_resolve" ->
       """WITH RECURSIVE
         |grp AS (SELECT doc_id,

@@ -178,6 +178,38 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding preprocessing for similarity pipelines: L2-normalize
+    // (cosine becomes a plain dot product downstream) — emitted as
+    // scalar evidence columns (norms + first element), not arrays,
+    // because the driver compare needs sortable output.
+    "sim_normalize" -> ((s, d) => {
+      val vd = toDouble(col("embedding"))
+      val nrm = l2norm(vd)
+      val unit = transform(vd, x => x / nrm)
+      Tables.t(s, d, "embeddings").select(
+        col("vec_id"),
+        round(nrm, 6).as("norm_before"),
+        round(l2norm(unit), 6).as("norm_after"),
+        round(element_at(unit, 1), 6).as("first_unit"))
+        .orderBy("vec_id")
+    }),
+
+    // int8 quantization (per-vector absmax scaling): floor(x*scale+0.5)
+    // is engine-stable integer rounding; the checksum row proves the
+    // whole quantized vector matches without emitting an array.
+    "sim_quantize_int8" -> ((s, d) => {
+      val vd = toDouble(col("embedding"))
+      val maxAbs = array_max(transform(vd, x => abs(x)))
+      val scale = lit(127.0) / maxAbs
+      val q = transform(vd, x => floor(x * scale + 0.5).cast("long"))
+      Tables.t(s, d, "embeddings").select(
+        col("vec_id"),
+        round(maxAbs, 6).as("max_abs"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+        .orderBy("vec_id")
+    }),
+
     // IVF variant (no oracle: quantizer engine-defined; recall asserted
     // in SimilaritySpec).
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, queryId = 0L, k = 10)),
@@ -189,6 +221,33 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_normalize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, vd,
+        |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+        |      FROM v)
+        |SELECT vec_id,
+        |  round(nrm, 6) AS norm_before,
+        |  round(sqrt(list_sum(list_transform(
+        |    list_transform(vd, x -> x / nrm), x -> x * x))), 6) AS norm_after,
+        |  round(vd[1] / nrm, 6) AS first_unit
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, vd,
+        |        list_max(list_transform(vd, x -> abs(x))) AS max_abs
+        |      FROM v)
+        |SELECT vec_id,
+        |  round(max_abs, 6) AS max_abs,
+        |  CAST(list_sum(list_transform(vd,
+        |    x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(vd,
+        |    x -> abs(CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))))
+        |    AS BIGINT) AS q_l1
+        |FROM m ORDER BY vec_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0)
