@@ -208,6 +208,16 @@ object Aggregates {
         .orderBy("c_nationkey")
     }),
 
+    // Equi-width histogram via width_bucket — the single-pass
+    // distribution profile (partial+final count per bucket).
+    "agg_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0),
+          lit(20)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          U.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket")),
+
     // Mergeable HLL sketches (DataSketches): per-group sketches built
     // once, UNIONED at query time — the 100 TB pattern where per-
     // partition/day sketches are precomputed and distinct counts over any
@@ -300,6 +310,18 @@ object Aggregates {
         |  count(DISTINCT l_orderkey || '-' || l_linenumber) AS n_cells,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_quantity
         |FROM lineitem""".stripMargin,
+    // DuckDB has no width_bucket: the oracle replicates Spark's bucket
+    // arithmetic (value / bucketWidth, floored, 1-based; out-of-range
+    // pinned to 0 / numBuckets+1).
+    "agg_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 600000.0 THEN 21
+        |            ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1
+        |       END AS bucket,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_stats_moments" ->
       """WITH s AS (
         |  SELECT c_nationkey, count(*) AS n,

@@ -119,6 +119,17 @@ object CoreOps {
         .orderBy("c_custkey")
     }),
 
+    // Content-hash sampling: a deterministic ~6% sample keyed on the
+    // ROW CONTENT (md5 prefix), not on row position — stable under
+    // repartitioning, re-runs, and engine choice, which random
+    // sample()/TABLESAMPLE are not. The standard way to carve held-out
+    // slices from a 100 TB corpus reproducibly.
+    "filter_hash_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(substring(md5(col("text")), 1, 2) < "10")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // limit_page (make_uuids_tsv.py:24-25 from/size pagination)
     "limit_page" -> ((s, d) =>
       t(s, d, "orders")
@@ -168,6 +179,10 @@ object CoreOps {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.5
         |ORDER BY o_orderkey""".stripMargin,
+    "filter_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(text), 1, 2) < '10'
+        |ORDER BY doc_id""".stripMargin,
     "filter_in_subquery" ->
       """SELECT c_custkey, c_nationkey FROM customer
         |WHERE c_nationkey IN (

@@ -86,6 +86,22 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // rank vs dense_rank vs row_number on a tie-heavy key (price rounded
+    // to thousands): ranks gap after ties, dense ranks don't.
+    "window_rank_dense" -> ((s, d) => {
+      val kilo = floor(col("o_totalprice") / 1000).cast("long")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(kilo.desc, col("o_orderkey"))
+      val wTies = Window.partitionBy("o_orderpriority").orderBy(kilo.desc)
+      t(s, d, "orders")
+        .withColumn("rnk", rank().over(wTies).cast("long"))
+        .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("o_orderpriority", "rn", "o_orderkey", "rnk", "drnk")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     // Frame navigation: first/last/nth order per customer (full frame for
     // last/nth so the answer is frame-independent and oracle-stable).
     "window_first_last" -> ((s, d) => {
@@ -180,6 +196,19 @@ object Windows {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "window_rank_dense" ->
+      """SELECT o_orderpriority, rn, o_orderkey, rnk, drnk FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn
+        |  FROM orders
+        |  WINDOW
+        |    wt AS (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT) DESC),
+        |    w AS (PARTITION BY o_orderpriority
+        |          ORDER BY CAST(floor(o_totalprice / 1000) AS BIGINT) DESC, o_orderkey))
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "window_first_last" ->
       """SELECT o_orderkey, o_custkey,
         |  first_value(o_orderkey) OVER w AS first_key,
