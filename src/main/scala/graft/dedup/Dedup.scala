@@ -305,7 +305,8 @@ object Dedup {
     "dedup_repeated_ngrams" -> ((s, d) => {
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"),
-        explode(wordKShingles(lower(col("text")), 5)).as("gram"))
+        // wordKShingles lowercases internally
+        explode(wordKShingles(col("text"), 5)).as("gram"))
         .groupBy("gram")
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= 2)

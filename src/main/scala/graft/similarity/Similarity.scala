@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.Tables
+import graft.{Tables, U}
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -186,11 +186,13 @@ object Similarity {
       val vd = toDouble(col("embedding"))
       val nrm = l2norm(vd)
       val unit = transform(vd, x => x / nrm)
+      // zero-norm guard (cosine() convention) + engine-stable rounding
+      // (U.round6 — these are ratio values, round(x,6) is unstable)
       Tables.t(s, d, "embeddings").select(
         col("vec_id"),
-        round(nrm, 6).as("norm_before"),
-        round(l2norm(unit), 6).as("norm_after"),
-        round(element_at(unit, 1), 6).as("first_unit"))
+        U.round6(nrm).as("norm_before"),
+        when(nrm > 0.0, U.round6(l2norm(unit))).as("norm_after"),
+        when(nrm > 0.0, U.round6(element_at(unit, 1))).as("first_unit"))
         .orderBy("vec_id")
     }),
 
@@ -204,9 +206,11 @@ object Similarity {
       val q = transform(vd, x => floor(x * scale + 0.5).cast("long"))
       Tables.t(s, d, "embeddings").select(
         col("vec_id"),
-        round(maxAbs, 6).as("max_abs"),
-        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-        aggregate(q, lit(0L), (acc, x) => acc + abs(x)).as("q_l1"))
+        U.round6(maxAbs).as("max_abs"),
+        when(maxAbs > 0.0,
+          aggregate(q, lit(0L), (acc, x) => acc + x)).as("q_sum"),
+        when(maxAbs > 0.0,
+          aggregate(q, lit(0L), (acc, x) => acc + abs(x))).as("q_l1"))
         .orderBy("vec_id")
     }),
 
@@ -228,10 +232,12 @@ object Similarity {
         |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
         |      FROM v)
         |SELECT vec_id,
-        |  round(nrm, 6) AS norm_before,
-        |  round(sqrt(list_sum(list_transform(
-        |    list_transform(vd, x -> x / nrm), x -> x * x))), 6) AS norm_after,
-        |  round(vd[1] / nrm, 6) AS first_unit
+        |  round(nrm * 1000000) / 1000000 AS norm_before,
+        |  CASE WHEN nrm > 0.0 THEN round(sqrt(list_sum(list_transform(
+        |    list_transform(vd, x -> x / nrm), x -> x * x)))
+        |    * 1000000) / 1000000 END AS norm_after,
+        |  CASE WHEN nrm > 0.0 THEN round(vd[1] / nrm * 1000000) / 1000000
+        |    END AS first_unit
         |FROM n ORDER BY vec_id""".stripMargin,
     "sim_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
@@ -240,13 +246,15 @@ object Similarity {
         |        list_max(list_transform(vd, x -> abs(x))) AS max_abs
         |      FROM v)
         |SELECT vec_id,
-        |  round(max_abs, 6) AS max_abs,
-        |  CAST(list_sum(list_transform(vd,
-        |    x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT)))
-        |    AS BIGINT) AS q_sum,
-        |  CAST(list_sum(list_transform(vd,
-        |    x -> abs(CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))))
-        |    AS BIGINT) AS q_l1
+        |  round(max_abs * 1000000) / 1000000 AS max_abs,
+        |  CASE WHEN max_abs > 0.0 THEN
+        |    CAST(list_sum(list_transform(vd,
+        |      x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT)))
+        |      AS BIGINT) END AS q_sum,
+        |  CASE WHEN max_abs > 0.0 THEN
+        |    CAST(list_sum(list_transform(vd,
+        |      x -> abs(CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))))
+        |      AS BIGINT) END AS q_l1
         |FROM m ORDER BY vec_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
