@@ -369,8 +369,14 @@ object Dedup {
     // cosine within bucket, ranked (no oracle: bucketing engine-defined;
     // threshold-detection behavior checked on a planted-duplicates fixture
     // in DedupSpec). Coarse 8-bit buckets (256) here because this corpus
-    // has no true near-dups; production uses more bits + a cosine threshold.
+    // has no true near-dups; production uses more bits + a cosine
+    // threshold. Bucket-LOCAL pair generation (same shape as
+    // minhashPairs): signatures and norms are computed once and pairs
+    // come from collect_list within each bucket group — a self-join on
+    // bucket would re-run the whole hyperplane pipeline on both sides.
+    // The maxBucket guard caps degenerate buckets (and pair fan-out).
     "dedup_embedding_lsh" -> ((s, d) => {
+      val maxBucket = 256
       val e = t(s, d, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("vd", VectorOps.toDouble(col("embedding")))
@@ -379,11 +385,21 @@ object Dedup {
         // Precompute norms once per vector: the bucket-local pair stage
         // then costs one dot product per pair instead of three.
         .withColumn("nrm", VectorOps.l2norm(col("vd")))
-      e.as("x").join(e.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-          round(VectorOps.dot(col("x.vd"), col("y.vd")) /
-            (col("x.nrm") * col("y.nrm")), 6).as("cos_sim"))
+      val members = col("ms")
+      val pairs = e
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(
+          struct(col("vec_id"), col("vd"), col("nrm")))).as("ms"))
+        .filter(size(members).between(2, maxBucket))
+        .select(explode(flatten(transform(
+          sequence(lit(0), size(members) - 2),
+          i => transform(slice(members, i + 2, size(members)),
+            y => struct(element_at(members, i + 1).as("a"), y.as("b"))))))
+          .as("p"))
+      pairs.select(
+        col("p.a.vec_id").as("id1"), col("p.b.vec_id").as("id2"),
+        round(VectorOps.dot(col("p.a.vd"), col("p.b.vd")) /
+          (col("p.a.nrm") * col("p.b.nrm")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
         .limit(20)
     })
