@@ -42,6 +42,39 @@ object SqlSurface {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // TPC-H Q3 shape: selective 3-way join + grouped revenue + top-k —
+    // the planner must push both date filters below the joins, broadcast
+    // the filtered customer dim, and plan the top-k as
+    // TakeOrderedAndProject (asserted in PlanSpec).
+    "sql_q3_shipping" -> ((s, d) => withViews(s, d)(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: 6-way join across the whole star — the
+    // join-reordering stress test (region/nation broadcast, fact joins
+    // co-keyed).
+    "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // Native extension functions from SQL (poly_hash64 / simhash64 /
     // minhash_sig are injected by GraftExtensions — no registration call
     // needed in a GraftSession; the explicit registrations below only
@@ -62,6 +95,30 @@ object SqlSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "sql_q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "sql_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,
