@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
       s"error did not name the rule: ${messages(e).mkString(" | ")}")
   }
 
+  test("SQL Q3/Q5: filters pushed, dims broadcast, top-k as TakeOrderedAndProject") {
+    val q3 = formatted("sql_q3_shipping")
+    assert(q3.contains("TakeOrderedAndProject"), q3)
+    assert(q3.contains("BroadcastHashJoin"), q3)
+    assert(q3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
+      q3.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$q3")
+    val q5 = formatted("sql_q5_local_supplier")
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"), q5)
+    assert(q5.contains("BroadcastHashJoin"), q5)
+  }
+
   test("flagship pipeline: broadcast dim join present, no cartesian anywhere") {
     val p = formatted("flagship_product_build")
     assert(p.contains("BroadcastHashJoin"), p)
