@@ -176,6 +176,52 @@ object Dedup {
     cur
   }
 
+  /** Embedding near-dup pairs: sign-bit LSH bucket + exact cosine for
+    * every within-bucket pair, ranked by similarity.
+    *
+    * Bucket-LOCAL pair generation (same shape as [[minhashPairs]]):
+    * signatures and norms are computed ONCE and pairs come from
+    * `collect_list` within each bucket group — a self-join on bucket
+    * would re-run the whole hyperplane pipeline on both sides. The
+    * cosine is computed inside the enumeration lambda so the exploded
+    * structs carry (id1, id2, cos) — never full vector copies per pair.
+    * Oversized buckets are CAPPED to their first maxBucket members (by
+    * vec_id) rather than dropped: a degenerate bucket is exactly where
+    * near-duplicates concentrate, so losing it entirely would zero
+    * recall; the cap bounds fan-out at maxBucket²/2 while keeping
+    * within-cap pairs.
+    */
+  def embeddingLshPairs(embeddings: DataFrame, nBits: Int = 8,
+      maxBucket: Int = 256): DataFrame = {
+    val e = embeddings
+      .withColumn("vd", VectorOps.toDouble(col("embedding")))
+      .withColumn("bucket",
+        graft.similarity.Similarity.bucketCol(col("vd"), nBits))
+      // Precompute norms once per vector: the pair stage then costs one
+      // dot product per pair instead of three.
+      .withColumn("nrm", VectorOps.l2norm(col("vd")))
+    val members = col("ms")
+    def cosOf(a: Column, b: Column): Column =
+      VectorOps.dot(a.getField("vd"), b.getField("vd")) /
+        (a.getField("nrm") * b.getField("nrm"))
+    e.groupBy("bucket")
+      .agg(slice(sort_array(collect_list(
+        struct(col("vec_id"), col("vd"), col("nrm")))), 1, maxBucket)
+        .as("ms"))
+      .filter(size(members) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(members) - 2),
+        i => transform(slice(members, i + 2, size(members)),
+          y => struct(
+            element_at(members, i + 1).getField("vec_id").as("id1"),
+            y.getField("vec_id").as("id2"),
+            cosOf(element_at(members, i + 1), y).as("cos"))))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        round(col("p.cos"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Bucket-local pair generation: group each (band, bucket-hash) into its
@@ -367,42 +413,15 @@ object Dedup {
 
     // Embedding near-dup candidates via sign-bit LSH buckets + exact
     // cosine within bucket, ranked (no oracle: bucketing engine-defined;
-    // threshold-detection behavior checked on a planted-duplicates fixture
-    // in DedupSpec). Coarse 8-bit buckets (256) here because this corpus
-    // has no true near-dups; production uses more bits + a cosine
-    // threshold. Bucket-LOCAL pair generation (same shape as
-    // minhashPairs): signatures and norms are computed once and pairs
-    // come from collect_list within each bucket group — a self-join on
-    // bucket would re-run the whole hyperplane pipeline on both sides.
-    // The maxBucket guard caps degenerate buckets (and pair fan-out).
-    "dedup_embedding_lsh" -> ((s, d) => {
-      val maxBucket = 256
-      val e = t(s, d, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("vd", VectorOps.toDouble(col("embedding")))
-        .withColumn("bucket",
-          graft.similarity.Similarity.bucketCol(col("vd"), nBits = 8))
-        // Precompute norms once per vector: the bucket-local pair stage
-        // then costs one dot product per pair instead of three.
-        .withColumn("nrm", VectorOps.l2norm(col("vd")))
-      val members = col("ms")
-      val pairs = e
-        .groupBy("bucket")
-        .agg(sort_array(collect_list(
-          struct(col("vec_id"), col("vd"), col("nrm")))).as("ms"))
-        .filter(size(members).between(2, maxBucket))
-        .select(explode(flatten(transform(
-          sequence(lit(0), size(members) - 2),
-          i => transform(slice(members, i + 2, size(members)),
-            y => struct(element_at(members, i + 1).as("a"), y.as("b"))))))
-          .as("p"))
-      pairs.select(
-        col("p.a.vec_id").as("id1"), col("p.b.vec_id").as("id2"),
-        round(VectorOps.dot(col("p.a.vd"), col("p.b.vd")) /
-          (col("p.a.nrm") * col("p.b.nrm")), 6).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
-        .limit(20)
-    })
+    // pair recall on a planted-duplicates fixture asserted in DedupSpec).
+    // Coarse 8-bit buckets (256) here because this corpus has no true
+    // near-dups; production uses more bits + a cosine threshold.
+    "dedup_embedding_lsh" -> ((s, d) =>
+      embeddingLshPairs(
+        t(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("embedding")))
+        .limit(20))
   )
 
   val oracles: Map[String, String] = Map(

@@ -8,6 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * side (catalog views, ANSI-off cast semantics, and the native
   * extension functions injected by GraftExtensions are all visible to
   * SQL, not just to the DataFrame API).
+  *
+  * Each oracled query's SQL lives in ONE constant shared by the query
+  * map and the oracle map — identical-by-construction, so the two
+  * engines can never silently drift apart on edited text.
   */
 object SqlSurface {
 
@@ -28,52 +32,56 @@ object SqlSurface {
     s.sql(sql)
   }
 
+  // The TPC-H Q1 shape (decimal-bridged double sums, no avg — graft.U
+  // rules apply to SQL text too).
+  private val Q1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+      |FROM lineitem
+      |WHERE l_quantity < 48
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // TPC-H Q3 shape: selective 3-way join + grouped revenue + top-k —
+  // the planner must push all three filters below the joins, broadcast
+  // the filtered customer dim, and plan the top-k as
+  // TakeOrderedAndProject (asserted in PlanSpec).
+  private val Q3 =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < DATE '1995-03-15'
+      |  AND l_shipdate > DATE '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // TPC-H Q5 shape: 6-way join across the whole star with the
+  // same-nation constraint — the join-reordering stress test
+  // (region/nation broadcast, fact joins co-keyed).
+  private val Q5 =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // The TPC-H Q1 shape in pure SQL (decimal-bridged double sums, no
-    // avg — graft.U rules apply to SQL text too).
-    "sql_q1_pricing" -> ((s, d) => withViews(s, d)(
-      """SELECT l_returnflag, l_linestatus,
-        |  count(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
-        |FROM lineitem
-        |WHERE l_quantity < 48
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
-
-    // TPC-H Q3 shape: selective 3-way join + grouped revenue + top-k —
-    // the planner must push both date filters below the joins, broadcast
-    // the filtered customer dim, and plan the top-k as
-    // TakeOrderedAndProject (asserted in PlanSpec).
-    "sql_q3_shipping" -> ((s, d) => withViews(s, d)(
-      """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-        |  o_orderdate, o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < DATE '1995-03-15'
-        |  AND l_shipdate > DATE '1995-03-15'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin)),
-
-    // TPC-H Q5 shape: 6-way join across the whole star — the
-    // join-reordering stress test (region/nation broadcast, fact joins
-    // co-keyed).
-    "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(
-      """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin)),
+    "sql_q1_pricing" -> ((s, d) => withViews(s, d)(Q1)),
+    "sql_q3_shipping" -> ((s, d) => withViews(s, d)(Q3)),
+    "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(Q5)),
 
     // Native extension functions from SQL (poly_hash64 / simhash64 /
     // minhash_sig are injected by GraftExtensions — no registration call
@@ -95,39 +103,8 @@ object SqlSurface {
   )
 
   val oracles: Map[String, String] = Map(
-    "sql_q3_shipping" ->
-      """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-        |  o_orderdate, o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < DATE '1995-03-15'
-        |  AND l_shipdate > DATE '1995-03-15'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin,
-    "sql_q5_local_supplier" ->
-      """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
-    "sql_q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  count(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
-        |FROM lineitem
-        |WHERE l_quantity < 48
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    "sql_q1_pricing" -> Q1,
+    "sql_q3_shipping" -> Q3,
+    "sql_q5_local_supplier" -> Q5
   )
 }

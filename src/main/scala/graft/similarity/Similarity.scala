@@ -229,7 +229,10 @@ object Similarity {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
         |           FROM embeddings),
         |n AS (SELECT vec_id, vd,
-        |        sqrt(list_sum(list_transform(vd, x -> x * x))) AS nrm
+        |        -- coalesce: list_sum([]) is NULL in DuckDB but Spark's
+        |        -- aggregate over an empty array yields 0.0
+        |        coalesce(sqrt(list_sum(list_transform(vd, x -> x * x))), 0.0)
+        |          AS nrm
         |      FROM v)
         |SELECT vec_id,
         |  round(nrm * 1000000) / 1000000 AS norm_before,

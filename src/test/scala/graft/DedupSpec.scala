@@ -96,6 +96,35 @@ class DedupSpec extends SparkSpec {
     assert(viaEval === expected)
   }
 
+  test("embeddingLshPairs finds planted near-duplicate vectors, ranked first") {
+    // 40 well-separated random vectors + 3 planted copies of vector 0
+    // with tiny noise: the planted pairs must surface with cos ≈ 1 ahead
+    // of everything else, and an over-cap bucket must still yield its
+    // within-cap pairs (cap bounds fan-out, never zeroes recall).
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    def noisy(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      base.map(x => (x + r.nextGaussian() * 0.01).toFloat).toSeq
+    }
+    val others = (10L until 50L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(64)(r.nextGaussian().toFloat).toSeq)
+    }
+    val planted = Seq(0L, 1L, 2L).map(i => (i, noisy(i.toInt)))
+    val df = (planted ++ others).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(df)
+      .as[(Long, Long, Double)].collect()
+    val dupPairs = pairs.filter(_._3 > 0.99).map(p => (p._1, p._2)).toSet
+    assert(dupPairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // ranked ahead of unrelated pairs
+    assert(pairs.take(3).forall(_._3 > 0.99))
+    // cap keeps within-cap pairs instead of dropping the bucket
+    val capped = Dedup.embeddingLshPairs(df, maxBucket = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.nonEmpty)
+  }
+
   test("canonicalResolve collapses deep pointer chains in O(log depth) rounds") {
     // one 100-deep chain (9900..9999 → 9900), a 2-cycle of selves, and a
     // star — all resolve to their roots

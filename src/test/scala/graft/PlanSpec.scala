@@ -113,8 +113,13 @@ class PlanSpec extends SparkSpec {
     val q3 = formatted("sql_q3_shipping")
     assert(q3.contains("TakeOrderedAndProject"), q3)
     assert(q3.contains("BroadcastHashJoin"), q3)
-    assert(q3.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
-      q3.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$q3")
+    // each filter reaches its scan's PushedFilters
+    assert(q3.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$q3")
+    assert(q3.contains("LessThan(o_orderdate,"),
+      s"order-date filter not pushed:\n$q3")
+    assert(q3.contains("GreaterThan(l_shipdate,"),
+      s"ship-date filter not pushed:\n$q3")
     val q5 = formatted("sql_q5_local_supplier")
     assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"), q5)
     assert(q5.contains("BroadcastHashJoin"), q5)
