@@ -78,7 +78,20 @@ object SqlSurface {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // Correlated LATERAL subquery: greatest-n-per-group without a window
+  // function — Spark decorrelates the per-customer ordered LIMIT; DuckDB
+  // executes the same text natively.
+  private val LateralTopN =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c_custkey <= 50
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_lateral_topn" -> ((s, d) => withViews(s, d)(LateralTopN)),
     "sql_q1_pricing" -> ((s, d) => withViews(s, d)(Q1)),
     "sql_q3_shipping" -> ((s, d) => withViews(s, d)(Q3)),
     "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(Q5)),
@@ -103,6 +116,7 @@ object SqlSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_lateral_topn" -> LateralTopN,
     "sql_q1_pricing" -> Q1,
     "sql_q3_shipping" -> Q3,
     "sql_q5_local_supplier" -> Q5
