@@ -201,9 +201,14 @@ object Dedup {
       // dot product per pair instead of three.
       .withColumn("nrm", VectorOps.l2norm(col("vd")))
     val members = col("ms")
-    def cosOf(a: Column, b: Column): Column =
-      VectorOps.dot(a.getField("vd"), b.getField("vd")) /
-        (a.getField("nrm") * b.getField("nrm"))
+    // zero-norm guard (VectorOps.cosine convention): without it a
+    // zero/empty vector yields NaN, which Spark's descending sort ranks
+    // ABOVE every real similarity; null ranks last instead.
+    def cosOf(a: Column, b: Column): Column = {
+      val denom = a.getField("nrm") * b.getField("nrm")
+      when(denom > 0.0,
+        VectorOps.dot(a.getField("vd"), b.getField("vd")) / denom)
+    }
     e.groupBy("bucket")
       .agg(slice(sort_array(collect_list(
         struct(col("vec_id"), col("vd"), col("nrm")))), 1, maxBucket)

@@ -229,10 +229,12 @@ object Similarity {
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
         |           FROM embeddings),
         |n AS (SELECT vec_id, vd,
-        |        -- coalesce: list_sum([]) is NULL in DuckDB but Spark's
-        |        -- aggregate over an empty array yields 0.0
-        |        coalesce(sqrt(list_sum(list_transform(vd, x -> x * x))), 0.0)
-        |          AS nrm
+        |        -- scoped coalesce: list_sum([]) is NULL in DuckDB but
+        |        -- Spark's aggregate over an EMPTY array yields 0.0; a
+        |        -- NULL embedding must stay NULL on both engines
+        |        CASE WHEN vd IS NOT NULL THEN
+        |          coalesce(sqrt(list_sum(list_transform(vd, x -> x * x))), 0.0)
+        |        END AS nrm
         |      FROM v)
         |SELECT vec_id,
         |  round(nrm * 1000000) / 1000000 AS norm_before,

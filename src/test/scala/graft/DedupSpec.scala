@@ -119,10 +119,13 @@ class DedupSpec extends SparkSpec {
     assert(dupPairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
     // ranked ahead of unrelated pairs
     assert(pairs.take(3).forall(_._3 > 0.99))
-    // cap keeps within-cap pairs instead of dropping the bucket
+    // cap keeps within-cap pairs instead of dropping the bucket: the
+    // planted 3-member bucket is over-cap at maxBucket=2, and its first
+    // two members must still pair up (drop semantics would lose them)
     val capped = Dedup.embeddingLshPairs(df, maxBucket = 2)
       .as[(Long, Long, Double)].collect()
-    assert(capped.nonEmpty)
+    assert(capped.exists(p => p._1 == 0L && p._2 == 1L && p._3 > 0.99),
+      capped.take(10).mkString(", "))
   }
 
   test("canonicalResolve collapses deep pointer chains in O(log depth) rounds") {
