@@ -68,6 +68,37 @@ object StreamingOps {
       .groupBy("click_id").agg(count(lit(1)).as("n_views"))
   }
 
+  /** Streaming approximate-distinct per key: a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * holding a mergeable DataSketches HLL (the library Spark's own
+    * hll_sketch_agg uses) as binary state — distinct-count over an
+    * unbounded stream in O(kB) state per key, where exact distinct would
+    * need unbounded state. Emits the running estimate per key per batch.
+    * The batch-side counterpart is `agg_hll_sketch_merge`; executed with
+    * MemoryStream + assertions in StreamingSpec.
+    */
+  class ApproxDistinctPerKey
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.datasketches.hll.HllSketch
+    import org.apache.spark.sql.streaming.{OutputMode, TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var sk: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Byte]]("hll", Encoders.BINARY,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val sketch = if (sk.exists()) HllSketch.heapify(sk.get())
+        else new HllSketch(12)
+      rows.foreach(r => sketch.update(r._2))
+      sk.update(sketch.toCompactByteArray)
+      Iterator((key, math.round(sketch.getEstimate)))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_join_interval" -> ((s, d) =>
       clickViewJoin(Tables.t(s, d, "events")).orderBy("click_id")),

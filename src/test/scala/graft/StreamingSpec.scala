@@ -239,6 +239,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming approx-distinct per key: HLL state stays bounded, estimate tracks exact") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(Long, Long)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new StreamingOps.ApproxDistinctPerKey,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+      val q = out.toDF("user_id", "approx_distinct").writeStream
+        .format("memory").queryName("hll_out").outputMode("update").start()
+      try {
+        // user 1 sees 500 distinct items over two batches (with repeats);
+        // user 2 sees 3
+        input.addData((0L until 300L).map(i => (1L, i)) ++
+          Seq((2L, 10L), (2L, 11L), (2L, 10L)): _*)
+        q.processAllAvailable()
+        input.addData((200L until 500L).map(i => (1L, i)) ++
+          Seq((2L, 12L)): _*)
+        q.processAllAvailable()
+        val last = spark.table("hll_out")
+          .groupBy("user_id").agg(max("approx_distinct").as("d"))
+          .as[(Long, Long)].collect().toMap
+        // HLL lgK=12 → ~1.6% rsd; allow 5%
+        assert(math.abs(last(1L) - 500.0) / 500.0 < 0.05, last.toString)
+        assert(last(2L) === 3L)
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session window batch path groups by inactivity gap") {
     val df = Seq(
       (1L, ts(0)), (1L, ts(10)),          // session 1 (gap < 30min)
