@@ -208,6 +208,15 @@ object Aggregates {
         .orderBy("c_nationkey")
     }),
 
+    // Ordered string aggregation (Spark 4 listagg / DuckDB string_agg
+    // ORDER BY): deterministic because the within-group order is total.
+    "agg_listagg" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("nations"))
+        .orderBy("n_regionkey")),
+
     // Equi-width histogram via width_bucket — the single-pass
     // distribution profile (partial+final count per bucket).
     "agg_histogram" -> ((s, d) =>
@@ -310,6 +319,10 @@ object Aggregates {
         |  count(DISTINCT l_orderkey || '-' || l_linenumber) AS n_cells,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_quantity
         |FROM lineitem""".stripMargin,
+    "agg_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     // DuckDB has no width_bucket: the oracle replicates Spark's bucket
     // arithmetic (value / bucketWidth, floored, 1-based; out-of-range
     // pinned to 0 / numBuckets+1).
