@@ -36,6 +36,20 @@ object SetOps {
     "set_except" -> ((s, d) =>
       custNations(s, d).except(suppNations(s, d)).orderBy("nationkey")),
 
+    // Multiset (bag) variants: duplicates participate by multiplicity —
+    // intersectAll keeps min(countL, countR) copies, exceptAll keeps
+    // countL - countR copies. Aggregated per key so the output is
+    // deterministic without relying on duplicate row order.
+    "set_intersect_all" -> ((s, d) =>
+      custNations(s, d).intersectAll(suppNations(s, d))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")),
+
+    "set_except_all" -> ((s, d) =>
+      custNations(s, d).exceptAll(suppNations(s, d))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")),
+
     // anndata outer-concat: two modality projections with disjoint value
     // columns, vertically unioned by name, missing entries = 0.
     "union_by_name_outer" -> ((s, d) => {
@@ -72,6 +86,16 @@ object SetOps {
     "set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "union_by_name_outer" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
