@@ -75,19 +75,27 @@ object StreamingOps {
     * need unbounded state. Emits the running estimate per key per batch.
     * The batch-side counterpart is `agg_hll_sketch_merge`; executed with
     * MemoryStream + assertions in StreamingSpec.
+    *
+    * State boundedness: each sketch is O(kB), but the store holds one
+    * per key EVER seen — this is the one stateful op here whose state is
+    * not watermark-evicted, because a lifetime distinct-count has no
+    * event-time horizon. Production deployments must bound the key
+    * domain or pass a [[org.apache.spark.sql.streaming.TTLConfig]]
+    * (with `TimeMode.ProcessingTime`) so idle keys expire.
     */
-  class ApproxDistinctPerKey
+  class ApproxDistinctPerKey(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long), (Long, Long)] {
     import org.apache.datasketches.hll.HllSketch
-    import org.apache.spark.sql.streaming.{OutputMode, TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{OutputMode, TimerValues, TimeMode, ValueState}
     import org.apache.spark.sql.Encoders
 
     @transient private var sk: ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sk = getHandle.getValueState[Array[Byte]]("hll", Encoders.BINARY,
-        TTLConfig.NONE)
+      sk = getHandle.getValueState[Array[Byte]]("hll", Encoders.BINARY, ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timerValues: TimerValues): Iterator[(Long, Long)] = {

@@ -240,7 +240,6 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming approx-distinct per key: HLL state stays bounded, estimate tracks exact") {
-    import org.apache.spark.sql.streaming.OutputMode
     val prevProvider = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -250,7 +249,7 @@ class StreamingSpec extends SparkSpec {
       val input = MemoryStream[(Long, Long)]
       val out = input.toDS()
         .groupByKey(_._1)
-        .transformWithState(new StreamingOps.ApproxDistinctPerKey,
+        .transformWithState(new StreamingOps.ApproxDistinctPerKey(),
           org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
       val q = out.toDF("user_id", "approx_distinct").writeStream
         .format("memory").queryName("hll_out").outputMode("update").start()
