@@ -50,6 +50,18 @@ object ScalarFuncs {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // Parse-once JSON: from_json with an explicit schema materializes the
+    // struct in a single Jackson pass — the 100 TB-correct pattern when a
+    // document is probed for several fields (get_json_object re-parses
+    // per path). Same values as the path-probe form, different engine.
+    "json_parse_once" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .select(col("event_id"), col("j.k").as("k"),
+          (col("j.k") % 10).as("k_mod"))
+        .orderBy("event_id")),
+
     "date_funcs" -> ((s, d) =>
       t(s, d, "orders").select(
         col("o_orderkey"),
@@ -143,6 +155,11 @@ object ScalarFuncs {
         |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_parse_once" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
