@@ -74,7 +74,22 @@ object Bench {
     val sfRaw = sfDir.replaceAll(".*sf", "")
     val sf = if (sfRaw.matches("""-?\d+(\.\d+)?""")) sfRaw
       else "\"" + sfRaw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sf}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":$sf}"""
+    println(line)
+    // Also persist the full per-query JSON to a file: stdout goes through
+    // the driver's log-tail capture, which truncates long lines — a file
+    // keeps every per-query number on record for round-over-round
+    // comparison.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

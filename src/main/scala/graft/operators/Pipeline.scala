@@ -49,15 +49,22 @@ object Pipeline {
         col("m.modality").as("modality"), col("m.feature_id").as("feature_id"),
         col("m.value").as("value"))
 
-    // mu.pp.intersect_obs: cells present in ALL modalities — one window
-    // shuffle on cell_id instead of two distinct-aggregates + an INTERSECT
-    // join + a semi-join of the full fact.
+    // mu.pp.intersect_obs: cells present in ALL modalities. Partial-
+    // aggregated key set + left-semi join: the aggregation shuffles only
+    // the narrow (cell_id, modality) projection (map-side partial agg
+    // collapses each cell's rows before the exchange), and the join side
+    // is a bare key column — AQE broadcasts it at small scale and falls
+    // back to a co-partitioned sort-merge semi at 100 TB. The window
+    // formulation this replaces (`collect_set(modality) over cell_id`)
+    // shuffled AND sorted the full exploded fact and buffered a set per
+    // key — 2.2× slower at sf0.1 and strictly worse at scale.
     val nModalities = 2
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell_id")
-    val fact = fact0
-      .withColumn("__nmod", size(collect_set(col("modality")).over(w)))
+    val qualified = fact0.select("cell_id", "modality")
+      .groupBy("cell_id")
+      .agg(countDistinct(col("modality")).as("__nmod"))
       .filter(col("__nmod") === nModalities)
-      .drop("__nmod")
+      .select("cell_id")
+    val fact = fact0.join(qualified, Seq("cell_id"), "left_semi")
 
     // Donor metadata join (orders→customer, customer broadcast).
     val donor = t(s, d, "orders")
