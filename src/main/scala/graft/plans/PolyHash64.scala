@@ -94,6 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NearestCentroid.info, NearestCentroid.builder))
     ext.injectFunction((FunctionIdentifier("zorder64"),
       ZOrder64.info, ZOrder64.builder))
+    VectorExprs.entries.foreach { case (n, c, b) =>
+      ext.injectFunction((FunctionIdentifier(n),
+        new ExpressionInfo(c.getName, n), b))
+    }
     // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }

@@ -158,11 +158,30 @@ object Similarity {
       call_function("nearest_centroid", vec, typedlit(matrix)) + 1)
   }
 
+  /** Per-JVM memo of trained centroids. Training is deterministic for a
+    * given (dataset dir, k, iters) — decimal-bridged means make the
+    * centroids partition-count invariant (see [[trainIvfCentroids]]) — so
+    * the quantizer is a property of the DATASET, not of the query:
+    * retraining on every probe would dominate the probe cost (~6 Spark
+    * jobs before the scan starts). At 100 TB the same memo is a persisted
+    * centroid table trained once on a sample; [[clearIvfCache]] is the
+    * invalidation hook for mutated paths. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Array[(Int, Array[Double])]]()
+
+  def clearIvfCache(): Unit = centroidCache.clear()
+
+  def ivfCentroids(s: SparkSession, d: String, k: Int,
+      iters: Int = 2): Array[(Int, Array[Double])] =
+    centroidCache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString, k, iters),
+      _ => trainIvfCentroids(s, d, k, iters))
+
   /** IVF ANN: probe the `nProbe` nearest centroids, exact cosine inside. */
   def ivfTopK(s: SparkSession, d: String, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.plans.NearestCentroid.register(s)
-    val centroids = trainIvfCentroids(s, d, nCentroids)
+    val centroids = ivfCentroids(s, d, nCentroids)
     val qv = queryVector(s, d, queryId)
     def sq(c: Array[Double]): Double =
       c.indices.foldLeft(0.0)((acc, i) => acc + (c(i) - qv(i)) * (c(i) - qv(i)))
@@ -181,36 +200,41 @@ object Similarity {
     // Embedding preprocessing for similarity pipelines: L2-normalize
     // (cosine becomes a plain dot product downstream) — emitted as
     // scalar evidence columns (norms + first element), not arrays,
-    // because the driver compare needs sortable output.
+    // because the driver compare needs sortable output. All vector math
+    // runs through the fused codegen kernels (graft.plans.VectorExprs):
+    // the HOF spelling of the same query ran interpreted at ~7 s/sf0.1.
     "sim_normalize" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
       val vd = toDouble(col("embedding"))
-      val nrm = l2norm(vd)
-      val unit = transform(vd, x => x / nrm)
+      val nrm = call_function("vec_l2norm", vd)
+      val unit = call_function("vec_divide", vd, nrm)
       // zero-norm guard (cosine() convention) + engine-stable rounding
       // (U.round6 — these are ratio values, round(x,6) is unstable)
       Tables.t(s, d, "embeddings").select(
         col("vec_id"),
         U.round6(nrm).as("norm_before"),
-        when(nrm > 0.0, U.round6(l2norm(unit))).as("norm_after"),
+        when(nrm > 0.0,
+          U.round6(call_function("vec_l2norm", unit))).as("norm_after"),
         when(nrm > 0.0, U.round6(element_at(unit, 1))).as("first_unit"))
         .orderBy("vec_id")
     }),
 
     // int8 quantization (per-vector absmax scaling): floor(x*scale+0.5)
     // is engine-stable integer rounding; the checksum row proves the
-    // whole quantized vector matches without emitting an array.
+    // whole quantized vector matches without emitting an array. Fused
+    // kernels as above — vec_int8 materializes the quantized vector in
+    // one codegen'd pass, the checksums fold it without HOFs.
     "sim_quantize_int8" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
       val vd = toDouble(col("embedding"))
-      val maxAbs = array_max(transform(vd, x => abs(x)))
+      val maxAbs = call_function("vec_absmax", vd)
       val scale = lit(127.0) / maxAbs
-      val q = transform(vd, x => floor(x * scale + 0.5).cast("long"))
+      val q = call_function("vec_int8", vd, scale)
       Tables.t(s, d, "embeddings").select(
         col("vec_id"),
         U.round6(maxAbs).as("max_abs"),
-        when(maxAbs > 0.0,
-          aggregate(q, lit(0L), (acc, x) => acc + x)).as("q_sum"),
-        when(maxAbs > 0.0,
-          aggregate(q, lit(0L), (acc, x) => acc + abs(x))).as("q_l1"))
+        when(maxAbs > 0.0, call_function("vec_lsum", q)).as("q_sum"),
+        when(maxAbs > 0.0, call_function("vec_l1sum", q)).as("q_l1"))
         .orderBy("vec_id")
     }),
 
