@@ -129,6 +129,69 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Survivor-pointer table for [[canonicalResolve]]: exact-dup groups
+    * elect a keeper (min id per text digest); near-identical CONSECUTIVE
+    * keepers (word-set jaccard >= 0.9 to the global predecessor) chain
+    * onto it.
+    *
+    * The adjacent-keeper linkage needs `lag` over the GLOBAL id order —
+    * the classic two-level stitch keeps it scale-safe (the naive
+    * `Window.orderBy(id)` would move every keeper to one partition):
+    *
+    *   1. bucket keepers into id-range blocks (`id div blockSize`) and
+    *      `lag` WITHIN each block — one hash exchange, parallel windows;
+    *   2. per block, take the max-id row (map-side-combined aggregate)
+    *      and `lag` over that block-summary table — the only
+    *      single-partition step, over ~N/blockSize rows (recurse the same
+    *      stitch if that ever gets big; at blockSize 4096 a 10^12-doc
+    *      corpus summarizes to 2.4×10^8 rows ≈ one more level);
+    *   3. inject each block's carry row (its predecessor block's last
+    *      row) back, so the first row of every block sees its true global
+    *      predecessor; empty blocks are handled because the summary lag
+    *      links non-empty blocks directly.
+    *
+    * Ids must be non-negative (`div` truncation); blocks may be uneven if
+    * ids are sparse — blockSize trades skew vs summary size.
+    */
+  def keeperPointers(docs: DataFrame, blockSize: Long = 4096): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keeperOf = docs
+      .withColumn("keeper",
+        min(col("doc_id")).over(W.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), col("keeper"))
+    val base = docs
+      .join(keeperOf.filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id").as("id")), col("doc_id") === col("id"))
+      .select(col("id"), wordSet(col("text")).as("w"))
+      .withColumn("block", (col("id") / blockSize).cast("long"))
+    // Block summaries: one row per non-empty block. The global lag over
+    // this TINY table links each block to its predecessor's last row.
+    val carry = base.groupBy("block")
+      .agg(max_by(struct(col("id"), col("w")), col("id")).as("last"))
+      .withColumn("c", lag(col("last"), 1).over(W.orderBy("block")))
+      .filter(col("c").isNotNull)
+      .select(col("block"), col("c.id").as("id"), col("c.w").as("w"),
+        lit(true).as("is_carry"))
+    val wb = W.partitionBy("block").orderBy("id")
+    val keepers = base.withColumn("is_carry", lit(false))
+      .unionByName(carry)
+      .withColumn("prev_id", lag(col("id"), 1).over(wb))
+      .withColumn("prev_w", lag(col("w"), 1).over(wb))
+      // carry rows exist only to be lagged over — never emit them
+      .filter(!col("is_carry"))
+      .withColumn("parent",
+        when(col("prev_id").isNotNull &&
+          jaccard(col("w"), col("prev_w")) >= 0.9, col("prev_id"))
+          .otherwise(col("id")))
+      .select(col("id").as("k_id"), col("parent").as("k_parent"))
+    // every doc points at its keeper; keepers point per the chain
+    keeperOf
+      .join(keepers, keeperOf("keeper") === keepers("k_id"))
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") === col("keeper"), col("k_parent"))
+          .otherwise(col("keeper")).as("parent"))
+  }
+
   /** Resolve survivor-pointer chains to their canonical roots by pointer
     * doubling: each round replaces every pointer with its target's
     * pointer, halving chain depth — fixpoint in ceil(log2(maxDepth))
@@ -366,43 +429,15 @@ object Dedup {
     }),
 
     // Canonical survivor resolution — the cluster step of a real dedup
-    // pipeline: exact-dup groups elect a keeper (min id per text digest);
-    // near-identical CONSECUTIVE keepers (word-set jaccard >= 0.9 to the
-    // previous keeper) chain onto it; chains resolve to one canonical doc
-    // per cluster via pointer-doubling ([[canonicalResolve]]). Oracle:
-    // the same pointer table chased with a DuckDB recursive CTE.
-    "dedup_canonical_resolve" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val keeperOf = docs
-        .withColumn("keeper",
-          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col("text")))))
-        .select(col("doc_id"), col("keeper"))
-      // Adjacent-keeper linkage. Window over global keeper order: the
-      // keeper table is already collapsed (one row per distinct text);
-      // at scale, range-partition and stitch boundaries instead.
-      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-      val keepers = docs
-        .join(keeperOf.filter(col("doc_id") === col("keeper"))
-          .select(col("doc_id").as("id")), col("doc_id") === col("id"))
-        .select(col("id"), wordSet(col("text")).as("w"))
-        .withColumn("prev_id", lag(col("id"), 1).over(w))
-        .withColumn("prev_w", lag(col("w"), 1).over(w))
-        .withColumn("parent",
-          when(col("prev_id").isNotNull &&
-            jaccard(col("w"), col("prev_w")) >= 0.9, col("prev_id"))
-            .otherwise(col("id")))
-        .select(col("id").as("k_id"), col("parent").as("k_parent"))
-      // every doc points at its keeper; keepers point per the chain
-      val pointers = keeperOf
-        .join(keepers, keeperOf("keeper") === keepers("k_id"))
-        .select(col("doc_id").as("id"),
-          when(col("doc_id") === col("keeper"), col("k_parent"))
-            .otherwise(col("keeper")).as("parent"))
-      canonicalResolve(pointers)
+    // pipeline: [[keeperPointers]] builds the survivor-pointer table
+    // (keeper election + scale-safe adjacent-keeper linkage), and chains
+    // resolve to one canonical doc per cluster via pointer-doubling
+    // ([[canonicalResolve]]). Oracle: the same pointer table chased with
+    // a DuckDB recursive CTE.
+    "dedup_canonical_resolve" -> ((s, d) =>
+      canonicalResolve(keeperPointers(t(s, d, "documents")))
         .select(col("id").as("doc_id"), col("root").as("canonical_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Embedding cosine on adjacent-id pairs (oracle-checked numeric path).
     "dedup_embed_cosine_pairs" -> ((s, d) => {

@@ -154,6 +154,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keeperPointers block stitch equals the single-block (global) linkage") {
+    // Word-order permutations: distinct texts (different md5 → separate
+    // keepers) with identical word SETS (jaccard 1.0 → chain links).
+    // Ids are laid out so chains cross block boundaries at blockSize=4
+    // (2..5 spans blocks 0|1) and span ENTIRELY EMPTY blocks (5 → 17
+    // jumps blocks 2,3), plus an exact duplicate pointing at a keeper.
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (2L, "red green blue"),
+      (3L, "green blue red"),
+      (4L, "blue red green"),
+      (5L, "red blue green"),
+      (17L, "green red blue"),
+      (18L, "alpha beta gamma"), // exact dup of 0 → keeper 0
+      (19L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val stitched = Dedup.keeperPointers(docs, blockSize = 4)
+      .as[(Long, Long)].collect().toSet
+    // blockSize larger than any id ⇒ one block ⇒ the plain global window
+    val global = Dedup.keeperPointers(docs, blockSize = 1L << 40)
+      .as[(Long, Long)].collect().toSet
+    assert(stitched === global)
+    // and the chain itself is intact: each permuted doc points at its
+    // global predecessor keeper, across the block edge and the id gap
+    val m = stitched.toMap
+    assert(m(3L) === 2L && m(4L) === 3L && m(5L) === 4L && m(17L) === 5L)
+    assert(m(18L) === 0L && m(19L) === 19L)
+    // end-to-end: resolve collapses the whole chain to one canonical id
+    val resolved = Dedup.canonicalResolve(Dedup.keeperPointers(docs, 4))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(3L, 4L, 5L, 17L).forall(resolved(_) === 2L))
+  }
+
   test("fused SimHash64 matches the HOF path on arrays with null tokens") {
     // xxhash64(null) = the seed (42), so null tokens VOTE in the HOF
     // path; the fused expression must vote identically.

@@ -131,6 +131,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("keeper linkage: no single-partition window over raw (non-aggregated) rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.dedup.Dedup.keeperPointers(Tables.t(spark, sfDir, "documents"))
+    df.collect() // materialize so AQE finalizes the physical plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the linkage plan")
+    // The keeper-set windows must be hash-partitioned (md5 groups, id
+    // blocks); the ONLY global-order window allowed is the block-summary
+    // lag, which must consume an AGGREGATED input (~N/blockSize rows) —
+    // never the raw keeper rows.
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(flatten(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"single-partition window over non-aggregated input:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected partitioned block windows in the linkage plan")
+  }
+
   test("whole-stage codegen covers the hot relational queries") {
     // AQE only materializes the final (codegen-annotated) plan after an
     // action, so execute first and inspect the finalized plan.
