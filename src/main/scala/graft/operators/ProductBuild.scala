@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.sources.ProductSink
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's flagship flow (`pipeline.cwl` → `bin/concatenate.py:
@@ -19,9 +18,10 @@ import org.apache.spark.sql.functions._
   * schema; GoldenPipelineSpec drives THIS entry point end-to-end.
   *
   * Scale shape: modality tagging and union are map-only; the
-  * intersection is one window shuffle on cell_id; the donor join
-  * broadcasts the dim; the write is hash-partitioned by
-  * (modality, dataset) for downstream partition pruning.
+  * intersection aggregates the narrow key projection (map-side combine)
+  * and semi-joins the fact against it; the donor join broadcasts the
+  * dim; the write is hash-partitioned by (modality, dataset) for
+  * downstream partition pruning.
   */
 object ProductBuild {
 
@@ -40,11 +40,17 @@ object ProductBuild {
         .withColumn("modality", lit(name))
     }
     val fact = tagged.reduce(_ unionByName _)
-    val w = Window.partitionBy("dataset", "cell_id")
-    fact
-      .withColumn("__nmod", size(collect_set(col("modality")).over(w)))
+    // Partial-aggregated key set + left-semi join (same shape as
+    // Pipeline.flagship): the aggregation shuffles only the narrow key
+    // projection with map-side combine; AQE broadcasts the key set at
+    // small scale, sort-merge semi at 100 TB. A collect_set window here
+    // would shuffle AND sort the full fact.
+    val qualified = fact.select("dataset", "cell_id", "modality")
+      .groupBy("dataset", "cell_id")
+      .agg(countDistinct(col("modality")).as("__nmod"))
       .filter(col("__nmod") === modalities.size)
-      .drop("__nmod")
+      .select("dataset", "cell_id")
+    fact.join(qualified, Seq("dataset", "cell_id"), "left_semi")
   }
 
   /** Attach donor metadata by dataset uuid (inner broadcast join — cells

@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.nio.ByteOrder
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
+
+/** Minimal pure-JVM HDF5 reader — enough of the public HDF5 file format
+  * to ingest the reference's actual input files
+  * (`cell_by_bin.h5ad` / `cell_by_gene.h5ad`, read at
+  * `/root/reference/bin/concatenate.py:62` via `anndata.read_h5ad`)
+  * without any native library or extra dependency.
+  *
+  * Supported subset (the layout h5py's default/earliest writer emits):
+  *  - superblock version 0, 8-byte offsets/lengths;
+  *  - version-1 object headers (with continuation blocks);
+  *  - groups via symbol tables (v1 B-tree + local heap + SNOD nodes,
+  *    any B-tree depth);
+  *  - datasets with CONTIGUOUS layout (message v3): little-endian
+  *    fixed-point ints, IEEE floats, fixed-size strings, and
+  *    variable-length strings (global heap);
+  *  - files up to 2 GiB (single memory-map; larger files need windowed
+  *    maps — raise the documented limit if that day comes).
+  *
+  * Deliberately UNSUPPORTED, failing with errors that say so by name:
+  * chunked/compressed datasets (filter pipeline), v2+ superblocks,
+  * fractal-heap groups. For such files, re-write once with
+  * `compression=None, libver='earliest'` — or extend exactly one branch
+  * per feature below.
+  *
+  * Scale shape: HDF5 is not splittable — parallelism comes from MANY
+  * files, one task each (see [[H5ad.scan]]), which matches the
+  * reference's per-dataset file layout.
+  */
+object MiniHdf5 {
+
+  sealed trait Dtype
+  final case class FixedInt(size: Int, signed: Boolean) extends Dtype
+  final case class Floating(size: Int) extends Dtype
+  final case class FixedStr(size: Int) extends Dtype
+  case object VlenStr extends Dtype
+
+  final case class DatasetMeta(dims: Seq[Long], dtype: Dtype, dataAddr: Long)
+
+  final class Reader(path: String) extends AutoCloseable {
+    private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    require(ch.size() <= Int.MaxValue,
+      s"$path is ${ch.size()} bytes; this subset reader memory-maps once " +
+        "(2 GiB limit) — split the file or extend to windowed maps")
+    private val buf = ch.map(FileChannel.MapMode.READ_ONLY, 0, ch.size())
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+
+    private def u8(pos: Long): Int = buf.get(pos.toInt) & 0xff
+    private def u16(pos: Long): Int = buf.getShort(pos.toInt) & 0xffff
+    private def u32(pos: Long): Long = buf.getInt(pos.toInt) & 0xffffffffL
+    private def i64(pos: Long): Long = buf.getLong(pos.toInt)
+    private def raw(pos: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      val d = buf.duplicate(); d.position(pos.toInt); d.get(a); a
+    }
+    private def sig4(pos: Long, s: String): Boolean =
+      raw(pos, 4).sameElements(s.getBytes("US-ASCII"))
+
+    // ---- superblock (v0) ----
+    require(raw(0, 8).sameElements(
+      Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)),
+      s"$path is not an HDF5 file")
+    require(u8(8) == 0,
+      s"superblock v${u8(8)} unsupported (subset reader covers v0; " +
+        "re-write with libver='earliest')")
+    require(u8(13) == 8 && u8(14) == 8,
+      "only 8-byte offsets/lengths supported")
+    // v0 tail: base(8)@24 free(8)@32 eof(8)@40 driver(8)@48, then the
+    // root symbol-table entry: name-offset(8)@56, object header addr @64
+    private val rootAddr = i64(64)
+
+    // ---- object headers (v1) ----
+    private case class Msg(typ: Int, bodyPos: Long, size: Int)
+
+    private def readHeader(addr: Long): Seq[Msg] = {
+      require(u8(addr) == 1,
+        s"object header v${u8(addr)} at $addr unsupported (v1 only)")
+      val nmsgs = u16(addr + 2)
+      val firstSize = u32(addr + 8)
+      val msgs = scala.collection.mutable.ArrayBuffer[Msg]()
+      // message data is 8-byte aligned: first block starts at addr+16
+      var blocks = List((addr + 16L, firstSize))
+      var count = 0
+      while (count < nmsgs && blocks.nonEmpty) {
+        var (pos, rem) = blocks.head
+        blocks = blocks.tail
+        while (count < nmsgs && rem >= 8) {
+          val typ = u16(pos)
+          val size = u16(pos + 2)
+          if (typ == 0x0010) { // continuation: (offset, length)
+            blocks = blocks :+ ((i64(pos + 8), i64(pos + 16)))
+          } else if (typ != 0x0000) { // skip NIL padding messages
+            msgs += Msg(typ, pos + 8, size)
+          }
+          pos += 8 + size
+          rem -= 8 + size
+          count += 1
+        }
+      }
+      msgs.toSeq
+    }
+
+    // ---- groups: symbol-table B-tree + local heap ----
+    private def groupChildren(headerAddr: Long): Seq[(String, Long)] = {
+      val st = readHeader(headerAddr).find(_.typ == 0x0011).getOrElse(
+        throw new IllegalArgumentException(
+          s"object at $headerAddr is not a symbol-table group"))
+      val btree = i64(st.bodyPos)
+      val heap = i64(st.bodyPos + 8)
+      require(sig4(heap, "HEAP"), s"bad local heap at $heap")
+      val heapData = i64(heap + 24)
+      def name(off: Long): String = {
+        var end = heapData + off
+        while (u8(end) != 0) end += 1
+        new String(raw(heapData + off, (end - heapData - off).toInt), "UTF-8")
+      }
+      def walk(node: Long): Seq[(String, Long)] = {
+        require(sig4(node, "TREE"), s"bad B-tree node at $node")
+        val level = u8(node + 5)
+        val n = u16(node + 6)
+        // sig(4) type(1) level(1) used(2) left(8) right(8) = 24, then
+        // key0, child0, key1, child1, ... keyN (keys unused here)
+        val kids = (0 until n).map(i => i64(node + 24 + 8 * (2 * i + 1)))
+        if (level > 0) kids.flatMap(walk)
+        else kids.flatMap { snod =>
+          require(sig4(snod, "SNOD"), s"bad symbol node at $snod")
+          val ns = u16(snod + 6)
+          (0 until ns).map { j =>
+            val e = snod + 8 + j * 40 // entry: nameOff(8) hdrAddr(8) ...
+            (name(i64(e)), i64(e + 8))
+          }
+        }
+      }
+      walk(btree)
+    }
+
+    private def resolve(objPath: String): Long =
+      objPath.split('/').filter(_.nonEmpty).foldLeft(rootAddr) { (addr, part) =>
+        groupChildren(addr).toMap.getOrElse(part,
+          throw new IllegalArgumentException(
+            s"no object '$part' resolving '$objPath' in $path"))
+      }
+
+    /** Names of a group's children ("" = root). */
+    def ls(groupPath: String): Seq[String] =
+      groupChildren(resolve(groupPath)).map(_._1)
+
+    // ---- datasets ----
+    def meta(dsPath: String): DatasetMeta = {
+      val msgs = readHeader(resolve(dsPath))
+      require(!msgs.exists(_.typ == 0x000B),
+        s"'$dsPath' has a filter pipeline (chunk compression) — " +
+          "unsupported; re-write with compression=None")
+      val sp = msgs.find(_.typ == 0x0001).getOrElse(
+        throw new IllegalArgumentException(s"'$dsPath' has no dataspace"))
+      val dims = {
+        val ver = u8(sp.bodyPos)
+        val rank = u8(sp.bodyPos + 1)
+        val dimsAt = ver match {
+          case 1 => sp.bodyPos + 8
+          case 2 => sp.bodyPos + 4
+          case v => throw new IllegalArgumentException(s"dataspace v$v unsupported")
+        }
+        (0 until rank).map(i => i64(dimsAt + 8L * i))
+      }
+      val dt = msgs.find(_.typ == 0x0003).getOrElse(
+        throw new IllegalArgumentException(s"'$dsPath' has no datatype"))
+      val cls = u8(dt.bodyPos) & 0x0f
+      val bits0 = u8(dt.bodyPos + 1)
+      val tsize = u32(dt.bodyPos + 4).toInt
+      val dtype = cls match {
+        case 0 =>
+          require((bits0 & 1) == 0, s"'$dsPath': big-endian ints unsupported")
+          FixedInt(tsize, signed = (bits0 & 8) != 0)
+        case 1 =>
+          require((bits0 & 1) == 0, s"'$dsPath': big-endian floats unsupported")
+          Floating(tsize)
+        case 3 => FixedStr(tsize)
+        case 9 =>
+          require((bits0 & 0x0f) == 1,
+            s"'$dsPath': variable-length non-string data unsupported")
+          VlenStr
+        case c => throw new IllegalArgumentException(
+          s"'$dsPath': datatype class $c unsupported " +
+            "(subset: int/float/string)")
+      }
+      val lay = msgs.find(_.typ == 0x0008).getOrElse(
+        throw new IllegalArgumentException(s"'$dsPath' has no data layout"))
+      require(u8(lay.bodyPos) == 3,
+        s"'$dsPath': layout message v${u8(lay.bodyPos)} unsupported (v3 only)")
+      require(u8(lay.bodyPos + 1) == 1,
+        s"'$dsPath': layout class ${u8(lay.bodyPos + 1)} unsupported " +
+          "(contiguous only; chunked needs the chunk B-tree — re-write " +
+          "with compression=None)")
+      DatasetMeta(dims, dtype, i64(lay.bodyPos + 2))
+    }
+
+    private def count(m: DatasetMeta): Int = {
+      val n = m.dims.product
+      require(n <= Int.MaxValue, s"dataset too large for one array: $n")
+      n.toInt
+    }
+
+    /** 1-D (or flattened) integer dataset as longs. */
+    def readLongs(dsPath: String): Array[Long] = {
+      val m = meta(dsPath)
+      val n = count(m)
+      m.dtype match {
+        case FixedInt(4, _) =>
+          Array.tabulate(n)(i => buf.getInt((m.dataAddr + 4L * i).toInt).toLong)
+        case FixedInt(8, _) =>
+          Array.tabulate(n)(i => i64(m.dataAddr + 8L * i))
+        case other => throw new IllegalArgumentException(
+          s"'$dsPath': expected int32/int64, got $other")
+      }
+    }
+
+    /** 1-D (or flattened) numeric dataset as doubles. */
+    def readDoubles(dsPath: String): Array[Double] = {
+      val m = meta(dsPath)
+      val n = count(m)
+      m.dtype match {
+        case Floating(4) =>
+          Array.tabulate(n)(i => buf.getFloat((m.dataAddr + 4L * i).toInt).toDouble)
+        case Floating(8) =>
+          Array.tabulate(n)(i => buf.getDouble((m.dataAddr + 8L * i).toInt))
+        case FixedInt(4, _) =>
+          Array.tabulate(n)(i => buf.getInt((m.dataAddr + 4L * i).toInt).toDouble)
+        case FixedInt(8, _) =>
+          Array.tabulate(n)(i => i64(m.dataAddr + 8L * i).toDouble)
+        case other => throw new IllegalArgumentException(
+          s"'$dsPath': expected float/int, got $other")
+      }
+    }
+
+    /** 1-D string dataset (fixed-size or variable-length). */
+    def readStrings(dsPath: String): Array[String] = {
+      val m = meta(dsPath)
+      val n = count(m)
+      m.dtype match {
+        case FixedStr(sz) =>
+          Array.tabulate(n) { i =>
+            val b = raw(m.dataAddr + sz.toLong * i, sz)
+            val end = b.indexOf(0.toByte) match { case -1 => sz; case e => e }
+            new String(b, 0, end, "UTF-8")
+          }
+        case VlenStr =>
+          // element: length(4), global-heap collection addr(8), index(4)
+          Array.tabulate(n) { i =>
+            val e = m.dataAddr + 16L * i
+            val len = u32(e).toInt
+            val col = i64(e + 4)
+            val idx = u32(e + 12)
+            new String(gheapObject(col, idx, len), "UTF-8")
+          }
+        case other => throw new IllegalArgumentException(
+          s"'$dsPath': expected a string dataset, got $other")
+      }
+    }
+
+    /** Locate object `idx` in the global heap collection at `col`. */
+    private def gheapObject(col: Long, idx: Long, len: Int): Array[Byte] = {
+      require(sig4(col, "GCOL"), s"bad global heap collection at $col")
+      val end = col + i64(col + 8)
+      var pos = col + 16
+      while (pos + 16 <= end) {
+        val objIdx = u16(pos)
+        val objSize = i64(pos + 8)
+        if (objIdx == idx) return raw(pos + 16, len)
+        if (objIdx == 0) pos = end // free space runs to collection end
+        else pos += 16 + ((objSize + 7) / 8) * 8
+      }
+      throw new IllegalArgumentException(
+        s"global heap object $idx not found in collection at $col")
+    }
+
+    override def close(): Unit = ch.close()
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.sources.{H5ad, MiniHdf5}
+import graft.sources.H5ad.H5adInput
+
+/** End-to-end h5ad ingestion: miniature CSR h5ad files written per the
+  * public HDF5 spec (MiniHdf5Writer) → [[MiniHdf5]] reader →
+  * [[H5ad.scan]] long form → `ProductBuild.build` — closing the loop the
+  * reference's users start from (`bin/concatenate.py:62` reads a
+  * cell_by_bin/cell_by_gene h5ad pair per dataset).
+  */
+class H5adSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = java.nio.file.Files.createTempDirectory("h5ad").toString
+
+  // dataset uuid-A: 3 cells × 2 bins; c2 has no gene-modality rows
+  private lazy val files: Seq[H5adInput] = {
+    MiniHdf5Writer.writeH5ad(s"$dir/A_bin.h5ad",
+      obsNames = Seq("c1", "c2", "c3"), varNames = Seq("bin1", "bin2"),
+      data = Array(1.0, 2.0, 3.0, 4.0), indices = Array(0L, 1L, 0L, 1L),
+      indptr = Array(0L, 2L, 3L, 4L), wide = true)
+    // narrow types (f32 data, i32 indices) exercise both reader widths
+    MiniHdf5Writer.writeH5ad(s"$dir/A_gene.h5ad",
+      obsNames = Seq("c1", "c3"), varNames = Seq("g1", "g2", "g3"),
+      data = Array(5.0, 6.0, 7.0), indices = Array(1L, 0L, 2L),
+      indptr = Array(0L, 1L, 3L), wide = false)
+    MiniHdf5Writer.writeH5ad(s"$dir/B_bin.h5ad",
+      obsNames = Seq("c1"), varNames = Seq("bin1"),
+      data = Array(9.0), indices = Array(0L), indptr = Array(0L, 1L))
+    MiniHdf5Writer.writeH5ad(s"$dir/B_gene.h5ad",
+      obsNames = Seq("c1"), varNames = Seq("g1"),
+      data = Array(8.0), indices = Array(0L), indptr = Array(0L, 1L))
+    Seq(
+      H5adInput(s"$dir/A_bin.h5ad", "uuid-A", "cell_by_bin"),
+      H5adInput(s"$dir/A_gene.h5ad", "uuid-A", "cell_by_gene"),
+      H5adInput(s"$dir/B_bin.h5ad", "uuid-B", "cell_by_bin"),
+      H5adInput(s"$dir/B_gene.h5ad", "uuid-B", "cell_by_gene"))
+  }
+
+  test("MiniHdf5 reads back groups, numeric widths and vlen strings") {
+    files // force fixture write
+    val r = new MiniHdf5.Reader(s"$dir/A_bin.h5ad")
+    try {
+      assert(r.ls("").sorted === Seq("X", "obs", "var"))
+      assert(r.ls("X").sorted === Seq("data", "indices", "indptr"))
+      assert(r.readStrings("obs/_index").toSeq === Seq("c1", "c2", "c3"))
+      assert(r.readStrings("var/_index").toSeq === Seq("bin1", "bin2"))
+      assert(r.readDoubles("X/data").toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+      assert(r.readLongs("X/indices").toSeq === Seq(0L, 1L, 0L, 1L))
+      assert(r.readLongs("X/indptr").toSeq === Seq(0L, 2L, 3L, 4L))
+    } finally r.close()
+    // narrow file: f32/i32 datasets surface as the same doubles/longs
+    val n = new MiniHdf5.Reader(s"$dir/A_gene.h5ad")
+    try {
+      assert(n.readDoubles("X/data").toSeq === Seq(5.0, 6.0, 7.0))
+      assert(n.readLongs("X/indices").toSeq === Seq(1L, 0L, 2L))
+    } finally n.close()
+  }
+
+  test("readTriplets expands CSR to long form with AnnData sparse semantics") {
+    val t = H5ad.readTriplets(files.head).toSeq
+    assert(t.map(x => (x.cell_id, x.feature_id, x.value)) === Seq(
+      ("c1", "bin1", 1.0), ("c1", "bin2", 2.0),
+      ("c2", "bin1", 3.0), ("c3", "bin2", 4.0)))
+    assert(t.forall(x => x.dataset == "uuid-A" && x.modality == "cell_by_bin"))
+  }
+
+  test("distributed scan + ProductBuild: h5ad pair to data product, end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("h5ad-prod").toString
+    val modalities = H5ad.scanModalities(spark, files)
+    assert(modalities.keySet === Set("cell_by_bin", "cell_by_gene"))
+    val donors = Seq(("uuid-A", "40", "Male"), ("uuid-B", "55", "Female"))
+      .toDF("uuid", "age", "sex")
+    val product = operators.ProductBuild.build(modalities, donors,
+      s"$tmp/product")
+    val rows = product
+      .select("dataset", "cell_id", "modality", "feature_id", "value", "age")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4), r.getDouble(5))).toSet
+    // intersect_obs: A/c2 exists only in cell_by_bin → dropped entirely
+    assert(rows === Set(
+      ("uuid-A", "c1", "cell_by_bin", "bin1", 1.0, 40.0),
+      ("uuid-A", "c1", "cell_by_bin", "bin2", 2.0, 40.0),
+      ("uuid-A", "c1", "cell_by_gene", "g2", 5.0, 40.0),
+      ("uuid-A", "c3", "cell_by_bin", "bin2", 4.0, 40.0),
+      ("uuid-A", "c3", "cell_by_gene", "g1", 6.0, 40.0),
+      ("uuid-A", "c3", "cell_by_gene", "g3", 7.0, 40.0),
+      ("uuid-B", "c1", "cell_by_bin", "bin1", 9.0, 55.0),
+      ("uuid-B", "c1", "cell_by_gene", "g1", 8.0, 55.0)))
+    product.unpersist()
+  }
+
+  test("unsupported-feature errors name the limitation, not a parse crash") {
+    val bogus = java.nio.file.Files.createTempFile("not-hdf5", ".h5ad")
+    java.nio.file.Files.write(bogus, "definitely not hdf5".getBytes)
+    val e = intercept[IllegalArgumentException](
+      new MiniHdf5.Reader(bogus.toString))
+    assert(e.getMessage.contains("not an HDF5 file"))
+    val r = new MiniHdf5.Reader(files.head.path)
+    try {
+      val miss = intercept[IllegalArgumentException](r.readLongs("X/nope"))
+      assert(miss.getMessage.contains("no object 'nope'"))
+    } finally r.close()
+  }
+}

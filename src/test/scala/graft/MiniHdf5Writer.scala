@@ -1,0 +1,226 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Test-support HDF5 writer: emits the same spec subset [[graft.sources
+  * .MiniHdf5]] reads (superblock v0, v1 object headers, symbol-table
+  * groups, contiguous datasets, vlen strings via one global heap
+  * collection) so specs can fabricate miniature h5ad files byte-by-byte
+  * per the PUBLIC HDF5 format spec — no h5py/libhdf5 exists in this
+  * environment. Layout mirrors what h5py's earliest-libver writer
+  * produces for the same content.
+  */
+object MiniHdf5Writer {
+
+  private val Undef = -1L // 0xFFFF... = HDF5 "undefined address"
+
+  private final class Buf {
+    val out = new ByteArrayOutputStream()
+    def pos: Long = out.size().toLong
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def bytes(b: Array[Byte]): Unit = out.write(b)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
+    def ascii(s: String): Unit = bytes(s.getBytes("US-ASCII"))
+    def pad8(): Unit = while (pos % 8 != 0) u8(0)
+  }
+
+  private def doubleBytes(d: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(d.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    d.foreach(bb.putDouble); bb.array()
+  }
+  private def floatBytes(d: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(d.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    d.foreach(x => bb.putFloat(x.toFloat)); bb.array()
+  }
+  private def longBytes(d: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(d.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    d.foreach(bb.putLong); bb.array()
+  }
+  private def intBytes(d: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(d.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    d.foreach(x => bb.putInt(x.toInt)); bb.array()
+  }
+
+  /** Datatype message bodies (class+version byte, bit field, size,
+    * properties) per spec §IV.A.2.d. */
+  private def dtInt(size: Int): Array[Byte] = {
+    val b = new Buf
+    b.u8(0x10); b.u8(0x08); b.u8(0); b.u8(0) // v1 class0, LE signed
+    b.u32(size)
+    b.u16(0); b.u16(size * 8) // bit offset, precision
+    b.out.toByteArray
+  }
+  private def dtFloat(size: Int): Array[Byte] = {
+    val b = new Buf
+    b.u8(0x11) // v1 class1
+    if (size == 8) {
+      b.u8(0x20); b.u8(0x3f); b.u8(0) // LE, mantissa-normalized, sign bit 63
+      b.u32(8)
+      b.u16(0); b.u16(64); b.u8(52); b.u8(11); b.u8(0); b.u8(52); b.u32(1023)
+    } else {
+      b.u8(0x20); b.u8(0x1f); b.u8(0) // sign bit 31
+      b.u32(4)
+      b.u16(0); b.u16(32); b.u8(23); b.u8(8); b.u8(0); b.u8(23); b.u32(127)
+    }
+    b.out.toByteArray
+  }
+  private val dtVlenStr: Array[Byte] = {
+    val b = new Buf
+    b.u8(0x19) // v1 class9 (vlen)
+    b.u8(0x01); b.u8(0x01); b.u8(0) // type=string, pad=nullterm, cset=UTF-8
+    b.u32(16) // element size: len(4)+addr(8)+idx(4)
+    // base type: 1-byte string
+    b.u8(0x13); b.u8(0); b.u8(0); b.u8(0); b.u32(1)
+    b.out.toByteArray
+  }
+
+  private sealed trait Content
+  private final case class Dset(dtype: Array[Byte], n: Int,
+      data: Array[Byte]) extends Content
+  private final case class Group(children: Seq[(String, Content)]) extends Content
+
+  /** Write one object (dataset or group) into `b`; returns its object
+    * header address. */
+  private def writeObject(b: Buf, c: Content): Long = c match {
+    case Dset(dtype, n, data) =>
+      b.pad8()
+      val dataAddr = b.pos
+      b.bytes(data)
+      b.pad8()
+      // messages: dataspace v1, datatype, layout v3 (contiguous)
+      val space = { val m = new Buf
+        m.u8(1); m.u8(1); m.u8(0); m.u8(0); m.u32(0) // v1, rank1, flags, rsvd
+        m.u64(n); m.out.toByteArray }
+      val layout = { val m = new Buf
+        m.u8(3); m.u8(1) // v3, contiguous
+        m.u64(dataAddr); m.u64(data.length); m.out.toByteArray }
+      writeHeader(b, Seq((0x0001, space), (0x0003, dtype), (0x0008, layout)))
+    case Group(children) =>
+      // children first (their header addresses go into the SNOD)
+      val entries = children.map { case (name, cc) => (name, writeObject(b, cc)) }
+        .sortBy(_._1) // symbol tables are name-sorted
+      // local heap: 8 reserved bytes then the names, NUL-terminated
+      val nameData = new Buf
+      nameData.u64(0)
+      val offs = entries.map { case (name, addr) =>
+        val off = nameData.pos
+        nameData.ascii(name); nameData.u8(0)
+        (off, addr)
+      }
+      nameData.pad8()
+      b.pad8()
+      val heapDataAddr = b.pos
+      b.bytes(nameData.out.toByteArray)
+      b.pad8()
+      val heapAddr = b.pos
+      b.ascii("HEAP"); b.u8(0); b.u8(0); b.u8(0); b.u8(0)
+      b.u64(nameData.pos) // data segment size
+      b.u64(Undef) // no free list
+      b.u64(heapDataAddr)
+      b.pad8()
+      val snodAddr = b.pos
+      b.ascii("SNOD"); b.u8(1); b.u8(0); b.u16(entries.size)
+      offs.foreach { case (off, addr) =>
+        b.u64(off); b.u64(addr); b.u32(0); b.u32(0) // cache type 0
+        b.u64(0); b.u64(0) // scratch
+      }
+      b.pad8()
+      val btreeAddr = b.pos
+      b.ascii("TREE"); b.u8(0); b.u8(0); b.u16(1) // group node, level 0, 1 child
+      b.u64(Undef); b.u64(Undef)
+      b.u64(0) // key0: heap offset 0
+      b.u64(snodAddr)
+      b.u64(offs.last._1) // keyN: last name
+      b.pad8()
+      val symtab = { val m = new Buf; m.u64(btreeAddr); m.u64(heapAddr)
+        m.out.toByteArray }
+      writeHeader(b, Seq((0x0011, symtab)))
+  }
+
+  /** v1 object header: 12-byte prologue + 4 pad, then 8-byte-aligned
+    * messages (type, size, flags, reserved×3, padded body). */
+  private def writeHeader(b: Buf, msgs: Seq[(Int, Array[Byte])]): Long = {
+    def padded(n: Int) = ((n + 7) / 8) * 8
+    b.pad8()
+    val addr = b.pos
+    b.u8(1); b.u8(0)
+    b.u16(msgs.size)
+    b.u32(1) // reference count
+    b.u32(msgs.map(m => 8 + padded(m._2.length)).sum)
+    b.u32(0) // pad to 8-byte boundary for message data
+    msgs.foreach { case (typ, body) =>
+      b.u16(typ); b.u16(padded(body.length)); b.u8(0); b.u8(0); b.u8(0); b.u8(0)
+      b.bytes(body)
+      (body.length until padded(body.length)).foreach(_ => b.u8(0))
+    }
+    addr
+  }
+
+  /** Vlen-string dataset content: the (len, collectionAddr, index)
+    * elements plus one global heap collection holding the bytes. */
+  private def vlenContent(b: Buf, strings: Seq[String]): Dset = {
+    val blobs = strings.map(_.getBytes("UTF-8"))
+    b.pad8()
+    val colAddr = b.pos
+    def padded(n: Int) = ((n + 7) / 8) * 8
+    val colSize = 16L + blobs.map(x => 16 + padded(x.length)).sum + 16
+    b.ascii("GCOL"); b.u8(1); b.u8(0); b.u8(0); b.u8(0)
+    b.u64(colSize)
+    blobs.zipWithIndex.foreach { case (blob, i) =>
+      b.u16(i + 1); b.u16(1); b.u32(0)
+      b.u64(blob.length)
+      b.bytes(blob); b.pad8()
+    }
+    b.u16(0); b.u16(0); b.u32(0); b.u64(16) // free-space terminator
+    val elems = new Buf
+    blobs.zipWithIndex.foreach { case (blob, i) =>
+      elems.u32(blob.length); elems.u64(colAddr); elems.u32(i + 1)
+    }
+    Dset(dtVlenStr, strings.size, elems.out.toByteArray)
+  }
+
+  /** Write a miniature CSR h5ad: X/{data,indices,indptr}, obs/_index,
+    * var/_index. `wide` selects f64+i64 (true) vs f32+i32 (false) to
+    * exercise both numeric widths in the reader. */
+  def writeH5ad(path: String, obsNames: Seq[String], varNames: Seq[String],
+      data: Array[Double], indices: Array[Long], indptr: Array[Long],
+      wide: Boolean = true): Unit = {
+    require(indptr.length == obsNames.length + 1 && data.length == indices.length)
+    val b = new Buf
+    // reserve the 96-byte v0 superblock (patched at the end)
+    (0 until 96).foreach(_ => b.u8(0))
+    val obsIdx = vlenContent(b, obsNames)
+    val varIdx = vlenContent(b, varNames)
+    val x = Group(Seq(
+      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data))
+        else Dset(dtFloat(4), data.length, floatBytes(data))),
+      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices))
+        else Dset(dtInt(4), indices.length, intBytes(indices))),
+      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr))))
+    val root = Group(Seq(
+      "X" -> x,
+      "obs" -> Group(Seq("_index" -> obsIdx)),
+      "var" -> Group(Seq("_index" -> varIdx))))
+    val rootAddr = writeObject(b, root)
+    val body = b.out.toByteArray
+    // superblock v0
+    val sb = new Buf
+    sb.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    sb.u8(0); sb.u8(0); sb.u8(0); sb.u8(0) // sb/freespace/symtab versions
+    sb.u8(0); sb.u8(8); sb.u8(8); sb.u8(0) // shared-hdr ver, offsets, lengths
+    sb.u16(4); sb.u16(16) // group leaf / internal K
+    sb.u32(0) // consistency flags
+    sb.u64(0) // base address
+    sb.u64(Undef) // free-space info
+    sb.u64(body.length) // end of file
+    sb.u64(Undef) // driver info
+    // root symbol-table entry
+    sb.u64(0); sb.u64(rootAddr); sb.u32(0); sb.u32(0); sb.u64(0); sb.u64(0)
+    val sbb = sb.out.toByteArray
+    System.arraycopy(sbb, 0, body, 0, sbb.length)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), body)
+  }
+}
