@@ -205,12 +205,39 @@ object Joins {
     // case where a typedlit(Map) beats even a broadcast join — the lookup
     // compiles into the row pipeline as a codegen'd map probe.
     "join_lookup_code" -> ((s, d) => {
-      val regionMap: Map[Int, String] = t(s, d, "region")
-        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val rows = t(s, d, "region").collect()
+      // The collect is the POINT here (a literal map needs driver values),
+      // but only for genuinely tiny dims — fail loudly if this pattern is
+      // ever copy-pasted onto a real dimension (use join_lookup_broadcast
+      // for those).
+      require(rows.length <= 1000,
+        s"typedlit lookup is for tiny dims; got ${rows.length} rows — " +
+          "use a broadcast join instead")
+      val regionMap: Map[Int, String] =
+        rows.map(r => r.getInt(0) -> r.getString(1)).toMap
       t(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"),
           element_at(typedlit(regionMap), col("n_regionkey")).as("region_name"))
         .orderBy("n_nationkey")
+    }),
+
+    // The SAME capability at the reference's REAL dictionary cardinality
+    // (data/symbol_to_ensembl.json: ~40k gene-symbol→Ensembl-id entries):
+    // at 40k rows a typedlit would bloat every task's plan by megabytes —
+    // the right shape is a broadcast hash join (one ~1 MB broadcast, fact
+    // side never shuffles). Dim generated deterministically so DuckDB can
+    // build the identical dictionary.
+    "join_lookup_broadcast" -> ((s, d) => {
+      val dim = s.range(40000).select(
+        concat(lit("SYM"), col("id")).as("symbol"),
+        concat(lit("ENSG"), lpad(col("id").cast("string"), 11, "0"))
+          .as("ensembl_id"))
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          concat(lit("SYM"), col("p_partkey") % 40000).as("symbol"))
+        .join(broadcast(dim), Seq("symbol"))
+        .select(col("p_partkey"), col("ensembl_id"))
+        .orderBy("p_partkey")
     }),
 
     // Salted skew join: when one join key dominates (hot user, stopword
@@ -323,6 +350,15 @@ object Joins {
       """SELECT n_nationkey, n_name, r_name AS region_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "join_lookup_broadcast" ->
+      """WITH dim AS (
+        |  SELECT 'SYM' || CAST(i AS VARCHAR) AS symbol,
+        |         'ENSG' || lpad(CAST(i AS VARCHAR), 11, '0') AS ensembl_id
+        |  FROM generate_series(0, 39999) t(i))
+        |SELECT p_partkey, ensembl_id
+        |FROM part JOIN dim
+        |  ON 'SYM' || CAST(p_partkey % 40000 AS VARCHAR) = dim.symbol
+        |ORDER BY p_partkey""".stripMargin,
     "join_salted_skew" ->
       """WITH u AS (SELECT user_id, count(*) AS n_user_events
         |           FROM events GROUP BY user_id)

@@ -32,6 +32,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
   }
 
+  test("40k-entry dictionary joins as a broadcast, fact side unshuffled") {
+    val p = formatted("join_lookup_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"40k dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"40k dim join shuffled the fact side:\n$p")
+  }
+
   test("join hints select shuffled-hash and sort-merge respectively") {
     assert(formatted("join_shuffle_hash").contains("ShuffledHashJoin"))
     assert(formatted("join_sort_merge").contains("SortMergeJoin"))
