@@ -26,21 +26,22 @@ object Pipeline {
     val li = t(s, d, "lineitem")
     val cellId = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
 
-    // ONE scan emits every modality's rows: per line, "cell_by_bin"
-    // (part-keyed) always and "cell_by_gene" (supplier-keyed) only for
-    // finalized lines — so the obs intersection is a strict subset, as in
-    // multi-modality MuData where not every cell appears in every assay.
-    // (The previous formulation scanned lineitem once per modality and
-    // twice more for the INTERSECT.)
-    val modalities = array(
-      struct(lit("cell_by_bin").as("modality"),
-        col("l_partkey").as("feature_id"),
-        col("l_quantity").cast("double").as("value"),
-        lit(true).as("keep")),
-      struct(lit("cell_by_gene").as("modality"),
-        col("l_suppkey").as("feature_id"),
-        col("l_extendedprice").cast("double").as("value"),
-        (col("l_linestatus") === "F").as("keep")))
+    // Per-modality spec: (name, membership predicate, feature key, value).
+    // "cell_by_bin" (part-keyed) holds every line; "cell_by_gene"
+    // (supplier-keyed) only finalized lines — so the obs intersection is
+    // a strict subset, as in multi-modality MuData where not every cell
+    // appears in every assay.
+    val mods = Seq(
+      ("cell_by_bin", lit(true),
+        col("l_partkey"), col("l_quantity").cast("double")),
+      ("cell_by_gene", col("l_linestatus") === "F",
+        col("l_suppkey"), col("l_extendedprice").cast("double")))
+
+    // ONE scan emits every modality's rows.
+    val modalities = array(mods.map { case (n, keep, f, v) =>
+      struct(lit(n).as("modality"), f.as("feature_id"), v.as("value"),
+        keep.as("keep"))
+    }: _*)
     val fact0 = li.select(
       cellId.as("cell_id"), col("l_orderkey"),
       col("l_returnflag").as("dataset"),
@@ -51,15 +52,25 @@ object Pipeline {
 
     // mu.pp.intersect_obs: cells present in ALL modalities. Partial-
     // aggregated key set + left-semi join: the aggregation shuffles only
-    // the narrow (cell_id, modality) projection (map-side partial agg
+    // the narrow (cell_id, modality) pairs (map-side partial agg
     // collapses each cell's rows before the exchange), and the join side
     // is a bare key column — AQE broadcasts it at small scale and falls
     // back to a co-partitioned sort-merge semi at 100 TB. The window
     // formulation this replaces (`collect_set(modality) over cell_id`)
     // shuffled AND sorted the full exploded fact and buffered a set per
     // key — 2.2× slower at sf0.1 and strictly worse at scale.
-    val nModalities = 2
-    val qualified = fact0.select("cell_id", "modality")
+    //
+    // The key branch explodes a membership-only modality array (name +
+    // keep flag) so its scan decodes just the key/predicate columns —
+    // nested column pruning can't shrink the full fact struct through
+    // the explode, so prune it by construction.
+    val nModalities = mods.size
+    val keyModalities = array(mods.map { case (n, keep, _, _) =>
+      struct(lit(n).as("modality"), keep.as("keep"))
+    }: _*)
+    val qualified = li.select(cellId.as("cell_id"),
+      explode(filter(keyModalities, m => m.getField("keep"))
+        .getField("modality")).as("modality"))
       .groupBy("cell_id")
       .agg(countDistinct(col("modality")).as("__nmod"))
       .filter(col("__nmod") === nModalities)
