@@ -256,6 +256,7 @@ object Dedup {
     */
   def embeddingLshPairs(embeddings: DataFrame, nBits: Int = 8,
       maxBucket: Int = 256): DataFrame = {
+    graft.plans.VectorExprs.register(embeddings.sparkSession)
     val e = embeddings
       .withColumn("vd", VectorOps.toDouble(col("embedding")))
       .withColumn("bucket",
@@ -441,6 +442,7 @@ object Dedup {
 
     // Embedding cosine on adjacent-id pairs (oracle-checked numeric path).
     "dedup_embed_cosine_pairs" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
       val e = t(s, d, "embeddings")
       val a = e.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("va"))
       val b = e.select((col("vec_id") - 1).as("vec_id"),

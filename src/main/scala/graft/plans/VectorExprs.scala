@@ -122,6 +122,58 @@ case class VecAbsMax(child: Expression) extends VecReduceDouble {
     copy(child = newChild)
 }
 
+/** Sequential-fold dot product — identical values and null semantics to
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (s,x) -> s+x)`: a null
+  * ARRAY or null ELEMENT nulls the result, and arrays of different
+  * lengths null it too (zip_with pads the shorter side with nulls). Both
+  * empty → 0.0. */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |double $s = 0.0;
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |}
+         |${ev.value} = ${ev.isNull} ? -1.0 : $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Elementwise (array, scalar) kernels with `transform`-parity null
   * semantics: a null ARRAY is null, null ELEMENTS stay null, and a null
   * SCALAR yields an array of null elements of the input's length — which
@@ -282,6 +334,7 @@ object VectorExprs {
   }
 
   private[plans] val entries: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDot], binary("vec_dot", VecDot.apply)),
     ("vec_l2norm", classOf[VecL2Norm], unary("vec_l2norm", VecL2Norm.apply)),
     ("vec_absmax", classOf[VecAbsMax], unary("vec_absmax", VecAbsMax.apply)),
     ("vec_scale", classOf[VecScale],

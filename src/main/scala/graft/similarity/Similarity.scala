@@ -55,6 +55,7 @@ object Similarity {
       .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
 
   def bruteForceTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
+    graft.plans.VectorExprs.register(s) // no-op under GraftExtensions
     val q = typedlit(queryVector(s, d, queryId).toSeq)
     Tables.t(s, d, "embeddings")
       .select(col("vec_id"),
@@ -65,6 +66,7 @@ object Similarity {
   }
 
   def annTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
+    graft.plans.VectorExprs.register(s)
     val qv = queryVector(s, d, queryId)
     val qSig = signatureOf(qv)
     // Multi-probe: own bucket + every 1-bit and 2-bit flip (37 of 256

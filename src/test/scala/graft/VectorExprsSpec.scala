@@ -42,6 +42,32 @@ class VectorExprsSpec extends SparkSpec {
     assert(m(5L) === null)
   }
 
+  test("vec_dot matches the zip_with/aggregate HOF incl. length-mismatch null") {
+    val pairs = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)), // mismatch
+      (3L, Seq[java.lang.Double](), Seq[java.lang.Double]()),
+      (4L, null, Seq[java.lang.Double](1.0)),
+      (5L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("id", "a", "b")
+      .withColumn("a", $"a".cast("array<double>"))
+      .withColumn("b", $"b".cast("array<double>"))
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (s, x) => s + x)
+    val rows = pairs.select($"id", call_function("vec_dot", $"a", $"b").as("n"),
+      hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch at ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) === r.getDouble(2), s"value mismatch at ${r.getLong(0)}")
+    }
+    val m = rows.map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+      else r.getDouble(1))).toMap
+    assert(m(1L) === 11.0)
+    assert(m(2L) === null) // zip_with pads shorter side with null
+    assert(m(3L) === 0.0)
+  }
+
   test("vec_absmax matches array_max(transform(abs)) incl. null-skip semantics") {
     val hof = array_max(transform($"v", x => abs(x)))
     val rows = vecs.select($"id", call_function("vec_absmax", $"v").as("a"),
