@@ -45,12 +45,21 @@ object ProductBuild {
     // projection with map-side combine; AQE broadcasts the key set at
     // small scale, sort-merge semi at 100 TB. A collect_set window here
     // would shuffle AND sort the full fact.
+    //
+    // Null-SAFE join keys (<=>): groupBy buckets null keys together, and
+    // a plain equi-semi-join would then silently drop every null-keyed
+    // row — with <=> a null-keyed "cell" survives exactly when its group
+    // spans all modalities, the same semantics the window formulation
+    // had. Caller-supplied frames do contain such rows (unparseable
+    // barcodes); dropping them is a QC decision, not a join artifact.
     val qualified = fact.select("dataset", "cell_id", "modality")
       .groupBy("dataset", "cell_id")
       .agg(countDistinct(col("modality")).as("__nmod"))
       .filter(col("__nmod") === modalities.size)
-      .select("dataset", "cell_id")
-    fact.join(qualified, Seq("dataset", "cell_id"), "left_semi")
+      .select(col("dataset").as("q_dataset"), col("cell_id").as("q_cell_id"))
+    fact.join(qualified,
+      fact("dataset") <=> col("q_dataset") &&
+        fact("cell_id") <=> col("q_cell_id"), "left_semi")
   }
 
   /** Attach donor metadata by dataset uuid (inner broadcast join — cells

@@ -91,7 +91,9 @@ case class VecAbsMax(child: Expression) extends VecReduceDouble {
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val a = math.abs(arr.getDouble(i))
-        if (!any || a > m) { m = a; any = true }
+        // NaN ranks greatest in Spark's double ordering (array_max
+        // parity): once seen, it is the max.
+        if (!any || a > m || a.isNaN) { m = a; any = true }
       }
       i += 1
     }
@@ -110,7 +112,7 @@ case class VecAbsMax(child: Expression) extends VecReduceDouble {
          |for (int $i = 0; $i < $c.numElements(); $i++) {
          |  if (!$c.isNullAt($i)) {
          |    double $a = Math.abs($c.getDouble($i));
-         |    if (!$any || $a > $m) { $m = $a; $any = true; }
+         |    if (!$any || $a > $m || Double.isNaN($a)) { $m = $a; $any = true; }
          |  }
          |}
          |${ev.isNull} = !$any;
@@ -185,6 +187,10 @@ abstract class VecElementwise extends BinaryExpression {
   protected def evalElem(x: Double, k: Double): Any
   /** Java expression producing the BOXED element value. */
   protected def javaElem(x: String, k: String): String
+  /** Scalar values that null every element, exactly as the HOF form
+    * would (e.g. a zero divisor under non-ANSI Divide). */
+  protected def scalarVoids(k: Double): Boolean = false
+  protected def javaScalarVoids(k: String): String = "false"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -201,7 +207,7 @@ abstract class VecElementwise extends BinaryExpression {
     val arr = a.asInstanceOf[ArrayData]
     val k = right.eval(input)
     val out = new Array[Any](arr.numElements())
-    if (k != null) {
+    if (k != null && !scalarVoids(k.asInstanceOf[Double])) {
       val kd = k.asInstanceOf[Double]
       var i = 0
       while (i < out.length) {
@@ -221,7 +227,7 @@ abstract class VecElementwise extends BinaryExpression {
     val i = ctx.freshName("i")
     val fill =
       s"""Object[] $out = new Object[${l.value}.numElements()];
-         |if (!${r.isNull}) {
+         |if (!${r.isNull} && !(${javaScalarVoids(s"${r.value}")})) {
          |  for (int $i = 0; $i < $out.length; $i++) {
          |    if (!${l.value}.isNullAt($i)) {
          |      $out[$i] = ${javaElem(s"${l.value}.getDouble($i)", s"${r.value}")};
@@ -253,6 +259,11 @@ case class VecScale(left: Expression, right: Expression, divide: Boolean)
     if (divide) x / k else x * k
   override protected def javaElem(x: String, k: String): String =
     s"(Object) (Double) ($x ${if (divide) "/" else "*"} $k)"
+  // Non-ANSI Divide nulls on a zero divisor (never Infinity/NaN); the
+  // kernel must too, or unguarded callers diverge from the HOF form.
+  override protected def scalarVoids(k: Double): Boolean = divide && k == 0.0
+  override protected def javaScalarVoids(k: String): String =
+    if (divide) s"$k == 0.0" else "false"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecScale =

@@ -161,22 +161,45 @@ object Similarity {
   }
 
   /** Per-JVM memo of trained centroids. Training is deterministic for a
-    * given (dataset dir, k, iters) — decimal-bridged means make the
+    * given (dataset content, k, iters) — decimal-bridged means make the
     * centroids partition-count invariant (see [[trainIvfCentroids]]) — so
     * the quantizer is a property of the DATASET, not of the query:
     * retraining on every probe would dominate the probe cost (~6 Spark
-    * jobs before the scan starts). At 100 TB the same memo is a persisted
-    * centroid table trained once on a sample; [[clearIvfCache]] is the
-    * invalidation hook for mutated paths. */
+    * jobs before the scan starts). The key carries a listing signature
+    * (file names, sizes, mtimes) of the embeddings table, so regenerating
+    * the data at the same path retrains instead of serving stale
+    * centroids; [[clearIvfCache]] force-clears. At 100 TB the same memo
+    * is a persisted centroid table trained once on a sample. */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), Array[(Int, Array[Double])]]()
+    (String, Long, Int, Int), Array[(Int, Array[Double])]]()
 
   def clearIvfCache(): Unit = centroidCache.clear()
+
+  /** Cheap change-detection signature of the embeddings table: hash of
+    * (name, length, mtime) over the path's file tree. */
+  private def tableSignature(d: String): Long = {
+    val root = java.nio.file.Paths.get(d, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      var acc = 17L
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val sz = if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.size(p) else 0L
+        val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        acc = ((acc * 31 + p.getFileName.toString.hashCode) * 31 + sz) * 31 + mt
+      }
+      acc
+    } finally stream.close()
+  }
 
   def ivfCentroids(s: SparkSession, d: String, k: Int,
       iters: Int = 2): Array[(Int, Array[Double])] =
     centroidCache.computeIfAbsent(
-      (java.nio.file.Paths.get(d).toAbsolutePath.toString, k, iters),
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        tableSignature(d), k, iters),
       _ => trainIvfCentroids(s, d, k, iters))
 
   /** IVF ANN: probe the `nProbe` nearest centroids, exact cosine inside. */

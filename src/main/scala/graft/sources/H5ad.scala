@@ -45,6 +45,21 @@ object H5ad {
           "(not CSR? CSC matrices transpose obs/var roles)")
       require(data.length == indices.length,
         s"${file.path}: data/indices length mismatch")
+      // A malformed indptr would SILENTLY drop rows (a decreasing pair
+      // yields an empty range) or truncate trailing nonzeros — validate
+      // the full CSR contract up front instead.
+      require(indptr.headOption.contains(0L),
+        s"${file.path}: indptr must start at 0, got ${indptr.headOption}")
+      require(indptr.last == data.length,
+        s"${file.path}: indptr end ${indptr.last} != nnz ${data.length}")
+      var r0 = 0
+      while (r0 < indptr.length - 1) {
+        require(indptr(r0) <= indptr(r0 + 1),
+          s"${file.path}: indptr not non-decreasing at row $r0")
+        r0 += 1
+      }
+      require(indices.forall(i => i >= 0 && i < vars.length),
+        s"${file.path}: column index out of range [0, ${vars.length})")
       obs.indices.iterator.flatMap { row =>
         (indptr(row) until indptr(row + 1)).iterator.map { k =>
           CellFeature(obs(row), file.dataset,
@@ -71,8 +86,11 @@ object H5ad {
   def scan(spark: SparkSession, files: Seq[H5adInput]): DataFrame = {
     import spark.implicits._
     require(files.nonEmpty, "no h5ad inputs")
-    spark.createDataset(files)
-      .repartition(files.size) // one file = one task; no splittable scan
+    // parallelize with numSlices = nFiles gives EXACTLY one file per
+    // partition (contiguous slicing); a round-robin repartition can land
+    // two files in one task and zero in another, doubling stage wall.
+    spark.createDataset(
+      spark.sparkContext.parallelize(files, files.size))
       .flatMap(readTriplets _)
       .toDF()
   }

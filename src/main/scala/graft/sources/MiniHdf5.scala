@@ -205,17 +205,31 @@ object MiniHdf5 {
       n.toInt
     }
 
-    /** 1-D (or flattened) integer dataset as longs. */
+    /** 1-D (or flattened) integer dataset as longs. Unsigned 8/16/32-bit
+      * values widen losslessly; unsigned 64-bit is refused (values past
+      * 2^63 have no Long representation — silent sign-wrap would corrupt
+      * CSR indices). */
     def readLongs(dsPath: String): Array[Long] = {
       val m = meta(dsPath)
       val n = count(m)
       m.dtype match {
-        case FixedInt(4, _) =>
-          Array.tabulate(n)(i => buf.getInt((m.dataAddr + 4L * i).toInt).toLong)
-        case FixedInt(8, _) =>
+        case FixedInt(1, signed) =>
+          Array.tabulate(n)(i => if (signed) buf.get((m.dataAddr + i).toInt).toLong
+            else u8(m.dataAddr + i).toLong)
+        case FixedInt(2, signed) =>
+          Array.tabulate(n)(i =>
+            if (signed) buf.getShort((m.dataAddr + 2L * i).toInt).toLong
+            else u16(m.dataAddr + 2L * i).toLong)
+        case FixedInt(4, signed) =>
+          Array.tabulate(n)(i =>
+            if (signed) buf.getInt((m.dataAddr + 4L * i).toInt).toLong
+            else u32(m.dataAddr + 4L * i))
+        case FixedInt(8, true) =>
           Array.tabulate(n)(i => i64(m.dataAddr + 8L * i))
+        case FixedInt(8, false) => throw new IllegalArgumentException(
+          s"'$dsPath': uint64 data unsupported (no lossless Long widening)")
         case other => throw new IllegalArgumentException(
-          s"'$dsPath': expected int32/int64, got $other")
+          s"'$dsPath': expected an integer dataset, got $other")
       }
     }
 
@@ -228,10 +242,7 @@ object MiniHdf5 {
           Array.tabulate(n)(i => buf.getFloat((m.dataAddr + 4L * i).toInt).toDouble)
         case Floating(8) =>
           Array.tabulate(n)(i => buf.getDouble((m.dataAddr + 8L * i).toInt))
-        case FixedInt(4, _) =>
-          Array.tabulate(n)(i => buf.getInt((m.dataAddr + 4L * i).toInt).toDouble)
-        case FixedInt(8, _) =>
-          Array.tabulate(n)(i => i64(m.dataAddr + 8L * i).toDouble)
+        case FixedInt(_, _) => readLongs(dsPath).map(_.toDouble)
         case other => throw new IllegalArgumentException(
           s"'$dsPath': expected float/int, got $other")
       }

@@ -39,8 +39,15 @@ object YamlDim {
   def parse(text: String): Seq[(String, Map[String, String])] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
     var current: String = null
+    // YAML comment rule: '#' opens a comment only at line start or after
+    // whitespace — 'Ward#2' is a value character, 'Ward #2' is a comment.
+    def stripComment(l: String): String = {
+      val i = (0 until l.length).find(j =>
+        l(j) == '#' && (j == 0 || l(j - 1).isWhitespace))
+      i.map(l.take).getOrElse(l)
+    }
     text.linesIterator.zipWithIndex.foreach { case (raw, idx) =>
-      val line = raw.takeWhile(_ != '#') // strip trailing comments
+      val line = stripComment(raw)
       if (line.trim.nonEmpty) line match {
         case TopLevel(code) =>
           val c = code.trim
@@ -51,8 +58,8 @@ object YamlDim {
           require(current != null,
             s"indented attribute before any code at line ${idx + 1}")
           require(value.nonEmpty,
-            s"nested structure not supported (line ${idx + 1}: '$raw' — " +
-              "this reader covers flat field: value attributes only)")
+            s"empty or nested value not supported (line ${idx + 1}: '$raw' — " +
+              "this reader covers flat `field: value` attributes only)")
           val f = field.trim
           require(!out(current).contains(f),
             s"duplicate field '$f' under '$current' at line ${idx + 1}")

@@ -166,6 +166,23 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(out2.count() === 2)
   }
 
+  test("ProductBuild intersect keeps null-keyed groups spanning all modalities") {
+    // Windows group null keys together; the semi-join formulation must
+    // use null-safe equality to preserve that — dropping unparseable
+    // barcodes is a QC decision, not a join artifact.
+    val cbb = Seq((null.asInstanceOf[String], "d1", "f1", 1.0),
+      ("AAAC", "d1", "f2", 2.0))
+      .toDF("cell_id", "dataset", "feature_id", "value")
+    val cbg = Seq((null.asInstanceOf[String], "d1", "g1", 3.0))
+      .toDF("cell_id", "dataset", "feature_id", "value")
+    val out = operators.ProductBuild.unionIntersect(
+      Map("cell_by_bin" -> cbb, "cell_by_gene" -> cbg))
+    // the null-keyed "cell" spans both modalities → its 2 rows survive;
+    // AAAC is bin-only → dropped
+    assert(out.count() === 2)
+    assert(out.filter($"cell_id".isNull).count() === 2)
+  }
+
   test("product build + partitioned sink + metadata sidecar (entry point 3)") {
     // 3 synthetic datasets × 2 modalities, outer-union semantics.
     val fact = Seq(

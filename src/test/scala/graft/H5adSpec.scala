@@ -92,6 +92,26 @@ class H5adSpec extends SparkSpec {
     product.unpersist()
   }
 
+  test("corrupt CSR structure fails loudly instead of dropping rows") {
+    // decreasing indptr: row 1's range is empty, row 0 truncated — both
+    // silent data loss without validation
+    MiniHdf5Writer.writeH5ad(s"$dir/bad.h5ad",
+      obsNames = Seq("c1", "c2"), varNames = Seq("f1", "f2"),
+      data = Array(1.0, 2.0, 3.0), indices = Array(0L, 1L, 0L),
+      indptr = Array(0L, 3L, 1L))
+    val e = intercept[IllegalArgumentException](
+      H5ad.readTriplets(H5adInput(s"$dir/bad.h5ad", "d", "m")).toSeq)
+    assert(e.getMessage.contains("indptr"))
+    // truncating indptr (end != nnz) also refuses
+    MiniHdf5Writer.writeH5ad(s"$dir/bad2.h5ad",
+      obsNames = Seq("c1", "c2"), varNames = Seq("f1", "f2"),
+      data = Array(1.0, 2.0, 3.0, 4.0), indices = Array(0L, 1L, 0L, 1L),
+      indptr = Array(0L, 2L, 2L))
+    val e2 = intercept[IllegalArgumentException](
+      H5ad.readTriplets(H5adInput(s"$dir/bad2.h5ad", "d", "m")).toSeq)
+    assert(e2.getMessage.contains("nnz"))
+  }
+
   test("unsupported-feature errors name the limitation, not a parse crash") {
     val bogus = java.nio.file.Files.createTempFile("not-hdf5", ".h5ad")
     java.nio.file.Files.write(bogus, "definitely not hdf5".getBytes)

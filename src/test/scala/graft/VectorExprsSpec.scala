@@ -101,6 +101,28 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("vec_divide nulls elements on a zero divisor, like non-ANSI Divide") {
+    val rows = vecs.filter($"v".isNotNull).select($"id",
+      call_function("vec_divide", $"v", lit(0.0)).as("n"),
+      transform($"v", x => x / lit(0.0)).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+        s"zero-divisor mismatch at ${r.getLong(0)}")
+      assert(r.getSeq[Any](1).forall(_ == null), s"expected all-null at ${r.getLong(0)}")
+    }
+  }
+
+  test("vec_absmax ranks NaN greatest, matching array_max ordering") {
+    val df = Seq((1L, Seq(5.0, Double.NaN)), (2L, Seq(Double.NaN, 3.0)))
+      .toDF("id", "v").withColumn("v", $"v".cast("array<double>"))
+    val rows = df.select($"id", call_function("vec_absmax", $"v").as("n"),
+      array_max(transform($"v", x => abs(x))).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1).isNaN && r.getDouble(2).isNaN,
+        s"NaN must win at ${r.getLong(0)}")
+    }
+  }
+
   test("vec_int8 + vec_lsum/vec_l1sum match the floor-transform/aggregate HOFs") {
     val scale = lit(127.0) / call_function("vec_absmax", $"v")
     val qNative = call_function("vec_int8", $"v", scale)

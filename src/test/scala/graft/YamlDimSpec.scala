@@ -40,10 +40,17 @@ class YamlDimSpec extends SparkSpec {
     assert(parsed.toMap.apply("ZZ")("extra_field") === "kept independently")
   }
 
+  test("comment rule: '#' opens a comment only at start or after whitespace") {
+    val parsed = YamlDim.parse(
+      "W1:\n  description: Ward#2 Biopsy\nW2:\n  description: Ward #2 Biopsy")
+    assert(parsed.toMap.apply("W1")("description") === "Ward#2 Biopsy")
+    assert(parsed.toMap.apply("W2")("description") === "Ward")
+  }
+
   test("parse refuses constructs outside the dictionary subset, loudly") {
     val nested = intercept[IllegalArgumentException](
       YamlDim.parse("AO:\n  meta:\n    deep: 1"))
-    assert(nested.getMessage.contains("nested structure not supported"))
+    assert(nested.getMessage.contains("empty or nested value not supported"))
     val seq = intercept[IllegalArgumentException](
       YamlDim.parse("AO:\n  - item"))
     assert(seq.getMessage.contains("unsupported YAML construct"))
