@@ -25,7 +25,9 @@ object EsResponse {
       "array<struct<grouping_concept_preferred_term: string, " +
         "data_value: string, preferred_term: string>>"
     StructType.fromDDL(
-      s"""hits struct<hits: array<struct<_source: struct<
+      s"""hits struct<
+         |  total: struct<value: bigint, relation: string>,
+         |  hits: array<struct<_source: struct<
          |  uuid: string,
          |  hubmap_id: string,
          |  origin_samples_unique_mapped_organs: array<string>,
@@ -87,4 +89,35 @@ object EsResponse {
   def datasetsFromResponse(spark: SparkSession, jsonPath: String): DataFrame =
     pivotDonorConcepts(extractHits(
       spark.read.schema(schema).option("multiLine", "true").json(jsonPath)))
+
+  /** Multi-page snapshot merge — the discovery path past the reference's
+    * single-page bound (`make_uuids_tsv.py:24-25` pins `from: 0,
+    * size: 10000`, silently capping a product at 10k datasets). The HTTP
+    * paging loop (incl. the 303-redirect follow, `:49-59`) stays a
+    * driver-side ingestion step that lands one JSON snapshot per page;
+    * this merges the landed pages declaratively and VALIDATES
+    * completeness:
+    *  - every page must report the same `hits.total.value` (pages
+    *    fetched across an index change disagree → error, re-fetch);
+    *  - distinct uuids across pages must equal that total (a missed or
+    *    truncated page → error, never a silently smaller product);
+    *  - overlapping pages (re-fetched from/size windows) dedup by uuid.
+    * The validation counts are dim-sized driver checks (≤ total
+    * datasets), not fact-table scans. */
+  def pagedDatasets(spark: SparkSession, pagePaths: Seq[String]): DataFrame = {
+    require(pagePaths.nonEmpty, "no page snapshots")
+    val raw = spark.read.schema(schema).option("multiLine", "true")
+      .json(pagePaths: _*)
+    val totals = raw.select(col("hits.total.value").as("t"))
+      .na.drop().distinct().collect().map(_.getLong(0)).sorted
+    require(totals.length == 1,
+      s"page snapshots disagree on hits.total (${totals.mkString(", ")}) — " +
+        "pages were fetched across an index change; re-fetch the set")
+    val hits = extractHits(raw).dropDuplicates("uuid")
+    val n = hits.count()
+    require(n == totals.head,
+      s"paged snapshot incomplete: $n distinct datasets vs " +
+        s"hits.total ${totals.head} — a page is missing or truncated")
+    pivotDonorConcepts(hits)
+  }
 }

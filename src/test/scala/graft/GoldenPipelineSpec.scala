@@ -48,6 +48,42 @@ class GoldenPipelineSpec extends SparkSpec {
       ("u3", "HBM3", "Heart", None, None, None)))
   }
 
+  test("ES paged discovery: overlap dedup, completeness and consistency gates") {
+    def page(total: Int, uuids: Seq[String]): String = {
+      val hits = uuids.map(u =>
+        s"""{"_source": {"uuid": "$u", "hubmap_id": "HBM-$u",
+           |  "origin_samples_unique_mapped_organs": ["Heart"],
+           |  "donor": {"metadata": {"organ_donor_data": [
+           |    {"grouping_concept_preferred_term": "Age",
+           |     "data_value": "50", "preferred_term": "years"}]}}}}""".stripMargin)
+        .mkString(",\n")
+      s"""{"hits": {"total": {"value": $total, "relation": "eq"},
+         |  "hits": [$hits]}}""".stripMargin
+    }
+    val d = s"$tmp/pages"
+    Files.createDirectories(Paths.get(d))
+    Files.writeString(Paths.get(s"$d/p0.json"), page(3, Seq("u1", "u2")))
+    // overlapping re-fetch: u2 appears on both pages
+    Files.writeString(Paths.get(s"$d/p1.json"), page(3, Seq("u2", "u3")))
+    val merged = sources.EsResponse.pagedDatasets(spark,
+      Seq(s"$d/p0.json", s"$d/p1.json"))
+    assert(merged.select("uuid").as[String].collect().sorted.toSeq ===
+      Seq("u1", "u2", "u3"))
+    assert(merged.count() === 3)
+
+    // a missing page fails loudly (2 distinct uuids vs total 3)
+    val incomplete = intercept[IllegalArgumentException](
+      sources.EsResponse.pagedDatasets(spark, Seq(s"$d/p0.json")))
+    assert(incomplete.getMessage.contains("incomplete"))
+
+    // pages fetched across an index change (different totals) fail loudly
+    Files.writeString(Paths.get(s"$d/p2.json"), page(4, Seq("u4")))
+    val skew = intercept[IllegalArgumentException](
+      sources.EsResponse.pagedDatasets(spark,
+        Seq(s"$d/p0.json", s"$d/p1.json", s"$d/p2.json")))
+    assert(skew.getMessage.contains("disagree"))
+  }
+
   test("laterality stripping and dynamic predicate composition") {
     val lat = EsResponse.datasetsFromResponse(spark, s"$tmp/es_response.json")
       .select("organ", "organ_base").orderBy("uuid")
