@@ -15,17 +15,20 @@ import java.nio.file.{Paths, StandardOpenOption}
   *  - version-1 object headers (with continuation blocks);
   *  - groups via symbol tables (v1 B-tree + local heap + SNOD nodes,
   *    any B-tree depth);
-  *  - datasets with CONTIGUOUS layout (message v3): little-endian
-  *    fixed-point ints, IEEE floats, fixed-size strings, and
-  *    variable-length strings (global heap);
+  *  - datasets with CONTIGUOUS layout (message v3) or CHUNKED layout
+  *    (v1 chunk B-tree) with optional deflate — i.e. plain files AND
+  *    `compression='gzip'` files, the two layouts h5py/anndata write;
+  *  - little-endian fixed-point ints (signed, and unsigned ≤ 32-bit),
+  *    IEEE floats, fixed-size strings, variable-length strings (global
+  *    heap);
   *  - files up to 2 GiB (single memory-map; larger files need windowed
   *    maps — raise the documented limit if that day comes).
   *
   * Deliberately UNSUPPORTED, failing with errors that say so by name:
-  * chunked/compressed datasets (filter pipeline), v2+ superblocks,
-  * fractal-heap groups. For such files, re-write once with
-  * `compression=None, libver='earliest'` — or extend exactly one branch
-  * per feature below.
+  * non-deflate filters (shuffle/fletcher32/szip), uint64 data, v2+
+  * superblocks, fractal-heap groups, chunked rank>1. For such files,
+  * re-write once with `compression='gzip'` or None and
+  * `libver='earliest'` — or extend exactly one branch per feature below.
   *
   * Scale shape: HDF5 is not splittable — parallelism comes from MANY
   * files, one task each (see [[H5ad.scan]]), which matches the
@@ -39,7 +42,21 @@ object MiniHdf5 {
   final case class FixedStr(size: Int) extends Dtype
   case object VlenStr extends Dtype
 
-  final case class DatasetMeta(dims: Seq[Long], dtype: Dtype, dataAddr: Long)
+  sealed trait Layout
+  final case class Contiguous(addr: Long) extends Layout
+  /** Chunked storage: v1 chunk B-tree + optional deflate (gzip) filter —
+    * what `h5py`/`anndata` write under `compression='gzip'`. */
+  final case class Chunked(btree: Long, chunkElems: Long,
+      inflate: Boolean) extends Layout
+
+  final case class DatasetMeta(dims: Seq[Long], dtype: Dtype, layout: Layout) {
+    def elemSize: Int = dtype match {
+      case FixedInt(s, _) => s
+      case Floating(s) => s
+      case FixedStr(s) => s
+      case VlenStr => 16 // length(4) + gheap addr(8) + index(4)
+    }
+  }
 
   final class Reader(path: String) extends AutoCloseable {
     private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
@@ -150,11 +167,43 @@ object MiniHdf5 {
       groupChildren(resolve(groupPath)).map(_._1)
 
     // ---- datasets ----
+
+    /** Filter pipeline (message 0x000B): only deflate (filter id 1) is
+      * supported; shuffle/fletcher32/szip etc. are refused by name. */
+    private def parseFilters(dsPath: String, m: Msg): Boolean = {
+      val ver = u8(m.bodyPos)
+      val nf = u8(m.bodyPos + 1)
+      var p = ver match {
+        case 1 => m.bodyPos + 8 // version(1) count(1) reserved(6)
+        case 2 => m.bodyPos + 2
+        case v => throw new IllegalArgumentException(
+          s"'$dsPath': filter pipeline v$v unsupported")
+      }
+      var deflate = false
+      (0 until nf).foreach { _ =>
+        val id = u16(p); p += 2
+        val nameLen =
+          if (ver == 1 || id >= 256) { val l = u16(p); p += 2; l } else 0
+        p += 2 // flags
+        val nvals = u16(p); p += 2
+        p += (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) // name
+        p += 4L * nvals // client data
+        if (ver == 1 && nvals % 2 == 1) p += 4 // pad to 8
+        id match {
+          case 1 => deflate = true
+          case other => throw new IllegalArgumentException(
+            s"'$dsPath': filter id $other unsupported (deflate only; " +
+              "shuffle=2, fletcher32=3, szip=4 — re-write with " +
+              "compression='gzip' or None)")
+        }
+      }
+      deflate
+    }
+
     def meta(dsPath: String): DatasetMeta = {
       val msgs = readHeader(resolve(dsPath))
-      require(!msgs.exists(_.typ == 0x000B),
-        s"'$dsPath' has a filter pipeline (chunk compression) — " +
-          "unsupported; re-write with compression=None")
+      val inflate = msgs.find(_.typ == 0x000B)
+        .exists(parseFilters(dsPath, _))
       val sp = msgs.find(_.typ == 0x0001).getOrElse(
         throw new IllegalArgumentException(s"'$dsPath' has no dataspace"))
       val dims = {
@@ -192,17 +241,81 @@ object MiniHdf5 {
         throw new IllegalArgumentException(s"'$dsPath' has no data layout"))
       require(u8(lay.bodyPos) == 3,
         s"'$dsPath': layout message v${u8(lay.bodyPos)} unsupported (v3 only)")
-      require(u8(lay.bodyPos + 1) == 1,
-        s"'$dsPath': layout class ${u8(lay.bodyPos + 1)} unsupported " +
-          "(contiguous only; chunked needs the chunk B-tree — re-write " +
-          "with compression=None)")
-      DatasetMeta(dims, dtype, i64(lay.bodyPos + 2))
+      val layout = u8(lay.bodyPos + 1) match {
+        case 1 =>
+          require(!inflate,
+            s"'$dsPath': filtered CONTIGUOUS layout is not valid HDF5")
+          Contiguous(i64(lay.bodyPos + 2))
+        case 2 => // chunked: dimensionality(1) btree(8) chunk dims (4 each)
+          val ndims = u8(lay.bodyPos + 2) // = dataset rank + 1 (element dim)
+          require(ndims == 2,
+            s"'$dsPath': chunked rank-${ndims - 1} datasets unsupported " +
+              "(1-D only — the h5ad CSR arrays)")
+          val btree = i64(lay.bodyPos + 3)
+          val chunkElems = u32(lay.bodyPos + 11)
+          Chunked(btree, chunkElems, inflate)
+        case c => throw new IllegalArgumentException(
+          s"'$dsPath': layout class $c unsupported (contiguous or chunked)")
+      }
+      DatasetMeta(dims, dtype, layout)
     }
 
     private def count(m: DatasetMeta): Int = {
       val n = m.dims.product
       require(n <= Int.MaxValue, s"dataset too large for one array: $n")
       n.toInt
+    }
+
+    /** Materialize a dataset's element bytes (contiguous copy, or chunk
+      * B-tree walk + inflate for `compression='gzip'` files). */
+    private def dataBytes(dsPath: String, m: DatasetMeta): java.nio.ByteBuffer = {
+      val n = count(m)
+      val total = n * m.elemSize
+      val out = new Array[Byte](total)
+      m.layout match {
+        case Contiguous(addr) =>
+          val d = buf.duplicate(); d.position(addr.toInt); d.get(out)
+        case Chunked(btree, chunkElems, inflate) =>
+          val chunkBytes = (chunkElems * m.elemSize).toInt
+          // chunk B-tree (type 1) key: chunk size(4), filter mask(4),
+          // element offsets (8 × (rank+1)); child = chunk address
+          val keySize = 8 + 8 * 2
+          def walk(node: Long): Unit = {
+            require(sig4(node, "TREE") && u8(node + 4) == 1,
+              s"'$dsPath': bad chunk B-tree node at $node")
+            val level = u8(node + 5)
+            val nkeys = u16(node + 6)
+            (0 until nkeys).foreach { i =>
+              val keyPos = node + 24 + i.toLong * (keySize + 8)
+              val child = i64(keyPos + keySize)
+              if (level > 0) walk(child)
+              else {
+                val storedSize = u32(keyPos).toInt
+                require(u32(keyPos + 4) == 0,
+                  s"'$dsPath': per-chunk filter masks unsupported")
+                val elemOff = i64(keyPos + 8)
+                val raw0 = raw(child, storedSize)
+                val chunk = if (inflate) {
+                  val inf = new java.util.zip.Inflater()
+                  inf.setInput(raw0)
+                  val dec = new Array[Byte](chunkBytes)
+                  val got = inf.inflate(dec)
+                  inf.end()
+                  require(got == chunkBytes || elemOff + chunkElems > n,
+                    s"'$dsPath': chunk at $elemOff inflated to $got bytes, " +
+                      s"expected $chunkBytes")
+                  dec
+                } else raw0
+                val destPos = elemOff * m.elemSize
+                val len = math.min(chunk.length.toLong, total - destPos).toInt
+                if (len > 0)
+                  System.arraycopy(chunk, 0, out, destPos.toInt, len)
+              }
+            }
+          }
+          walk(btree)
+      }
+      java.nio.ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
     }
 
     /** 1-D (or flattened) integer dataset as longs. Unsigned 8/16/32-bit
@@ -212,20 +325,19 @@ object MiniHdf5 {
     def readLongs(dsPath: String): Array[Long] = {
       val m = meta(dsPath)
       val n = count(m)
+      val bb = dataBytes(dsPath, m)
       m.dtype match {
         case FixedInt(1, signed) =>
-          Array.tabulate(n)(i => if (signed) buf.get((m.dataAddr + i).toInt).toLong
-            else u8(m.dataAddr + i).toLong)
+          Array.tabulate(n)(i => if (signed) bb.get(i).toLong
+            else (bb.get(i) & 0xff).toLong)
         case FixedInt(2, signed) =>
-          Array.tabulate(n)(i =>
-            if (signed) buf.getShort((m.dataAddr + 2L * i).toInt).toLong
-            else u16(m.dataAddr + 2L * i).toLong)
+          Array.tabulate(n)(i => if (signed) bb.getShort(2 * i).toLong
+            else (bb.getShort(2 * i) & 0xffff).toLong)
         case FixedInt(4, signed) =>
-          Array.tabulate(n)(i =>
-            if (signed) buf.getInt((m.dataAddr + 4L * i).toInt).toLong
-            else u32(m.dataAddr + 4L * i))
+          Array.tabulate(n)(i => if (signed) bb.getInt(4 * i).toLong
+            else bb.getInt(4 * i) & 0xffffffffL)
         case FixedInt(8, true) =>
-          Array.tabulate(n)(i => i64(m.dataAddr + 8L * i))
+          Array.tabulate(n)(i => bb.getLong(8 * i))
         case FixedInt(8, false) => throw new IllegalArgumentException(
           s"'$dsPath': uint64 data unsupported (no lossless Long widening)")
         case other => throw new IllegalArgumentException(
@@ -239,9 +351,11 @@ object MiniHdf5 {
       val n = count(m)
       m.dtype match {
         case Floating(4) =>
-          Array.tabulate(n)(i => buf.getFloat((m.dataAddr + 4L * i).toInt).toDouble)
+          val bb = dataBytes(dsPath, m)
+          Array.tabulate(n)(i => bb.getFloat(4 * i).toDouble)
         case Floating(8) =>
-          Array.tabulate(n)(i => buf.getDouble((m.dataAddr + 8L * i).toInt))
+          val bb = dataBytes(dsPath, m)
+          Array.tabulate(n)(i => bb.getDouble(8 * i))
         case FixedInt(_, _) => readLongs(dsPath).map(_.toDouble)
         case other => throw new IllegalArgumentException(
           s"'$dsPath': expected float/int, got $other")
@@ -252,20 +366,23 @@ object MiniHdf5 {
     def readStrings(dsPath: String): Array[String] = {
       val m = meta(dsPath)
       val n = count(m)
+      val bb = dataBytes(dsPath, m)
       m.dtype match {
         case FixedStr(sz) =>
           Array.tabulate(n) { i =>
-            val b = raw(m.dataAddr + sz.toLong * i, sz)
+            val b = new Array[Byte](sz)
+            val d = bb.duplicate(); d.position(sz * i); d.get(b)
             val end = b.indexOf(0.toByte) match { case -1 => sz; case e => e }
             new String(b, 0, end, "UTF-8")
           }
         case VlenStr =>
-          // element: length(4), global-heap collection addr(8), index(4)
+          // element: length(4), global-heap collection addr(8), index(4);
+          // the heap objects live in the FILE, not the chunk stream
           Array.tabulate(n) { i =>
-            val e = m.dataAddr + 16L * i
-            val len = u32(e).toInt
-            val col = i64(e + 4)
-            val idx = u32(e + 12)
+            val e = 16 * i
+            val len = bb.getInt(e)
+            val col = bb.getLong(e + 4)
+            val idx = bb.getInt(e + 12) & 0xffffffffL
             new String(gheapObject(col, idx, len), "UTF-8")
           }
         case other => throw new IllegalArgumentException(

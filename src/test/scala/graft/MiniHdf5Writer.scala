@@ -79,13 +79,63 @@ object MiniHdf5Writer {
 
   private sealed trait Content
   private final case class Dset(dtype: Array[Byte], n: Int,
-      data: Array[Byte]) extends Content
+      data: Array[Byte], elemSize: Int = 0, chunkElems: Int = 0) extends Content
   private final case class Group(children: Seq[(String, Content)]) extends Content
 
   /** Write one object (dataset or group) into `b`; returns its object
     * header address. */
   private def writeObject(b: Buf, c: Content): Long = c match {
-    case Dset(dtype, n, data) =>
+    case Dset(dtype, n, data, elemSize, chunkElems) if chunkElems > 0 =>
+      // CHUNKED + deflate: split into chunks, zlib each, link them with a
+      // level-0 v1 chunk B-tree (key: size, mask, elem offsets ×2).
+      val chunkBytes = chunkElems * elemSize
+      val chunks = data.grouped(chunkBytes).toSeq.map { raw0 =>
+        // HDF5 chunks are always full-size: pad the tail chunk
+        val full = if (raw0.length == chunkBytes) raw0
+          else raw0 ++ new Array[Byte](chunkBytes - raw0.length)
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(full); defl.finish()
+        val outb = new Array[Byte](chunkBytes + 64)
+        val sz = defl.deflate(outb)
+        defl.end()
+        java.util.Arrays.copyOf(outb, sz)
+      }
+      val addrs = chunks.map { ch =>
+        b.pad8(); val a = b.pos; b.bytes(ch); a
+      }
+      b.pad8()
+      val btreeAddr = b.pos
+      b.ascii("TREE"); b.u8(1); b.u8(0); b.u16(chunks.size)
+      b.u64(Undef); b.u64(Undef)
+      chunks.zipWithIndex.foreach { case (ch, i) =>
+        b.u32(ch.length); b.u32(0) // stored size, filter mask
+        b.u64(i.toLong * chunkElems); b.u64(0) // element offsets
+        b.u64(addrs(i))
+      }
+      b.u32(0); b.u32(0); b.u64(n); b.u64(0) // final (greatest) key
+      val space = { val m = new Buf
+        m.u8(1); m.u8(1); m.u8(0); m.u8(0); m.u32(0)
+        m.u64(n); m.out.toByteArray }
+      val layout = { val m = new Buf
+        m.u8(3); m.u8(2) // v3, chunked
+        m.u8(2) // dimensionality = rank + 1
+        m.u64(btreeAddr)
+        m.u32(chunkElems); m.u32(elemSize)
+        m.out.toByteArray }
+      val filters = { val m = new Buf
+        m.u8(1); m.u8(1) // v1, one filter
+        m.u16(0); m.u32(0) // reserved
+        m.u16(1) // deflate
+        m.u16(8) // name length ("deflate\0" padded)
+        m.u16(1) // flags: optional
+        m.u16(1) // one client value (level)
+        m.ascii("deflate"); m.u8(0)
+        m.u32(6) // compression level
+        m.u32(0) // pad (odd client count)
+        m.out.toByteArray }
+      writeHeader(b, Seq((0x0001, space), (0x0003, dtype),
+        (0x0008, layout), (0x000B, filters)))
+    case Dset(dtype, n, data, _, _) =>
       b.pad8()
       val dataAddr = b.pos
       b.bytes(data)
@@ -184,22 +234,25 @@ object MiniHdf5Writer {
 
   /** Write a miniature CSR h5ad: X/{data,indices,indptr}, obs/_index,
     * var/_index. `wide` selects f64+i64 (true) vs f32+i32 (false) to
-    * exercise both numeric widths in the reader. */
+    * exercise both numeric widths in the reader; `gzipChunks > 0` writes
+    * the X datasets CHUNKED with that many elements per chunk and a
+    * deflate filter (h5py `compression='gzip'` layout). */
   def writeH5ad(path: String, obsNames: Seq[String], varNames: Seq[String],
       data: Array[Double], indices: Array[Long], indptr: Array[Long],
-      wide: Boolean = true): Unit = {
+      wide: Boolean = true, gzipChunks: Int = 0): Unit = {
     require(indptr.length == obsNames.length + 1 && data.length == indices.length)
     val b = new Buf
     // reserve the 96-byte v0 superblock (patched at the end)
     (0 until 96).foreach(_ => b.u8(0))
     val obsIdx = vlenContent(b, obsNames)
     val varIdx = vlenContent(b, varNames)
+    val g = gzipChunks
     val x = Group(Seq(
-      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data))
-        else Dset(dtFloat(4), data.length, floatBytes(data))),
-      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices))
-        else Dset(dtInt(4), indices.length, intBytes(indices))),
-      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr))))
+      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g)
+        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g)),
+      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g)
+        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g)),
+      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g)))
     val root = Group(Seq(
       "X" -> x,
       "obs" -> Group(Seq("_index" -> obsIdx)),
