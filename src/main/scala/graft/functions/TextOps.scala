@@ -81,6 +81,48 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Training-mix stratified sampling: per-source keep rates applied via
+    // a CONTENT-HASH threshold — the reproducible "random" sample every
+    // data-mixing pipeline needs. No RNG: the same rows survive on any
+    // cluster, partitioning, run, or engine (md5 of the id compared
+    // against the stratum's 16-bit hex threshold). Map-only: the filter
+    // rides the scan, no shuffle, no sampleBy() seed drift.
+    "sample_stratified" -> ((s, d) => {
+      val rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+        "src3" -> 0.25)
+      val defaultRate = 0.1
+      def hex(r: Double): String =
+        if (r >= 1.0) "zzzz" // lexicographically above every hex digest
+        else f"${math.max(0, math.round(r * 65536)).toInt}%04x"
+      val thr = rates.foldLeft(lit(hex(defaultRate))) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(hex(r))).otherwise(acc)
+      }
+      t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing for pretraining batches: concatenate documents in
+    // order and cut at a token budget — pack_id = which context window a
+    // document STARTS in. Packing is per language shard (the realistic
+    // unit), so the running sum is a partitioned window, never a
+    // single-partition sort; token sums are integers (exact, no decimal
+    // bridge needed).
+    "pack_sequences" -> ((s, d) => {
+      val budget = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          U.lng(size(split(col("text"), " "))).as("n_tokens"))
+        .withColumn("start_tok",
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("pack_id", floor(col("start_tok") / lit(budget.toDouble)))
+        .select("doc_id", "lang", "n_tokens", "start_tok", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     // Heuristic language ID (deterministic stopword-hit argmax, ties to
     // the earliest profile — oracled as a CASE cascade in DuckDB).
     "text_lang_id" -> ((s, d) =>
@@ -142,6 +184,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, source, lang
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source
+        |    WHEN 'src0' THEN 'zzzz'
+        |    WHEN 'src1' THEN 'c000'
+        |    WHEN 'src2' THEN '8000'
+        |    WHEN 'src3' THEN '4000'
+        |    ELSE '199a' END
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
