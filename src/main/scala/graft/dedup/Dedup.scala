@@ -423,7 +423,12 @@ object Dedup {
         // wordKShingles lowercases internally
         explode(wordKShingles(col("text"), 5)).as("gram"))
         .groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        // == count(DISTINCT doc_id): wordKShingles array_distincts per
+        // doc, so every (doc, gram) pair is unique by construction — a
+        // plain count skips the two-phase distinct aggregation (one
+        // exchange instead of two). The oracle keeps the DISTINCT
+        // spelling; equality is exactly the uniqueness invariant.
+        .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("gram"))
         .limit(20)
