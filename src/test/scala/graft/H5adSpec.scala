@@ -92,6 +92,46 @@ class H5adSpec extends SparkSpec {
     product.unpersist()
   }
 
+  test("DataSource V2: spark.read.format(\"h5ad\") with layout-derived identity") {
+    // reference layout: <dataset-uuid>/<modality>.h5ad
+    val root = java.nio.file.Files.createTempDirectory("h5ad-dsv2").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/uuid-A"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/uuid-B"))
+    MiniHdf5Writer.writeH5ad(s"$root/uuid-A/cell_by_bin.h5ad",
+      Seq("c1", "c2"), Seq("b1"), Array(1.0, 2.0), Array(0L, 0L),
+      Array(0L, 1L, 2L))
+    MiniHdf5Writer.writeH5ad(s"$root/uuid-B/cell_by_gene.h5ad",
+      Seq("c9"), Seq("g1", "g2"), Array(3.0, 4.0), Array(0L, 1L),
+      Array(0L, 2L), wide = false, gzipChunks = 2)
+    val df = spark.read.format("h5ad").load(root)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getDouble(3), r.getString(4))).toSet
+    assert(rows === Set(
+      ("c1", "uuid-A", "b1", 1.0, "cell_by_bin"),
+      ("c2", "uuid-A", "b1", 2.0, "cell_by_bin"),
+      ("c9", "uuid-B", "g1", 3.0, "cell_by_gene"),
+      ("c9", "uuid-B", "g2", 4.0, "cell_by_gene")))
+
+    // one input partition per file
+    assert(df.rdd.getNumPartitions === 2)
+
+    // column pruning reaches the reader: a metadata projection scans
+    // only the requested columns
+    val pruned = df.select("dataset", "modality").distinct()
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("columns [dataset, modality]"),
+      s"scan did not prune to the projection:\n$p")
+    assert(!p.contains("cell_id"), s"pruned scan still carries cell_id:\n$p")
+
+    // explicit multi-path load + option overrides for flat layouts
+    val flat = spark.read.format("h5ad")
+      .option("dataset", "dsX").option("modality", "m1")
+      .load(s"$root/uuid-A/cell_by_bin.h5ad", s"$root/uuid-B/cell_by_gene.h5ad")
+    assert(flat.select("dataset").distinct().as[String].collect().toSeq === Seq("dsX"))
+    assert(flat.count() === 4)
+  }
+
   test("chunked + deflate datasets (compression='gzip' layout) read back exactly") {
     // 10 cells × 4 features, 23 nonzeros, 8-element chunks → multi-chunk
     // with a padded tail chunk, plus a single-chunk indptr
