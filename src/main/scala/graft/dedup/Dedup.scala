@@ -468,8 +468,39 @@ object Dedup {
         t(s, d, "embeddings")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), col("embedding")))
-        .limit(20))
+        .limit(20)),
+
+    // Benchmark decontamination (the GPT-3/Llama pretraining step): flag
+    // training documents that share any word 8-gram with a held-out
+    // evaluation set — stand-in here: doc_id % 97 == 0 plays the eval
+    // suite. Scale shape: eval suites are MBs against TBs of training
+    // text, so the benchmark gram set is BROADCAST and the training-side
+    // explode never shuffles until the per-doc count (map-side partial).
+    // wordKShingles array_distincts per doc, so the plain count after the
+    // join IS the distinct contaminated-gram count. Production uses
+    // 8-13-grams; 3 here because this corpus is word-permutation text
+    // (longer shared grams are vanishingly rare by construction).
+    "dedup_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      contamination(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), k = 3)
+        .orderBy("doc_id")
+    })
   )
+
+  /** Per-training-doc count of distinct word k-grams that also occur in
+    * the benchmark corpus. Benchmark gram set broadcasts (eval suites are
+    * tiny next to training corpora); the training explode stays map-side
+    * until the per-doc count's partial aggregation. */
+  def contamination(train: DataFrame, bench: DataFrame, k: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordKShingles(col("text"), k)).as("gram")).distinct()
+    train
+      .select(col("doc_id"), explode(wordKShingles(col("text"), k)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -548,6 +579,20 @@ object Dedup {
         |                           CAST(b.embedding AS DOUBLE[])))), 6)
         |    AS cos_sim
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-        |ORDER BY id1""".stripMargin
+        |ORDER BY id1""".stripMargin,
+    "dedup_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 2, 1)),
+        |    i -> CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+        |         ELSE array_to_string(w, ' ') END))) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_contaminated
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -180,6 +180,33 @@ object TextOps {
           U.lng(size(col("col"))).as("n_toks"),
           element_at(col("col"), 1).as("first_tok"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    // per document, the fraction of word 2-grams that are duplicates of
+    // an earlier occurrence and the fraction taken by the single most
+    // frequent 2-gram. Positional (NOT distinct) grams: explode, then two
+    // hash aggregations — both with map-side partials, so the shuffle
+    // carries (doc, gram, partial-count), never the exploded stream.
+    // Small-integer ratios → the engine-stable round6 spelling both sides.
+    "text_repetition_stats" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      val g2 = when(size(words) >= 2,
+        transform(sequence(lit(0), size(words) - 2),
+          i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+        .otherwise(typedlit(Seq.empty[String]))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(g2).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(U.lng(sum(col("n"))).as("total"),
+          count(lit(1)).as("n_distinct"), max(col("n")).as("maxn"))
+        .select(col("doc_id"),
+          U.round6(lit(1.0) - col("n_distinct") / col("total").cast("double"))
+            .as("dup_2gram_frac"),
+          U.round6(col("maxn") / col("total").cast("double"))
+            .as("top_2gram_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -286,6 +313,22 @@ object TextOps {
         |SELECT doc_id, i AS chunk_idx,
         |  CAST(len(toks[i*12+1 : i*12+16]) AS BIGINT) AS n_toks,
         |  toks[i*12+1] AS first_tok
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(w[i : i+1], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) u),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+        |        count(*) AS n_distinct, max(n) AS maxn
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id,
+        |  round((1 - n_distinct / CAST(total AS DOUBLE)) * 1000000) / 1000000
+        |    AS dup_2gram_frac,
+        |  round((maxn / CAST(total AS DOUBLE)) * 1000000) / 1000000
+        |    AS top_2gram_frac
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }
