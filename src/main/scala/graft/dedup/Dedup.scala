@@ -163,7 +163,10 @@ object Dedup {
       .join(keeperOf.filter(col("doc_id") === col("keeper"))
         .select(col("doc_id").as("id")), col("doc_id") === col("id"))
       .select(col("id"), wordSet(col("text")).as("w"))
-      .withColumn("block", (col("id") / blockSize).cast("long"))
+      // integer `div`, not `/`: double division + cast truncation can
+      // mis-assign ids above 2^53 to the wrong block, breaking the
+      // carry-before-block sort invariant
+      .withColumn("block", expr(s"id div ${blockSize}L"))
     // Block summaries: one row per non-empty block. The global lag over
     // this TINY table links each block to its predecessor's last row.
     val carry = base.groupBy("block")

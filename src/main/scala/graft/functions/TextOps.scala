@@ -91,9 +91,14 @@ object TextOps {
       val rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
         "src3" -> 0.25)
       val defaultRate = 0.1
-      def hex(r: Double): String =
-        if (r >= 1.0) "zzzz" // lexicographically above every hex digest
-        else f"${math.max(0, math.round(r * 65536)).toInt}%04x"
+      def hex(r: Double): String = {
+        // round(r*65536) = 65536 for r in (~0.99996, 1.0); %04x would emit
+        // 5 chars ("10000") which sorts BELOW "ffff" and inverts the keep
+        // rate — treat the overflow like r >= 1.0
+        val q = math.round(r * 65536)
+        if (r >= 1.0 || q >= 65536L) "zzzz" // above every hex digest
+        else f"${math.max(0L, q).toInt}%04x"
+      }
       val thr = rates.foldLeft(lit(hex(defaultRate))) { case (acc, (src, r)) =>
         when(col("source") === src, lit(hex(r))).otherwise(acc)
       }

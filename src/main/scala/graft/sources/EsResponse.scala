@@ -106,18 +106,27 @@ object EsResponse {
     * datasets), not fact-table scans. */
   def pagedDatasets(spark: SparkSession, pagePaths: Seq[String]): DataFrame = {
     require(pagePaths.nonEmpty, "no page snapshots")
+    // cache the parsed snapshot: three actions read it (totals check,
+    // completeness count, final pivot) and multiLine JSON parse is the
+    // dominant cost — uncached, validation would double ingest time
     val raw = spark.read.schema(schema).option("multiLine", "true")
-      .json(pagePaths: _*)
-    val totals = raw.select(col("hits.total.value").as("t"))
-      .na.drop().distinct().collect().map(_.getLong(0)).sorted
-    require(totals.length == 1,
-      s"page snapshots disagree on hits.total (${totals.mkString(", ")}) — " +
-        "pages were fetched across an index change; re-fetch the set")
-    val hits = extractHits(raw).dropDuplicates("uuid")
-    val n = hits.count()
-    require(n == totals.head,
-      s"paged snapshot incomplete: $n distinct datasets vs " +
-        s"hits.total ${totals.head} — a page is missing or truncated")
-    pivotDonorConcepts(hits)
+      .json(pagePaths: _*).cache()
+    try {
+      val totals = raw.select(col("hits.total.value").as("t"))
+        .na.drop().distinct().collect().map(_.getLong(0)).sorted
+      require(totals.length == 1,
+        s"page snapshots disagree on hits.total (${totals.mkString(", ")}) — " +
+          "pages were fetched across an index change; re-fetch the set")
+      val hits = extractHits(raw).dropDuplicates("uuid")
+      val n = hits.count()
+      require(n == totals.head,
+        s"paged snapshot incomplete: $n distinct datasets vs " +
+          s"hits.total ${totals.head} — a page is missing or truncated")
+      // materialize the dim-sized pivot off the cached parse so the parse
+      // cache can be dropped before returning the (lazy) result
+      val out = pivotDonorConcepts(hits).cache()
+      out.count()
+      out
+    } finally raw.unpersist()
   }
 }

@@ -53,9 +53,13 @@ object H5adDataSource {
       options: CaseInsensitiveStringMap): Seq[H5ad.H5adInput] = {
     val raw: Seq[String] =
       Option(options.get("paths")).map { js =>
-        // DataFrameReader encodes multiple load() paths as a JSON array
-        js.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        // DataFrameReader encodes multiple load() paths as a JSON array —
+        // parse it with a real JSON parser (Jackson ships with Spark) so
+        // paths containing ',' or '"' survive intact
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        require(node != null && node.isArray,
+          s"h5ad source: 'paths' option is not a JSON array: $js")
+        (0 until node.size()).map(i => node.get(i).asText()).toSeq
           .filter(_.nonEmpty)
       }.getOrElse(Option(options.get("path")).toSeq)
     require(raw.nonEmpty, "h5ad source needs load(path, ...)")

@@ -270,13 +270,22 @@ object MiniHdf5 {
       * B-tree walk + inflate for `compression='gzip'` files). */
     private def dataBytes(dsPath: String, m: DatasetMeta): java.nio.ByteBuffer = {
       val n = count(m)
-      val total = n * m.elemSize
+      // byte count in Long: n near Int.MaxValue (allowed by count()) would
+      // overflow Int multiplication into a negative or wrapped size
+      val totalL = n.toLong * m.elemSize
+      require(totalL <= Int.MaxValue,
+        s"'$dsPath': ${totalL} B exceeds the 2 GiB single-array " +
+          "materialization limit of this reader")
+      val total = totalL.toInt
       val out = new Array[Byte](total)
       m.layout match {
         case Contiguous(addr) =>
           val d = buf.duplicate(); d.position(addr.toInt); d.get(out)
         case Chunked(btree, chunkElems, inflate) =>
-          val chunkBytes = (chunkElems * m.elemSize).toInt
+          val chunkBytesL = chunkElems * m.elemSize
+          require(chunkBytesL <= Int.MaxValue,
+            s"'$dsPath': chunk of ${chunkBytesL} B exceeds the 2 GiB limit")
+          val chunkBytes = chunkBytesL.toInt
           // chunk B-tree (type 1) key: chunk size(4), filter mask(4),
           // element offsets (8 × (rank+1)); child = chunk address
           val keySize = 8 + 8 * 2
