@@ -43,6 +43,11 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "1m")
+      // Post-shuffle coalesce target, same story as maxPartitionBytes:
+      // the default 64 MB folds every test-SF shuffle (tens of MB) into
+      // 1-3 tasks and serializes the stage on 32 cores; production keeps
+      // the default (real shuffles are GBs — DESIGN_SCALE.md).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

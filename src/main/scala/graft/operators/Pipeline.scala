@@ -52,28 +52,26 @@ object Pipeline {
 
     // mu.pp.intersect_obs: cells present in ALL modalities. Partial-
     // aggregated key set + left-semi join: the aggregation shuffles only
-    // the narrow (cell_id, modality) pairs (map-side partial agg
-    // collapses each cell's rows before the exchange), and the join side
-    // is a bare key column — AQE broadcasts it at small scale and falls
-    // back to a co-partitioned sort-merge semi at 100 TB. The window
-    // formulation this replaces (`collect_set(modality) over cell_id`)
-    // shuffled AND sorted the full exploded fact and buffered a set per
-    // key — 2.2× slower at sf0.1 and strictly worse at scale.
+    // one narrow row per cell (map-side partial agg collapses each cell's
+    // lines before the exchange), and the join side is a bare key column —
+    // AQE broadcasts it at small scale and falls back to a co-partitioned
+    // sort-merge semi at 100 TB. The window formulation this replaces
+    // (`collect_set(modality) over cell_id`) shuffled AND sorted the full
+    // exploded fact and buffered a set per key — 2.2× slower at sf0.1 and
+    // strictly worse at scale.
     //
-    // The key branch explodes a membership-only modality array (name +
-    // keep flag) so its scan decodes just the key/predicate columns —
-    // nested column pruning can't shrink the full fact struct through
-    // the explode, so prune it by construction.
-    val nModalities = mods.size
-    val keyModalities = array(mods.map { case (n, keep, _, _) =>
-      struct(lit(n).as("modality"), keep.as("keep"))
-    }: _*)
-    val qualified = li.select(cellId.as("cell_id"),
-      explode(filter(keyModalities, m => m.getField("keep"))
-        .getField("modality")).as("modality"))
-      .groupBy("cell_id")
-      .agg(countDistinct(col("modality")).as("__nmod"))
-      .filter(col("__nmod") === nModalities)
+    // Membership per modality is a static predicate list, so presence is
+    // one boolean aggregate per modality — max(keep) — over the raw
+    // lines: no Generate, no countDistinct expansion, and the scan
+    // decodes only the key/predicate columns. The partial state is
+    // (cell_id, int × nModalities), the narrowest possible.
+    val qualified = li
+      .groupBy(cellId.as("cell_id"))
+      .agg(max(when(mods.head._2, 1).otherwise(0)).as("__m0"),
+        mods.tail.zipWithIndex.map { case ((_, keep, _, _), i) =>
+          max(when(keep, 1).otherwise(0)).as(s"__m${i + 1}")
+        }: _*)
+      .filter(mods.indices.map(i => col(s"__m$i") === 1).reduce(_ && _))
       .select("cell_id")
     val fact = fact0.join(qualified, Seq("cell_id"), "left_semi")
 
