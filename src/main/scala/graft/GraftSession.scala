@@ -48,6 +48,12 @@ object GraftSession {
       // 1-3 tasks and serializes the stage on 32 cores; production keeps
       // the default (real shuffles are GBs — DESIGN_SCALE.md).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // Runtime bloom-filter join pruning triggers only when the probe
+      // side scan is ≥ 10 GB by default — correct production gate, but
+      // it makes the capability invisible at test SF; the harness lowers
+      // the gate so the injected filter is exercised and plan-asserted
+      // (operators.Pruning.bloomJoin).
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

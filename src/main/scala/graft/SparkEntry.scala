@@ -23,6 +23,7 @@ object SparkEntry {
       operators.SetOps.queries ++
       operators.SqlSurface.queries ++
       operators.Pipeline.queries ++
+      operators.Pruning.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       operators.SetOps.oracles ++
       operators.SqlSurface.oracles ++
       operators.Pipeline.oracles ++
+      operators.Pruning.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       dedup.Dedup.oracles ++

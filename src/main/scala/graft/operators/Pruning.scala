@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{Tables, U}
+import graft.sources.PartitionedData
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan-pruning operators — the three mechanisms that decide how much of
+  * a 100 TB table a query actually reads. Correctness is oracled against
+  * the flat table; the scale property (directories/rows skipped) is
+  * pinned by PlanSpec assertions on PartitionFilters /
+  * dynamicpruningexpression / bloom_filter_might_contain.
+  *
+  *  - static partition pruning: literal predicate on a partition column
+  *    resolves at PLANNING time — pruned directories are never listed,
+  *    opened, or read (3 of 150 dirs here);
+  *  - dynamic partition pruning (DPP): the selective filter lives on the
+  *    dim side, so the fact partitions to read are only known at RUN
+  *    time — Catalyst reuses the dim broadcast as a partition filter on
+  *    the fact scan (2 of 5 type directories here);
+  *  - runtime bloom-filter pruning: for shuffle joins on NON-partition
+  *    keys no directory can be skipped, so a bloom filter built from the
+  *    selective side's join keys drops non-matching fact rows BEFORE the
+  *    exchange — the shuffle shrinks by the join's selectivity.
+  */
+object Pruning {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Static pruning: 3 of 30 `dt` directories under each event_type. */
+  def partitionPrunedScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(PartitionedData.eventsByTypeDate(s, d))
+      .filter(col("dt").between(lit("2024-01-10"), lit("2024-01-12")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), U.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** DPP: the `event_type` partitions to read depend on a dim-side
+    * predicate; the broadcast dim doubles as a runtime partition filter.
+    * The dim is the distinct key set with a derived attribute — stand-in
+    * for the reference's organ/assay code dimensions (SURVEY §2
+    * join_lookup_code) at partition-key position. */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = s.read.parquet(PartitionedData.eventsByTypeDate(s, d))
+    val dim = t(s, d, "events").select("event_type").distinct()
+      .withColumn("cat", substring(col("event_type"), 1, 1))
+    fact.join(broadcast(dim.filter(col("cat").isin("p", "s"))), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), U.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Bloom-pruned join on the non-partition orderkey: lineitem is
+    * pre-aggregated per order (a shuffle) before joining the urgent
+    * orders, and Catalyst's InjectRuntimeFilter plants a bloom filter
+    * built from the selective orders side UNDER that aggregation — the
+    * fact rows that can't join are dropped map-side, before the
+    * aggregation exchange, shrinking the shuffle by the join's
+    * selectivity (~20% of orders are urgent). The rule only fires where
+    * it pays: a filter-application side with a shuffle to protect.
+    * `isLikelySelective` requires the creation-side predicate to be a
+    * literal comparison over the scan, which `o_orderpriority = lit` is. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val perOrder = t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), sum(U.dec4(col("l_quantity"))).as("s"))
+    perOrder
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(U.lng(sum(col("n"))).as("n_lines"), U.dbl(sum(col("s"))).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partition_prune" -> ((s, d) => partitionPrunedScan(s, d)),
+    "join_dpp_prune" -> ((s, d) => dppJoin(s, d)),
+    "join_bloom_runtime" -> ((s, d) => bloomJoin(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_partition_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "join_dpp_prune" ->
+      """WITH dim AS (SELECT DISTINCT event_type FROM events)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN (SELECT event_type FROM dim
+        |      WHERE substr(event_type, 1, 1) IN ('p', 's')) f
+        |  USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "join_bloom_runtime" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -165,6 +165,31 @@ class PlanSpec extends SparkSpec {
       "expected partitioned block windows in the linkage plan")
   }
 
+  test("static partition pruning: literal dt predicate reaches PartitionFilters") {
+    val p = formatted("scan_partition_prune")
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    assert(p.contains("(dt"), s"dt predicate not in partition filters:\n$p")
+    // the dt bounds must NOT degrade to a post-scan Filter on data rows
+    assert(!p.contains("PushedFilters: [IsNotNull(dt)"),
+      s"dt treated as data column, not partition column:\n$p")
+  }
+
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    val p = formatted("join_dpp_prune")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast for DPP reuse:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact side below its aggregation shuffle") {
+    val df = SparkEntry.queries("join_bloom_runtime")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"no injected bloom filter on the fact side:\n$opt")
+    assert(opt.contains("bloom_filter_agg"),
+      s"no bloom creation aggregate on the selective side:\n$opt")
+  }
+
   test("whole-stage codegen covers the hot relational queries") {
     // AQE only materializes the final (codegen-annotated) plan after an
     // action, so execute first and inspect the finalized plan.
