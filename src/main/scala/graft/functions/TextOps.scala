@@ -190,26 +190,24 @@ object TextOps {
     // Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
     // per document, the fraction of word 2-grams that are duplicates of
     // an earlier occurrence and the fraction taken by the single most
-    // frequent 2-gram. Positional (NOT distinct) grams: explode, then two
-    // hash aggregations — both with map-side partials, so the shuffle
-    // carries (doc, gram, partial-count), never the exploded stream.
+    // frequent 2-gram. Repetition is a PER-DOCUMENT reduction, so it is
+    // computed where the document already is: the fused `gram_stats`
+    // expression (plans.GramStats) counts positional grams in one pass
+    // inside the scan — map-only, no Generate, no gram-string shuffle
+    // (the explode + two-level groupBy formulation this replaces
+    // shuffled every gram of the corpus just to count within doc_id).
     // Small-integer ratios → the engine-stable round6 spelling both sides.
     "text_repetition_stats" -> ((s, d) => {
       val words = split(lower(col("text")), " ")
-      val g2 = when(size(words) >= 2,
-        transform(sequence(lit(0), size(words) - 2),
-          i => concat_ws(" ", slice(words, i + 1, lit(2)))))
-        .otherwise(typedlit(Seq.empty[String]))
       t(s, d, "documents")
-        .select(col("doc_id"), explode(g2).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(U.lng(sum(col("n"))).as("total"),
-          count(lit(1)).as("n_distinct"), max(col("n")).as("maxn"))
         .select(col("doc_id"),
-          U.round6(lit(1.0) - col("n_distinct") / col("total").cast("double"))
+          call_function("gram_stats", words, lit(2)).as("g"))
+        .filter(col("g").isNotNull) // < 2 words → no grams (explode-drop analog)
+        .select(col("doc_id"),
+          U.round6(lit(1.0) -
+            col("g.n_distinct") / col("g.total").cast("double"))
             .as("dup_2gram_frac"),
-          U.round6(col("maxn") / col("total").cast("double"))
+          U.round6(col("g.max_n") / col("g.total").cast("double"))
             .as("top_2gram_frac"))
         .orderBy("doc_id")
     })

@@ -94,6 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NearestCentroid.info, NearestCentroid.builder))
     ext.injectFunction((FunctionIdentifier("zorder64"),
       ZOrder64.info, ZOrder64.builder))
+    ext.injectFunction((FunctionIdentifier("gram_stats"),
+      GramStats.info, GramStats.builder))
     VectorExprs.entries.foreach { case (n, c, b) =>
       ext.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo(c.getName, n), b))

@@ -89,4 +89,33 @@ class TextOpsSpec extends SparkSpec {
     val fp = TextOps.queries("text_fingerprint")(spark, sfDir)
     assert(fp.select(countDistinct($"fingerprint")).as[Long].head() === 500)
   }
+
+  test("gram_stats matches the explode+groupBy relational formulation") {
+    // fixture exercises: repeats ("a b" ×3), all-distinct, single-word
+    // (dropped), empty string (one word after split → dropped), and a
+    // doc that is one repeated word ("x x x x" → max 2-gram frac 1.0)
+    val docs = Seq(
+      (1L, "a b a b a b c"), (2L, "p q r s"), (3L, "solo"),
+      (4L, ""), (5L, "x x x x"), (6L, "A a a A")).toDF("doc_id", "text")
+    val words = split(lower(col("text")), " ")
+    val fused = docs
+      .select(col("doc_id"), call_function("gram_stats", words, lit(2)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g.total"), col("g.n_distinct"), col("g.max_n"))
+    val g2 = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val relational = docs
+      .select(col("doc_id"), explode(g2).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("max_n"))
+    val f = fused.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val r = relational.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(f === r)
+    assert(f.map(_._1).toSeq === Seq(1L, 2L, 5L, 6L)) // 3 and 4 dropped
+    assert(f.find(_._1 == 5L).get === ((5L, 3L, 1L, 3L))) // "x x" ×3
+  }
 }
