@@ -78,6 +78,45 @@ object SqlSurface {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // TPC-H Q7 shape: self-joined dim (nation × nation) with a disjunctive
+  // pair predicate + derived year — tests that the planner keeps BOTH
+  // nation copies broadcast and pushes the date band into the fact scan.
+  // EXTRACT year is cast to BIGINT (Spark INT vs DuckDB BIGINT schemas).
+  private val Q7 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // TPC-H Q10 shape: returned-item revenue ranking — date-banded fact,
+  // two dim joins, grouped revenue, deterministic top-20 (custkey
+  // tiebreaker; the classic text under-specifies ties).
+  private val Q10 =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= DATE '1996-10-01'
+      |  AND o_orderdate < DATE '1997-01-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // Correlated LATERAL subquery: greatest-n-per-group without a window
   // function — Spark decorrelates the per-customer ordered LIMIT; DuckDB
   // executes the same text natively.
@@ -95,6 +134,8 @@ object SqlSurface {
     "sql_q1_pricing" -> ((s, d) => withViews(s, d)(Q1)),
     "sql_q3_shipping" -> ((s, d) => withViews(s, d)(Q3)),
     "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(Q5)),
+    "sql_q7_volume_shipping" -> ((s, d) => withViews(s, d)(Q7)),
+    "sql_q10_returned_items" -> ((s, d) => withViews(s, d)(Q10)),
 
     // Native extension functions from SQL (poly_hash64 / simhash64 /
     // minhash_sig are injected by GraftExtensions — no registration call
@@ -119,6 +160,8 @@ object SqlSurface {
     "sql_lateral_topn" -> LateralTopN,
     "sql_q1_pricing" -> Q1,
     "sql_q3_shipping" -> Q3,
-    "sql_q5_local_supplier" -> Q5
+    "sql_q5_local_supplier" -> Q5,
+    "sql_q7_volume_shipping" -> Q7,
+    "sql_q10_returned_items" -> Q10
   )
 }

@@ -70,4 +70,65 @@ object ProductSink {
     * modality/dataset. */
   def readProduct(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/fact")
+
+  /** Incremental refresh of ONLY the partitions present in `delta`
+    * (sink_partition_overwrite): dynamic partition-overwrite mode
+    * rewrites the directories the delta touches and leaves every other
+    * partition's files untouched — the idempotent daily-refresh pattern
+    * for a partitioned 100 TB product (re-running a day replaces that
+    * day, never truncates the table, unlike static overwrite which
+    * drops ALL partitions first). Restores the session's previous mode
+    * so a shared session isn't silently left in dynamic mode. */
+  def overwritePartitions(delta: DataFrame, outDir: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = delta.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      delta.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(outDir)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Small-file compaction (sink_compact): rewrite one parquet leaf
+    * directory (a single partition, or an unpartitioned table) into
+    * ~`targetFileBytes` files; partitioned tables compact partition by
+    * partition, so a refresh never rewrites the table.
+    * Long-running incremental pipelines accrete per-batch small files
+    * until open/list/footer overhead dominates the scan; periodic
+    * compaction is table maintenance, not a query. File count is sized
+    * from actual bytes (never a hardcoded N that silently under- or
+    * over-splits at a different scale); `maxRecordsPerFile` stays the
+    * guard against row-dense data. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(): Long = {
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetFiles()
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // atomic-ish swap: rename old out of the way, promote, then clean
+    val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    require(fs.rename(path, old), s"compact: could not stage $dir")
+    require(fs.rename(tmp, path), s"compact: could not promote $tmp")
+    fs.delete(old, true)
+    val after = parquetFiles()
+    (before, after)
+  }
 }

@@ -251,6 +251,46 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(row.getString(4).matches("\\d{4}-\\d{2}-\\d{2} .*"))
   }
 
+  test("dynamic partition overwrite refreshes only the delta's partitions") {
+    val dir = s"$tmp/incr"
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0)).toDF("id", "dt", "v")
+    ProductSink.overwritePartitions(day1, dir, Seq("dt"))
+    // re-run of day 2 with corrected values + a new day 3
+    val delta = Seq((3L, "2024-01-02", 31.0), (4L, "2024-01-03", 40.0))
+      .toDF("id", "dt", "v")
+    ProductSink.overwritePartitions(delta, dir, Seq("dt"))
+    val back = spark.read.parquet(dir)
+      .select($"id", $"dt".cast("string"), $"v").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    // day 1 untouched, day 2 replaced (not appended), day 3 added
+    assert(back.toSeq === Seq((1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 20.0), (3L, "2024-01-02", 31.0),
+      (4L, "2024-01-03", 40.0)))
+    // session conf restored (static is the default)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+  }
+
+  test("compaction folds accreted small files without changing content") {
+    val dir = s"$tmp/compact_me"
+    // simulate 3 incremental appends of 8 files each → 24 small files
+    (1 to 3).foreach { batch =>
+      spark.range((batch - 1) * 100L, batch * 100L)
+        .select($"id", ($"id" * 2).as("v"))
+        .repartition(8)
+        .write.mode("append").parquet(dir)
+    }
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum($"id"), sum($"v"), count(lit(1))).head()
+    val (before, after) = ProductSink.compact(spark, dir,
+      targetFileBytes = 1024L * 1024 * 1024)
+    assert(before === 24L, s"expected 24 pre-compaction files, got $before")
+    assert(after === 1L, s"300 tiny rows must fold into one file, got $after")
+    assert(spark.read.parquet(dir)
+      .agg(sum($"id"), sum($"v"), count(lit(1))).head() === checksumBefore)
+  }
+
   test("filesystem catalog: glob scan, per-file identity, first match") {
     // scan_fs_walk / limit_first_match (bin/concatenate.py:38-45,
     // make_directory.py:11-26): directory-per-dataset layout scanned via
