@@ -221,6 +221,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN over a broadcast query set: every query vector with
+    * `vec_id < nQueries` scores the whole corpus in one scan; per-query
+    * top-k via a rank window over the narrow (qid, vec_id, sim) stream.
+    */
+  def batchTopK(s: SparkSession, d: String, nQueries: Int, k: Int): DataFrame = {
+    graft.plans.VectorExprs.register(s)
+    val W = org.apache.spark.sql.expressions.Window
+    val emb = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+    val queries = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("vd").as("qd"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("vd"), col("qd")), 6).as("cos_sim"))
+      .withColumn("rn", row_number()
+        .over(W.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding preprocessing for similarity pipelines: L2-normalize
     // (cosine becomes a plain dot product downstream) — emitted as
@@ -268,6 +290,12 @@ object Similarity {
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, queryId = 0L, k = 10)),
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
+
+    // Batch k-NN: ONE corpus scan scores every query in a broadcast
+    // batch (per-query sequential scans re-read the corpus B times at
+    // 100 TB — the batch amortizes the scan, and the per-query top-k
+    // window shuffles only the narrow (qid, vec_id, sim) triples).
+    "sim_batch_topk" -> ((s, d) => batchTopK(s, d, nQueries = 8, k = 5)),
     // No oracle (bucketing is engine-defined): recall vs brute force is
     // asserted in SimilaritySpec instead.
     "sim_ann_lsh_topk" -> ((s, d) => annTopK(s, d, queryId = 0L, k = 10))
@@ -310,6 +338,23 @@ object Similarity {
         |      x -> abs(CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))))
         |      AS BIGINT) END AS q_l1
         |FROM m ORDER BY vec_id""".stripMargin,
+    "sim_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qd
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qd) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(q.qd, q.qd))), 6) AS cos_sim
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, cos_sim, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0)
