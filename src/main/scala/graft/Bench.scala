@@ -72,8 +72,12 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }.last
+    // Locale.ROOT formatting: f"" uses the JVM default locale, and a
+    // comma decimal separator would silently break the JSON contract.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qsJson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // sf is numeric when the dir follows the .../sfN.N convention; quote
@@ -82,21 +86,21 @@ object Bench {
     val sf = if (sfRaw.matches("""-?\d+(\.\d+)?""")) sfRaw
       else "\"" + sfRaw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def mkLine(entries: Seq[(String, Double)]): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,""" +
-        f""""n_queries":${results.size},"queries":${qsJson(entries)},"sf":$sf}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,""" +
+        s""""n_queries":${results.size},"queries":${qsJson(entries)},"sf":$sf}"""
     val fullLine = mkLine(results)
     // Persist the full per-query JSON to a file FIRST: stdout goes through
     // the driver's log-tail capture, which keeps only the last ~2000 chars —
     // a file keeps every per-query number on record for round-over-round
     // comparison.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      val out = java.nio.file.Paths.get(outPath)
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     // The stdout line must survive the driver's 2000-char tail capture
     // (every BENCH_r{1..4}.json has parsed:null because the 100+-query map
@@ -105,18 +109,21 @@ object Bench {
     // the slowest queries — the ones perf review actually reads — up to the
     // budget, and point at the file holding the rest.
     val budget = 1800
+    // the pointer names the RESOLVED output file (SPARK_GRAFT_BENCH_OUT
+    // may have redirected it), JSON-escaped
+    val fullPtr = ""","full":"""" +
+      outPath.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
     val line =
       if (fullLine.length <= budget) fullLine
       else {
         val byCost = results.sortBy(-_._2)
         // fixed overhead of the non-queries fields + the "full" pointer
-        val overhead = mkLine(Nil).length + ""","full":"target/bench.json"""".length + 2
-        var used = overhead
+        var used = mkLine(Nil).length + fullPtr.length + 1
         val kept = byCost.takeWhile { case (k, v) =>
           val cost = k.length + 10 // "name":12.345,
           if (used + cost <= budget) { used += cost; true } else false
         }
-        mkLine(kept.sortBy(_._1)).dropRight(1) + ""","full":"target/bench.json"}"""
+        mkLine(kept.sortBy(_._1)).dropRight(1) + fullPtr
       }
     println(line)
     spark.stop()

@@ -68,4 +68,25 @@ object U {
     * (boundary probability ~0) but the helper is always safe for
     * |x| < 2^53 / 1e6. */
   def round6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
+  /** Cheap change-detection signature of a file tree: (name, size, mtime)
+    * folded in walk order. Shared by every derived-artifact memo
+    * (IVF centroids, partitioned layouts) so change-detection semantics
+    * can't drift between them. 0 for a missing path. */
+  def dirSignature(root: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      var acc = 17L
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val sz = if (java.nio.file.Files.isRegularFile(p))
+          java.nio.file.Files.size(p) else 0L
+        val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        acc = ((acc * 31 + p.getFileName.toString.hashCode) * 31 + sz) * 31 + mt
+      }
+      acc
+    } finally stream.close()
+  }
 }

@@ -198,6 +198,7 @@ object TextOps {
     // shuffled every gram of the corpus just to count within doc_id).
     // Small-integer ratios → the engine-stable round6 spelling both sides.
     "text_repetition_stats" -> ((s, d) => {
+      graft.plans.GramStats.register(s) // no-op under GraftExtensions
       val words = split(lower(col("text")), " ")
       t(s, d, "documents")
         .select(col("doc_id"),

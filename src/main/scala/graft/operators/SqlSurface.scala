@@ -82,6 +82,8 @@ object SqlSurface {
   // pair predicate + derived year — tests that the planner keeps BOTH
   // nation copies broadcast and pushes the date band into the fact scan.
   // EXTRACT year is cast to BIGINT (Spark INT vs DuckDB BIGINT schemas).
+  // The NATION_11/NATION_12 pair is non-empty at EVERY test SF including
+  // sf0.001 (19+ rows) so the oracle check is never vacuous empty-vs-empty.
   private val Q7 =
     """SELECT supp_nation, cust_nation, l_year,
       |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -93,8 +95,8 @@ object SqlSurface {
       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
       |    AND c_nationkey = n2.n_nationkey
-      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')
+      |      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
       |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
       |) shipping
       |GROUP BY supp_nation, cust_nation, l_year

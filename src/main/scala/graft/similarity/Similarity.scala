@@ -175,25 +175,10 @@ object Similarity {
 
   def clearIvfCache(): Unit = centroidCache.clear()
 
-  /** Cheap change-detection signature of the embeddings table: hash of
-    * (name, length, mtime) over the path's file tree. */
-  private def tableSignature(d: String): Long = {
-    val root = java.nio.file.Paths.get(d, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(root)) return 0L
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      var acc = 17L
-      val it = stream.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val sz = if (java.nio.file.Files.isRegularFile(p))
-          java.nio.file.Files.size(p) else 0L
-        val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
-        acc = ((acc * 31 + p.getFileName.toString.hashCode) * 31 + sz) * 31 + mt
-      }
-      acc
-    } finally stream.close()
-  }
+  /** Change-detection signature of the embeddings table (shared
+    * [[graft.U.dirSignature]] semantics). */
+  private def tableSignature(d: String): Long =
+    U.dirSignature(java.nio.file.Paths.get(d, "embeddings.parquet"))
 
   def ivfCentroids(s: SparkSession, d: String, k: Int,
       iters: Int = 2): Array[(Int, Array[Double])] =

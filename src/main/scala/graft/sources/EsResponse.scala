@@ -122,11 +122,13 @@ object EsResponse {
       require(n == totals.head,
         s"paged snapshot incomplete: $n distinct datasets vs " +
           s"hits.total ${totals.head} — a page is missing or truncated")
-      // materialize the dim-sized pivot off the cached parse so the parse
-      // cache can be dropped before returning the (lazy) result
-      val out = pivotDonorConcepts(hits).cache()
-      out.count()
-      out
+      // materialize the dim-sized pivot to LOCAL rows off the cached
+      // parse: the caller gets a self-contained DataFrame (≤ one row per
+      // dataset) and nothing stays pinned in the block manager after
+      // this returns
+      val out = pivotDonorConcepts(hits)
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally raw.unpersist()
   }
 }

@@ -28,26 +28,11 @@ object PartitionedData {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
-  /** Cheap change-detection signature: (name, length, mtime) over the
-    * source file tree, so regenerated testdata re-materializes. */
-  private def signature(d: String): Long = {
-    val root = java.nio.file.Paths.get(d, "events.parquet")
-    if (!java.nio.file.Files.exists(root)) return 0L
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      var acc = 17L
-      val it = stream.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        acc = acc * 31 + p.getFileName.toString.hashCode
-        if (java.nio.file.Files.isRegularFile(p)) {
-          acc = acc * 31 + java.nio.file.Files.size(p)
-          acc = acc * 31 + java.nio.file.Files.getLastModifiedTime(p).toMillis
-        }
-      }
-      acc
-    } finally stream.close()
-  }
+  /** Change-detection signature of the source table (shared
+    * [[graft.U.dirSignature]] semantics — regenerated testdata
+    * re-materializes the layout). */
+  private def signature(d: String): Long =
+    graft.U.dirSignature(java.nio.file.Paths.get(d, "events.parquet"))
 
   /** Path of the (event_type, dt)-partitioned events layout, writing it
     * on first use. 5 types × 30 days at test SF → 150 directories; the
@@ -55,11 +40,31 @@ object PartitionedData {
   def eventsByTypeDate(spark: SparkSession, d: String): String = {
     val key = (d, signature(d))
     memo.computeIfAbsent(key, { _ =>
-      val out = java.nio.file.Paths.get(
-        "target", "graft-derived",
-        f"events_by_type_date_${key._2}%016x").toAbsolutePath
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      // the name carries (source-dir hash, content signature): layouts
+      // for DIFFERENT source dirs (sf0.001/0.01/0.1) coexist; only stale
+      // GENERATIONS of the same source dir are replaced
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"events_by_type_date_${dirTag}_"
+      val name = f"$prefix${key._2}%016x"
+      val out = base.resolve(name)
       val done = out.resolve("_SUCCESS")
       if (!java.nio.file.Files.exists(done)) {
+        // stale generations would otherwise accumulate a full events
+        // copy per testdata regeneration — drop same-source siblings
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name)
+                deleteRecursively(p)
+            }
+          } finally s.close()
+        }
         Tables.t(spark, d, "events")
           .withColumn("dt", to_date(col("ts")))
           .write.mode(SaveMode.Overwrite)
@@ -68,5 +73,12 @@ object PartitionedData {
       }
       out.toString
     })
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
   }
 }

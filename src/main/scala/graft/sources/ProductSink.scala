@@ -77,23 +77,18 @@ object ProductSink {
     * partition's files untouched — the idempotent daily-refresh pattern
     * for a partitioned 100 TB product (re-running a day replaces that
     * day, never truncates the table, unlike static overwrite which
-    * drops ALL partitions first). Restores the session's previous mode
-    * so a shared session isn't silently left in dynamic mode. */
+    * drops ALL partitions first). The mode is a PER-WRITE option, never
+    * a session-conf mutation: the conf is read at execution time, so a
+    * set/restore around the write races with concurrent writers on the
+    * same session (a finally-restore from one caller can flip another
+    * caller's still-executing overwrite back to table-truncating static
+    * mode). */
   def overwritePartitions(delta: DataFrame, outDir: String,
-      partitionCols: Seq[String]): Unit = {
-    val spark = delta.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      delta.write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCols: _*)
-        .parquet(outDir)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+      partitionCols: Seq[String]): Unit =
+    delta.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
 
   /** Small-file compaction (sink_compact): rewrite one parquet leaf
     * directory (a single partition, or an unpartitioned table) into
@@ -103,13 +98,27 @@ object ProductSink {
     * until open/list/footer overhead dominates the scan; periodic
     * compaction is table maintenance, not a query. File count is sized
     * from actual bytes (never a hardcoded N that silently under- or
-    * over-splits at a different scale); `maxRecordsPerFile` stays the
-    * guard against row-dense data. Returns (filesBefore, filesAfter).
-    */
+    * over-splits at a different scale). Returns (filesBefore, filesAfter).
+    *
+    * CONTRACT: the caller must exclude concurrent writers on `dir` for
+    * the duration (plain parquet has no transaction log — a batch
+    * appended between the snapshot read and the swap would be lost;
+    * table formats with commit protocols are the concurrent-writer
+    * answer, not this). Crash recovery: the swap is two renames; a crash
+    * between them leaves the full pre-compaction data intact at
+    * `<dir>._compact_old` — rename it back. Old data is deleted only
+    * after the promote rename succeeds. */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    // normalize via Path so a trailing slash can't turn the staging
+    // dirs into children of the directory being swapped
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = path.suffix("._compact_tmp")
+    val old = path.suffix("._compact_old")
+    require(!fs.exists(old),
+      s"compact: $old exists — a previous compaction crashed mid-swap; " +
+        "inspect and rename it back (or delete it) before compacting")
     def parquetFiles(): Long = {
       val it = fs.listFiles(path, true)
       var n = 0L
@@ -119,13 +128,11 @@ object ProductSink {
     val before = parquetFiles()
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
-    spark.read.parquet(dir)
+    spark.read.parquet(path.toString)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // atomic-ish swap: rename old out of the way, promote, then clean
-    val old = new org.apache.hadoop.fs.Path(dir + "._compact_old")
-    require(fs.rename(path, old), s"compact: could not stage $dir")
+    // staged swap: rename old out of the way, promote, then clean
+    require(fs.rename(path, old), s"compact: could not stage $path")
     require(fs.rename(tmp, path), s"compact: could not promote $tmp")
     fs.delete(old, true)
     val after = parquetFiles()
