@@ -115,6 +115,21 @@ object Joins {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // match null keys — the join you need when the key is itself derived
+    // and can legitimately be null (here: a sentinel value nulled out).
+    // <=> is still an EQUI-join to Spark: it hashes on the key and the
+    // dim side broadcasts — not a nested-loop fallback.
+    "join_null_safe" -> ((s, d) => {
+      val k = nullif(col("event_type"), lit("error"))
+      val a = t(s, d, "events").select(k.as("k"), col("event_id"))
+      val dim = t(s, d, "events").select(k.as("k")).distinct()
+        .withColumn("tag", coalesce(col("k"), lit("unknown")))
+      a.join(broadcast(dim), a("k") <=> dim("k"))
+        .groupBy(dim("tag").as("tag")).agg(count(lit(1)).as("n"))
+        .orderBy("tag")
+    }),
+
     // theta/band join against a generated bands dim — broadcast nested
     // loop on a tiny build side, never a full cartesian.
     "join_theta_band" -> ((s, d) => {
@@ -303,6 +318,14 @@ object Joins {
       """SELECT r_regionkey, r_name, n_nationkey
         |FROM region CROSS JOIN (SELECT n_nationkey FROM nation)
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (SELECT nullif(event_type, 'error') AS k, event_id
+        |           FROM events),
+        |     dim AS (SELECT DISTINCT nullif(event_type, 'error') AS k
+        |             FROM events)
+        |SELECT coalesce(dim.k, 'unknown') AS tag, count(*) AS n
+        |FROM a JOIN dim ON a.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY 1 ORDER BY tag""".stripMargin,
     "join_full_outer" ->
       """WITH cn AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
         |     sn AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)

@@ -190,6 +190,31 @@ class PlanSpec extends SparkSpec {
       s"no bloom creation aggregate on the selective side:\n$opt")
   }
 
+  test("suite-wide plan hygiene: no cartesian/nested-loop joins outside the whitelist") {
+    // The nested-loop whitelist is every query whose non-equi or cross
+    // join is against a BOUNDED broadcast side by construction:
+    //   filter_scalar_subquery — 1-row aggregate scalar
+    //   join_cross_dims        — dims-only cross (|region| × |nation|)
+    //   join_salted_skew       — salt-range replication (≤ splits rows)
+    //   join_theta_band        — fixed band table (a handful of rows)
+    //   sim_batch_topk         — broadcast query batch (nQueries rows)
+    // Anything NEW that plans a CartesianProduct or an unlisted
+    // BroadcastNestedLoopJoin is a scale bug, caught here before it
+    // ships — a 100 TB fact on either side of one of those is a outage.
+    val nlWhitelist = Set("filter_scalar_subquery", "join_cross_dims",
+      "join_salted_skew", "join_theta_band", "sim_batch_topk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") && !nlWhitelist(name)
+        if (cart || bnlj)
+          Some(s"$name: cartesian=$cart unlistedBNLJ=$bnlj")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the hot relational queries") {
     // AQE only materializes the final (codegen-annotated) plan after an
     // action, so execute first and inspect the finalized plan.
