@@ -32,14 +32,13 @@ object Dedup {
     * `wordKShingles` for positional n-grams). */
   def wordSet(text: Column): Column = array_distinct(split(lower(text), " "))
 
-  /** Positional k-word shingles (n-gram Jaccard flavor). */
-  def wordKShingles(text: Column, k: Int): Column = {
-    val words = split(lower(text), " ")
-    when(size(words) >= k,
-      array_distinct(transform(sequence(lit(0), size(words) - k),
-        i => array_join(slice(words, i + 1, lit(k)), " "))))
-      .otherwise(array(array_join(words, " ")))
-  }
+  /** Positional k-word shingles (n-gram Jaccard flavor) — the fused
+    * codegen expression (plans.WordKGrams); bit-identical to the HOF
+    * composition `array_distinct(transform(sequence, i -> array_join(
+    * slice(words, i+1, k))))` with the `< k words → one gram` fallback,
+    * which evaluated interpreted (parity pinned in DedupSpec). */
+  def wordKShingles(text: Column, k: Int): Column =
+    call_function("word_kgrams", split(lower(text), " "), lit(k))
 
   /** K minhashes of a shingle-set column: h_j = min over shingles of
     * xxhash64(shingle, j). Compact HOF form — correct everywhere, but
@@ -383,6 +382,7 @@ object Dedup {
     // No oracle: hash-defined; shingling semantics tested in DedupSpec.
     "dedup_minhash_kshingle" -> ((s, d) => {
       graft.plans.MinHashSig.register(s)
+      graft.plans.WordKGrams.register(s)
       t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -421,6 +421,7 @@ object Dedup {
     // shingles across many documents mark templated text). One explode +
     // one partial+final count; top-k via TakeOrderedAndProject.
     "dedup_repeated_ngrams" -> ((s, d) => {
+      graft.plans.WordKGrams.register(s)
       val docs = t(s, d, "documents")
       docs.select(col("doc_id"),
         // wordKShingles lowercases internally
@@ -484,6 +485,7 @@ object Dedup {
     // 8-13-grams; 3 here because this corpus is word-permutation text
     // (longer shared grams are vanishingly rare by construction).
     "dedup_contamination" -> ((s, d) => {
+      graft.plans.WordKGrams.register(s)
       val docs = t(s, d, "documents")
       contamination(docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), k = 3)

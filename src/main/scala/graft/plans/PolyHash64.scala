@@ -96,6 +96,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ZOrder64.info, ZOrder64.builder))
     ext.injectFunction((FunctionIdentifier("gram_stats"),
       GramStats.info, GramStats.builder))
+    ext.injectFunction((FunctionIdentifier("word_kgrams"),
+      WordKGrams.info, WordKGrams.builder))
     VectorExprs.entries.foreach { case (n, c, b) =>
       ext.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo(c.getName, n), b))

@@ -66,6 +66,27 @@ class DedupSpec extends SparkSpec {
     assert(sh(2L) === Seq("a b"))
   }
 
+  test("fused word_kgrams matches the HOF shingling exactly, incl. order") {
+    // repeats (dedup order matters), short doc, exact-k doc, empty doc,
+    // doubled spaces (empty tokens), uppercase (lowered upstream)
+    val df = Seq((1L, "a b a b a b c"), (2L, "x"), (3L, "p q r"),
+      (4L, ""), (5L, "A  B a b"), (6L, "w w w w w")).toDF("doc_id", "text")
+    def hof(text: org.apache.spark.sql.Column, k: Int) = {
+      val words = split(lower(text), " ")
+      when(size(words) >= k,
+        array_distinct(transform(sequence(lit(0), size(words) - k),
+          i => array_join(slice(words, i + 1, lit(k)), " "))))
+        .otherwise(array(array_join(words, " ")))
+    }
+    for (k <- Seq(1, 2, 3, 5, 9)) {
+      val fused = df.select($"doc_id", Dedup.wordKShingles($"text", k).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      val ref = df.select($"doc_id", hof($"text", k).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(fused === ref, s"k=$k")
+    }
+  }
+
   test("simhashTable (codegen path) matches HOF simhash64 exactly") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
     val viaHof = docs.select($"doc_id",
