@@ -119,7 +119,29 @@ object Multimodal {
     "multimodal_chunks" -> ((s, d) =>
       sampleChunks(mediaTable(s, d), chunk = 32, stride = 4)
         .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Resize planning: fit-within-224×224 target dims (downscale only,
+    // aspect preserved) + output byte estimate. The DIMENSION math is the
+    // real, decoder-independent part — it drives batch sizing and memory
+    // planning at scale; the pixel transform itself sits behind the same
+    // stub boundary as decode. All per-row double arithmetic → oracle-
+    // checkable cross-engine.
+    "multimodal_resize" -> ((s, d) => {
+      val m = mediaTable(s, d)
+      val gw = greatest(col("width"), lit(1)).cast("double") // 0-width guard
+      val h = col("height").cast("double")
+      val scale = least(lit(1.0), least(lit(224.0) / gw, lit(224.0) / h))
+      val outW = greatest(lit(1L), floor(gw * scale))
+      val outH = greatest(lit(1L), floor(h * scale))
+      m.select(col("doc_id"), col("media_type"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        outW.as("out_w"), outH.as("out_h"),
+        floor(length(col("payload")).cast("double") *
+          (outW * outH).cast("double") / (gw * h)).as("est_bytes"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +158,31 @@ object Multimodal {
     "multimodal_chunks" ->
       """SELECT doc_id,
         |  1 + CAST(floor((strlen(text) - 1) / 128.0) AS BIGINT) AS n_chunks
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
+        |         ELSE 'audio/fake' END AS media_type,
+        |    n_chars % 640 AS width, 480 AS height,
+        |    strlen(text) AS byte_len
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(GREATEST(width, 1) AS DOUBLE) AS gw,
+        |    CAST(height AS DOUBLE) AS gh,
+        |    LEAST(1.0, LEAST(224.0 / CAST(GREATEST(width, 1) AS DOUBLE),
+        |                     224.0 / CAST(height AS DOUBLE))) AS scale
+        |  FROM m),
+        |o AS (
+        |  SELECT *, GREATEST(1, CAST(floor(gw * scale) AS BIGINT)) AS out_w,
+        |    GREATEST(1, CAST(floor(gh * scale) AS BIGINT)) AS out_h
+        |  FROM c)
+        |SELECT doc_id, media_type,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  out_w, out_h,
+        |  CAST(floor(CAST(byte_len AS DOUBLE) *
+        |    CAST(out_w * out_h AS DOUBLE) / (gw * gh)) AS BIGINT)
+        |    AS est_bytes
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }
