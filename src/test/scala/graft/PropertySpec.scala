@@ -137,4 +137,54 @@ class PropertySpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(back === rows.toSet)
   }
+
+  // random "documents": 0-14 words drawn from a tiny vocabulary so
+  // repeats and shared grams are frequent; single-space joined (the
+  // tokenizer contract of both expressions)
+  private val randomDoc: Gen[String] = for {
+    n <- Gen.choose(0, 14)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd", "e"))
+  } yield ws.mkString(" ")
+
+  test("word_kgrams equals the HOF shingling on random docs and k") {
+    check(Gen.zip(Gen.listOfN(8, randomDoc), Gen.choose(1, 6)), n = 15) {
+      case (docs, k) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val words = split(lower($"text"), " ")
+        val hof = when(size(words) >= k,
+          array_distinct(transform(sequence(lit(0), size(words) - k),
+            i => array_join(slice(words, i + 1, lit(k)), " "))))
+          .otherwise(array(array_join(words, " ")))
+        val got = df.select($"doc_id", Dedup.wordKShingles($"text", k).as("s"))
+          .as[(Long, Seq[String])].collect().toMap
+        val want = df.select($"doc_id", hof.as("s"))
+          .as[(Long, Seq[String])].collect().toMap
+        assert(got === want, s"k=$k docs=$docs")
+    }
+  }
+
+  test("gram_stats invariants on random docs: totals, bounds, max") {
+    check(Gen.listOfN(8, randomDoc), n = 15) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val words = split(lower($"text"), " ")
+      val out = df.select($"doc_id", size(words).as("nw"),
+          call_function("gram_stats", words, lit(2)).as("g"))
+        .select($"doc_id", $"nw", $"g.total", $"g.n_distinct", $"g.max_n")
+        .as[(Long, Int, Option[Long], Option[Long], Option[Long])]
+        .collect()
+      out.foreach { case (id, nw, total, distinct, maxN) =>
+        if (nw < 2) assert(total.isEmpty, s"doc $id: short doc must be null")
+        else {
+          // split("") = [""] so nw >= 1 always; grams = nw - 1
+          assert(total.get === (nw - 1).toLong, s"doc $id")
+          assert(distinct.get >= 1L && distinct.get <= total.get, s"doc $id")
+          assert(maxN.get >= 1L && maxN.get <= total.get, s"doc $id")
+          // pigeonhole: distinct * max >= total
+          assert(distinct.get * maxN.get >= total.get, s"doc $id")
+        }
+      }
+    }
+  }
 }
