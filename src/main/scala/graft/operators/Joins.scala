@@ -115,6 +115,28 @@ object Joins {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // Entity-resolution blocking join: fuzzy string matching at scale is
+    // NEVER an all-pairs edit-distance — candidate pairs come from an
+    // EQUI-join on a cheap blocking key (here: name minus its last char;
+    // production stacks several complementary blocking passes), then the
+    // expensive verifier (levenshtein) runs only within blocks. Same
+    // candidates-then-verify shape as the MinHash LSH path, for strings.
+    "join_blocked_levenshtein" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), lower(col("c_name")).as("name"))
+        .withColumn("blk", expr("substring(name, 1, length(name) - 1)"))
+      val a = c.select(col("c_custkey").as("id1"), col("name").as("n1"),
+        col("blk"))
+      val b = c.select(col("c_custkey").as("id2"), col("name").as("n2"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("id1"), col("id2"), col("dist"))
+        .orderBy("id1", "id2")
+    }),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
     // match null keys — the join you need when the key is itself derived
     // and can legitimately be null (here: a sentinel value nulled out).
@@ -318,6 +340,14 @@ object Joins {
       """SELECT r_regionkey, r_name, n_nationkey
         |FROM region CROSS JOIN (SELECT n_nationkey FROM nation)
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_blocked_levenshtein" ->
+      """WITH c AS (SELECT c_custkey, lower(c_name) AS name FROM customer),
+        |b AS (SELECT *, substr(name, 1, strlen(name) - 1) AS blk FROM c)
+        |SELECT a.c_custkey AS id1, bb.c_custkey AS id2,
+        |  CAST(levenshtein(a.name, bb.name) AS BIGINT) AS dist
+        |FROM b a JOIN b bb ON a.blk = bb.blk AND a.c_custkey < bb.c_custkey
+        |WHERE levenshtein(a.name, bb.name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (SELECT nullif(event_type, 'error') AS k, event_id
         |           FROM events),
