@@ -208,6 +208,33 @@ object Aggregates {
         .orderBy("c_nationkey")
     }),
 
+    // Correlation/covariance via exact decimal CO-moments — built-in
+    // corr()/covar_samp() accumulate doubles in partition order and are
+    // not partition-count invariant; Σx, Σy, Σxy, Σx², Σy² through
+    // DECIMAL are exact, and the closed-form combination is per-row
+    // double math (deterministic). Same discipline as agg_stats_moments.
+    "agg_corr_exact" -> ((s, d) => {
+      val x = U.dec4(col("l_quantity"))
+      val y = U.dec4(col("l_extendedprice"))
+      val n = col("n")
+      val vx = col("sxx") - col("sx") * col("sx") / n
+      val vy = col("syy") - col("sy") * col("sy") / n
+      val cxy = col("sxy") - col("sx") * col("sy") / n
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          U.dbl(sum(x)).as("sx"), U.dbl(sum(y)).as("sy"),
+          U.dbl(sum(x * y)).as("sxy"),
+          U.dbl(sum(x * x)).as("sxx"), U.dbl(sum(y * y)).as("syy"))
+        .select(col("l_returnflag"), n,
+          when(n > 1, U.round6(cxy / (n - 1))).as("covar_samp"),
+          // zero-variance guard pinned to NULL on BOTH engines (Spark
+          // ANSI-off division by 0 is NULL, DuckDB would give NaN/inf)
+          when(n > 1 && vx > 0 && vy > 0,
+            U.round6(cxy / sqrt(vx * vy))).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
     // Ordered string aggregation (Spark 4 listagg / DuckDB string_agg
     // ORDER BY): deterministic because the within-group order is total.
     "agg_listagg" -> ((s, d) =>
@@ -335,6 +362,29 @@ object Aggregates {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_corr_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+        |           * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))
+        |           * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+        |           * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n > 1 THEN
+        |    round((sxy - sx * sy / n) / (n - 1) * 1000000) / 1000000
+        |  END AS covar_samp,
+        |  CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0
+        |            AND (syy - sy * sy / n) > 0 THEN
+        |    round((sxy - sx * sy / n) /
+        |      sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        |      * 1000000) / 1000000
+        |  END AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_stats_moments" ->
       """WITH s AS (
         |  SELECT c_nationkey, count(*) AS n,
