@@ -33,10 +33,14 @@ object Dedup {
   def wordSet(text: Column): Column = array_distinct(split(lower(text), " "))
 
   /** Positional k-word shingles (n-gram Jaccard flavor) — the fused
-    * codegen expression (plans.WordKGrams); bit-identical to the HOF
+    * codegen expression (plans.WordKGrams); identical to the HOF
     * composition `array_distinct(transform(sequence, i -> array_join(
     * slice(words, i+1, k))))` with the `< k words → one gram` fallback,
-    * which evaluated interpreted (parity pinned in DedupSpec). */
+    * which evaluated interpreted (parity pinned in DedupSpec /
+    * PropertySpec), on every NON-NULL text. One DELIBERATE difference:
+    * NULL text yields NULL (the doc contributes no grams downstream) —
+    * the HOF form produced the single-element array [NULL], i.e. a
+    * phantom null-gram row after explode. Pinned in DedupSpec. */
   def wordKShingles(text: Column, k: Int): Column =
     call_function("word_kgrams", split(lower(text), " "), lit(k))
 

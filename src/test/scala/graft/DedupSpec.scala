@@ -71,20 +71,34 @@ class DedupSpec extends SparkSpec {
     // doubled spaces (empty tokens), uppercase (lowered upstream)
     val df = Seq((1L, "a b a b a b c"), (2L, "x"), (3L, "p q r"),
       (4L, ""), (5L, "A  B a b"), (6L, "w w w w w")).toDF("doc_id", "text")
-    def hof(text: org.apache.spark.sql.Column, k: Int) = {
-      val words = split(lower(text), " ")
-      when(size(words) >= k,
-        array_distinct(transform(sequence(lit(0), size(words) - k),
-          i => array_join(slice(words, i + 1, lit(k)), " "))))
-        .otherwise(array(array_join(words, " ")))
-    }
     for (k <- Seq(1, 2, 3, 5, 9)) {
       val fused = df.select($"doc_id", Dedup.wordKShingles($"text", k).as("s"))
         .as[(Long, Seq[String])].collect().toMap
-      val ref = df.select($"doc_id", hof($"text", k).as("s"))
+      val ref = df.select($"doc_id", TestRefs.hofShingles($"text", k).as("s"))
         .as[(Long, Seq[String])].collect().toMap
       assert(fused === ref, s"k=$k")
     }
+  }
+
+  test("word_kgrams NULL text yields NULL (no phantom null-gram row)") {
+    // deliberate deviation from the HOF form, which produced [NULL]:
+    // a null document contributes NOTHING after explode, instead of a
+    // null-gram row that would join/count as real boilerplate
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id", Dedup.wordKShingles($"text", 2).as("s"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(out(1L) === Some(Seq("a b", "b c")))
+    assert(out(2L) === None)
+    // the HOF reference indeed differed here — pin the contrast
+    val hof = df.select($"doc_id", TestRefs.hofShingles($"text", 2).as("s"))
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    assert(hof(2L) === Some(Seq(null)))
+    // explode-level consequence: the null doc disappears entirely
+    val grams = df.select($"doc_id",
+      explode(Dedup.wordKShingles($"text", 2)).as("g"))
+      .as[(Long, String)].collect()
+    assert(grams.forall(_._1 == 1L))
   }
 
   test("simhashTable (codegen path) matches HOF simhash64 exactly") {

@@ -203,8 +203,15 @@ class PlanSpec extends SparkSpec {
     // ships — a 100 TB fact on either side of one of those is a outage.
     val nlWhitelist = Set("filter_scalar_subquery", "join_cross_dims",
       "join_salted_skew", "join_theta_band", "sim_batch_topk")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
+    // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
+    // fixpoint (count/isEmpty per round, persisted levels) — executing it
+    // here just to read a plan string costs many jobs and leaks its final
+    // persist into the shared session; its plan shape (partitioned
+    // windows, no global sort) is pinned by the keeper-linkage test.
+    val eagerBuilders = Set("dedup_canonical_resolve")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eagerBuilders(name) }
+      .flatMap { case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         val cart = p.contains("CartesianProduct")
         val bnlj = p.contains("BroadcastNestedLoopJoin") && !nlWhitelist(name)

@@ -151,14 +151,9 @@ class PropertySpec extends SparkSpec {
       case (docs, k) =>
         val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
           .toDF("doc_id", "text")
-        val words = split(lower($"text"), " ")
-        val hof = when(size(words) >= k,
-          array_distinct(transform(sequence(lit(0), size(words) - k),
-            i => array_join(slice(words, i + 1, lit(k)), " "))))
-          .otherwise(array(array_join(words, " ")))
         val got = df.select($"doc_id", Dedup.wordKShingles($"text", k).as("s"))
           .as[(Long, Seq[String])].collect().toMap
-        val want = df.select($"doc_id", hof.as("s"))
+        val want = df.select($"doc_id", TestRefs.hofShingles($"text", k).as("s"))
           .as[(Long, Seq[String])].collect().toMap
         assert(got === want, s"k=$k docs=$docs")
     }
