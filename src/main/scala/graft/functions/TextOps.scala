@@ -211,7 +211,62 @@ object TextOps {
           U.round6(col("g.max_n") / col("g.total").cast("double"))
             .as("top_2gram_frac"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Gopher-style hard quality GATE (Rae et al. 2021 §A1.1 adapted to
+    // the synthetic corpus): word-count band, mean-word-length band, and
+    // a minimum distinct-word ratio, conjoined into a keep flag. The
+    // filter step of a corpus pipeline — one codegen'd scan, no shuffle;
+    // thresholds compare ROUNDED values so the boolean is bit-identical
+    // across engines.
+    "text_gopher_rules" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = U.lng(size(words))
+      val meanLen = U.round6(
+        length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
+      val distinctRatio = U.round6(
+        size(array_distinct(words)).cast("double") / nWords)
+      t(s, d, "documents").select(
+        col("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        distinctRatio.as("distinct_ratio"),
+        (nWords.between(20, 1000) && meanLen.between(3.0, 10.0) &&
+          distinctRatio > lit(0.2)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic fixed-size per-stratum sample: top-k by CONTENT HASH
+    // within each source — "give me exactly k docs per source" with no
+    // RNG, stable under re-runs/engines/partitioning (the companion to
+    // sample_stratified's rate-based carve). The window partitions by
+    // source (bounded state, never global) and shuffles only
+    // (doc_id, source) + the 32-char digest.
+    "sample_topk_hash_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .orderBy("source", "rn")
+    }),
+
+    // Shard assignment for training-data output layout: 16 shards keyed
+    // on the first hex digit of the content digest — map-only, uniform,
+    // reproducible. At 100 TB this column feeds the writer's partitionBy
+    // (co-locating a shard's files); the balance aggregate here proves
+    // uniformity. instr() on the hex alphabet avoids conv(), which the
+    // oracle engine lacks.
+    "shard_assign" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("shard", U.lng(
+          expr("instr('0123456789abcdef', " +
+            "substring(md5(cast(doc_id as string)), 1, 1)) - 1")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("shard"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,6 +295,38 @@ object TextOps {
         |  CAST(start_tok AS BIGINT) AS start_tok,
         |  CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |        len(string_split(text, ' ')) * 1000000) / 1000000
+        |    AS mean_word_len,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        len(string_split(text, ' ')) * 1000000) / 1000000
+        |    AS distinct_ratio,
+        |  (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |   AND (round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |        len(string_split(text, ' ')) * 1000000) / 1000000)
+        |        BETWEEN 3.0 AND 10.0
+        |   AND (round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        len(string_split(text, ' ')) * 1000000) / 1000000) > 0.2)
+        |    AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_topk_hash_group" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+    "shard_assign" ->
+      """SELECT CAST(strpos('0123456789abcdef',
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+        |    AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY shard""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,

@@ -271,6 +271,38 @@ object Aggregates {
         sum(col("n")).as("n_rows"))
     }),
 
+    // Boolean / bitwise aggregates (B.2 long tail): every/any predicate
+    // roll-ups and bit accumulators — all partial+final combinable, so
+    // the shuffle carries 5 scalars per group regardless of fact size.
+    "agg_bool_bit" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          bit_and(col("o_orderkey")).as("keys_band"),
+          bit_or(col("o_orderkey")).as("keys_bor"),
+          bit_xor(col("o_orderkey")).as("keys_bxor"))
+        .orderBy("o_orderstatus")),
+
+    // Deterministic argmax/argmin (max_by/min_by): raw double prices DO
+    // tie (257 collisions at sf0.1), so the ordering value is an exact
+    // integer composite — price-cents · 10^10 + unique orderkey — making
+    // the argmax total and engine/partitioning-invariant. (DuckDB's
+    // arg_max can't order by a struct, hence the scalar encoding.)
+    "agg_min_max_by" -> ((s, d) => {
+      val composite = round(col("o_totalprice") * 100).cast("long") *
+        lit(10000000000L) + col("o_orderkey")
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), composite).as("best_key"),
+          min_by(col("o_orderkey"), composite).as("worst_key"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Unpivot/melt: wide metrics → long (variable, value) — the inverse
     // of pivot_event_type; pure narrow transform, no shuffle.
     "agg_unpivot_melt" -> ((s, d) =>
@@ -401,6 +433,25 @@ object Aggregates {
         |    round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
         |  END AS stddev
         |FROM s ORDER BY c_nationkey""".stripMargin,
+    "agg_bool_bit" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  bit_and(o_orderkey) AS keys_band,
+        |  bit_or(o_orderkey) AS keys_bor,
+        |  bit_xor(o_orderkey) AS keys_bxor
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "agg_min_max_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |          * 10000000000 + o_orderkey) AS best_key,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |          * 10000000000 + o_orderkey) AS worst_key,
+        |  max(o_totalprice) AS max_price,
+        |  min(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_unpivot_melt" ->
       """SELECT c_custkey, 'acctbal' AS metric,
         |       CAST(c_acctbal AS DOUBLE) AS val FROM customer

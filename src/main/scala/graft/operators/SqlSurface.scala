@@ -119,6 +119,124 @@ object SqlSurface {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // TPC-H Q2 shape (adapted: lineitem stands in for partsupp — the
+  // testdata star has no partsupp table): min-cost supplier per part via
+  // a correlated scalar subquery. Exercises Catalyst decorrelation — the
+  // subquery becomes a per-part min aggregate joined back on
+  // (partkey, price); DISTINCT collapses tied line items.
+  private val Q2 =
+    """SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+      |  l.l_extendedprice AS min_price
+      |FROM part, lineitem l, supplier, nation
+      |WHERE p_partkey = l.l_partkey AND l.l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |  AND p_size <= 5 AND p_type = 'ECONOMY'
+      |  AND l.l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name, n_name""".stripMargin
+
+  // TPC-H Q4 shape: priority count over an EXISTS-qualified date band
+  // (l_quantity > 45 stands in for commitdate < receiptdate, absent from
+  // the testdata). The EXISTS must plan as a semi join BEFORE the
+  // aggregate, with the date band pushed into the orders scan.
+  private val Q4 =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // TPC-H Q6 shape: the pure scan-aggregate — every predicate must reach
+  // the parquet scan (PushedFilters), zero joins, one partial+final agg.
+  // The canonical "is pushdown real" probe at 100 TB.
+  private val Q6 =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+      |              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01'
+      |  AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // TPC-H Q12 shape: join + conditional aggregation (CASE inside SUM —
+  // map-side partial aggregation collapses the fact before the shuffle).
+  // o_orderpriority classes stand in for l_shipmode. SUMs cast to BIGINT
+  // (DuckDB sums INTEGER into HUGEINT).
+  private val Q12 =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= DATE '1996-01-01'
+      |  AND l_shipdate < DATE '1997-01-01'
+      |  AND l_returnflag = 'N'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // TPC-H Q16 shape: supplier variety per part class — distinct-count
+  // aggregate above a NOT IN anti join (the excluded-supplier set is an
+  // aggregate-free subquery → broadcast null-aware anti join).
+  private val Q16 =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#45' AND p_size IN (1, 4, 7)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // TPC-H Q18 shape: large-volume orders — IN-subquery whose key set is
+  // itself defined by a grouped HAVING on the fact (two passes over
+  // lineitem; the qualifying key set is tiny → broadcast semi join).
+  private val Q18 =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts — the
+  // planner must still extract the common p_partkey = l_partkey equi key
+  // (no nested-loop fallback) and keep the OR as a post-join residual.
+  private val Q19 =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |     AND l_quantity BETWEEN 1 AND 11)
+      | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |     AND l_quantity BETWEEN 10 AND 20)
+      | OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |     AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  // TPC-H Q22 shape: above-average-balance customers who never placed a
+  // high-value order — scalar subquery (exact decimal mean) + NOT EXISTS
+  // anti join (every customer has SOME order in this testdata, so the
+  // anti predicate carries the o_totalprice threshold).
+  private val Q22 =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |           / count(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_totalprice > 400000)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // Correlated LATERAL subquery: greatest-n-per-group without a window
   // function — Spark decorrelates the per-customer ordered LIMIT; DuckDB
   // executes the same text natively.
@@ -134,10 +252,18 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_lateral_topn" -> ((s, d) => withViews(s, d)(LateralTopN)),
     "sql_q1_pricing" -> ((s, d) => withViews(s, d)(Q1)),
+    "sql_q2_min_cost_supp" -> ((s, d) => withViews(s, d)(Q2)),
     "sql_q3_shipping" -> ((s, d) => withViews(s, d)(Q3)),
+    "sql_q4_order_priority" -> ((s, d) => withViews(s, d)(Q4)),
     "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(Q5)),
+    "sql_q6_revenue_band" -> ((s, d) => withViews(s, d)(Q6)),
     "sql_q7_volume_shipping" -> ((s, d) => withViews(s, d)(Q7)),
     "sql_q10_returned_items" -> ((s, d) => withViews(s, d)(Q10)),
+    "sql_q12_priority_class" -> ((s, d) => withViews(s, d)(Q12)),
+    "sql_q16_supplier_variety" -> ((s, d) => withViews(s, d)(Q16)),
+    "sql_q18_large_volume" -> ((s, d) => withViews(s, d)(Q18)),
+    "sql_q19_disjunctive" -> ((s, d) => withViews(s, d)(Q19)),
+    "sql_q22_inactive_high_bal" -> ((s, d) => withViews(s, d)(Q22)),
 
     // Native extension functions from SQL (poly_hash64 / simhash64 /
     // minhash_sig are injected by GraftExtensions — no registration call
@@ -161,9 +287,17 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "sql_lateral_topn" -> LateralTopN,
     "sql_q1_pricing" -> Q1,
+    "sql_q2_min_cost_supp" -> Q2,
     "sql_q3_shipping" -> Q3,
+    "sql_q4_order_priority" -> Q4,
     "sql_q5_local_supplier" -> Q5,
+    "sql_q6_revenue_band" -> Q6,
     "sql_q7_volume_shipping" -> Q7,
-    "sql_q10_returned_items" -> Q10
+    "sql_q10_returned_items" -> Q10,
+    "sql_q12_priority_class" -> Q12,
+    "sql_q16_supplier_variety" -> Q16,
+    "sql_q18_large_volume" -> Q18,
+    "sql_q19_disjunctive" -> Q19,
+    "sql_q22_inactive_high_bal" -> Q22
   )
 }
