@@ -363,6 +363,21 @@ object Dedup {
         .orderBy("keep_id")
     }),
 
+    // Soft dedup (down-weight instead of drop): every copy in an
+    // exact-dup cluster keeps weight 1/n_copies so duplicated content
+    // contributes a constant expected mass to the training loss (the
+    // reweighting alternative to survivor selection). One window over
+    // the digest — the shuffle carries (id, 16-byte digest), never text.
+    "dedup_soft_weight" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text_md5")
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("n_copies"),
+          U.round6(lit(1.0) / col("n_copies")).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // Exact word-set Jaccard on adjacent-id pairs (the oracle-checkable
     // slice of set-similarity; the LSH path below generalizes it).
     "dedup_jaccard_pairs" -> ((s, d) => {
@@ -521,6 +536,14 @@ object Dedup {
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_sha,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_soft_weight" ->
+      """SELECT doc_id,
+        |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+        |    AS n_copies,
+        |  round(CAST(1.0 AS DOUBLE) /
+        |        count(*) OVER (PARTITION BY md5(text)) * 1000000) / 1000000
+        |    AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH w AS (SELECT DISTINCT doc_id,
         |             unnest(string_split(lower(text), ' ')) AS wd

@@ -276,6 +276,22 @@ object Similarity {
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
+    // Cosine range search: every neighbor within a similarity radius —
+    // the "all matches above τ" companion of top-k (near-dup gating,
+    // recall sweeps). Same one-scan broadcast-query shape as
+    // bruteForceTopK, but the result size is data-dependent, so the τ
+    // filter applies to the ROUNDED similarity (survivor set
+    // bit-identical across engines) and there is no limit.
+    "sim_range_search" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
+      val q = typedlit(queryVector(s, d, 0L).toSeq)
+      Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          round(cosine(toDouble(col("embedding")), q), 6).as("cos_sim"))
+        .filter(col("vec_id") =!= 0L && col("cos_sim") >= 0.1)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }),
+
     // Batch k-NN: ONE corpus scan scores every query in a broadcast
     // batch (per-query sequential scans re-read the corpus B times at
     // 100 TB — the batch amortizes the scan, and the per-query top-k
@@ -340,6 +356,19 @@ object Similarity {
         |  FROM scored)
         |SELECT qid, vec_id, cos_sim, rn FROM ranked
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "sim_range_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |  FROM embeddings e, q WHERE vec_id <> 0)
+        |SELECT vec_id, cos_sim FROM scored
+        |WHERE cos_sim >= 0.1
+        |ORDER BY cos_sim DESC, vec_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0)
