@@ -22,70 +22,110 @@ import org.apache.spark.sql.functions._
 object Pipeline {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Conditional-aggregation pivot columns: per modality i, the row
+    * count `__nr{i}` and exact decimal value sum `__sv{i}` of the rows
+    * satisfying its membership predicate. */
+  private def pivotAggs(
+      mods: Seq[(String, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)]) =
+    mods.zipWithIndex.flatMap { case ((_, keep, v), i) =>
+      Seq(sum(when(keep, 1L).otherwise(0L)).as(s"__nr$i"),
+        sum(when(keep, U.dec4(v))).as(s"__sv$i"))
+    }
+
   def flagship(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
-    val cellId = concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+    // The cell key is the (orderkey, linenumber) INT PAIR end-to-end —
+    // the `cell_id` string of the product schema is a bijection of it
+    // (orderkey || '-' || linenumber), so intersect/count-distinct over
+    // the pair equals the same over the string, and every exchange
+    // hashes/compares 12 bytes of ints instead of a concat'd string.
+    val cellKey = Seq("l_orderkey", "l_linenumber")
 
-    // Per-modality spec: (name, membership predicate, feature key, value).
+    // Per-modality spec: (name, membership predicate, value). The
+    // feature key of the product schema (part / supplier) never reaches
+    // the stats aggregation, so it is NOT read here — the scan decodes 6
+    // columns, not 8.
     // "cell_by_bin" (part-keyed) holds every line; "cell_by_gene"
     // (supplier-keyed) only finalized lines — so the obs intersection is
     // a strict subset, as in multi-modality MuData where not every cell
     // appears in every assay.
     val mods = Seq(
-      ("cell_by_bin", lit(true),
-        col("l_partkey"), col("l_quantity").cast("double")),
+      ("cell_by_bin", lit(true), col("l_quantity").cast("double")),
       ("cell_by_gene", col("l_linestatus") === "F",
-        col("l_suppkey"), col("l_extendedprice").cast("double")))
+        col("l_extendedprice").cast("double")))
 
-    // ONE scan emits every modality's rows.
-    val modalities = array(mods.map { case (n, keep, f, v) =>
-      struct(lit(n).as("modality"), f.as("feature_id"), v.as("value"),
-        keep.as("keep"))
-    }: _*)
-    val fact0 = li.select(
-      cellId.as("cell_id"), col("l_orderkey"),
-      col("l_returnflag").as("dataset"),
-      explode(filter(modalities, m => m.getField("keep"))).as("m"))
-      .select(col("cell_id"), col("l_orderkey"), col("dataset"),
-        col("m.modality").as("modality"), col("m.feature_id").as("feature_id"),
-        col("m.value").as("value"))
-
-    // mu.pp.intersect_obs: cells present in ALL modalities. Partial-
-    // aggregated key set + left-semi join: the aggregation shuffles only
-    // one narrow row per cell (map-side partial agg collapses each cell's
-    // lines before the exchange), and the join side is a bare key column —
-    // AQE broadcasts it at small scale and falls back to a co-partitioned
-    // sort-merge semi at 100 TB. The window formulation this replaces
-    // (`collect_set(modality) over cell_id`) shuffled AND sorted the full
-    // exploded fact and buffered a set per key — 2.2× slower at sf0.1 and
-    // strictly worse at scale.
+    // mu.pp.intersect_obs + per-modality stats in ONE pass over ONE
+    // scan: modality membership is a static predicate list, so a
+    // conditional-aggregation PIVOT per (cell, dataset) computes each
+    // modality's row count and exact decimal value sum, and presence-in-
+    // every-modality is a windowed sum over the cell — no second scan,
+    // no semi join, no countDistinct Expand. A cell's lines can span
+    // datasets (the key is NOT line-unique), so dataset stays a group
+    // key and the intersection is tested across the whole cell.
     //
-    // Membership per modality is a static predicate list, so presence is
-    // one boolean aggregate per modality — max(keep) — over the raw
-    // lines: no Generate, no countDistinct expansion, and the scan
-    // decodes only the key/predicate columns. The partial state is
-    // (cell_id, int × nModalities), the narrowest possible.
-    val qualified = li
-      .groupBy(cellId.as("cell_id"))
-      .agg(max(when(mods.head._2, 1).otherwise(0)).as("__m0"),
-        mods.tail.zipWithIndex.map { case ((_, keep, _, _), i) =>
-          max(when(keep, 1).otherwise(0)).as(s"__m${i + 1}")
-        }: _*)
-      .filter(mods.indices.map(i => col(s"__m$i") === 1).reduce(_ && _))
-      .select("cell_id")
-    val fact = fact0.join(qualified, Seq("cell_id"), "left_semi")
+    // Exchange discipline: ONE explicit repartition by the ORDER key —
+    // a subset of every downstream clustering, so it satisfies the
+    // (cell, dataset) aggregation, the presence window over the cell,
+    // the per-order reduction, AND the left side of the donor join:
+    // the raw lines cross the wire exactly once and everything after
+    // runs partition-local until the 30-row final aggregate. (Lines per
+    // order are bounded, so order-grain partitioning is skew-safe at
+    // scale.) The shuffle carries the 6 decoded columns of the raw
+    // lines. The window formulation two rounds back
+    // (`collect_set(modality) over cell_id`) also shuffled the fact
+    // once but carried the full exploded fact and buffered a set per
+    // key — this one buffers nothing and the windowed input is the
+    // already-collapsed pivot.
+    val perCellDs = li
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("dataset"))
+      .agg(pivotAggs(mods).head, pivotAggs(mods).tail: _*)
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy(cellKey.map(col): _*)
+    val qualifiedCells = perCellDs
+      .withColumn("__present",
+        mods.indices.map(i => sum(col(s"__nr$i")).over(cellW) > lit(0L))
+          .reduce(_ && _))
+      .filter(col("__present"))
+
+    // Unpivot the static modality columns back to rows (map-side — the
+    // array is M structs of already-reduced scalars; a (cell, dataset)
+    // slice with no rows of a modality contributes nothing, hence the
+    // nr > 0 filter), then reduce to one row per (modality, dataset,
+    // order). The cell key embeds the order key, so cells are
+    // order-scoped and distinct-cell counts are ADDITIVE across orders:
+    // n_cells needs no countDistinct — the oracle's
+    // count(DISTINCT cell_id) agrees because cell_id embeds the order
+    // key. Decimal partial sums re-sum exactly at each level (same
+    // result as one-level U.dsum).
+    val modRows = qualifiedCells.select(
+      col("l_orderkey"), col("dataset"),
+      explode(array(mods.zipWithIndex.map { case ((name, _, _), i) =>
+        struct(lit(name).as("modality"), col(s"__nr$i").as("nr"),
+          col(s"__sv$i").as("sv"))
+      }: _*)).as("m"))
+      .select(col("l_orderkey"), col("dataset"),
+        col("m.modality").as("modality"), col("m.nr").as("nr"),
+        col("m.sv").as("sv"))
+      .filter(col("nr") > 0)
+    val perOrder = modRows
+      .groupBy("modality", "dataset", "l_orderkey")
+      .agg(count(lit(1)).as("pc"), sum(col("nr")).as("pn"),
+        sum(col("sv")).as("psv"))
 
     // Donor metadata join (orders→customer, customer broadcast).
     val donor = t(s, d, "orders")
       .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_mktsegment").as("segment"))
 
-    fact.join(donor, fact("l_orderkey") === donor("o_orderkey"))
+    perOrder.join(donor, perOrder("l_orderkey") === donor("o_orderkey"))
       .groupBy("modality", "dataset", "segment")
       .agg(
-        countDistinct(col("cell_id")).as("n_cells"),
-        count(lit(1)).as("n_rows"),
-        U.dsum(col("value")).as("sum_value"))
+        sum(col("pc")).as("n_cells"),
+        sum(col("pn")).as("n_rows"),
+        U.dbl(sum(col("psv"))).as("sum_value"))
       .orderBy("modality", "dataset", "segment")
   }
 
