@@ -252,6 +252,25 @@ object TextOps {
         .orderBy("source", "rn")
     }),
 
+    // Corpus document-frequency / IDF top terms: the posting-list shape —
+    // per-doc DISTINCT terms explode (map-side), partial+final count per
+    // term, then the corpus-size scalar joins in as a 1-row broadcast and
+    // top-k plans as TakeOrderedAndProject. The building block of
+    // TF-IDF featurization and stopword discovery over a 100 TB corpus.
+    "text_idf_topterms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      docs
+        .select(explode(array_distinct(split(lower(col("text")), " ")))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(total))
+        .select(col("term"), col("df"),
+          U.round6(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+            + lit(1.0)).as("idf"))
+        .orderBy(col("df").desc, col("term")).limit(25)
+    }),
+
     // Shard assignment for training-data output layout: 16 shards keyed
     // on the first hex digit of the content digest — map-only, uniform,
     // reproducible. At 100 TB this column feeds the writer's partitionBy
@@ -319,6 +338,18 @@ object TextOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+    "text_idf_topterms" ->
+      """WITH tf AS (
+        |  SELECT unnest(list_distinct(string_split(lower(text), ' ')))
+        |    AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, df,
+        |  round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000) / 1000000
+        |    AS idf
+        |FROM df, n
+        |ORDER BY df DESC, term LIMIT 25""".stripMargin,
     "shard_assign" ->
       """SELECT CAST(strpos('0123456789abcdef',
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)

@@ -303,6 +303,23 @@ object Aggregates {
         .orderBy("o_orderpriority")
     }),
 
+    // Deterministic exact mode: the most frequent quantity per flag,
+    // smallest value on ties — two-level aggregation (count per value,
+    // then argmax) on an encoded (count, -value) BIGINT so the winner is
+    // total-ordered; the built-in mode() leaves ties engine-defined.
+    // Values are small integers stored as doubles, so the long encode is
+    // exact; count dominates the low bits by construction (qty < 1024).
+    "agg_mode_exact" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_quantity"),
+            col("n") * 1024L - col("l_quantity").cast("long")).as("mode_qty"),
+          max(col("n")).as("mode_n"))
+        .orderBy("l_returnflag")),
+
     // Unpivot/melt: wide metrics → long (variable, value) — the inverse
     // of pivot_event_type; pure narrow transform, no shuffle.
     "agg_unpivot_melt" -> ((s, d) =>
@@ -452,6 +469,15 @@ object Aggregates {
         |  min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_mode_exact" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  arg_max(l_quantity, n * 1024 - CAST(l_quantity AS BIGINT))
+        |    AS mode_qty,
+        |  max(n) AS mode_n
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_unpivot_melt" ->
       """SELECT c_custkey, 'acctbal' AS metric,
         |       CAST(c_acctbal AS DOUBLE) AS val FROM customer
