@@ -177,12 +177,18 @@ object Aggregates {
 
     // agg_product_stats (bin/concatenate.py:81-96): one-row product
     // metadata scalars (deterministic subset — no uuid()/now()).
+    // n_cells = distinct (orderkey, linenumber) pairs, counted as a
+    // two-level aggregation instead of countDistinct over the concat'd
+    // cell string: no Expand row-doubling, no string building, and the
+    // decimal quantity sum collapses in the same first level (partial
+    // sums re-sum exactly — same result as one-level U.dsum).
     "agg_product_stats" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
-          .as("n_cells"),
-        U.dsum(col("l_quantity")).as("total_quantity"))),
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n"), sum(U.dec4(col("l_quantity"))).as("sq"))
+        .agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_cells"),
+          U.dbl(sum(col("sq"))).as("total_quantity"))),
 
     // Moment statistics (mean/variance/stddev) from EXACT decimal sums:
     // the built-in stddev/var aggregates combine partial co-moments in

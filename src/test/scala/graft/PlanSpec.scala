@@ -165,6 +165,30 @@ class PlanSpec extends SparkSpec {
       "expected partitioned block windows in the linkage plan")
   }
 
+  test("flagship: the raw fact crosses exactly one shuffle exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("flagship_product_build")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    // Exactly three shuffles end-to-end: the explicit order-key
+    // repartition (the ONLY one that carries raw fact rows), the 30-row
+    // final aggregate exchange, and the final ORDER BY range exchange.
+    // The pivot aggregation, presence window, per-order reduction, and
+    // donor join must all reuse the first partitioning — a fourth
+    // exchange means an optimization regression.
+    assert(shuffles.size <= 3,
+      s"flagship plans ${shuffles.size} shuffles (expected <= 3):\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("static partition pruning: literal dt predicate reaches PartitionFilters") {
     val p = formatted("scan_partition_prune")
     assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
@@ -198,11 +222,13 @@ class PlanSpec extends SparkSpec {
     //   join_salted_skew       — salt-range replication (≤ splits rows)
     //   join_theta_band        — fixed band table (a handful of rows)
     //   sim_batch_topk         — broadcast query batch (nQueries rows)
+    //   text_idf_topterms      — 1-row corpus-size aggregate broadcast
     // Anything NEW that plans a CartesianProduct or an unlisted
     // BroadcastNestedLoopJoin is a scale bug, caught here before it
     // ships — a 100 TB fact on either side of one of those is a outage.
     val nlWhitelist = Set("filter_scalar_subquery", "join_cross_dims",
-      "join_salted_skew", "join_theta_band", "sim_batch_topk")
+      "join_salted_skew", "join_theta_band", "sim_batch_topk",
+      "text_idf_topterms")
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
