@@ -195,7 +195,7 @@ object Similarity {
     val qv = queryVector(s, d, queryId)
     def sq(c: Array[Double]): Double =
       c.indices.foldLeft(0.0)((acc, i) => acc + (c(i) - qv(i)) * (c(i) - qv(i)))
-    val probes = centroids.sortBy(c => sq(c._2)).take(nProbe).map(_._1)
+    val probes = centroids.sortBy(c => sq(c._2)).take(nProbe).map(_._1).toSeq
     val q = typedlit(qv.toSeq)
     Tables.t(s, d, "embeddings")
       .withColumn("vd", toDouble(col("embedding")))

@@ -125,4 +125,78 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(math.abs(merged - exact) / exact < 0.05,
       s"merged=$merged exact=$exact")
   }
+
+  test("exact mode: ties resolve to the smallest value, never arbitrarily") {
+    // two values tie at count 2 within group "a" — the encoded
+    // (count, -value) argmax must pick the smaller value (3, not 7)
+    val df = Seq(("a", 3.0), ("a", 3.0), ("a", 7.0), ("a", 7.0), ("a", 9.0),
+      ("b", 5.0)).toDF("g", "v")
+    val out = df.groupBy($"g", $"v").agg(count(lit(1)).as("n"))
+      .groupBy("g")
+      .agg(max_by($"v", $"n" * 1024L - $"v".cast("long")).as("mode_v"),
+        max($"n").as("mode_n"))
+      .orderBy("g").as[(String, Double, Long)].collect().toSeq
+    assert(out === Seq(("a", 3.0, 2L), ("b", 5.0, 1L)))
+  }
+
+  test("per-stratum hash reservoir: exactly min(k, |stratum|) rows, " +
+    "invariant under repartitioning") {
+    val q = SparkEntry.queries("sample_topk_hash_group")
+    val base = q(spark, sfDir).collect().toSeq
+    val sizes = base.groupBy(_.getString(1)).map { case (_, rs) => rs.size }
+    assert(sizes.forall(_ <= 20) && sizes.exists(_ == 20))
+    // determinism: same survivors regardless of physical layout — rerun
+    // through a different partitioning of the same input
+    val docs = Tables.t(spark, sfDir, "documents").repartition(7, $"lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val again = docs.select($"doc_id", $"source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 20).orderBy("source", "rn").collect().toSeq
+    assert(again === base)
+  }
+
+  test("shard assignment partitions the corpus: counts sum to |docs|, " +
+    "shards within [0, 16)") {
+    val out = SparkEntry.queries("shard_assign")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(out.map(_._2).sum === total)
+    assert(out.forall { case (s, _, _) => s >= 0 && s < 16 })
+  }
+
+  test("soft-dedup weights sum to 1 per duplicate cluster") {
+    val out = SparkEntry.queries("dedup_soft_weight")(spark, sfDir)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val perCluster = out.join(docs, "doc_id")
+      .groupBy(md5($"text")).agg(sum($"weight").as("wsum"))
+      .select(max(abs($"wsum" - 1.0))).as[Double].head()
+    assert(perCluster < 1e-4, s"max |cluster weight sum - 1| = $perCluster")
+  }
+
+  test("cosine range search is consistent with brute-force top-k") {
+    // every top-k neighbor whose similarity clears the radius must
+    // appear in the range result with the same rounded similarity
+    val topk = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .as[(Long, Double)].collect().toMap
+    val range = SparkEntry.queries("sim_range_search")(spark, sfDir)
+      .as[(Long, Double)].collect().toMap
+    topk.filter(_._2 >= 0.1).foreach { case (id, sim) =>
+      assert(range.get(id).contains(sim), s"vec $id: topk=$sim range=${range.get(id)}")
+    }
+  }
+
+  test("gopher gate: keep flag equals its three rules recomputed") {
+    val out = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, nw, mwl, dr, keep) =>
+      val expected = nw >= 20 && nw <= 1000 &&
+        mwl >= 3.0 && mwl <= 10.0 && dr > 0.2
+      assert(keep === expected, s"nw=$nw mwl=$mwl dr=$dr keep=$keep")
+    }
+    // both outcomes must occur on the corpus or the gate is vacuous
+    assert(out.exists(_._5) && out.exists(!_._5))
+  }
 }
