@@ -271,6 +271,31 @@ object TextOps {
         .orderBy(col("df").desc, col("term")).limit(25)
     }),
 
+    // Unigram LM surprisal (the CCNet-style perplexity filter shape):
+    // corpus unigram distribution — explode, partial+final count, 1-row
+    // token total — then each doc scores mean -ln p(w) against the
+    // broadcast vocabulary. Two passes over the corpus by nature (fit
+    // the distribution, then apply it; at 100 TB the vocabulary is
+    // persisted once and only the apply pass remains). Per-token
+    // surprisal rounds to 1e-6 BEFORE the exact decimal per-doc sum, so
+    // doc scores are partition-order invariant and engine-identical.
+    "text_unigram_logprob" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("tot"))
+      toks.join(broadcast(vocab), "w")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          U.round6(-log(col("cnt").cast("double") / col("tot"))).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          U.dbl(sum(U.dec6(col("term")))).as("ssum"))
+        .select(col("doc_id"), col("n_tokens"),
+          U.round6(col("ssum") / col("n_tokens")).as("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // Shard assignment for training-data output layout: 16 shards keyed
     // on the first hex digit of the content digest — map-only, uniform,
     // reproducible. At 100 TB this column feeds the writer's partitionBy
@@ -350,6 +375,21 @@ object TextOps {
         |    AS idf
         |FROM df, n
         |ORDER BY df DESC, term LIMIT 25""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM vocab),
+        |terms AS (
+        |  SELECT doc_id,
+        |    round(-ln(CAST(cnt AS DOUBLE) / tot) * 1000000) / 1000000
+        |      AS term
+        |  FROM toks JOIN vocab USING (w), tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*) * 1000000) / 1000000 AS mean_surprisal
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "shard_assign" ->
       """SELECT CAST(strpos('0123456789abcdef',
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)

@@ -86,6 +86,22 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // CDC log → current snapshot (upsert compaction / SCD1): latest row
+    // per key by (event time, unique id) — the standard merge-on-read
+    // collapse before publishing a snapshot. Window partitions by the
+    // real key (bounded state per key at scale); event time compares in
+    // microseconds end-to-end.
+    "upsert_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(U.tsUs(col("ts")).desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // rank vs dense_rank vs row_number on a tie-heavy key (price rounded
     // to thousands): ranks gap after ties, dense ranks don't.
     "window_rank_dense" -> ((s, d) => {
@@ -153,6 +169,13 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "upsert_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "window_rank_topk" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
