@@ -158,13 +158,16 @@ object Aggregates {
     }),
 
     // Exact interpolated percentiles per group (B.2; the exact path —
-    // the 100 TB variant is approx_percentile below).
+    // the 100 TB variant is approx_percentile below). ONE array-argument
+    // percentile call: both quantiles read one shared per-group value
+    // buffer instead of building it twice.
     "agg_percentile" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy("l_returnflag")),
 
     // t-digest style sketch percentile (no oracle: approximate; bounds
