@@ -86,6 +86,29 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // Time-series gap-fill + forward fill: materialize each user's full
+    // hourly grid (sequence explode between its first and last active
+    // hour — bounded by the user's own span, no global calendar) and
+    // carry the last observed hourly sum across gaps. The resample/ffill
+    // step of telemetry and feature pipelines. Hour index is exact
+    // integer division of event-time micros; per-user window only —
+    // state stays bounded per key at scale.
+    "timeseries_gapfill" -> ((s, d) => {
+      val hour = expr("unix_micros(ts) div 3600000000").as("hour")
+      val obs = t(s, d, "events")
+        .groupBy(col("user_id"), hour)
+        .agg(U.dbl(sum(U.dec6(col("value")))).as("hr_sum"))
+      val grid = obs.groupBy("user_id")
+        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .withColumn("filled", last(col("hr_sum"), ignoreNulls = true).over(w))
+        .orderBy("user_id", "hour")
+    }),
+
     // CDC log → current snapshot (upsert compaction / SCD1): latest row
     // per key by (event time, unique id) — the standard merge-on-read
     // collapse before publishing a snapshot. Window partitions by the
@@ -169,6 +192,22 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "timeseries_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hr_sum
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+        |      FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour
+        |         FROM b)
+        |SELECT g.user_id, g.hour, o.hr_sum,
+        |  last_value(o.hr_sum IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.user_id = g.user_id AND o.hour = g.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
     "upsert_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
