@@ -271,6 +271,47 @@ object TextOps {
         .orderBy(col("df").desc, col("term")).limit(25)
     }),
 
+    // End-to-end corpus preparation — the LLM-data ops COMPOSED in one
+    // declarative plan: Gopher-style quality gate → exact-dedup survivor
+    // election + soft weight (digest window) → language allowlist →
+    // token-budget sequence packing (per-lang running sum) → digest
+    // shard assignment. Two shuffles total (digest window, lang window);
+    // every stage is the scale shape its standalone query pinned. The
+    // output is the manifest a trainer consumes: one row per surviving
+    // doc with its pack, shard, and loss weight.
+    "pipeline_corpus_prep" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val nWords = U.lng(size(words))
+      val meanLen = U.round6(
+        length(regexp_replace(col("text"), " ", "")).cast("double") / nWords)
+      val distinctRatio = U.round6(
+        size(array_distinct(words)).cast("double") / nWords)
+      val digestW = W.partitionBy("text_md5")
+      val packW = W.partitionBy("lang").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("text_md5"), nWords.as("n_tokens"),
+          meanLen.as("mwl"), distinctRatio.as("dr"))
+        .filter(col("n_tokens").between(20, 1000) &&
+          col("mwl").between(3.0, 10.0) && col("dr") > lit(0.2) &&
+          col("lang").isin("en", "de", "es"))
+        // survivor election + soft weight over the post-gate corpus
+        .withColumn("keep_id", min(col("doc_id")).over(digestW))
+        .withColumn("n_copies", count(lit(1)).over(digestW))
+        .filter(col("doc_id") === col("keep_id"))
+        .withColumn("weight", U.round6(lit(1.0) / col("n_copies")))
+        // token-budget packing per language shard
+        .withColumn("start_tok",
+          sum(col("n_tokens")).over(packW) - col("n_tokens"))
+        .withColumn("pack_id", floor(col("start_tok") / lit(512.0)))
+        .withColumn("shard", U.lng(
+          expr("instr('0123456789abcdef', substring(text_md5, 1, 1)) - 1")))
+        .select("doc_id", "lang", "source", "n_tokens", "weight",
+          "pack_id", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Unigram LM surprisal (the CCNet-style perplexity filter shape):
     // corpus unigram distribution — explode, partial+final count, 1-row
     // token total — then each doc scores mean -ln p(w) against the
@@ -375,6 +416,37 @@ object TextOps {
         |    AS idf
         |FROM df, n
         |ORDER BY df DESC, term LIMIT 25""".stripMargin,
+    "pipeline_corpus_prep" ->
+      """WITH gated AS (
+        |  SELECT doc_id, lang, source, md5(text) AS text_md5,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |    AND (round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |         len(string_split(text, ' ')) * 1000000) / 1000000)
+        |         BETWEEN 3.0 AND 10.0
+        |    AND (round(CAST(len(list_distinct(string_split(text, ' ')))
+        |         AS DOUBLE) /
+        |         len(string_split(text, ' ')) * 1000000) / 1000000) > 0.2
+        |    AND lang IN ('en', 'de', 'es')),
+        |surv AS (
+        |  SELECT *,
+        |    min(doc_id) OVER (PARTITION BY text_md5) AS keep_id,
+        |    count(*) OVER (PARTITION BY text_md5) AS n_copies
+        |  FROM gated),
+        |kept AS (SELECT * FROM surv WHERE doc_id = keep_id),
+        |packed AS (
+        |  SELECT doc_id, lang, source, text_md5, n_tokens,
+        |    round(CAST(1.0 AS DOUBLE) / n_copies * 1000000) / 1000000
+        |      AS weight,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, lang, source, n_tokens, weight,
+        |  CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
+        |  CAST(strpos('0123456789abcdef', substring(text_md5, 1, 1)) - 1
+        |       AS BIGINT) AS shard
+        |FROM packed ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
