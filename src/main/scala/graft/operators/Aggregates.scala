@@ -244,6 +244,32 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Least-squares regression per group (regr_slope/regr_intercept)
+    // from the same exact decimal co-moments as agg_corr_exact — the
+    // built-in regr_* aggregates accumulate doubles in partition order
+    // and drift run-to-run; Σx, Σy, Σxy, Σx² through DECIMAL are exact
+    // and the closed form is per-row double math. Fits value-vs-time per
+    // event type (the feature-drift trend probe).
+    "agg_regression_exact" -> ((s, d) => {
+      // seconds since 2024-01-01 (rebasing keeps Σx² small — tighter
+      // decimals, no large-epoch cancellation in the closed form)
+      val x = U.dec6(expr("unix_micros(ts) div 1000000 - 1704067200"))
+      val y = U.dec6(col("value"))
+      val n = col("n")
+      val vx = col("sxx") - col("sx") * col("sx") / n
+      val slope = (col("sxy") - col("sx") * col("sy") / n) / vx
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          U.dbl(sum(x)).as("sx"), U.dbl(sum(y)).as("sy"),
+          U.dbl(sum(x * y)).as("sxy"), U.dbl(sum(x * x)).as("sxx"))
+        .select(col("event_type"), n,
+          when(n > 1 && vx > 0, U.round6(slope)).as("slope"),
+          when(n > 1 && vx > 0,
+            U.round6((col("sy") - slope * col("sx")) / n)).as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // Ordered string aggregation (Spark 4 listagg / DuckDB string_agg
     // ORDER BY): deterministic because the within-group order is total.
     "agg_listagg" -> ((s, d) =>
@@ -478,6 +504,28 @@ object Aggregates {
         |  min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_regression_exact" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1704067200
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1704067200
+        |             AS DECIMAL(28,6))
+        |           * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1704067200
+        |             AS DECIMAL(28,6))
+        |           * CAST(epoch_us(ts) // 1000000 - 1704067200
+        |             AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0 THEN
+        |    round((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1000000)
+        |      / 1000000 END AS slope,
+        |  CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0 THEN
+        |    round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+        |      / n * 1000000) / 1000000 END AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
     "agg_mode_exact" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, count(*) AS n

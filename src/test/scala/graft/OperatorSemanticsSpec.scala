@@ -187,6 +187,26 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("gap-fill: hour grid contiguous per user, forward fill never " +
+    "null, observed hours pass through") {
+    val rows = SparkEntry.queries("timeseries_gapfill")(spark, sfDir)
+      .select($"user_id", $"hour", $"hr_sum", $"filled")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val hours = rs.map(_._2).sorted
+      assert(hours.head + hours.length - 1 === hours.last,
+        s"user $u grid has holes")
+      // first grid hour is observed by construction → filled is total
+      assert(rs.forall(_._4.isDefined), s"user $u has unfilled hours")
+      // pass-through: wherever observed, filled == observed
+      rs.filter(_._3.isDefined).foreach { r =>
+        assert(r._4 === r._3, s"user $u hour ${r._2}: fill overwrote")
+      }
+    }
+    // the corpus must actually exercise gaps or the op is vacuous
+    assert(rows.exists(_._3.isEmpty))
+  }
+
   test("gopher gate: keep flag equals its three rules recomputed") {
     val out = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
       .as[(Long, Long, Double, Double, Boolean)].collect()
