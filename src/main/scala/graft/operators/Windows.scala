@@ -86,27 +86,32 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
-    // Time-series gap-fill + forward fill: materialize each user's full
-    // hourly grid (sequence explode between its first and last active
-    // hour — bounded by the user's own span, no global calendar) and
-    // carry the last observed hourly sum across gaps. The resample/ffill
-    // step of telemetry and feature pipelines. Hour index is exact
-    // integer division of event-time micros; per-user window only —
-    // state stays bounded per key at scale.
+    // Time-series gap-fill + forward fill: each user's full hourly grid
+    // between its first and last active hour, gaps carrying the last
+    // observed hourly sum — the resample/ffill step of telemetry and
+    // feature pipelines. Gap rows are GENERATED from consecutive
+    // observations (lead(hour) bounds the explode, and the carried
+    // value IS the forward fill), so the plan is one per-user window
+    // shuffle of the observed rows plus a map-side explode — no
+    // grid-to-observation join shuffling one row per grid hour (≈10× the
+    // observed rows here, unbounded at scale for sparse series). Hour
+    // index is exact integer division of event-time micros.
     "timeseries_gapfill" -> ((s, d) => {
       val hour = expr("unix_micros(ts) div 3600000000").as("hour")
       val obs = t(s, d, "events")
         .groupBy(col("user_id"), hour)
         .agg(U.dbl(sum(U.dec6(col("value")))).as("hr_sum"))
-      val grid = obs.groupBy("user_id")
-        .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      val byUser = Window.partitionBy("user_id").orderBy("hour")
+      val withNext = obs.withColumn("next_hour", lead(col("hour"), 1).over(byUser))
+      val observed = withNext.select(col("user_id"), col("hour"),
+        col("hr_sum"), col("hr_sum").as("filled"))
+      val gaps = withNext
+        .filter(col("next_hour").isNotNull && col("next_hour") > col("hour") + 1)
         .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"))).as("hour"))
-      val w = Window.partitionBy("user_id").orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(obs, Seq("user_id", "hour"), "left")
-        .withColumn("filled", last(col("hr_sum"), ignoreNulls = true).over(w))
-        .orderBy("user_id", "hour")
+          explode(sequence(col("hour") + 1, col("next_hour") - 1)).as("hour"),
+          lit(null).cast("double").as("hr_sum"),
+          col("hr_sum").as("filled"))
+      observed.unionByName(gaps).orderBy("user_id", "hour")
     }),
 
     // CDC log → current snapshot (upsert compaction / SCD1): latest row
