@@ -182,4 +182,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("encoded-argmax mode equals reference mode on random multisets") {
+    // the agg_mode_exact encoding (n * 1024 - value) must pick the
+    // highest count with smallest-value tie-break for ANY multiset of
+    // values in [0, 1023]
+    val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0, 50)))
+    check(gen, n = 15) { rows =>
+      val out = rows.toDF("g", "v")
+        .groupBy($"g", $"v").agg(count(lit(1)).as("n"))
+        .groupBy("g")
+        .agg(max_by($"v", $"n" * 1024L - $"v").as("mode_v"))
+        .as[(String, Int)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val counts = rs.groupBy(_._2).view.mapValues(_.size)
+        // max count, ties to smallest value
+        g -> counts.toSeq.maxBy { case (v, n) => (n, -v) }._1
+      }
+      assert(out === expected)
+    }
+  }
+
+  test("upsert_latest equals per-key reference maxBy on random logs") {
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 20L), Gen.choose(0.0, 9.0)))
+    check(gen, n = 15) { raw =>
+      // unique event ids make the tiebreak total, as in the real table
+      val rows = raw.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy($"t".desc, $"eid".desc)
+      val out = rows.toDF("k", "t", "eid", "v")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"k", $"eid").as[(Int, Long)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.maxBy(r => (r._2, r._3))._3
+      }
+      assert(out === expected)
+    }
+  }
 }
