@@ -353,6 +353,21 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // Duplicate-cluster size distribution — the corpus-health report a
+    // dedup run is judged by (how much of the corpus is singleton vs
+    // boilerplate blast radius). Two aggregations: digest→cluster size
+    // (the shuffle carries a 16-byte key, never text), then size→counts
+    // (output rows ≤ max cluster size — trivially small at any scale).
+    "dedup_cluster_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          U.lng(sum(col("csize"))).as("n_docs"))
+        .withColumn("dup_docs", col("n_docs") - col("n_clusters"))
+        .orderBy("csize")),
+
     // Exact dedup after canonicalization (case/punctuation/whitespace).
     "dedup_exact_norm" -> ((s, d) => {
       val norm = trim(regexp_replace(
@@ -531,6 +546,14 @@ object Dedup {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_cluster_stats" ->
+      """WITH clusters AS (
+        |  SELECT md5(text) AS digest, count(*) AS csize
+        |  FROM documents GROUP BY text)
+        |SELECT csize, count(*) AS n_clusters,
+        |  CAST(SUM(csize) AS BIGINT) AS n_docs,
+        |  CAST(SUM(csize) AS BIGINT) - count(*) AS dup_docs
+        |FROM clusters GROUP BY csize ORDER BY csize""".stripMargin,
     "dedup_exact_norm" ->
       """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_sha,

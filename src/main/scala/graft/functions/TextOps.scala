@@ -337,6 +337,63 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled source mixture (the multilingual / multi-source
+    // rebalancing step every training mix needs): per-source token masses
+    // c_s from one fact scan, then w_s = c_s^tau / sum(c_s^tau) with
+    // tau = 0.5 — upweights small sources, downweights dominant ones.
+    // The per-source rollup is a partial+final aggregate (20 rows out of
+    // the shuffle); the normalizing total is a 1-row broadcast. Powers
+    // round to 1e-6 and sum through exact decimal, so the weights are
+    // partition-order invariant and engine-identical.
+    "mix_temperature_weights" -> ((s, d) => {
+      val perSrc = t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          U.lng(sum(size(split(col("text"), " ")))).as("n_tokens"))
+        .withColumn("scaled",
+          U.round6(pow(col("n_tokens").cast("double"), lit(0.5))))
+      val tot = perSrc.agg(U.dbl(sum(U.dec6(col("scaled")))).as("tot"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          U.round6(col("scaled") / col("tot")).as("weight"))
+        .orderBy("source")
+    }),
+
+    // Token-budget mixture sampling — the temperature weights APPLIED:
+    // each source's keep rate is min(1, budget * w_s / c_s), realized as
+    // a reproducible content-hash threshold (no RNG — the same docs
+    // survive on any cluster or engine). The budget is half the corpus
+    // token mass (computed in the same pass), so the thresholds bite at
+    // every SF instead of degenerating to keep-everything. The 20-row
+    // rate table broadcasts back onto the fact, so the sample itself is
+    // one map-only pass over the corpus: the shape that holds at 100 TB,
+    // where the rate table is dims-sized and the fact never shuffles.
+    "sample_mixture_budget" -> ((s, d) => {
+      val perSrc = t(s, d, "documents")
+        .groupBy("source")
+        .agg(U.lng(sum(size(split(col("text"), " ")))).as("n_tokens"))
+        .withColumn("scaled",
+          U.round6(pow(col("n_tokens").cast("double"), lit(0.5))))
+      val tot = perSrc.agg(U.dbl(sum(U.dec6(col("scaled")))).as("tot"),
+        U.lng(sum(col("n_tokens"))).as("tot_tokens"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .select(col("source").as("r_source"),
+          least(lit(1.0), U.round6(
+            lit(0.5) * col("tot_tokens") * U.round6(col("scaled") / col("tot"))
+              / col("n_tokens"))).as("rate"))
+        // 16-bit hex threshold; rate >= 1 maps above every hex digest
+        // (the %04x overflow guard sample_stratified documents)
+        .withColumn("thr",
+          when(col("rate") >= 1.0, lit("zzzz"))
+            .otherwise(format_string("%04x",
+              floor(col("rate") * 65536.0).cast("int"))))
+      t(s, d, "documents")
+        .join(broadcast(rates), col("source") === col("r_source"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Shard assignment for training-data output layout: 16 shards keyed
     // on the first hex digit of the content digest — map-only, uniform,
     // reproducible. At 100 TB this column feeds the writer's partitionBy
@@ -462,6 +519,50 @@ object TextOps {
         |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*) * 1000000) / 1000000 AS mean_surprisal
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mix_temperature_weights" ->
+      """WITH per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sc AS (
+        |  SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
+        |    / 1000000 AS scaled
+        |  FROM per_src),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(scaled AS DECIMAL(18,6))) AS DOUBLE) AS tot
+        |  FROM sc)
+        |SELECT source, n_docs, n_tokens,
+        |  round(scaled / tot * 1000000) / 1000000 AS weight
+        |FROM sc, tot ORDER BY source""".stripMargin,
+    "sample_mixture_budget" ->
+      """WITH per_src AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sc AS (
+        |  SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
+        |    / 1000000 AS scaled
+        |  FROM per_src),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(scaled AS DECIMAL(18,6))) AS DOUBLE) AS tot,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+        |  FROM sc),
+        |rates AS (
+        |  SELECT source AS r_source,
+        |    least(1.0, round(0.5 * tot_tokens *
+        |      (round(scaled / tot * 1000000) / 1000000)
+        |      / n_tokens * 1000000) / 1000000) AS rate
+        |  FROM sc, tot),
+        |thr AS (
+        |  SELECT r_source,
+        |    CASE WHEN rate >= 1.0 THEN 'zzzz'
+        |         ELSE printf('%04x', CAST(floor(rate * 65536.0) AS INT))
+        |    END AS thr
+        |  FROM rates)
+        |SELECT doc_id, source
+        |FROM documents JOIN thr ON source = r_source
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+        |ORDER BY doc_id""".stripMargin,
     "shard_assign" ->
       """SELECT CAST(strpos('0123456789abcdef',
         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)

@@ -237,6 +237,183 @@ object SqlSurface {
       |                    AND o_totalprice > 400000)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // TPC-H Q8 shape: national market share — the 8-way join (both nation
+  // roles + region) feeding a ratio of conditional aggregates. The share
+  // is a double division of two exact decimal sums, so the value is
+  // order-independent; EXTRACT year cast to BIGINT for schema parity.
+  private val Q8 =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+      |      AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |       nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |    AND p_type = 'PROMO'
+      |) all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // TPC-H Q9 shape: product-type profit by nation and year. The classic
+  // profit uses ps_supplycost (no partsupp in this star) — the cost side
+  // stands in as 10% of p_retailprice per unit, keeping the same plan:
+  // part-name filter pushed into the part scan, 6-way join, two-level
+  // group. All arithmetic bridges through exact decimal before the sum.
+  private val Q9 =
+    """SELECT nation, o_year,
+      |  CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount)
+      |         - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // TPC-H Q11 shape: important-stock identification — per-key value sums
+  // kept only when they exceed a fraction of the GLOBAL sum (scalar
+  // subquery over the same filtered join, evaluated once and broadcast).
+  // lineitem value per part stands in for partsupp availability value.
+  private val Q11 =
+    """SELECT l_partkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) > (
+      |  SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                       AS DECIMAL(18,4))) AS DOUBLE) * 0.001
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_3')
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+  // with an extra join-side predicate (customers with zero qualifying
+  // orders must survive as c_count = 0), then a second aggregation over
+  // the first's result. Two shuffles by design: custkey, then count.
+  private val Q13 =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // TPC-H Q14 shape: promotion-revenue share — single join + one
+  // aggregate producing a ratio of a conditional sum over the total
+  // (both exact decimal, divided as double). The date band must reach
+  // the lineitem scan as PushedFilters.
+  private val Q14 =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1.0 - l_discount)
+      |                AS DECIMAL(18,4))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                    AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= DATE '1996-09-01'
+      |  AND l_shipdate < DATE '1996-10-01'""".stripMargin
+
+  // TPC-H Q15 shape: top supplier — a named revenue CTE used twice (the
+  // per-supplier rollup and the global max over it), equality on the
+  // exact-decimal-derived revenue, tiny scalar broadcast back.
+  private val Q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |                  AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01'
+      |    AND l_shipdate < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // TPC-H Q17 shape: small-quantity-order revenue — correlated average
+  // over the probe side's own part key (Catalyst decorrelates to a
+  // per-part avg joined back). p_brand + p_size band stands in for the
+  // brand/container pair; the band is wide enough to be non-empty at
+  // sf0.001 so the oracle check never degenerates to NULL-vs-NULL.
+  private val Q17 =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |         / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#3' AND p_size <= 25
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // TPC-H Q20 shape: qualifying-shipper promotion — nested IN whose key
+  // set is a grouped HAVING over a filtered fact join (plans as two
+  // semi-join levels above a pushed-down part-name prefix scan), with a
+  // broadcast nation filter on the outer supplier side. The nation
+  // IN-list covers nations that HAVE suppliers at sf0.001 (only 10
+  // suppliers exist there), so the oracle check is non-vacuous at every
+  // test SF.
+  private val Q20 =
+    """SELECT s_suppkey, s_name
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem, part
+      |    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      |      AND l_shipdate >= DATE '1996-01-01'
+      |      AND l_shipdate < DATE '1997-01-01'
+      |    GROUP BY l_suppkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 20)
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_8', 'NATION_13', 'NATION_24')
+      |ORDER BY s_suppkey""".stripMargin
+
+  // TPC-H Q21 shape: suppliers who kept orders waiting — the EXISTS /
+  // NOT-EXISTS pair over the SAME fact with inequality correlation
+  // (another supplier contributed; no other supplier was late). "Late"
+  // stands in as l_returnflag = 'R' (no receipt/commit dates here).
+  // Plans as a semi join and an anti join stacked on l_orderkey. Same
+  // sf0.001-supplier-coverage nation IN-list as Q20.
+  private val Q21 =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_8', 'NATION_13', 'NATION_24')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   // Correlated LATERAL subquery: greatest-n-per-group without a window
   // function — Spark decorrelates the per-customer ordered LIMIT; DuckDB
   // executes the same text natively.
@@ -258,7 +435,16 @@ object SqlSurface {
     "sql_q5_local_supplier" -> ((s, d) => withViews(s, d)(Q5)),
     "sql_q6_revenue_band" -> ((s, d) => withViews(s, d)(Q6)),
     "sql_q7_volume_shipping" -> ((s, d) => withViews(s, d)(Q7)),
+    "sql_q8_market_share" -> ((s, d) => withViews(s, d)(Q8)),
+    "sql_q9_profit_type" -> ((s, d) => withViews(s, d)(Q9)),
     "sql_q10_returned_items" -> ((s, d) => withViews(s, d)(Q10)),
+    "sql_q11_important_stock" -> ((s, d) => withViews(s, d)(Q11)),
+    "sql_q13_order_dist" -> ((s, d) => withViews(s, d)(Q13)),
+    "sql_q14_promo_share" -> ((s, d) => withViews(s, d)(Q14)),
+    "sql_q15_top_supplier" -> ((s, d) => withViews(s, d)(Q15)),
+    "sql_q17_small_qty" -> ((s, d) => withViews(s, d)(Q17)),
+    "sql_q20_excess_shippers" -> ((s, d) => withViews(s, d)(Q20)),
+    "sql_q21_waiting_suppliers" -> ((s, d) => withViews(s, d)(Q21)),
     "sql_q12_priority_class" -> ((s, d) => withViews(s, d)(Q12)),
     "sql_q16_supplier_variety" -> ((s, d) => withViews(s, d)(Q16)),
     "sql_q18_large_volume" -> ((s, d) => withViews(s, d)(Q18)),
@@ -293,7 +479,16 @@ object SqlSurface {
     "sql_q5_local_supplier" -> Q5,
     "sql_q6_revenue_band" -> Q6,
     "sql_q7_volume_shipping" -> Q7,
+    "sql_q8_market_share" -> Q8,
+    "sql_q9_profit_type" -> Q9,
     "sql_q10_returned_items" -> Q10,
+    "sql_q11_important_stock" -> Q11,
+    "sql_q13_order_dist" -> Q13,
+    "sql_q14_promo_share" -> Q14,
+    "sql_q15_top_supplier" -> Q15,
+    "sql_q17_small_qty" -> Q17,
+    "sql_q20_excess_shippers" -> Q20,
+    "sql_q21_waiting_suppliers" -> Q21,
     "sql_q12_priority_class" -> Q12,
     "sql_q16_supplier_variety" -> Q16,
     "sql_q18_large_volume" -> Q18,

@@ -219,4 +219,50 @@ class OperatorSemanticsSpec extends SparkSpec {
     // both outcomes must occur on the corpus or the gate is vacuous
     assert(out.exists(_._5) && out.exists(!_._5))
   }
+
+  test("dedup cluster stats: planted duplicate clusters land in the " +
+    "right size buckets") {
+    // "a"×3, "b"×2, two singletons → sizes {1:2 clusters, 2:1, 3:1}
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c"), (7L, "d")).toDF("doc_id", "text")
+    val out = docs
+      .groupBy(md5($"text").as("digest"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"), U.lng(sum($"csize")).as("n_docs"))
+      .withColumn("dup_docs", $"n_docs" - $"n_clusters")
+      .orderBy("csize")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
+
+  test("temperature mixture: tau=0.5 flattens the source imbalance and " +
+    "weights sum to 1") {
+    // token masses 100 vs 400: raw ratio 4x, sqrt-scaled ratio 2x
+    val perSrc = Seq(("small", 100L), ("big", 400L)).toDF("source", "n_tokens")
+      .withColumn("scaled", U.round6(pow($"n_tokens".cast("double"), lit(0.5))))
+    val tot = perSrc.agg(U.dbl(sum(U.dec6($"scaled"))).as("tot"))
+    val w = perSrc.crossJoin(broadcast(tot))
+      .select($"source", U.round6($"scaled" / $"tot").as("weight"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(w("small") - 1.0 / 3) < 1e-5)
+    assert(math.abs(w("big") - 2.0 / 3) < 1e-5)
+    assert(math.abs(w.values.sum - 1.0) < 1e-5)
+    // flattening: weight ratio strictly below the raw token ratio
+    assert(w("big") / w("small") < 4.0 - 1e-6)
+  }
+
+  test("budget mixture sample keeps a deterministic, rate-respecting " +
+    "subset per source") {
+    val out = SparkEntry.queries("sample_mixture_budget")(spark, sfDir)
+    val again = SparkEntry.queries("sample_mixture_budget")(spark, sfDir)
+    val kept = out.as[(Long, String)].collect().toSet
+    assert(kept === again.as[(Long, String)].collect().toSet)
+    val all = Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    assert(kept.subsetOf(all))
+    // the budget is half the corpus: the sample must be a strict subset
+    assert(kept.size < all.size && kept.nonEmpty)
+  }
 }

@@ -224,12 +224,15 @@ class PlanSpec extends SparkSpec {
     //   sim_batch_topk         — broadcast query batch (nQueries rows)
     //   text_idf_topterms      — 1-row corpus-size aggregate broadcast
     //   text_unigram_logprob   — 1-row token-total aggregate broadcast
+    //   mix_temperature_weights — 1-row normalizer aggregate broadcast
+    //   sample_mixture_budget   — same 1-row normalizer broadcast
     // Anything NEW that plans a CartesianProduct or an unlisted
     // BroadcastNestedLoopJoin is a scale bug, caught here before it
     // ships — a 100 TB fact on either side of one of those is a outage.
     val nlWhitelist = Set("filter_scalar_subquery", "join_cross_dims",
       "join_salted_skew", "join_theta_band", "sim_batch_topk",
-      "text_idf_topterms", "text_unigram_logprob")
+      "text_idf_topterms", "text_unigram_logprob",
+      "mix_temperature_weights", "sample_mixture_budget")
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
