@@ -68,6 +68,20 @@ object StreamingOps {
       .groupBy("click_id").agg(count(lit(1)).as("n_views"))
   }
 
+  /** Stream-static enrichment join: the unbounded stream joins a
+    * broadcast dimension snapshot (re-resolved per micro-batch by
+    * Structured Streaming, so dim updates between batches are picked
+    * up). Stateless — no watermark needed for the join itself; the
+    * downstream aggregate is the only stateful stage. At 100 TB/day the
+    * dim stays a broadcast (or a state-store lookup if it outgrows
+    * memory) and the stream never shuffles for the join. */
+  def staticEnrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))), Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), U.dsum(col("value")).as("sum_value"))
+
   /** Streaming approximate-distinct per key: a [[org.apache.spark.sql.streaming.StatefulProcessor]]
     * holding a mergeable DataSketches HLL (the library Spark's own
     * hll_sketch_agg uses) as binary state — distinct-count over an
@@ -118,7 +132,10 @@ object StreamingOps {
       sessionAgg(Tables.t(s, d, "events")).orderBy("user_id", "ss_us")),
     "stream_dedup_first" -> ((s, d) =>
       firstPerKey(Tables.t(s, d, "events"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+    "stream_static_enrich" -> ((s, d) =>
+      staticEnrich(Tables.t(s, d, "events"), Tables.t(s, d, "customer"))
+        .orderBy("c_mktsegment", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,6 +176,11 @@ object StreamingOps {
         |      FROM m)
         |SELECT user_id, epoch_us(min(mts)) AS ss_us, count(*) AS n
         |FROM g GROUP BY user_id, sid ORDER BY user_id, ss_us""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_first" ->
       """SELECT user_id, event_type, event_id FROM (
         |  SELECT user_id, event_type, event_id,

@@ -132,6 +132,24 @@ class PlanSpec extends SparkSpec {
     assert(q5.contains("BroadcastHashJoin"), q5)
   }
 
+  test("SQL Q8/Q21: 8-way star stays hash-joined; the EXISTS/NOT-EXISTS " +
+    "pair plans as stacked semi + anti joins") {
+    val q8 = formatted("sql_q8_market_share")
+    assert(!q8.contains("CartesianProduct") &&
+      !q8.contains("BroadcastNestedLoopJoin"), q8)
+    assert(q8.contains("BroadcastHashJoin"), q8)
+    // the region and part filters must reach their scans
+    assert(q8.contains("EqualTo(r_name,EUROPE)"), s"region not pushed:\n$q8")
+    assert(q8.contains("EqualTo(p_type,PROMO)"), s"p_type not pushed:\n$q8")
+    val q21 = formatted("sql_q21_waiting_suppliers")
+    assert(q21.contains("LeftSemi"), s"EXISTS did not plan as semi:\n$q21")
+    assert(q21.contains("LeftAnti"), s"NOT EXISTS did not plan as anti:\n$q21")
+    assert(!q21.contains("CartesianProduct"), q21)
+    // the status + returnflag filters reach the fact scans
+    assert(q21.contains("EqualTo(o_orderstatus,F)"), s"status not pushed:\n$q21")
+    assert(q21.contains("EqualTo(l_returnflag,R)"), s"flag not pushed:\n$q21")
+  }
+
   test("flagship pipeline: broadcast dim join present, no cartesian anywhere") {
     val p = formatted("flagship_product_build")
     assert(p.contains("BroadcastHashJoin"), p)

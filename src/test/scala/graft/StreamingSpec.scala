@@ -275,6 +275,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrich: dim broadcast joins each micro-batch, " +
+    "matches the batch analog") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = StreamingOps.staticEnrich(df, dim).writeStream
+      .format("memory").queryName("enrich_out").outputMode("complete").start()
+    try {
+      input.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), "click", 4.0), (3L, ts(4), "click", 8.0))
+      q.processAllAvailable() // user 3 has no dim row → dropped (inner)
+      val rows = spark.table("enrich_out")
+        .select("c_mktsegment", "event_type", "n", "sum_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows === Set(
+        ("BUILDING", "click", 2L, 5.0),
+        ("MACHINERY", "view", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch + dynamic partition overwrite is an idempotent incremental sink") {
     // The exactly-once pattern for partitioned parquet without a
     // transactional table format: each micro-batch OVERWRITES exactly
