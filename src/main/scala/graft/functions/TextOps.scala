@@ -394,6 +394,42 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Bigram PMI — collocation mining over the corpus (the phrase-table /
+    // tokenizer-merge shape), estimated over DOCUMENT frequencies (one
+    // occurrence per doc — word_kgrams emits distinct grams, so unigrams
+    // dedup per doc to match): unigram and bigram DF are two
+    // partial+final aggregates (bigrams via the fused word_kgrams
+    // expression — map-only shingling), the two count totals broadcast as
+    // 1-row scalars, and the vocabulary joins back per bigram endpoint.
+    // PMI arithmetic is all-double over exact long counts, identical on
+    // any engine; output is bounded by the c_xy >= 5 support floor +
+    // top-25, so the result is dims-sized at any corpus scale.
+    "text_pmi_bigrams" -> ((s, d) => {
+      graft.plans.WordKGrams.register(s)
+      val words = split(lower(col("text")), " ")
+      val docs = t(s, d, "documents")
+      val uni = docs.select(explode(array_distinct(words)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(U.lng(sum(col("c"))).as("n_uni"))
+      val bi = docs.filter(size(words) >= 2)
+        .select(explode(call_function("word_kgrams", words, lit(2)))
+          .as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c_xy"))
+      val nBi = bi.agg(U.lng(sum(col("c_xy"))).as("n_bi"))
+      bi.filter(col("c_xy") >= 5)
+        .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+        .withColumn("w2", split_part(col("gram"), lit(" "), lit(2)))
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("gram"), col("c_xy"),
+          U.round6(log(
+            (col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+              (col("n_bi").cast("double") * col("c1") * col("c2"))))
+            .as("pmi"))
+        .orderBy(col("c_xy").desc, col("gram")).limit(25)
+    }),
+
     // Shard assignment for training-data output layout: 16 shards keyed
     // on the first hex digit of the content digest — map-only, uniform,
     // reproducible. At 100 TB this column feeds the writer's partitionBy
@@ -519,6 +555,33 @@ object TextOps {
         |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*) * 1000000) / 1000000 AS mean_surprisal
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |uc AS (
+        |  SELECT wd, count(*) AS c
+        |  FROM (SELECT unnest(list_distinct(w)) AS wd FROM toks)
+        |  GROUP BY wd),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+        |bc AS (
+        |  SELECT gram, count(*) AS c_xy
+        |  FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |      generate_series(1, len(w) - 1),
+        |      i -> array_to_string(w[i:i+1], ' ')))) AS gram
+        |    FROM toks WHERE len(w) >= 2)
+        |  GROUP BY gram),
+        |nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM bc)
+        |SELECT gram, c_xy,
+        |  round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni) /
+        |           (CAST(n_bi AS DOUBLE) * u1.c * u2.c)) * 1000000)
+        |    / 1000000 AS pmi
+        |FROM bc
+        |CROSS JOIN nt CROSS JOIN nb
+        |JOIN uc u1 ON u1.wd = split_part(gram, ' ', 1)
+        |JOIN uc u2 ON u2.wd = split_part(gram, ' ', 2)
+        |WHERE c_xy >= 5
+        |ORDER BY c_xy DESC, gram LIMIT 25""".stripMargin,
     "mix_temperature_weights" ->
       """WITH per_src AS (
         |  SELECT source, count(*) AS n_docs,

@@ -217,6 +217,50 @@ object Aggregates {
         .orderBy("c_nationkey")
     }),
 
+    // Per-group z-score standardization — the feature-prep normalize
+    // pass: group moments from exact decimal sums (one partial+final
+    // aggregate, 25 rows out), broadcast back onto the fact, map-only
+    // transform. At 100 TB the stats table stays dim-sized no matter
+    // the fact size; the fact itself never shuffles.
+    "feat_zscore" -> ((s, d) => {
+      val x = U.dec4(col("c_acctbal"))
+      val stats = t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          U.dbl(sum(x)).as("sx"), U.dbl(sum(x * x)).as("sxx"))
+        .select(col("c_nationkey").as("k"),
+          (col("sx") / col("n")).as("m"),
+          when(col("n") > 1,
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1))).as("sd"))
+      t(s, d, "customer")
+        .join(broadcast(stats), col("c_nationkey") === col("k"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("sd") > 0,
+            U.round6((col("c_acctbal") - col("m")) / col("sd"))).as("z"))
+        .orderBy("c_custkey")
+    }),
+
+    // Winsorized clipping — outlier taming before numeric features
+    // enter training: exact per-group p05/p95 (the 3-row bounds table
+    // broadcasts), values clamp into [lo, hi]. Bounds round to 4
+    // decimals first so the clip thresholds are engine-stable (the
+    // established agg_percentile precision).
+    "feat_winsorize" -> ((s, d) => {
+      val qs = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
+        .select(col("l_returnflag").as("rf"),
+          round(element_at(col("ps"), 1), 4).as("lo"),
+          round(element_at(col("ps"), 2), 4).as("hi"))
+      t(s, d, "lineitem")
+        .join(broadcast(qs), col("l_returnflag") === col("rf"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          greatest(col("lo"), least(col("hi"), col("l_extendedprice")))
+            .as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Correlation/covariance via exact decimal CO-moments — built-in
     // corr()/covar_samp() accumulate doubles in partition order and are
     // not partition-count invariant; Σx, Σy, Σxy, Σx², Σy² through
@@ -485,6 +529,33 @@ object Aggregates {
         |    round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
         |  END AS stddev
         |FROM s ORDER BY c_nationkey""".stripMargin,
+    "feat_zscore" ->
+      """WITH s AS (
+        |  SELECT c_nationkey AS k, count(*) AS n,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))
+        |           * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        |  FROM customer GROUP BY c_nationkey),
+        |b AS (
+        |  SELECT k, sx / n AS m,
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((sxx - sx * sx / n) / (n - 1)) END AS sd
+        |  FROM s)
+        |SELECT c_custkey, c_nationkey,
+        |  CASE WHEN sd > 0 THEN
+        |    round((c_acctbal - m) / sd * 1000000) / 1000000 END AS z
+        |FROM customer JOIN b ON c_nationkey = k
+        |ORDER BY c_custkey""".stripMargin,
+    "feat_winsorize" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS rf,
+        |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  greatest(lo, least(hi, l_extendedprice)) AS clipped
+        |FROM lineitem JOIN q ON l_returnflag = rf
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "agg_bool_bit" ->
       """SELECT o_orderstatus,
         |  bool_and(o_totalprice > 1000) AS all_over_1k,
