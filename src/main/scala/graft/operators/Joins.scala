@@ -190,6 +190,34 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join — the mirror temporal direction (each click
+    // matched to the NEXT view at-or-after it; the "time-to-next-event"
+    // feature shape). Same single-exchange union+window plan as
+    // join_asof, with the frame flipped to [current, following) and the
+    // tie order flipped so an equal-timestamp view is visible to the
+    // click (inclusive <=). No per-key loop, no range self-join: one
+    // shuffle on user_id total.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .withColumn("view_value", lit(null).cast("double"))
+        .withColumn("side", lit(0))
+      val r = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("side", lit(1))
+        .select("event_id", "user_id", "tsu", "view_value", "side")
+      val w = Window.partitionBy("user_id").orderBy("tsu", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      l.unionByName(r)
+        .withColumn("matched", first("view_value", ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select("event_id", "user_id", "matched")
+        .orderBy("event_id")
+    }),
+
     // Interval-overlap join, bucketed: explode each interval into fixed-
     // width buckets, equi-join on bucket, re-check the residual predicate.
     // Each pair is emitted exactly once — in its first SHARED bucket
@@ -386,6 +414,14 @@ object Joins {
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, r.vv AS matched
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+        |ORDER BY l.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.vv AS matched
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu <= r.tsu
         |ORDER BY l.event_id""".stripMargin,
     "join_interval_overlap" ->
       """SELECT DISTINCT p_partkey AS a_id, s_suppkey AS b_id

@@ -220,6 +220,33 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("forward as-of join: inclusive tie, no-later-match → null") {
+    // views at t=10,20; clicks at t=5 (→10), 10 (tie→10), 25 (no later→null)
+    val ev = Seq(
+      (1L, 10L, "view", 1.0), (2L, 20L, "view", 2.0),
+      (3L, 5L, "click", 0.0), (4L, 10L, "click", 0.0), (5L, 25L, "click", 0.0))
+      .map { case (id, t, ty, v) => (id, 1L, new java.sql.Timestamp(t * 1000), ty, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val l = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsu"))
+      .withColumn("view_value", lit(null).cast("double")).withColumn("side", lit(0))
+    val r = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", unix_micros($"ts").as("tsu"))
+      .agg(max($"value").as("view_value"))
+      .withColumn("event_id", lit(null).cast("long")).withColumn("side", lit(1))
+      .select("event_id", "user_id", "tsu", "view_value", "side")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "side")
+      .rowsBetween(0, Long.MaxValue)
+    val out = l.unionByName(r)
+      .withColumn("matched", first("view_value", ignoreNulls = true).over(w))
+      .filter($"side" === 0).select($"event_id", $"matched")
+      .orderBy("event_id")
+      .collect().map(row => (row.getLong(0), Option(row.get(1))))
+    assert(out.toSeq === Seq(
+      (3L, Some(1.0)), (4L, Some(1.0)), (5L, None)))
+  }
+
   test("dedup cluster stats: planted duplicate clusters land in the " +
     "right size buckets") {
     // "a"×3, "b"×2, two singletons → sizes {1:2 clusters, 2:1, 3:1}
