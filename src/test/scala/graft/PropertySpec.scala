@@ -220,4 +220,37 @@ class PropertySpec extends SparkSpec {
       assert(out === expected)
     }
   }
+
+  test("temperature mixture weights: sum to 1, preserve order, flatten " +
+    "ratios, invariant under input partitioning") {
+    val gen = Gen.listOfN(6, Gen.choose(1L, 1000000L))
+    check(gen, n = 15) { masses =>
+      val rows = masses.zipWithIndex.map { case (m, i) => (s"s$i", m) }
+      def weights(parts: Int): Map[String, Double] = {
+        val perSrc = rows.toDF("source", "n_tokens").repartition(parts)
+          .withColumn("scaled",
+            U.round6(pow($"n_tokens".cast("double"), lit(0.5))))
+        val tot = perSrc.agg(U.dbl(sum(U.dec6($"scaled"))).as("tot"))
+        perSrc.crossJoin(broadcast(tot))
+          .select($"source", U.round6($"scaled" / $"tot").as("weight"))
+          .as[(String, Double)].collect().toMap
+      }
+      val w = weights(3)
+      assert(math.abs(w.values.sum - 1.0) < 1e-4, s"sum=${w.values.sum}")
+      // monotone: more tokens → no smaller weight
+      val byMass = rows.sortBy(_._2)
+      byMass.sliding(2).foreach {
+        case Seq((a, ma), (b, mb)) =>
+          if (ma < mb) assert(w(a) <= w(b) + 1e-9, s"$a/$b order broken")
+        case _ =>
+      }
+      // tau=0.5 flattens: max/min weight ratio ≤ sqrt(max/min mass) + eps
+      val (mn, mx) = (masses.min.toDouble, masses.max.toDouble)
+      if (w.values.min > 0)
+        assert(w.values.max / w.values.min <=
+          math.sqrt(mx / mn) * (1 + 1e-3))
+      // deterministic under partitioning (decimal-bridged normalizer)
+      assert(weights(1) === w)
+    }
+  }
 }
