@@ -127,6 +127,27 @@ object Multimodal {
     // planning at scale; the pixel transform itself sits behind the same
     // stub boundary as decode. All per-row double arithmetic → oracle-
     // checkable cross-engine.
+    // Frame-sampling planner: k midpoint-rule sample instants over each
+    // asset's duration, mapped to frame indices — the schedule a video
+    // decode stage consumes (the decode itself stays behind the stub
+    // boundary). Pure integer math over metadata: map-only explode, no
+    // shuffle, exact on any engine. duration derives from n_chars the
+    // same way width does above (synthetic metadata convention).
+    "multimodal_frame_plan" -> ((s, d) => {
+      val k = 8
+      val m = mediaTable(s, d)
+        .withColumn("dur_ms",
+          ((col("doc_id") % 300 + 10) * 1000).cast("long"))
+      m.select(col("doc_id"), col("media_type"), col("dur_ms"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+        .withColumn("t_ms",
+          expr(s"(dur_ms * (2 * i + 1)) div ${2 * k}"))
+        .withColumn("frame_idx", expr("(t_ms * 30) div 1000"))
+        .select(col("doc_id"), col("media_type"), col("dur_ms"),
+          col("i").cast("long").as("i"), col("t_ms"), col("frame_idx"))
+        .orderBy("doc_id", "i")
+    }),
+
     "multimodal_resize" -> ((s, d) => {
       val m = mediaTable(s, d)
       val gw = greatest(col("width"), lit(1)).cast("double") // 0-width guard
@@ -159,8 +180,20 @@ object Multimodal {
       """SELECT doc_id,
         |  1 + CAST(floor((strlen(text) - 1) / 128.0) AS BIGINT) AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_plan" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
+        |       ELSE 'audio/fake' END AS media_type,
+        |  CAST((doc_id % 300 + 10) * 1000 AS BIGINT) AS dur_ms,
+        |  CAST(i AS BIGINT) AS i,
+        |  CAST((doc_id % 300 + 10) * 1000 AS BIGINT) * (2 * i + 1) // 16
+        |    AS t_ms,
+        |  (CAST((doc_id % 300 + 10) * 1000 AS BIGINT) * (2 * i + 1) // 16)
+        |    * 30 // 1000 AS frame_idx
+        |FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
+        |ORDER BY doc_id, i""".stripMargin,
     "multimodal_resize" ->
-      """WITH m AS (
+"""WITH m AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
         |         ELSE 'audio/fake' END AS media_type,

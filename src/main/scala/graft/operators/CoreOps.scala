@@ -135,7 +135,32 @@ object CoreOps {
       t(s, d, "orders")
         .orderBy("o_orderkey")
         .select("o_orderkey", "o_totalprice")
-        .offset(100).limit(100))
+        .offset(100).limit(100)),
+
+    // Typed Dataset escape hatch — KeyValueGroupedDataset.mapGroups for
+    // genuinely imperative per-group logic (here: the user's first-8
+    // event-type funnel path). DELIBERATE demonstration of the
+    // preference-order tail (SURVEY B.8 "(d) last resort"): the group
+    // materializes in memory and the function is opaque to Catalyst
+    // (no pushdown/codegen through it), so the declarative window form
+    // (window_rank_topk + listagg) is the 100 TB path — this query
+    // exists to prove the typed API surface works end-to-end and agrees
+    // with the relational oracle. State is bounded: one user's events.
+    "typed_map_groups" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, rows) =>
+          val path = rows.toSeq.sortBy(r => (r._2, r._3))
+            .take(8).map(_._4).mkString(">")
+          (uid, path)
+        }
+        .toDF("user_id", "path8")
+        .orderBy("user_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,6 +200,15 @@ object CoreOps {
     "limit_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 100 OFFSET 100""".stripMargin,
+    "typed_map_groups" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path8
+        |FROM e WHERE rn <= 8
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "filter_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.5

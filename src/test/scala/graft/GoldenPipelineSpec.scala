@@ -310,6 +310,44 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(first === "c1")
   }
 
+  test("JSON scan bad-record handling: PERMISSIVE captures corrupt lines, " +
+    "FAILFAST raises") {
+    // Real document feeds carry malformed lines; the engine must keep
+    // good rows, quarantine bad ones into _corrupt_record, and offer a
+    // strict mode that fails loudly instead of silently dropping data.
+    val d = s"$tmp/badjson"
+    Files.createDirectories(Paths.get(d))
+    Files.writeString(Paths.get(s"$d/part0.jsonl"),
+      """{"id": 1, "text": "good row"}
+        |{"id": 2 "text": "missing comma"}
+        |{"id": 3, "text": "another good row"}
+        |not json at all
+        |""".stripMargin)
+    val schema = "id LONG, text STRING, _corrupt_record STRING"
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(d).cache()
+    try {
+      assert(parsed.count() === 4)
+      assert(parsed.filter($"_corrupt_record".isNull).count() === 2)
+      val bad = parsed.filter($"_corrupt_record".isNotNull)
+        .select("_corrupt_record").as[String].collect()
+      assert(bad.exists(_.contains("missing comma")))
+      assert(bad.contains("not json at all"))
+      // good rows parse fully even with corrupt neighbors in the file
+      assert(parsed.filter($"id" === 1).select("text").as[String].head()
+        === "good row")
+    } finally parsed.unpersist()
+    val strict = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id LONG, text STRING")
+        .option("mode", "FAILFAST").json(d).collect()
+    }
+    assert(strict.getMessage.toLowerCase.contains("malformed") ||
+      Option(strict.getCause).exists(_.getMessage.toLowerCase
+        .contains("malformed")))
+  }
+
   test("product metadata records filesystem byte size") {
     val fact = Seq(("d1-c1", "d1", "f1", 1.0, "m1"))
       .toDF("cell_id", "dataset", "feature_id", "value", "modality")
