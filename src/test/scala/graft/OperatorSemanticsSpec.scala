@@ -220,6 +220,28 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out.exists(_._5) && out.exists(!_._5))
   }
 
+  test("observe(): in-flight data-quality metrics come for free with the " +
+    "action, no second pass") {
+    // Production pipelines need row counts / null rates / value sums per
+    // stage without re-scanning: df.observe attaches accumulators to the
+    // existing plan. Verify the metrics equal an independent recompute.
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val docs = Tables.t(spark, sfDir, "documents")
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("null_texts"),
+        sum(length($"text")).as("total_chars"))
+    val kept = docs.filter(length($"text") > 0).count()
+    val m = obs.get
+    val expectRows = Tables.t(spark, sfDir, "documents").count()
+    val expectChars = Tables.t(spark, sfDir, "documents")
+      .agg(sum(length($"text"))).as[Long].head()
+    assert(m("rows_seen") === expectRows)
+    assert(m("null_texts") === 0L)
+    assert(m("total_chars") === expectChars)
+    assert(kept <= expectRows)
+  }
+
   test("forward as-of join: inclusive tie, no-later-match → null") {
     // views at t=10,20; clicks at t=5 (→10), 10 (tie→10), 25 (no later→null)
     val ev = Seq(
