@@ -430,6 +430,57 @@ object TextOps {
         .orderBy(col("c_xy").desc, col("gram")).limit(25)
     }),
 
+    // Deterministic negative-pair sampling for contrastive training:
+    // each doc gets k pseudo-random partner ids from a multiplicative
+    // mixing of (doc_id, j) over the corpus-size ring — reproducible on
+    // any engine/cluster (exact integer math, no RNG), map-only after a
+    // 1-row corpus-size broadcast. Self-pairs shift by one slot. The
+    // engine-side production variant would use xxhash64 mixing; the
+    // Knuth multiplicative constant keeps the oracle SQL-expressible.
+    "pair_negative_sample" -> ((s, d) => {
+      val k = 4
+      val docs = t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+        .withColumn("slot",
+          pmod(col("doc_id") * lit(2654435761L) + col("j") * lit(40503L),
+            col("n_docs")))
+        // ids are 0-based dense [0, n); shift self-hits forward one slot
+        .withColumn("neg_id",
+          when(col("slot") === col("doc_id"),
+            pmod(col("slot") + 1, col("n_docs")))
+            .otherwise(col("slot")))
+        .select(col("doc_id"), col("j"), col("neg_id"))
+        .orderBy("doc_id", "j")
+    }),
+
+    // One-pass corpus report — the data card a corpus release ships
+    // with: volume, token mass, length distribution, language spread,
+    // exact-dup rate, all from ONE scan + one tiny digest aggregate.
+    // Every number is exact integer/decimal math (engine-identical).
+    "corpus_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = U.lng(size(split(col("text"), " ")))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        U.lng(sum(toks)).as("n_tokens"),
+        U.lng(min(toks)).as("min_tokens"),
+        // floor() explicitly: a bare long cast truncates in Spark but
+        // rounds in the oracle engine on interpolated .5 medians
+        U.lng(floor(expr("percentile(size(split(text, ' ')), 0.5)")))
+          .as("med_tokens"),
+        U.lng(max(toks)).as("max_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val dups = docs.groupBy(md5(col("text")).as("dg"))
+        .agg(count(lit(1)).as("c"))
+        .agg(U.lng(sum(col("c") - 1)).as("dup_docs"))
+      base.crossJoin(broadcast(dups))
+    }),
+
     // Shard assignment for training-data output layout: 16 shards keyed
     // on the first hex digit of the content digest — map-only, uniform,
     // reproducible. At 100 TB this column feeds the writer's partitionBy
@@ -555,6 +606,31 @@ object TextOps {
         |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*) * 1000000) / 1000000 AS mean_surprisal
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pair_negative_sample" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, j,
+        |    (doc_id * 2654435761 + j * 40503) % n_docs AS slot, n_docs
+        |  FROM documents, n, (SELECT unnest(generate_series(0, 3)) AS j))
+        |SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |  CASE WHEN slot = doc_id THEN (slot + 1) % n_docs
+        |       ELSE slot END AS neg_id
+        |FROM s ORDER BY doc_id, j""".stripMargin,
+    "corpus_report" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        |    CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.5))
+        |         AS BIGINT) AS med_tokens,
+        |    CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM documents),
+        |dups AS (
+        |  SELECT CAST(SUM(c - 1) AS BIGINT) AS dup_docs
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY text))
+        |SELECT * FROM base, dups""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH toks AS (
         |  SELECT string_split(lower(text), ' ') AS w FROM documents),

@@ -251,7 +251,8 @@ class PlanSpec extends SparkSpec {
       "join_salted_skew", "join_theta_band", "sim_batch_topk",
       "text_idf_topterms", "text_unigram_logprob",
       "mix_temperature_weights", "sample_mixture_budget",
-      "text_pmi_bigrams") // two 1-row count-total scalar broadcasts
+      "text_pmi_bigrams", // two 1-row count-total scalar broadcasts
+      "pair_negative_sample", "corpus_report") // 1-row corpus-size/dup scalars
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
