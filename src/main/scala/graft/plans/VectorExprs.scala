@@ -330,6 +330,58 @@ case class VecLongSum(child: Expression, absValues: Boolean) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Exact integer dot product over two ARRAY<BIGINT> (the int8-retrieval
+  * scoring kernel: quantized corpus vector · quantized query) — identical
+  * values to `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, p) -> s + p)`.
+  * Null semantics follow the HOF composition: null array → null, any null
+  * element → null, length mismatch → null (zip_with pads with null).
+  * Values are exact: int8 range products (≤ 127²·dim) never overflow. */
+case class VecLongDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_ldot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |long $s = 0L;
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; $i < $a.numElements() && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { $s += $a.getLong($i) * $b.getLong($i); }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecLongDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   private def info(name: String, cls: Class[_]) = new ExpressionInfo(cls.getName, name)
 
@@ -356,7 +408,8 @@ object VectorExprs {
     ("vec_lsum", classOf[VecLongSum],
       unary("vec_lsum", VecLongSum(_, absValues = false))),
     ("vec_l1sum", classOf[VecLongSum],
-      unary("vec_l1sum", VecLongSum(_, absValues = true))))
+      unary("vec_l1sum", VecLongSum(_, absValues = true))),
+    ("vec_ldot", classOf[VecLongDot], binary("vec_ldot", VecLongDot.apply)))
 
   /** Runtime registration (works on any existing session). */
   def register(spark: SparkSession): Unit = entries.foreach { case (n, c, b) =>

@@ -292,6 +292,36 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     }),
 
+    // Int8-quantized retrieval: the 100 TB memory story (4-8x smaller
+    // vectors, integer SIMD-friendly scoring) demonstrated end-to-end —
+    // per-vector absmax quantization (the persisted form at scale), the
+    // query quantized once, scoring via the exact-integer vec_ldot
+    // kernel, approximate cosine recovered by descaling. Rows-only:
+    // the quantization approximation is engine-defined; recall vs the
+    // float path is asserted in SimilaritySpec.
+    "sim_topk_int8" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
+      val qv = queryVector(s, d, 0L)
+      val qAbs = qv.map(math.abs).max
+      val qScale = 127.0 / qAbs
+      val q8 = typedlit(qv.map(x => math.floor(x * qScale + 0.5).toLong).toSeq)
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      val vd = toDouble(col("embedding"))
+      val dAbs = call_function("vec_absmax", vd)
+      val dScale = lit(127.0) / dAbs
+      val d8 = call_function("vec_int8", vd, dScale)
+      val dNorm = call_function("vec_l2norm", vd)
+      Tables.t(s, d, "embeddings")
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          when(dAbs > 0.0 && dNorm > 0.0,
+            round(call_function("vec_ldot", d8, q8).cast("double") /
+              (dScale * lit(qScale)) / (dNorm * lit(qNorm)), 6))
+            .as("approx_cos"))
+        .orderBy(col("approx_cos").desc_nulls_last, col("vec_id"))
+        .limit(20)
+    }),
+
     // Batch k-NN: ONE corpus scan scores every query in a broadcast
     // batch (per-query sequential scans re-read the corpus B times at
     // 100 TB — the batch amortizes the scan, and the per-query top-k

@@ -106,4 +106,32 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length === 20)
     assert(rows.toSeq === rows.sorted(Ordering[Double].reverse).toSeq)
   }
+
+  test("vec_ldot matches the HOF integer dot, incl. null/mismatch edges") {
+    graft.plans.VectorExprs.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(1L, -2L, 3L)), Some(Seq(4L, 5L, -6L))),   // -24
+      (2L, Some(Seq(127L, 127L)), Some(Seq(127L, 127L))),     // 32258
+      (3L, None, Some(Seq(1L))),                              // null array
+      (4L, Some(Seq(1L, 2L)), Some(Seq(1L)))                  // len mismatch
+    ).toDF("id", "a", "b")
+    val fused = df.selectExpr("id", "vec_ldot(a, b) AS v")
+      .as[(Long, Option[Long])].collect().toMap
+    val hof = df.selectExpr("id",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, p) -> s + p) AS v")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fused === hof)
+    assert(fused === Map(1L -> Some(-24L), 2L -> Some(32258L),
+      3L -> None, 4L -> None))
+  }
+
+  test("int8-quantized top-k recall vs the float path is high") {
+    val exact = Similarity.bruteForceTopK(spark, sfDir, 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = SparkEntry.queries("sim_topk_int8")(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(quant.size === 20)
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.85, s"int8 recall@20 = $recall")
+  }
 }
