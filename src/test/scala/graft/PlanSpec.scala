@@ -272,6 +272,45 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("AQE skew join: a hot key splits automatically (the no-manual-salt " +
+    "path)") {
+    // join_salted_skew demonstrates MANUAL salting; at 100 TB the first
+    // line of defense is AQE's OptimizeSkewedJoin. Plant one hot key and
+    // verify the runtime plan marks the sort-merge join skew-handled.
+    // Thresholds are lowered only inside this test (tiny test data).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 50k rows on key 0 (hot), 50 keys × 20 rows tail; payload pads bytes
+      val fact = spark.range(0, 100000).select(lit(0L).as("k"),
+          concat(lit("xpadpadpadpadpadpad"), col("id")).as("pad"))
+        .unionAll(spark.range(0, 1000).select((col("id") % 50 + 1).as("k"),
+          lit("y").as("pad")))
+      val dim = spark.range(0, 51).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dval"))
+      // global agg, NOT groupBy(k): an operator that reuses the join's
+      // hash partitioning downstream suppresses the skew split (AQE
+      // won't break required co-partitioning unless forced)
+      val joined = fact.hint("MERGE").join(dim.hint("MERGE"), "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("dval"))).as("b"))
+      joined.collect() // AQE finalizes only after execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the hot relational queries") {
     // AQE only materializes the final (codegen-annotated) plan after an
     // action, so execute first and inspect the finalized plan.
