@@ -154,6 +154,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows null-complete only " +
+    "after the watermark closes their window") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clkDf = clicks.toDF().toDF("ad_id2", "clk_ts")
+      .withWatermark("clk_ts", "10 minutes")
+    val joined = impDf.join(clkDf,
+      expr("""ad_id = ad_id2 AND
+             |clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 5 minutes""".stripMargin),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    def mts(minutes: Long): Timestamp =
+      new Timestamp((50L * 365 * 24 * 60 + minutes) * 60 * 1000)
+    try {
+      imps.addData((1L, mts(0)), (2L, mts(0)))
+      clicks.addData((1L, mts(3))) // matches imp 1; imp 2 stays pending
+      q.processAllAvailable()
+      val early = spark.table("ssj_outer_out")
+        .select("ad_id", "ad_id2").as[(Long, Option[Long])].collect()
+      // imp 2 must NOT null-complete yet: its join window is still open
+      assert(early.toSet === Set((1L, Some(1L))))
+      // advance both watermarks far past imp 2's window [0, 5]
+      imps.addData((9L, mts(60)))
+      clicks.addData((9L, mts(60)))
+      q.processAllAvailable()
+      // one more batch so the outer-null completion (evaluated against
+      // the watermark computed at batch START) lands in the sink
+      imps.addData((10L, mts(61)))
+      clicks.addData((10L, mts(61)))
+      q.processAllAvailable()
+      val later = spark.table("ssj_outer_out")
+        .select("ad_id", "ad_id2").as[(Long, Option[Long])].collect()
+      assert(later.contains((2L, None)),
+        s"imp 2 never null-completed: ${later.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_join_interval: streaming execution matches the batch analog") {
     // The registered batch query (StreamingOps.clickViewJoin) and a
     // watermarked stream-stream join over the same rows must agree on
