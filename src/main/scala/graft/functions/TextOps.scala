@@ -34,6 +34,31 @@ object TextOps {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** Shared stage of the mixture queries: per-source token mass +
+    * tau=0.5 temperature scaling. One definition so the temperature and
+    * the engine-stability discipline (round6 before the exact-decimal
+    * normalizer sum) cannot drift between the weights query and the
+    * sampling query. Columns: source, src_n_docs, n_tokens, scaled. */
+  private def perSourceScaled(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("src_n_docs"),
+        U.lng(sum(size(split(col("text"), " ")))).as("n_tokens"))
+      .withColumn("scaled",
+        U.round6(pow(col("n_tokens").cast("double"), lit(0.5))))
+
+  /** DuckDB mirror of [[perSourceScaled]] — the `per_src`/`sc` CTE text
+    * shared by both mixture oracles (identical-by-construction). */
+  private val MixPerSourceSql =
+    """per_src AS (
+      |  SELECT source, count(*) AS src_n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |sc AS (
+      |  SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
+      |    / 1000000 AS scaled
+      |  FROM per_src)""".stripMargin
+
   /** Quality score in [0,1]: penalizes too-short docs, high punctuation
     * density, and stopword-free (non-linguistic) content. */
   def qualityCol(text: Column): Column = {
@@ -344,14 +369,12 @@ object TextOps {
     // The per-source rollup is a partial+final aggregate (20 rows out of
     // the shuffle); the normalizing total is a 1-row broadcast. Powers
     // round to 1e-6 and sum through exact decimal, so the weights are
-    // partition-order invariant and engine-identical.
+    // partition-order invariant and engine-identical. The tau constant
+    // and precision discipline live ONCE in perSourceScaled /
+    // MixPerSourceSql, shared with sample_mixture_budget below.
     "mix_temperature_weights" -> ((s, d) => {
-      val perSrc = t(s, d, "documents")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          U.lng(sum(size(split(col("text"), " ")))).as("n_tokens"))
-        .withColumn("scaled",
-          U.round6(pow(col("n_tokens").cast("double"), lit(0.5))))
+      val perSrc = perSourceScaled(s, d)
+        .withColumn("n_docs", col("src_n_docs"))
       val tot = perSrc.agg(U.dbl(sum(U.dec6(col("scaled")))).as("tot"))
       perSrc.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -369,11 +392,7 @@ object TextOps {
     // one map-only pass over the corpus: the shape that holds at 100 TB,
     // where the rate table is dims-sized and the fact never shuffles.
     "sample_mixture_budget" -> ((s, d) => {
-      val perSrc = t(s, d, "documents")
-        .groupBy("source")
-        .agg(U.lng(sum(size(split(col("text"), " ")))).as("n_tokens"))
-        .withColumn("scaled",
-          U.round6(pow(col("n_tokens").cast("double"), lit(0.5))))
+      val perSrc = perSourceScaled(s, d)
       val tot = perSrc.agg(U.dbl(sum(U.dec6(col("scaled")))).as("tot"),
         U.lng(sum(col("n_tokens"))).as("tot_tokens"))
       val rates = perSrc.crossJoin(broadcast(tot))
@@ -419,8 +438,13 @@ object TextOps {
       bi.filter(col("c_xy") >= 5)
         .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
         .withColumn("w2", split_part(col("gram"), lit(" "), lit(2)))
-        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        // NO broadcast hint on the vocabulary joins: uni is corpus-
+        // vocabulary-sized (Zipf-unbounded at 100 TB, far past any
+        // broadcast limit). The support-floored bigram side is the small
+        // side; AQE picks broadcast at test scale and a shuffle join at
+        // vocabulary scale on its own.
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
         .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
         .select(col("gram"), col("c_xy"),
           U.round6(log(
@@ -437,6 +461,10 @@ object TextOps {
     // 1-row corpus-size broadcast. Self-pairs shift by one slot. The
     // engine-side production variant would use xxhash64 mixing; the
     // Knuth multiplicative constant keeps the oracle SQL-expressible.
+    // doc_id reduces mod 2^31 BEFORE the multiply: the product is then
+    // bounded by 2^31 * 2654435761 < 2^63 at ANY corpus size (the raw
+    // doc_id * K form overflows int64 past ~3.5e9 docs — silently under
+    // non-ANSI Spark, loudly in the oracle engine).
     "pair_negative_sample" -> ((s, d) => {
       val k = 4
       val docs = t(s, d, "documents")
@@ -446,8 +474,8 @@ object TextOps {
         .select(col("doc_id"), col("n_docs"),
           explode(sequence(lit(0L), lit(k - 1L))).as("j"))
         .withColumn("slot",
-          pmod(col("doc_id") * lit(2654435761L) + col("j") * lit(40503L),
-            col("n_docs")))
+          pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L)
+            + col("j") * lit(40503L), col("n_docs")))
         // ids are 0-based dense [0, n); shift self-hits forward one slot
         .withColumn("neg_id",
           when(col("slot") === col("doc_id"),
@@ -610,7 +638,8 @@ object TextOps {
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |s AS (
         |  SELECT doc_id, j,
-        |    (doc_id * 2654435761 + j * 40503) % n_docs AS slot, n_docs
+        |    ((doc_id % 2147483648) * 2654435761 + j * 40503) % n_docs
+        |      AS slot, n_docs
         |  FROM documents, n, (SELECT unnest(generate_series(0, 3)) AS j))
         |SELECT doc_id, CAST(j AS BIGINT) AS j,
         |  CASE WHEN slot = doc_id THEN (slot + 1) % n_docs
@@ -659,29 +688,15 @@ object TextOps {
         |WHERE c_xy >= 5
         |ORDER BY c_xy DESC, gram LIMIT 25""".stripMargin,
     "mix_temperature_weights" ->
-      """WITH per_src AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |sc AS (
-        |  SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
-        |    / 1000000 AS scaled
-        |  FROM per_src),
+      s"""WITH $MixPerSourceSql,
         |tot AS (
         |  SELECT CAST(SUM(CAST(scaled AS DECIMAL(18,6))) AS DOUBLE) AS tot
         |  FROM sc)
-        |SELECT source, n_docs, n_tokens,
+        |SELECT source, src_n_docs AS n_docs, n_tokens,
         |  round(scaled / tot * 1000000) / 1000000 AS weight
         |FROM sc, tot ORDER BY source""".stripMargin,
     "sample_mixture_budget" ->
-      """WITH per_src AS (
-        |  SELECT source,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
-        |sc AS (
-        |  SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000)
-        |    / 1000000 AS scaled
-        |  FROM per_src),
+      s"""WITH $MixPerSourceSql,
         |tot AS (
         |  SELECT CAST(SUM(CAST(scaled AS DECIMAL(18,6))) AS DOUBLE) AS tot,
         |    CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens

@@ -121,18 +121,12 @@ object Multimodal {
         .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
         .orderBy("doc_id")),
 
-    // Resize planning: fit-within-224×224 target dims (downscale only,
-    // aspect preserved) + output byte estimate. The DIMENSION math is the
-    // real, decoder-independent part — it drives batch sizing and memory
-    // planning at scale; the pixel transform itself sits behind the same
-    // stub boundary as decode. All per-row double arithmetic → oracle-
-    // checkable cross-engine.
     // Frame-sampling planner: k midpoint-rule sample instants over each
     // asset's duration, mapped to frame indices — the schedule a video
     // decode stage consumes (the decode itself stays behind the stub
     // boundary). Pure integer math over metadata: map-only explode, no
-    // shuffle, exact on any engine. duration derives from n_chars the
-    // same way width does above (synthetic metadata convention).
+    // shuffle, exact on any engine. duration derives from doc_id the
+    // same way the media_type tag does (synthetic metadata convention).
     "multimodal_frame_plan" -> ((s, d) => {
       val k = 8
       val m = mediaTable(s, d)
@@ -148,6 +142,12 @@ object Multimodal {
         .orderBy("doc_id", "i")
     }),
 
+    // Resize planning: fit-within-224×224 target dims (downscale only,
+    // aspect preserved) + output byte estimate. The DIMENSION math is the
+    // real, decoder-independent part — it drives batch sizing and memory
+    // planning at scale; the pixel transform itself sits behind the same
+    // stub boundary as decode. All per-row double arithmetic → oracle-
+    // checkable cross-engine.
     "multimodal_resize" -> ((s, d) => {
       val m = mediaTable(s, d)
       val gw = greatest(col("width"), lit(1)).cast("double") // 0-width guard
@@ -193,7 +193,7 @@ object Multimodal {
         |FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)
         |ORDER BY doc_id, i""".stripMargin,
     "multimodal_resize" ->
-"""WITH m AS (
+      """WITH m AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
         |         ELSE 'audio/fake' END AS media_type,
