@@ -509,6 +509,38 @@ object TextOps {
       base.crossJoin(broadcast(dups))
     }),
 
+    // Per-document TF-IDF top terms — the featurization counterpart of
+    // text_idf_topterms: term frequency per (doc, term) and corpus DF
+    // are two partial+final aggregates over one tokenization; the IDF
+    // table (vocabulary-sized) joins the TF table on term — a plain
+    // equi join AQE broadcasts at test scale and shuffles at corpus
+    // scale — then a per-doc window keeps the top-3 scoring terms.
+    // Scores round to 1e-6 with an exact-integer (tf, term) tiebreak, so
+    // the kept terms are engine-identical.
+    "text_tfidf_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val idf = df.crossJoin(broadcast(n))
+        .select(col("term"),
+          U.round6(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+            + lit(1.0)).as("idf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tf").desc, col("term"))
+      tf.join(idf, "term")
+        .withColumn("score", U.round6(col("tf") * col("idf")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+          col("score"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // Shard assignment for training-data output layout: 16 shards keyed
     // on the first hex digit of the content digest — map-only, uniform,
     // reproducible. At 100 TB this column feeds the writer's partitionBy
@@ -634,6 +666,30 @@ object TextOps {
         |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*) * 1000000) / 1000000 AS mean_surprisal
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |          AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT term,
+        |    round((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000)
+        |      / 1000000 AS idf
+        |  FROM df, n),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    round(tf * idf * 1000000) / 1000000 AS score
+        |  FROM tf JOIN idf USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, score
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "pair_negative_sample" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |s AS (

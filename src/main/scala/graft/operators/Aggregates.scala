@@ -261,6 +261,27 @@ object Aggregates {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Equi-depth bucketization with PERSISTED bounds — the train/serve
+    // counterpart of ntile: deciles fit once (exact percentile array,
+    // 4-decimal engine-stable bounds), then applied as a broadcast
+    // map-only transform — unlike ntile, the same bounds can score new
+    // data without re-ranking the corpus (no skew between fit-time and
+    // apply-time bucket edges). Bucket = #interior bounds strictly below
+    // the value → ids 0..9, monotone, total.
+    "feat_bucketize" -> ((s, d) => {
+      val ps = (1 to 9).map(_ / 10.0)
+      val bounds = t(s, d, "orders")
+        .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))")
+          .as("ps"))
+        .select(transform(col("ps"), p => round(p, 4)).as("bounds"))
+      t(s, d, "orders")
+        .crossJoin(broadcast(bounds))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          size(filter(col("bounds"), b => col("o_totalprice") > b))
+            .cast("long").as("bucket"))
+        .orderBy("o_orderkey")
+    }),
+
     // Correlation/covariance via exact decimal CO-moments — built-in
     // corr()/covar_samp() accumulate doubles in partition order and are
     // not partition-count invariant; Σx, Σy, Σxy, Σx², Σy² through
@@ -556,6 +577,22 @@ object Aggregates {
         |  greatest(lo, least(hi, l_extendedprice)) AS clipped
         |FROM lineitem JOIN q ON l_returnflag = rf
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "feat_bucketize" ->
+      """WITH b AS (
+        |  SELECT [round(quantile_cont(o_totalprice, 0.1), 4),
+        |          round(quantile_cont(o_totalprice, 0.2), 4),
+        |          round(quantile_cont(o_totalprice, 0.3), 4),
+        |          round(quantile_cont(o_totalprice, 0.4), 4),
+        |          round(quantile_cont(o_totalprice, 0.5), 4),
+        |          round(quantile_cont(o_totalprice, 0.6), 4),
+        |          round(quantile_cont(o_totalprice, 0.7), 4),
+        |          round(quantile_cont(o_totalprice, 0.8), 4),
+        |          round(quantile_cont(o_totalprice, 0.9), 4)] AS bounds
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST(len(list_filter(bounds, x -> o_totalprice > x)) AS BIGINT)
+        |    AS bucket
+        |FROM orders, b ORDER BY o_orderkey""".stripMargin,
     "agg_bool_bit" ->
       """SELECT o_orderstatus,
         |  bool_and(o_totalprice > 1000) AS all_over_1k,

@@ -269,6 +269,26 @@ class OperatorSemanticsSpec extends SparkSpec {
       (3L, Some(1.0)), (4L, Some(1.0)), (5L, None)))
   }
 
+  test("feat_bucketize: equi-depth deciles are balanced and ordered") {
+    val rows = SparkEntry.queries("feat_bucketize")(spark, sfDir)
+      .select("o_totalprice", "bucket").as[(Double, Long)].collect()
+    val n = rows.length
+    val byBucket = rows.groupBy(_._2)
+    assert(byBucket.keySet === (0L to 9L).toSet)
+    // equi-depth: every decile holds ~n/10 (ties at bounds allow slack)
+    byBucket.values.foreach { g =>
+      assert(math.abs(g.length - n / 10.0) <= n * 0.02 + 2,
+        s"bucket sizes skewed: ${byBucket.view.mapValues(_.length).toMap}")
+    }
+    // ordered: bucket i's max value never exceeds bucket i+1's min
+    val sorted = byBucket.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) =>
+        assert(lo.map(_._1).max <= hi.map(_._1).min)
+      case _ =>
+    }
+  }
+
   test("dedup cluster stats: planted duplicate clusters land in the " +
     "right size buckets") {
     // "a"×3, "b"×2, two singletons → sizes {1:2 clusters, 2:1, 3:1}
