@@ -165,6 +165,49 @@ object Windows {
     // session id = running count of session starts. Two stacked windows
     // over the SAME (user, time) ordering — one shuffle, two local passes.
     // The batch analog of session_window (stream_session_agg).
+    // Funnel conversion — the product-analytics staple: of users whose
+    // first 'view' exists, how many 'click' within the hour after it.
+    // Two aggregates + one equi join on user_id (first-touch table is
+    // user-cardinality, broadcastable when dims-sized, shuffled at
+    // scale); all event-time math in exact microsecond longs. Output is
+    // one row: denominator, numerator, round6 rate.
+    "funnel_conversion" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(U.tsUs(col("ts"))).as("fv_us"))
+      val converted = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), U.tsUs(col("ts")).as("c_us"))
+        .join(firstView, "user_id")
+        .filter(col("c_us") >= col("fv_us") &&
+          col("c_us") - col("fv_us") <= 3600L * 1000000)
+        .select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_converted"))
+      firstView.agg(count(lit(1)).as("n_viewers"))
+        .crossJoin(broadcast(converted))
+        .select(col("n_viewers"), col("n_converted"),
+          U.round6(col("n_converted").cast("double") / col("n_viewers"))
+            .as("conv_rate"))
+    }),
+
+    // Cohort retention — users grouped by first-activity day, counted
+    // again at each later day offset. Day arithmetic is integer floor
+    // division of the microsecond timestamp (no timezone/calendar
+    // dependence), so the matrix is engine-exact. Two aggregates + one
+    // join on user_id; the output is cohort×offset-sized (tiny).
+    "cohort_retention" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val act = t(s, d, "events")
+        .select(col("user_id"),
+          floor(U.tsUs(col("ts")) / dayUs).cast("long").as("day"))
+        .distinct()
+      val cohorts = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      act.join(cohorts, "user_id")
+        .withColumn("day_offset", col("day") - col("cohort"))
+        .groupBy("cohort", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     "window_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
         .orderBy(U.tsUs(col("ts")), col("event_id"))
@@ -285,8 +328,34 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "funnel_conversion" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fv_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (
+        |  SELECT count(*) AS n_converted FROM (
+        |    SELECT DISTINCT e.user_id
+        |    FROM events e JOIN fv USING (user_id)
+        |    WHERE e.event_type = 'click'
+        |      AND epoch_us(e.ts) >= fv_us
+        |      AND epoch_us(e.ts) - fv_us <= 3600000000))
+        |SELECT (SELECT count(*) FROM fv) AS n_viewers, n_converted,
+        |  round(CAST(n_converted AS DOUBLE)
+        |        / (SELECT count(*) FROM fv) * 1000000) / 1000000
+        |    AS conv_rate
+        |FROM conv""".stripMargin,
+    "cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort, day - cohort AS day_offset, count(*) AS n_users
+        |FROM act JOIN c USING (user_id)
+        |GROUP BY cohort, day - cohort
+        |ORDER BY cohort, day_offset""".stripMargin,
     "window_sessionize" ->
-      """WITH g AS (
+"""WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
         |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts), event_id) AS prev_ts
