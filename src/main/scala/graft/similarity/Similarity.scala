@@ -65,6 +65,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-vector maxsim top-k (see the `sim_maxsim_topk` registry
+    * comment). `parts` sub-vectors of `dim/parts` each; score =
+    * mean_q max_d cos(sub_q, sub_d). Zero-norm sub-vectors contribute
+    * -2 (below every real cosine) instead of null. */
+  def maxsimTopK(s: SparkSession, d: String, queryId: Long, k: Int,
+      parts: Int = 4): DataFrame = {
+    graft.plans.VectorExprs.register(s)
+    val qv = queryVector(s, d, queryId)
+    require(qv.length % parts == 0, s"dim ${qv.length} not divisible by $parts")
+    val sub = qv.length / parts
+    val qsubs = (0 until parts)
+      .map(p => typedlit(qv.slice(p * sub, (p + 1) * sub).toSeq))
+    val vd = toDouble(col("embedding"))
+    def docSub(p: Int) = slice(vd, p * sub + 1, sub)
+    val score = (0 until parts).map { qi =>
+      greatest((0 until parts).map(di =>
+        coalesce(cosine(docSub(di), qsubs(qi)), lit(-2.0))): _*)
+    }.reduce(_ + _)
+    Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(score / parts, 6).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def annTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
     graft.plans.VectorExprs.register(s)
     val qv = queryVector(s, d, queryId)
@@ -321,6 +346,16 @@ object Similarity {
         .orderBy(col("approx_cos").desc_nulls_last, col("vec_id"))
         .limit(20)
     }),
+
+    // Multi-vector "late interaction" (maxsim) scoring — the ColBERT
+    // retrieval shape: both sides split into sub-vectors (here 4×16 of
+    // the 64-dim embedding standing in for per-token vectors); the score
+    // is the mean over query sub-vectors of the best-matching doc
+    // sub-vector cosine. Still one map-only corpus scan + top-k: the
+    // sub-vector loop is a fixed-size column expression, not a join.
+    // Rows-only: fold order of the sub-cosines is engine-defined;
+    // driver-reference parity is pinned in SimilaritySpec.
+    "sim_maxsim_topk" -> ((s, d) => maxsimTopK(s, d, queryId = 0L, k = 20)),
 
     // Batch k-NN: ONE corpus scan scores every query in a broadcast
     // batch (per-query sequential scans re-read the corpus B times at

@@ -107,6 +107,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq === rows.sorted(Ordering[Double].reverse).toSeq)
   }
 
+  test("maxsim top-k equals a driver-side reference on the real table") {
+    val parts = 4
+    def subs(v: Array[Double]) = v.grouped(v.length / parts).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0.0 || nb == 0.0) -2.0
+      else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    val all = Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val q = subs(all(0L))
+    val expected = all.removed(0L).map { case (id, v) =>
+      val ds = subs(v)
+      id -> q.map(qs => ds.map(d => cos(d, qs)).max).sum / parts
+    }
+    val got = Similarity.maxsimTopK(spark, sfDir, 0L, 20)
+      .as[(Long, Double)].collect()
+    assert(got.length === 20)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < 1e-6, s"vec $id: $s vs ${expected(id)}")
+    }
+    // the engine's top-k must be the reference's top-k (same tiebreak)
+    val refTop = expected.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(20).map(_._1)
+    assert(got.map(_._1).toSeq === refTop)
+  }
+
   test("vec_ldot matches the HOF integer dot, incl. null/mismatch edges") {
     graft.plans.VectorExprs.register(spark)
     val df = Seq(
