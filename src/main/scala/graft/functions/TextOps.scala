@@ -59,6 +59,23 @@ object TextOps {
       |    / 1000000 AS scaled
       |  FROM per_src)""".stripMargin
 
+  /** DuckDB mirror of [[qualityCol]] + round6 — a scalar SQL snippet
+    * over column `text`, shared by the quality-score oracle and the
+    * quality-weighted sampling oracle (identical-by-construction). */
+  private val QualityScoreSql =
+    """round((
+      |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+      |  (1.0 - least(CAST(length(text) -
+      |      length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |      * 10.0 / length(text), 1.0)) * 0.3 +
+      |  least(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |      ['the','and','of','to','in','is','that','with',
+      |       'der','die','und','das','ist','mit','von','nicht',
+      |       'el','la','de','y','los','que','es','con',
+      |       'le','et','les','des','est','dans',
+      |       'shi','zai','wo','you','he','ni'])) AS DOUBLE) / 3.0, 1.0) * 0.3
+      |  ) * 1000000) / 1000000""".stripMargin
+
   /** Quality score in [0,1]: penalizes too-short docs, high punctuation
     * density, and stopword-free (non-linguistic) content. */
   def qualityCol(text: Column): Column = {
@@ -167,6 +184,22 @@ object TextOps {
       t(s, d, "documents").select(
         col("doc_id"), U.round6(qualityCol(col("text"))).as("quality"))
         .orderBy("doc_id")),
+
+    // Quality-weighted sampling — per-ROW adaptive keep rate (the
+    // soft-filter between a hard quality gate and uniform sampling):
+    // keep probability proportional to the doc's quality score,
+    // realized as the same reproducible md5-threshold carve as
+    // sample_stratified, but with the 16-bit threshold computed from
+    // each row's own quality. Map-only, no RNG, no shuffle; the 0.9
+    // cap keeps the %04x encoding below its 65536 overflow.
+    "sample_quality_weighted" -> ((s, d) => {
+      val rate = U.round6(qualityCol(col("text"))) * lit(0.9)
+      val thr = format_string("%04x", floor(rate * lit(65536.0)).cast("int"))
+      t(s, d, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
 
     // Document fingerprint via the native codegen'd expression.
     "text_fingerprint" -> ((s, d) => {
@@ -806,19 +839,14 @@ object TextOps {
     // Same op order as qualityCol so the per-row double math is
     // bit-identical; CASTs keep DuckDB in DOUBLE (not DECIMAL) arithmetic.
     "text_quality_score" ->
-      """SELECT doc_id, round((
-        |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0) * 0.4 +
-        |  (1.0 - least(CAST(length(text) -
-        |      length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-        |      * 10.0 / length(text), 1.0)) * 0.3 +
-        |  least(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-        |      ['the','and','of','to','in','is','that','with',
-        |       'der','die','und','das','ist','mit','von','nicht',
-        |       'el','la','de','y','los','que','es','con',
-        |       'le','et','les','des','est','dans',
-        |       'shi','zai','wo','you','he','ni'])) AS DOUBLE) / 3.0, 1.0) * 0.3
-        |  ) * 1000000) / 1000000 AS quality
+      s"""SELECT doc_id, $QualityScoreSql AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_quality_weighted" ->
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  printf('%04x', CAST(floor(($QualityScoreSql) * 0.9 * 65536.0)
+        |                      AS INT))
+        |ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS labeled_lang,

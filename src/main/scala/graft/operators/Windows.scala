@@ -165,6 +165,27 @@ object Windows {
     // session id = running count of session starts. Two stacked windows
     // over the SAME (user, time) ordering — one shuffle, two local passes.
     // The batch analog of session_window (stream_session_agg).
+    // Sequence training examples — (context → label) pairs for
+    // next-event prediction: a per-user ordered window yields each
+    // event's three predecessors as the context string; rows without a
+    // full context are dropped (no padding ambiguity). One shuffle on
+    // user_id; the exact shape of session-based recommendation / next-
+    // token-over-events dataset builds.
+    "seq_training_pairs" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev1", lag(col("event_type"), 1).over(w))
+        .withColumn("prev2", lag(col("event_type"), 2).over(w))
+        .withColumn("prev3", lag(col("event_type"), 3).over(w))
+        .filter(col("prev3").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          concat_ws(">", col("prev3"), col("prev2"), col("prev1"))
+            .as("context"),
+          col("event_type").as("label"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Funnel conversion — the product-analytics staple: of users whose
     // first 'view' exists, how many 'click' within the hour after it.
     // Two aggregates + one equi join on user_id (first-touch table is
@@ -328,6 +349,20 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "seq_training_pairs" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type, 1) OVER w AS prev1,
+        |    lag(event_type, 2) OVER w AS prev2,
+        |    lag(event_type, 3) OVER w AS prev3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id,
+        |  prev3 || '>' || prev2 || '>' || prev1 AS context,
+        |  event_type AS label
+        |FROM o WHERE prev3 IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
     "funnel_conversion" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS fv_us
