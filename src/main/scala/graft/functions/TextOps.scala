@@ -59,6 +59,16 @@ object TextOps {
       |    / 1000000 AS scaled
       |  FROM per_src)""".stripMargin
 
+  /** 16-bit hex digest prefix of doc_id — the reproducible sampling
+    * carve every hash-threshold sampler compares against. One
+    * definition (with [[DigestPrefixSql]] as its oracle mirror) so the
+    * digest scheme/width can never drift between samplers. */
+  private def digestPrefix: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 4)
+
+  /** DuckDB mirror of [[digestPrefix]]. */
+  private val DigestPrefixSql = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
   /** DuckDB mirror of [[qualityCol]] + round6 — a scalar SQL snippet
     * over column `text`, shared by the quality-score oracle and the
     * quality-weighted sampling oracle (identical-by-construction). */
@@ -145,7 +155,7 @@ object TextOps {
         when(col("source") === src, lit(hex(r))).otherwise(acc)
       }
       t(s, d, "documents")
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+        .filter(digestPrefix < thr)
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy("doc_id")
     }),
@@ -193,10 +203,15 @@ object TextOps {
     // each row's own quality. Map-only, no RNG, no shuffle; the 0.9
     // cap keeps the %04x encoding below its 65536 overflow.
     "sample_quality_weighted" -> ((s, d) => {
-      val rate = U.round6(qualityCol(col("text"))) * lit(0.9)
+      // null quality (null text) must mean keep-rate 0, not threshold
+      // "null": format_string renders a null arg as the literal string
+      // "null", which sorts ABOVE every hex digest and would keep the
+      // row always — while the oracle's printf(NULL) drops it.
+      val rate = coalesce(U.round6(qualityCol(col("text"))), lit(0.0)) *
+        lit(0.9)
       val thr = format_string("%04x", floor(rate * lit(65536.0)).cast("int"))
       t(s, d, "documents")
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
+        .filter(digestPrefix < thr)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
@@ -441,7 +456,7 @@ object TextOps {
               floor(col("rate") * 65536.0).cast("int"))))
       t(s, d, "documents")
         .join(broadcast(rates), col("source") === col("r_source"))
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .filter(digestPrefix < col("thr"))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
@@ -593,9 +608,9 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" ->
-      """SELECT doc_id, source, lang
+      s"""SELECT doc_id, source, lang
         |FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |WHERE $DigestPrefixSql <
         |  CASE source
         |    WHEN 'src0' THEN 'zzzz'
         |    WHEN 'src1' THEN 'c000'
@@ -804,7 +819,7 @@ object TextOps {
         |  FROM rates)
         |SELECT doc_id, source
         |FROM documents JOIN thr ON source = r_source
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+        |WHERE $DigestPrefixSql < thr
         |ORDER BY doc_id""".stripMargin,
     "shard_assign" ->
       """SELECT CAST(strpos('0123456789abcdef',
@@ -843,9 +858,9 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_quality_weighted" ->
       s"""SELECT doc_id, lang, source FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-        |  printf('%04x', CAST(floor(($QualityScoreSql) * 0.9 * 65536.0)
-        |                      AS INT))
+        |WHERE $DigestPrefixSql <
+        |  printf('%04x', CAST(floor(coalesce(($QualityScoreSql), 0.0)
+        |                            * 0.9 * 65536.0) AS INT))
         |ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH s AS (

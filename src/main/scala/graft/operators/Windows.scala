@@ -160,11 +160,6 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
-    // Batch sessionization (gaps-and-islands): a new session starts when
-    // the gap to the previous event of the same user exceeds 30 minutes;
-    // session id = running count of session starts. Two stacked windows
-    // over the SAME (user, time) ordering — one shuffle, two local passes.
-    // The batch analog of session_window (stream_session_agg).
     // Sequence training examples — (context → label) pairs for
     // next-event prediction: a per-user ordered window yields each
     // event's three predecessors as the context string; rows without a
@@ -211,10 +206,11 @@ object Windows {
     }),
 
     // Cohort retention — users grouped by first-activity day, counted
-    // again at each later day offset. Day arithmetic is integer floor
-    // division of the microsecond timestamp (no timezone/calendar
-    // dependence), so the matrix is engine-exact. Two aggregates + one
-    // join on user_id; the output is cohort×offset-sized (tiny).
+    // again at each later day offset. Day = floor of the microsecond
+    // timestamp over 86400e6 — an exact DOUBLE quotient on both engines
+    // (epoch_us ≪ 2^53; both `/` operators are float division), no
+    // timezone/calendar dependence, so the matrix is engine-exact. Two
+    // aggregates + one join on user_id; output is cohort×offset-sized.
     "cohort_retention" -> ((s, d) => {
       val dayUs = 86400L * 1000000
       val act = t(s, d, "events")
@@ -229,6 +225,11 @@ object Windows {
         .orderBy("cohort", "day_offset")
     }),
 
+    // Batch sessionization (gaps-and-islands): a new session starts when
+    // the gap to the previous event of the same user exceeds 30 minutes;
+    // session id = running count of session starts. Two stacked windows
+    // over the SAME (user, time) ordering — one shuffle, two local passes.
+    // The batch analog of session_window (stream_session_agg).
     "window_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
         .orderBy(U.tsUs(col("ts")), col("event_id"))
@@ -390,7 +391,7 @@ object Windows {
         |GROUP BY cohort, day - cohort
         |ORDER BY cohort, day_offset""".stripMargin,
     "window_sessionize" ->
-"""WITH g AS (
+      """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
         |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
         |      ORDER BY epoch_us(ts), event_id) AS prev_ts

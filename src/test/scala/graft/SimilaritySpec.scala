@@ -130,8 +130,11 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (id, s) =>
       assert(math.abs(s - expected(id)) < 1e-6, s"vec $id: $s vs ${expected(id)}")
     }
-    // the engine's top-k must be the reference's top-k (same tiebreak)
-    val refTop = expected.toSeq.sortBy { case (id, s) => (-s, id) }
+    // the engine's top-k must be the reference's top-k — ranked on the
+    // SAME 6-decimal rounding the engine orders by, else sub-1e-6 score
+    // ties break differently (engine: vec_id; raw doubles: score ulps)
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val refTop = expected.toSeq.sortBy { case (id, s) => (-r6(s), id) }
       .take(20).map(_._1)
     assert(got.map(_._1).toSeq === refTop)
   }
