@@ -454,6 +454,35 @@ object Dedup {
     // corpus (C4/RefinedWeb-style repeated-n-gram filtering — shared
     // shingles across many documents mark templated text). One explode +
     // one partial+final count; top-k via TakeOrderedAndProject.
+    // Boilerplate REMOVAL — the apply step of dedup_repeated_ngrams'
+    // detection: the most-shared 5-gram (deterministic (count, gram)
+    // argmax) broadcasts as a 1-row scalar and every document drops its
+    // occurrences in one map-only replace. The detect→broadcast→strip
+    // shape is how header/footer boilerplate actually gets cleaned at
+    // corpus scale: the boilerplate table stays dims-sized no matter
+    // the corpus, and the rewrite never shuffles the fact.
+    "boilerplate_strip" -> ((s, d) => {
+      graft.plans.WordKGrams.register(s)
+      val docs = t(s, d, "documents")
+      val top = docs.select(
+        explode(wordKShingles(col("text"), 5)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram")).limit(1)
+        .select(col("gram").as("boiler"))
+      docs.crossJoin(broadcast(top))
+        .select(col("doc_id"),
+          // normalize the doc the same way the gram was derived
+          // (wordKShingles lowercases), collapse the seam left by an
+          // interior removal, then trim edge residue
+          trim(regexp_replace(
+            replace(lower(col("text")), col("boiler"), lit("")),
+            "  +", " ")).as("cleaned"),
+          U.lng(length(lower(col("text"))) -
+            length(replace(lower(col("text")), col("boiler"), lit(""))))
+            .as("removed_chars"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_repeated_ngrams" -> ((s, d) => {
       graft.plans.WordKGrams.register(s)
       val docs = t(s, d, "documents")
@@ -546,6 +575,24 @@ object Dedup {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "boilerplate_strip" ->
+      """WITH g AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 4, 1)),
+        |    i -> CASE WHEN len(w) >= 5 THEN array_to_string(w[i:i+4], ' ')
+        |         ELSE array_to_string(w, ' ') END))) AS gram
+        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)),
+        |top AS (
+        |  SELECT gram AS boiler FROM (
+        |    SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+        |    ORDER BY n_docs DESC, gram LIMIT 1))
+        |SELECT doc_id,
+        |  trim(regexp_replace(replace(lower(text), boiler, ''),
+        |                      '  +', ' ', 'g')) AS cleaned,
+        |  CAST(length(lower(text)) - length(replace(lower(text), boiler, ''))
+        |       AS BIGINT) AS removed_chars
+        |FROM documents, top
+        |ORDER BY doc_id""".stripMargin,
     "dedup_cluster_stats" ->
       """WITH clusters AS (
         |  SELECT md5(text) AS digest, count(*) AS csize
