@@ -276,6 +276,16 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("mixture sampling: rate table broadcasts — the corpus never " +
+    "shuffles for the join") {
+    val df = SparkEntry.queries("sample_mixture_budget")(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact shuffled for the rate join:\n$p")
+  }
+
   test("AQE skew join: a hot key splits automatically (the no-manual-salt " +
     "path)") {
     // join_salted_skew demonstrates MANUAL salting; at 100 TB the first
