@@ -269,6 +269,41 @@ class OperatorSemanticsSpec extends SparkSpec {
       (3L, Some(1.0)), (4L, Some(1.0)), (5L, None)))
   }
 
+  test("boilerplate strip: planted shared 5-gram removed exactly where " +
+    "it occurs, clean docs untouched") {
+    graft.plans.WordKGrams.register(spark)
+    val boiler = "click here to subscribe now"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"iota kappa lambda mu $boiler"),
+      (4L, "plain document with no shared boilerplate text at all"),
+      (5L, "another clean document of entirely different words here"))
+      .toDF("doc_id", "text")
+    val top = docs.select(
+      explode(graft.dedup.Dedup.wordKShingles($"text", 5)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"gram").limit(1)
+      .select($"gram".as("boiler"))
+    val out = docs.crossJoin(broadcast(top))
+      .select($"doc_id",
+        trim(regexp_replace(
+          replace(lower($"text"), $"boiler", lit("")), "  +", " "))
+          .as("cleaned"),
+        U.lng(length(lower($"text")) -
+          length(replace(lower($"text"), $"boiler", lit(""))))
+          .as("removed_chars"))
+      .as[(Long, String, Long)].collect()
+      .map { case (id, c, r) => id -> ((c, r)) }.toMap
+    assert(out(1L) === (("alpha beta gamma delta", boiler.length.toLong)))
+    assert(out(2L) === (("epsilon zeta eta theta", boiler.length.toLong)))
+    assert(out(3L) === (("iota kappa lambda mu", boiler.length.toLong)))
+    // untouched docs come through byte-identical (modulo lowercasing)
+    assert(out(4L)._2 === 0L &&
+      out(4L)._1 === "plain document with no shared boilerplate text at all")
+    assert(out(5L)._2 === 0L)
+  }
+
   test("feat_bucketize: equi-depth deciles are balanced and ordered") {
     val rows = SparkEntry.queries("feat_bucketize")(spark, sfDir)
       .select("o_totalprice", "bucket").as[(Double, Long)].collect()
