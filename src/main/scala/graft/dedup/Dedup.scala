@@ -450,17 +450,21 @@ object Dedup {
         .orderBy("id1")
     }),
 
-    // Boilerplate detection: the most-repeated word 5-grams across the
-    // corpus (C4/RefinedWeb-style repeated-n-gram filtering — shared
-    // shingles across many documents mark templated text). One explode +
-    // one partial+final count; top-k via TakeOrderedAndProject.
     // Boilerplate REMOVAL — the apply step of dedup_repeated_ngrams'
-    // detection: the most-shared 5-gram (deterministic (count, gram)
-    // argmax) broadcasts as a 1-row scalar and every document drops its
-    // occurrences in one map-only replace. The detect→broadcast→strip
-    // shape is how header/footer boilerplate actually gets cleaned at
-    // corpus scale: the boilerplate table stays dims-sized no matter
-    // the corpus, and the rewrite never shuffles the fact.
+    // detection below: the most-shared 5-gram (deterministic
+    // (count, gram) argmax) broadcasts as a 1-row scalar and every
+    // document drops its occurrences in a map-only rewrite. Strip +
+    // seam-collapse runs TWICE: removing an occurrence and collapsing
+    // the gap can splice the surrounding words back into the exact
+    // boilerplate string ("A B <boiler> C" where A B + C themselves
+    // form the gram), so a single pass can ship uncleaned text; the
+    // second pass removes first-order splices (deeper adversarial
+    // nesting would need a fixpoint loop — out of scope for a
+    // single-expression rewrite, documented here). removed_chars is
+    // bytes saved end-to-end (boilerplate + collapsed whitespace). The
+    // detect→broadcast→strip shape is how header/footer boilerplate
+    // gets cleaned at corpus scale: the boilerplate table stays
+    // dims-sized and the rewrite never shuffles the fact.
     "boilerplate_strip" -> ((s, d) => {
       graft.plans.WordKGrams.register(s)
       val docs = t(s, d, "documents")
@@ -469,20 +473,22 @@ object Dedup {
         .groupBy("gram").agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("gram")).limit(1)
         .select(col("gram").as("boiler"))
+      // one strip pass: remove occurrences, collapse the seam, trim
+      def strip(x: org.apache.spark.sql.Column) =
+        trim(regexp_replace(replace(x, col("boiler"), lit("")), "  +", " "))
       docs.crossJoin(broadcast(top))
-        .select(col("doc_id"),
-          // normalize the doc the same way the gram was derived
-          // (wordKShingles lowercases), collapse the seam left by an
-          // interior removal, then trim edge residue
-          trim(regexp_replace(
-            replace(lower(col("text")), col("boiler"), lit("")),
-            "  +", " ")).as("cleaned"),
-          U.lng(length(lower(col("text"))) -
-            length(replace(lower(col("text")), col("boiler"), lit(""))))
+        // wordKShingles lowercases, so normalize the doc the same way
+        .withColumn("cleaned", strip(strip(lower(col("text")))))
+        .select(col("doc_id"), col("cleaned"),
+          U.lng(length(lower(col("text"))) - length(col("cleaned")))
             .as("removed_chars"))
         .orderBy("doc_id")
     }),
 
+    // Boilerplate detection: the most-repeated word 5-grams across the
+    // corpus (C4/RefinedWeb-style repeated-n-gram filtering — shared
+    // shingles across many documents mark templated text). One explode +
+    // one partial+final count; top-k via TakeOrderedAndProject.
     "dedup_repeated_ngrams" -> ((s, d) => {
       graft.plans.WordKGrams.register(s)
       val docs = t(s, d, "documents")
@@ -585,13 +591,20 @@ object Dedup {
         |top AS (
         |  SELECT gram AS boiler FROM (
         |    SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
-        |    ORDER BY n_docs DESC, gram LIMIT 1))
-        |SELECT doc_id,
-        |  trim(regexp_replace(replace(lower(text), boiler, ''),
-        |                      '  +', ' ', 'g')) AS cleaned,
-        |  CAST(length(lower(text)) - length(replace(lower(text), boiler, ''))
-        |       AS BIGINT) AS removed_chars
-        |FROM documents, top
+        |    ORDER BY n_docs DESC, gram LIMIT 1)),
+        |pass1 AS (
+        |  SELECT doc_id, lower(text) AS orig,
+        |    trim(regexp_replace(replace(lower(text), boiler, ''),
+        |                        '  +', ' ', 'g')) AS c1, boiler
+        |  FROM documents, top),
+        |pass2 AS (
+        |  SELECT doc_id, orig,
+        |    trim(regexp_replace(replace(c1, boiler, ''), '  +', ' ', 'g'))
+        |      AS cleaned
+        |  FROM pass1)
+        |SELECT doc_id, cleaned,
+        |  CAST(length(orig) - length(cleaned) AS BIGINT) AS removed_chars
+        |FROM pass2
         |ORDER BY doc_id""".stripMargin,
     "dedup_cluster_stats" ->
       """WITH clusters AS (

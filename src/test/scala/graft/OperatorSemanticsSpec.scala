@@ -270,7 +270,7 @@ class OperatorSemanticsSpec extends SparkSpec {
   }
 
   test("boilerplate strip: planted shared 5-gram removed exactly where " +
-    "it occurs, clean docs untouched") {
+    "it occurs, splice seams re-stripped, clean docs untouched") {
     graft.plans.WordKGrams.register(spark)
     val boiler = "click here to subscribe now"
     val docs = Seq(
@@ -278,30 +278,35 @@ class OperatorSemanticsSpec extends SparkSpec {
       (2L, s"$boiler epsilon zeta eta theta"),
       (3L, s"iota kappa lambda mu $boiler"),
       (4L, "plain document with no shared boilerplate text at all"),
-      (5L, "another clean document of entirely different words here"))
+      // seam splice: removing the single literal occurrence rejoins the
+      // surrounding words into the boilerplate again — one strip pass
+      // ships uncleaned text, the second pass must catch it
+      (5L, s"click here to $boiler subscribe now filler words"))
       .toDF("doc_id", "text")
     val top = docs.select(
       explode(graft.dedup.Dedup.wordKShingles($"text", 5)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"gram").limit(1)
       .select($"gram".as("boiler"))
+    def strip(x: org.apache.spark.sql.Column) =
+      trim(regexp_replace(replace(x, $"boiler", lit("")), "  +", " "))
     val out = docs.crossJoin(broadcast(top))
-      .select($"doc_id",
-        trim(regexp_replace(
-          replace(lower($"text"), $"boiler", lit("")), "  +", " "))
-          .as("cleaned"),
-        U.lng(length(lower($"text")) -
-          length(replace(lower($"text"), $"boiler", lit(""))))
+      .withColumn("cleaned", strip(strip(lower($"text"))))
+      .select($"doc_id", $"cleaned",
+        U.lng(length(lower($"text")) - length($"cleaned"))
           .as("removed_chars"))
       .as[(Long, String, Long)].collect()
       .map { case (id, c, r) => id -> ((c, r)) }.toMap
-    assert(out(1L) === (("alpha beta gamma delta", boiler.length.toLong)))
-    assert(out(2L) === (("epsilon zeta eta theta", boiler.length.toLong)))
-    assert(out(3L) === (("iota kappa lambda mu", boiler.length.toLong)))
-    // untouched docs come through byte-identical (modulo lowercasing)
+    // removed_chars = end-to-end bytes saved (gram + collapsed seam)
+    assert(out(1L) === (("alpha beta gamma delta", boiler.length + 1L)))
+    assert(out(2L) === (("epsilon zeta eta theta", boiler.length + 1L)))
+    assert(out(3L) === (("iota kappa lambda mu", boiler.length + 1L)))
+    // untouched doc comes through byte-identical (modulo lowercasing)
     assert(out(4L)._2 === 0L &&
       out(4L)._1 === "plain document with no shared boilerplate text at all")
-    assert(out(5L)._2 === 0L)
+    // the splice case: NO boilerplate survives in the cleaned text
+    assert(!out(5L)._1.contains(boiler), s"splice survived: ${out(5L)._1}")
+    assert(out(5L)._1 === "filler words")
   }
 
   test("feat_bucketize: equi-depth deciles are balanced and ordered") {
