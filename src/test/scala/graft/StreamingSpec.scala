@@ -154,6 +154,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode re-emits only the windows a batch changed") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .groupBy(window($"ts", "10 minutes"), $"k").count()
+      .select(unix_micros($"window.start").as("ws"), $"k", $"count")
+    val q = agg.writeStream.format("memory").queryName("upd_out")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"))   // window 0: a=2
+      q.processAllAvailable()
+      val afterB1 = spark.table("upd_out").collect().length
+      assert(afterB1 === 1) // one (window, key) group emitted
+      input.addData((ts(3), "a"), (ts(12), "b"))  // touch w0/a, open w10/b
+      q.processAllAvailable()
+      val rows = spark.table("upd_out")
+        .select("ws", "k", "count").as[(Long, String, Long)].collect()
+      // exactly the two CHANGED groups were appended — an untouched
+      // group is never re-emitted in update mode
+      assert(rows.length === afterB1 + 2, rows.toSeq.toString)
+      // the sink holds both versions of w0/a; latest state is count=3
+      assert(rows.toSet === Set(
+        (0L, "a", 2L), (0L, "a", 3L), (600L * 1000000, "b", 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: unmatched rows null-complete only " +
     "after the watermark closes their window") {
     implicit val ctx = spark.sqlContext
