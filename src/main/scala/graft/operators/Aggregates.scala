@@ -371,6 +371,22 @@ object Aggregates {
         sum(col("n")).as("n_rows"))
     }),
 
+    // Count-min frequency sketch per group — the mergeable heavy-hitter
+    // structure (bounded memory per group, partial+final combinable;
+    // the streaming/distributed companion of agg_top_frequent's exact
+    // count). Rows-only: the sketch bytes are engine-defined; the
+    // overestimate-bounded-by-eps·N guarantee is asserted in
+    // OperatorSemanticsSpec by deserializing and probing the sketch.
+    "agg_count_min_sketch" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)")
+          .as("cms"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), length(col("cms")).as("sketch_bytes"),
+          col("n_rows"))
+        .orderBy("l_returnflag")),
+
     // Boolean / bitwise aggregates (B.2 long tail): every/any predicate
     // roll-ups and bit accumulators — all partial+final combinable, so
     // the shuffle carries 5 scalars per group regardless of fact size.

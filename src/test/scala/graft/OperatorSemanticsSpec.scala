@@ -269,6 +269,30 @@ class OperatorSemanticsSpec extends SparkSpec {
       (3L, Some(1.0)), (4L, Some(1.0)), (5L, None)))
   }
 
+  test("count-min sketch: estimates bound true frequencies within eps*N") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.001
+    val rows = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(s"count_min_sketch(l_partkey, ${eps}d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n"))
+      .as[(String, Array[Byte], Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, bytes, n) =>
+      val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val truth = Tables.t(spark, sfDir, "lineitem")
+        .filter($"l_returnflag" === flag)
+        .groupBy("l_partkey").count()
+        .as[(Long, Long)].collect()
+      truth.take(50).foreach { case (pk, c) =>
+        val est = sk.estimateCount(pk)
+        assert(est >= c, s"$flag/$pk: CMS underestimated $est < $c")
+        assert(est <= c + (eps * n).ceil.toLong + 1,
+          s"$flag/$pk: estimate $est exceeds $c + eps*N")
+      }
+    }
+  }
+
   test("boilerplate strip: planted shared 5-gram removed exactly where " +
     "it occurs, splice seams re-stripped, clean docs untouched") {
     graft.plans.WordKGrams.register(spark)
