@@ -326,13 +326,26 @@ object Joins {
     }),
 
     // Positional concat (make_uuids_tsv.py:153-157 pandas axis=1): no row
-    // identity in Spark → synthesize row_number over explicit orders.
+    // identity in Spark → synthesize row numbers over explicit orders.
+    // Numbering uses the block-stitched form (Windows.stitchedRowNumber),
+    // NOT `Window.orderBy` — positional alignment is inherently a
+    // total-order op, but the stitch keeps every full-width row in
+    // parallel partitioned windows and confines the global step to the
+    // per-block count summary. Block keys are order-monotone by
+    // construction: the leading character for the ascending name order;
+    // a negated id-range for the descending key order (integer `div` by
+    // a positive constant is monotone under truncation, and negation
+    // flips it to follow the desc sort).
     "join_positional_concat" -> ((s, d) => {
       val n = t(s, d, "nation")
-      val wl = Window.orderBy("n_name")
-      val wr = Window.orderBy(col("n_nationkey").desc)
-      val left = n.select(col("n_name")).withColumn("rn", row_number().over(wl))
-      val right = n.select(col("n_nationkey")).withColumn("rn", row_number().over(wr))
+      val left = Windows.stitchedRowNumber(
+        n.select(col("n_name")),
+        ascii(substring(col("n_name"), 1, 1)),
+        Seq(col("n_name")))
+      val right = Windows.stitchedRowNumber(
+        n.select(col("n_nationkey")),
+        expr("-(n_nationkey div 5)"),
+        Seq(col("n_nationkey").desc))
       left.join(right, Seq("rn")).select("rn", "n_name", "n_nationkey").orderBy("rn")
     })
   )

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Tables, U}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -260,6 +260,43 @@ object Windows {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .limit(10))
   )
+
+  /** Global `row_number` WITHOUT the single-partition window: the
+    * two-level stitch of `Dedup.keeperPointers`, shaped for numbering.
+    * `Window.orderBy(key)` with no partition spec moves the ENTIRE input
+    * through one task — fine on a dim, fatal on a fact. Contract on
+    * `block`: a pure function of the leading `order` column (so ties
+    * never straddle blocks) that is monotone non-decreasing along
+    * `order`. Then:
+    *
+    *   1. number rows WITHIN each block — one hash exchange, parallel
+    *      windows, bounded per-task state;
+    *   2. running block offsets over the per-block COUNT summary — the
+    *      only global-order window, consuming ~distinct(block) rows
+    *      (recurse the stitch if that summary ever gets big);
+    *   3. broadcast the offsets back: rn = block offset + local rank.
+    *
+    * `order` must be a total order — the same precondition ANY
+    * positional numbering has (nondeterministic ties would make the
+    * assignment engine-unstable). Output column `out` is LONG.
+    */
+  def stitchedRowNumber(df: DataFrame, block: Column,
+      order: Seq[Column], out: String = "rn"): DataFrame = {
+    val local = df
+      .withColumn("_blk", block)
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_blk").orderBy(order: _*)).cast("long"))
+    // Map-side-combined COUNT per block, then the tiny-table running sum.
+    val offsets = df.select(block.as("_blk"))
+      .groupBy("_blk").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(Window.orderBy("_blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_blk"), col("_off"))
+    local.join(broadcast(offsets), "_blk")
+      .withColumn(out, col("_off") + col("_lrn"))
+      .drop("_blk", "_lrn", "_off")
+  }
 
   val oracles: Map[String, String] = Map(
     "timeseries_gapfill" ->

@@ -398,4 +398,26 @@ class OperatorSemanticsSpec extends SparkSpec {
     // the budget is half the corpus: the sample must be a strict subset
     assert(kept.size < all.size && kept.nonEmpty)
   }
+
+  test("stitched row numbering equals the global-window assignment") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"event_type")
+    // 10k unique ids across many blocks, including ragged last blocks
+    val stitched = operators.Windows.stitchedRowNumber(
+      ev, expr("event_id div 997"), Seq($"event_id"))
+      .select($"event_id", $"rn")
+    val global = ev.select($"event_id",
+      row_number().over(Window.orderBy("event_id")).cast("long").as("rn"))
+    assert(stitched.except(global).isEmpty && global.except(stitched).isEmpty,
+      "stitched numbering diverged from the global window")
+    // descending order with a negated monotone block
+    val desc = operators.Windows.stitchedRowNumber(
+      ev, expr("-(event_id div 997)"), Seq($"event_id".desc))
+      .select($"event_id", $"rn")
+    val globalDesc = ev.select($"event_id",
+      row_number().over(Window.orderBy($"event_id".desc)).cast("long").as("rn"))
+    assert(desc.except(globalDesc).isEmpty && globalDesc.except(desc).isEmpty,
+      "descending stitched numbering diverged from the global window")
+  }
 }

@@ -183,6 +183,32 @@ class PlanSpec extends SparkSpec {
       "expected partitioned block windows in the linkage plan")
   }
 
+  test("positional concat: no global window over raw rows (stitched numbering)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("join_positional_concat")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val windows = flatten(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the concat plan")
+    // Full-width rows are numbered in hash-partitioned block windows; the
+    // only single-partition windows allowed are the block-offset running
+    // sums, which must consume an AGGREGATED (per-block count) input.
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(flatten(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"single-partition window over non-aggregated input:\n$w")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected partitioned block windows in the concat plan")
+  }
+
   test("flagship: the raw fact crosses exactly one shuffle exchange") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
