@@ -291,6 +291,33 @@ class GoldenPipelineSpec extends SparkSpec {
       .agg(sum($"id"), sum($"v"), count(lit(1))).head() === checksumBefore)
   }
 
+  test("parquet schema evolution: mergeSchema unions batches by name") {
+    // A corpus written over months accretes columns (a new quality score,
+    // a new language tag). Batch 2 adds `lang`; batch 1 predates it.
+    // mergeSchema=true reconciles at read time: union-by-name with nulls
+    // for pre-evolution files. Kept OFF by default on purpose — merging
+    // reads every file footer, which at 100 TB is a driver-side listing
+    // storm; production either pins an explicit read schema (free) or
+    // flips the option knowingly. Both paths are pinned here.
+    val dir = s"$tmp/evolve"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "text"))
+    val rows = merged.select($"doc_id", $"text", $"lang")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "alpha", None), (2L, "beta", None),
+      (3L, "gamma", Some("en"))))
+    // The explicit-schema path (the 100 TB default): no footer merge, the
+    // declared schema wins, pre-evolution files surface the column as null.
+    val pinned = spark.read.schema(
+      "doc_id BIGINT, text STRING, lang STRING").parquet(dir)
+    assert(pinned.filter($"lang".isNull).count() === 2L)
+    assert(pinned.filter($"lang" === "en").select($"doc_id").head().getLong(0) === 3L)
+  }
+
   test("filesystem catalog: glob scan, per-file identity, first match") {
     // scan_fs_walk / limit_first_match (bin/concatenate.py:38-45,
     // make_directory.py:11-26): directory-per-dataset layout scanned via
