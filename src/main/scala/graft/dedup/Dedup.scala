@@ -368,6 +368,27 @@ object Dedup {
         .withColumn("dup_docs", col("n_docs") - col("n_clusters"))
         .orderBy("csize")),
 
+    // Incremental ingest dedup — the daily-batch shape: the historical
+    // corpus is a persisted digest INDEX (16 bytes/row, never text);
+    // today's batch first collapses within itself (min doc_id per
+    // digest — map-side partial agg), then anti-joins the index. At
+    // scale the index is bucketed by digest, so the daily anti-join
+    // co-locates without re-shuffling history, and the batch side
+    // shuffles digests only; accepted survivors append their digests to
+    // the same bucketed layout for the next run. Doc-id parity stands in
+    // for the time axis at test scale.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("digest")).distinct()
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      batch.groupBy("digest").agg(min(col("doc_id")).as("keep_id"))
+        .join(index, Seq("digest"), "left_anti")
+        .select(col("keep_id"), col("digest"))
+        .orderBy("keep_id")
+    }),
+
     // Exact dedup after canonicalization (case/punctuation/whitespace).
     "dedup_exact_norm" -> ((s, d) => {
       val norm = trim(regexp_replace(
@@ -614,6 +635,16 @@ object Dedup {
         |  CAST(SUM(csize) AS BIGINT) AS n_docs,
         |  CAST(SUM(csize) AS BIGINT) - count(*) AS dup_docs
         |FROM clusters GROUP BY csize ORDER BY csize""".stripMargin,
+    "dedup_incremental" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT min(doc_id) AS keep_id, md5(text) AS digest
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text))
+        |SELECT keep_id, digest FROM batch
+        |WHERE digest NOT IN (SELECT digest FROM idx)
+        |ORDER BY keep_id""".stripMargin,
     "dedup_exact_norm" ->
       """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_sha,

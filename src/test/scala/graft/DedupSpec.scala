@@ -282,4 +282,19 @@ class DedupSpec extends SparkSpec {
       .agg(min("jaccard"), max("jaccard")).as[(Double, Double)].head()
     assert(jac._1 >= 0.0 && jac._2 <= 1.0)
   }
+
+  test("incremental dedup: batch survivors exclude index dups and " +
+    "in-batch later copies") {
+    // Index side (even ids): docs A, B. Batch side (odd ids):
+    //   id 1 duplicates A (index dup → dropped),
+    //   ids 3,5 duplicate each other (in-batch dup → min id 3 survives),
+    //   id 7 is fresh (survives).
+    Seq((0L, "doc A"), (2L, "doc B"),
+      (1L, "doc A"), (3L, "doc C"), (5L, "doc C"), (7L, "doc D"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_incr/documents.parquet")
+    val out = Dedup.queries("dedup_incremental")(spark, "/tmp/graft_test_incr")
+      .select("keep_id").as[Long].collect().toSeq
+    assert(out === Seq(3L, 7L))
+  }
 }
