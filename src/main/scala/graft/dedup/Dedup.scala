@@ -389,6 +389,51 @@ object Dedup {
         .orderBy("keep_id")
     }),
 
+    // Near-duplicate incremental ingest — the fuzzy companion to
+    // dedup_incremental: today's batch is screened against the
+    // historical corpus by banded-MinHash collision + exact-Jaccard
+    // verify, so a re-crawled page with trivial edits doesn't re-enter
+    // the corpus. The index persists its BANDED SIGNATURES
+    // (band, band-hash, ids) — ~24 bytes/row, bucketed by (band, bh) at
+    // scale so the daily screen is a co-located equi-join; the batch
+    // side shuffles band hashes only, never text. Hot buckets (shared
+    // boilerplate bands) are capped on the index side like minhashPairs'
+    // maxBucket — bounded join fan-out trades recall only on
+    // pathological bands, and boilerplate_strip is the upstream fix.
+    // Hash-defined output (no SQL oracle); semantics pinned by the
+    // planted-dup test in DedupSpec.
+    "dedup_incremental_near" -> ((s, d) => {
+      val numHashes = 32; val bands = 8; val rows = numHashes / bands
+      val maxBucket = 64; val threshold = 0.8
+      val docs = t(s, d, "documents")
+      def banded(df: DataFrame): DataFrame = {
+        val sig = minhashSignaturesFused(s, df, "text", numHashes)
+        sig.select(col("doc_id"), explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)
+              .as("bh")))).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bh").as("bh"))
+      }
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val today = docs.filter(col("doc_id") % 2 === 1)
+      val idx = banded(history).groupBy("band", "bh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("idx_ids"))
+        .filter(size(col("idx_ids")) <= maxBucket)
+      val matched = banded(today).join(idx, Seq("band", "bh"))
+        .select(col("doc_id"), explode(col("idx_ids")).as("idx_id"))
+        .dropDuplicates("doc_id", "idx_id")
+        .join(today.select(col("doc_id"),
+          wordSet(col("text")).as("wb")), "doc_id")
+        .join(history.select(col("doc_id").as("idx_id"),
+          wordSet(col("text")).as("wi")), "idx_id")
+        .filter(jaccard(col("wb"), col("wi")) >= threshold)
+        .select("doc_id").distinct()
+      today.join(matched, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Exact dedup after canonicalization (case/punctuation/whitespace).
     "dedup_exact_norm" -> ((s, d) => {
       val norm = trim(regexp_replace(

@@ -297,4 +297,25 @@ class DedupSpec extends SparkSpec {
       .select("keep_id").as[Long].collect().toSeq
     assert(out === Seq(3L, 7L))
   }
+
+  test("incremental near-dup screen: edited re-crawl dropped, fresh doc kept") {
+    // Index (even ids): 20-word docs of distinct vocab. Batch (odd ids):
+    //   id 101 re-crawls index doc 0 with one word changed
+    //     (Jaccard 19/21 ≈ 0.905 ≥ 0.8 → screened out),
+    //   id 103 shares only 5/20 words with doc 4 (0.2 < 0.8 → kept),
+    //   id 105 is fresh vocabulary (kept).
+    val mk = (i: Int) => (0 until 20).map(j => s"v${i}_$j").mkString(" ")
+    val index = (0 until 6).map(i => ((2 * i).toLong, mk(2 * i)))
+    val recrawl = (101L, mk(0).split(" ").dropRight(1).:+("edited").mkString(" "))
+    val partial = (103L, (mk(4).split(" ").take(5) ++
+      (0 until 5).map(j => s"other_$j")).mkString(" "))
+    val fresh = (105L, (0 until 10).map(j => s"fresh_$j").mkString(" "))
+    (index :+ recrawl :+ partial :+ fresh).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet("/tmp/graft_test_incr_near/documents.parquet")
+    val kept = Dedup.queries("dedup_incremental_near")(
+      spark, "/tmp/graft_test_incr_near")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(103L, 105L))
+  }
 }
