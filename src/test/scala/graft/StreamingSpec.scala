@@ -419,4 +419,35 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n").as[(Long, Long)].collect().sorted
     assert(out.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("stream-static anti join screens a stream against a digest index") {
+    // The streaming face of dedup_incremental: arriving docs drop when
+    // their digest is already in the static historical index (per
+    // micro-batch, stateless on the stream side — the static side is
+    // the bucketed digest table at scale), composed with
+    // dropDuplicatesWithinWatermark for within-stream copies.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.md5
+    val index = Seq("doc A", "doc B").toDF("text")
+      .select(md5($"text").as("digest"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val screened = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("digest", md5($"text"))
+      .withWatermark("ts", "30 minutes")
+      .join(index, Seq("digest"), "left_anti")
+      .dropDuplicatesWithinWatermark("digest")
+    val q = screened.writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), 10L, "doc A"),  // in index → dropped
+        (ts(2), 11L, "doc C"),  // fresh → kept
+        (ts(3), 12L, "doc C"),  // within-stream copy → dropped
+        (ts(4), 13L, "doc D"))  // fresh → kept
+      q.processAllAvailable()
+      val kept = spark.table("incr_out")
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(11L, 13L))
+    } finally q.stop()
+  }
 }
