@@ -248,6 +248,18 @@ object Windows {
         .orderBy("user_id", "session_id")
     }),
 
+    // Contiguous global example ids — the precondition for offset-based
+    // training shards (shard k holds rows [k·N, (k+1)·N)). Assigned with
+    // the block-stitched numbering, NOT Window.orderBy: the corpus never
+    // collapses to one task; see stitchedRowNumber. Block key is an
+    // id-range (order-monotone by construction).
+    "ids_contiguous_assign" -> ((s, d) =>
+      stitchedRowNumber(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        expr("doc_id div 64"), Seq(col("doc_id")))
+        .select(col("rn"), col("doc_id"), col("source"))
+        .orderBy("rn")),
+
     "sort_global" -> ((s, d) =>
       t(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -299,6 +311,9 @@ object Windows {
   }
 
   val oracles: Map[String, String] = Map(
+    "ids_contiguous_assign" ->
+      """SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id, source
+        |FROM documents ORDER BY rn""".stripMargin,
     "timeseries_gapfill" ->
       """WITH obs AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
