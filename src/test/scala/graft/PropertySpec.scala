@@ -253,4 +253,25 @@ class PropertySpec extends SparkSpec {
       assert(weights(1) === w)
     }
   }
+
+  test("stitched numbering equals global row_number on random ids and " +
+    "block sizes") {
+    // Sparse ids (gaps, uneven blocks), random block granularity —
+    // including blockSize larger than the id range (degenerate single
+    // block) and 1 (every id its own block).
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.choose(0L, 400L)).map(_.distinct),
+      Gen.oneOf(1L, 3L, 7L, 64L, 1000L))
+    check(gen, n = 10) { case (ids, blockSize) =>
+      if (ids.nonEmpty) {
+        val df = ids.toDF("id")
+        val got = operators.Windows.stitchedRowNumber(
+          df, expr(s"id div ${blockSize}L"), Seq(col("id")))
+          .select(col("id"), col("rn")).as[(Long, Long)]
+          .collect().sortBy(_._2)
+        val want = ids.sorted.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+        assert(got.toSeq === want)
+      }
+    }
+  }
 }
