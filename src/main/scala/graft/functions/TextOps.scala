@@ -133,6 +133,28 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary construction — the tokenizer-prep step: corpus term
+    // frequencies, a min-count floor, then CONTIGUOUS token ids by
+    // (freq desc, term). Ids come from the block-stitched numbering
+    // (graft.operators.Windows.stitchedRowNumber) — a web-scale vocab is
+    // 10^7+ rows, and Window.orderBy would sort it on one task. The
+    // block key subdivides the Zipf mass: (-tf, first char) is monotone
+    // along the (tf desc, term) order and splits the huge low-frequency
+    // tail into per-letter blocks.
+    "vocab_build" -> ((s, d) => {
+      val terms = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .filter(col("tf") >= 3)
+      graft.operators.Windows.stitchedRowNumber(
+        terms,
+        struct((-col("tf")).as("a"), substring(col("term"), 1, 1).as("b")),
+        Seq(col("tf").desc, col("term")), out = "token_id")
+        .select(col("token_id"), col("term"), col("tf"))
+        .orderBy("token_id")
+    }),
+
     // Training-mix stratified sampling: per-source keep rates applied via
     // a CONTENT-HASH threshold — the reproducible "random" sample every
     // data-mixing pipeline needs. No RNG: the same rows survive on any
@@ -843,6 +865,15 @@ object TextOps {
         |        len(list_distinct(string_split(text, ' '))) * 1000000) / 1000000
         |    AS stop_hit_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_build" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS tf FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY term HAVING count(*) >= 3)
+        |SELECT row_number() OVER (ORDER BY tf DESC, term) AS token_id,
+        |  term, tf
+        |FROM tf ORDER BY token_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
