@@ -155,6 +155,29 @@ object TextOps {
         .orderBy("token_id")
     }),
 
+    // Tokenization against the vocabulary — text to token-id sequences,
+    // the pretraining pipeline's output format. Terms explode WITH
+    // position, inner-join the vocab (drops OOV — min-count filtering
+    // and id assignment live in vocab_build), and reassemble in document
+    // order. The vocab side broadcasts (10^5-10^7 rows — dims-sized);
+    // the corpus shuffles once on doc_id for the reassembly, carrying
+    // (doc_id, pos, token_id) longs only, never text.
+    "vocab_apply" -> ((s, d) => {
+      val vocab = TextOps.queries("vocab_build")(s, d)
+        .select(col("term"), col("token_id"))
+      val exploded = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+        .filter(length(col("term")) > 0)
+      exploded.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          e => e.getField("token_id")).as("token_ids"))
+        .withColumn("n_tokens", U.lng(size(col("token_ids"))))
+        .orderBy("doc_id")
+    }),
+
     // Training-mix stratified sampling: per-source keep rates applied via
     // a CONTENT-HASH threshold — the reproducible "random" sample every
     // data-mixing pipeline needs. No RNG: the same rows survive on any
@@ -874,6 +897,27 @@ object TextOps {
         |SELECT row_number() OVER (ORDER BY tf DESC, term) AS token_id,
         |  term, tf
         |FROM tf ORDER BY token_id""".stripMargin,
+    "vocab_apply" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS tf FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents)
+        |  WHERE len(term) > 0 GROUP BY term HAVING count(*) >= 3),
+        |vocab AS (
+        |  SELECT row_number() OVER (ORDER BY tf DESC, term) AS token_id,
+        |    term FROM tf),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+        |    unnest(w) AS term
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |        FROM documents)),
+        |tok AS (
+        |  SELECT p.doc_id, p.pos, v.token_id
+        |  FROM pos p JOIN vocab v USING (term)
+        |  WHERE len(p.term) > 0)
+        |SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
+        |  CAST(len(list(token_id)) AS BIGINT) AS n_tokens
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
