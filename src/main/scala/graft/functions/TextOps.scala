@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
 object TextOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Per-JVM memo of the built vocabulary (the
+    * `Similarity.centroidCache` pattern): the vocabulary is a property
+    * of the DATASET, not of each tokenization query, so re-aggregating
+    * the corpus on every apply would dominate the tokenize cost. Keyed
+    * by (absolute path, listing signature) so regenerated data rebuilds
+    * instead of serving stale terms. The collect is guarded: at real
+    * scale the vocabulary is a PERSISTED table joined by the tokenizer
+    * (10^7 rows broadcast fine, but not as a driver literal) — the cap
+    * makes a copy-paste onto such a corpus fail loudly. */
+  private val vocabCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[(Long, String, Long)]]()
+
+  def clearVocabCache(): Unit = vocabCache.clear()
+
+  private def vocabRows(s: SparkSession, d: String): Array[(Long, String, Long)] =
+    vocabCache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
+      _ => {
+        val rows = queries("vocab_build")(s, d).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        require(rows.length <= (1 << 20),
+          s"vocabulary has ${rows.length} terms — beyond the driver-memo " +
+            "cap; persist vocab_build output and join the table instead")
+        rows
+      })
+
   /** Tiny stopword profiles per language — n-gram/stopword heuristic
     * language ID. Deterministic argmax (ties broken by profile order). */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
@@ -163,7 +190,11 @@ object TextOps {
     // the corpus shuffles once on doc_id for the reassembly, carrying
     // (doc_id, pos, token_id) longs only, never text.
     "vocab_apply" -> ((s, d) => {
-      val vocab = TextOps.queries("vocab_build")(s, d)
+      // memoized per (dataset, signature) — see vocabRows; identical
+      // rows to running vocab_build, without the second corpus scan
+      val sess = s; import sess.implicits._
+      val vocab = vocabRows(s, d).toSeq
+        .toDF("token_id", "term", "tf")
         .select(col("term"), col("token_id"))
       val exploded = t(s, d, "documents")
         .select(col("doc_id"),
