@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SqlSurface.queries ++
       operators.Pipeline.queries ++
       operators.Pruning.queries ++
+      operators.Graph.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       dedup.Dedup.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.SqlSurface.oracles ++
       operators.Pipeline.oracles ++
       operators.Pruning.oracles ++
+      operators.Graph.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       dedup.Dedup.oracles ++

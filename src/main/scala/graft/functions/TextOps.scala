@@ -461,6 +461,87 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BM25 lexical retrieval for a literal query-term set — the ranking
+    // half of every retrieval/RAG data pipeline. One corpus scan
+    // produces per-doc (dl, matched-term tf) with the query filter
+    // applied BEFORE the explode aggregation, so the shuffle carries
+    // only docs containing a query term (at 100 TB the posting list,
+    // not the corpus). df is a ≤|Q|-row broadcast; the corpus scalars
+    // (N, avgdl) a 1-row broadcast. Per-term scores round to 1e-6
+    // before the exact decimal per-doc sum (partition-order invariant,
+    // engine-identical); top-k plans as TakeOrderedAndProject.
+    "text_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("spark", "merge", "window")
+      val k1 = 1.2; val b = 0.75
+      val words = split(lower(col("text")), " ")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), words.as("w"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        U.lng(sum(size(col("w")))).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), U.lng(size(col("w"))).as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          U.round6(col("tot_dl").cast("double") / col("n_docs")))
+        .withColumn("idf", U.round6(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+        .withColumn("term_score", U.round6(
+          col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl") / col("avgdl")))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matched"),
+          U.dbl(sum(U.dec6(col("term_score")))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(15)
+    }),
+
+    // Bigram LM surprisal with add-one smoothing (the KenLM-filter
+    // shape one order up from text_unigram_logprob): bigram instances
+    // come from codegen-native arrays_zip(slice, slice) — NOT a
+    // transform() lambda (interpreted) and NOT word_kgrams (distinct
+    // semantics; LM counts need multiplicity). Corpus bigram and
+    // unigram counts are Zipf-unbounded at 100 TB, so their joins
+    // carry no broadcast hint (AQE decides); V is a 1-row broadcast.
+    // Same 1e-6-before-decimal-sum determinism discipline.
+    "text_bigram_logprob" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      val docs = t(s, d, "documents")
+        .filter(size(words) >= 2)
+        .select(col("doc_id"), words.as("w"))
+      val inst = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("g"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("g").getField("0"), col("g").getField("1"))
+            .as("gram"))
+      val bc = inst.groupBy("gram").agg(count(lit(1)).as("c_xy"))
+      val uc = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("wd"))
+        .groupBy("wd").agg(count(lit(1)).as("c1"))
+      val v = uc.agg(count(lit(1)).as("v"))
+      inst.join(bc, "gram")
+        .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+        .join(uc.withColumnRenamed("wd", "w1"), "w1")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), U.round6(-log(
+          (col("c_xy") + lit(1)).cast("double") /
+            (col("c1") + col("v")).cast("double"))).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          U.dbl(sum(U.dec6(col("term")))).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          U.round6(col("ssum") / col("n_bigrams")).as("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // Unigram LM surprisal (the CCNet-style perplexity filter shape):
     // corpus unigram distribution — explode, partial+final count, 1-row
     // token total — then each doc scores mean -ln p(w) against the
@@ -775,6 +856,61 @@ object TextOps {
         |  CAST(strpos('0123456789abcdef', substring(text_md5, 1, 1)) - 1
         |       AS BIGINT) AS shard
         |FROM packed ORDER BY doc_id""".stripMargin,
+    "text_bm25_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot_dl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |          unnest(w) AS term FROM docs)
+        |  WHERE term IN ('spark', 'merge', 'window')
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      (round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000)
+        |        / 1000000)
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl /
+        |          (round(CAST(tot_dl AS DOUBLE) / n_docs * 1000000)
+        |            / 1000000)))
+        |      * 1000000) / 1000000 AS term_score
+        |  FROM tf JOIN df USING (term), stats)
+        |SELECT doc_id, count(*) AS n_matched,
+        |  CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |inst AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS gram
+        |  FROM docs),
+        |bc AS (SELECT gram, count(*) AS c_xy FROM inst GROUP BY gram),
+        |uc AS (
+        |  SELECT wd, count(*) AS c1
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd
+        |        FROM documents)
+        |  GROUP BY wd),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |terms AS (
+        |  SELECT doc_id,
+        |    round(-ln(CAST(c_xy + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+        |      * 1000000) / 1000000 AS term
+        |  FROM inst JOIN bc USING (gram)
+        |  JOIN uc ON uc.wd = string_split(gram, ' ')[1], v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    * 1000000) / 1000000 AS mean_surprisal
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

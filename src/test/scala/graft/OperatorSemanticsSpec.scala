@@ -420,4 +420,22 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(desc.except(globalDesc).isEmpty && globalDesc.except(desc).isEmpty,
       "descending stitched numbering diverged from the global window")
   }
+
+  test("pagerank: probability-mass invariants and determinism") {
+    def run() = operators.Graph.queries("graph_pagerank_types")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val ranks = run()
+    // one row per distinct event type, each rank a positive probability
+    val types = Tables.t(spark, sfDir, "events")
+      .select($"event_type").distinct().count()
+    assert(ranks.size === types)
+    assert(ranks.forall { case (_, r) => r > 0.0 && r < 1.0 })
+    // total mass: 1 minus dangling loss, never above 1 (+rounding slack),
+    // never below the teleport floor
+    val mass = ranks.map(_._2).sum
+    assert(mass <= 1.0 + 1e-4 && mass >= 0.15,
+      s"rank mass $mass outside (teleport floor, 1]")
+    // micro-unit arithmetic → bit-identical across runs
+    assert(run() === ranks)
+  }
 }
