@@ -461,6 +461,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Exact-count stratified train/val/test split (80/10/10 per lang):
+    // the reproducible-split op every training pipeline needs when
+    // hash-rate splits (sample_stratified) aren't exact enough. The
+    // per-stratum position comes from ONE stitched global numbering
+    // over (lang, doc_id-block) — no per-stratum global window (a
+    // dominant lang at 100 TB would otherwise sort on one partition) —
+    // then each stratum's start offset and size join back as a
+    // #strata-row broadcast and the split is a map-side CASE.
+    "split_train_val_test" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val rn = graft.operators.Windows.stitchedRowNumber(
+        docs, struct(col("lang"), expr("doc_id div 499")),
+        Seq(col("doc_id")), out = "grn")
+      val st = rn.groupBy("lang")
+        .agg(min(col("grn")).as("start"), count(lit(1)).as("n"))
+      rn.join(broadcast(st), "lang")
+        .withColumn("lrn", col("grn") - col("start") + lit(1L))
+        .withColumn("subset",
+          when(col("lrn") <= floor(col("n") * lit(0.8)), "train")
+            .when(col("lrn") <= floor(col("n") * lit(0.8)) +
+              floor(col("n") * lit(0.1)), "val")
+            .otherwise("test"))
+        .select("doc_id", "lang", "subset")
+        .orderBy("doc_id")
+    }),
+
     // BM25 lexical retrieval for a literal query-term set — the ranking
     // half of every retrieval/RAG data pipeline. One corpus scan
     // produces per-doc (dl, matched-term tf) with the query filter
@@ -856,6 +882,17 @@ object TextOps {
         |  CAST(strpos('0123456789abcdef', substring(text_md5, 1, 1)) - 1
         |       AS BIGINT) AS shard
         |FROM packed ORDER BY doc_id""".stripMargin,
+    "split_train_val_test" ->
+      """WITH rn AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS lrn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN lrn <= floor(n * 0.8) THEN 'train'
+        |       WHEN lrn <= floor(n * 0.8) + floor(n * 0.1) THEN 'val'
+        |       ELSE 'test' END AS subset
+        |FROM rn ORDER BY doc_id""".stripMargin,
     "text_bm25_topk" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w

@@ -114,6 +114,29 @@ object Windows {
       observed.unionByName(gaps).orderBy("user_id", "hour")
     }),
 
+    // CDC log → SCD2 dimension (the history-keeping sibling of
+    // upsert_latest): collapse each user's event stream to its state
+    // CHANGE points, then close each validity interval with the next
+    // change's timestamp (NULL = current). Both windows share the
+    // user_id partitioning, so Catalyst reuses one exchange — the
+    // second window only re-sorts the already-collapsed change rows.
+    // Per-key state is bounded (one partition per user's rows), the
+    // shape that survives a 100 TB event log.
+    "scd2_dimension" -> ((s, d) => {
+      val changes = t(s, d, "events")
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("event_type").as("state"))
+        .withColumn("prev", lag(col("state"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+      changes
+        .withColumn("valid_to", lead(col("tsu"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))))
+        .select(col("user_id"), col("state"),
+          col("tsu").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "state")
+    }),
+
     // CDC log → current snapshot (upsert compaction / SCD1): latest row
     // per key by (event time, unique id) — the standard merge-on-read
     // collapse before publishing a snapshot. Window partitions by the
@@ -330,6 +353,18 @@ object Windows {
         |FROM grid g LEFT JOIN obs o
         |  ON o.user_id = g.user_id AND o.hour = g.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "scd2_dimension" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS tsu,
+        |    event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, tsu AS valid_from,
+        |  lead(tsu) OVER (
+        |    PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
+        |FROM chg ORDER BY user_id, valid_from, state""".stripMargin,
     "upsert_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,

@@ -282,7 +282,9 @@ class PlanSpec extends SparkSpec {
       "text_tfidf_topk",  // 1-row corpus-size scalar broadcast
       "feat_bucketize",   // 1-row decile-bounds broadcast
       "funnel_conversion", // 1-row numerator scalar broadcast
-      "boilerplate_strip") // 1-row top-gram scalar broadcast
+      "boilerplate_strip", // 1-row top-gram scalar broadcast
+      "text_bm25_topk",    // 1-row (N, avgdl) corpus-stats broadcast
+      "text_bigram_logprob") // 1-row vocabulary-size scalar broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
