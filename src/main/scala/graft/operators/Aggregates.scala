@@ -261,6 +261,33 @@ object Aggregates {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Smoothed target encoding — the categorical-feature op (CatBoost/
+    // scikit category_encoders shape): per-category mean of the target
+    // blended toward the global mean by pseudo-count m, so rare
+    // categories shrink to the prior instead of memorizing noise.
+    // One partial+final aggregate produces the ≤|categories|-row
+    // encoder; the global mean is a 1-row broadcast; applying to the
+    // fact is a broadcast-join map-side transform. All means go
+    // decimal-sum → round6, so the encoding is partition-order
+    // invariant and engine-identical.
+    "feat_target_encode" -> ((s, d) => {
+      val m = 10.0
+      val ev = t(s, d, "events")
+      val global = ev
+        .agg(U.dsum(col("value")).as("gs"), count(lit(1)).as("gn"))
+        .select(U.round6(col("gs") / col("gn")).as("gm"))
+      val enc = ev.groupBy("event_type")
+        .agg(U.dsum(col("value")).as("sv"), count(lit(1)).as("n"))
+        .crossJoin(broadcast(global))
+        .select(col("event_type"),
+          U.round6((col("sv") + lit(m) * col("gm")) / (col("n") + lit(m)))
+            .as("enc"))
+      ev.select(col("event_id"), col("event_type"))
+        .join(broadcast(enc), "event_type")
+        .select(col("event_id"), col("event_type"), col("enc"))
+        .orderBy("event_id")
+    }),
+
     // Equi-depth bucketization with PERSISTED bounds — the train/serve
     // counterpart of ntile: deciles fit once (exact percentile array,
     // 4-decimal engine-stable bounds), then applied as a broadcast
@@ -593,6 +620,19 @@ object Aggregates {
         |  greatest(lo, least(hi, l_extendedprice)) AS clipped
         |FROM lineitem JOIN q ON l_returnflag = rf
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "feat_target_encode" ->
+      """WITH g AS (
+        |  SELECT round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS gm
+        |  FROM events),
+        |enc AS (
+        |  SELECT event_type,
+        |    round((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      + 10.0 * gm) / (count(*) + 10.0) * 1000000) / 1000000 AS enc
+        |  FROM events, g GROUP BY event_type, gm)
+        |SELECT event_id, event_type, enc
+        |FROM events JOIN enc USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "feat_bucketize" ->
       """WITH b AS (
         |  SELECT [round(quantile_cont(o_totalprice, 0.1), 4),
