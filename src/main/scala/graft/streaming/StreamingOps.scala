@@ -121,7 +121,60 @@ object StreamingOps {
     }
   }
 
+  /** Streaming SCD2 — the incremental sibling of `scd2_dimension`: a
+    * per-user state machine holds (current state, valid_from) and each
+    * state CHANGE emits the closed interval (Append output — closed
+    * intervals are immutable facts, the streaming-friendly half of the
+    * SCD2 contract; the still-open interval lives only in the state
+    * store until its closing event arrives). Rows are (user_id, tsu,
+    * event_id, state); within a batch the group sorts its rows by event
+    * time (iterators arrive unordered), across batches arrival order is
+    * trusted — the CDC convention; feed event-time-ordered batches (or
+    * watermark + reorder upstream) for exact SCD2 semantics, as the
+    * parity test does.
+    *
+    * State per key is O(1) (one string + one long) — unbounded key
+    * domains want a TTL like [[ApproxDistinctPerKey]] documents. On a
+    * STATIC Dataset the same code runs as one group pass, which is how
+    * the oracled `stream_scd2_changes` query executes it.
+    */
+  def scd2Changes(events: org.apache.spark.sql.Dataset[(Long, Long, Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            st: GroupState[(String, Long)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Long)]
+          var cur = st.getOption
+          sorted.foreach { case (_, tsu, _, state) =>
+            cur match {
+              case Some((cs, from)) if cs != state =>
+                out += ((user, cs, from, tsu))
+                cur = Some((state, tsu))
+              case None => cur = Some((state, tsu))
+              case _ => ()
+            }
+          }
+          cur.foreach(st.update)
+          out.iterator
+        })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_scd2_changes" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      val ev = Tables.t(s, d, "events")
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      scd2Changes(ev)
+        .toDF("user_id", "state", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from", "state")
+    }),
     "stream_join_interval" -> ((s, d) =>
       clickViewJoin(Tables.t(s, d, "events")).orderBy("click_id")),
     "stream_tumbling_agg" -> ((s, d) =>
@@ -139,6 +192,24 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // closed intervals only: exactly scd2_dimension minus the per-key
+    // open tail (which in the stream still sits in the state store)
+    "stream_scd2_changes" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS tsu,
+        |    event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> state),
+        |iv AS (
+        |  SELECT user_id, state, tsu AS valid_from,
+        |    lead(tsu) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, state, valid_from, valid_to
+        |FROM iv WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from, state""".stripMargin,
     "stream_join_interval" ->
       """SELECT c.event_id AS click_id, count(*) AS n_views
         |FROM events c JOIN events v

@@ -35,6 +35,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 emits closed intervals incrementally, " +
+    "matching the batch query across batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    // real events from the test SF, split into two event-time-ordered
+    // batches so intervals must CLOSE ACROSS the batch boundary via the
+    // state store
+    val ev = Tables.t(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tsu"), $"event_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._2, r._3))
+    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingOps.scd2Changes(
+      input.toDS().toDF("user_id", "tsu", "event_id", "event_type")
+        .as[(Long, Long, Long, String)])
+      .toDF("user_id", "state", "valid_from", "valid_to")
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      val afterB1 = spark.table("scd2_out").count()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_out")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // batch reference over the same data: the registered oracled query
+      val batch = StreamingOps.queries("stream_scd2_changes")(spark, sfDir)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        s"streamed ${streamed.size} closed intervals != batch ${batch.size}")
+      assert(afterB1 > 0 && afterB1 < batch.size,
+        "expected intervals to close in BOTH batches (boundary crossed)")
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
