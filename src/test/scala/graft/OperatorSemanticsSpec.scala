@@ -421,6 +421,48 @@ class OperatorSemanticsSpec extends SparkSpec {
       "descending stitched numbering diverged from the global window")
   }
 
+  test("scd2: per-user intervals are contiguous, non-degenerate, " +
+    "and collapse consecutive same-state runs") {
+    val iv = operators.Windows.queries("scd2_dimension")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .groupBy(_._1)
+    iv.foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_._4.isEmpty) === 1 && sorted.last._4.isEmpty,
+        s"user $user: open-interval invariant broken")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $user: gap/overlap between ${a._4} and ${b._3}")
+          assert(a._2 != b._2,
+            s"user $user: consecutive intervals share state ${a._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("stratified split: exact 80/10/10 counts per stratum") {
+    val rows = functions.TextOps.queries("split_train_val_test")(spark, sfDir)
+      .groupBy("lang", "subset").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val perLang = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, n) =>
+      val train = math.floor(n * 0.8).toLong
+      val valN = math.floor(n * 0.1).toLong
+      assert(rows.getOrElse((lang, "train"), 0L) === train, s"$lang train")
+      assert(rows.getOrElse((lang, "val"), 0L) === valN, s"$lang val")
+      assert(rows.getOrElse((lang, "test"), 0L) === n - train - valN,
+        s"$lang test")
+    }
+  }
+
   test("pagerank: probability-mass invariants and determinism") {
     def run() = operators.Graph.queries("graph_pagerank_types")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
