@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Graph.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
+      functions.Bpe.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.Graph.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
+      functions.Bpe.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, U}
+
+/** BPE subword tokenizer — training and apply (Sennrich et al. 2016,
+  * the `tokenizers`/SentencePiece shape), built Spark-first.
+  *
+  * The two halves have opposite scale profiles, and the implementation
+  * keeps them apart:
+  *
+  *   - '''Training''' iterates on the WORD-FREQUENCY vocabulary, not
+  *     the corpus: one corpus scan builds (word, freq); every merge
+  *     iteration is a pair-count aggregate + 1-row argmax collect +
+  *     map-side `bpe_merge` over vocab rows (persist-new/unpersist-old
+  *     per step, the canonical-resolve discipline). Corpus size only
+  *     ever affects the first scan; iterations cost O(|vocab|), the
+  *     same contraction argument as `graph_pagerank_types`. The
+  *     deterministic argmax tiebreak (count desc, then pair lexical)
+  *     makes the learned rules engine-stable.
+  *   - '''Apply''' is embarrassingly parallel: the learned rules are a
+  *     ≤nMerges literal array, and tokenization is one map-only pass —
+  *     `bpe_merge` (codegen) per word occurrence, no join, no shuffle
+  *     except the per-doc reassembly aggregate.
+  *
+  * Simplifications vs production BPE, by design: no end-of-word marker
+  * and word-level pre-tokenization on single spaces (the corpus is
+  * space-normalized synthetic text); both are representation choices,
+  * not structural ones. Rules are memoized per (dataset, signature)
+  * like the IVF centroids and the token vocabulary — training is a
+  * property of the DATASET, not of each apply call.
+  *
+  * No DuckDB oracle: iterative greedy merging is not expressible as a
+  * fixed SQL query — correctness is pinned by BpeSpec instead
+  * (independent reference-implementation parity, greedy-overlap edge
+  * semantics, codegen/interpreted parity, round-trip invariants).
+  */
+object Bpe {
+  /** Number of merge rules to learn — small because the synthetic
+    * corpus vocabulary is small; the loop exits early if no pair
+    * repeats. */
+  val nMerges = 12
+
+  private val rulesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(Int, String, String, Long)]]()
+
+  def clearRulesCache(): Unit = rulesCache.clear()
+
+  private def charSyms(word: org.apache.spark.sql.Column) =
+    array_remove(split(word, ""), "")
+
+  /** Learned merge rules (rank, left, right, pair_freq), rank 1-based
+    * in merge order. */
+  def trainRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    rulesCache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
+      _ => {
+        graft.plans.BpeMerge.register(s)
+        val words = Tables.t(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        var cur = words
+          .select(charSyms(col("word")).as("syms"), col("freq"))
+          .persist()
+        val rules = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, Long)]
+        var rank = 1
+        var exhausted = false
+        while (rank <= nMerges && !exhausted) {
+          val top = cur
+            .select(explode(arrays_zip(
+              slice(col("syms"), lit(1), size(col("syms")) - 1),
+              slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"),
+              col("freq"))
+            .select(col("p").getField("0").as("a"),
+              col("p").getField("1").as("b"), col("freq"))
+            .groupBy("a", "b").agg(sum(col("freq")).as("cnt"))
+            // repeat floor 2: a pair seen once total can't compress
+            .filter(col("cnt") >= 2)
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (a, b, cnt) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            rules += ((rank, a, b, cnt))
+            val next = cur
+              .withColumn("syms", call_function("bpe_merge",
+                col("syms"), array(lit(s"$a $b"))))
+              .persist()
+            next.count() // materialize before dropping the parent level
+            cur.unpersist()
+            cur = next
+            rank += 1
+          }
+        }
+        cur.unpersist()
+        rules.toSeq
+      })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned merge table itself — what a tokenizer ships as
+    // merges.txt. Deterministic (exact counts, total tiebreak) but not
+    // SQL-expressible; BpeSpec pins it against an independent driver
+    // reference implementation.
+    "vocab_bpe_train" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      trainRules(s, d).toDF("rank", "left_sym", "right_sym", "pair_freq")
+        .orderBy("rank")
+    }),
+
+    // Tokenize the corpus with the learned rules: map-only codegen
+    // kernel per word occurrence (no join — tokenization never
+    // shuffles), then one per-doc aggregate for the compression
+    // accounting a pipeline reports (chars → subword tokens).
+    "vocab_bpe_apply" -> ((s, d) => {
+      graft.plans.BpeMerge.register(s)
+      val ruleStrs = trainRules(s, d).map(r => s"${r._2} ${r._3}")
+      val toks = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"),
+          call_function("bpe_merge", charSyms(col("word")),
+            typedlit(ruleStrs)).as("toks"),
+          length(col("word")).as("n_chars"))
+      toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          U.lng(sum(col("n_chars"))).as("n_chars"),
+          U.lng(sum(size(col("toks")))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map.empty
+}

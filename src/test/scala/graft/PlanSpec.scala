@@ -291,7 +291,10 @@ class PlanSpec extends SparkSpec {
     // here just to read a plan string costs many jobs and leaks its final
     // persist into the shared session; its plan shape (partitioned
     // windows, no global sort) is pinned by the keeper-linkage test.
-    val eagerBuilders = Set("dedup_canonical_resolve")
+    // vocab_bpe_train's builder runs the whole merge-training loop
+    // (argmax collect per rule) and returns a driver-local rules table —
+    // nothing in its final plan to sweep.
+    val eagerBuilders = Set("dedup_canonical_resolve", "vocab_bpe_train")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerBuilders(name) }
       .flatMap { case (name, fn) =>
