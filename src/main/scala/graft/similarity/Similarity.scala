@@ -301,6 +301,36 @@ object Similarity {
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
+    // Hybrid retrieval — reciprocal-rank fusion of the dense (cosine)
+    // and lexical (BM25) candidate lists, the standard RAG two-tower
+    // merge: score = Σ 1/(60 + rank) over the lists a candidate appears
+    // in. Each tower runs its own scale-shaped plan (one-scan broadcast
+    // query / posting-list aggregation) and emits a LIMIT-bounded
+    // candidate list; the rank windows and the full-outer fusion join
+    // then operate on constant-size inputs (≤50 rows — bounded by the
+    // query contract, not the data), so the partition-less windows here
+    // are not the banned raw-row global sort. The synthetic corpus
+    // pairs doc_id with vec_id 1:1.
+    "sim_hybrid_rrf" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dense = bruteForceTopK(s, d, queryId = 0L, k = 50)
+        .withColumn("rank_dense", row_number().over(
+          W.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("id"), col("rank_dense"))
+      val lex = graft.functions.TextOps.queries("text_bm25_topk")(s, d)
+        .withColumn("rank_lex", row_number().over(
+          W.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank_lex"))
+      dense.join(lex, Seq("id"), "full_outer")
+        .select(col("id"),
+          U.round6(
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+    }),
+
     // Cosine range search: every neighbor within a similarity radius —
     // the "all matches above τ" companion of top-k (near-dup gating,
     // recall sweeps). Same one-scan broadcast-query shape as
@@ -434,6 +464,58 @@ object Similarity {
         |SELECT vec_id, cos_sim FROM scored
         |WHERE cos_sim >= 0.1
         |ORDER BY cos_sim DESC, vec_id""".stripMargin,
+    "sim_hybrid_rrf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |dense AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_dense
+        |  FROM (
+        |    SELECT vec_id,
+        |      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |    FROM embeddings e, q WHERE vec_id <> 0
+        |    ORDER BY cos_sim DESC, vec_id LIMIT 50)),
+        |bdocs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |bstats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot_dl
+        |  FROM bdocs),
+        |btf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |          unnest(w) AS term FROM bdocs)
+        |  WHERE term IN ('spark', 'merge', 'window')
+        |  GROUP BY doc_id, term),
+        |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+        |bscored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      (round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000)
+        |        / 1000000)
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl /
+        |          (round(CAST(tot_dl AS DOUBLE) / n_docs * 1000000)
+        |            / 1000000)))
+        |      * 1000000) / 1000000 AS term_score
+        |  FROM btf JOIN bdf USING (term), bstats),
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |    FROM bscored GROUP BY doc_id
+        |    ORDER BY bm25 DESC, doc_id LIMIT 15))
+        |SELECT id,
+        |  round((coalesce(1.0 / (60 + rank_dense), 0.0)
+        |       + coalesce(1.0 / (60 + rank_lex), 0.0)) * 1000000)
+        |    / 1000000 AS rrf
+        |FROM dense FULL OUTER JOIN lex USING (id)
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0)
