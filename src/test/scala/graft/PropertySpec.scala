@@ -274,4 +274,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bpe_merge kernel == reference greedy fold on random symbol/rule sets") {
+    plans.BpeMerge.register(spark)
+    def refMerge(syms: List[String], rules: List[String]): List[String] =
+      rules.foldLeft(syms) { (cur, rule) =>
+        rule.split(" ", 2) match {
+          case Array(a, b) if a.nonEmpty =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < cur.length) {
+              if (i < cur.length - 1 && cur(i) == a && cur(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += cur(i); i += 1 }
+            }
+            out.toList
+          case _ => cur
+        }
+      }
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val gen = Gen.zip(
+      Gen.listOfN(10, sym),
+      Gen.listOfN(3, Gen.zip(sym, sym).map { case (a, b) => s"$a $b" }))
+    check(gen, n = 30) { case (syms, rules) =>
+      val got = spark.range(1)
+        .select(call_function("bpe_merge",
+          typedlit(syms), typedlit(rules)).as("r"))
+        .as[Seq[String]].head()
+      assert(got.toList === refMerge(syms, rules),
+        s"syms=$syms rules=$rules")
+    }
+  }
 }
