@@ -568,6 +568,22 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The perplexity GATE composed end-to-end (CCNet's actual filter):
+    // bigram-LM doc scores → exact p90 threshold (1-row broadcast, the
+    // feat_winsorize 4-decimal precision) → keep docs at or below it.
+    // Composition evidence: the LM scorer is the registered query
+    // re-used as a stage, not re-derived.
+    "filter_perplexity_gate" -> ((s, d) => {
+      val scores = queries("text_bigram_logprob")(s, d)
+        .select(col("doc_id"), col("mean_surprisal"))
+      val thr = scores.agg(
+        round(expr("percentile(mean_surprisal, 0.9)"), 4).as("thr"))
+      scores.crossJoin(broadcast(thr))
+        .filter(col("mean_surprisal") <= col("thr"))
+        .select(col("doc_id"), col("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // Unigram LM surprisal (the CCNet-style perplexity filter shape):
     // corpus unigram distribution — explode, partial+final count, 1-row
     // token total — then each doc scores mean -ln p(w) against the
@@ -948,6 +964,39 @@ object TextOps {
         |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) / count(*)
         |    * 1000000) / 1000000 AS mean_surprisal
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "filter_perplexity_gate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |inst AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS gram
+        |  FROM docs),
+        |bc AS (SELECT gram, count(*) AS c_xy FROM inst GROUP BY gram),
+        |uc AS (
+        |  SELECT wd, count(*) AS c1
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS wd
+        |        FROM documents)
+        |  GROUP BY wd),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |terms AS (
+        |  SELECT doc_id,
+        |    round(-ln(CAST(c_xy + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+        |      * 1000000) / 1000000 AS term
+        |  FROM inst JOIN bc USING (gram)
+        |  JOIN uc ON uc.wd = string_split(gram, ' ')[1], v),
+        |scores AS (
+        |  SELECT doc_id,
+        |    round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) * 1000000) / 1000000 AS mean_surprisal
+        |  FROM terms GROUP BY doc_id),
+        |thr AS (
+        |  SELECT round(quantile_cont(mean_surprisal, 0.9), 4) AS thr
+        |  FROM scores)
+        |SELECT doc_id, mean_surprisal
+        |FROM scores, thr WHERE mean_surprisal <= thr
+        |ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
