@@ -102,6 +102,25 @@ class BpeSpec extends SparkSpec {
     assert(on.toSeq === off.toSeq)
   }
 
+  test("rules memo invalidates when the dataset is rewritten (no stale serve)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-memo").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    // corpus A: 'er' dominates → first merge is (e, r)
+    writeDocs(Seq.fill(5)("er er er er"))
+    val r1 = functions.Bpe.trainRules(spark, dir)
+    assert(r1.head._2 == "e" && r1.head._3 == "r")
+    // rewrite with a different corpus: 'lo' dominates
+    writeDocs(Seq.fill(5)("lo lo lo lo"))
+    val r2 = functions.Bpe.trainRules(spark, dir)
+    assert(r2.head._2 == "l" && r2.head._3 == "o",
+      s"stale rules served after rewrite: $r2")
+  }
+
   test("apply: tokens round-trip to the original words, compression holds") {
     functions.Bpe.clearRulesCache()
     plans.BpeMerge.register(spark)
