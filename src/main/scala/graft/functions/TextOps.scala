@@ -528,6 +528,54 @@ object TextOps {
         .orderBy(col("bm25").desc, col("doc_id")).limit(15)
     }),
 
+    // Batch BM25 — ONE corpus scan answers a whole query workload (the
+    // retrieval-engine shape, lexical sibling of sim_batch_topk): the
+    // query set explodes to (qid, term) and BROADCASTS onto the
+    // postings, per-(qid, doc) scores aggregate, and top-k is a window
+    // PARTITIONED by qid (never a global sort). df/avgdl are computed
+    // once for the union of query terms, shared across queries.
+    "text_bm25_batch" -> ((s, d) => {
+      val batch: Seq[(Int, String)] =
+        Seq(1 -> "spark join", 2 -> "window merge sort", 3 -> "fast stream")
+      val k1 = 1.2; val b = 0.75; val topK = 5
+      val sess = s; import sess.implicits._
+      val qterms = batch.toDF("qid", "q")
+        .select(col("qid"), explode(split(col("q"), " ")).as("term"))
+      val allTerms = batch.flatMap(_._2.split(" ")).distinct
+      val words = split(lower(col("text")), " ")
+      val docs = t(s, d, "documents").select(col("doc_id"), words.as("w"))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        U.lng(sum(size(col("w")))).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), U.lng(size(col("w"))).as("dl"),
+          explode(col("w")).as("term"))
+        .filter(col("term").isin(allTerms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df_), "term")
+        .join(broadcast(qterms), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          U.round6(col("tot_dl").cast("double") / col("n_docs")))
+        .withColumn("idf", U.round6(log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))))
+        .withColumn("term_score", U.round6(
+          col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl") / col("avgdl")))))
+        .groupBy("qid", "doc_id")
+        .agg(U.dbl(sum(U.dec6(col("term_score")))).as("bm25"))
+      scored
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        .filter(col("rnk") <= topK)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("bm25"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Bigram LM surprisal with add-one smoothing (the KenLM-filter
     // shape one order up from text_unigram_logprob): bigram instances
     // come from codegen-native arrays_zip(slice, slice) — NOT a
@@ -938,6 +986,47 @@ object TextOps {
         |  CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "text_bm25_batch" ->
+      """WITH qs AS (
+        |  SELECT * FROM (VALUES (1, 'spark join'),
+        |    (2, 'window merge sort'), (3, 'fast stream')) AS t(qid, q)),
+        |qterms AS (
+        |  SELECT qid, unnest(string_split(q, ' ')) AS term FROM qs),
+        |docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot_dl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |          unnest(w) AS term FROM docs)
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT qid, doc_id,
+        |    CAST(SUM(CAST(
+        |      round(
+        |        (round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000)
+        |          / 1000000)
+        |        * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl /
+        |            (round(CAST(tot_dl AS DOUBLE) / n_docs * 1000000)
+        |              / 1000000)))
+        |        * 1000000) / 1000000
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN qterms USING (term), stats
+        |  GROUP BY qid, doc_id),
+        |ranked AS (
+        |  SELECT qid,
+        |    row_number() OVER (
+        |      PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk,
+        |    doc_id, bm25
+        |  FROM scored)
+        |SELECT qid, rnk, doc_id, bm25 FROM ranked
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "text_bigram_logprob" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w

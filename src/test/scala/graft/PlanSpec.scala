@@ -287,7 +287,8 @@ class PlanSpec extends SparkSpec {
       "text_bigram_logprob", // 1-row vocabulary-size scalar broadcast
       "feat_target_encode", // 1-row global-mean scalar broadcast
       "sim_hybrid_rrf", // inherits text_bm25_topk's 1-row stats broadcast
-      "filter_perplexity_gate") // 1-row p90-threshold scalar broadcast
+      "filter_perplexity_gate", // 1-row p90-threshold scalar broadcast
+      "text_bm25_batch") // 1-row (N, avgdl) corpus-stats broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
