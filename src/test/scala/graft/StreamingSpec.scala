@@ -46,7 +46,11 @@ class StreamingSpec extends SparkSpec {
         $"event_type")
       .as[(Long, Long, Long, String)].collect()
       .sortBy(r => (r._2, r._3))
-    val (b1, b2) = ev.splitAt(ev.length / 2)
+    val (b1s, b2s) = ev.splitAt(ev.length / 2)
+    // shuffle WITHIN each batch: the state machine must sort its group
+    // rows by event time itself (iterators arrive unordered)
+    val rnd = new scala.util.Random(7)
+    val (b1, b2) = (rnd.shuffle(b1s.toSeq), rnd.shuffle(b2s.toSeq))
     val input = MemoryStream[(Long, Long, Long, String)]
     val q = StreamingOps.scd2Changes(
       input.toDS().toDF("user_id", "tsu", "event_id", "event_type")
@@ -55,10 +59,10 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("scd2_out")
       .outputMode("append").start()
     try {
-      input.addData(b1.toSeq)
+      input.addData(b1)
       q.processAllAvailable()
       val afterB1 = spark.table("scd2_out").count()
-      input.addData(b2.toSeq)
+      input.addData(b2)
       q.processAllAvailable()
       val streamed = spark.table("scd2_out")
         .as[(Long, String, Long, Long)].collect().toSet
