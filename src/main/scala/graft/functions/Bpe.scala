@@ -114,19 +114,27 @@ object Bpe {
     }),
 
     // Tokenize the corpus with the learned rules: map-only codegen
-    // kernel per word occurrence (no join — tokenization never
-    // shuffles), then one per-doc aggregate for the compression
-    // accounting a pipeline reports (chars → subword tokens).
+    // kernel per word occurrence, then one per-doc aggregate for the
+    // compression accounting a pipeline reports (chars → subword
+    // tokens). The rules reach the kernel as a BROADCAST scalar (1-row
+    // array DF, crossJoin(broadcast(...))), not a plan literal: a
+    // production merges.txt is 50k-100k rules, and embedding that in
+    // every task's plan/codegen blob is the thing that breaks first —
+    // the broadcast ships it once per executor. PlanSpec whitelists
+    // this 1-row BNLJ (the scalar-broadcast pattern).
     "vocab_bpe_apply" -> ((s, d) => {
       graft.plans.BpeMerge.register(s)
-      val ruleStrs = trainRules(s, d).map(r => s"${r._2} ${r._3}")
+      val sess = s; import sess.implicits._
+      val rules = Seq(Tuple1(trainRules(s, d).map(r => s"${r._2} ${r._3}")))
+        .toDF("rules")
       val toks = Tables.t(s, d, "documents")
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("word"))
         .filter(length(col("word")) > 0)
+        .crossJoin(broadcast(rules))
         .select(col("doc_id"),
           call_function("bpe_merge", charSyms(col("word")),
-            typedlit(ruleStrs)).as("toks"),
+            col("rules")).as("toks"),
           length(col("word")).as("n_chars"))
       toks.groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),

@@ -18,26 +18,37 @@ object TextOps {
     * of the DATASET, not of each tokenization query, so re-aggregating
     * the corpus on every apply would dominate the tokenize cost. Keyed
     * by (absolute path, listing signature) so regenerated data rebuilds
-    * instead of serving stale terms. The collect is guarded: at real
-    * scale the vocabulary is a PERSISTED table joined by the tokenizer
-    * (10^7 rows broadcast fine, but not as a driver literal) — the cap
-    * makes a copy-paste onto such a corpus fail loudly. */
+    * instead of serving stale terms.
+    *
+    * The memo holds a CACHED DATAFRAME, never driver rows: the vocab
+    * stays executor-resident (this is the persisted-vocab-table shape a
+    * 100 TB pipeline uses) and the tokenizer broadcast-joins it — no
+    * collect → literal round trip through the driver. The size guard is
+    * a distributed count() against the broadcast-sanity cap, checked
+    * BEFORE anything could materialize on the driver, so a copy-paste
+    * onto a 10^8-term corpus fails loudly instead of OOMing. */
   private val vocabCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Array[(Long, String, Long)]]()
+    (String, Long), DataFrame]()
 
-  def clearVocabCache(): Unit = vocabCache.clear()
+  def clearVocabCache(): Unit = {
+    import scala.jdk.CollectionConverters._
+    vocabCache.values.asScala.foreach(_.unpersist())
+    vocabCache.clear()
+  }
 
-  private def vocabRows(s: SparkSession, d: String): Array[(Long, String, Long)] =
+  /** Cached (token_id, term, tf) vocabulary for dataset `d` — see
+    * [[vocabCache]]. */
+  private def vocabDf(s: SparkSession, d: String): DataFrame =
     vocabCache.computeIfAbsent(
       (java.nio.file.Paths.get(d).toAbsolutePath.toString,
         U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
       _ => {
-        val rows = queries("vocab_build")(s, d).collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-        require(rows.length <= (1 << 20),
-          s"vocabulary has ${rows.length} terms — beyond the driver-memo " +
-            "cap; persist vocab_build output and join the table instead")
-        rows
+        val df = queries("vocab_build")(s, d).persist()
+        val n = df.count() // distributed; also materializes the cache
+        require(n <= (1L << 20),
+          s"vocabulary has $n terms — beyond the broadcast-sanity cap; " +
+            "persist vocab_build output and shuffle-join the table instead")
+        df
       })
 
   /** Tiny stopword profiles per language — n-gram/stopword heuristic
@@ -186,16 +197,16 @@ object TextOps {
     // the pretraining pipeline's output format. Terms explode WITH
     // position, inner-join the vocab (drops OOV — min-count filtering
     // and id assignment live in vocab_build), and reassemble in document
-    // order. The vocab side broadcasts (10^5-10^7 rows — dims-sized);
-    // the corpus shuffles once on doc_id for the reassembly, carrying
-    // (doc_id, pos, token_id) longs only, never text.
+    // order. The vocab side is the memoized CACHED DataFrame (vocabDf —
+    // executor-resident, never a driver literal) and broadcasts
+    // (10^5-10^7 rows — dims-sized); the corpus shuffles once on doc_id
+    // for the reassembly, carrying (doc_id, pos, token_id) longs only,
+    // never text. token_ids is emitted as the space-joined id string —
+    // a sequence-file line, exactly what a tokenized-shard sink writes —
+    // which also keeps the checked output scalar (flat comparators
+    // can't sort ARRAY cells; OracleShapeSpec pins the convention).
     "vocab_apply" -> ((s, d) => {
-      // memoized per (dataset, signature) — see vocabRows; identical
-      // rows to running vocab_build, without the second corpus scan
-      val sess = s; import sess.implicits._
-      val vocab = vocabRows(s, d).toSeq
-        .toDF("token_id", "term", "tf")
-        .select(col("term"), col("token_id"))
+      val vocab = vocabDf(s, d).select(col("term"), col("token_id"))
       val exploded = t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
@@ -204,8 +215,10 @@ object TextOps {
         .groupBy("doc_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("token_id")))),
-          e => e.getField("token_id")).as("token_ids"))
-        .withColumn("n_tokens", U.lng(size(col("token_ids"))))
+          e => e.getField("token_id")).as("ids"))
+        .select(col("doc_id"),
+          array_join(col("ids").cast("array<string>"), " ").as("token_ids"),
+          U.lng(size(col("ids"))).as("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1257,7 +1270,8 @@ object TextOps {
         |  SELECT p.doc_id, p.pos, v.token_id
         |  FROM pos p JOIN vocab v USING (term)
         |  WHERE len(p.term) > 0)
-        |SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
+        |SELECT doc_id,
+        |  array_to_string(list(token_id ORDER BY pos), ' ') AS token_ids,
         |  CAST(len(list(token_id)) AS BIGINT) AS n_tokens
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_token_count" ->

@@ -56,17 +56,24 @@ object Graph {
     "graph_pagerank_types" -> ((s, d) => {
       val perUser = Window.partitionBy("user_id")
         .orderBy(U.tsUs(col("ts")), col("event_id"))
-      val edges = t(s, d, "events")
+      val edgesDf = t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("dst"))
         .withColumn("src", lag(col("dst"), 1).over(perUser))
         .filter(col("src").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      require(edges.length <= 100000,
-        s"contracted transition graph has ${edges.length} edges — beyond " +
+        .persist()
+      // guard BEFORE collect — a distributed count so a data-scaled node
+      // set fails loudly here instead of OOMing the driver materializing
+      // the edge list it was about to reject
+      val nEdges = edgesDf.count()
+      require(nEdges <= 100000,
+        s"contracted transition graph has $nEdges edges — beyond " +
           "the driver-iteration guard; for data-scaled node sets keep the " +
           "power iteration distributed (persist/unpersist per step)")
+      val edges = edgesDf
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      edgesDf.unpersist()
       val nodes = t(s, d, "events")
         .select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted

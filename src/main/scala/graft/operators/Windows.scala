@@ -102,15 +102,22 @@ object Windows {
         .groupBy(col("user_id"), hour)
         .agg(U.dbl(sum(U.dec6(col("value")))).as("hr_sum"))
       val byUser = Window.partitionBy("user_id").orderBy("hour")
-      val withNext = obs.withColumn("next_hour", lead(col("hour"), 1).over(byUser))
+      // forward fill skips NULL observations (last(..., ignoreNulls) —
+      // the oracle's last_value(... IGNORE NULLS) semantics) so a
+      // nullable value column can't diverge the engines; same
+      // partitioning+ordering as the lead() window → one exchange
+      val withNext = obs
+        .withColumn("filled", last(col("hr_sum"), ignoreNulls = true).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_hour", lead(col("hour"), 1).over(byUser))
       val observed = withNext.select(col("user_id"), col("hour"),
-        col("hr_sum"), col("hr_sum").as("filled"))
+        col("hr_sum"), col("filled"))
       val gaps = withNext
         .filter(col("next_hour").isNotNull && col("next_hour") > col("hour") + 1)
         .select(col("user_id"),
           explode(sequence(col("hour") + 1, col("next_hour") - 1)).as("hour"),
           lit(null).cast("double").as("hr_sum"),
-          col("hr_sum").as("filled"))
+          col("filled"))
       observed.unionByName(gaps).orderBy("user_id", "hour")
     }),
 

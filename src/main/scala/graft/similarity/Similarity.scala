@@ -54,6 +54,19 @@ object Similarity {
     Tables.t(s, d, "embeddings").filter(col("vec_id") === id)
       .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
 
+  /** Explicit doc_id↔vec_id crosswalk for cross-modal fusion
+    * (sim_hybrid_rrf). On the synthetic corpus the mapping is the
+    * identity (embeddings are keyed by their document id), but making
+    * it a first-class table means a corpus whose document and
+    * embedding ids live in different namespaces swaps in its real
+    * mapping HERE — the fusion join is structurally correct either
+    * way, instead of silently fusing unrelated items on an id-equality
+    * convention. */
+  def docVecMap(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents").select(col("doc_id"))
+      .join(Tables.t(s, d, "embeddings")
+        .select(col("vec_id")), col("doc_id") === col("vec_id"))
+
   def bruteForceTopK(s: SparkSession, d: String, queryId: Long, k: Int): DataFrame = {
     graft.plans.VectorExprs.register(s) // no-op under GraftExtensions
     val q = typedlit(queryVector(s, d, queryId).toSeq)
@@ -309,8 +322,11 @@ object Similarity {
     // candidate list; the rank windows and the full-outer fusion join
     // then operate on constant-size inputs (≤50 rows — bounded by the
     // query contract, not the data), so the partition-less windows here
-    // are not the banned raw-row global sort. The synthetic corpus
-    // pairs doc_id with vec_id 1:1.
+    // are not the banned raw-row global sort. The lexical candidates
+    // cross id namespaces through the EXPLICIT doc_id↔vec_id crosswalk
+    // ([[docVecMap]] — identity on the synthetic corpus) rather than a
+    // naming convention, so a corpus whose document and embedding ids
+    // differ swaps in its real mapping table structurally.
     "sim_hybrid_rrf" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val dense = bruteForceTopK(s, d, queryId = 0L, k = 50)
@@ -320,8 +336,12 @@ object Similarity {
       val lex = graft.functions.TextOps.queries("text_bm25_topk")(s, d)
         .withColumn("rank_lex", row_number().over(
           W.orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("doc_id").as("id"), col("rank_lex"))
-      dense.join(lex, Seq("id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"))
+        // ≤50 candidates broadcast into the (column-pruned) crosswalk scan
+      val lexMapped = docVecMap(s, d)
+        .join(broadcast(lex), Seq("doc_id"))
+        .select(col("vec_id").as("id"), col("rank_lex"))
+      dense.join(lexMapped, Seq("id"), "full_outer")
         .select(col("id"),
           U.round6(
             coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)) +

@@ -288,7 +288,8 @@ class PlanSpec extends SparkSpec {
       "feat_target_encode", // 1-row global-mean scalar broadcast
       "sim_hybrid_rrf", // inherits text_bm25_topk's 1-row stats broadcast
       "filter_perplexity_gate", // 1-row p90-threshold scalar broadcast
-      "text_bm25_batch") // 1-row (N, avgdl) corpus-stats broadcast
+      "text_bm25_batch",   // 1-row (N, avgdl) corpus-stats broadcast
+      "vocab_bpe_apply")   // 1-row learned-rules array broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
@@ -298,10 +299,26 @@ class PlanSpec extends SparkSpec {
     // (argmax collect per rule) and returns a driver-local rules table —
     // nothing in its final plan to sweep.
     val eagerBuilders = Set("dedup_canonical_resolve", "vocab_bpe_train")
+    val oracled = SparkEntry.oracleSql.keySet
+    val nested = scala.collection.mutable.ArrayBuffer.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerBuilders(name) }
       .flatMap { case (name, fn) =>
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        // Driver-comparator contract: the oracle gate sorts/hashes cell
+        // values, so an ORACLED query must never emit a nested column
+        // (ARRAY/MAP/STRUCT) — flat comparators can't order those
+        // (vocab_apply's round-5 red row). Rows-only queries may.
+        if (oracled(name)) df.schema.fields.foreach { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType =>
+              nested += s"$name.${f.name}: ${f.dataType.simpleString}"
+            case _ => ()
+          }
+        }
+        val p = df.queryExecution.executedPlan.toString
         val cart = p.contains("CartesianProduct")
         val bnlj = p.contains("BroadcastNestedLoopJoin") && !nlWhitelist(name)
         if (cart || bnlj)
@@ -309,6 +326,9 @@ class PlanSpec extends SparkSpec {
         else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(nested.isEmpty,
+      s"oracled queries must emit driver-sortable (flat) columns:\n" +
+        nested.mkString("\n"))
   }
 
   test("mixture sampling: rate table broadcasts — the corpus never " +
