@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *    TRY_CAST (Spark 4 defaults ANSI on);
   *  - UTC session time zone (event-time arithmetic is zone-free);
   *  - nanosAsLong for TIMESTAMP(NANOS) parquet (see Tables.t);
+  *  - NTZ inference off: untagged parquet timestamps are instants;
   *  - a low AQE coalesce floor so small-scale stages keep parallelism
   *    (inert at production sizes — see DESIGN_SCALE.md).
   *
@@ -30,6 +31,13 @@ object GraftSession {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Untagged parquet timestamp[us] (isAdjustedToUTC=false) must read as
+    // TIMESTAMP, not TIMESTAMP_NTZ: event-time arithmetic (unix_micros)
+    // operates on instants, and the DuckDB oracle reads the same naive
+    // micros verbatim — with the UTC session zone the two agree bit-for-
+    // bit. Spark 4 defaults this inference ON, which would instead surface
+    // NTZ and reject unix_micros at analysis time.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
 
   /** Local harness session: `local[cpus]`, shuffle partitions = cores.
