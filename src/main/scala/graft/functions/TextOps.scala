@@ -305,7 +305,9 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprint via the native codegen'd expression.
+    // Document fingerprint via the native codegen'd expression. Oracled:
+    // the 64-bit wraparound polynomial is replayed in DuckDB with
+    // HUGEINT mod-2^64 arithmetic over the same UTF-8 bytes.
     "text_fingerprint" -> ((s, d) => {
       PolyHash64.register(s)
       t(s, d, "documents")
@@ -867,6 +869,37 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // poly_hash64 replayed in SQL: UTF-8 bytes recovered by hex()
+    // pair-parsing, the h*31+b fold done in HUGEINT with an explicit
+    // mod 2^64 (Java long wraparound), result re-signed to BIGINT.
+    // Seed must equal plans.PolyHash64.Seed.
+    "text_fingerprint" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hx IS NULL THEN NULL ELSE
+        |      list_transform(range(0, CAST(len(hx) AS BIGINT) // 2), i ->
+        |        CAST((strpos('0123456789ABCDEF',
+        |                     substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |                     substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)
+        |          AS HUGEINT))
+        |    END AS bs
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN bs IS NULL THEN NULL ELSE
+        |    CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |              THEN h - CAST('18446744073709551616' AS HUGEINT)
+        |              ELSE h END AS BIGINT)
+        |  END AS fingerprint
+        |FROM (
+        |  SELECT doc_id, bs,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bs),
+        |      (a, x) -> (a * 31 + x) %
+        |        CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM bytes)
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, source, lang
         |FROM documents

@@ -97,16 +97,23 @@ object Multimodal {
       .withColumnRenamed("col", "chunk_bytes")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Rows-only check (decode is stubbed): schema + plumbing are real.
-    // The feature vector is emitted as a scalar digest column — array
-    // columns aren't sortable/hashable by the driver's pandas compare.
+    // Oracled: the stub decode is deterministic byte math, so the whole
+    // mapPartitions lifecycle (binary payload → per-partition decoder →
+    // typed features) is pinned against DuckDB recomputing the same
+    // bytes. The feature vector is emitted as a scalar digest column —
+    // array columns aren't sortable/hashable by the driver's pandas
+    // compare. head features are float32; rounding happens on the exact
+    // double of each float (cast first) because three byte values
+    // (80, 131, 182) round differently in float32 vs double arithmetic.
     "multimodal_decode" -> ((s, d) =>
       extractFeatures(s, mediaTable(s, d))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
-          round(col("mean_byte"), 6).as("mean_byte"),
+          // U.round6, not round(_,6): sum/len is an integer ratio, the
+          // engine-unstable shape on exact 7-decimal halves (len=2^a·5^b).
+          graft.U.round6(col("mean_byte")).as("mean_byte"),
           concat_ws(",",
             transform(col("head_features"),
-              f => round(f, 6).cast("string"))).as("head_sig"))
+              f => round(f.cast("double"), 6).cast("string"))).as("head_sig"))
         .orderBy("doc_id")),
 
     // Byte-length accounting is decoder-independent → oracle-checkable.
@@ -166,6 +173,36 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // The stub decoder recomputed in SQL: UTF-8 payload bytes recovered
+    // via hex() pair-parsing (byte-exact on any corpus, not just ASCII),
+    // mean over all bytes, first-8-byte features as float32 b/255
+    // mirrored by FLOAT-typed division before the double round.
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS payload,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
+        |         ELSE 'audio/fake' END AS media_type
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, media_type, hex(payload) AS hx,
+        |    CAST(octet_length(payload) AS BIGINT) AS byte_len
+        |  FROM m),
+        |by2 AS (
+        |  SELECT doc_id, media_type, byte_len,
+        |    list_transform(range(0, byte_len), i ->
+        |      (strpos('0123456789ABCDEF',
+        |              substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF',
+        |                substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) AS bs
+        |  FROM b)
+        |SELECT doc_id, media_type, byte_len,
+        |  round(CASE WHEN byte_len = 0 THEN 0.0
+        |        ELSE CAST(list_sum(bs) AS DOUBLE) / byte_len END
+        |        * 1000000) / 1000000 AS mean_byte,
+        |  array_to_string(list_transform(list_slice(bs, 1, 8), x ->
+        |    round(CAST(CAST(x AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE),
+        |          6)::VARCHAR), ',') AS head_sig
+        |FROM by2 ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       // strlen = UTF-8 BYTES in DuckDB (length() counts characters, which
       // diverges from the binary payload length on non-ASCII corpora).

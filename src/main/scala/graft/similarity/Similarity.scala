@@ -322,26 +322,29 @@ object Similarity {
     // candidate list; the rank windows and the full-outer fusion join
     // then operate on constant-size inputs (≤50 rows — bounded by the
     // query contract, not the data), so the partition-less windows here
-    // are not the banned raw-row global sort. The lexical candidates
-    // cross id namespaces through the EXPLICIT doc_id↔vec_id crosswalk
-    // ([[docVecMap]] — identity on the synthetic corpus) rather than a
-    // naming convention, so a corpus whose document and embedding ids
-    // differ swaps in its real mapping table structurally.
+    // are not the banned raw-row global sort. Fusion happens in the
+    // DOCUMENT namespace (the thing being retrieved): dense candidates
+    // cross from vector ids through the EXPLICIT doc_id↔vec_id
+    // crosswalk ([[docVecMap]]) rather than a naming convention, while
+    // lexical candidates are already document-keyed — so a document
+    // with no embedding can still surface lexically (it must not be
+    // dropped by the crosswalk), and a corpus whose document and
+    // embedding ids differ swaps in its real mapping table structurally.
     "sim_hybrid_rrf" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val dense = bruteForceTopK(s, d, queryId = 0L, k = 50)
         .withColumn("rank_dense", row_number().over(
           W.orderBy(col("cos_sim").desc, col("vec_id"))))
-        .select(col("vec_id").as("id"), col("rank_dense"))
+        .select(col("vec_id"), col("rank_dense"))
+        // ≤50 candidates broadcast into the (column-pruned) crosswalk scan
+      val denseMapped = docVecMap(s, d)
+        .join(broadcast(dense), Seq("vec_id"))
+        .select(col("doc_id").as("id"), col("rank_dense"))
       val lex = graft.functions.TextOps.queries("text_bm25_topk")(s, d)
         .withColumn("rank_lex", row_number().over(
           W.orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("doc_id"), col("rank_lex"))
-        // ≤50 candidates broadcast into the (column-pruned) crosswalk scan
-      val lexMapped = docVecMap(s, d)
-        .join(broadcast(lex), Seq("doc_id"))
-        .select(col("vec_id").as("id"), col("rank_lex"))
-      dense.join(lexMapped, Seq("id"), "full_outer")
+        .select(col("doc_id").as("id"), col("rank_lex"))
+      denseMapped.join(lex, Seq("id"), "full_outer")
         .select(col("id"),
           U.round6(
             coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)) +
@@ -371,9 +374,10 @@ object Similarity {
     // vectors, integer SIMD-friendly scoring) demonstrated end-to-end —
     // per-vector absmax quantization (the persisted form at scale), the
     // query quantized once, scoring via the exact-integer vec_ldot
-    // kernel, approximate cosine recovered by descaling. Rows-only:
-    // the quantization approximation is engine-defined; recall vs the
-    // float path is asserted in SimilaritySpec.
+    // kernel, approximate cosine recovered by descaling. Oracled: the
+    // quantizer is exact integer math (floor(x*scale+0.5)), so DuckDB
+    // reproduces the scores bit-for-bit; recall vs the float path is
+    // additionally asserted in SimilaritySpec.
     "sim_topk_int8" -> ((s, d) => {
       graft.plans.VectorExprs.register(s)
       val qv = queryVector(s, d, 0L)
@@ -403,8 +407,10 @@ object Similarity {
     // is the mean over query sub-vectors of the best-matching doc
     // sub-vector cosine. Still one map-only corpus scan + top-k: the
     // sub-vector loop is a fixed-size column expression, not a join.
-    // Rows-only: fold order of the sub-cosines is engine-defined;
-    // driver-reference parity is pinned in SimilaritySpec.
+    // Oracled: every sub-cosine is a sequential fold on both engines
+    // (vec_dot mirrors list_dot_product element order), so the doubles
+    // agree bit-for-bit before the 6-digit round; driver-reference
+    // parity is additionally pinned in SimilaritySpec.
     "sim_maxsim_topk" -> ((s, d) => maxsimTopK(s, d, queryId = 0L, k = 20)),
 
     // Batch k-NN: ONE corpus scan scores every query in a broadcast
@@ -418,6 +424,68 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // ColBERT-style maxsim, recomputed with DuckDB list lambdas: the
+    // 4×16 sub-vector slices, each cosine as dot/(||a||·||b||) with
+    // zero-norm → -2 (matching VectorOps.cosine + the coalesce), mean
+    // of per-query-sub best matches, 6-digit round BEFORE the order/
+    // limit so the tie-break (score desc, vec_id) is identical.
+    "sim_maxsim_topk" ->
+      """WITH q AS (
+        |  SELECT list_transform(range(0, 4), p ->
+        |      list_slice(CAST(embedding AS DOUBLE[]),
+        |                 p * 16 + 1, p * 16 + 16)) AS qs
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 4), p ->
+        |      list_slice(CAST(embedding AS DOUBLE[]),
+        |                 p * 16 + 1, p * 16 + 16)) AS ds
+        |  FROM embeddings WHERE vec_id <> 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_sum(list_transform(range(0, 4), qi ->
+        |      list_max(list_transform(range(0, 4), di ->
+        |        coalesce(
+        |          CASE WHEN sqrt(list_dot_product(ds[di+1], ds[di+1])) *
+        |                    sqrt(list_dot_product(qs[qi+1], qs[qi+1])) = 0.0
+        |               THEN NULL
+        |               ELSE list_dot_product(ds[di+1], qs[qi+1]) /
+        |                    (sqrt(list_dot_product(ds[di+1], ds[di+1])) *
+        |                     sqrt(list_dot_product(qs[qi+1], qs[qi+1])))
+        |          END, -2.0)))
+        |    )) / 4, 6) AS maxsim
+        |  FROM e, q)
+        |SELECT vec_id, maxsim FROM scored
+        |ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
+    // Int8 retrieval descaled score: quantization is exact integer math
+    // (floor(x*scale+0.5)) so the integer dot agrees exactly; the
+    // descale expression repeats Spark's operation order
+    // (ldot / (dScale*qScale) / (dNorm*qNorm)) for bit-equality.
+    "sim_topk_int8" ->
+      """WITH qq AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qd,
+        |    127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                    x -> abs(x))) AS qscale,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS qnorm
+        |  FROM embeddings WHERE vec_id = 0),
+        |m AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> abs(x))) AS dabs,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS dnorm
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  CASE WHEN dabs > 0.0 AND dnorm > 0.0 THEN
+        |    round(
+        |      list_dot_product(
+        |        list_transform(vd, x -> floor(x * (127.0 / dabs) + 0.5)),
+        |        list_transform(qd, x -> floor(x * qscale + 0.5)))
+        |      / ((127.0 / dabs) * qscale) / (dnorm * qnorm), 6)
+        |  END AS approx_cos
+        |FROM m, qq
+        |ORDER BY approx_cos DESC NULLS LAST, vec_id LIMIT 20""".stripMargin,
     "sim_normalize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
         |           FROM embeddings),
