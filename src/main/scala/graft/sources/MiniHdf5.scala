@@ -16,8 +16,10 @@ import java.nio.file.{Paths, StandardOpenOption}
   *  - groups via symbol tables (v1 B-tree + local heap + SNOD nodes,
   *    any B-tree depth);
   *  - datasets with CONTIGUOUS layout (message v3) or CHUNKED layout
-  *    (v1 chunk B-tree) with optional deflate — i.e. plain files AND
-  *    `compression='gzip'` files, the two layouts h5py/anndata write;
+  *    (v1 chunk B-tree) with optional deflate and optional shuffle —
+  *    i.e. plain files AND `compression='gzip'` files (with or without
+  *    `shuffle=True`, h5py's common companion option), the layouts
+  *    h5py/anndata write;
   *  - little-endian fixed-point ints (signed, and unsigned ≤ 32-bit),
   *    IEEE floats, fixed-size strings, variable-length strings (global
   *    heap);
@@ -25,9 +27,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   *    maps — raise the documented limit if that day comes).
   *
   * Deliberately UNSUPPORTED, failing with errors that say so by name:
-  * non-deflate filters (shuffle/fletcher32/szip), uint64 data, v2+
-  * superblocks, fractal-heap groups, chunked rank>1. For such files,
-  * re-write once with `compression='gzip'` or None and
+  * filters beyond deflate+shuffle (fletcher32/szip/lzf/zstd…), uint64
+  * data, v2+ superblocks, fractal-heap groups, chunked rank>1. For such
+  * files, re-write once with `compression='gzip'` or None and
   * `libver='earliest'` — or extend exactly one branch per feature below.
   *
   * Scale shape: HDF5 is not splittable — parallelism comes from MANY
@@ -44,10 +46,11 @@ object MiniHdf5 {
 
   sealed trait Layout
   final case class Contiguous(addr: Long) extends Layout
-  /** Chunked storage: v1 chunk B-tree + optional deflate (gzip) filter —
-    * what `h5py`/`anndata` write under `compression='gzip'`. */
+  /** Chunked storage: v1 chunk B-tree + optional deflate (gzip) and
+    * optional shuffle filters — what `h5py`/`anndata` write under
+    * `compression='gzip'(, shuffle=True)`. */
   final case class Chunked(btree: Long, chunkElems: Long,
-      inflate: Boolean) extends Layout
+      inflate: Boolean, unshuffle: Boolean = false) extends Layout
 
   final case class DatasetMeta(dims: Seq[Long], dtype: Dtype, layout: Layout) {
     def elemSize: Int = dtype match {
@@ -168,9 +171,12 @@ object MiniHdf5 {
 
     // ---- datasets ----
 
-    /** Filter pipeline (message 0x000B): only deflate (filter id 1) is
-      * supported; shuffle/fletcher32/szip etc. are refused by name. */
-    private def parseFilters(dsPath: String, m: Msg): Boolean = {
+    /** Filter pipeline (message 0x000B): deflate (id 1) and shuffle
+      * (id 2) are supported; anything else — fletcher32 (3), szip (4),
+      * registered filters like lzf (32000) / zstd (32015) — is refused
+      * BY NAME with the one-time-rewrite instruction, before any data
+      * byte is touched. Returns (deflate, shuffle). */
+    private def parseFilters(dsPath: String, m: Msg): (Boolean, Boolean) = {
       val ver = u8(m.bodyPos)
       val nf = u8(m.bodyPos + 1)
       var p = ver match {
@@ -180,6 +186,7 @@ object MiniHdf5 {
           s"'$dsPath': filter pipeline v$v unsupported")
       }
       var deflate = false
+      var shuffle = false
       (0 until nf).foreach { _ =>
         val id = u16(p); p += 2
         val nameLen =
@@ -191,19 +198,31 @@ object MiniHdf5 {
         if (ver == 1 && nvals % 2 == 1) p += 4 // pad to 8
         id match {
           case 1 => deflate = true
-          case other => throw new IllegalArgumentException(
-            s"'$dsPath': filter id $other unsupported (deflate only; " +
-              "shuffle=2, fletcher32=3, szip=4 — re-write with " +
-              "compression='gzip' or None)")
+          case 2 =>
+            // write order is shuffle→deflate, so decode must be
+            // inflate→unshuffle; a pipeline listing deflate BEFORE
+            // shuffle would need the opposite order — refuse it rather
+            // than silently transposing compressed bytes
+            require(!deflate, s"'$dsPath': shuffle listed after deflate " +
+              "in the filter pipeline — non-standard order unsupported")
+            shuffle = true
+          case other =>
+            val known = Map(3 -> "fletcher32", 4 -> "szip",
+              32000 -> "lzf", 32015 -> "zstd")
+            val name = known.getOrElse(other, s"filter id $other")
+            throw new IllegalArgumentException(
+              s"'$dsPath': $name filter unsupported (deflate and shuffle " +
+                "only) — re-write the file once with compression='gzip' " +
+                "or None and libver='earliest'")
         }
       }
-      deflate
+      (deflate, shuffle)
     }
 
     def meta(dsPath: String): DatasetMeta = {
       val msgs = readHeader(resolve(dsPath))
-      val inflate = msgs.find(_.typ == 0x000B)
-        .exists(parseFilters(dsPath, _))
+      val (inflate, unshuffle) = msgs.find(_.typ == 0x000B)
+        .map(parseFilters(dsPath, _)).getOrElse((false, false))
       val sp = msgs.find(_.typ == 0x0001).getOrElse(
         throw new IllegalArgumentException(s"'$dsPath' has no dataspace"))
       val dims = {
@@ -243,7 +262,7 @@ object MiniHdf5 {
         s"'$dsPath': layout message v${u8(lay.bodyPos)} unsupported (v3 only)")
       val layout = u8(lay.bodyPos + 1) match {
         case 1 =>
-          require(!inflate,
+          require(!inflate && !unshuffle,
             s"'$dsPath': filtered CONTIGUOUS layout is not valid HDF5")
           Contiguous(i64(lay.bodyPos + 2))
         case 2 => // chunked: dimensionality(1) btree(8) chunk dims (4 each)
@@ -253,7 +272,7 @@ object MiniHdf5 {
               "(1-D only — the h5ad CSR arrays)")
           val btree = i64(lay.bodyPos + 3)
           val chunkElems = u32(lay.bodyPos + 11)
-          Chunked(btree, chunkElems, inflate)
+          Chunked(btree, chunkElems, inflate, unshuffle)
         case c => throw new IllegalArgumentException(
           s"'$dsPath': layout class $c unsupported (contiguous or chunked)")
       }
@@ -281,7 +300,7 @@ object MiniHdf5 {
       m.layout match {
         case Contiguous(addr) =>
           val d = buf.duplicate(); d.position(addr.toInt); d.get(out)
-        case Chunked(btree, chunkElems, inflate) =>
+        case Chunked(btree, chunkElems, inflate, unshuffle) =>
           val chunkBytesL = chunkElems * m.elemSize
           require(chunkBytesL <= Int.MaxValue,
             s"'$dsPath': chunk of ${chunkBytesL} B exceeds the 2 GiB limit")
@@ -304,7 +323,7 @@ object MiniHdf5 {
                   s"'$dsPath': per-chunk filter masks unsupported")
                 val elemOff = i64(keyPos + 8)
                 val raw0 = raw(child, storedSize)
-                val chunk = if (inflate) {
+                val inflated = if (inflate) {
                   val inf = new java.util.zip.Inflater()
                   inf.setInput(raw0)
                   val dec = new Array[Byte](chunkBytes)
@@ -315,6 +334,24 @@ object MiniHdf5 {
                       s"expected $chunkBytes")
                   dec
                 } else raw0
+                // shuffle stores byte-plane-transposed elements
+                // ([byte0 of every element][byte1 of …]); undo it AFTER
+                // inflate (write order was shuffle→deflate)
+                val chunk = if (unshuffle && m.elemSize > 1) {
+                  val es = m.elemSize
+                  val ne = inflated.length / es
+                  val un = new Array[Byte](inflated.length)
+                  var j = 0
+                  while (j < es) {
+                    var i = 0
+                    while (i < ne) {
+                      un(i * es + j) = inflated(j * ne + i)
+                      i += 1
+                    }
+                    j += 1
+                  }
+                  un
+                } else inflated
                 val destPos = elemOff * m.elemSize
                 val len = math.min(chunk.length.toLong, total - destPos).toInt
                 if (len > 0)

@@ -164,6 +164,53 @@ class H5adSpec extends SparkSpec {
       assert(gz32.readDoubles("X/data").toSeq === data.map(_.toFloat.toDouble).toSeq)
       assert(gz32.readLongs("X/indices").toSeq === indices.toSeq)
     } finally gz32.close()
+
+    // shuffle+gzip (h5py `compression='gzip', shuffle=True`): the
+    // byte-plane transpose must be undone after inflate, both widths
+    for (w <- Seq(true, false)) {
+      val p = s"$dir/shuf_$w.h5ad"
+      MiniHdf5Writer.writeH5ad(p, obs, vars, data, indices, indptr,
+        wide = w, gzipChunks = 8, shuffle = true)
+      val r = new MiniHdf5.Reader(p)
+      try {
+        val want = if (w) data.toSeq else data.map(_.toFloat.toDouble).toSeq
+        assert(r.readDoubles("X/data").toSeq === want)
+        assert(r.readLongs("X/indices").toSeq === indices.toSeq)
+        assert(r.readLongs("X/indptr").toSeq === indptr.toSeq)
+      } finally r.close()
+    }
+  }
+
+  test("unsupported filter pipelines are refused by name before any data read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5-filters").toString
+    val data = Array(1.0, 2.0, 3.0)
+    val indices = Array(0L, 1L, 0L)
+    val indptr = Array(0L, 2L, 3L)
+    for ((id, name) <- Seq(32000 -> "lzf", 4 -> "szip", 32015 -> "zstd")) {
+      val p = s"$dir/$name.h5ad"
+      MiniHdf5Writer.writeH5ad(p, Seq("c1", "c2"), Seq("f1", "f2"),
+        data, indices, indptr, gzipChunks = 2,
+        foreignFilter = Some((id, name)))
+      val r = new MiniHdf5.Reader(p)
+      try {
+        val e = intercept[IllegalArgumentException](r.readDoubles("X/data"))
+        // the refusal names the filter and carries the one-time rewrite
+        // instruction — the operational path for szip/lzf-compressed
+        // uploads this reader deliberately does not decode
+        assert(e.getMessage.contains(name), e.getMessage)
+        assert(e.getMessage.contains("re-write"), e.getMessage)
+      } finally r.close()
+    }
+    // unregistered id: still loud, by number
+    val p2 = s"$dir/custom.h5ad"
+    MiniHdf5Writer.writeH5ad(p2, Seq("c1", "c2"), Seq("f1", "f2"),
+      data, indices, indptr, gzipChunks = 2,
+      foreignFilter = Some((40000, "acme")))
+    val r2 = new MiniHdf5.Reader(p2)
+    try {
+      val e = intercept[IllegalArgumentException](r2.readDoubles("X/data"))
+      assert(e.getMessage.contains("40000"), e.getMessage)
+    } finally r2.close()
   }
 
   test("corrupt CSR structure fails loudly instead of dropping rows") {

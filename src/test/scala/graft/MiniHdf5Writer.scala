@@ -78,27 +78,46 @@ object MiniHdf5Writer {
   }
 
   private sealed trait Content
+  /** `shuffle` prepends the byte-transpose filter (h5py `shuffle=True`);
+    * `foreignFilter` writes an arbitrary (id, name) filter pipeline with
+    * RAW chunk payloads — for testing that the reader refuses unknown
+    * filters by name before touching data. */
   private final case class Dset(dtype: Array[Byte], n: Int,
-      data: Array[Byte], elemSize: Int = 0, chunkElems: Int = 0) extends Content
+      data: Array[Byte], elemSize: Int = 0, chunkElems: Int = 0,
+      shuffle: Boolean = false,
+      foreignFilter: Option[(Int, String)] = None) extends Content
   private final case class Group(children: Seq[(String, Content)]) extends Content
 
   /** Write one object (dataset or group) into `b`; returns its object
     * header address. */
   private def writeObject(b: Buf, c: Content): Long = c match {
-    case Dset(dtype, n, data, elemSize, chunkElems) if chunkElems > 0 =>
-      // CHUNKED + deflate: split into chunks, zlib each, link them with a
-      // level-0 v1 chunk B-tree (key: size, mask, elem offsets ×2).
+    case Dset(dtype, n, data, elemSize, chunkElems, shuffle, foreign)
+        if chunkElems > 0 =>
+      // CHUNKED + filters: split into chunks, (shuffle→)zlib each, link
+      // them with a level-0 v1 chunk B-tree (key: size, mask, elem
+      // offsets ×2).
       val chunkBytes = chunkElems * elemSize
       val chunks = data.grouped(chunkBytes).toSeq.map { raw0 =>
         // HDF5 chunks are always full-size: pad the tail chunk
         val full = if (raw0.length == chunkBytes) raw0
           else raw0 ++ new Array[Byte](chunkBytes - raw0.length)
-        val defl = new java.util.zip.Deflater()
-        defl.setInput(full); defl.finish()
-        val outb = new Array[Byte](chunkBytes + 64)
-        val sz = defl.deflate(outb)
-        defl.end()
-        java.util.Arrays.copyOf(outb, sz)
+        val pre = if (shuffle) {
+          // byte-plane transpose: [byte0 of every element][byte1 of …]
+          val un = new Array[Byte](full.length)
+          val ne = full.length / elemSize
+          for (i <- 0 until ne; j <- 0 until elemSize)
+            un(j * ne + i) = full(i * elemSize + j)
+          un
+        } else full
+        if (foreign.isDefined) pre // "compressed" payload never read back
+        else {
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(pre); defl.finish()
+          val outb = new Array[Byte](chunkBytes + 64)
+          val sz = defl.deflate(outb)
+          defl.end()
+          java.util.Arrays.copyOf(outb, sz)
+        }
       }
       val addrs = chunks.map { ch =>
         b.pad8(); val a = b.pos; b.bytes(ch); a
@@ -123,19 +142,29 @@ object MiniHdf5Writer {
         m.u32(chunkElems); m.u32(elemSize)
         m.out.toByteArray }
       val filters = { val m = new Buf
-        m.u8(1); m.u8(1) // v1, one filter
+        val fs: Seq[(Int, String, Seq[Int])] = foreign match {
+          case Some((id, nm)) => Seq((id, nm, Seq.empty))
+          case None =>
+            (if (shuffle) Seq((2, "shuffle", Seq(elemSize))) else Seq.empty) :+
+              ((1, "deflate", Seq(6)))
+        }
+        m.u8(1); m.u8(fs.size) // v1, n filters
         m.u16(0); m.u32(0) // reserved
-        m.u16(1) // deflate
-        m.u16(8) // name length ("deflate\0" padded)
-        m.u16(1) // flags: optional
-        m.u16(1) // one client value (level)
-        m.ascii("deflate"); m.u8(0)
-        m.u32(6) // compression level
-        m.u32(0) // pad (odd client count)
+        fs.foreach { case (id, nm, vals) =>
+          m.u16(id)
+          val nameLen = nm.length + 1 // incl NUL
+          m.u16(nameLen)
+          m.u16(1) // flags: optional
+          m.u16(vals.size)
+          m.ascii(nm); m.u8(0)
+          (nameLen until ((nameLen + 7) / 8) * 8).foreach(_ => m.u8(0))
+          vals.foreach(m.u32(_))
+          if (vals.size % 2 == 1) m.u32(0) // pad to 8
+        }
         m.out.toByteArray }
       writeHeader(b, Seq((0x0001, space), (0x0003, dtype),
         (0x0008, layout), (0x000B, filters)))
-    case Dset(dtype, n, data, _, _) =>
+    case Dset(dtype, n, data, _, _, _, _) =>
       b.pad8()
       val dataAddr = b.pos
       b.bytes(data)
@@ -239,7 +268,9 @@ object MiniHdf5Writer {
     * deflate filter (h5py `compression='gzip'` layout). */
   def writeH5ad(path: String, obsNames: Seq[String], varNames: Seq[String],
       data: Array[Double], indices: Array[Long], indptr: Array[Long],
-      wide: Boolean = true, gzipChunks: Int = 0): Unit = {
+      wide: Boolean = true, gzipChunks: Int = 0,
+      shuffle: Boolean = false,
+      foreignFilter: Option[(Int, String)] = None): Unit = {
     require(indptr.length == obsNames.length + 1 && data.length == indices.length)
     val b = new Buf
     // reserve the 96-byte v0 superblock (patched at the end)
@@ -247,12 +278,13 @@ object MiniHdf5Writer {
     val obsIdx = vlenContent(b, obsNames)
     val varIdx = vlenContent(b, varNames)
     val g = gzipChunks
+    val (sh, ff) = (shuffle, foreignFilter)
     val x = Group(Seq(
-      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g)
-        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g)),
-      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g)
-        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g)),
-      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g)))
+      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g, sh, ff)
+        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g, sh, ff)),
+      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g, sh, ff)
+        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g, sh, ff)),
+      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g, sh, ff)))
     val root = Group(Seq(
       "X" -> x,
       "obs" -> Group(Seq("_index" -> obsIdx)),
