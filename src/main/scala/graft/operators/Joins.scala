@@ -305,6 +305,36 @@ object Joins {
         .orderBy("p_partkey")
     }),
 
+    // The reference's full crosswalk chain in one plan: gene symbol →
+    // Ensembl id (data/symbol_to_ensembl.json, ~40k entries) → ontology
+    // label (data/all_labels.csv, 349 rows: azimuth label ↔ CL id) —
+    // a TWO-HOP code→code→label join, each hop a broadcast of its dim
+    // (40k ≈ 1 MB and 349 rows; the fact side never shuffles until the
+    // final aggregation). Dims generated deterministically (non-identity
+    // symbol→ensembl permutation) so DuckDB rebuilds them bit-identically
+    // and hop 2's key genuinely flows out of hop 1's payload.
+    "join_crosswalk_two_hop" -> ((s, d) => {
+      val genes = s.range(40000).select(
+        concat(lit("SYM"), col("id")).as("symbol"),
+        concat(lit("ENSG"),
+          lpad(((col("id") * 7919 + 13) % 40000).cast("string"), 11, "0"))
+          .as("ensembl_id"))
+      val labels = s.range(349).select(
+        col("id").as("lbl_id"),
+        concat(lit("CL:"), lpad(col("id").cast("string"), 7, "0")).as("cl_id"),
+        concat(lit("type_"), col("id") % 25).as("label"))
+      t(s, d, "lineitem")
+        .select(concat(lit("SYM"), col("l_partkey") % 40000).as("symbol"),
+          col("l_quantity"))
+        .join(broadcast(genes), Seq("symbol"))
+        .withColumn("lbl_id",
+          substring(col("ensembl_id"), 5, 11).cast("long") % 349)
+        .join(broadcast(labels), Seq("lbl_id"))
+        .groupBy("cl_id", "label")
+        .agg(count(lit(1)).as("n_rows"), U.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("cl_id")
+    }),
+
     // Salted skew join: when one join key dominates (hot user, stopword
     // shingle, viral item), replicate the dim side R ways and spread the
     // fact side across the replicas with a deterministic salt — every
@@ -461,6 +491,29 @@ object Joins {
         |FROM part JOIN dim
         |  ON 'SYM' || CAST(p_partkey % 40000 AS VARCHAR) = dim.symbol
         |ORDER BY p_partkey""".stripMargin,
+    "join_crosswalk_two_hop" ->
+      """WITH genes AS (
+        |  SELECT 'SYM' || CAST(i AS VARCHAR) AS symbol,
+        |    'ENSG' || lpad(CAST((i * 7919 + 13) % 40000 AS VARCHAR), 11, '0')
+        |      AS ensembl_id
+        |  FROM generate_series(0, 39999) t(i)),
+        |labels AS (
+        |  SELECT i AS lbl_id,
+        |    'CL:' || lpad(CAST(i AS VARCHAR), 7, '0') AS cl_id,
+        |    'type_' || CAST(i % 25 AS VARCHAR) AS label
+        |  FROM generate_series(0, 348) t(i)),
+        |h1 AS (
+        |  SELECT ensembl_id, l_quantity
+        |  FROM lineitem JOIN genes
+        |    ON 'SYM' || CAST(l_partkey % 40000 AS VARCHAR) = genes.symbol),
+        |h2 AS (
+        |  SELECT CAST(substr(ensembl_id, 5, 11) AS BIGINT) % 349 AS lbl_id,
+        |    l_quantity
+        |  FROM h1)
+        |SELECT cl_id, label, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM h2 JOIN labels USING (lbl_id)
+        |GROUP BY cl_id, label ORDER BY cl_id""".stripMargin,
     "join_salted_skew" ->
       """WITH u AS (SELECT user_id, count(*) AS n_user_events
         |           FROM events GROUP BY user_id)

@@ -39,6 +39,14 @@ class PlanSpec extends SparkSpec {
       s"40k dim join shuffled the fact side:\n$p")
   }
 
+  test("two-hop crosswalk: both dims broadcast, fact unshuffled until the agg") {
+    val p = formatted("join_crosswalk_two_hop")
+    assert(p.split("BroadcastHashJoin").length - 1 == 2,
+      s"expected exactly 2 broadcast joins (one per crosswalk hop):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a crosswalk hop shuffled the fact side:\n$p")
+  }
+
   test("join hints select shuffled-hash and sort-merge respectively") {
     assert(formatted("join_shuffle_hash").contains("ShuffledHashJoin"))
     assert(formatted("join_sort_merge").contains("SortMergeJoin"))
