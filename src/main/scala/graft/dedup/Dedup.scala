@@ -598,10 +598,14 @@ object Dedup {
     }),
 
     // Embedding near-dup candidates via sign-bit LSH buckets + exact
-    // cosine within bucket, ranked (no oracle: bucketing engine-defined;
-    // pair recall on a planted-duplicates fixture asserted in DedupSpec).
-    // Coarse 8-bit buckets (256) here because this corpus has no true
-    // near-dups; production uses more bits + a cosine threshold.
+    // cosine within bucket, ranked. Oracled: the bucketing replays in
+    // DuckDB from the embedded hyperplane literals (the same trick as
+    // sim_ann_lsh_topk — Similarity.planesSqlLiteral), so bucket
+    // membership, the 256-member cap and the pair cosines all pin
+    // cross-engine; pair recall on a planted-duplicates fixture is
+    // additionally asserted in DedupSpec. Coarse 8-bit buckets (256)
+    // here because this corpus has no true near-dups; production uses
+    // more bits + a cosine threshold.
     "dedup_embedding_lsh" -> ((s, d) =>
       embeddingLshPairs(
         t(s, d, "embeddings")
@@ -643,6 +647,32 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // embeddingLshPairs replayed: plane-literal sign-bit buckets, the
+    // per-bucket first-256-by-vec_id cap, within-bucket ordered pairs,
+    // cosine as dot/(nrm1*nrm2) with the zero-norm NULL guard.
+    "dedup_embedding_lsh" ->
+      s"""WITH pl AS (
+        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, vd,
+        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
+        |    sqrt(list_dot_product(vd, vd)) AS nrm
+        |  FROM e, pl),
+        |cap AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bucket
+        |                                 ORDER BY vec_id) AS rn
+        |    FROM b) WHERE rn <= 256)
+        |SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+        |  round(CASE WHEN e1.nrm * e2.nrm > 0.0 THEN
+        |    list_dot_product(e1.vd, e2.vd) / (e1.nrm * e2.nrm) END, 6)
+        |    AS cos_sim
+        |FROM cap e1 JOIN cap e2
+        |  ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+        |ORDER BY cos_sim DESC NULLS LAST, id1, id2 LIMIT 20""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -43,6 +43,24 @@ object Similarity {
     }
   }
 
+  /** The hyperplanes as a DuckDB LIST-of-LIST literal. Scala's
+    * `Double.toString` is shortest-round-trip, so DuckDB parses back the
+    * bit-identical doubles — which makes the "engine-defined" sign-bit
+    * bucketing REPLAYABLE in the oracle: same planes, same sequential
+    * dot fold, same signs. Used by the `sim_ann_lsh_topk` and
+    * `dedup_embedding_lsh` oracles. */
+  lazy val planesSqlLiteral: String =
+    planes.map(p => p.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The bucket expression over a DuckDB double-list column `v`:
+    * mirror of [[bucketCol]] (fold acc*2 + sign bit, plane order). */
+  def bucketSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(ps, p ->
+       |        CASE WHEN list_dot_product($v, p) > 0.0
+       |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (a, x) -> a * 2 + x)""".stripMargin
+
   /** Driver-side signature of a plain vector (for the query point). */
   def signatureOf(v: Array[Double], nBits: Int = NBits): Long =
     planes.take(nBits).foldLeft(0L) { (acc, p) =>
@@ -418,12 +436,52 @@ object Similarity {
     // 100 TB — the batch amortizes the scan, and the per-query top-k
     // window shuffles only the narrow (qid, vec_id, sim) triples).
     "sim_batch_topk" -> ((s, d) => batchTopK(s, d, nQueries = 8, k = 5)),
-    // No oracle (bucketing is engine-defined): recall vs brute force is
-    // asserted in SimilaritySpec instead.
+    // Oracled: the "engine-defined" bucketing is actually replayable —
+    // the oracle embeds the hyperplane constants as literals and repeats
+    // the sign-bit fold, the multi-probe flip enumeration, and the exact
+    // candidate scoring (see [[planesSqlLiteral]]); recall vs brute
+    // force is additionally asserted in SimilaritySpec.
     "sim_ann_lsh_topk" -> ((s, d) => annTopK(s, d, queryId = 0L, k = 10))
   )
 
   val oracles: Map[String, String] = Map(
+    // LSH replayed exactly: plane literals → per-vector sign-bit bucket,
+    // query signature + all 1-bit and 2-bit probe flips, exact cosine of
+    // the probed candidates. CASE-guard instead of division so a
+    // zero-norm vector yields NULL (the VectorOps.cosine convention),
+    // not inf/nan.
+    "sim_ann_lsh_topk" ->
+      s"""WITH pl AS (SELECT $planesSqlLiteral AS ps),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qd
+        |      FROM embeddings WHERE vec_id = 0),
+        |qs AS (
+        |  SELECT qd,
+        |    ${bucketSql("qd")} AS qsig
+        |  FROM q, pl),
+        |probes AS (
+        |  SELECT DISTINCT probe FROM (
+        |    SELECT qsig AS probe FROM qs
+        |    UNION ALL
+        |    SELECT xor(qsig, CAST(1 AS BIGINT) << a)
+        |    FROM qs, range(0, 8) t(a)
+        |    UNION ALL
+        |    SELECT xor(qsig, (CAST(1 AS BIGINT) << a) | (CAST(1 AS BIGINT) << b))
+        |    FROM qs, range(0, 8) ta(a), range(0, 8) tb(b) WHERE b > a)),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |  FROM embeddings WHERE vec_id <> 0),
+        |b AS (
+        |  SELECT vec_id, vd,
+        |    ${bucketSql("vd")} AS bucket
+        |  FROM e, pl)
+        |SELECT vec_id,
+        |  round(CASE WHEN sqrt(list_dot_product(vd, vd)) *
+        |                  sqrt(list_dot_product(qd, qd)) = 0.0 THEN NULL
+        |        ELSE list_dot_product(vd, qd) /
+        |             (sqrt(list_dot_product(vd, vd)) *
+        |              sqrt(list_dot_product(qd, qd))) END, 6) AS cos_sim
+        |FROM b, qs WHERE bucket IN (SELECT probe FROM probes)
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id LIMIT 10""".stripMargin,
     // ColBERT-style maxsim, recomputed with DuckDB list lambdas: the
     // 4×16 sub-vector slices, each cosine as dot/(||a||·||b||) with
     // zero-norm → -2 (matching VectorOps.cosine + the coalesce), mean
