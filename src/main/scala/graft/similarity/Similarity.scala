@@ -72,14 +72,20 @@ object Similarity {
     Tables.t(s, d, "embeddings").filter(col("vec_id") === id)
       .select(toDouble(col("embedding"))).head().getSeq[Double](0).toArray
 
-  /** Explicit doc_id↔vec_id crosswalk for cross-modal fusion
-    * (sim_hybrid_rrf). On the synthetic corpus the mapping is the
-    * identity (embeddings are keyed by their document id), but making
-    * it a first-class table means a corpus whose document and
-    * embedding ids live in different namespaces swaps in its real
-    * mapping HERE — the fusion join is structurally correct either
-    * way, instead of silently fusing unrelated items on an id-equality
-    * convention. */
+  /** Explicit doc_id↔vec_id crosswalk for cross-modal fusion. On the
+    * synthetic corpus the mapping is the identity (embeddings are keyed
+    * by their document id), but making it a first-class table means a
+    * corpus whose document and embedding ids live in different
+    * namespaces swaps in its real mapping — the fusion join is
+    * structurally correct either way, instead of silently fusing
+    * unrelated items on an id-equality convention.
+    *
+    * NOTE on composition at scale: `sim_hybrid_rrf` does NOT call this
+    * whole-table form — materializing the full mapping joins two
+    * data-scaled tables before the candidate filter. It applies the
+    * same two scans candidates-first (see the query) so each join
+    * broadcasts only the ≤k-row candidate list. This form exists for
+    * callers that genuinely need the full mapping (e.g. a backfill). */
   def docVecMap(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents").select(col("doc_id"))
       .join(Tables.t(s, d, "embeddings")
@@ -354,9 +360,19 @@ object Similarity {
         .withColumn("rank_dense", row_number().over(
           W.orderBy(col("cos_sim").desc, col("vec_id"))))
         .select(col("vec_id"), col("rank_dense"))
-        // ≤50 candidates broadcast into the (column-pruned) crosswalk scan
-      val denseMapped = docVecMap(s, d)
+      // The crosswalk applied CANDIDATES-FIRST: materializing the full
+      // doc_id↔vec_id mapping ([[docVecMap]]) and then filtering by the
+      // candidate list would join two data-scaled tables to map 50 rows
+      // — at 100 TB that shuffle dwarfs the whole query. Instead the
+      // ≤50-row dense list broadcasts into the embedding-id scan, and
+      // the ≤50 surviving mapped rows broadcast into the document-id
+      // scan: two map-only probes, no shuffle at any scale. The mapping
+      // rule (the second join's condition) is still the one explicit
+      // place a real crosswalk table swaps in.
+      val prunedVecs = Tables.t(s, d, "embeddings").select(col("vec_id"))
         .join(broadcast(dense), Seq("vec_id"))
+      val denseMapped = Tables.t(s, d, "documents").select(col("doc_id"))
+        .join(broadcast(prunedVecs), col("doc_id") === col("vec_id"))
         .select(col("doc_id").as("id"), col("rank_dense"))
       val lex = graft.functions.TextOps.queries("text_bm25_topk")(s, d)
         .withColumn("rank_lex", row_number().over(

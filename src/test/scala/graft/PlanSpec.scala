@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
       s"a crosswalk hop shuffled the fact side:\n$p")
   }
 
+  test("hybrid RRF: crosswalk applied candidates-first, no inner SMJ") {
+    // The ≤50-row candidate list must broadcast into the embedding-id
+    // scan and the mapped survivors into the document-id scan; a
+    // SortMergeJoin Inner here means a data-scaled shuffle crept back
+    // into the crosswalk (the FullOuter SMJ fusing the two ≤50-row rank
+    // lists is expected and fine).
+    val p = formatted("sim_hybrid_rrf")
+    assert(!p.contains("SortMergeJoin Inner"),
+      s"crosswalk degraded to a data-scaled inner SMJ:\n$p")
+  }
+
   test("join hints select shuffled-hash and sort-merge respectively") {
     assert(formatted("join_shuffle_hash").contains("ShuffledHashJoin"))
     assert(formatted("join_sort_merge").contains("SortMergeJoin"))
