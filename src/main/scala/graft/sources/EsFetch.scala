@@ -63,6 +63,19 @@ object EsFetch {
     }
   }
 
+  /** One-call discovery: fetch every page of `queryJson` from
+    * `endpoint`, land the snapshots under `landDir`, and return the
+    * validated, pivoted dataset dimension via
+    * [[EsResponse.pagedDatasets]] (totals-consistency + completeness
+    * gates included). The landed files remain on disk as the audit
+    * trail / re-run input. */
+  def discover(spark: org.apache.spark.sql.SparkSession, endpoint: String,
+      queryJson: String, landDir: Path, pageSize: Int = 10000)
+      : org.apache.spark.sql.DataFrame = {
+    val pages = fetchAll(endpoint, queryJson, landDir, pageSize)
+    EsResponse.pagedDatasets(spark, pages.map(_.path))
+  }
+
   /** Page through the query until every hit is landed. Returns the page
     * files in fetch order; feed them to [[EsResponse.pagedDatasets]].
     * `maxPages` bounds a runaway loop against a server that keeps

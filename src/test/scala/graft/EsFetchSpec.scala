@@ -86,6 +86,11 @@ class EsFetchSpec extends SparkSpec {
       // pivot into the product shape
       val product = EsResponse.pagedDatasets(spark, pages.map(_.path))
         .orderBy("uuid").select("uuid", "hubmap_id", "organ", "age").collect()
+      // the one-call form lands + validates + pivots identically
+      val viaDiscover = EsFetch.discover(spark,
+        s"http://127.0.0.1:$port/v3/search", query,
+        Files.createTempDirectory("graft-es-discover"), pageSize = 2)
+      assert(viaDiscover.count() === NDatasets)
       assert(product.length === NDatasets)
       assert(product.map(_.getString(0)).toSeq === (0 until 5).map(i => s"u$i"))
       assert(product.map(_.getDouble(3)).toSeq === Seq(40.0, 41.0, 42.0, 43.0, 44.0))
