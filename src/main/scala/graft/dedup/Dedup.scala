@@ -497,7 +497,10 @@ object Dedup {
 
     // Per-doc 64-bit SimHash signatures via the fused native expression
     // (one codegen'd scan, no explode/shuffle; values identical to
-    // simhashTable — asserted in DedupSpec). No oracle: hash-defined.
+    // simhashTable — asserted in DedupSpec). Oracled: the xxhash64
+    // token hash is replayed in DuckDB by generated mod-2^64 HUGEINT
+    // arithmetic (plans.XxhSqlOracle), so "hash-defined" is now
+    // value-checked end to end.
     "dedup_simhash" -> ((s, d) =>
       simhashFused(s, t(s, d, "documents"), "text").orderBy("doc_id")),
 
@@ -647,6 +650,15 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // SimHash replayed exactly: Spark's XXH64 string hash (seed 42) as
+    // generated mod-2^64 HUGEINT SQL, distinct-vocabulary hashing, the
+    // 64 bit-votes as one aggregation. The minhash family stays
+    // rows-only NOT for expressibility but for gate cost: its K=16
+    // seed-chain over every corpus-wide-distinct shingle multiplies
+    // the (already software-128-bit) hash work ~20x, which would
+    // dominate the whole oracle run at sf0.1.
+    "dedup_simhash" -> graft.plans.XxhSqlOracle.simhashSql,
+    "dedup_simhash_pairs" -> graft.plans.XxhSqlOracle.simhashPairsSql,
     // embeddingLshPairs replayed: plane-literal sign-bit buckets, the
     // per-bucket first-256-by-vec_id cap, within-bucket ordered pairs,
     // cosine as dot/(nrm1*nrm2) with the zero-norm NULL guard.
