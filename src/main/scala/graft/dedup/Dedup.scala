@@ -400,8 +400,8 @@ object Dedup {
     // boilerplate bands) are capped on the index side like minhashPairs'
     // maxBucket — bounded join fan-out trades recall only on
     // pathological bands, and boilerplate_strip is the upstream fix.
-    // Hash-defined output (no SQL oracle); semantics pinned by the
-    // planted-dup test in DedupSpec.
+    // Oracled (plans.XxhSqlOracle.incrementalNearSql); semantics also
+    // pinned by the planted-dup test in DedupSpec.
     "dedup_incremental_near" -> ((s, d) => {
       val numHashes = 32; val bands = 8; val rows = numHashes / bands
       val maxBucket = 64; val threshold = 0.8
@@ -472,14 +472,16 @@ object Dedup {
         .orderBy("id1")
     }),
 
-    // MinHash+LSH near-dup pairs (no oracle: xxhash64 family is
-    // engine-defined; recall/precision asserted in DedupSpec).
+    // MinHash+LSH near-dup pairs. Oracled: the full signature→band→
+    // bucket→verify pipeline replays in DuckDB (plans.XxhSqlOracle);
+    // recall/precision additionally asserted in DedupSpec.
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d)),
 
     // Positional k-gram MinHash signatures (n-gram flavor: 3-word
     // shingles instead of word sets — order-sensitive, so permuted docs
     // stop colliding). Same fused expression, different shingle unit.
-    // No oracle: hash-defined; shingling semantics tested in DedupSpec.
+    // Oracled: signature + digest fold replayed in DuckDB
+    // (plans.XxhSqlOracle.minhashKshingleSql).
     "dedup_minhash_kshingle" -> ((s, d) => {
       graft.plans.MinHashSig.register(s)
       graft.plans.WordKGrams.register(s)
@@ -652,13 +654,21 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     // SimHash replayed exactly: Spark's XXH64 string hash (seed 42) as
     // generated mod-2^64 HUGEINT SQL, distinct-vocabulary hashing, the
-    // 64 bit-votes as one aggregation. The minhash family stays
-    // rows-only NOT for expressibility but for gate cost: its K=16
-    // seed-chain over every corpus-wide-distinct shingle multiplies
-    // the (already software-128-bit) hash work ~20x, which would
-    // dominate the whole oracle run at sf0.1.
+    // 64 bit-votes as one aggregation.
     "dedup_simhash" -> graft.plans.XxhSqlOracle.simhashSql,
     "dedup_simhash_pairs" -> graft.plans.XxhSqlOracle.simhashPairsSql,
+    // MinHash family replayed the same way: the per-seed chain
+    // hashInt(j, hashUTF8String(shingle, 42)) hashes each DISTINCT
+    // shingle's bytes ONCE (the cost that kept this rows-only in
+    // earlier rounds evaporates — the string chain runs per vocabulary
+    // entry, the K seed mixes are 8 cheap vectorized stages over
+    // vocab×K rows), signed-min folds per doc, and the LSH band hash
+    // replays Spark's multi-arg xxhash64 fold (hashLong over the slice
+    // from seed 42, then hashInt(band)). Bucket caps, pair dedup and
+    // the exact-Jaccard verify all replay in plain SQL.
+    "dedup_minhash" -> graft.plans.XxhSqlOracle.minhashPairsSql,
+    "dedup_minhash_kshingle" -> graft.plans.XxhSqlOracle.minhashKshingleSql,
+    "dedup_incremental_near" -> graft.plans.XxhSqlOracle.incrementalNearSql,
     // embeddingLshPairs replayed: plane-literal sign-bit buckets, the
     // per-bucket first-256-by-vec_id cap, within-bucket ordered pairs,
     // cosine as dot/(nrm1*nrm2) with the zero-norm NULL guard.

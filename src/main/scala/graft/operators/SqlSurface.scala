@@ -454,8 +454,9 @@ object SqlSurface {
     // Native extension functions from SQL (poly_hash64 / simhash64 /
     // minhash_sig are injected by GraftExtensions — no registration call
     // needed in a GraftSession; the explicit registrations below only
-    // cover bare test sessions). Rows-only: hash family is
-    // engine-defined; parity is asserted in DedupSpec/TextOpsSpec.
+    // cover bare test sessions). Oracled: all three hash functions
+    // replay in DuckDB (plans.XxhSqlOracle.nativeFnsSql); parity is
+    // additionally asserted in DedupSpec/TextOpsSpec.
     "sql_native_fns" -> ((s, d) => {
       graft.plans.PolyHash64.register(s)
       graft.plans.MinHashSig.register(s)
@@ -493,6 +494,10 @@ object SqlSurface {
     "sql_q16_supplier_variety" -> Q16,
     "sql_q18_large_volume" -> Q18,
     "sql_q19_disjunctive" -> Q19,
-    "sql_q22_inactive_high_bal" -> Q22
+    "sql_q22_inactive_high_bal" -> Q22,
+    // All three native functions replay in DuckDB: poly_hash64 as the
+    // HUGEINT 31-polynomial fold, simhash64 and minhash_sig via the
+    // generated XXH64 arithmetic (plans.XxhSqlOracle.nativeFnsSql).
+    "sql_native_fns" -> graft.plans.XxhSqlOracle.nativeFnsSql
   )
 }

@@ -12,4 +12,4 @@ done
 rm -rf "$OUT"
 exec java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
   -cp "/root/repo/target/scala-2.13/atacdataproductsspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT"
+  graft.Verify "$SF_DIR" "$OUT" "$@"
