@@ -94,14 +94,24 @@ object Bench {
     // a file keeps every per-query number on record for round-over-round
     // comparison.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try {
-      val out = java.nio.file.Paths.get(outPath)
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(out,
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    def writeLine(path: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get(path)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out,
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    writeLine(outPath)
+    // ALSO write into the git-tracked bench/ directory unconditionally:
+    // the driver commits uncommitted work at round close, so the full
+    // per-query record lands in history without the manual copy step
+    // that round-6 review flagged as fragile (only ~60 of ~200 per-query
+    // entries survive the driver's stdout tail truncation). Full-suite
+    // runs only — a dev run restricted to a few queries must not
+    // overwrite the round record.
+    if (only.isEmpty) writeLine("bench/bench_latest.json")
     // The stdout line must survive the driver's 2000-char tail capture
     // (every BENCH_r{1..4}.json has parsed:null because the 100+-query map
     // overflows it; sbt appends its own ~80-char "[success]" line after

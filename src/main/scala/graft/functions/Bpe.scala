@@ -32,10 +32,16 @@ import graft.{Tables, U}
   * like the IVF centroids and the token vocabulary — training is a
   * property of the DATASET, not of each apply call.
   *
-  * No DuckDB oracle: iterative greedy merging is not expressible as a
-  * fixed SQL query — correctness is pinned by BpeSpec instead
-  * (independent reference-implementation parity, greedy-overlap edge
-  * semantics, codegen/interpreted parity, round-trip invariants).
+  * Oracle split: TRAINING stays rows-only — its iterative argmax is
+  * only expressible by replaying the trainer, and an oracle whose
+  * expected output is the engine's own learned rules would be vacuous;
+  * BpeSpec pins it against an independent reference implementation
+  * instead. APPLY is oracled: the learned rules are a fixed input
+  * parameter (like the IVF centroid literals), and given them the
+  * greedy merge loop IS expressible in DuckDB — each rule pass is one
+  * left-to-right non-overlapping `replace()` over a double-delimited
+  * token string (see [[applyOracleSqlFor]]), so the driver's gate
+  * independently recomputes the full tokenization.
   */
 object Bpe {
   /** Number of merge rules to learn — small because the synthetic
@@ -53,7 +59,18 @@ object Bpe {
 
   /** Learned merge rules (rank, left, right, pair_freq), rank 1-based
     * in merge order. */
-  def trainRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+  /** Last rules served, recorded for the apply oracle (graft.Verify
+    * dumps oracle SQL after running the queries, so by dump time this
+    * holds the rules of the dataset under verification). */
+  @volatile private var lastRules: Option[Seq[(Int, String, String, Long)]] = None
+
+  def trainRules(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    val rs = trainRulesMemo(s, d)
+    lastRules = Some(rs)
+    rs
+  }
+
+  private def trainRulesMemo(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
     rulesCache.computeIfAbsent(
       (java.nio.file.Paths.get(d).toAbsolutePath.toString,
         U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
@@ -143,5 +160,52 @@ object Bpe {
         .orderBy("doc_id")
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  /** The vocab_bpe_apply replay for a fixed rule list. Token arrays are
+    * encoded as `|t1||t2||...|` (every token wrapped in `|` on both
+    * sides), which makes one greedy left-to-right non-overlapping merge
+    * pass of rule (a, b) EXACTLY one `replace(s, '|a||b|', '|ab|')`:
+    * the full double-`|` boundaries prevent prefix/suffix false matches
+    * against longer tokens, and replace's resume-after-replacement scan
+    * is the same skip-2 the BpeMerge kernel does. Chained once per rule
+    * in rank order over the DISTINCT word vocabulary (words re-join by
+    * occurrence), then token count = `||` boundary count + 1. A word
+    * containing the delimiter would corrupt the encoding, so it fails
+    * with a named error() instead. */
+  private def applyOracleSqlFor(rules: Seq[(Int, String, String, Long)]): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val passes = rules.sortBy(_._1).zipWithIndex.map { case ((_, a, b, _), i) =>
+      val src = if (i == 0) "v0" else s"v$i"
+      s"v${i + 1} AS (SELECT word, replace(s, '|${esc(a)}||${esc(b)}|'," +
+        s" '|${esc(a + b)}|') AS s FROM $src)"
+    }
+    val last = s"v${rules.size}"
+    s"""WITH words AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0),
+       |vocab AS (SELECT DISTINCT word FROM words),
+       |v0 AS (
+       |  SELECT word,
+       |    CASE WHEN word LIKE '%|%'
+       |         THEN error('bpe oracle: word contains the | delimiter')
+       |         ELSE '|' || array_to_string(string_split(word, ''), '||') || '|'
+       |    END AS s
+       |  FROM vocab),
+       |${if (passes.isEmpty) "" else passes.mkString(",\n") + ",\n"}vt AS (SELECT word,
+       |         CAST((len(s) - len(replace(s, '||', ''))) // 2 + 1 AS BIGINT)
+       |           AS n_toks
+       |       FROM $last)
+       |SELECT w.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(len(w.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(vt.n_toks) AS BIGINT) AS n_bpe_tokens
+       |FROM words w JOIN vt USING (word)
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = lastRules match {
+    case None => Map.empty
+    case Some(rs) => Map("vocab_bpe_apply" -> applyOracleSqlFor(rs))
+  }
 }

@@ -32,19 +32,29 @@ case class MediaFeatures(
   * Scala-native equivalent of a `mapInPandas` batch UDF), columnar output.
   *
   * ==== STUB BOUNDARY ====
-  * Real image/audio codecs are not available in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic fake standing in for
-  * e.g. JPEG decode + CNN feature extraction. Swapping it for a real
-  * decoder changes NOTHING in the pipeline shape: same schema, same
-  * partitioning, same per-partition batch execution.
+  * The decoder is a per-partition pluggable lifecycle ([[MediaDecoder]]).
+  * IMAGE decode is REAL: [[ImageIoDecoder]] runs `javax.imageio` (pure
+  * JVM — PNG/GIF/BMP) through the exact same mapPartitions batch shape,
+  * exercised end-to-end in MultimodalSpec. Audio/video codecs are not
+  * available in this environment, so [[StubDecoder]] remains the
+  * clearly-marked deterministic fake the oracled queries run (its byte
+  * math is SQL-replayable, which is what makes `multimodal_decode`
+  * value-checked). Swapping decoders changes NOTHING in the pipeline
+  * shape: same schema, same partitioning, same per-partition batching.
   */
 object Multimodal {
 
-  /** STUB decoder with the real lifecycle shape: in production this
-    * holds the expensive native state (codec context, model weights) that
-    * must be created ONCE per partition and reused across the iterator —
-    * exactly where a `mapInPandas` batch UDF would hold its model. */
-  final class StubDecoder {
+  /** Decoder lifecycle contract: ONE instance per partition, reused
+    * across the iterator — in production this holds the expensive
+    * native state (codec context, model weights), exactly where a
+    * `mapInPandas` batch UDF would hold its model. */
+  trait MediaDecoder extends Serializable {
+    def decode(a: MediaAsset): MediaFeatures
+  }
+
+  /** STUB decoder (deterministic byte math standing in for codec +
+    * feature extractor — the SQL-replayable path the oracle pins). */
+  final class StubDecoder extends MediaDecoder {
     def decode(a: MediaAsset): MediaFeatures = {
       val len = a.payload.length.toLong
       val mean = if (len == 0) 0.0
@@ -54,9 +64,41 @@ object Multimodal {
     }
   }
 
-  /** STUB: deterministic fake "decode + featurize". A real implementation
-    * would decode `payload` (image bytes → pixels) and run a feature
-    * extractor; this computes cheap deterministic stand-ins. */
+  /** REAL image decoder: `javax.imageio` payload-bytes → pixels, same
+    * feature schema as the stub but over DECODED first-band samples —
+    * byte_len = pixel count, mean_byte = mean sample, head_features =
+    * first 8 samples (row-major) / 255. An undecodable payload fails
+    * loudly (null from ImageIO.read) rather than shipping zeros. */
+  final class ImageIoDecoder extends MediaDecoder {
+    def decode(a: MediaAsset): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.payload))
+      require(img != null,
+        s"undecodable image payload for doc ${a.doc_id} (${a.media_type})")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w.toLong * h
+      val raster = img.getRaster
+      var sum = 0L
+      val head = new Array[Float](math.min(8L, n).toInt)
+      var idx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v
+          if (idx < head.length) head(idx) = v / 255.0f
+          idx += 1
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(a.doc_id, a.media_type, n,
+        if (n == 0) 0.0 else sum.toDouble / n, head.toSeq)
+    }
+  }
+
+  /** STUB: deterministic fake "decode + featurize" (see [[StubDecoder]]). */
   def decodeStub(a: MediaAsset): MediaFeatures = new StubDecoder().decode(a)
 
   /** Build a media table from `documents` by treating the text payload as
@@ -73,17 +115,22 @@ object Multimodal {
       lit(480).as("height"))
 
   /** Distributed batch decode: one partition = one decoder lifecycle
-    * (the decoder instantiates once per partition and streams the
+    * (the factory runs once per partition and the instance streams the
     * iterator — never one init per row, never a collect). */
-  def extractFeatures(s: SparkSession, media: DataFrame): DataFrame = {
+  def extractFeaturesWith(s: SparkSession, media: DataFrame)(
+      mk: () => MediaDecoder): DataFrame = {
     import s.implicits._
     media.as[MediaAsset]
       .mapPartitions { batch =>
-        val decoder = new StubDecoder // per-partition init, reused per row
+        val decoder = mk() // per-partition init, reused per row
         batch.map(decoder.decode)
       }
       .toDF()
   }
+
+  /** Stub-decoder default (the oracled queries' path). */
+  def extractFeatures(s: SparkSession, media: DataFrame): DataFrame =
+    extractFeaturesWith(s, media)(() => new StubDecoder)
 
   /** Frame sampling on binary payloads: slice every `stride`-th chunk —
     * the shape of video frame-sampling over an opaque byte column. */

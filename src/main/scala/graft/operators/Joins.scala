@@ -307,7 +307,8 @@ object Joins {
 
     // The reference's full crosswalk chain in one plan: gene symbol →
     // Ensembl id (data/symbol_to_ensembl.json, ~40k entries) → ontology
-    // label (data/all_labels.csv, 349 rows: azimuth label ↔ CL id) —
+    // label (data/all_labels.csv, 349 lines: 348 label rows + header;
+    // the synthetic dim keeps 349 entries — azimuth label ↔ CL id) —
     // a TWO-HOP code→code→label join, each hop a broadcast of its dim
     // (40k ≈ 1 MB and 349 rows; the fact side never shuffles until the
     // final aggregation). Dims generated deterministically (non-identity

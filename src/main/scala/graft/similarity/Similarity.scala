@@ -242,12 +242,20 @@ object Similarity {
   private def tableSignature(d: String): Long =
     U.dirSignature(java.nio.file.Paths.get(d, "embeddings.parquet"))
 
+  /** Last centroids served, recorded for [[ivfOracleEntry]] (the oracle
+    * dump runs after the queries in graft.Verify, so this always holds
+    * the quantizer of the dataset under verification by dump time). */
+  @volatile private var lastCentroids: Option[Array[(Int, Array[Double])]] = None
+
   def ivfCentroids(s: SparkSession, d: String, k: Int,
-      iters: Int = 2): Array[(Int, Array[Double])] =
-    centroidCache.computeIfAbsent(
+      iters: Int = 2): Array[(Int, Array[Double])] = {
+    val cs = centroidCache.computeIfAbsent(
       (java.nio.file.Paths.get(d).toAbsolutePath.toString,
         tableSignature(d), k, iters),
       _ => trainIvfCentroids(s, d, k, iters))
+    lastCentroids = Some(cs)
+    cs
+  }
 
   /** IVF ANN: probe the `nProbe` nearest centroids, exact cosine inside. */
   def ivfTopK(s: SparkSession, d: String, queryId: Long, k: Int,
@@ -332,8 +340,10 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
-    // IVF variant (no oracle: quantizer engine-defined; recall asserted
-    // in SimilaritySpec).
+    // IVF variant. Oracled via centroid literals: the converged
+    // quantizer is recorded at training time and the oracle replays
+    // assignment + probe selection + exact scoring in DuckDB (see
+    // ivfOracleEntry); recall additionally asserted in SimilaritySpec.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, queryId = 0L, k = 10)),
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
@@ -460,7 +470,9 @@ object Similarity {
     "sim_ann_lsh_topk" -> ((s, d) => annTopK(s, d, queryId = 0L, k = 10))
   )
 
-  val oracles: Map[String, String] = Map(
+  /** SQL-static oracles; [[oracles]] appends the dynamically generated
+    * IVF replay when a trained quantizer has been recorded. */
+  private val staticOracles: Map[String, String] = Map(
     // LSH replayed exactly: plane literals → per-vector sign-bit bucket,
     // query signature + all 1-bit and 2-bit probe flips, exact cosine of
     // the probed candidates. CASE-guard instead of division so a
@@ -630,16 +642,24 @@ object Similarity {
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0),
         |dense AS (
-        |  SELECT vec_id AS id,
-        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_dense
+        |  -- the doc-namespace crosswalk mirrored from the Spark query:
+        |  -- dense candidates survive only with a matching document id,
+        |  -- so the oracle stays faithful if the corpus ever gains
+        |  -- embeddings without documents (today the mapping is the
+        |  -- identity, but the oracle must not rely on that).
+        |  SELECT d.doc_id AS id, dc.rank_dense
         |  FROM (
         |    SELECT vec_id,
-        |      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
-        |        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-        |                               CAST(e.embedding AS DOUBLE[]))) *
-        |         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
-        |    FROM embeddings e, q WHERE vec_id <> 0
-        |    ORDER BY cos_sim DESC, vec_id LIMIT 50)),
+        |      row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_dense
+        |    FROM (
+        |      SELECT vec_id,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |      FROM embeddings e, q WHERE vec_id <> 0
+        |      ORDER BY cos_sim DESC, vec_id LIMIT 50)) dc
+        |  JOIN documents d ON d.doc_id = dc.vec_id),
         |bdocs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w
         |  FROM documents),
@@ -689,4 +709,54 @@ object Similarity {
         |FROM embeddings e, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
   )
+
+  /** IVF replay generated from the CONVERGED quantizer: graft.Verify
+    * runs every query before dumping oracle SQL, so by dump time
+    * [[ivfCentroids]] has recorded the trained centroids for the
+    * dataset under verification and they embed as double literals
+    * (shortest-round-trip `Double.toString` parses back bit-identical —
+    * the same trick as [[planesSqlLiteral]]). The oracle then replays
+    * assignment (argmin squared-L2, ties to the lowest centroid id —
+    * plans.NearestCentroid's strict-< rule), the 4-probe selection and
+    * the exact cosine scoring entirely in DuckDB. If the query never
+    * ran (training failed), the entry is omitted and the driver falls
+    * back to the rows-only check instead of comparing against a stale
+    * quantizer. */
+  private def ivfOracleEntry: Map[String, String] = lastCentroids match {
+    case None => Map.empty
+    case Some(cs) => Map("sim_ivf_topk" -> ivfOracleSqlFor(cs))
+  }
+
+  private def ivfOracleSqlFor(cs: Array[(Int, Array[Double])]): String = {
+    val dim = cs.head._2.length
+    val values = cs.sortBy(_._1)
+      .map { case (id, v) => s"($id, ${v.mkString("[", ",", "]")})" }
+      .mkString(",\n    ")
+    def sq(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH cents(cid, cv) AS (VALUES
+       |    $values),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM cents, q
+       |  ORDER BY ${sq("cv", "qv")}, cid LIMIT 4),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, vd, cid FROM (
+       |    SELECT e.vec_id, e.vd, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("c.cv", "e.vd")}, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1)
+       |SELECT a.vec_id,
+       |  round(list_dot_product(a.vd, q.qv) /
+       |    (sqrt(list_dot_product(a.vd, a.vd)) *
+       |     sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+       |FROM asg a, q
+       |WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  def oracles: Map[String, String] = staticOracles ++ ivfOracleEntry
 }

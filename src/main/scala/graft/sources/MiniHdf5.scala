@@ -16,10 +16,12 @@ import java.nio.file.{Paths, StandardOpenOption}
   *  - groups via symbol tables (v1 B-tree + local heap + SNOD nodes,
   *    any B-tree depth);
   *  - datasets with CONTIGUOUS layout (message v3) or CHUNKED layout
-  *    (v1 chunk B-tree) with optional deflate and optional shuffle —
-  *    i.e. plain files AND `compression='gzip'` files (with or without
-  *    `shuffle=True`, h5py's common companion option), the layouts
-  *    h5py/anndata write;
+  *    (v1 chunk B-tree) with optional deflate OR lzf compression and
+  *    optional shuffle — i.e. plain files AND `compression='gzip'` /
+  *    `compression='lzf'` files (with or without `shuffle=True`,
+  *    h5py's common companion option), the layouts h5py/anndata write
+  *    (lzf payloads are raw libLZF streams — h5py's filter adds no
+  *    header);
   *  - little-endian fixed-point ints (signed, and unsigned ≤ 32-bit),
   *    IEEE floats, fixed-size strings, variable-length strings (global
   *    heap);
@@ -27,7 +29,7 @@ import java.nio.file.{Paths, StandardOpenOption}
   *    maps — raise the documented limit if that day comes).
   *
   * Deliberately UNSUPPORTED, failing with errors that say so by name:
-  * filters beyond deflate+shuffle (fletcher32/szip/lzf/zstd…), uint64
+  * filters beyond deflate/lzf+shuffle (fletcher32/szip/zstd…), uint64
   * data, v2+ superblocks, fractal-heap groups, chunked rank>1. For such
   * files, re-write once with `compression='gzip'` or None and
   * `libver='earliest'` — or extend exactly one branch per feature below.
@@ -46,11 +48,12 @@ object MiniHdf5 {
 
   sealed trait Layout
   final case class Contiguous(addr: Long) extends Layout
-  /** Chunked storage: v1 chunk B-tree + optional deflate (gzip) and
-    * optional shuffle filters — what `h5py`/`anndata` write under
-    * `compression='gzip'(, shuffle=True)`. */
+  /** Chunked storage: v1 chunk B-tree + optional deflate (gzip) OR lzf
+    * compression and optional shuffle filter — what `h5py`/`anndata`
+    * write under `compression='gzip'|'lzf'(, shuffle=True)`. */
   final case class Chunked(btree: Long, chunkElems: Long,
-      inflate: Boolean, unshuffle: Boolean = false) extends Layout
+      inflate: Boolean, unshuffle: Boolean = false,
+      lzf: Boolean = false) extends Layout
 
   final case class DatasetMeta(dims: Seq[Long], dtype: Dtype, layout: Layout) {
     def elemSize: Int = dtype match {
@@ -59,6 +62,47 @@ object MiniHdf5 {
       case FixedStr(s) => s
       case VlenStr => 16 // length(4) + gheap addr(8) + index(4)
     }
+  }
+
+  /** libLZF stream decompressor — the h5py LZF filter payload (public
+    * format, Marc Lehmann's LZF; the filter adds no header). Control
+    * byte < 0x20 starts a literal run of ctrl+1 bytes; otherwise a
+    * back-reference: length = (ctrl >> 5) + 2, with length code 7
+    * extended by the next byte, distance = ((ctrl & 0x1f) << 8 | next)
+    * + 1, copied byte-by-byte (self-overlap is how LZF encodes runs).
+    * HDF5 chunks are full-size, so a well-formed stream fills `outLen`
+    * exactly except possibly the file's tail chunk (caller-checked the
+    * same way the deflate path is). Corruption fails with a named
+    * error, never out-of-bounds writes. */
+  private[graft] def lzfDecompress(in: Array[Byte], outLen: Int,
+      ctx: String): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var ip = 0
+    var op = 0
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"'$ctx': corrupt LZF stream ($what at input byte $ip, output $op)")
+    while (ip < in.length) {
+      val ctrl = in(ip) & 0xff; ip += 1
+      if (ctrl < 0x20) {
+        val len = ctrl + 1
+        if (ip + len > in.length || op + len > outLen) fail("literal run")
+        System.arraycopy(in, ip, out, op, len)
+        ip += len; op += len
+      } else {
+        var len = ctrl >> 5
+        if (len == 7) {
+          if (ip >= in.length) fail("length extension")
+          len += in(ip) & 0xff; ip += 1
+        }
+        if (ip >= in.length) fail("distance byte")
+        var ref = op - (((ctrl & 0x1f) << 8) | (in(ip) & 0xff)) - 1
+        ip += 1
+        if (ref < 0 || op + len + 2 > outLen) fail("back-reference")
+        var k = 0
+        while (k < len + 2) { out(op) = out(ref); op += 1; ref += 1; k += 1 }
+      }
+    }
+    if (op < outLen) java.util.Arrays.copyOf(out, op) else out
   }
 
   final class Reader(path: String) extends AutoCloseable {
@@ -171,12 +215,12 @@ object MiniHdf5 {
 
     // ---- datasets ----
 
-    /** Filter pipeline (message 0x000B): deflate (id 1) and shuffle
-      * (id 2) are supported; anything else — fletcher32 (3), szip (4),
-      * registered filters like lzf (32000) / zstd (32015) — is refused
-      * BY NAME with the one-time-rewrite instruction, before any data
-      * byte is touched. Returns (deflate, shuffle). */
-    private def parseFilters(dsPath: String, m: Msg): (Boolean, Boolean) = {
+    /** Filter pipeline (message 0x000B): deflate (id 1), shuffle (id 2)
+      * and lzf (registered id 32000) are supported; anything else —
+      * fletcher32 (3), szip (4), zstd (32015) — is refused BY NAME with
+      * the one-time-rewrite instruction, before any data byte is
+      * touched. Returns (deflate, shuffle, lzf). */
+    private def parseFilters(dsPath: String, m: Msg): (Boolean, Boolean, Boolean) = {
       val ver = u8(m.bodyPos)
       val nf = u8(m.bodyPos + 1)
       var p = ver match {
@@ -187,6 +231,7 @@ object MiniHdf5 {
       }
       var deflate = false
       var shuffle = false
+      var lzf = false
       (0 until nf).foreach { _ =>
         val id = u16(p); p += 2
         val nameLen =
@@ -198,31 +243,34 @@ object MiniHdf5 {
         if (ver == 1 && nvals % 2 == 1) p += 4 // pad to 8
         id match {
           case 1 => deflate = true
+          case 32000 => lzf = true
           case 2 =>
-            // write order is shuffle→deflate, so decode must be
-            // inflate→unshuffle; a pipeline listing deflate BEFORE
-            // shuffle would need the opposite order — refuse it rather
-            // than silently transposing compressed bytes
-            require(!deflate, s"'$dsPath': shuffle listed after deflate " +
-              "in the filter pipeline — non-standard order unsupported")
+            // write order is shuffle→compress, so decode must be
+            // decompress→unshuffle; a pipeline listing the compressor
+            // BEFORE shuffle would need the opposite order — refuse it
+            // rather than silently transposing compressed bytes
+            require(!deflate && !lzf, s"'$dsPath': shuffle listed after " +
+              "the compressor in the filter pipeline — non-standard " +
+              "order unsupported")
             shuffle = true
           case other =>
-            val known = Map(3 -> "fletcher32", 4 -> "szip",
-              32000 -> "lzf", 32015 -> "zstd")
+            val known = Map(3 -> "fletcher32", 4 -> "szip", 32015 -> "zstd")
             val name = known.getOrElse(other, s"filter id $other")
             throw new IllegalArgumentException(
-              s"'$dsPath': $name filter unsupported (deflate and shuffle " +
-                "only) — re-write the file once with compression='gzip' " +
-                "or None and libver='earliest'")
+              s"'$dsPath': $name filter unsupported (deflate, lzf and " +
+                "shuffle only) — re-write the file once with " +
+                "compression='gzip' or None and libver='earliest'")
         }
       }
-      (deflate, shuffle)
+      require(!(deflate && lzf),
+        s"'$dsPath': deflate AND lzf in one filter pipeline unsupported")
+      (deflate, shuffle, lzf)
     }
 
     def meta(dsPath: String): DatasetMeta = {
       val msgs = readHeader(resolve(dsPath))
-      val (inflate, unshuffle) = msgs.find(_.typ == 0x000B)
-        .map(parseFilters(dsPath, _)).getOrElse((false, false))
+      val (inflate, unshuffle, lzf) = msgs.find(_.typ == 0x000B)
+        .map(parseFilters(dsPath, _)).getOrElse((false, false, false))
       val sp = msgs.find(_.typ == 0x0001).getOrElse(
         throw new IllegalArgumentException(s"'$dsPath' has no dataspace"))
       val dims = {
@@ -262,7 +310,7 @@ object MiniHdf5 {
         s"'$dsPath': layout message v${u8(lay.bodyPos)} unsupported (v3 only)")
       val layout = u8(lay.bodyPos + 1) match {
         case 1 =>
-          require(!inflate && !unshuffle,
+          require(!inflate && !unshuffle && !lzf,
             s"'$dsPath': filtered CONTIGUOUS layout is not valid HDF5")
           Contiguous(i64(lay.bodyPos + 2))
         case 2 => // chunked: dimensionality(1) btree(8) chunk dims (4 each)
@@ -272,7 +320,7 @@ object MiniHdf5 {
               "(1-D only — the h5ad CSR arrays)")
           val btree = i64(lay.bodyPos + 3)
           val chunkElems = u32(lay.bodyPos + 11)
-          Chunked(btree, chunkElems, inflate, unshuffle)
+          Chunked(btree, chunkElems, inflate, unshuffle, lzf)
         case c => throw new IllegalArgumentException(
           s"'$dsPath': layout class $c unsupported (contiguous or chunked)")
       }
@@ -300,7 +348,7 @@ object MiniHdf5 {
       m.layout match {
         case Contiguous(addr) =>
           val d = buf.duplicate(); d.position(addr.toInt); d.get(out)
-        case Chunked(btree, chunkElems, inflate, unshuffle) =>
+        case Chunked(btree, chunkElems, inflate, unshuffle, lzf) =>
           val chunkBytesL = chunkElems * m.elemSize
           require(chunkBytesL <= Int.MaxValue,
             s"'$dsPath': chunk of ${chunkBytesL} B exceeds the 2 GiB limit")
@@ -332,6 +380,12 @@ object MiniHdf5 {
                   require(got == chunkBytes || elemOff + chunkElems > n,
                     s"'$dsPath': chunk at $elemOff inflated to $got bytes, " +
                       s"expected $chunkBytes")
+                  dec
+                } else if (lzf) {
+                  val dec = lzfDecompress(raw0, chunkBytes, dsPath)
+                  require(dec.length == chunkBytes || elemOff + chunkElems > n,
+                    s"'$dsPath': chunk at $elemOff LZF-decompressed to " +
+                      s"${dec.length} bytes, expected $chunkBytes")
                   dec
                 } else raw0
                 // shuffle stores byte-plane-transposed elements

@@ -181,12 +181,56 @@ class H5adSpec extends SparkSpec {
     }
   }
 
+  test("lzf-compressed chunks round-trip (h5py compression='lzf'), both widths, with shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5-lzf").toString
+    val nnz = 23
+    // repetitive values so lzfCompress emits real back-references, plus
+    // a varying tail so literal runs are exercised in the same stream
+    val data = Array.tabulate(nnz)(i => if (i < 12) 7.5 else i * 1.25)
+    val indices = Array.tabulate(nnz)(i => (i % 4).toLong)
+    val indptr = Array[Long](0, 3, 5, 8, 10, 12, 15, 17, 20, 21, 23)
+    val obs = (0 until 10).map(i => s"cell$i")
+    val vars = (0 until 4).map(i => s"feat$i")
+    for (w <- Seq(true, false); sh <- Seq(false, true)) {
+      val p = s"$dir/lzf_${w}_$sh.h5ad"
+      MiniHdf5Writer.writeH5ad(p, obs, vars, data, indices, indptr,
+        wide = w, gzipChunks = 8, shuffle = sh, lzf = true)
+      val r = new MiniHdf5.Reader(p)
+      try {
+        val want = if (w) data.toSeq else data.map(_.toFloat.toDouble).toSeq
+        assert(r.readDoubles("X/data").toSeq === want, s"wide=$w shuffle=$sh")
+        assert(r.readLongs("X/indices").toSeq === indices.toSeq)
+        assert(r.readLongs("X/indptr").toSeq === indptr.toSeq)
+      } finally r.close()
+    }
+  }
+
+  test("lzf decompressor: handcrafted streams pin the format byte-for-byte") {
+    def dec(bytes: Int*) = MiniHdf5.lzfDecompress(
+      bytes.map(_.toByte).toArray, 64, "test").toSeq.map(_ & 0xff)
+    // pure literal run: ctrl=2 -> 3 literals
+    assert(dec(0x02, 10, 20, 30) === Seq(10, 20, 30))
+    // back-reference: 3 literals then match len 3 (ctrl>>5=1 -> 1+2),
+    // distance d=2 -> ref = op-3 (copies bytes 0..2)
+    assert(dec(0x02, 1, 2, 3, 0x20 | 0x00, 0x02) === Seq(1, 2, 3, 1, 2, 3))
+    // SELF-OVERLAPPING match: 1 literal, then len code 3 (-> 5 copies)
+    // at distance 0 -> ref = op-1, the classic run encoding
+    assert(dec(0x00, 9, 0x60 | 0x00, 0x00) === Seq.fill(6)(9))
+    // extended length: len code 7 + ext 1 -> match length 10
+    assert(dec(0x00, 4, 0xE0, 0x01, 0x00) === Seq.fill(11)(4))
+    // corruption fails loudly, never writes out of bounds
+    val e = intercept[IllegalArgumentException] {
+      MiniHdf5.lzfDecompress(Array[Byte](0x20, 0x05), 64, "test")
+    }
+    assert(e.getMessage.contains("corrupt LZF"))
+  }
+
   test("unsupported filter pipelines are refused by name before any data read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-h5-filters").toString
     val data = Array(1.0, 2.0, 3.0)
     val indices = Array(0L, 1L, 0L)
     val indptr = Array(0L, 2L, 3L)
-    for ((id, name) <- Seq(32000 -> "lzf", 4 -> "szip", 32015 -> "zstd")) {
+    for ((id, name) <- Seq(3 -> "fletcher32", 4 -> "szip", 32015 -> "zstd")) {
       val p = s"$dir/$name.h5ad"
       MiniHdf5Writer.writeH5ad(p, Seq("c1", "c2"), Seq("f1", "f2"),
         data, indices, indptr, gzipChunks = 2,
@@ -195,7 +239,7 @@ class H5adSpec extends SparkSpec {
       try {
         val e = intercept[IllegalArgumentException](r.readDoubles("X/data"))
         // the refusal names the filter and carries the one-time rewrite
-        // instruction — the operational path for szip/lzf-compressed
+        // instruction — the operational path for szip/zstd-compressed
         // uploads this reader deliberately does not decode
         assert(e.getMessage.contains(name), e.getMessage)
         assert(e.getMessage.contains("re-write"), e.getMessage)

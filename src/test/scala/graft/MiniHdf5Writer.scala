@@ -79,19 +79,68 @@ object MiniHdf5Writer {
 
   private sealed trait Content
   /** `shuffle` prepends the byte-transpose filter (h5py `shuffle=True`);
-    * `foreignFilter` writes an arbitrary (id, name) filter pipeline with
-    * RAW chunk payloads — for testing that the reader refuses unknown
-    * filters by name before touching data. */
+    * `lzf` compresses chunks with LZF (h5py `compression='lzf'`) instead
+    * of deflate; `foreignFilter` writes an arbitrary (id, name) filter
+    * pipeline with RAW chunk payloads — for testing that the reader
+    * refuses unknown filters by name before touching data. */
   private final case class Dset(dtype: Array[Byte], n: Int,
       data: Array[Byte], elemSize: Int = 0, chunkElems: Int = 0,
       shuffle: Boolean = false,
+      lzf: Boolean = false,
       foreignFilter: Option[(Int, String)] = None) extends Content
+
+  /** Minimal greedy libLZF compressor (test-only): literal runs +
+    * back-references per the LZF format — naive O(n·window) match
+    * search, fine at fixture sizes, and it produces REAL back-references
+    * (including self-overlapping run encodings) so the reader's copy
+    * path is exercised, not just literals. */
+  private def lzfCompress(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val lit = new java.io.ByteArrayOutputStream()
+    def flushLit(): Unit = {
+      val b = lit.toByteArray
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(32, b.length - i)
+        out.write(n - 1) // ctrl < 0x20: run of n literals
+        out.write(b, i, n)
+        i += n
+      }
+      lit.reset()
+    }
+    var i = 0
+    while (i < in.length) {
+      var bestLen = 0
+      var bestRef = -1
+      if (i + 3 <= in.length) {
+        var ref = math.max(0, i - 8192) // distance field: 13 bits + 1
+        val maxL = math.min(264, in.length - i) // 7 + 255 + 2
+        while (ref < i) {
+          var l = 0
+          while (l < maxL && in(ref + l) == in(i + l)) l += 1
+          if (l >= 3 && l > bestLen) { bestLen = l; bestRef = ref }
+          ref += 1
+        }
+      }
+      if (bestLen >= 3) {
+        flushLit()
+        val d = i - bestRef - 1
+        val lenCode = bestLen - 2
+        if (lenCode < 7) out.write((lenCode << 5) | (d >> 8))
+        else { out.write((7 << 5) | (d >> 8)); out.write(lenCode - 7) }
+        out.write(d & 0xff)
+        i += bestLen
+      } else { lit.write(in(i)); i += 1 }
+    }
+    flushLit()
+    out.toByteArray
+  }
   private final case class Group(children: Seq[(String, Content)]) extends Content
 
   /** Write one object (dataset or group) into `b`; returns its object
     * header address. */
   private def writeObject(b: Buf, c: Content): Long = c match {
-    case Dset(dtype, n, data, elemSize, chunkElems, shuffle, foreign)
+    case Dset(dtype, n, data, elemSize, chunkElems, shuffle, lzf, foreign)
         if chunkElems > 0 =>
       // CHUNKED + filters: split into chunks, (shuffle→)zlib each, link
       // them with a level-0 v1 chunk B-tree (key: size, mask, elem
@@ -110,6 +159,7 @@ object MiniHdf5Writer {
           un
         } else full
         if (foreign.isDefined) pre // "compressed" payload never read back
+        else if (lzf) lzfCompress(pre)
         else {
           val defl = new java.util.zip.Deflater()
           defl.setInput(pre); defl.finish()
@@ -146,7 +196,8 @@ object MiniHdf5Writer {
           case Some((id, nm)) => Seq((id, nm, Seq.empty))
           case None =>
             (if (shuffle) Seq((2, "shuffle", Seq(elemSize))) else Seq.empty) :+
-              ((1, "deflate", Seq(6)))
+              (if (lzf) (32000, "lzf", Seq.empty[Int])
+               else (1, "deflate", Seq(6)))
         }
         m.u8(1); m.u8(fs.size) // v1, n filters
         m.u16(0); m.u32(0) // reserved
@@ -164,7 +215,7 @@ object MiniHdf5Writer {
         m.out.toByteArray }
       writeHeader(b, Seq((0x0001, space), (0x0003, dtype),
         (0x0008, layout), (0x000B, filters)))
-    case Dset(dtype, n, data, _, _, _, _) =>
+    case Dset(dtype, n, data, _, _, _, _, _) =>
       b.pad8()
       val dataAddr = b.pos
       b.bytes(data)
@@ -270,6 +321,7 @@ object MiniHdf5Writer {
       data: Array[Double], indices: Array[Long], indptr: Array[Long],
       wide: Boolean = true, gzipChunks: Int = 0,
       shuffle: Boolean = false,
+      lzf: Boolean = false,
       foreignFilter: Option[(Int, String)] = None): Unit = {
     require(indptr.length == obsNames.length + 1 && data.length == indices.length)
     val b = new Buf
@@ -278,13 +330,13 @@ object MiniHdf5Writer {
     val obsIdx = vlenContent(b, obsNames)
     val varIdx = vlenContent(b, varNames)
     val g = gzipChunks
-    val (sh, ff) = (shuffle, foreignFilter)
+    val (sh, lz, ff) = (shuffle, lzf, foreignFilter)
     val x = Group(Seq(
-      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g, sh, ff)
-        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g, sh, ff)),
-      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g, sh, ff)
-        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g, sh, ff)),
-      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g, sh, ff)))
+      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g, sh, lz, ff)
+        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g, sh, lz, ff)),
+      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g, sh, lz, ff)
+        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g, sh, lz, ff)),
+      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g, sh, lz, ff)))
     val root = Group(Seq(
       "X" -> x,
       "obs" -> Group(Seq("_index" -> obsIdx)),

@@ -260,11 +260,17 @@ class S3RestFileSystem extends FileSystem {
     new FSDataInputStream(new SeekableBytes(data))
   }
 
+  /** KNOWN CONTRACT DEVIATIONS (fine for the committer sequence this
+    * emulator exists to exercise; don't rely on them elsewhere):
+    * renaming onto an existing FILE returns false per the Hadoop
+    * contract, but the copy+delete per object is non-atomic — a
+    * concurrent reader can observe src and dst both present. */
   override def rename(src: Path, dst: Path): Boolean = {
     val srcSt = status(src).getOrElse(return false)
     // Hadoop semantics: renaming onto an existing directory moves INTO it
     val target = status(dst) match {
       case Some(d) if d.isDirectory => new Path(dst, src.getName)
+      case Some(_) => return false // dst exists as a file: contract says refuse
       case _ => dst
     }
     def copyOne(fromKey: String, toKey: String): Unit = {

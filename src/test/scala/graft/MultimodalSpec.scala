@@ -27,6 +27,49 @@ class MultimodalSpec extends SparkSpec {
     assert(joined === 0)
   }
 
+  test("REAL codec: PNG payloads decode through the mapPartitions batch lifecycle") {
+    // Deterministic gray PNGs generated with javax.imageio (the same
+    // public codec the executor-side ImageIoDecoder uses — but encode
+    // here, decode there, so a bit-identity shortcut can't hide a
+    // broken decode path). Pixel (x, y) of doc k = (k * 31 + y * w + x) % 256.
+    def pngBytes(k: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, ((k * 31 + y * w + x) % 256).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val dims = Seq((0L, 5, 4), (1L, 8, 8), (2L, 3, 7), (3L, 1, 1))
+    val assets = dims.map { case (k, w, h) =>
+      MediaAsset(k, pngBytes(k, w, h), "image/png", w, h)
+    }
+    val media = spark.createDataset(assets).repartition(3).toDF()
+    val feats = Multimodal
+      .extractFeaturesWith(spark, media)(() => new Multimodal.ImageIoDecoder)
+      .orderBy("doc_id")
+      .as[graft.multimodal.MediaFeatures].collect()
+    assert(feats.length === 4)
+    feats.zip(dims.sortBy(_._1)).foreach { case (f, (k, w, h)) =>
+      val px = (0 until w * h).map(i => (k * 31 + i) % 256)
+      assert(f.byte_len === w.toLong * h, s"pixel count of doc $k")
+      assert(math.abs(f.mean_byte - px.sum.toDouble / px.size) < 1e-12,
+        s"mean sample of doc $k")
+      assert(f.head_features === px.take(8).map(_ / 255.0f),
+        s"head samples of doc $k")
+    }
+    // undecodable payload fails loudly, not with zeroed features
+    val junk = spark.createDataset(Seq(
+      MediaAsset(9L, Array[Byte](1, 2, 3), "image/png", 1, 1))).toDF()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesWith(spark, junk)(
+        () => new Multimodal.ImageIoDecoder).collect()
+    }
+    assert(err.getMessage.contains("undecodable") ||
+      Option(err.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
   test("chunk sampling yields ceil(len/(chunk*stride)) chunks of bounded size") {
     val media = Multimodal.mediaTable(spark, sfDir).limit(20)
     val chunks = Multimodal.sampleChunks(media, chunk = 32, stride = 4)
