@@ -32,16 +32,15 @@ import graft.{Tables, U}
   * like the IVF centroids and the token vocabulary — training is a
   * property of the DATASET, not of each apply call.
   *
-  * Oracle split: TRAINING stays rows-only — its iterative argmax is
-  * only expressible by replaying the trainer, and an oracle whose
-  * expected output is the engine's own learned rules would be vacuous;
-  * BpeSpec pins it against an independent reference implementation
-  * instead. APPLY is oracled: the learned rules are a fixed input
-  * parameter (like the IVF centroid literals), and given them the
-  * greedy merge loop IS expressible in DuckDB — each rule pass is one
-  * left-to-right non-overlapping `replace()` over a double-delimited
-  * token string (see [[applyOracleSqlFor]]), so the driver's gate
-  * independently recomputes the full tokenization.
+  * BOTH halves are oracled. TRAINING: the fixed-depth greedy loop
+  * unrolls into nMerges SQL rounds (pair counts → tie-broken argmax →
+  * replace()-merge), so DuckDB independently recomputes the learned
+  * rule table from the corpus — not the engine's rules echoed back
+  * (see [[trainOracleSql]]; BpeSpec additionally pins training against
+  * an independent driver reference implementation). APPLY: the learned
+  * rules are a fixed input parameter (like the IVF centroid literals),
+  * and each rule pass is one left-to-right non-overlapping `replace()`
+  * over a double-delimited token string (see [[applyOracleSqlFor]]).
   */
 object Bpe {
   /** Number of merge rules to learn — small because the synthetic
@@ -204,8 +203,58 @@ object Bpe {
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
   }
 
-  def oracles: Map[String, String] = lastRules match {
-    case None => Map.empty
-    case Some(rs) => Map("vocab_bpe_apply" -> applyOracleSqlFor(rs))
+  /** The vocab_bpe_train replay: the greedy merge loop UNROLLED as
+    * nMerges SQL rounds — each round recomputes weighted adjacent-pair
+    * counts over the current symbol encoding (the same `|t1||t2||…|`
+    * string the apply oracle uses), takes the (cnt DESC, a, b) argmax
+    * with the cnt >= 2 floor, and applies the merge as one `replace()`
+    * (COALESCE to a never-occurring chr(1) pattern keeps exhausted
+    * rounds a no-op, mirroring the engine's early break — once no pair
+    * repeats, merges stop changing anything and every later round's
+    * argmax is empty too). Working CTEs are MATERIALIZED: each round
+    * references its predecessor twice, and plain CTE inlining would
+    * expand 2^nMerges scans. This is an independent recomputation of
+    * training, NOT the engine's learned rules echoed back. */
+  private def trainOracleSql: String = {
+    val rounds = (0 until nMerges).map { r =>
+      s"""tt$r AS (SELECT string_split(substr(s, 2, len(s) - 2), '||') AS t,
+         |  freq FROM w$r),
+         |pp$r AS (
+         |  SELECT t, freq, unnest(generate_series(1, len(t) - 1)) AS i
+         |  FROM tt$r),
+         |cnts$r AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM pp$r GROUP BY 1, 2),
+         |top$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM cnts$r WHERE cnt >= 2
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    COALESCE((SELECT '|' || a || '||' || b || '|' FROM top$r), chr(1)),
+         |    COALESCE((SELECT '|' || a || b || '|' FROM top$r), chr(1))) AS s,
+         |    freq
+         |  FROM w$r)""".stripMargin
+    }
+    val union = (0 until nMerges).map { r =>
+      s"SELECT ${r + 1} AS rank, a AS left_sym, b AS right_sym, cnt AS pair_freq FROM top$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT CASE WHEN word LIKE '%|%' THEN error('bpe oracle: | in word')
+       |    ELSE '|' || array_to_string(string_split(word, ''), '||') || '|' END
+       |    AS s, freq
+       |  FROM words),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (
+       |$union) ORDER BY rank""".stripMargin
   }
+
+  def oracles: Map[String, String] =
+    Map("vocab_bpe_train" -> trainOracleSql) ++ (lastRules match {
+      case None => Map.empty
+      case Some(rs) => Map("vocab_bpe_apply" -> applyOracleSqlFor(rs))
+    })
 }

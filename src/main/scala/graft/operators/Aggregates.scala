@@ -70,8 +70,12 @@ object Aggregates {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy("l_returnflag")),
 
-    // HLL++ sketch — the 100 TB path for distinct counts (no oracle:
-    // approximate by design; bounds asserted in ScalaTest instead).
+    // HLL++ sketch — the 100 TB path for distinct counts. Oracled:
+    // "approximate" is still DETERMINISTIC (register max is
+    // partition-invariant), so the whole sketch — hashLong registers,
+    // linear counting, kNN bias correction — replays in DuckDB
+    // (plans.HllSqlOracle); error bounds additionally asserted in
+    // ScalaTest.
     "agg_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -401,9 +405,12 @@ object Aggregates {
     // Count-min frequency sketch per group — the mergeable heavy-hitter
     // structure (bounded memory per group, partial+final combinable;
     // the streaming/distributed companion of agg_top_frequent's exact
-    // count). Rows-only: the sketch bytes are engine-defined; the
-    // overestimate-bounded-by-eps·N guarantee is asserted in
-    // OperatorSemanticsSpec by deserializing and probing the sketch.
+    // count). Oracled: the query's OUTPUT surface is the serialized
+    // size (a pure function of eps/confidence — computed at
+    // oracle-generation time by serializing a sketch with the same
+    // parameters) plus exact counts; the sketch CONTENT's
+    // overestimate-bounded-by-eps·N guarantee is what
+    // OperatorSemanticsSpec asserts by deserializing and probing.
     "agg_count_min_sketch" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -476,6 +483,19 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    // HLL++ replayed exactly — rsd/table/columns must mirror the query.
+    "agg_approx_distinct" -> graft.plans.HllSqlOracle.approxCountDistinctSql(
+      "lineitem", "l_returnflag", "l_partkey", 0.02, "approx_parts"),
+    // The CMS serialized size is parameter-determined, not
+    // data-determined: pin it by serializing a sketch with the query's
+    // exact (eps, confidence, seed) right here at generation time.
+    "agg_count_min_sketch" -> {
+      val cmsBytes = org.apache.spark.util.sketch.CountMinSketch
+        .create(0.001d, 0.99d, 42).toByteArray.length
+      s"""SELECT l_returnflag, CAST($cmsBytes AS INT) AS sketch_bytes,
+         |  count(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "agg_hash_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

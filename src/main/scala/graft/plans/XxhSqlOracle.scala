@@ -41,30 +41,30 @@ package graft.plans
   * signed-min fold and the band-hash chain at once.
   */
 object XxhSqlOracle {
-  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
-  private val M63 = "CAST('9223372036854775808' AS HUGEINT)"
+  private[plans] val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private[plans] val M63 = "CAST('9223372036854775808' AS HUGEINT)"
   private val P1 = BigInt("9E3779B185EBCA87", 16)
   private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
   private val P3 = BigInt("165667B19E3779F9", 16)
   private val P4 = BigInt("85EBCA77C2B2AE63", 16)
   private val P5 = BigInt("27D4EB2F165667C5", 16)
 
-  private def h(v: BigInt): String = s"CAST('$v' AS HUGEINT)"
+  private[plans] def h(v: BigInt): String = s"CAST('$v' AS HUGEINT)"
 
   /** x * constant mod 2^64; the constant is split into 32-bit halves so
     * intermediates stay inside HUGEINT. */
-  private def mult(x: String, p: BigInt): String = {
+  private[plans] def mult(x: String, p: BigInt): String = {
     val lo = p % (BigInt(1) << 32)
     val hi = p >> 32
     s"((($x) * ${h(lo)} + ((($x) * ${h(hi)}) % ${h(BigInt(1) << 32)})" +
       s" * ${h(BigInt(1) << 32)}) % $M64)"
   }
 
-  private def rotl(x: String, r: Int): String =
+  private[plans] def rotl(x: String, r: Int): String =
     s"(((($x) * ${h(BigInt(1) << r)}) % $M64) + (($x) // ${h(BigInt(1) << (64 - r))}))"
 
   /** xor via the signed-BIGINT bridge. */
-  private def xor(a: String, b: String): String = {
+  private[plans] def xor(a: String, b: String): String = {
     def sgn(v: String) =
       s"CAST(CASE WHEN ($v) >= $M63 THEN ($v) - $M64 ELSE ($v) END AS BIGINT)"
     val x = s"xor(${sgn(a)}, ${sgn(b)})"
@@ -72,10 +72,10 @@ object XxhSqlOracle {
       s" ELSE CAST(($x) AS HUGEINT) END)"
   }
 
-  private def shr(x: String, r: Int): String =
+  private[plans] def shr(x: String, r: Int): String =
     s"(($x) // ${h(BigInt(1) << r)})"
 
-  private def addm(xs: String*): String =
+  private[plans] def addm(xs: String*): String =
     xs.mkString("((", " + ", s") % $M64)")
 
   /** Re-sign a HUGEINT-mod-2^64 value to Java-long BIGINT. */
@@ -83,7 +83,7 @@ object XxhSqlOracle {
     s"CAST(CASE WHEN ($v) >= $M63 THEN ($v) - $M64 ELSE ($v) END AS BIGINT)"
 
   /** Signed BIGINT column → HUGEINT mod-2^64 representation. */
-  private def unsign64(v: String): String =
+  private[plans] def unsign64(v: String): String =
     s"(CASE WHEN ($v) < 0 THEN CAST(($v) AS HUGEINT) + $M64" +
       s" ELSE CAST(($v) AS HUGEINT) END)"
 
@@ -134,7 +134,7 @@ object XxhSqlOracle {
   /** Chained CTE stack: each stage (colName, expr) appends one column;
     * CTE names are `<prefix>1..N` reading from `src`. Returns
     * (cteListSql, lastCteName). */
-  private def chain(src: String, prefix: String,
+  private[plans] def chain(src: String, prefix: String,
       stages: Seq[(String, String)]): (String, String) = {
     val ctes = stages.zipWithIndex.map { case ((n, e), i) =>
       val from = if (i == 0) src else s"$prefix$i"
@@ -144,7 +144,7 @@ object XxhSqlOracle {
   }
 
   /** fmix avalanche: 5 stages ending in column `<p>x5`. */
-  private def fmixStages(p: String, in: String): Seq[(String, String)] = Seq(
+  private[plans] def fmixStages(p: String, in: String): Seq[(String, String)] = Seq(
     s"${p}x1" -> xor(in, shr(in, 33)),
     s"${p}x2" -> mult(s"${p}x1", P2),
     s"${p}x3" -> xor(s"${p}x2", shr(s"${p}x2", 29)),
@@ -153,7 +153,7 @@ object XxhSqlOracle {
 
   /** XXH64.hashInt(j, seed): stages ending in `<p>x5` (unsigned).
     * `acc` and `j` are unsigned-HUGEINT column expressions. */
-  private def hashIntStages(p: String, acc: String, j: String): Seq[(String, String)] =
+  private[plans] def hashIntStages(p: String, acc: String, j: String): Seq[(String, String)] =
     Seq(
       s"${p}a1" -> addm(acc, h(P5 + 4)),
       s"${p}a2" -> xor(s"${p}a1", mult(j, P1)),
@@ -161,7 +161,7 @@ object XxhSqlOracle {
     ) ++ fmixStages(p, s"${p}a3")
 
   /** XXH64.hashLong(input, seed): stages ending in `<p>x5` (unsigned). */
-  private def hashLongStages(p: String, acc: String, in: String): Seq[(String, String)] =
+  private[plans] def hashLongStages(p: String, acc: String, in: String): Seq[(String, String)] =
     Seq(
       s"${p}k1" -> mult(rotl(mult(in, P2), 31), P1),
       s"${p}a2" -> xor(addm(acc, h(P5 + 8)), s"${p}k1"),
