@@ -276,6 +276,131 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces of Dim/m dims and each subspace gets its own
+    * `k`-centroid quantizer, trained by the same deterministic Lloyd
+    * loop as [[trainIvfCentroids]] (first-k-by-id init, fixed iteration
+    * count, decimal-bridged means → partition-count-invariant books).
+    *
+    * All `m` quantizers train in ONE aggregation per iteration: rows
+    * explode to (subspace, subvector) and a single groupBy(m, cid)
+    * computes every subspace's means — one shuffle per Lloyd step for
+    * the whole codebook set, not one per subspace. Returns
+    * books(m)(j) = centroid j of subspace m.
+    *
+    * At 100 TB this is the memory-compression ANN path: a 64-dim float
+    * vector (256 B) stores as `m` byte codes (8 B, 32×), the codebooks
+    * are a broadcast literal, and ADC scoring reads only the code
+    * column — the scan shrinks by the same 32×. Train on a sample once,
+    * persist codes next to the vectors.
+    */
+  def trainPqCodebooks(s: SparkSession, d: String, m: Int, k: Int,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    graft.plans.NearestCentroid.register(s)
+    val sub = Dim / m
+    require(m * sub == Dim, s"PQ subspaces must tile Dim=$Dim, got m=$m")
+    val vecs = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+    // init: subspace slices of the first k vectors by id (IVF convention)
+    val seed = vecs.filter(col("vec_id") < k).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (mi, j) =>
+      seed(j).slice(mi * sub, mi * sub + sub)
+    }
+    // (m, sv) exploded rows: every subspace trains from the same scan
+    val exploded = vecs.select(explode(array((0 until m).map(mi =>
+      struct(lit(mi).as("m"),
+        slice(col("vd"), mi * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.sv").as("sv"))
+    def assignExpr: Column = (0 until m).foldLeft(lit(-1)) { (acc, mi) =>
+      when(col("m") === mi, call_function("nearest_centroid", col("sv"),
+        typedlit(books(mi).map(_.toSeq).toSeq))).otherwise(acc)
+    }
+    for (_ <- 0 until iters) {
+      def mean(i: Int) = (U.dbl(sum(U.dec6(col(s"x$i"))))
+        / count(col(s"x$i"))).as(s"m$i")
+      val sums = exploded.withColumn("cid", assignExpr)
+        .select(col("m") +: col("cid") +: (0 until sub).map(i =>
+          element_at(col("sv"), i + 1).as(s"x$i")): _*)
+        .groupBy("m", "cid")
+        .agg(mean(0), (1 until sub).map(mean): _*)
+        .collect()
+      // clusters Lloyd emptied keep their previous centroid (deterministic)
+      sums.foreach { r =>
+        books(r.getInt(0))(r.getInt(1)) =
+          (0 until sub).map(i => r.getDouble(i + 2)).toArray
+      }
+    }
+    books
+  }
+
+  /** Per-JVM codebook memo — same dataset-signature keying and staleness
+    * rules as [[centroidCache]]. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  def clearPqCache(): Unit = pqCache.clear()
+
+  /** Last codebooks served, recorded for [[pqOracleEntry]] (same
+    * run-order contract as [[lastCentroids]]). */
+  @volatile private var lastPqBooks: Option[Array[Array[Array[Double]]]] = None
+
+  def pqCodebooks(s: SparkSession, d: String, m: Int, k: Int,
+      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val books = pqCache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        tableSignature(d), m, k, iters),
+      _ => trainPqCodebooks(s, d, m, k, iters))
+    lastPqBooks = Some(books)
+    books
+  }
+
+  /** PQ ANN with asymmetric-distance (ADC) scoring: each vector is
+    * quantized to `m` codebook indices inside the scan (the fused
+    * [[graft.plans.NearestCentroid]] per subspace — at scale the codes
+    * are precomputed and STORED, making this a map over an 8-byte
+    * column), the query builds an m×k lookup table of
+    * subquery·centroid inner products on the driver, and the
+    * approximate inner product is the sum of `m` table lookups — no
+    * vector arithmetic per row at query time. Plan: one scan →
+    * projection → TakeOrderedAndProject; no shuffle, nothing driver-side
+    * but the k results.
+    *
+    * Determinism engineering for the oracle: the LUT values are
+    * sequential-fold dots (bit-identical to DuckDB `list_dot_product`
+    * over the same literals) and the ADC sum is a FIXED left-assoc
+    * chain of the m lookups — the oracle adds the same 8 doubles in the
+    * same order, so round(·,6) agrees exactly (a groupBy SUM on either
+    * side would re-associate).
+    */
+  def pqTopK(s: SparkSession, d: String, queryId: Long, k: Int,
+      m: Int = 8, kCent: Int = 16): DataFrame = {
+    graft.plans.NearestCentroid.register(s)
+    val books = pqCodebooks(s, d, m, kCent)
+    val sub = Dim / m
+    val qv = queryVector(s, d, queryId)
+    val lut: Array[Array[Double]] = Array.tabulate(m, kCent) { (mi, j) =>
+      (0 until sub).foldLeft(0.0)((acc, i) =>
+        acc + qv(mi * sub + i) * books(mi)(j)(i))
+    }
+    val codes = (0 until m).map { mi =>
+      call_function("nearest_centroid",
+        slice(col("vd"), mi * sub + 1, sub),
+        typedlit(books(mi).map(_.toSeq).toSeq))
+    }
+    val adc = (0 until m).map(mi =>
+      element_at(typedlit(lut(mi).toSeq), codes(mi) + 1))
+      .reduceLeft(_ + _)
+    Tables.t(s, d, "embeddings")
+      .withColumn("vd", toDouble(col("embedding")))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(adc, 6).as("adc_ip"))
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch k-NN over a broadcast query set: every query vector with
     * `vec_id < nQueries` scores the whole corpus in one scan; per-query
     * top-k via a rank window over the narrow (qid, vec_id, sim) stream.
@@ -345,6 +470,11 @@ object Similarity {
     // assignment + probe selection + exact scoring in DuckDB (see
     // ivfOracleEntry); recall additionally asserted in SimilaritySpec.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, queryId = 0L, k = 10)),
+
+    // Product-quantization ADC variant. Oracled via codebook literals
+    // (pqOracleEntry replays per-subspace assignment + the LUT sum in
+    // DuckDB); code-vs-exact recall asserted in SimilaritySpec.
+    "sim_pq_topk" -> ((s, d) => pqTopK(s, d, queryId = 0L, k = 10)),
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
@@ -758,5 +888,65 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  def oracles: Map[String, String] = staticOracles ++ ivfOracleEntry
+  /** PQ replay generated from the trained codebooks (same literal
+    * round-trip + run-order contract as [[ivfOracleEntry]]): assignment
+    * is argmin squared-L2 per subspace with ties to the lowest code
+    * (row_number ORDER BY dist, cid replays NearestCentroid's strict-<),
+    * the LUT is `list_dot_product` of the query SUBVECTOR with each
+    * centroid literal (sequential fold — bit-identical to the driver's),
+    * and the ADC total is the same fixed left-assoc 8-term chain the
+    * Spark query emits, so round(·,6) cannot disagree by re-association.
+    */
+  private def pqOracleEntry: Map[String, String] = lastPqBooks match {
+    case None => Map.empty
+    case Some(books) => Map("sim_pq_topk" -> pqOracleSqlFor(books))
+  }
+
+  private def pqOracleSqlFor(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val sub = books.head.head.length
+    val values = (for {
+      mi <- 0 until m
+      j <- books(mi).indices
+    } yield s"($mi, $j, ${books(mi)(j).mkString("[", ",", "]")})")
+      .mkString(",\n    ")
+    def sq(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $sub), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val terms = (0 until m).map(mi =>
+      s"MAX(CASE WHEN a.m = $mi THEN l.v END)")
+    val pvCols = terms.zipWithIndex
+      .map { case (t, i) => s"$t AS v$i" }.mkString(",\n    ")
+    val chain = (1 until m).foldLeft("v0")((acc, i) => s"($acc + v$i)")
+    s"""WITH cents(m, cid, cv) AS (VALUES
+       |    $values),
+       |subs(m) AS (SELECT unnest(generate_series(0, ${m - 1}))),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+       |      FROM embeddings WHERE vec_id <> 0),
+       |sv AS (SELECT vec_id, m,
+       |         list_slice(vd, m * $sub + 1, m * $sub + $sub) AS sv
+       |       FROM e, subs),
+       |asg AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                         ORDER BY ${sq("c.cv", "s.sv")}, c.cid) AS rn
+       |    FROM sv s JOIN cents c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |lut AS (SELECT c.m, c.cid,
+       |          list_dot_product(
+       |            list_slice(q.qv, c.m * $sub + 1, c.m * $sub + $sub),
+       |            c.cv) AS v
+       |        FROM cents c, q),
+       |pv AS (SELECT a.vec_id,
+       |    $pvCols
+       |  FROM asg a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+       |  GROUP BY a.vec_id)
+       |SELECT vec_id, round($chain, 6) AS adc_ip
+       |FROM pv ORDER BY adc_ip DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  def oracles: Map[String, String] =
+    staticOracles ++ ivfOracleEntry ++ pqOracleEntry
 }

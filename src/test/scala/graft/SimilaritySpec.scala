@@ -75,6 +75,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("PQ: codebooks tile the space, codes are total, ADC recall useful") {
+    val books = Similarity.pqCodebooks(spark, sfDir, 8, 16)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === Similarity.Dim / 8)))
+    // exact inner-product top-10 (ADC approximates IP, not cosine)
+    val qv = Tables.t(spark, sfDir, "embeddings").filter($"vec_id" === 0L)
+      .select(VectorOps.toDouble($"embedding")).head().getSeq[Double](0)
+    val exact = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("vd", VectorOps.toDouble($"embedding"))
+      .filter($"vec_id" =!= 0L)
+      .select($"vec_id", VectorOps.dot($"vd", typedlit(qv)).as("ip"))
+      .orderBy($"ip".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.size === 10)
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ ADC recall too low: $recall")
+    // Re-running serves the memoized codebooks and the same result set.
+    val again = Similarity.pqTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again === pq)
+  }
+
   test("fused NearestCentroid matches the HOF argmin, incl. tie-break and gaps") {
     graft.plans.NearestCentroid.register(spark)
     val centroids: Array[(Int, Array[Double])] = Array(
