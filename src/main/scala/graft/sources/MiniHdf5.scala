@@ -16,12 +16,14 @@ import java.nio.file.{Paths, StandardOpenOption}
   *  - groups via symbol tables (v1 B-tree + local heap + SNOD nodes,
   *    any B-tree depth);
   *  - datasets with CONTIGUOUS layout (message v3) or CHUNKED layout
-  *    (v1 chunk B-tree) with optional deflate OR lzf compression and
-  *    optional shuffle — i.e. plain files AND `compression='gzip'` /
-  *    `compression='lzf'` files (with or without `shuffle=True`,
-  *    h5py's common companion option), the layouts h5py/anndata write
-  *    (lzf payloads are raw libLZF streams — h5py's filter adds no
-  *    header);
+  *    (v1 chunk B-tree) with optional deflate OR lzf OR zstd
+  *    compression, optional shuffle, and an optional trailing
+  *    fletcher32 checksum (verified then stripped) — i.e. plain files
+  *    AND `compression='gzip'` / `compression='lzf'` /
+  *    `hdf5plugin.Zstd()` files (with or without `shuffle=True` /
+  *    `fletcher32=True`, h5py's common companion options), the layouts
+  *    h5py/anndata write (lzf payloads are raw libLZF streams, zstd
+  *    payloads raw zstd frames — the filters add no headers);
   *  - little-endian fixed-point ints (signed, and unsigned ≤ 32-bit),
   *    IEEE floats, fixed-size strings, variable-length strings (global
   *    heap);
@@ -29,7 +31,8 @@ import java.nio.file.{Paths, StandardOpenOption}
   *    maps — raise the documented limit if that day comes).
   *
   * Deliberately UNSUPPORTED, failing with errors that say so by name:
-  * filters beyond deflate/lzf+shuffle (fletcher32/szip/zstd…), uint64
+  * filters beyond deflate/lzf/zstd+shuffle+fletcher32 (szip/blosc/
+  * scaleoffset…), uint64
   * data, v2+ superblocks, fractal-heap groups, chunked rank>1. For such
   * files, re-write once with `compression='gzip'` or None and
   * `libver='earliest'` — or extend exactly one branch per feature below.
@@ -49,11 +52,14 @@ object MiniHdf5 {
   sealed trait Layout
   final case class Contiguous(addr: Long) extends Layout
   /** Chunked storage: v1 chunk B-tree + optional deflate (gzip) OR lzf
-    * compression and optional shuffle filter — what `h5py`/`anndata`
-    * write under `compression='gzip'|'lzf'(, shuffle=True)`. */
+    * OR zstd compression, optional shuffle, optional trailing
+    * fletcher32 checksum — what `h5py`/`anndata` write under
+    * `compression='gzip'|'lzf'` / `hdf5plugin.Zstd()`
+    * `(, shuffle=True, fletcher32=True)`. */
   final case class Chunked(btree: Long, chunkElems: Long,
       inflate: Boolean, unshuffle: Boolean = false,
-      lzf: Boolean = false) extends Layout
+      lzf: Boolean = false, zstd: Boolean = false,
+      fletcher: Boolean = false) extends Layout
 
   final case class DatasetMeta(dims: Seq[Long], dtype: Dtype, layout: Layout) {
     def elemSize: Int = dtype match {
@@ -103,6 +109,55 @@ object MiniHdf5 {
       }
     }
     if (op < outLen) java.util.Arrays.copyOf(out, op) else out
+  }
+
+  /** HDF5's Fletcher-32 (H5_checksum_fletcher32, public algorithm): byte
+    * pairs read as BIG-endian 16-bit words regardless of platform, two
+    * mod-65535 running sums folded every 360 words, odd tail byte high-
+    * aligned. The filter appends this checksum LITTLE-endian to the
+    * chunk payload. */
+  private[graft] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    val words = len / 2
+    var remaining = words
+    while (remaining > 0) {
+      var tlen = math.min(360, remaining)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(i) & 0xff) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 << 16) | sum1) & 0xffffffffL
+  }
+
+  /** Verify-and-strip the fletcher32 filter's trailing 4-byte checksum
+    * (little-endian); a mismatch is data corruption and fails with a
+    * named error before any decode runs. */
+  private[graft] def fletcherStrip(in: Array[Byte], ctx: String): Array[Byte] = {
+    require(in.length >= 4, s"'$ctx': fletcher32 chunk shorter than its checksum")
+    val dataLen = in.length - 4
+    val stored = (in(dataLen) & 0xffL) | ((in(dataLen + 1) & 0xffL) << 8) |
+      ((in(dataLen + 2) & 0xffL) << 16) | ((in(dataLen + 3) & 0xffL) << 24)
+    val computed = fletcher32(in, dataLen)
+    require(computed == stored,
+      f"'$ctx': fletcher32 checksum mismatch (stored 0x$stored%08x, " +
+        f"computed 0x$computed%08x) — chunk is corrupt")
+    java.util.Arrays.copyOf(in, dataLen)
   }
 
   final class Reader(path: String) extends AutoCloseable {
@@ -215,12 +270,15 @@ object MiniHdf5 {
 
     // ---- datasets ----
 
-    /** Filter pipeline (message 0x000B): deflate (id 1), shuffle (id 2)
-      * and lzf (registered id 32000) are supported; anything else —
-      * fletcher32 (3), szip (4), zstd (32015) — is refused BY NAME with
-      * the one-time-rewrite instruction, before any data byte is
-      * touched. Returns (deflate, shuffle, lzf). */
-    private def parseFilters(dsPath: String, m: Msg): (Boolean, Boolean, Boolean) = {
+    /** Filter pipeline (message 0x000B): deflate (id 1), shuffle (id 2),
+      * fletcher32 (id 3), lzf (registered id 32000) and zstd (registered
+      * id 32015, raw zstd frames — decoded with the zstd-jni already on
+      * Spark's classpath) are supported; anything else — szip (4),
+      * scaleoffset (6), blosc (32001)… — is refused BY NAME with the
+      * one-time-rewrite instruction, before any data byte is touched.
+      * Returns (deflate, shuffle, lzf, zstd, fletcher). */
+    private def parseFilters(dsPath: String,
+        m: Msg): (Boolean, Boolean, Boolean, Boolean, Boolean) = {
       val ver = u8(m.bodyPos)
       val nf = u8(m.bodyPos + 1)
       var p = ver match {
@@ -232,6 +290,8 @@ object MiniHdf5 {
       var deflate = false
       var shuffle = false
       var lzf = false
+      var zstd = false
+      var fletcher = false
       (0 until nf).foreach { _ =>
         val id = u16(p); p += 2
         val nameLen =
@@ -241,36 +301,47 @@ object MiniHdf5 {
         p += (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen) // name
         p += 4L * nvals // client data
         if (ver == 1 && nvals % 2 == 1) p += 4 // pad to 8
+        // fletcher32 runs LAST on write (its checksum covers the
+        // compressed bytes), so on read it must strip FIRST — a
+        // pipeline with filters after it would checksum pre-filter
+        // bytes this decode order can't reproduce; refuse that shape
+        require(!fletcher, s"'$dsPath': filter id $id listed after " +
+          "fletcher32 in the pipeline — non-standard order unsupported")
         id match {
           case 1 => deflate = true
           case 32000 => lzf = true
+          case 32015 => zstd = true
+          case 3 => fletcher = true
           case 2 =>
             // write order is shuffle→compress, so decode must be
             // decompress→unshuffle; a pipeline listing the compressor
             // BEFORE shuffle would need the opposite order — refuse it
             // rather than silently transposing compressed bytes
-            require(!deflate && !lzf, s"'$dsPath': shuffle listed after " +
+            require(!deflate && !lzf && !zstd,
+              s"'$dsPath': shuffle listed after " +
               "the compressor in the filter pipeline — non-standard " +
               "order unsupported")
             shuffle = true
           case other =>
-            val known = Map(3 -> "fletcher32", 4 -> "szip", 32015 -> "zstd")
+            val known = Map(4 -> "szip", 6 -> "scaleoffset", 32001 -> "blosc")
             val name = known.getOrElse(other, s"filter id $other")
             throw new IllegalArgumentException(
-              s"'$dsPath': $name filter unsupported (deflate, lzf and " +
-                "shuffle only) — re-write the file once with " +
-                "compression='gzip' or None and libver='earliest'")
+              s"'$dsPath': $name filter unsupported (deflate, lzf, zstd, " +
+                "shuffle and fletcher32 only) — re-write the file once " +
+                "with compression='gzip' or None and libver='earliest'")
         }
       }
-      require(!(deflate && lzf),
-        s"'$dsPath': deflate AND lzf in one filter pipeline unsupported")
-      (deflate, shuffle, lzf)
+      require(Seq(deflate, lzf, zstd).count(identity) <= 1,
+        s"'$dsPath': multiple compressors in one filter pipeline unsupported")
+      (deflate, shuffle, lzf, zstd, fletcher)
     }
 
     def meta(dsPath: String): DatasetMeta = {
       val msgs = readHeader(resolve(dsPath))
-      val (inflate, unshuffle, lzf) = msgs.find(_.typ == 0x000B)
-        .map(parseFilters(dsPath, _)).getOrElse((false, false, false))
+      val (inflate, unshuffle, lzf, zstd, fletcher) =
+        msgs.find(_.typ == 0x000B)
+          .map(parseFilters(dsPath, _))
+          .getOrElse((false, false, false, false, false))
       val sp = msgs.find(_.typ == 0x0001).getOrElse(
         throw new IllegalArgumentException(s"'$dsPath' has no dataspace"))
       val dims = {
@@ -310,7 +381,7 @@ object MiniHdf5 {
         s"'$dsPath': layout message v${u8(lay.bodyPos)} unsupported (v3 only)")
       val layout = u8(lay.bodyPos + 1) match {
         case 1 =>
-          require(!inflate && !unshuffle && !lzf,
+          require(!inflate && !unshuffle && !lzf && !zstd && !fletcher,
             s"'$dsPath': filtered CONTIGUOUS layout is not valid HDF5")
           Contiguous(i64(lay.bodyPos + 2))
         case 2 => // chunked: dimensionality(1) btree(8) chunk dims (4 each)
@@ -320,7 +391,7 @@ object MiniHdf5 {
               "(1-D only — the h5ad CSR arrays)")
           val btree = i64(lay.bodyPos + 3)
           val chunkElems = u32(lay.bodyPos + 11)
-          Chunked(btree, chunkElems, inflate, unshuffle, lzf)
+          Chunked(btree, chunkElems, inflate, unshuffle, lzf, zstd, fletcher)
         case c => throw new IllegalArgumentException(
           s"'$dsPath': layout class $c unsupported (contiguous or chunked)")
       }
@@ -348,7 +419,8 @@ object MiniHdf5 {
       m.layout match {
         case Contiguous(addr) =>
           val d = buf.duplicate(); d.position(addr.toInt); d.get(out)
-        case Chunked(btree, chunkElems, inflate, unshuffle, lzf) =>
+        case Chunked(btree, chunkElems, inflate, unshuffle, lzf, zstd,
+            fletcher) =>
           val chunkBytesL = chunkElems * m.elemSize
           require(chunkBytesL <= Int.MaxValue,
             s"'$dsPath': chunk of ${chunkBytesL} B exceeds the 2 GiB limit")
@@ -370,7 +442,12 @@ object MiniHdf5 {
                 require(u32(keyPos + 4) == 0,
                   s"'$dsPath': per-chunk filter masks unsupported")
                 val elemOff = i64(keyPos + 8)
-                val raw0 = raw(child, storedSize)
+                // fletcher32 was applied LAST on write (checksums the
+                // compressed bytes), so verify-and-strip FIRST on read
+                val raw0 = {
+                  val stored = raw(child, storedSize)
+                  if (fletcher) fletcherStrip(stored, dsPath) else stored
+                }
                 val inflated = if (inflate) {
                   val inf = new java.util.zip.Inflater()
                   inf.setInput(raw0)
@@ -387,6 +464,19 @@ object MiniHdf5 {
                     s"'$dsPath': chunk at $elemOff LZF-decompressed to " +
                       s"${dec.length} bytes, expected $chunkBytes")
                   dec
+                } else if (zstd) {
+                  // raw zstd frame (the registered filter adds no header);
+                  // zstd-jni ships on Spark's classpath
+                  val dec = new Array[Byte](chunkBytes)
+                  val got = com.github.luben.zstd.Zstd.decompress(dec, raw0)
+                  require(!com.github.luben.zstd.Zstd.isError(got),
+                    s"'$dsPath': chunk at $elemOff failed zstd decode: " +
+                      com.github.luben.zstd.Zstd.getErrorName(got))
+                  require(got == chunkBytes || elemOff + chunkElems > n,
+                    s"'$dsPath': chunk at $elemOff zstd-decompressed to " +
+                      s"$got bytes, expected $chunkBytes")
+                  if (got < chunkBytes) java.util.Arrays.copyOf(dec, got.toInt)
+                  else dec
                 } else raw0
                 // shuffle stores byte-plane-transposed elements
                 // ([byte0 of every element][byte1 of …]); undo it AFTER

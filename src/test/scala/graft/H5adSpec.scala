@@ -205,6 +205,75 @@ class H5adSpec extends SparkSpec {
     }
   }
 
+  test("zstd-compressed chunks round-trip (hdf5plugin.Zstd), both widths, with shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5-zstd").toString
+    val nnz = 23
+    val data = Array.tabulate(nnz)(i => if (i < 12) 7.5 else i * 1.25)
+    val indices = Array.tabulate(nnz)(i => (i % 4).toLong)
+    val indptr = Array[Long](0, 3, 5, 8, 10, 12, 15, 17, 20, 21, 23)
+    val obs = (0 until 10).map(i => s"cell$i")
+    val vars = (0 until 4).map(i => s"feat$i")
+    for (w <- Seq(true, false); sh <- Seq(false, true)) {
+      val p = s"$dir/zstd_${w}_$sh.h5ad"
+      MiniHdf5Writer.writeH5ad(p, obs, vars, data, indices, indptr,
+        wide = w, gzipChunks = 8, shuffle = sh, zstd = true)
+      val r = new MiniHdf5.Reader(p)
+      try {
+        val want = if (w) data.toSeq else data.map(_.toFloat.toDouble).toSeq
+        assert(r.readDoubles("X/data").toSeq === want, s"wide=$w shuffle=$sh")
+        assert(r.readLongs("X/indices").toSeq === indices.toSeq)
+        assert(r.readLongs("X/indptr").toSeq === indptr.toSeq)
+      } finally r.close()
+    }
+  }
+
+  test("fletcher32 checksums verify and strip; corruption fails by name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5-fletch").toString
+    val data = Array.tabulate(23)(i => i * 0.5)
+    val indices = Array.tabulate(23)(i => (i % 4).toLong)
+    val indptr = Array[Long](0, 3, 5, 8, 10, 12, 15, 17, 20, 21, 23)
+    val obs = (0 until 10).map(i => s"cell$i")
+    val vars = (0 until 4).map(i => s"feat$i")
+    // over every compressor (the checksum covers the compressed bytes)
+    for ((lz, zs) <- Seq((false, false), (true, false), (false, true))) {
+      val p = s"$dir/fl_${lz}_$zs.h5ad"
+      MiniHdf5Writer.writeH5ad(p, obs, vars, data, indices, indptr,
+        gzipChunks = 8, lzf = lz, zstd = zs, fletcher32 = true)
+      val r = new MiniHdf5.Reader(p)
+      try {
+        assert(r.readDoubles("X/data").toSeq === data.toSeq, s"lzf=$lz zstd=$zs")
+        assert(r.readLongs("X/indptr").toSeq === indptr.toSeq)
+      } finally r.close()
+    }
+    // a flipped payload byte is caught by the checksum with a named error
+    val payload = Array.tabulate(40)(i => (i * 7).toByte)
+    val ck = MiniHdf5.fletcher32(payload, payload.length)
+    val withCk = payload ++ Array[Byte](ck.toByte, (ck >> 8).toByte,
+      (ck >> 16).toByte, (ck >> 24).toByte)
+    assert(MiniHdf5.fletcherStrip(withCk, "t").toSeq === payload.toSeq)
+    val corrupt = withCk.clone()
+    corrupt(10) = (corrupt(10) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](
+      MiniHdf5.fletcherStrip(corrupt, "t"))
+    assert(e.getMessage.contains("fletcher32 checksum mismatch"), e.getMessage)
+    // a chunk shorter than its own checksum is refused, not sliced
+    val e2 = intercept[IllegalArgumentException](
+      MiniHdf5.fletcherStrip(Array[Byte](1, 2), "t"))
+    assert(e2.getMessage.contains("shorter"), e2.getMessage)
+  }
+
+  test("HDF5 fletcher32 checksum pins the reference algorithm") {
+    // H5_checksum_fletcher32 reference values: big-endian 16-bit words,
+    // mod-65535 folds. Empty data -> 0.
+    assert(MiniHdf5.fletcher32(Array.emptyByteArray, 0) === 0L)
+    // single byte 0xAB: sum1 = 0xAB00, sum2 = sum1
+    assert(MiniHdf5.fletcher32(Array(0xAB.toByte), 1) === 0xAB00AB00L)
+    // two bytes 0x01 0x02 -> word 0x0102, sum2 = sum1 = 0x0102
+    assert(MiniHdf5.fletcher32(Array[Byte](1, 2), 2) === 0x01020102L)
+    // four bytes: words 0x0102, 0x0304; sum1 = 0x0406, sum2 = 0x0508
+    assert(MiniHdf5.fletcher32(Array[Byte](1, 2, 3, 4), 4) === 0x05080406L)
+  }
+
   test("lzf decompressor: handcrafted streams pin the format byte-for-byte") {
     def dec(bytes: Int*) = MiniHdf5.lzfDecompress(
       bytes.map(_.toByte).toArray, 64, "test").toSeq.map(_ & 0xff)
@@ -230,7 +299,7 @@ class H5adSpec extends SparkSpec {
     val data = Array(1.0, 2.0, 3.0)
     val indices = Array(0L, 1L, 0L)
     val indptr = Array(0L, 2L, 3L)
-    for ((id, name) <- Seq(3 -> "fletcher32", 4 -> "szip", 32015 -> "zstd")) {
+    for ((id, name) <- Seq(4 -> "szip", 6 -> "scaleoffset", 32001 -> "blosc")) {
       val p = s"$dir/$name.h5ad"
       MiniHdf5Writer.writeH5ad(p, Seq("c1", "c2"), Seq("f1", "f2"),
         data, indices, indptr, gzipChunks = 2,
@@ -239,7 +308,7 @@ class H5adSpec extends SparkSpec {
       try {
         val e = intercept[IllegalArgumentException](r.readDoubles("X/data"))
         // the refusal names the filter and carries the one-time rewrite
-        // instruction — the operational path for szip/zstd-compressed
+        // instruction — the operational path for szip/blosc-compressed
         // uploads this reader deliberately does not decode
         assert(e.getMessage.contains(name), e.getMessage)
         assert(e.getMessage.contains("re-write"), e.getMessage)

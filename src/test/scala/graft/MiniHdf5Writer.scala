@@ -1,5 +1,6 @@
 package graft
 
+import graft.sources.MiniHdf5
 import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
@@ -87,6 +88,8 @@ object MiniHdf5Writer {
       data: Array[Byte], elemSize: Int = 0, chunkElems: Int = 0,
       shuffle: Boolean = false,
       lzf: Boolean = false,
+      zstd: Boolean = false,
+      fletcher32: Boolean = false,
       foreignFilter: Option[(Int, String)] = None) extends Content
 
   /** Minimal greedy libLZF compressor (test-only): literal runs +
@@ -140,7 +143,8 @@ object MiniHdf5Writer {
   /** Write one object (dataset or group) into `b`; returns its object
     * header address. */
   private def writeObject(b: Buf, c: Content): Long = c match {
-    case Dset(dtype, n, data, elemSize, chunkElems, shuffle, lzf, foreign)
+    case Dset(dtype, n, data, elemSize, chunkElems, shuffle, lzf, zstd,
+        fletcher, foreign)
         if chunkElems > 0 =>
       // CHUNKED + filters: split into chunks, (shuffle→)zlib each, link
       // them with a level-0 v1 chunk B-tree (key: size, mask, elem
@@ -158,16 +162,25 @@ object MiniHdf5Writer {
             un(j * ne + i) = full(i * elemSize + j)
           un
         } else full
-        if (foreign.isDefined) pre // "compressed" payload never read back
-        else if (lzf) lzfCompress(pre)
-        else {
-          val defl = new java.util.zip.Deflater()
-          defl.setInput(pre); defl.finish()
-          val outb = new Array[Byte](chunkBytes + 64)
-          val sz = defl.deflate(outb)
-          defl.end()
-          java.util.Arrays.copyOf(outb, sz)
-        }
+        val comp =
+          if (foreign.isDefined) pre // "compressed" payload never read back
+          else if (lzf) lzfCompress(pre)
+          else if (zstd) com.github.luben.zstd.Zstd.compress(pre, 3)
+          else {
+            val defl = new java.util.zip.Deflater()
+            defl.setInput(pre); defl.finish()
+            val outb = new Array[Byte](chunkBytes + 64)
+            val sz = defl.deflate(outb)
+            defl.end()
+            java.util.Arrays.copyOf(outb, sz)
+          }
+        if (fletcher) {
+          // HDF5's checksum filter appends fletcher32 of the compressed
+          // bytes, little-endian
+          val ck = MiniHdf5.fletcher32(comp, comp.length)
+          comp ++ Array[Byte](ck.toByte, (ck >> 8).toByte,
+            (ck >> 16).toByte, (ck >> 24).toByte)
+        } else comp
       }
       val addrs = chunks.map { ch =>
         b.pad8(); val a = b.pos; b.bytes(ch); a
@@ -195,9 +208,13 @@ object MiniHdf5Writer {
         val fs: Seq[(Int, String, Seq[Int])] = foreign match {
           case Some((id, nm)) => Seq((id, nm, Seq.empty))
           case None =>
-            (if (shuffle) Seq((2, "shuffle", Seq(elemSize))) else Seq.empty) :+
-              (if (lzf) (32000, "lzf", Seq.empty[Int])
-               else (1, "deflate", Seq(6)))
+            (if (shuffle) Seq((2, "shuffle", Seq(elemSize))) else Seq.empty) ++
+              Seq(if (lzf) (32000, "lzf", Seq.empty[Int])
+                else if (zstd) (32015, "zstd", Seq.empty[Int])
+                else (1, "deflate", Seq(6))) ++
+              // fletcher32 LAST: checksums the compressed bytes
+              (if (fletcher) Seq((3, "fletcher32", Seq.empty[Int]))
+               else Seq.empty)
         }
         m.u8(1); m.u8(fs.size) // v1, n filters
         m.u16(0); m.u32(0) // reserved
@@ -215,7 +232,7 @@ object MiniHdf5Writer {
         m.out.toByteArray }
       writeHeader(b, Seq((0x0001, space), (0x0003, dtype),
         (0x0008, layout), (0x000B, filters)))
-    case Dset(dtype, n, data, _, _, _, _, _) =>
+    case Dset(dtype, n, data, _, _, _, _, _, _, _) =>
       b.pad8()
       val dataAddr = b.pos
       b.bytes(data)
@@ -322,6 +339,8 @@ object MiniHdf5Writer {
       wide: Boolean = true, gzipChunks: Int = 0,
       shuffle: Boolean = false,
       lzf: Boolean = false,
+      zstd: Boolean = false,
+      fletcher32: Boolean = false,
       foreignFilter: Option[(Int, String)] = None): Unit = {
     require(indptr.length == obsNames.length + 1 && data.length == indices.length)
     val b = new Buf
@@ -330,13 +349,13 @@ object MiniHdf5Writer {
     val obsIdx = vlenContent(b, obsNames)
     val varIdx = vlenContent(b, varNames)
     val g = gzipChunks
-    val (sh, lz, ff) = (shuffle, lzf, foreignFilter)
+    val (sh, lz, zs, fl, ff) = (shuffle, lzf, zstd, fletcher32, foreignFilter)
     val x = Group(Seq(
-      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g, sh, lz, ff)
-        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g, sh, lz, ff)),
-      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g, sh, lz, ff)
-        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g, sh, lz, ff)),
-      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g, sh, lz, ff)))
+      "data" -> (if (wide) Dset(dtFloat(8), data.length, doubleBytes(data), 8, g, sh, lz, zs, fl, ff)
+        else Dset(dtFloat(4), data.length, floatBytes(data), 4, g, sh, lz, zs, fl, ff)),
+      "indices" -> (if (wide) Dset(dtInt(8), indices.length, longBytes(indices), 8, g, sh, lz, zs, fl, ff)
+        else Dset(dtInt(4), indices.length, intBytes(indices), 4, g, sh, lz, zs, fl, ff)),
+      "indptr" -> Dset(dtInt(8), indptr.length, longBytes(indptr), 8, g, sh, lz, zs, fl, ff)))
     val root = Group(Seq(
       "X" -> x,
       "obs" -> Group(Seq("_index" -> obsIdx)),
