@@ -35,7 +35,9 @@ case class MediaFeatures(
   * The decoder is a per-partition pluggable lifecycle ([[MediaDecoder]]).
   * IMAGE decode is REAL: [[ImageIoDecoder]] runs `javax.imageio` (pure
   * JVM — PNG/GIF/BMP) through the exact same mapPartitions batch shape,
-  * exercised end-to-end in MultimodalSpec. Audio/video codecs are not
+  * exercised end-to-end in MultimodalSpec. AUDIO decode is REAL too:
+  * [[JavaSoundDecoder]] runs `javax.sound.sampled` (pure JVM — WAV/
+  * AIFF/AU PCM) through the same lifecycle. Video codecs are not
   * available in this environment, so [[StubDecoder]] remains the
   * clearly-marked deterministic fake the oracled queries run (its byte
   * math is SQL-replayable, which is what makes `multimodal_decode`
@@ -95,6 +97,56 @@ object Multimodal {
       }
       MediaFeatures(a.doc_id, a.media_type, n,
         if (n == 0) 0.0 else sum.toDouble / n, head.toSeq)
+    }
+  }
+
+  /** REAL audio decoder: `javax.sound.sampled` (pure JVM — WAV/AIFF/AU
+    * PCM) payload-bytes → samples, same feature schema over the FIRST
+    * channel's PCM stream — byte_len = frame count, mean_byte = mean
+    * sample value, head_features = first 8 samples / 2^(bits-1)
+    * (full-scale-normalized). An undecodable or non-PCM payload fails
+    * loudly with the asset id rather than shipping zeros. */
+  final class JavaSoundDecoder extends MediaDecoder {
+    def decode(a: MediaAsset): MediaFeatures = {
+      val in = try {
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+      } catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable audio payload for doc ${a.doc_id} " +
+              s"(${a.media_type})", e)
+      }
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"doc ${a.doc_id}: only PCM_SIGNED audio supported, " +
+            s"got ${fmt.getEncoding}")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"doc ${a.doc_id}: $bits-bit samples unsupported (8/16 only)")
+        val frameSize = fmt.getFrameSize
+        val bytes = in.readAllBytes()
+        val n = bytes.length / frameSize
+        val denom = (1 << (bits - 1)).toFloat
+        var sum = 0L
+        val head = new Array[Float](math.min(8, n))
+        var i = 0
+        while (i < n) {
+          val off = i * frameSize // first channel leads each frame
+          val v =
+            if (bits == 8) bytes(off).toInt
+            else if (fmt.isBigEndian)
+              (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+            else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+          sum += v
+          if (i < head.length) head(i) = v / denom
+          i += 1
+        }
+        MediaFeatures(a.doc_id, a.media_type, n.toLong,
+          if (n == 0) 0.0 else sum.toDouble / n, head.toSeq)
+      } finally in.close()
     }
   }
 

@@ -70,6 +70,56 @@ class MultimodalSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("REAL codec: WAV payloads decode through the mapPartitions batch lifecycle") {
+    // Deterministic PCM WAVs encoded with javax.sound.sampled (encode
+    // here, decode on the executor side via JavaSoundDecoder). Sample i
+    // of doc k = ((k * 97 + i * 13) % 1024) - 512.
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    def sample(k: Long, i: Int): Int = (((k * 97 + i * 13) % 1024) - 512).toInt
+    def wavBytes(k: Long, n: Int, channels: Int): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, false) // 16-bit LE PCM
+      val raw = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n; c <- 0 until channels) {
+        // non-first channels carry junk the decoder must ignore
+        val v = if (c == 0) sample(k, i) else 0x7FFF
+        val off = (i * channels + c) * 2
+        raw(off) = v.toByte; raw(off + 1) = (v >> 8).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val specs = Seq((0L, 20, 1), (1L, 7, 2), (2L, 3, 1))
+    val assets = specs.map { case (k, n, ch) =>
+      MediaAsset(k, wavBytes(k, n, ch), "audio/wav", n, ch)
+    }
+    val media = spark.createDataset(assets).repartition(2).toDF()
+    val feats = Multimodal
+      .extractFeaturesWith(spark, media)(() => new Multimodal.JavaSoundDecoder)
+      .orderBy("doc_id")
+      .as[graft.multimodal.MediaFeatures].collect()
+    assert(feats.length === 3)
+    feats.zip(specs.sortBy(_._1)).foreach { case (f, (k, n, _)) =>
+      val xs = (0 until n).map(sample(k, _))
+      assert(f.byte_len === n.toLong, s"frame count of doc $k")
+      assert(math.abs(f.mean_byte - xs.sum.toDouble / n) < 1e-12,
+        s"mean sample of doc $k")
+      assert(f.head_features === xs.take(8).map(_ / 32768.0f),
+        s"head samples of doc $k")
+    }
+    // undecodable payload fails loudly, not with zeroed features
+    val junk = spark.createDataset(Seq(
+      MediaAsset(9L, Array[Byte](1, 2, 3), "audio/wav", 1, 1))).toDF()
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesWith(spark, junk)(
+        () => new Multimodal.JavaSoundDecoder).collect()
+    }
+    assert(err.getMessage.contains("undecodable") ||
+      Option(err.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
   test("chunk sampling yields ceil(len/(chunk*stride)) chunks of bounded size") {
     val media = Multimodal.mediaTable(spark, sfDir).limit(20)
     val chunks = Multimodal.sampleChunks(media, chunk = 32, stride = 4)
