@@ -174,8 +174,16 @@ object Aggregates {
           round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy("l_returnflag")),
 
-    // t-digest style sketch percentile (no oracle: approximate; bounds
-    // asserted in ScalaTest like approx_count_distinct).
+    // Sketch percentile. NO ORACLE — an expressibility limit, not an
+    // omission: Spark's approx_percentile is a Greenwald-Khanna summary
+    // whose compression decisions depend on the SEQUENCE of inserts and
+    // merges (each compress() keeps a sample based on the running
+    // g/delta bounds at that moment), so the returned element is a
+    // function of partition boundaries and merge ORDER — there is no
+    // closed-form, set-oriented SQL over the input rows that reproduces
+    // it (contrast HLL++, replayed in HllSqlOracle, whose bucket-max is
+    // order-free). The ε·N rank bound IS testable and is asserted in
+    // OperatorSemanticsSpec against the exact percentile.
     "agg_approx_percentile" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -388,9 +396,15 @@ object Aggregates {
     // Mergeable HLL sketches (DataSketches): per-group sketches built
     // once, UNIONED at query time — the 100 TB pattern where per-
     // partition/day sketches are precomputed and distinct counts over any
-    // group-union become a cheap merge instead of a re-scan. No oracle
-    // (sketch binary is engine-defined); the estimate-vs-exact bound is
-    // asserted in ScalaTest.
+    // group-union become a cheap merge instead of a re-scan. NO ORACLE —
+    // an expressibility limit, not an omission: unlike Spark's own HLL++
+    // (order-free bucket-max, replayed in HllSqlOracle), the DataSketches
+    // HLL the hll_sketch_agg family wraps is STATEFUL across modes
+    // (LIST → SET → HLL promotion happens at insertion-order-dependent
+    // thresholds, HLL_4 keeps an exception map keyed by a running curMin)
+    // and its estimator composes those internals — no set-oriented SQL
+    // over the raw rows reproduces the estimate. The estimate-vs-exact
+    // bound is asserted in ScalaTest instead.
     "agg_hll_sketch_merge" -> ((s, d) => {
       val perNation = t(s, d, "customer")
         .groupBy("c_nationkey")

@@ -36,6 +36,25 @@ object ProductSink {
   def readJsonDoc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("multiLine", "true").json(path)
 
+  /** ORC sink/source (sink_orc) — the second columnar format warehouses
+    * standardize on (Hive ecosystems). Same partition-pruning and
+    * predicate-pushdown story as parquet (ORC stripe/row-group stats);
+    * Spark's native vectorized ORC reader is built in, so offering the
+    * format is a `.orc` call, not a new engine path. zlib over snappy:
+    * cold archival copies trade CPU for bytes. Avro is deliberately NOT
+    * offered: the spark-avro module is not on this environment's
+    * classpath, and a row-major format has no pruning story at 100 TB —
+    * columnar in, columnar out. */
+  def writeOrc(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("compression", "zlib")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write a multimodal data product: fact rows partitioned by
     * (modality, dataset) + metadata JSON sidecar. Mirrors
     * `bin/concatenate.py:81-96,140-152`: product uuid, creation time,

@@ -138,11 +138,31 @@ class GoldenPipelineSpec extends SparkSpec {
 
   test("ORC round-trip (alternate columnar sink/source)") {
     val df = Tables.t(spark, sfDir, "nation")
-    df.write.mode("overwrite").orc(s"$tmp/nation_orc")
-    val back = spark.read.orc(s"$tmp/nation_orc")
+    sources.ProductSink.writeOrc(df, s"$tmp/nation_orc")
+    val back = sources.ProductSink.readOrc(spark, s"$tmp/nation_orc")
     assert(back.schema === df.schema)
     assert(back.orderBy("n_nationkey").collect().toSeq ===
       df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("partitioned ORC: partition pruning and predicate pushdown reach the scan") {
+    val df = Tables.t(spark, sfDir, "customer")
+      .withColumn("seg", $"c_mktsegment")
+    sources.ProductSink.writeOrc(df, s"$tmp/cust_orc", Seq("seg"))
+    val back = sources.ProductSink.readOrc(spark, s"$tmp/cust_orc")
+      .filter($"seg" === "BUILDING" && $"c_acctbal" > 0)
+      .select("c_custkey", "c_acctbal")
+    val plan = back.queryExecution.executedPlan.toString
+    // partition column filter prunes directories, not rows
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("seg"), plan)
+    // data filter is pushed to the ORC reader (stripe-stat skipping)
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("c_acctbal"), plan)
+    val expect = df.filter($"seg" === "BUILDING" && $"c_acctbal" > 0).count()
+    assert(back.count() === expect)
   }
 
   test("ProductBuild facade: union + intersect_obs + donor join + sink (entry point 3 API)") {

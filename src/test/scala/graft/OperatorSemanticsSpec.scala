@@ -126,6 +126,32 @@ class OperatorSemanticsSpec extends SparkSpec {
       s"merged=$merged exact=$exact")
   }
 
+  test("approx_percentile honors the GK rank bound per group") {
+    // the ε·N guarantee (ε = 1/accuracy): the returned value must be an
+    // actual group element whose rank is within N/1000 of the target —
+    // this is the checkable contract of the sketch (the VALUE itself is
+    // merge-order-dependent, which is why the query carries no SQL
+    // oracle; see Aggregates "agg_approx_percentile")
+    val df = Tables.t(spark, sfDir, "lineitem")
+    val approx = df.groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
+      .as[(String, Double)].collect().toMap
+    approx.foreach { case (flag, ap) =>
+      val vals = df.filter($"l_returnflag" === flag)
+        .select($"l_extendedprice".cast("double")).as[Double]
+        .collect().sorted
+      val n = vals.length
+      assert(vals.contains(ap), s"group $flag: $ap is not a group element")
+      // rank window of the returned value (ties span a range)
+      val lo = vals.indexWhere(_ == ap)
+      val hi = vals.lastIndexWhere(_ == ap)
+      val target = 0.5 * n
+      val eps = n.toDouble / 1000 + 1
+      assert(lo - eps <= target && target <= hi + eps + 1,
+        s"group $flag: value $ap rank [$lo,$hi] vs target $target ± $eps")
+    }
+  }
+
   test("exact mode: ties resolve to the smallest value, never arbitrarily") {
     // two values tie at count 2 within group "a" — the encoded
     // (count, -value) argmax must pick the smaller value (3, not 7)
