@@ -62,6 +62,19 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // SPARK_GRAFT_ISOLATE=1 (dev-only, for large-SF scaling runs): drop
+    // every cached block and nudge the ContextCleaner (shuffle-file GC)
+    // BETWEEN queries, outside the timed window. At sf>=1 in one JVM,
+    // state queries legitimately leave behind (persisted fixpoint
+    // results, memoized vocab/centroid tables, hundreds of MB of
+    // shuffle files from quadratic-output joins) contaminates LATER
+    // queries' numbers by factors — measured: sql_q18 41.7 s in-suite
+    // vs 5.7 s isolated at sf1, feat_winsorize swinging 6.9↔148 s
+    // between identical runs. Default OFF: the driver's sf0.1 gate run
+    // must stay comparable round-over-round, and at that scale the
+    // carried state is noise-level while cross-query cache reuse (the
+    // vocab table) is part of the measured pipeline.
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
     val results = (1 to passes).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -69,7 +82,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (isolate) {
+          spark.catalog.clearCache()
+          System.gc() // lets the ContextCleaner reap dead shuffles
+        }
+        name -> dt
       }
     }.last
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a

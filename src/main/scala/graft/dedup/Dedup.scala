@@ -212,6 +212,11 @@ object Dedup {
     * which makes the chase monotone and loop-free. Throws if the
     * fixpoint isn't reached within maxIters — partially-resolved roots
     * must never masquerade as canonical ids.
+    *
+    * Lifecycle: the returned DataFrame IS the persisted
+    * (MEMORY_AND_DISK) fixpoint result — consume it, then
+    * `result.unpersist()` to release the blocks; every intermediate
+    * level was already released inside the loop.
     */
   def canonicalResolve(pointers: DataFrame, maxIters: Int = 30): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -242,7 +247,17 @@ object Dedup {
     if (!done) throw new IllegalStateException(
       s"canonicalResolve did not converge in $maxIters rounds " +
         "(cycle, forward pointer, or raise maxIters)")
-    cur
+    // Re-persist the NARROW final projection and release the last
+    // fixpoint step (which still carries old_root): the caller receives
+    // the exact persisted plan, so `result.unpersist()` actually frees
+    // the blocks — a projection of an internal handle would leave the
+    // cache unreleasable from outside and leak a table-sized block set
+    // per call into long-lived sessions (measured distorting unrelated
+    // queries run after it in the same JVM at sf1).
+    val out = cur.persist(lvl)
+    out.count()
+    handle.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs: sign-bit LSH bucket + exact cosine for
