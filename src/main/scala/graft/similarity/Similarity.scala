@@ -401,6 +401,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: the production ANN composition — the IVF coarse quantizer
+    * prunes the corpus to `nProbe` cells, then PQ/ADC scores only the
+    * survivors with table lookups. At 100 TB both structures are
+    * precomputed and STORED (cell id = partition key for pruning, codes
+    * = an 8-byte column replacing the 256-byte vector), so a probe
+    * reads nProbe/nCentroids of the data and scans 32× fewer bytes of
+    * it — multiplicative with each other. This variant is
+    * IVFFlat-style (PQ on the raw vectors, not coarse residuals;
+    * residual PQ is a recall refinement orthogonal to the plan shape —
+    * it would swap the codebook training input, nothing in the query).
+    * Plan: one scan → two in-scan assignments → filter → projection →
+    * TakeOrderedAndProject; still zero shuffles.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCent: Int = 16): DataFrame = {
+    graft.plans.NearestCentroid.register(s)
+    val coarse = ivfCentroids(s, d, nCentroids)
+    val books = pqCodebooks(s, d, m, kCent)
+    val sub = Dim / m
+    val qv = queryVector(s, d, queryId)
+    def sq(c: Array[Double]): Double =
+      c.indices.foldLeft(0.0)((acc, i) => acc + (c(i) - qv(i)) * (c(i) - qv(i)))
+    val probes = coarse.sortBy(c => sq(c._2)).take(nProbe).map(_._1).toSeq
+    val lut: Array[Array[Double]] = Array.tabulate(m, kCent) { (mi, j) =>
+      (0 until sub).foldLeft(0.0)((acc, i) =>
+        acc + qv(mi * sub + i) * books(mi)(j)(i))
+    }
+    val codes = (0 until m).map { mi =>
+      call_function("nearest_centroid",
+        slice(col("vd"), mi * sub + 1, sub),
+        typedlit(books(mi).map(_.toSeq).toSeq))
+    }
+    val adc = (0 until m).map(mi =>
+      element_at(typedlit(lut(mi).toSeq), codes(mi) + 1))
+      .reduceLeft(_ + _)
+    Tables.t(s, d, "embeddings")
+      .withColumn("vd", toDouble(col("embedding")))
+      .withColumn("cell", assignCol(col("vd"), coarse))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(adc, 6).as("adc_ip"))
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch k-NN over a broadcast query set: every query vector with
     * `vec_id < nQueries` scores the whole corpus in one scan; per-query
     * top-k via a rank window over the narrow (qid, vec_id, sim) stream.
@@ -475,6 +520,10 @@ object Similarity {
     // (pqOracleEntry replays per-subspace assignment + the LUT sum in
     // DuckDB); code-vs-exact recall asserted in SimilaritySpec.
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d, queryId = 0L, k = 10)),
+
+    // IVF-PQ composition (coarse cell pruning × code compression).
+    // Oracled by composing both literal replays (ivfPqOracleEntry).
+    "sim_ivf_pq_topk" -> ((s, d) => ivfPqTopK(s, d, queryId = 0L, k = 10)),
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
@@ -947,6 +996,82 @@ object Similarity {
        |FROM pv ORDER BY adc_ip DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** IVF-PQ replay: the coarse-quantizer CTEs of [[ivfOracleSqlFor]]
+    * (assignment + probe selection over the centroid literals) compose
+    * with the PQ CTEs of [[pqOracleSqlFor]] (per-subspace assignment +
+    * LUT + fixed-order ADC chain) — the PQ stages simply run over the
+    * probe-filtered vector set instead of the full corpus. Emitted only
+    * when BOTH quantizers were trained this run. */
+  private def ivfPqOracleEntry: Map[String, String] =
+    (lastCentroids, lastPqBooks) match {
+      case (Some(cs), Some(books)) =>
+        Map("sim_ivf_pq_topk" -> ivfPqOracleSqlFor(cs, books))
+      case _ => Map.empty
+    }
+
+  private def ivfPqOracleSqlFor(cs: Array[(Int, Array[Double])],
+      books: Array[Array[Array[Double]]]): String = {
+    val dim = cs.head._2.length
+    val coarseValues = cs.sortBy(_._1)
+      .map { case (id, v) => s"($id, ${v.mkString("[", ",", "]")})" }
+      .mkString(",\n    ")
+    val m = books.length
+    val sub = books.head.head.length
+    val pqValues = (for {
+      mi <- 0 until m
+      j <- books(mi).indices
+    } yield s"($mi, $j, ${books(mi)(j).mkString("[", ",", "]")})")
+      .mkString(",\n    ")
+    def sqd(a: String, b: String, n: Int) =
+      s"list_sum(list_transform(generate_series(1, $n), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val pvCols = (0 until m)
+      .map(mi => s"MAX(CASE WHEN a.m = $mi THEN l.v END) AS v$mi")
+      .mkString(",\n    ")
+    val chain = (1 until m).foldLeft("v0")((acc, i) => s"($acc + v$i)")
+    s"""WITH coarse(ccid, ccv) AS (VALUES
+       |    $coarseValues),
+       |cents(m, cid, cv) AS (VALUES
+       |    $pqValues),
+       |subs(m) AS (SELECT unnest(generate_series(0, ${m - 1}))),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT ccid FROM coarse, q
+       |  ORDER BY ${sqd("ccv", "qv", dim)}, ccid LIMIT 4),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+       |       FROM embeddings WHERE vec_id <> 0),
+       |casg AS (
+       |  SELECT vec_id, vd, ccid FROM (
+       |    SELECT e0.vec_id, e0.vd, c.ccid,
+       |      row_number() OVER (PARTITION BY e0.vec_id
+       |                         ORDER BY ${sqd("c.ccv", "e0.vd", dim)}, c.ccid) AS rn
+       |    FROM e0, coarse c)
+       |  WHERE rn = 1),
+       |e AS (SELECT vec_id, vd FROM casg
+       |      WHERE ccid IN (SELECT ccid FROM probes)),
+       |sv AS (SELECT vec_id, m,
+       |         list_slice(vd, m * $sub + 1, m * $sub + $sub) AS sv
+       |       FROM e, subs),
+       |asg AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                         ORDER BY ${sqd("c.cv", "s.sv", sub)}, c.cid) AS rn
+       |    FROM sv s JOIN cents c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |lut AS (SELECT c.m, c.cid,
+       |          list_dot_product(
+       |            list_slice(q.qv, c.m * $sub + 1, c.m * $sub + $sub),
+       |            c.cv) AS v
+       |        FROM cents c, q),
+       |pv AS (SELECT a.vec_id,
+       |    $pvCols
+       |  FROM asg a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+       |  GROUP BY a.vec_id)
+       |SELECT vec_id, round($chain, 6) AS adc_ip
+       |FROM pv ORDER BY adc_ip DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracleEntry ++ pqOracleEntry
+    staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry
 }

@@ -100,6 +100,29 @@ class SimilaritySpec extends SparkSpec {
     assert(again === pq)
   }
 
+  test("IVF-PQ: probe filter composes with ADC; results within the PQ ranking") {
+    val ivfpq = Similarity.ivfPqTopK(spark, sfDir, 0L, 10)
+      .as[(Long, Double)].collect()
+    assert(ivfpq.length === 10)
+    // every IVF-PQ hit carries the SAME ADC score plain PQ assigns it
+    // (the coarse stage only filters, never rescores) ...
+    val pqAll = Similarity.pqTopK(spark, sfDir, 0L, 500)
+      .as[(Long, Double)].collect().toMap
+    ivfpq.foreach { case (id, s) =>
+      assert(pqAll(id) === s, s"vec $id rescored: $s vs ${pqAll(id)}")
+    }
+    // ... and the probed cells cover a strict subset of the corpus
+    val cents = Similarity.trainIvfCentroids(spark, sfDir, 16)
+    val total = Tables.t(spark, sfDir, "embeddings").count()
+    val inProbe = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("vd", VectorOps.toDouble($"embedding"))
+      .withColumn("cell", Similarity.assignCol($"vd", cents))
+      .groupBy("cell").count().orderBy($"count".desc)
+      .limit(4).agg(org.apache.spark.sql.functions.sum("count"))
+      .as[Long].head()
+    assert(inProbe < total, "coarse cells do not partition the corpus")
+  }
+
   test("fused NearestCentroid matches the HOF argmin, incl. tie-break and gaps") {
     graft.plans.NearestCentroid.register(spark)
     val centroids: Array[(Int, Array[Double])] = Array(
