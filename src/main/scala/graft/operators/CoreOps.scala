@@ -32,6 +32,21 @@ object CoreOps {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Avro ingest scan (scan_avro_roundtrip): orders landed as Avro
+    // container files (graft.sources.AvroDataSource — splittable sync-
+    // marker reads, reader-schema pruning), aggregated straight off the
+    // landing zone. Oracled against the parquet original: the round-trip
+    // must be value-exact for every type it carries (long, string,
+    // double, timestamp-micros).
+    "scan_avro_roundtrip" -> ((s, d) =>
+      s.read.format("graft-avro")
+        .load(graft.sources.PartitionedData.ordersAvroLanding(s, d))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          U.dsum(col("o_totalprice")).as("sum_price"),
+          max(U.tsUs(col("o_orderdate"))).as("max_date_us"))
+        .orderBy("o_orderpriority")),
+
     // project_select (make_directory.py:48 `df[["uuid"]]`)
     "project_select" -> ((s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey")),
@@ -164,6 +179,13 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle reads the PARQUET original — a value mismatch means the
+    // avro round-trip corrupted something.
+    "scan_avro_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  max(epoch_us(o_orderdate)) AS max_date_us
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_parquet_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,

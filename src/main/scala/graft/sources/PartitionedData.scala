@@ -75,6 +75,41 @@ object PartitionedData {
     })
   }
 
+  /** Avro landing-zone copy of `orders` — the ingest-side fixture for
+    * [[AvroDataSource]]: at production scale this directory is what a
+    * Kafka-connect/CDC dump writes; the engine reads it splittable and
+    * every analytic query runs on the columnar store instead. Memoized
+    * per (sfDir, orders content) exactly like [[eventsByTypeDate]]. */
+  def ordersAvroLanding(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
+    val key = (s"avro:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"orders_avro_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name)
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        Tables.t(spark, d, "orders")
+          .write.format("graft-avro").mode(SaveMode.Overwrite)
+          .save(out.toString)
+      }
+      out.toString
+    })
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

@@ -41,10 +41,12 @@ object ProductSink {
     * predicate-pushdown story as parquet (ORC stripe/row-group stats);
     * Spark's native vectorized ORC reader is built in, so offering the
     * format is a `.orc` call, not a new engine path. zlib over snappy:
-    * cold archival copies trade CPU for bytes. Avro is deliberately NOT
-    * offered: the spark-avro module is not on this environment's
-    * classpath, and a row-major format has no pruning story at 100 TB —
-    * columnar in, columnar out. */
+    * cold archival copies trade CPU for bytes. Avro is offered as the
+    * INGEST/interchange format only — `format("graft-avro")`, a
+    * from-scratch DSv2 on the avro core jars ([[AvroDataSource]]:
+    * splittable sync-marker reads, reader-schema pruning) — because a
+    * row-major format has no stats-pruning story at 100 TB: avro in,
+    * columnar (parquet/ORC) out. */
   def writeOrc(df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).option("compression", "zlib")
