@@ -368,6 +368,48 @@ object Dedup {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // URL-canonical dedup — web-crawl dedup's FIRST line: collapse crawl
+    // variants of the same page (scheme/host case, default :80/:443
+    // ports, www., tracking params, fragments, trailing slash) before
+    // any content hashing runs. Map-only canonicalization (regexps are
+    // codegen'd string ops), then ONE groupBy on the canonical string —
+    // at 100 TB the shuffle key is the canonical URL, never the page
+    // body. URLs are a deterministic derivation of `documents` (no URL
+    // column in the star schema) exercising every rule; the oracle
+    // rebuilds them and replays the same regexp pipeline (patterns are
+    // backreference-free so Spark and DuckDB dialects agree; Spark
+    // replaces all matches by default = DuckDB 'g').
+    "dedup_url_canonical" -> ((s, d) => {
+      val n = (col("doc_id") % 50).cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.Corpus.Example.COM:443/docs/"), n,
+            lit("/?utm_source=feed&utm_campaign="), col("source"),
+            lit("&ref=rss#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://www.corpus.example.com/docs/"), n, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://corpus.example.com:80/docs/"), n,
+            lit("?id="), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://corpus.example.com/docs/"), n))
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(80|443)$", ""), "^www\\.", "")
+      val pq = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+      val path = regexp_extract(pq, "^([^?]*)", 1)
+      val query = regexp_extract(pq, "\\?(.*)$", 1)
+      val cq = regexp_replace(
+        regexp_replace(query, "(utm_[a-z]+|ref)=[^&]*&?", ""), "&$", "")
+      t(s, d, "documents")
+        .withColumn("url", url)
+        .withColumn("canonical_url",
+          concat(scheme, lit("://"), host, regexp_replace(path, "/+$", ""),
+            when(cq =!= "", concat(lit("?"), cq)).otherwise(lit(""))))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper_doc_id"))
+        .orderBy("canonical_url")
+    }),
+
     // Duplicate-cluster size distribution — the corpus-health report a
     // dedup run is judged by (how much of the corpus is singleton vs
     // boilerplate blast radius). Two aggregations: digest→cluster size
@@ -714,6 +756,43 @@ object Dedup {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_url_canonical" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'HTTPS://WWW.Corpus.Example.COM:443/docs/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&utm_campaign='
+        |        || source || '&ref=rss#frag'
+        |      WHEN 1 THEN 'https://www.corpus.example.com/docs/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '/'
+        |      WHEN 2 THEN 'http://corpus.example.com:80/docs/' ||
+        |        CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'https://corpus.example.com/docs/' ||
+        |        CAST(doc_id % 50 AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |      ':(80|443)$', ''), '^www\.', '') AS host,
+        |    regexp_extract(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |      '^([^?]*)', 1) AS path,
+        |    regexp_extract(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |      '\?(.*)$', 1) AS query
+        |  FROM urls),
+        |canon AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || regexp_replace(path, '/+$', '') ||
+        |    (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url
+        |  FROM (SELECT *,
+        |      regexp_replace(regexp_replace(query,
+        |        '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'), '&$', '') AS cq
+        |    FROM parts))
+        |SELECT canonical_url, count(*) AS n_variants,
+        |  min(doc_id) AS keeper_doc_id
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "boilerplate_strip" ->
       """WITH g AS (
         |  SELECT unnest(list_distinct(list_transform(

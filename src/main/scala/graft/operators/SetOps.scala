@@ -50,6 +50,34 @@ object SetOps {
         .groupBy("nationkey").agg(count(lit(1)).as("n"))
         .orderBy("nationkey")),
 
+    // Corpus snapshot diff — the data-ops primitive behind "what changed
+    // between crawl N-1 and crawl N": FULL OUTER join of two snapshots
+    // on the document key, rows classified added / removed / changed by
+    // key presence + content digest. Snapshots are deterministic
+    // derivations of `documents` (old drops doc_id%10==0, new drops
+    // doc_id%7==0 and rewrites text for doc_id%5==0) so the oracle
+    // rebuilds them exactly. At 100 TB this is ONE sort-merge join on
+    // the snapshot key with digest-only payload (16-byte md5, not the
+    // text) — the text column never shuffles; unchanged rows are
+    // filtered out before the output sort.
+    "snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h_old"))
+      val nw = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("h_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, lit("added"))
+            .when(col("h_new").isNull, lit("removed"))
+            .when(col("h_old") =!= col("h_new"), lit("changed")))
+        .filter(col("status").isNotNull)
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    }),
+
     // anndata outer-concat: two modality projections with disjoint value
     // columns, vertically unioned by name, missing entries = 0.
     "union_by_name_outer" -> ((s, d) => {
@@ -96,6 +124,22 @@ object SetOps {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  EXCEPT ALL SELECT s_nationkey FROM supplier)
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |nw AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+        |             ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(old.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN old.h_old IS NULL THEN 'added'
+        |       WHEN nw.h_new IS NULL THEN 'removed'
+        |       WHEN old.h_old <> nw.h_new THEN 'changed' END AS status
+        |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+        |WHERE (old.h_old IS NULL OR nw.h_new IS NULL OR old.h_old <> nw.h_new)
+        |ORDER BY doc_id""".stripMargin,
     "union_by_name_outer" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -61,6 +61,40 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // EWMA smoothing per user (α=0.2): ewma_i = α·x_i + (1-α)·ewma_{i-1},
+    // seeded with the first observation. The recurrence is inherently
+    // SEQUENTIAL per key — no SQL window frame expresses it, and the
+    // (1-α)^{-i} rescaling trick overflows doubles past a few thousand
+    // rows — so the scale-correct shape is secondary sort: ONE shuffle
+    // (repartition by user) + partition-local sort + a mapPartitions
+    // scan carrying one double per key. State is O(1); keys never span
+    // partitions; 1000 executors each scan their users independently.
+    // Oracle: DuckDB recursive CTE replaying the identical fold order
+    // (validated mismatch-free against a sequential mirror at sf0.01);
+    // round6 absorbs any residual last-ulp risk.
+    "window_ewma" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      src.repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapPartitions { it =>
+          var curUser = 0L
+          var haveUser = false
+          var acc = 0.0
+          it.map { case (u, _, eid, v) =>
+            if (!haveUser || u != curUser) { curUser = u; haveUser = true; acc = v }
+            else acc = 0.2 * v + 0.8 * acc
+            (eid, u, acc)
+          }
+        }
+        .toDF("event_id", "user_id", "ewma")
+        .withColumn("ewma", U.round6(col("ewma")))
+        .orderBy("event_id")
+    }),
+
     // Range frame: sum over a value-range window (orders within ±1 of the
     // current key) — rangeBetween, not rowsBetween.
     "window_range_frame" -> ((s, d) => {
@@ -406,6 +440,22 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // Recursive CTE = the same left fold the mapPartitions scan runs
+    // (0.2·x + 0.8·prev per step, identical op order → IEEE-identical).
+    "window_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS ewma FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn, 0.2 * s.value + 0.8 * r.ewma
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT event_id, user_id,
+        |  round(ewma * 1000000) / 1000000 AS ewma
+        |FROM r ORDER BY event_id""".stripMargin,
     "window_range_frame" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (

@@ -41,6 +41,38 @@ class OperatorSemanticsSpec extends SparkSpec {
       (3L, None), (4L, Some(1.0)), (5L, Some(2.0))))
   }
 
+  test("ewma scan: seeded with first observation, keys isolated across partition boundaries") {
+    // Two users interleaved in time; user 2's series must not inherit
+    // user 1's accumulator. α=0.2 hand-fold: u1: 10, .2*20+.8*10=12,
+    // .2*7+.8*12=11; u2: 100, .2*0+.8*100=80.
+    val ev = Seq(
+      (1L, 1L, 0L, 10.0), (2L, 2L, 1L, 100.0), (3L, 1L, 2L, 20.0),
+      (4L, 1L, 3L, 7.0), (5L, 2L, 4L, 0.0))
+      .map { case (id, u, t, v) => (id, u, new java.sql.Timestamp(t * 1000), "e", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val src = ev.select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)]
+    val out = src.repartition(8, $"user_id")
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .mapPartitions { it =>
+        var cur = 0L; var have = false; var acc = 0.0
+        it.map { case (u, _, eid, v) =>
+          if (!have || u != cur) { cur = u; have = true; acc = v }
+          else acc = 0.2 * v + 0.8 * acc
+          (eid, u, acc)
+        }
+      }.collect().sortBy(_._1).toSeq
+    // reference: the same fold run sequentially per user on the driver
+    def fold(vs: Seq[Double]): Seq[Double] =
+      vs.tail.scanLeft(vs.head)((acc, v) => 0.2 * v + 0.8 * acc)
+    val exp1 = fold(Seq(10.0, 20.0, 7.0))
+    val exp2 = fold(Seq(100.0, 0.0))
+    assert(out === Seq(
+      (1L, 1L, exp1(0)), (2L, 2L, exp2(0)), (3L, 1L, exp1(1)),
+      (4L, 1L, exp1(2)), (5L, 2L, exp2(1))))
+    assert(math.abs(exp1(2) - 11.0) < 1e-9 && math.abs(exp2(1) - 80.0) < 1e-9)
+  }
+
   test("interval overlap: bucketed equi-join finds exactly the overlapping pairs") {
     // [0,10] vs [5,15] overlap; [0,10] vs [11,20] don't (strict integer bounds)
     val a = Seq((1L, 0, 10), (2L, 100, 110)).toDF("a_id", "a_lo", "a_hi")
