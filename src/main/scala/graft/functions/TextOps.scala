@@ -631,6 +631,73 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public method):
+    // score every document by the log-likelihood ratio of a TARGET
+    // hashed-bigram model (here: the lang='en' slice) vs the RAW model
+    // (whole corpus), keep positive-weight docs. Feature hashing makes
+    // the models FIXED-SIZE — 256 buckets regardless of corpus size —
+    // which is the whole scale story: both model fits are 256-row
+    // aggregations with map-side partial combine, the ratio table is a
+    // 256-row broadcast, and the apply side is one bounded groupBy per
+    // doc (≤256 buckets/doc). No vocabulary-sized state anywhere.
+    // Determinism: bucket = pmod(xxhash64(bigram), 256) (replayed in
+    // the oracle via the XxhSqlOracle vocabulary hash); the per-bucket
+    // log-ratio is transcendental → round6 per BUCKET (256 values),
+    // then per-doc sums run in exact decimal (the text_unigram_logprob
+    // discipline). Docs under 2 words carry no bigram evidence and are
+    // excluded up front (both engines).
+    //
+    // Lifecycle: the model FIT is one 256-row aggregation collected to
+    // the driver (bounded by construction — the feature-hash modulus,
+    // not the data; same guarded-contraction rule as the IVF centroid
+    // memo), ratios become a 256-row broadcast, and the APPLY side is
+    // instance → broadcast-join → one groupBy(doc_id) in exact decimal
+    // (summing r per instance ≡ n·r per bucket — decimal addition is
+    // exact). The corpus is read twice (fit + apply), never more.
+    "sample_dsir" -> ((s, d) => {
+      val B = 256
+      val words = split(lower(col("text")), " ")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), words.as("w"))
+        .filter(size(col("w")) >= 2)
+      val inst = docs.select(col("doc_id"), col("lang"),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          pmod(xxhash64(concat_ws(" ",
+            col("g").getField("0"), col("g").getField("1"))), lit(B)).as("b"))
+      // fit: (bucket → raw count, target count), ≤B rows by construction
+      val counts = inst.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        .collect()
+      require(counts.length <= B, s"dsir fit produced ${counts.length} buckets")
+      val nr = counts.map(_.getLong(1)).sum
+      val nt = counts.map(_.getLong(2)).sum
+      import scala.jdk.CollectionConverters._
+      val ratio = s.createDataFrame(
+        counts.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getLong(0), r.getLong(1), r.getLong(2))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cr",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ct",
+            org.apache.spark.sql.types.LongType))))
+        .select(col("b"), U.round6(
+          log((col("ct") + lit(1.0)) / (lit(nt) + lit(B.toDouble))) -
+          log((col("cr") + lit(1.0)) / (lit(nr) + lit(B.toDouble)))).as("r"))
+      inst.join(broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(U.dbl(sum(U.dec6(col("r")))).as("dsir_weight"))
+        .select(col("doc_id"), col("dsir_weight"),
+          (col("dsir_weight") > 0).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // The perplexity GATE composed end-to-end (CCNet's actual filter):
     // bigram-LM doc scores → exact p90 threshold (1-row broadcast, the
     // feat_winsorize 4-decimal precision) → keep docs at or below it.
@@ -1073,6 +1140,44 @@ object TextOps {
         |  FROM scored)
         |SELECT qid, rnk, doc_id, bm25 FROM ranked
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // DSIR replay: hash the DISTINCT bigram vocabulary once
+    // (XxhSqlOracle.hashBucketCtes — pmod(xxhash64, 256)), join
+    // instances back, then the same 256-bucket model/ratio/decimal-sum
+    // pipeline in plain SQL.
+    "sample_dsir" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+         |  FROM documents
+         |  WHERE len(string_split(lower(text), ' ')) >= 2),
+         |grams AS (
+         |  SELECT doc_id, lang, unnest(list_transform(
+         |    generate_series(1, len(w) - 1),
+         |    i -> array_to_string(w[i:i+1], ' '))) AS g
+         |  FROM docs),
+         |vocab AS (SELECT DISTINCT g FROM grams),
+         |${graft.plans.XxhSqlOracle.hashBucketCtes("vocab", 256)},
+         |db AS (
+         |  SELECT grams.doc_id, grams.lang, bkt.b, count(*) AS n
+         |  FROM grams JOIN bkt USING (g)
+         |  GROUP BY grams.doc_id, grams.lang, bkt.b),
+         |raw AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr FROM db GROUP BY b),
+         |tgt AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ct FROM db
+         |        WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+         |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt),
+         |ratio AS (
+         |  SELECT raw.b,
+         |    round((ln((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + 256.0))
+         |         - ln((raw.cr + 1.0) / (tot.nr + 256.0)))
+         |      * 1000000) / 1000000 AS r
+         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+         |SELECT db.doc_id,
+         |  CAST(SUM(CAST(ratio.r AS DECIMAL(18,6)) * db.n) AS DOUBLE)
+         |    AS dsir_weight,
+         |  CAST(SUM(CAST(ratio.r AS DECIMAL(18,6)) * db.n) AS DOUBLE) > 0
+         |    AS kept
+         |FROM db JOIN ratio USING (b)
+         |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
     "text_bigram_logprob" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w

@@ -375,6 +375,22 @@ object XxhSqlOracle {
        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM matched)
        |ORDER BY doc_id""".stripMargin
 
+  /** CTE stack ending in `bkt(g, b)` — b = pmod(xxhash64(g), buckets)
+    * for each DISTINCT g of `vocabCte` (replays Spark's single-arg
+    * xxhash64 = hashUTF8String(g, seed 42)). Unsigned mod equals
+    * Spark's pmod-of-signed exactly when `buckets` divides 2^64, hence
+    * the power-of-two requirement. Feature-hashing replays (DSIR
+    * importance buckets) build on this. */
+  def hashBucketCtes(vocabCte: String, buckets: Int): String = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val (chainSql, lastCte) = chain("hb0", "hbs", hashStages)
+    s"""${byteTableCte("hbb", vocabCte)},
+       |hb0 AS (SELECT $scalarExtract FROM hbb),
+       |$chainSql,
+       |bkt AS (SELECT g, CAST(x5v % $buckets AS BIGINT) AS b FROM $lastCte)""".stripMargin
+  }
+
   /** sql_native_fns replay: poly_hash64 (31-polynomial fold — mirrors
     * the TextOps text_fingerprint oracle, seed = plans.PolyHash64.Seed),
     * simhash64 over the word multiset, and xxhash64(minhash_sig(words,
