@@ -276,6 +276,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public method):
+    * semantic near-duplicate removal by clustering the embedding space
+    * and comparing ONLY within clusters. A vector is dropped when a
+    * LOWER-ID vector in its cluster has cosine ≥ τ with it (the paper
+    * ranks by distance-to-centroid; lowest-id is this engine's
+    * deterministic survivor convention, shared with dedup_exact — same
+    * dedup rate, stable output). Scale shape: the quantizer is the
+    * memoized IVF k-means ([[ivfCentroids]] — at 100 TB a persisted
+    * centroid table trained on a sample), assignment is the fused
+    * [[graft.plans.NearestCentroid]] scan expression, and the pair
+    * comparison is an EQUI-join on cluster id — pair count is bounded
+    * per cluster (SemDeDup at production scale uses k large enough
+    * that clusters stay small; never all-pairs).
+    *
+    * τ defaults to 0.3 here because the SYNTHETIC embedding space is
+    * near-orthogonal (max within-cluster cosine ≈ 0.51 at sf0.01) — the
+    * demonstration threshold sits at the corpus's own duplicate tail so
+    * the drop rule actually exercises; on real embeddings the paper's
+    * τ is ≈ 0.95+. */
+  def semDedup(s: SparkSession, d: String, nCentroids: Int = 16,
+      tau: Double = 0.3): DataFrame = {
+    graft.plans.NearestCentroid.register(s)
+    val cs = ivfCentroids(s, d, nCentroids)
+    val e = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+      .withColumn("cid", assignCol(col("vd"), cs).cast("long"))
+    val rhs = e.select(col("cid"), col("vec_id").as("vid0"),
+      col("vd").as("vd0"))
+    val dropped = e.join(rhs, Seq("cid"))
+      .filter(col("vid0") < col("vec_id") &&
+        round(cosine(col("vd"), col("vd0")), 6) >= tau)
+      .select("vec_id").distinct()
+      .withColumn("is_dropped", lit(true))
+    e.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("is_dropped").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks: the vector space is split into `m`
@@ -515,6 +555,12 @@ object Similarity {
     // assignment + probe selection + exact scoring in DuckDB (see
     // ivfOracleEntry); recall additionally asserted in SimilaritySpec.
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d, queryId = 0L, k = 10)),
+
+    // SemDeDup — cluster-bucketed semantic near-dedup over the same
+    // memoized quantizer. Oracled via centroid literals
+    // (semDedupOracleEntry replays assignment + within-cluster pairs +
+    // the lowest-id survivor rule).
+    "sim_semdedup" -> ((s, d) => semDedup(s, d)),
 
     // Product-quantization ADC variant. Oracled via codebook literals
     // (pqOracleEntry replays per-subspace assignment + the LUT sum in
@@ -906,6 +952,46 @@ object Similarity {
     case Some(cs) => Map("sim_ivf_topk" -> ivfOracleSqlFor(cs))
   }
 
+  /** SemDeDup replay from the same recorded quantizer: assignment is
+    * the identical argmin-with-lowest-cid window, pairs are the
+    * within-cluster equi-join with the lowest-id drop rule, cosine is
+    * the dot/(nrm·nrm) spelling the engine's fold computes, and the
+    * τ-threshold compares the ROUNDED similarity on both sides.
+    * Zero-norm vectors yield NULL cosine → NULL comparison → the pair
+    * drops out, matching Spark's null-guarded [[VectorOps.cosine]]. */
+  private def semDedupOracleEntry: Map[String, String] = lastCentroids match {
+    case None => Map.empty
+    case Some(cs) => Map("sim_semdedup" -> semDedupOracleSqlFor(cs))
+  }
+
+  private def semDedupOracleSqlFor(cs: Array[(Int, Array[Double])]): String = {
+    val dim = cs.head._2.length
+    val values = cs.sortBy(_._1)
+      .map { case (id, v) => s"($id, ${v.mkString("[", ",", "]")})" }
+      .mkString(",\n    ")
+    def sq(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH cents(cid, cv) AS (VALUES
+       |    $values),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, vd, CAST(cid AS BIGINT) AS cid FROM (
+       |    SELECT e.vec_id, e.vd, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${sq("c.cv", "e.vd")}, c.cid) AS rn
+       |    FROM e, cents c)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  WHERE round(list_dot_product(a.vd, b.vd) /
+       |      (sqrt(list_dot_product(a.vd, a.vd)) *
+       |       sqrt(list_dot_product(b.vd, b.vd))), 6) >= 0.3)
+       |SELECT asg.vec_id, asg.cid, (dr.vec_id IS NULL) AS kept
+       |FROM asg LEFT JOIN dropped dr ON dr.vec_id = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+  }
+
   private def ivfOracleSqlFor(cs: Array[(Int, Array[Double])]): String = {
     val dim = cs.head._2.length
     val values = cs.sortBy(_._1)
@@ -1073,5 +1159,6 @@ object Similarity {
   }
 
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry
+    staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry ++
+      semDedupOracleEntry
 }
