@@ -164,7 +164,52 @@ object StreamingOps {
         })
   }
 
+  /** Streaming EWMA per key — the stateful-numeric sibling of the batch
+    * `window_ewma` scan: a per-user `GroupState[(n, ewma)]` folds
+    * 0.2·x + 0.8·acc over event-time-ordered rows (within a batch the
+    * group sorts; across batches arrival order is trusted — the same
+    * CDC convention as [[scd2Changes]]) and emits the running
+    * (user, n_events, ewma) summary each batch. State per key is O(1):
+    * two numbers, regardless of stream length — THE reason EWMA (not a
+    * windowed mean) is the streaming smoother. On a static Dataset the
+    * same code runs as one group pass, which is how the oracled
+    * `stream_ewma` query executes it; the fold constants are spelled
+    * 0.2/0.8 so batch, stream and the recursive-CTE oracle share the
+    * identical IEEE sequence. */
+  def ewmaPerKey(events: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            st: GroupState[(Long, Double)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var cur = st.getOption
+          sorted.foreach { case (_, _, _, v) =>
+            cur = Some(cur match {
+              case None => (1L, v)
+              case Some((n, acc)) => (n + 1, 0.2 * v + 0.8 * acc)
+            })
+          }
+          cur.foreach(st.update)
+          cur.map(c => (user, c._1, c._2)).iterator
+        })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ewma" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      val ev = Tables.t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      ewmaPerKey(ev)
+        .toDF("user_id", "n_events", "ewma")
+        .withColumn("ewma", U.round6(col("ewma")))
+        .orderBy("user_id")
+    }),
     "stream_scd2_changes" -> ((s, d) => {
       val sess = s; import sess.implicits._
       val ev = Tables.t(s, d, "events")
@@ -192,6 +237,23 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the window_ewma recursive-CTE fold, read out at each key's last row
+    "stream_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS ewma FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn, 0.2 * s.value + 0.8 * r.ewma
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+        |mx AS (SELECT user_id, max(rn) AS mrn FROM s GROUP BY user_id)
+        |SELECT r.user_id, mx.mrn AS n_events,
+        |  round(r.ewma * 1000000) / 1000000 AS ewma
+        |FROM r JOIN mx ON r.user_id = mx.user_id AND r.rn = mx.mrn
+        |ORDER BY r.user_id""".stripMargin,
     // closed intervals only: exactly scd2_dimension minus the per-key
     // open tail (which in the stream still sits in the state store)
     "stream_scd2_changes" ->

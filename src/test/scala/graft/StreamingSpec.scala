@@ -76,6 +76,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA folds through the state store across batches, " +
+    "final summary matches the batch query") {
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.t(spark, sfDir, "events")
+      .filter($"value".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("tsu"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._2, r._3))
+    val (b1s, b2s) = ev.splitAt(ev.length / 2)
+    // shuffle within each batch: the fold must order its group itself
+    val rnd = new scala.util.Random(11)
+    val (b1, b2) = (rnd.shuffle(b1s.toSeq), rnd.shuffle(b2s.toSeq))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamingOps.ewmaPerKey(
+      input.toDS().toDF("user_id", "tsu", "event_id", "value")
+        .as[(Long, Long, Long, Double)])
+      .toDF("user_id", "n_events", "ewma")
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      // each batch appends a running summary — the LAST per user is the
+      // state at stream end, and must equal the batch fold exactly
+      // (the accumulator carried through the state store, not reset)
+      val streamed = spark.table("ewma_out")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"ewma")).as("s"))
+        .select($"user_id", $"s.n_events", round($"s.ewma" * 1e6) / 1e6)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = StreamingOps.queries("stream_ewma")(spark, sfDir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
