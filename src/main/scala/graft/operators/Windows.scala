@@ -194,6 +194,51 @@ object Windows {
         .orderBy("user_id", "event_type")
     }),
 
+    // MERGE INTO semantics (cdc_merge_apply) — the warehouse CDC apply:
+    // a changeset with I/U/D ops merges into the base snapshot in ONE
+    // full-outer join on the key (base D-rows drop, U-rows take the
+    // change's attributes, I-rows append, untouched rows pass through).
+    // At 100 TB both sides co-partition on the key (the snapshot is
+    // bucketed by key at write time — BucketingSpec's zero-exchange
+    // story), so the nightly merge shuffles only the changeset;
+    // transactional visibility belongs to a table format, the PLAN is
+    // this one. Changeset is a deterministic derivation of `customer`
+    // (key%7==0 → delete, %7==1 → update balance +100, %11==0 → insert
+    // under a shifted key) so the oracle rebuilds it exactly.
+    "cdc_merge_apply" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val src = t(s, d, "customer")
+      val changes =
+        src.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("k"), lit("D").as("op"),
+            lit(null).cast("string").as("n_name"),
+            lit(null).cast("int").as("n_nationkey"),
+            lit(null).cast("double").as("n_acctbal"))
+        .unionByName(src.filter(col("c_custkey") % 7 === 1)
+          .select(col("c_custkey").as("k"), lit("U").as("op"),
+            col("c_name").as("n_name"), col("c_nationkey").as("n_nationkey"),
+            (col("c_acctbal") + lit(100.0)).as("n_acctbal")))
+        .unionByName(src.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("k"), lit("I").as("op"),
+            concat(lit("new-"), col("c_name")).as("n_name"),
+            col("c_nationkey").as("n_nationkey"),
+            lit(0.0).as("n_acctbal")))
+      base.join(changes, col("c_custkey") === col("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D" &&
+          // not-matched U/D rows are no-ops; not-matched I rows insert
+          (col("c_custkey").isNotNull || col("op") === "I"))
+        .select(
+          coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+          when(col("op").isin("U", "I"), col("n_name"))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("op").isin("U", "I"), col("n_nationkey"))
+            .otherwise(col("c_nationkey")).as("c_nationkey"),
+          when(col("op").isin("U", "I"), col("n_acctbal"))
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // rank vs dense_rank vs row_number on a tie-heavy key (price rounded
     // to thousands): ranks gap after ties, dense ranks don't.
     "window_rank_dense" -> ((s, d) => {
@@ -440,6 +485,30 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "cdc_merge_apply" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS n_name,
+        |    CAST(NULL AS INTEGER) AS n_nationkey,
+        |    CAST(NULL AS DOUBLE) AS n_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'U', c_name, c_nationkey, c_acctbal + 100.0
+        |  FROM customer WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', 'new-' || c_name, c_nationkey, 0.0
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT COALESCE(b.c_custkey, c.k) AS c_custkey,
+        |  CASE WHEN c.op IN ('U','I') THEN c.n_name ELSE b.c_name END
+        |    AS c_name,
+        |  CASE WHEN c.op IN ('U','I') THEN c.n_nationkey ELSE b.c_nationkey
+        |    END AS c_nationkey,
+        |  CASE WHEN c.op IN ('U','I') THEN c.n_acctbal ELSE b.c_acctbal END
+        |    AS c_acctbal
+        |FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+        |WHERE COALESCE(c.op, '') <> 'D'
+        |  AND (b.c_custkey IS NOT NULL OR c.op = 'I')
+        |ORDER BY c_custkey""".stripMargin,
+
     // Recursive CTE = the same left fold the mapPartitions scan runs
     // (0.2·x + 0.8·prev per step, identical op order → IEEE-identical).
     "window_ewma" ->

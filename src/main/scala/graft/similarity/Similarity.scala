@@ -158,12 +158,18 @@ object Similarity {
     * full corpus (the IVF counterpart of the LSH bucket path above).
     */
   def trainIvfCentroids(s: SparkSession, d: String, k: Int,
-      iters: Int = 2): Array[(Int, Array[Double])] = {
+      iters: Int = 2, sampleEvery: Long = 1L): Array[(Int, Array[Double])] = {
     graft.plans.NearestCentroid.register(s)
+    // sampleEvery > 1 trains on the deterministic id-stride sample —
+    // the 100 TB rule (quantizer quality needs a sample, not the
+    // corpus); the TRAINED LITERALS are what downstream assignment and
+    // the oracle replays consume, so sampling never affects replay
+    // fidelity, only training cost.
     val vecs = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+      .filter(col("vec_id") % sampleEvery === 0)
     var centroids: Array[(Int, Array[Double])] = vecs
-      .filter(col("vec_id") < k).orderBy("vec_id").collect()
+      .orderBy("vec_id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
     for (_ <- 0 until iters) {
@@ -296,18 +302,66 @@ object Similarity {
     * demonstration threshold sits at the corpus's own duplicate tail so
     * the drop rule actually exercises; on real embeddings the paper's
     * τ is ≈ 0.95+. */
-  def semDedup(s: SparkSession, d: String, nCentroids: Int = 16,
+  private val semCentroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[(Int, Array[Double])]]()
+  @volatile private var lastSemCentroids:
+    Option[Array[(Int, Array[Double])]] = None
+
+  def clearSemCache(): Unit = semCentroidCache.clear()
+
+  def semDedup(s: SparkSession, d: String, nCentroids: Int = 0,
       tau: Double = 0.3): DataFrame = {
     graft.plans.NearestCentroid.register(s)
-    val cs = ivfCentroids(s, d, nCentroids)
+    // Adaptive k: the within-cluster pair count is Σ(n_c choose 2) —
+    // QUADRATIC in cluster size — so k must grow with the corpus to
+    // keep clusters ~constant (~1250 vectors → ~N·625 comparisons
+    // total, linear in N). A fixed k=16 would mean 1.25e9 pairs at one
+    // million vectors; this is the paper's own deployment rule (k ∝ N).
+    // Deterministic: k is a pure function of the corpus row count.
+    //
+    // k ∝ N makes in-query training/assignment N·k·d — quadratic if
+    // both run per query (first measured sf0.1→sf1 exponent: 1.25).
+    // Two fixes:
+    //  - training runs on a ≤20k-row deterministic id-stride sample
+    //    (quantizer quality needs a sample, not the corpus);
+    //  - assignment stays ONE flat fused nearest_centroid call (a
+    //    √k-group two-level when-chain was tried and measured 4.3×
+    //    SLOWER at sf1 — the branchy expression falls out of
+    //    whole-stage codegen; the flat k·d loop stays compiled). At
+    //    production scale assignment doesn't run per query at all:
+    //    `cid` is computed once at INGEST and persisted as the storage
+    //    partition key (DESIGN_SCALE "Embeddings"), so the recurring
+    //    cost is the pair stage only — linear by cluster-size bound.
+    // Target cluster size 300: pairs = N·(c-1)/2 and each pair costs a
+    // d-dim dot — c is the dial trading dedup radius (bigger clusters
+    // see more candidate pairs) against pair flops. Measured at sf1:
+    // c=1250 → 125M pairs dominated the query; c=300 → 30M.
+    val n = Tables.t(s, d, "embeddings").count()
+    val k = if (nCentroids > 0) nCentroids
+      else math.max(16, (n / 300L).toInt)
+    val sampleEvery = math.max(1L, n / 20000L)
+    val sig = (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+      tableSignature(d) * 31 + k)
+    val cents = semCentroidCache.computeIfAbsent(sig,
+      _ => trainIvfCentroids(s, d, k, 2, sampleEvery))
+    lastSemCentroids = Some(cents)
+    val cidCol = assignCol(col("vd"), cents).cast("long")
+    // Norms precompute per VECTOR, not per pair — inside a cluster of c
+    // vectors each norm would otherwise be folded c-1 times; the pair
+    // stage then costs one dot + one divide. Identical IEEE values to
+    // the sqrt(dot)-per-pair spelling (same fold, computed once), so
+    // the oracle's per-pair sqrt replays bit-identically.
     val e = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
-      .withColumn("cid", assignCol(col("vd"), cs).cast("long"))
+      .withColumn("cid", cidCol)
+      .withColumn("nrm", call_function("vec_l2norm", col("vd")))
     val rhs = e.select(col("cid"), col("vec_id").as("vid0"),
-      col("vd").as("vd0"))
+      col("vd").as("vd0"), col("nrm").as("nrm0"))
+    val denom = col("nrm") * col("nrm0")
+    val cos = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(col("vd"), col("vd0")) / denom)
     val dropped = e.join(rhs, Seq("cid"))
-      .filter(col("vid0") < col("vec_id") &&
-        round(cosine(col("vd"), col("vd0")), 6) >= tau)
+      .filter(col("vid0") < col("vec_id") && round(cos, 6) >= tau)
       .select("vec_id").distinct()
       .withColumn("is_dropped", lit(true))
     e.join(dropped, Seq("vec_id"), "left")
@@ -952,14 +1006,14 @@ object Similarity {
     case Some(cs) => Map("sim_ivf_topk" -> ivfOracleSqlFor(cs))
   }
 
-  /** SemDeDup replay from the same recorded quantizer: assignment is
-    * the identical argmin-with-lowest-cid window, pairs are the
-    * within-cluster equi-join with the lowest-id drop rule, cosine is
-    * the dot/(nrm·nrm) spelling the engine's fold computes, and the
-    * τ-threshold compares the ROUNDED similarity on both sides.
-    * Zero-norm vectors yield NULL cosine → NULL comparison → the pair
-    * drops out, matching Spark's null-guarded [[VectorOps.cosine]]. */
-  private def semDedupOracleEntry: Map[String, String] = lastCentroids match {
+  /** SemDeDup replay from the recorded quantizer literals: assignment
+    * via the argmin-with-lowest-cid window, pairs as the within-cluster
+    * equi-join with the lowest-id drop rule, cosine in the
+    * dot/(nrm·nrm) spelling the engine's fold computes, τ compared on
+    * the ROUNDED similarity. Zero-norm vectors yield NULL cosine →
+    * NULL comparison → the pair drops out, matching Spark's
+    * null-guarded [[VectorOps.cosine]]. */
+  private def semDedupOracleEntry: Map[String, String] = lastSemCentroids match {
     case None => Map.empty
     case Some(cs) => Map("sim_semdedup" -> semDedupOracleSqlFor(cs))
   }

@@ -197,15 +197,28 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
       private val in = new FsInput(new Path(slice.file), conf)
       private val datumReader = new GenericDatumReader[GenericRecord]()
       private val reader = DataFileReader.openReader(in, datumReader)
-      // Reader-schema pruning: keep only required fields of the writer
-      // schema; Avro resolution then skips the rest byte-wise.
+      // Reader-schema pruning AND evolution: the reader schema carries
+      // exactly the REQUIRED fields — present ones keep this file's
+      // writer field schema (resolution skips the rest byte-wise);
+      // fields this file predates become nullable-with-null-default so
+      // Avro resolution fills them with null (the evolution contract
+      // the writer encodes by defaulting every nullable field).
       private val writerSchema = reader.getSchema
       private val readerSchema = {
-        val keep = required.fieldNames.toSet
-        val fields = writerSchema.getFields.asScala.toSeq
-          .filter(f => keep(f.name()))
-          .map(f => new Schema.Field(f.name(), f.schema(), f.doc(),
-            f.defaultVal()))
+        val fields = required.fields.toSeq.map { f =>
+          writerSchema.getField(f.name) match {
+            case null =>
+              require(f.nullable, s"graft-avro: non-nullable column " +
+                s"${f.name} is absent from ${slice.file}'s schema — " +
+                "only nullable columns can be added by evolution")
+              new Schema.Field(f.name,
+                AvroConv.toAvro(f.dataType, f.name, nullable = true,
+                  writerSchema.getNamespace),
+                null, Schema.Field.NULL_DEFAULT_VALUE)
+            case wf => new Schema.Field(wf.name(), wf.schema(), wf.doc(),
+              wf.defaultVal())
+          }
+        }
         Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
           writerSchema.getNamespace, false, fields.asJava)
       }

@@ -180,6 +180,27 @@ class AvroSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("union")))
   }
 
+  test("schema evolution: files missing a nullable column resolve to null") {
+    // Day-1 files wrote (id, v); day-2 adds a nullable note column. The
+    // table schema (inferred from the newest-by-sort file or supplied
+    // explicitly) must read BOTH generations: Avro schema resolution
+    // fills the missing field from its null default — the evolution
+    // contract the writer encodes by defaulting every nullable field.
+    val dir = tmp()
+    val day1 = spark.range(3).toDF("id").withColumn("v", col("id") * 2)
+    val day2 = spark.range(3, 5).toDF("id").withColumn("v", col("id") * 2)
+      .withColumn("note", concat(lit("n"), col("id")))
+    day1.write.format(fmt).mode("overwrite").save(s"$dir/d1")
+    day2.write.format(fmt).mode("overwrite").save(s"$dir/d2")
+    val evolved = spark.read.format(fmt)
+      .schema("id long, v long, note string") // note nullable: evolution
+      .load(s"$dir/d1", s"$dir/d2")
+      .orderBy("id").collect()
+    assert(evolved.length === 5)
+    assert(evolved.take(3).forall(_.isNullAt(2)), "old files → null note")
+    assert(evolved(3).getString(2) === "n3")
+  }
+
   test("ingest pattern: avro in, parquet out, byte-identical analytics") {
     // The 100 TB landing-zone flow the source exists for: CDC/Kafka dumps
     // land as avro; the engine reads them splittable, converts to
