@@ -47,6 +47,26 @@ object CoreOps {
           max(U.tsUs(col("o_orderdate"))).as("max_date_us"))
         .orderBy("o_orderpriority")),
 
+    // Manifest-pruned scan (scan_manifest_prune): a date-range query
+    // over the ManifestTable snapshot of orders — file skipping comes
+    // from MANIFEST stats (one json read), before Spark ever lists or
+    // plans the data directory; the residual row filter still applies.
+    // Oracled against the plain orders table with the same predicate:
+    // a value mismatch means the manifest pruned a file it shouldn't
+    // have. ManifestSpec additionally asserts files ARE skipped.
+    "scan_manifest_prune" -> ((s, d) => {
+      val table = graft.sources.PartitionedData.ordersManifestTable(s, d)
+      val (df, _, _) = graft.sources.ManifestTable.readRange(
+        s, table, "o_orderdate",
+        "1996-01-01 00:00:00", "1996-12-31 23:59:59")
+      df.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          U.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // project_select (make_directory.py:48 `df[["uuid"]]`)
     "project_select" -> ((s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey")),
@@ -186,6 +206,13 @@ object CoreOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  max(epoch_us(o_orderdate)) AS max_date_us
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_manifest_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "scan_parquet_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A miniature manifest-tracked table format — the lakehouse core idea
+  * (Iceberg/Delta's data+metadata split) built from scratch:
+  *
+  *  - data = plain parquet files;
+  *  - metadata = versioned MANIFEST files (`_manifests/vNNNNN.json`),
+  *    each a complete snapshot listing every live data file with its
+  *    row count and per-column min/max stats;
+  *  - commits are atomic: a manifest is written to a temp name and
+  *    RENAMEd into place; readers only ever see complete snapshots
+  *    (no `_SUCCESS`-scanning, no partial-directory reads);
+  *  - appends write new data files + a NEW manifest version that
+  *    includes the previous snapshot's files — old versions stay
+  *    readable (time travel) until a retention pass drops them.
+  *
+  * Why this matters at 100 TB — two scan costs disappear:
+  *  1. **File listing**: a directory with 10^6 objects costs thousands
+  *     of paged LIST calls per query on an object store; the manifest
+  *     is ONE file read.
+  *  2. **Stats-based file skipping**: a range predicate on any stats
+  *     column prunes whole FILES before Spark plans the scan — the
+  *     coarse level above parquet row-group stats, and the one that
+  *     works without directory partitioning. Combined with writing
+  *     data sorted/z-ordered on the stats columns (tight per-file
+  *     ranges), selective queries read a handful of files out of
+  *     millions.
+  *
+  * Scope note: single-writer commit protocol (version numbers are
+  * monotonic; concurrent writers would need a CAS on the version
+  * name, which object stores provide via if-none-match). Readers are
+  * lock-free and always consistent.
+  */
+object ManifestTable {
+  private case class FileEntry(path: String, rows: Long,
+      mins: Map[String, String], maxs: Map[String, String])
+
+  private def fs(path: String) =
+    new Path(path).getFileSystem(new Configuration())
+
+  private def manifestDir(table: String) = new Path(table, "_manifests")
+
+  private def versionOf(p: Path): Int =
+    p.getName.stripPrefix("v").stripSuffix(".json").toInt
+
+  /** All committed versions, ascending. */
+  def versions(table: String): Seq[Int] = {
+    val dir = manifestDir(table)
+    val f = fs(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".json"))
+      .map(versionOf).sorted.toSeq
+  }
+
+  /** Write `df` as a new snapshot. `mode` Overwrite starts a fresh file
+    * set; Append carries the previous snapshot's files forward. Stats
+    * are collected for `statsCols` (numeric/string/date — compared as
+    * the column's own type at prune time). Returns the new version. */
+  def write(df: DataFrame, table: String, statsCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Int = {
+    val spark = df.sparkSession
+    val vOld = versions(table)
+    val prev: Seq[FileEntry] =
+      if (mode == SaveMode.Append && vOld.nonEmpty)
+        readManifest(table, vOld.last)
+      else Seq.empty
+    val newVersion = vOld.lastOption.getOrElse(0) + 1
+    val dataDir = s"$table/data-v$newVersion"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    // Per-file stats in ONE distributed pass: group by input_file_name.
+    // (A production writer collects these from the parquet footers it
+    // just wrote — same numbers, zero extra read; this re-scan keeps
+    // the demo simple and the stats provably consistent with content.)
+    val withFile = spark.read.parquet(dataDir)
+      .withColumn("__file", input_file_name())
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val entries = withFile.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        FileEntry(r.getAs[String]("__file"),
+          r.getAs[Long]("__rows"),
+          statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
+          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap)
+      }.sortBy(_.path).toSeq
+    writeManifest(table, newVersion, prev ++ entries, statsCols)
+    newVersion
+  }
+
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeManifest(table: String, version: Int,
+      entries: Seq[FileEntry], statsCols: Seq[String]): Unit = {
+    val f = fs(table)
+    f.mkdirs(manifestDir(table))
+    val json = entries.map { e =>
+      val stats = statsCols.map { c =>
+        s"${esc(c)}: {\"min\": ${esc(e.mins(c))}, \"max\": ${esc(e.maxs(c))}}"
+      }.mkString("{", ", ", "}")
+      s"""{"path": ${esc(e.path)}, "rows": ${e.rows}, "stats": $stats}"""
+    }.mkString("{\"files\": [\n", ",\n", "\n]}")
+    val tmp = new Path(manifestDir(table), f"v$version%05d.json.tmp")
+    val dst = new Path(manifestDir(table), f"v$version%05d.json")
+    val out = f.create(tmp, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest commit failed: $dst exists")
+  }
+
+  private def readManifest(table: String, version: Int): Seq[FileEntry] = {
+    val p = new Path(manifestDir(table), f"v$version%05d.json")
+    val f = fs(table)
+    val in = f.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, "UTF-8"))
+    val files = node.get("files")
+    (0 until files.size()).map { i =>
+      val e = files.get(i)
+      val stats = e.get("stats")
+      val cols = stats.fieldNames()
+      var mins = Map.empty[String, String]
+      var maxs = Map.empty[String, String]
+      while (cols.hasNext) {
+        val c = cols.next()
+        mins += c -> stats.get(c).get("min").asText()
+        maxs += c -> stats.get(c).get("max").asText()
+      }
+      FileEntry(e.get("path").asText(), e.get("rows").asLong(), mins, maxs)
+    }
+  }
+
+  /** Read a snapshot (latest by default). The returned frame scans
+    * exactly the manifest's file list — no directory listing. */
+  def read(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(versions(table).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $table")))
+    val entries = readManifest(table, v)
+    spark.read.parquet(entries.map(_.path): _*)
+  }
+
+  /** Range-pruned read: keep only files whose [min, max] interval for
+    * `statsCol` intersects [lo, hi] (string-compared exactly as the
+    * stats were cast — callers use the same canonical formatting, e.g.
+    * zero-padded numerics or ISO dates). The residual filter still
+    * applies in Spark: stats skip FILES, the scan's own pushdown skips
+    * row groups, the filter keeps rows. Returns (frame, filesKept,
+    * filesTotal) so callers — and tests — can assert the skipping. */
+  def readRange(spark: SparkSession, table: String, statsCol: String,
+      lo: String, hi: String, version: Option[Int] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.getOrElse(versions(table).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $table")))
+    val entries = readManifest(table, v)
+    val kept = entries.filter(e =>
+      e.maxs(statsCol) >= lo && e.mins(statsCol) <= hi)
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(entries.map(_.path): _*).limit(0)
+      else spark.read.parquet(kept.map(_.path): _*)
+    (df, kept.size, entries.size)
+  }
+
+  /** Snapshot row count straight from manifest metadata — a count(*)
+    * that reads ONE small json, zero data files (the lakehouse
+    * "metadata-only query" fast path). */
+  def countFromMetadata(table: String, version: Option[Int] = None): Long = {
+    val v = version.getOrElse(versions(table).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $table")))
+    readManifest(table, v).map(_.rows).sum
+  }
+}

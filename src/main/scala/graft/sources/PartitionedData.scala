@@ -110,6 +110,43 @@ object PartitionedData {
     })
   }
 
+  /** Manifest-tracked snapshot of `orders` ([[ManifestTable]]) —
+    * range-partitioned and sorted on `o_orderdate` so per-file min/max
+    * stats are TIGHT and date-range queries skip whole files from the
+    * manifest alone. Memoized like the other derived layouts; at
+    * production scale this is the table's permanent format. */
+  def ordersManifestTable(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
+    val key = (s"manifest:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"orders_manifest_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name)
+      if (ManifestTable.versions(out.toString).isEmpty) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        ManifestTable.write(
+          Tables.t(spark, d, "orders")
+            .repartitionByRange(8, col("o_orderdate"))
+            .sortWithinPartitions("o_orderdate"),
+          out.toString, statsCols = Seq("o_orderdate"))
+      }
+      out.toString
+    })
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** [[graft.sources.ManifestTable]] — the miniature lakehouse format:
+  * snapshot round-trips, stats-based FILE skipping (asserted by count,
+  * not hoped for), append snapshots + time travel, metadata-only
+  * counts, and atomic manifest commits.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("manifest").toString
+
+  private def ordersRanged = Tables.t(spark, sfDir, "orders")
+    .repartitionByRange(8, col("o_orderdate"))
+    .sortWithinPartitions("o_orderdate")
+
+  test("snapshot round-trip: read returns exactly what write committed") {
+    val t = tmp()
+    val v = ManifestTable.write(ordersRanged, t, Seq("o_orderdate"))
+    assert(v === 1)
+    val back = ManifestTable.read(spark, t)
+    val src = Tables.t(spark, sfDir, "orders")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+  }
+
+  test("range read skips files from manifest stats alone") {
+    val t = tmp()
+    ManifestTable.write(ordersRanged, t, Seq("o_orderdate"))
+    val (df, kept, total) = ManifestTable.readRange(
+      spark, t, "o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59")
+    assert(total === 8)
+    assert(kept < total, s"expected file skipping, kept $kept of $total")
+    // pruned + residual filter ≡ full-scan filter (no lost rows)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val pruned = df.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val full = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(full).count() === 0)
+    // and the pruned frame really reads fewer files
+    assert(pruned.inputFiles.length < full.inputFiles.length ||
+      full.inputFiles.length <= kept)
+  }
+
+  test("append creates a new snapshot; time travel reads the old one") {
+    val t = tmp()
+    val base = Tables.t(spark, sfDir, "orders").limit(100)
+    ManifestTable.write(base, t, Seq("o_orderkey"))
+    val more = Tables.t(spark, sfDir, "orders").limit(150)
+    val v2 = ManifestTable.write(more, t, Seq("o_orderkey"), SaveMode.Append)
+    assert(v2 === 2)
+    assert(ManifestTable.versions(t) === Seq(1, 2))
+    assert(ManifestTable.read(spark, t, Some(1)).count() === 100)
+    assert(ManifestTable.read(spark, t).count() === 250)
+    // metadata-only count: no data files touched
+    assert(ManifestTable.countFromMetadata(t, Some(1)) === 100)
+    assert(ManifestTable.countFromMetadata(t) === 250)
+  }
+
+  test("manifest commits are atomic: no tmp files, complete snapshots") {
+    val t = tmp()
+    ManifestTable.write(Tables.t(spark, sfDir, "nation"), t, Seq("n_nationkey"))
+    val mdir = new java.io.File(s"$t/_manifests")
+    // Hadoop's local FS adds .crc sidecars — hidden files don't count
+    val names = mdir.list().toSeq.filterNot(_.startsWith("."))
+    assert(names === Seq("v00001.json"))
+    assert(!names.exists(_.endsWith(".tmp")))
+  }
+}
