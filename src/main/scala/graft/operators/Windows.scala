@@ -314,6 +314,36 @@ object Windows {
             .as("conv_rate"))
     }),
 
+    // Event-sequence pattern detection (MATCH_RECOGNIZE-lite): each
+    // user's event-time-ordered history becomes a compact symbol string
+    // (one char per event type — initials are unique here) and funnel
+    // patterns run as REGEXES over it: 'v[es]*c' = view→click with only
+    // errors/signups between, 'v[ces]*p' = any path from view to
+    // purchase. Build is sort_array(collect_list(struct(t, id, sym)))
+    // per user — bounded by per-user history (the sessionize bound);
+    // the regex scan is per-row codegen'd string work. Both engines
+    // count non-overlapping left-to-right matches and the patterns use
+    // only literals + char classes, so Java regex and RE2 agree.
+    "seq_pattern_detect" -> ((s, d) => {
+      val sym = expr("CASE event_type WHEN 'click' THEN 'c' " +
+        "WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p' " +
+        "WHEN 'signup' THEN 's' ELSE 'v' END")
+      t(s, d, "events")
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), sym.as("sym"))
+        .groupBy("user_id")
+        .agg(concat_ws("", transform(
+          sort_array(collect_list(struct(col("tsu"), col("event_id"),
+            col("sym")))),
+          x => x.getField("sym"))).as("seq"))
+        .select(col("user_id"), length(col("seq")).cast("long").as("n_events"),
+          size(regexp_extract_all(col("seq"), lit("v[es]*c"), lit(0)))
+            .cast("long").as("n_view_click"),
+          size(regexp_extract_all(col("seq"), lit("v[ces]*p"), lit(0)))
+            .cast("long").as("n_view_purchase"))
+        .orderBy("user_id")
+    }),
+
     // Cohort retention — users grouped by first-activity day, counted
     // again at each later day offset. Day = floor of the microsecond
     // timestamp over 86400e6 — an exact DOUBLE quotient on both engines
@@ -485,6 +515,23 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "seq_pattern_detect" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'v' END AS sym
+        |  FROM events),
+        |q AS (
+        |  SELECT user_id,
+        |    string_agg(sym, '' ORDER BY tsu, event_id) AS seq
+        |  FROM s GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[es]*c')) AS BIGINT)
+        |    AS n_view_click,
+        |  CAST(len(regexp_extract_all(seq, 'v[ces]*p')) AS BIGINT)
+        |    AS n_view_purchase
+        |FROM q ORDER BY user_id""".stripMargin,
     "cdc_merge_apply" ->
       """WITH changes AS (
         |  SELECT c_custkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS n_name,

@@ -176,6 +176,64 @@ object ManifestTable {
     (df, kept.size, entries.size)
   }
 
+  /** OPTIMIZE: rewrite the current snapshot's files below
+    * `smallBytes` into `targetFiles` compacted ones, committing the
+    * result as a NEW version (large files carry over untouched — no
+    * data rewrite for the already-healthy part of the table). The
+    * lakehouse maintenance op: streaming ingestion leaves small files,
+    * and a scan over 10^6 small objects pays per-file open/seek costs
+    * that dwarf the bytes; compaction restores big sequential reads
+    * WITHOUT breaking time travel (old versions still reference the
+    * old files until [[vacuum]]). */
+  def compact(spark: SparkSession, table: String, statsCols: Seq[String],
+      smallBytes: Long = 32L * 1024 * 1024, targetFiles: Int = 1): Int = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val entries = readManifest(table, vs.last)
+    val f = fs(table)
+    val (small, large) = entries.partition(e =>
+      f.getFileStatus(new Path(e.path)).getLen < smallBytes)
+    if (small.size <= 1) return vs.last // nothing to do
+    val newVersion = vs.last + 1
+    val dataDir = s"$table/data-v$newVersion"
+    spark.read.parquet(small.map(_.path): _*)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val withFile = spark.read.parquet(dataDir)
+      .withColumn("__file", input_file_name())
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val compacted = withFile.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        FileEntry(r.getAs[String]("__file"), r.getAs[Long]("__rows"),
+          statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
+          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap)
+      }.sortBy(_.path).toSeq
+    writeManifest(table, newVersion, large ++ compacted, statsCols)
+    newVersion
+  }
+
+  /** VACUUM: expire every version before `keepFrom` and delete data
+    * files no surviving snapshot references. Time travel to expired
+    * versions stops working — that is the retention trade. Returns the
+    * number of data files deleted. */
+  def vacuum(table: String, keepFrom: Int): Int = {
+    val vs = versions(table)
+    val (expired, kept) = vs.partition(_ < keepFrom)
+    require(kept.nonEmpty, s"vacuum would expire every snapshot of $table")
+    val referenced = kept.flatMap(v => readManifest(table, v).map(_.path)).toSet
+    val doomed = expired.flatMap(v => readManifest(table, v).map(_.path))
+      .distinct.filterNot(referenced)
+    val f = fs(table)
+    doomed.foreach(p => f.delete(new Path(p), false))
+    expired.foreach(v =>
+      f.delete(new Path(manifestDir(table), f"v$v%05d.json"), false))
+    doomed.size
+  }
+
   /** Snapshot row count straight from manifest metadata — a count(*)
     * that reads ONE small json, zero data files (the lakehouse
     * "metadata-only query" fast path). */

@@ -65,6 +65,28 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.countFromMetadata(t) === 250)
   }
 
+  test("compact merges small files into a new snapshot; vacuum expires") {
+    val t = tmp()
+    // 8 small files → compaction target 2
+    ManifestTable.write(ordersRanged, t, Seq("o_orderdate"))
+    val v2 = ManifestTable.compact(spark, t, Seq("o_orderdate"),
+      targetFiles = 2)
+    assert(v2 === 2)
+    // same rows, fewer files, v1 still readable (time travel intact)
+    val src = Tables.t(spark, sfDir, "orders")
+    val after = ManifestTable.read(spark, t)
+    assert(after.count() === src.count())
+    assert(after.exceptAll(src).count() === 0)
+    assert(after.inputFiles.length === 2)
+    assert(ManifestTable.read(spark, t, Some(1)).inputFiles.length === 8)
+    // vacuum v1: its files (unreferenced by v2) are deleted, v1 gone
+    val deleted = ManifestTable.vacuum(t, keepFrom = 2)
+    assert(deleted === 8)
+    assert(ManifestTable.versions(t) === Seq(2))
+    assert(ManifestTable.read(spark, t).count() === src.count())
+    intercept[Exception] { ManifestTable.read(spark, t, Some(1)).count() }
+  }
+
   test("manifest commits are atomic: no tmp files, complete snapshots") {
     val t = tmp()
     ManifestTable.write(Tables.t(spark, sfDir, "nation"), t, Seq("n_nationkey"))
