@@ -112,22 +112,25 @@ object AvroDataSource {
 
   /** Recursive *.avro listing through the Hadoop FS API (so hdfs:// and
     * object stores work identically to local paths), sorted for
-    * deterministic partition numbering. */
+    * deterministic partition numbering. Deliberately `listStatus`, NOT
+    * `listFiles(recursive)`: located statuses eagerly load permissions
+    * (a shell exec per file on the local FS) and CRASH when a
+    * concurrent producer renames its `.tmp` away mid-iteration — the
+    * exact race a live landing zone exercises every trigger. Plain
+    * statuses are lazy and the name filter drops in-flight temp files
+    * before anything touches them. */
   private[sources] def listAvroFiles(options: CaseInsensitiveStringMap,
       conf: Configuration): Seq[FileStatus] =
     paths(options).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) Seq.empty
-      else {
-        val out = scala.collection.mutable.ArrayBuffer[FileStatus]()
-        val it = fs.listFiles(path, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".avro")) out += f
+      def rec(dir: Path): Seq[FileStatus] =
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isDirectory) rec(st.getPath)
+          else if (st.getPath.getName.endsWith(".avro")) Seq(st)
+          else Seq.empty
         }
-        out.toSeq
-      }
+      if (!fs.exists(path)) Seq.empty else rec(path)
     }.sortBy(_.getPath.toString)
 }
 
@@ -138,7 +141,7 @@ class AvroTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(tableSchema, o)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -187,6 +190,97 @@ class AvroScan(required: StructType, options: CaseInsensitiveStringMap)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(required, options, checkpointLocation)
+}
+
+/** Streaming ingestion from an Avro landing zone —
+  * `spark.readStream.format("graft-avro").load(dir)`: each trigger
+  * discovers files not yet seen and serves them as the next
+  * micro-batch. The landing contract: files are IMMUTABLE once visible
+  * (writers write `.tmp` + rename — exactly what [[AvroDataWriter]]
+  * and every sane landing producer do).
+  *
+  * Exactly-once across restarts comes from a tiny versioned FILE LOG
+  * under the checkpoint directory: each `latestOffset` that finds new
+  * files commits one log entry (`files/N`, atomic rename) listing
+  * them; the offset is just the log version, and
+  * `planInputPartitions(start, end)` replays log entries
+  * (start, end] — so a restarted query re-plans exactly the files the
+  * committed offsets covered, never re-discovering by listing (which
+  * could shift as more files land). The log grows one small file per
+  * non-empty trigger; a retention pass can truncate entries older
+  * than the last committed offset.
+  *
+  * No admission control (maxFilesPerTrigger) — each batch takes every
+  * newly-landed file; Spark's own trigger pacing bounds batch
+  * frequency. */
+class AvroMicroBatchStream(required: StructType,
+    options: CaseInsensitiveStringMap, checkpointLocation: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val conf = new Configuration()
+  private val logDir = new Path(checkpointLocation, "graft-avro-files")
+  private val f = logDir.getFileSystem(conf)
+  f.mkdirs(logDir)
+
+  private def logVersions: Seq[Int] =
+    f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted.toSeq
+
+  private def readEntry(v: Int): Seq[String] = {
+    val in = f.open(new Path(logDir, v.toString))
+    try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+      .filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  case class AvroOffset(version: Int) extends Offset {
+    override def json(): String = s"""{"version": $version}"""
+  }
+
+  override def initialOffset(): Offset = AvroOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    AvroOffset(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("version").asInt())
+
+  override def latestOffset(): Offset = {
+    val versions = logVersions
+    val seen = versions.flatMap(readEntry).toSet
+    val now = AvroDataSource.listAvroFiles(options, conf)
+      .map(_.getPath.toString).filterNot(seen)
+    if (now.isEmpty) AvroOffset(versions.lastOption.getOrElse(0))
+    else {
+      val v = versions.lastOption.getOrElse(0) + 1
+      val tmp = new Path(logDir, s"$v.tmp")
+      val out = f.create(tmp, true)
+      out.write(now.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+      if (!f.rename(tmp, new Path(logDir, v.toString)))
+        throw new java.io.IOException(s"avro stream log commit failed: $v")
+      AvroOffset(v)
+    }
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AvroOffset].version
+    val e = end.asInstanceOf[AvroOffset].version
+    ((s + 1) to e).flatMap(readEntry).map { p =>
+      val len = f.getFileStatus(new Path(p)).getLen
+      AvroSlicePartition(p, 0, len): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {

@@ -201,6 +201,42 @@ class AvroSpec extends SparkSpec {
     assert(evolved(3).getString(2) === "n3")
   }
 
+  test("streaming ingestion: newly landed files arrive exactly once, " +
+    "restart does not reprocess") {
+    val land = tmp(); val ckpt = tmp(); val out = tmp()
+    spark.range(5).toDF("v").write.format(fmt).mode("overwrite").save(land)
+    // parquet sink: recoverable from the checkpoint (memory sink is not)
+    // — this IS the landing-zone flow: avro stream in, columnar out
+    def start() =
+      spark.readStream.format(fmt).schema("v long").load(land)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    def landed: Seq[Long] =
+      spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(landed === (0L until 5L))
+      // a second producer job lands more files; the next trigger takes
+      // exactly those
+      spark.range(100, 103).toDF("v").write.format(fmt).mode("append")
+        .save(land)
+      q.processAllAvailable()
+      assert(landed.size === 8)
+    } finally q.stop()
+    // restart from the checkpoint: previously committed files are NOT
+    // reprocessed — the sink total stays 8 until a new file lands
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(landed.size === 8, "restart reprocessed committed files")
+      spark.range(200, 202).toDF("v").write.format(fmt).mode("append")
+        .save(land)
+      q2.processAllAvailable()
+      assert(landed === ((0L until 5L) ++ Seq(100L, 101L, 102L, 200L, 201L)))
+    } finally q2.stop()
+  }
+
   test("ingest pattern: avro in, parquet out, byte-identical analytics") {
     // The 100 TB landing-zone flow the source exists for: CDC/Kafka dumps
     // land as avro; the engine reads them splittable, converts to
