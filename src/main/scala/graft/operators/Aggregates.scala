@@ -141,6 +141,30 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // k-anonymity enforcement (privacy_k_anonymity) — the governance
+    // gate a dataset passes before leaving the boundary: any
+    // quasi-identifier combination shared by fewer than k individuals
+    // is re-identifiable, so below-k groups get their finer attribute
+    // SUPPRESSED (masked to '*') and re-grouped — the suppressed rows
+    // fold into coarser, safer groups. Two aggregations; the first is
+    // group-cardinality-sized and broadcasts back onto itself, the fact
+    // table is never shuffled twice. k=5 over (nation, segment).
+    "privacy_k_anonymity" -> ((s, d) => {
+      val groups = t(s, d, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      groups
+        .withColumn("seg_out",
+          when(col("n") >= 5, col("c_mktsegment")).otherwise(lit("*")))
+        .groupBy("c_nationkey", "seg_out")
+        .agg(U.lng(sum(col("n"))).as("n"))
+        // after suppression the merged '*' group may itself reach k —
+        // that is the point; a false here means another generalization
+        // level (e.g. nation → region) is needed before release
+        .withColumn("meets_k", col("n") >= 5)
+        .orderBy("c_nationkey", "seg_out")
+    }),
+
     // Salted two-phase aggregation — the skew pattern (SURVEY §2 intro,
     // §7.4.7): when one group key dominates, a straight groupBy sends the
     // hot key to one reducer. Phase 1 groups by (key, salt) spreading the
@@ -557,6 +581,18 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "privacy_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |s AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN n >= 5 THEN c_mktsegment ELSE '*' END AS seg_out, n
+        |  FROM g)
+        |SELECT c_nationkey, seg_out, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(n) AS BIGINT) >= 5 AS meets_k
+        |FROM s GROUP BY c_nationkey, seg_out
+        |ORDER BY c_nationkey, seg_out""".stripMargin,
     "agg_salted_skew" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -87,6 +87,42 @@ class ManifestSpec extends SparkSpec {
     intercept[Exception] { ManifestTable.read(spark, t, Some(1)).count() }
   }
 
+  test("end-to-end ingest: avro landing → stream → parquet → " +
+    "manifest snapshot → pruned query matches the source") {
+    val land = tmp(); val ckpt = tmp(); val stage = tmp(); val table = tmp()
+    val orders = Tables.t(spark, sfDir, "orders")
+    // producer lands avro in two batches; the stream stages to parquet
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.format("graft-avro").mode("overwrite").save(land)
+    val q = spark.readStream.format("graft-avro").schema(orders.schema)
+      .load(land)
+      .writeStream.format("parquet").option("path", stage)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .write.format("graft-avro").mode("append").save(land)
+      q.processAllAvailable()
+    } finally q.stop()
+    // snapshot the staged parquet as a manifest table, date-clustered
+    ManifestTable.write(
+      spark.read.parquet(stage)
+        .repartitionByRange(4, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate"),
+      table, Seq("o_orderdate"))
+    val (df, kept, total) = ManifestTable.readRange(spark, table,
+      "o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59")
+    assert(kept < total, "expected manifest file skipping")
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val viaPipeline = df
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val direct = orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    assert(viaPipeline.count() === direct.count())
+    assert(viaPipeline.exceptAll(direct).count() === 0)
+  }
+
   test("manifest commits are atomic: no tmp files, complete snapshots") {
     val t = tmp()
     ManifestTable.write(Tables.t(spark, sfDir, "nation"), t, Seq("n_nationkey"))
