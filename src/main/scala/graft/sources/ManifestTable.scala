@@ -90,7 +90,9 @@ object ManifestTable {
           statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
           statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap)
       }.sortBy(_.path).toSeq
-    writeManifest(table, newVersion, prev ++ entries, statsCols)
+    val types = statsCols.map(c =>
+      c -> df.schema(c).dataType.simpleString).toMap
+    writeManifest(table, newVersion, prev ++ entries, statsCols, types)
     newVersion
   }
 
@@ -103,15 +105,19 @@ object ManifestTable {
   } + "\""
 
   private def writeManifest(table: String, version: Int,
-      entries: Seq[FileEntry], statsCols: Seq[String]): Unit = {
+      entries: Seq[FileEntry], statsCols: Seq[String],
+      types: Map[String, String]): Unit = {
     val f = fs(table)
     f.mkdirs(manifestDir(table))
+    val typesJson = types.toSeq.sortBy(_._1)
+      .map { case (c, t) => s"${esc(c)}: ${esc(t)}" }
+      .mkString("{", ", ", "}")
     val json = entries.map { e =>
       val stats = statsCols.map { c =>
         s"${esc(c)}: {\"min\": ${esc(e.mins(c))}, \"max\": ${esc(e.maxs(c))}}"
       }.mkString("{", ", ", "}")
       s"""{"path": ${esc(e.path)}, "rows": ${e.rows}, "stats": $stats}"""
-    }.mkString("{\"files\": [\n", ",\n", "\n]}")
+    }.mkString(s"{\"types\": $typesJson, \"files\": [\n", ",\n", "\n]}")
     val tmp = new Path(manifestDir(table), f"v$version%05d.json.tmp")
     val dst = new Path(manifestDir(table), f"v$version%05d.json")
     val out = f.create(tmp, true)
@@ -121,13 +127,28 @@ object ManifestTable {
       throw new java.io.IOException(s"manifest commit failed: $dst exists")
   }
 
-  private def readManifest(table: String, version: Int): Seq[FileEntry] = {
+  private def readManifest(table: String, version: Int): Seq[FileEntry] =
+    readManifestFull(table, version)._1
+
+  private def readTypes(table: String, version: Int): Map[String, String] =
+    readManifestFull(table, version)._2
+
+  private def readManifestFull(table: String,
+      version: Int): (Seq[FileEntry], Map[String, String]) = {
     val p = new Path(manifestDir(table), f"v$version%05d.json")
     val f = fs(table)
     val in = f.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(new String(bytes, "UTF-8"))
+    val typesNode = node.get("types")
+    var types = Map.empty[String, String]
+    if (typesNode != null) {
+      val it = typesNode.fieldNames()
+      while (it.hasNext) {
+        val c = it.next(); types += c -> typesNode.get(c).asText()
+      }
+    }
     val files = node.get("files")
     (0 until files.size()).map { i =>
       val e = files.get(i)
@@ -141,7 +162,7 @@ object ManifestTable {
         maxs += c -> stats.get(c).get("max").asText()
       }
       FileEntry(e.get("path").asText(), e.get("rows").asLong(), mins, maxs)
-    }
+    } -> types
   }
 
   /** Read a snapshot (latest by default). The returned frame scans
@@ -166,9 +187,20 @@ object ManifestTable {
       : (DataFrame, Int, Int) = {
     val v = version.getOrElse(versions(table).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $table")))
-    val entries = readManifest(table, v)
+    val (entries, types) = readManifestFull(table, v)
+    // typed interval intersection: numeric stats compare as numbers
+    // (lexicographic would mis-prune unpadded values like "999" vs
+    // "1000"); timestamps/dates/strings compare as their canonical
+    // string forms (ISO order == chronological)
+    val numeric = Set("tinyint", "smallint", "int", "bigint",
+      "float", "double").contains(types.getOrElse(statsCol, "string")) ||
+      types.getOrElse(statsCol, "").startsWith("decimal")
+    def geq(a: String, b: String) =
+      if (numeric) BigDecimal(a) >= BigDecimal(b) else a >= b
+    def leq(a: String, b: String) =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
     val kept = entries.filter(e =>
-      e.maxs(statsCol) >= lo && e.mins(statsCol) <= hi)
+      geq(e.maxs(statsCol), lo) && leq(e.mins(statsCol), hi))
     val df =
       if (kept.isEmpty)
         spark.read.parquet(entries.map(_.path): _*).limit(0)
@@ -212,7 +244,8 @@ object ManifestTable {
           statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
           statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap)
       }.sortBy(_.path).toSeq
-    writeManifest(table, newVersion, large ++ compacted, statsCols)
+    writeManifest(table, newVersion, large ++ compacted, statsCols,
+      readTypes(table, vs.last))
     newVersion
   }
 

@@ -123,6 +123,49 @@ class ManifestSpec extends SparkSpec {
     assert(viaPipeline.exceptAll(direct).count() === 0)
   }
 
+  test("z-ordered manifest: stats prune files on EITHER clustering column") {
+    // The manifest+zorder composition: files sorted by the Morton code
+    // keep per-file min/max tight on BOTH dimensions, so one layout
+    // serves range predicates on either column — what neither single-
+    // column sort nor directory partitioning gives.
+    val t = tmp()
+    // z-order inputs must share a bit-range: custkey spans 0..149 at
+    // this SF, so the date rebases to 16-day buckets 0..~150 (raw epoch
+    // days ~9500+ would dominate the high Morton bits and the curve
+    // would degenerate to a date sort)
+    val day0 = lit(9131L) // epoch day of 1995-01-01, the corpus floor
+    val zkey = call_function("zorder64", col("o_custkey"),
+      (((unix_micros(col("o_orderdate")) / lit(86400000000L)).cast("long")
+        - day0) / lit(16L)).cast("long"))
+    val zordered = Tables.t(spark, sfDir, "orders")
+      .repartitionByRange(32, zkey).sortWithinPartitions(zkey)
+    ManifestTable.write(zordered, t, Seq("o_custkey", "o_orderdate"))
+    // numeric stats compare numerically (types are in the manifest) —
+    // a custkey range prunes files from the SAME layout...
+    val (dfC, keptC, totC) = ManifestTable.readRange(spark, t, "o_custkey",
+      "40", "60")
+    assert(totC === 32)
+    assert(keptC < totC, s"custkey prune kept $keptC of $totC")
+    val viaC = dfC.filter(col("o_custkey").between(40, 60))
+    val directC = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_custkey").between(40, 60))
+    assert(viaC.count() === directC.count())
+    assert(viaC.exceptAll(directC).count() === 0)
+    // ...and a date range prunes too
+    val (dfD, keptD, totD) = ManifestTable.readRange(spark, t,
+      "o_orderdate", "1996-01-01 00:00:00", "1996-06-30 23:59:59")
+    assert(totD === 32)
+    assert(keptD < totD, s"date prune kept $keptD of $totD")
+    // correctness after the date prune
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-07-01").cast("timestamp")
+    val viaZ = dfD.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val direct = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    assert(viaZ.count() === direct.count())
+    assert(viaZ.exceptAll(direct).count() === 0)
+  }
+
   test("manifest commits are atomic: no tmp files, complete snapshots") {
     val t = tmp()
     ManifestTable.write(Tables.t(spark, sfDir, "nation"), t, Seq("n_nationkey"))
