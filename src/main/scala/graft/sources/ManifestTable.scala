@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   */
 object ManifestTable {
   private case class FileEntry(path: String, rows: Long,
-      mins: Map[String, String], maxs: Map[String, String])
+      mins: Map[String, String], maxs: Map[String, String],
+      blooms: Map[String, String] = Map.empty) // col → base64 BloomFilter
 
   private def fs(path: String) =
     new Path(path).getFileSystem(new Configuration())
@@ -62,7 +63,8 @@ object ManifestTable {
     * are collected for `statsCols` (numeric/string/date — compared as
     * the column's own type at prune time). Returns the new version. */
   def write(df: DataFrame, table: String, statsCols: Seq[String],
-      mode: SaveMode = SaveMode.Overwrite): Int = {
+      mode: SaveMode = SaveMode.Overwrite,
+      bloomCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val vOld = versions(table)
     val prev: Seq[FileEntry] =
@@ -88,12 +90,53 @@ object ManifestTable {
         FileEntry(r.getAs[String]("__file"),
           r.getAs[Long]("__rows"),
           statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
-          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap)
+          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap,
+          bloomCols.map(c =>
+            c -> fileBloom(spark, r.getAs[String]("__file"), c)).toMap)
       }.sortBy(_.path).toSeq
     val types = statsCols.map(c =>
       c -> df.schema(c).dataType.simpleString).toMap
     writeManifest(table, newVersion, prev ++ entries, statsCols, types)
     newVersion
+  }
+
+  /** Per-file bloom of a point-lookup column, base64'd into the
+    * manifest. Point predicates on unsorted high-cardinality keys get
+    * FILE skipping that min/max ranges cannot give (every file's range
+    * covers the key space; almost no file actually contains the key).
+    * One small job per file here — a production writer accumulates the
+    * bloom while writing the file (zero extra read); 1% fpp at the
+    * file's row count ≈ 1.2 KB per 1k rows of manifest weight. */
+  private def fileBloom(spark: SparkSession, file: String,
+      c: String): String = {
+    val df = spark.read.parquet(file)
+    val bloom = df.stat.bloomFilter(c, math.max(df.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  /** Point-lookup read: keep only files whose bloom for `bloomCol`
+    * might contain `value` (false positives re-filter in Spark; false
+    * negatives are impossible). Returns (frame, filesKept, total). */
+  def readPoint(spark: SparkSession, table: String, bloomCol: String,
+      value: Long, version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(versions(table).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $table")))
+    val entries = readManifest(table, v)
+    require(entries.forall(_.blooms.contains(bloomCol)),
+      s"no bloom index on $bloomCol — write(bloomCols = ...) first")
+    val kept = entries.filter { e =>
+      val bytes = java.util.Base64.getDecoder.decode(e.blooms(bloomCol))
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(value)
+    }
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(entries.map(_.path): _*).limit(0)
+      else spark.read.parquet(kept.map(_.path): _*)
+    (df, kept.size, entries.size)
   }
 
   private def esc(s: String): String = "\"" + s.flatMap {
@@ -116,7 +159,10 @@ object ManifestTable {
       val stats = statsCols.map { c =>
         s"${esc(c)}: {\"min\": ${esc(e.mins(c))}, \"max\": ${esc(e.maxs(c))}}"
       }.mkString("{", ", ", "}")
-      s"""{"path": ${esc(e.path)}, "rows": ${e.rows}, "stats": $stats}"""
+      val blooms = e.blooms.toSeq.sortBy(_._1)
+        .map { case (c, b) => s"${esc(c)}: ${esc(b)}" }
+        .mkString("{", ", ", "}")
+      s"""{"path": ${esc(e.path)}, "rows": ${e.rows}, "stats": $stats, "blooms": $blooms}"""
     }.mkString(s"{\"types\": $typesJson, \"files\": [\n", ",\n", "\n]}")
     val tmp = new Path(manifestDir(table), f"v$version%05d.json.tmp")
     val dst = new Path(manifestDir(table), f"v$version%05d.json")
@@ -161,7 +207,16 @@ object ManifestTable {
         mins += c -> stats.get(c).get("min").asText()
         maxs += c -> stats.get(c).get("max").asText()
       }
-      FileEntry(e.get("path").asText(), e.get("rows").asLong(), mins, maxs)
+      var blooms = Map.empty[String, String]
+      val bn = e.get("blooms")
+      if (bn != null) {
+        val bit = bn.fieldNames()
+        while (bit.hasNext) {
+          val c = bit.next(); blooms += c -> bn.get(c).asText()
+        }
+      }
+      FileEntry(e.get("path").asText(), e.get("rows").asLong(), mins, maxs,
+        blooms)
     } -> types
   }
 

@@ -166,6 +166,40 @@ class ManifestSpec extends SparkSpec {
     assert(viaZ.exceptAll(direct).count() === 0)
   }
 
+  test("bloom index: point lookups skip files range stats cannot") {
+    val t = tmp()
+    // hash-scatter orders across files: every file's o_orderkey RANGE
+    // covers the key space, so min/max stats prune nothing — the exact
+    // case the bloom index exists for
+    val scattered = Tables.t(spark, sfDir, "orders")
+      .repartition(8, col("o_orderkey"))
+    ManifestTable.write(scattered, t, Seq("o_orderkey"),
+      bloomCols = Seq("o_orderkey"))
+    // range stats really are useless on this layout: probe a key from
+    // the middle of the domain — every file's [min, max] spans it
+    val probe = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey").orderBy("o_orderkey").limit(750)
+      .collect().last.getLong(0)
+    val (_, keptR, totR) = ManifestTable.readRange(spark, t, "o_orderkey",
+      probe.toString, probe.toString)
+    assert(totR === 8 && keptR >= 6, "scattered layout should defeat ranges")
+    // the bloom keeps almost nothing (1% fpp per file)
+    val (df, keptB, totB) = ManifestTable.readPoint(spark, t, "o_orderkey",
+      probe)
+    assert(totB === 8)
+    assert(keptB <= 2, s"bloom kept $keptB of $totB")
+    val viaBloom = df.filter(col("o_orderkey") === probe)
+    val direct = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") === probe)
+    assert(viaBloom.count() === direct.count())
+    assert(viaBloom.exceptAll(direct).count() === 0)
+    // a key that does not exist prunes everything (no false negatives
+    // needed — blooms only ever over-keep)
+    val (_, keptNone, _) = ManifestTable.readPoint(spark, t, "o_orderkey",
+      -987654321L)
+    assert(keptNone <= 1)
+  }
+
   test("manifest commits are atomic: no tmp files, complete snapshots") {
     val t = tmp()
     ManifestTable.write(Tables.t(spark, sfDir, "nation"), t, Seq("n_nationkey"))
