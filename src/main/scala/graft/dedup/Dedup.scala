@@ -691,6 +691,32 @@ object Dedup {
       contamination(docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), k = 3)
         .orderBy("doc_id")
+    }),
+
+    // Containment RATIO per training doc — the decontamination
+    // DECISION metric on top of dedup_contamination's raw counts:
+    // |shared ∩ doc| / |doc| is asymmetric (a tweet fully quoted in a
+    // benchmark answer scores 1.0 even though Jaccard is tiny), which
+    // is why eval-leak screening uses containment, not Jaccard. Same
+    // broadcast-benchmark one-scan shape; every train doc gets a row
+    // (zero-overlap docs score 0 — the decision needs them too).
+    "dedup_containment_score" -> ((s, d) => {
+      graft.plans.WordKGrams.register(s)
+      val docs = t(s, d, "documents")
+      val trainGrams = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          explode(wordKShingles(col("text"), 3)).as("gram"))
+      val benchGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(wordKShingles(col("text"), 3)).as("gram")).distinct()
+      val tot = trainGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val shared = trainGrams.join(broadcast(benchGrams), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      tot.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("containment",
+          U.round6(col("n_shared").cast("double") / col("n_grams")))
+        .orderBy("doc_id")
     })
   )
 
@@ -930,6 +956,28 @@ object Dedup {
         |SELECT g.doc_id, count(*) AS n_contaminated
         |FROM g JOIN bench USING (gram)
         |WHERE g.doc_id % 97 <> 0
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "dedup_containment_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(w) - 2, 1)),
+        |    i -> CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+        |         ELSE array_to_string(w, ' ') END))) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+        |        WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+        |shared AS (
+        |  SELECT g.doc_id, count(*) AS n_shared
+        |  FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+        |SELECT tot.doc_id, tot.n_grams,
+        |  COALESCE(shared.n_shared, 0) AS n_shared,
+        |  round(CAST(COALESCE(shared.n_shared, 0) AS DOUBLE) / tot.n_grams
+        |    * 1000000) / 1000000 AS containment
+        |FROM tot LEFT JOIN shared ON shared.doc_id = tot.doc_id
+        |ORDER BY tot.doc_id""".stripMargin
   )
 }

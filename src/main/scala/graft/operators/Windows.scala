@@ -344,6 +344,28 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Gaps-and-islands streak detection: longest run of CONSECUTIVE
+    // active days per user — engagement analytics' standard shape. The
+    // classic trick makes it one window + two aggregations: within a
+    // user's ordered distinct days, day - row_number() is CONSTANT
+    // exactly along a consecutive run, so it is the island key; no
+    // self-join, no iteration. Day arithmetic is the cohort_retention
+    // exact-double-quotient spelling.
+    "window_streak_detect" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val days = t(s, d, "events")
+        .select(col("user_id"),
+          floor(U.tsUs(col("ts")) / dayUs).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(U.lng(sum(col("len"))).as("n_active_days"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    }),
+
     // Cohort retention — users grouped by first-activity day, counted
     // again at each later day offset. Day = floor of the microsecond
     // timestamp over 86400e6 — an exact DOUBLE quotient on both engines
@@ -515,6 +537,22 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "window_streak_detect" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  max(len) AS longest_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "seq_pattern_detect" ->
       """WITH s AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, event_id,

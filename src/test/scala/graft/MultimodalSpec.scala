@@ -70,6 +70,40 @@ class MultimodalSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("REAL codec: BMP payloads decode through the same ImageIO dispatch") {
+    // A second lossless container through the identical lifecycle —
+    // proves the decoder dispatches on the payload's actual format
+    // (ImageIO sniffs the magic bytes), not on a hardcoded PNG path.
+    // JPEG is deliberately not used for value assertions: DCT is lossy.
+    def bmpBytes(k: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, ((k * 17 + y * w + x) % 256).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+      bos.toByteArray
+    }
+    val dims = Seq((0L, 6, 3), (1L, 2, 9))
+    val assets = dims.map { case (k, w, h) =>
+      MediaAsset(k, bmpBytes(k, w, h), "image/bmp", w, h)
+    }
+    val media = spark.createDataset(assets).repartition(2).toDF()
+    val feats = Multimodal
+      .extractFeaturesWith(spark, media)(() => new Multimodal.ImageIoDecoder)
+      .orderBy("doc_id")
+      .as[graft.multimodal.MediaFeatures].collect()
+    assert(feats.length === 2)
+    feats.zip(dims.sortBy(_._1)).foreach { case (f, (k, w, h)) =>
+      val px = (0 until w * h).map(i => (k * 17 + i) % 256)
+      assert(f.byte_len === w.toLong * h, s"pixel count of doc $k")
+      assert(math.abs(f.mean_byte - px.sum.toDouble / px.size) < 1e-12,
+        s"mean sample of doc $k")
+      assert(f.head_features === px.take(8).map(_ / 255.0f),
+        s"head samples of doc $k")
+    }
+  }
+
   test("REAL codec: WAV payloads decode through the mapPartitions batch lifecycle") {
     // Deterministic PCM WAVs encoded with javax.sound.sampled (encode
     // here, decode on the executor side via JavaSoundDecoder). Sample i
