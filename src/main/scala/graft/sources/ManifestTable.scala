@@ -139,7 +139,10 @@ object ManifestTable {
     (df, kept.size, entries.size)
   }
 
-  private def esc(s: String): String = "\"" + s.flatMap {
+  /** JSON string literal; a null value (e.g. min/max of an all-null
+    * stats column in some file) becomes JSON null — readers treat it
+    * as "stats unknown, keep the file". */
+  private def esc(s: String): String = if (s == null) "null" else "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -204,8 +207,10 @@ object ManifestTable {
       var maxs = Map.empty[String, String]
       while (cols.hasNext) {
         val c = cols.next()
-        mins += c -> stats.get(c).get("min").asText()
-        maxs += c -> stats.get(c).get("max").asText()
+        val mn = stats.get(c).get("min")
+        val mx = stats.get(c).get("max")
+        mins += c -> (if (mn.isNull) null else mn.asText())
+        maxs += c -> (if (mx.isNull) null else mx.asText())
       }
       var blooms = Map.empty[String, String]
       val bn = e.get("blooms")
@@ -254,8 +259,11 @@ object ManifestTable {
       if (numeric) BigDecimal(a) >= BigDecimal(b) else a >= b
     def leq(a: String, b: String) =
       if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
-    val kept = entries.filter(e =>
-      geq(e.maxs(statsCol), lo) && leq(e.mins(statsCol), hi))
+    val kept = entries.filter { e =>
+      val (mn, mx) = (e.mins(statsCol), e.maxs(statsCol))
+      // null stats (all-null column in that file) = unknown → keep
+      mn == null || mx == null || (geq(mx, lo) && leq(mn, hi))
+    }
     val df =
       if (kept.isEmpty)
         spark.read.parquet(entries.map(_.path): _*).limit(0)

@@ -200,6 +200,24 @@ class ManifestSpec extends SparkSpec {
     assert(keptNone <= 1)
   }
 
+  test("all-null stats column: file kept unconditionally, no crash") {
+    val t = tmp()
+    val df = spark.range(10).toDF("id")
+      .withColumn("maybe", when(col("id") < 0, col("id"))) // all null
+    ManifestTable.write(df, t, Seq("id", "maybe"))
+    // null stats = unknown → the range read keeps the file (never wrong,
+    // just unpruned) and values survive
+    val (got, kept, total) = ManifestTable.readRange(spark, t, "maybe",
+      "0", "5")
+    assert(kept === total)
+    assert(got.count() === 10)
+    // a real column on the same table still prunes normally (range(10)
+    // writes several files; ids 6+ files drop out of [0, 5])
+    val (gotId, keptId, _) = ManifestTable.readRange(spark, t, "id", "0", "5")
+    assert(keptId < total)
+    assert(gotId.filter(col("id") <= 5).count() === 6)
+  }
+
   test("manifest commits are atomic: no tmp files, complete snapshots") {
     val t = tmp()
     ManifestTable.write(Tables.t(spark, sfDir, "nation"), t, Seq("n_nationkey"))
