@@ -277,6 +277,43 @@ object Aggregates {
         .orderBy("c_custkey")
     }),
 
+    // Per-group min-max scaling to [0, 1] — zscore's bounded sibling
+    // (what embedding/feature pipelines feed to models expecting a
+    // fixed range). Same shape: dim-sized bounds table broadcast back,
+    // the fact never shuffles. Degenerate groups (min == max) map to
+    // null — a 0/0 would silently poison training.
+    "feat_minmax_scale" -> ((s, d) => {
+      val bounds = t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .select(col("c_nationkey").as("k"), col("lo"), col("hi"))
+      t(s, d, "customer")
+        .join(broadcast(bounds), col("c_nationkey") === col("k"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("hi") > col("lo"),
+            U.round6((col("c_acctbal") - col("lo")) / (col("hi") - col("lo"))))
+            .as("scaled"))
+        .orderBy("c_custkey")
+    }),
+
+    // Shannon entropy of each user's event-type distribution — the
+    // data-profiling staple (behavioral diversity; near-zero entropy
+    // flags bots/monitors). Two bounded aggregations: (user, type)
+    // counts collapse map-side, the per-user entropy sums ≤5 terms.
+    // -Σ p·log2(p) has one transcendental per term → per-term round6
+    // before the exact decimal sum, the LM-scorer discipline.
+    "agg_entropy" -> ((s, d) => {
+      val tc = t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val tot = tc.groupBy("user_id").agg(sum(col("c")).as("n"))
+      tc.join(tot, "user_id")
+        .select(col("user_id"), U.round6(
+          -(col("c") / col("n")) * log2(col("c") / col("n"))).as("term"))
+        .groupBy("user_id")
+        .agg(U.dbl(sum(U.dec6(col("term")))).as("entropy"))
+        .orderBy("user_id")
+    }),
+
     // Winsorized clipping — outlier taming before numeric features
     // enter training: exact per-group p05/p95 (the 3-row bounds table
     // broadcasts), values clamp into [lo, hi]. Bounds round to 4
@@ -581,6 +618,30 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "feat_minmax_scale" ->
+      """WITH b AS (
+        |  SELECT c_nationkey AS k, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c_nationkey,
+        |  CASE WHEN hi > lo THEN
+        |    round((c_acctbal - lo) / (hi - lo) * 1000000) / 1000000
+        |  END AS scaled
+        |FROM customer JOIN b ON c_nationkey = k
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_entropy" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |tot AS (SELECT user_id, SUM(c) AS n FROM tc GROUP BY user_id),
+        |terms AS (
+        |  SELECT tc.user_id,
+        |    round(-(CAST(tc.c AS DOUBLE) / tot.n)
+        |      * log2(CAST(tc.c AS DOUBLE) / tot.n) * 1000000) / 1000000
+        |      AS term
+        |  FROM tc JOIN tot USING (user_id))
+        |SELECT user_id,
+        |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
     "privacy_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -344,6 +344,31 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Time-weighted average — the telemetry metric plain AVG gets
+    // wrong: each reading holds until the next one, so its weight is
+    // the interval it covered (a sensor emitting 1 Hz while idle and
+    // 100 Hz under load would otherwise drown the idle state). One
+    // per-user window (lead), exact decimal sums of value·duration,
+    // last reading carries no successor and drops out. Durations in
+    // seconds keep the decimal magnitudes inside DECIMAL(18,6).
+    "window_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dt_s", (col("next_us") - col("us")) / lit(1e6))
+        .groupBy("user_id")
+        .agg(U.dbl(sum(U.dec6(col("value") * col("dt_s")))).as("wsum"),
+          U.dbl(sum(U.dec6(col("dt_s")))).as("tsum"))
+        .select(col("user_id"),
+          U.round6(col("wsum") / col("tsum")).as("twa"))
+        .orderBy("user_id")
+    }),
+
     // Gaps-and-islands streak detection: longest run of CONSECUTIVE
     // active days per user — engagement analytics' standard shape. The
     // classic trick makes it one window + two aggregations: within a
@@ -537,6 +562,22 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "window_time_weighted_avg" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |iv AS (
+        |  SELECT user_id, value,
+        |    (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us) / 1000000.0 AS dt_s
+        |  FROM s),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value * dt_s AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+        |    CAST(SUM(CAST(dt_s AS DECIMAL(18,6))) AS DOUBLE) AS tsum
+        |  FROM iv WHERE dt_s IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, round(wsum / tsum * 1000000) / 1000000 AS twa
+        |FROM agg ORDER BY user_id""".stripMargin,
     "window_streak_detect" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
