@@ -190,6 +190,38 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // As-of with TOLERANCE — the production variant of join_asof: a
+    // stale prior match (older than 30 minutes here) is worse than no
+    // match, so the carried value nulls out past the gap. Same
+    // single-exchange union+window plan; the window additionally
+    // carries the matched side's own event time so the gap check is a
+    // map-side conditional, not a second join.
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolUs = 30L * 60 * 1000000
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .withColumn("view_value", lit(null).cast("double"))
+        .withColumn("side", lit(1))
+      val r = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("side", lit(0))
+        .select("event_id", "user_id", "tsu", "view_value", "side")
+      val w = Window.partitionBy("user_id").orderBy("tsu", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.unionByName(r)
+        .withColumn("m_val", last("view_value", ignoreNulls = true).over(w))
+        .withColumn("m_tsu", last(
+          when(col("side") === 0, col("tsu")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(col("tsu") - col("m_tsu") <= tolUs, col("m_val"))
+            .as("matched"))
+        .orderBy("event_id")
+    }),
+
     // Forward as-of join — the mirror temporal direction (each click
     // matched to the NEXT view at-or-after it; the "time-to-next-event"
     // feature shape). Same single-exchange union+window plan as
@@ -451,6 +483,15 @@ object Joins {
         |  FROM range(60) t) b
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN l.tsu - r.tsu <= 1800000000 THEN r.vv END AS matched
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+        |ORDER BY l.event_id""".stripMargin,
     "join_asof" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
         |           FROM events WHERE event_type = 'click'),

@@ -344,6 +344,26 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Gini coefficient per group — the inequality/concentration metric
+    // (how skewed is revenue across orders within a priority class):
+    // G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    // values. One per-group rank window + one aggregation; the i·x
+    // products stay inside DECIMAL(18,4) (x ≤ 6e5, i ≤ group size).
+    "agg_gini" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          U.dbl(sum(U.dec4(col("o_totalprice")))).as("sx"),
+          U.dbl(sum(U.dec4(col("o_totalprice") * col("i")))).as("six"))
+        .select(col("o_orderpriority"), col("n"),
+          U.round6((lit(2.0) * col("six") - (col("n") + 1) * col("sx"))
+            / (col("n") * col("sx"))).as("gini"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Time-weighted average — the telemetry metric plain AVG gets
     // wrong: each reading holds until the next one, so its weight is
     // the interval it covered (a sensor emitting 1 Hz while idle and
@@ -562,6 +582,22 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS i
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(o_totalprice * i AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS six
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round((2.0 * six - (n + 1) * sx) / (n * sx) * 1000000) / 1000000
+        |    AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     "window_time_weighted_avg" ->
       """WITH s AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, value
