@@ -248,6 +248,43 @@ object Multimodal {
         .orderBy("doc_id", "i")
     }),
 
+    // Perceptual fingerprint (average-hash) over the payload bytes —
+    // the image near-dup primitive (aHash/pHash family): sample 64
+    // bytes at stride len/64 (the "8×8 downsample" of a byte stream),
+    // bit i = sample_i > mean, pack to one signed 64-bit fingerprint;
+    // hamming distance between adjacent doc fingerprints mirrors the
+    // simhash_pairs screen. Pure byte math inside the scan (map-only,
+    // one window for the pair distance) — and fully replayable: mean =
+    // Σ/64 is an exact power-of-two division, bit packing via bitwise
+    // OR (never an overflowing sum), the oracle re-signs through the
+    // HUGEINT bridge. ASCII payloads make char position = byte
+    // position; a production corpus hashes the decoded pixel bytes the
+    // same way behind the decoder boundary.
+    "multimodal_ahash" -> ((s, d) => {
+      val n = 64
+      val txt = col("payload").cast("string")
+      val samples: Seq[org.apache.spark.sql.Column] = (0 until n).map(i =>
+        ascii(substring(txt,
+          expr(s"CAST(($i * length(CAST(payload AS STRING))) div $n AS INT) + 1"),
+          lit(1))).cast("long"))
+      val meanX = samples.reduce(_ + _).cast("double") / lit(n.toDouble)
+      val hash = samples.zipWithIndex.map { case (sc, i) =>
+        when(sc.cast("double") > meanX, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      mediaTable(s, d)
+        .select(col("doc_id"), hash.as("ahash"))
+        // adjacent-id pair screen: tiny output, bounded window input
+        // (the per-doc hash column, not the payload)
+        .withColumn("prev", lag(col("ahash"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            (col("doc_id") / 100).cast("long")).orderBy("doc_id")))
+        .select(col("doc_id"), col("ahash"),
+          when(col("prev").isNotNull,
+            bit_count(col("ahash").bitwiseXOR(col("prev"))).cast("long"))
+            .as("hamming_prev"))
+        .orderBy("doc_id")
+    }),
+
     // Resize planning: fit-within-224×224 target dims (downscale only,
     // aspect preserved) + output byte estimate. The DIMENSION math is the
     // real, decoder-independent part — it drives batch sizing and memory
@@ -271,7 +308,38 @@ object Multimodal {
     })
   )
 
+  /** Bit-value HUGEINT literals for the aHash pack replay (generated
+    * once at object init — data-independent). */
+  private val ahashBits = (0 until 64).map(i =>
+    s"(CASE WHEN cs[${i + 1}] > mean THEN CAST('${BigInt(1) << i}' AS HUGEINT)" +
+      s" ELSE CAST('0' AS HUGEINT) END)").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // aHash replay: the same 64 strided samples (ord of the char at
+    // (i·len) div 64 — ASCII payload ⇒ char == byte), mean = Σ/64
+    // (exact power-of-two division), bit pack as a HUGEINT sum of
+    // 2^i literals re-signed through the Java-long bridge, lag window
+    // per 100-id block for the hamming screen.
+    "multimodal_ahash" ->
+      s"""WITH codes AS (
+         |  SELECT doc_id, list_transform(range(0, 64), i ->
+         |    CAST(ord(substr(text,
+         |      CAST((i * length(text)) // 64 AS INT) + 1, 1)) AS BIGINT))
+         |    AS cs
+         |  FROM documents),
+         |m2 AS (SELECT doc_id, cs, list_sum(cs) / 64.0 AS mean FROM codes),
+         |h AS (SELECT doc_id,
+         |    ${graft.plans.XxhSqlOracle.sign64(s"($ahashBits)")} AS ahash
+         |  FROM m2),
+         |p AS (SELECT doc_id, ahash,
+         |    lag(ahash) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id)
+         |      AS prev
+         |  FROM h)
+         |SELECT doc_id, ahash,
+         |  CASE WHEN prev IS NOT NULL
+         |       THEN CAST(bit_count(xor(ahash, prev)) AS BIGINT) END
+         |    AS hamming_prev
+         |FROM p ORDER BY doc_id""".stripMargin,
     // The stub decoder recomputed in SQL: UTF-8 payload bytes recovered
     // via hex() pair-parsing (byte-exact on any corpus, not just ASCII),
     // mean over all bytes, first-8-byte features as float32 b/255

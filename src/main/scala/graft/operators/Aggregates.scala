@@ -314,6 +314,35 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // Robust outlier flags via MAD (median absolute deviation) — the
+    // robust-statistics alternative to z-scores: mean/stddev are
+    // themselves dragged by the outliers they're meant to find, the
+    // median/MAD pair is not. Two exact-percentile fits (each a
+    // dim-sized broadcast back onto the fact, the winsorize shape):
+    // med = p50(x), MAD = p50(|x − med|), flag |x − med| > k·MAD.
+    // Thresholds round to 4 decimals first (the established
+    // percentile-precision discipline). k = 2 here because the
+    // synthetic price distribution is near-uniform (max |x−med|/MAD ≈
+    // 2.07 — a uniform law has no 3-sigma tail); production robust
+    // z-scores use k = 3·1.4826.
+    "window_outlier_mad" -> ((s, d) => {
+      val med = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"))
+        .withColumnRenamed("o_orderpriority", "p1")
+      val withMed = t(s, d, "orders")
+        .join(broadcast(med), col("o_orderpriority") === col("p1"))
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val mad = withMed.groupBy("o_orderpriority")
+        .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+        .withColumnRenamed("o_orderpriority", "p2")
+      withMed.join(broadcast(mad), col("o_orderpriority") === col("p2"))
+        .filter(col("adev") > lit(2.0) * col("mad"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), U.round6(col("adev") / col("mad")).as("score"))
+        .orderBy("o_orderkey")
+    }),
+
     // Winsorized clipping — outlier taming before numeric features
     // enter training: exact per-group p05/p95 (the 3-row bounds table
     // broadcasts), values clamp into [lo, hi]. Bounds round to 4
@@ -618,6 +647,23 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority AS p1,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS med
+        |  FROM orders GROUP BY o_orderpriority),
+        |wm AS (
+        |  SELECT o.*, med.med, abs(o_totalprice - med.med) AS adev
+        |  FROM orders o JOIN med ON o.o_orderpriority = med.p1),
+        |mad AS (
+        |  SELECT o_orderpriority AS p2,
+        |    round(quantile_cont(adev, 0.5), 4) AS mad
+        |  FROM wm GROUP BY o_orderpriority)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(adev / mad.mad * 1000000) / 1000000 AS score
+        |FROM wm JOIN mad ON wm.o_orderpriority = mad.p2
+        |WHERE adev > 2.0 * mad.mad
+        |ORDER BY o_orderkey""".stripMargin,
     "feat_minmax_scale" ->
       """WITH b AS (
         |  SELECT c_nationkey AS k, min(c_acctbal) AS lo, max(c_acctbal) AS hi
