@@ -800,6 +800,38 @@ object TextOps {
     // PMI arithmetic is all-double over exact long counts, identical on
     // any engine; output is bounded by the c_xy >= 5 support floor +
     // top-25, so the result is dims-sized at any corpus scale.
+    // Zipf-law fit — corpus health profiling: natural text follows
+    // freq ∝ rank^(-s) with s ≈ 1; a slope far off flags synthetic,
+    // templated or degenerate corpora before they poison training.
+    // ln-ln least squares over the ranked term table via the
+    // agg_regression_exact closed form (decimal-bridged co-moments);
+    // the only unpartitioned window ranks the AGGREGATED term counts
+    // (≤ top-500 rows — the bounded-summary convention), never raw
+    // rows. Transcendentals round at 1e-6 before the exact sums.
+    "text_zipf_fit" -> ((s, d) => {
+      val wc = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(500)
+      val ranked = wc.withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("w"))).cast("long"))
+        .withColumn("x", U.round6(log(col("r").cast("double"))))
+        .withColumn("y", U.round6(log(col("f").cast("double"))))
+      val n = col("n")
+      val vx = col("sxx") - col("sx") * col("sx") / n
+      val slope = (col("sxy") - col("sx") * col("sy") / n) / vx
+      ranked.agg(count(lit(1)).as("n"),
+          U.dbl(sum(U.dec6(col("x")))).as("sx"),
+          U.dbl(sum(U.dec6(col("y")))).as("sy"),
+          U.dbl(sum(U.dec6(col("x") * col("y")))).as("sxy"),
+          U.dbl(sum(U.dec6(col("x") * col("x")))).as("sxx"))
+        .select(n,
+          when(n > 1 && vx > 0, U.round6(slope)).as("zipf_slope"),
+          when(n > 1 && vx > 0,
+            U.round6((col("sy") - slope * col("sx")) / n)).as("intercept"))
+    }),
+
     "text_pmi_bigrams" -> ((s, d) => {
       graft.plans.WordKGrams.register(s)
       val words = split(lower(col("text")), " ")
@@ -1302,6 +1334,33 @@ object TextOps {
         |  SELECT CAST(SUM(c - 1) AS BIGINT) AS dup_docs
         |  FROM (SELECT count(*) AS c FROM documents GROUP BY text))
         |SELECT * FROM base, dups""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS f
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY w ORDER BY f DESC, w LIMIT 500),
+        |rk AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM wc),
+        |pts AS (
+        |  SELECT round(ln(CAST(r AS DOUBLE)) * 1000000) / 1000000 AS x,
+        |         round(ln(CAST(f AS DOUBLE)) * 1000000) / 1000000 AS y
+        |  FROM rk),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 1 AND sxx - sx * sx / n > 0 THEN
+        |    round((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1000000)
+        |      / 1000000 END AS zipf_slope,
+        |  CASE WHEN n > 1 AND sxx - sx * sx / n > 0 THEN
+        |    round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+        |      * 1000000) / 1000000 END AS intercept
+        |FROM a""".stripMargin,
     "text_pmi_bigrams" ->
       """WITH toks AS (
         |  SELECT string_split(lower(text), ' ') AS w FROM documents),
