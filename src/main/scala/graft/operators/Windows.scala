@@ -178,6 +178,31 @@ object Windows {
         .orderBy("user_id", "valid_from", "state")
     }),
 
+    // Point-in-time SCD2 lookup — the temporal-warehouse join every
+    // "what did the dimension say WHEN this fact happened" question
+    // needs: each purchase joins the user's SCD2 state interval
+    // containing its event time (composition evidence: the dimension
+    // IS the registered scd2_dimension query reused as a stage). The
+    // join is an EQUI-join on the key with the interval containment as
+    // a residual — per-user version chains are short, so the key join
+    // bounds the pair work; the open tail (valid_to null) matches via
+    // coalesce-to-infinity. Exactly-one-interval-per-fact is a
+    // structural invariant of SCD2 (intervals partition the timeline
+    // from the first change), so row count == fact count.
+    "join_scd2_pointintime" -> ((s, d) => {
+      val dim = queries("scd2_dimension")(s, d)
+        .withColumnRenamed("user_id", "d_uid")
+      val facts = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), U.tsUs(col("ts")).as("tsu"))
+      facts.join(dim,
+          col("user_id") === col("d_uid") &&
+          col("tsu") >= col("valid_from") &&
+          col("tsu") < coalesce(col("valid_to"), lit(Long.MaxValue)))
+        .select(col("event_id"), col("user_id"), col("state"))
+        .orderBy("event_id")
+    }),
+
     // CDC log → current snapshot (upsert compaction / SCD1): latest row
     // per key by (event time, unique id) — the standard merge-on-read
     // collapse before publishing a snapshot. Window partitions by the
@@ -548,6 +573,28 @@ object Windows {
         |  lead(tsu) OVER (
         |    PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
         |FROM chg ORDER BY user_id, valid_from, state""".stripMargin,
+    "join_scd2_pointintime" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS tsu,
+        |    event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> state),
+        |dim AS (
+        |  SELECT user_id AS d_uid, state, tsu AS valid_from,
+        |    lead(tsu) OVER (
+        |      PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
+        |  FROM chg),
+        |facts AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, dim.state
+        |FROM facts f JOIN dim
+        |  ON f.user_id = dim.d_uid
+        | AND f.tsu >= dim.valid_from
+        | AND f.tsu < COALESCE(dim.valid_to, 9223372036854775807)
+        |ORDER BY f.event_id""".stripMargin,
     "upsert_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT user_id, event_type, event_id, value,
