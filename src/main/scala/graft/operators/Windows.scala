@@ -414,6 +414,36 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Rolling-window anomaly detection: each reading scored against
+    // the TRAILING 20 readings' mean/std (frame excludes the current
+    // row — the value under test must not contaminate its own
+    // baseline). Per-key frames keep state bounded; decimal window
+    // sums make the moments partition-invariant; readings with under
+    // 10 baseline points don't score (cold start). |z| > 3 flags.
+    "window_anomaly_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val mean = col("sx") / col("n")
+      val variance = (col("sxx") - col("sx") * col("sx") / col("n")) /
+        (col("n") - 1)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          U.tsUs(col("ts")).as("tsu"), col("value"))
+        .withColumn("n", count(col("value")).over(w))
+        .withColumn("sx", U.dbl(sum(U.dec6(col("value"))).over(w)))
+        .withColumn("sxx",
+          U.dbl(sum(U.dec6(col("value") * col("value"))).over(w)))
+        .filter(col("n") >= 10)
+        .select(col("event_id"), col("user_id"),
+          when(variance > 0,
+            U.round6((col("value") - mean) / sqrt(variance))).as("z"))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > 3.0, lit(false)))
+        .orderBy("event_id")
+    }),
+
     // Gaps-and-islands streak detection: longest run of CONSECUTIVE
     // active days per user — engagement analytics' standard shape. The
     // classic trick makes it one window + two aggregations: within a
@@ -661,6 +691,29 @@ object Windows {
         |  FROM iv WHERE dt_s IS NOT NULL GROUP BY user_id)
         |SELECT user_id, round(wsum / tsum * 1000000) / 1000000 AS twa
         |FROM agg ORDER BY user_id""".stripMargin,
+    "window_anomaly_rolling" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_id, user_id, value,
+        |    count(value) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |      AS sxx
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN (sxx - sx * sx / n) / (n - 1) > 0 THEN
+        |      round((value - sx / n)
+        |        / sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
+        |    END AS z
+        |  FROM m WHERE n >= 10)
+        |SELECT event_id, user_id, z,
+        |  COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
     "window_streak_detect" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
