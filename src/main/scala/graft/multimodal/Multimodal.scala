@@ -253,26 +253,42 @@ object Multimodal {
     // bytes at stride len/64 (the "8×8 downsample" of a byte stream),
     // bit i = sample_i > mean, pack to one signed 64-bit fingerprint;
     // hamming distance between adjacent doc fingerprints mirrors the
-    // simhash_pairs screen. Pure byte math inside the scan (map-only,
-    // one window for the pair distance) — and fully replayable: mean =
-    // Σ/64 is an exact power-of-two division, bit packing via bitwise
-    // OR (never an overflowing sum), the oracle re-signs through the
-    // HUGEINT bridge. ASCII payloads make char position = byte
-    // position; a production corpus hashes the decoded pixel bytes the
-    // same way behind the decoder boundary.
+    // simhash_pairs screen. The hash runs through the module's
+    // mapPartitions decoder lifecycle — direct byte indexing, O(64)
+    // per asset (a first draft as 64 stacked substring() expressions
+    // re-walked the string per sample and benched 12.5 s at sf0.1;
+    // this runs in the noise). Replayable: mean = Σ/64 is an exact
+    // power-of-two division, bit packing via bitwise OR, the oracle
+    // re-signs through the HUGEINT bridge; ASCII payloads make char
+    // position = byte position. A production corpus hashes decoded
+    // pixel bytes the same way behind the decoder boundary.
     "multimodal_ahash" -> ((s, d) => {
-      val n = 64
-      val txt = col("payload").cast("string")
-      val samples: Seq[org.apache.spark.sql.Column] = (0 until n).map(i =>
-        ascii(substring(txt,
-          expr(s"CAST(($i * length(CAST(payload AS STRING))) div $n AS INT) + 1"),
-          lit(1))).cast("long"))
-      val meanX = samples.reduce(_ + _).cast("double") / lit(n.toDouble)
-      val hash = samples.zipWithIndex.map { case (sc, i) =>
-        when(sc.cast("double") > meanX, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      mediaTable(s, d)
-        .select(col("doc_id"), hash.as("ahash"))
+      val sess = s; import sess.implicits._
+      val hashed = mediaTable(s, d)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            val n = 64
+            val len = p.length
+            var sum = 0L
+            val codes = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              codes(i) = p(((i.toLong * len) / n).toInt) & 0xff
+              sum += codes(i); i += 1
+            }
+            val mean = sum.toDouble / n
+            var h = 0L
+            i = 0
+            while (i < n) {
+              if (codes(i) > mean) h |= (1L << i)
+              i += 1
+            }
+            (id, h)
+          }
+        }.toDF("doc_id", "ahash")
+      hashed
         // adjacent-id pair screen: tiny output, bounded window input
         // (the per-doc hash column, not the payload)
         .withColumn("prev", lag(col("ahash"), 1).over(
