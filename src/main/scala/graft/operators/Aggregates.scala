@@ -141,6 +141,20 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // Percent-of-total — the share report every revenue rollup ends in:
+    // group sums plus a 1-row exact total broadcast back (the
+    // bounded-scalar crossJoin convention); the fact aggregates once.
+    "agg_percent_of_total" -> ((s, d) => {
+      val g = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(U.dsum(col("o_totalprice")).as("rev"))
+      val tot = g.agg(U.dbl(sum(U.dec4(col("rev")))).as("tot"))
+      g.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("rev"),
+          U.round6(col("rev") / col("tot")).as("pct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // k-anonymity enforcement (privacy_k_anonymity) — the governance
     // gate a dataset passes before leaving the boundary: any
     // quasi-identifier combination shared by fewer than k individuals
@@ -647,6 +661,16 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_percent_of_total" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY o_orderpriority),
+        |t AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS tot
+        |      FROM g)
+        |SELECT o_orderpriority, rev,
+        |  round(rev / tot * 1000000) / 1000000 AS pct
+        |FROM g, t ORDER BY o_orderpriority""".stripMargin,
     "window_outlier_mad" ->
       """WITH med AS (
         |  SELECT o_orderpriority AS p1,

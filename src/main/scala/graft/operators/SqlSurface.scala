@@ -451,6 +451,18 @@ object SqlSurface {
     "sql_q19_disjunctive" -> ((s, d) => withViews(s, d)(Q19)),
     "sql_q22_inactive_high_bal" -> ((s, d) => withViews(s, d)(Q22)),
 
+    // SQL PIVOT clause surface — the long→wide rotation as the ANSI-ish
+    // syntax Spark parses natively (the DataFrame .pivot twin of
+    // pivot_event_type). DuckDB's PIVOT dialect differs, so the oracle
+    // states the equivalent explicit conditional aggregation — which is
+    // also exactly what Spark compiles the clause to.
+    "sql_pivot_clause" -> ((s, d) => withViews(s, d)(
+      """SELECT o_orderpriority,
+        |  coalesce(f, 0) AS f, coalesce(o, 0) AS o, coalesce(p, 0) AS p
+        |FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(*) FOR o_orderstatus IN ('F' f, 'O' o, 'P' p))
+        |ORDER BY o_orderpriority""".stripMargin)),
+
     // Native extension functions from SQL (poly_hash64 / simhash64 /
     // minhash_sig are injected by GraftExtensions — no registration call
     // needed in a GraftSession; the explicit registrations below only
@@ -472,6 +484,13 @@ object SqlSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_pivot_clause" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "sql_lateral_topn" -> LateralTopN,
     "sql_q1_pricing" -> Q1,
     "sql_q2_min_cost_supp" -> Q2,

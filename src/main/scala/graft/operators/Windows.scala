@@ -414,6 +414,26 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // Rolling distinct count — behavioral breadth over the trailing 20
+    // events (how many distinct event types lately — the engagement-
+    // diversity sibling of agg_entropy's global view). Spark windows
+    // can't COUNT(DISTINCT), so the frame collects and dedups the
+    // bounded 20-element list — fine exactly because the FRAME bounds
+    // it; never do this with an unbounded frame.
+    "window_rolling_distinct" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(-19, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          U.tsUs(col("ts")).as("tsu"), col("event_type"))
+        .withColumn("n_types_20",
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .cast("long"))
+        .select("event_id", "user_id", "n_types_20")
+        .orderBy("event_id")
+    }),
+
     // Rolling-window anomaly detection: each reading scored against
     // the TRAILING 20 readings' mean/std (frame excludes the current
     // row — the value under test must not contaminate its own
@@ -691,6 +711,13 @@ object Windows {
         |  FROM iv WHERE dt_s IS NOT NULL GROUP BY user_id)
         |SELECT user_id, round(wsum / tsum * 1000000) / 1000000 AS twa
         |FROM agg ORDER BY user_id""".stripMargin,
+    "window_rolling_distinct" ->
+      """SELECT event_id, user_id,
+        |  CAST(len(list_distinct(array_agg(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))) AS BIGINT)
+        |    AS n_types_20
+        |FROM events ORDER BY event_id""".stripMargin,
     "window_anomaly_rolling" ->
       """WITH s AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value

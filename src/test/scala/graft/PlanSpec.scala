@@ -308,7 +308,8 @@ class PlanSpec extends SparkSpec {
       "sim_hybrid_rrf", // inherits text_bm25_topk's 1-row stats broadcast
       "filter_perplexity_gate", // 1-row p90-threshold scalar broadcast
       "text_bm25_batch",   // 1-row (N, avgdl) corpus-stats broadcast
-      "vocab_bpe_apply")   // 1-row learned-rules array broadcast
+      "vocab_bpe_apply",   // 1-row learned-rules array broadcast
+      "agg_percent_of_total") // 1-row exact-total scalar broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
