@@ -414,6 +414,38 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // CUSUM drift detection — the classic sequential change detector:
+    // S_i = max(0, S_{i-1} + (x_i − k)) accumulates only sustained
+    // excess over the reference level k and resets to zero below it;
+    // S crossing the decision threshold flags drift far earlier than
+    // any fixed-window mean. Like EWMA the recurrence is inherently
+    // sequential per key → the same secondary-sort shape (one exchange,
+    // partition-local sort, O(1)-state scan); the oracle replays the
+    // identical fold as a recursive CTE. k = 50 and h = 200 are demo
+    // constants on the synthetic value scale (~uniform 0..100).
+    "window_cusum_drift" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      src.repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapPartitions { it =>
+          var cur = 0L; var have = false; var sGt = 0.0
+          it.map { case (u, _, eid, v) =>
+            if (!have || u != cur) { cur = u; have = true; sGt = 0.0 }
+            sGt = math.max(0.0, sGt + (v - 50.0))
+            (eid, u, sGt)
+          }
+        }
+        .toDF("event_id", "user_id", "cusum")
+        .select(col("event_id"), col("user_id"),
+          U.round6(col("cusum")).as("cusum"),
+          (col("cusum") > 200.0).as("drift"))
+        .orderBy("event_id")
+    }),
+
     // Rolling distinct count — behavioral breadth over the trailing 20
     // events (how many distinct event types lately — the engagement-
     // diversity sibling of agg_entropy's global view). Spark windows
@@ -711,6 +743,25 @@ object Windows {
         |  FROM iv WHERE dt_s IS NOT NULL GROUP BY user_id)
         |SELECT user_id, round(wsum / tsum * 1000000) / 1000000 AS twa
         |FROM agg ORDER BY user_id""".stripMargin,
+    // same left fold as the scan: greatest(0, prev + (v - 50)) per step
+    "window_cusum_drift" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    greatest(0.0, value - 50.0) AS cusum
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    greatest(0.0, r.cusum + (s.value - 50.0))
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT event_id, user_id,
+        |  round(cusum * 1000000) / 1000000 AS cusum,
+        |  cusum > 200.0 AS drift
+        |FROM r ORDER BY event_id""".stripMargin,
     "window_rolling_distinct" ->
       """SELECT event_id, user_id,
         |  CAST(len(list_distinct(array_agg(event_type) OVER (
