@@ -159,6 +159,22 @@ object TextOps {
     }),
 
     // Whitespace + BPE-ish regex token counts (oracle-checked).
+    // Type-token ratio — per-doc lexical diversity (distinct words /
+    // total words): low TTR marks repetitive/templated text, the
+    // per-document twin of the corpus-level Zipf fit. Map-only array
+    // math inside the scan; the ratio is small-integer division →
+    // round6 with the engine-stable spelling.
+    "text_ttr" -> ((s, d) => {
+      val words = split(lower(col("text")), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_tokens"),
+          size(array_distinct(words)).cast("long").as("n_types"))
+        .withColumn("ttr", U.round6(
+          col("n_types").cast("double") / col("n_tokens")))
+        .orderBy("doc_id")
+    }),
+
     "text_token_count" -> ((s, d) => {
       val text = col("text")
       val bpeish = regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
@@ -1471,6 +1487,15 @@ object TextOps {
         |  array_to_string(list(token_id ORDER BY pos), ' ') AS token_ids,
         |  CAST(len(list(token_id)) AS BIGINT) AS n_tokens
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+        |    AS n_types,
+        |  round(CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |      AS DOUBLE) / len(string_split(lower(text), ' '))
+        |    * 1000000) / 1000000 AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,

@@ -141,6 +141,21 @@ object Aggregates {
         .orderBy("user_id")
     }),
 
+    // One-hot encoding with an EXPLICIT category list — the feature-
+    // prep step models consume; the fixed list (not a discovery pass)
+    // is the production contract: schema stays stable when a category
+    // vanishes from a batch, and unseen categories encode as all-zeros
+    // rather than silently widening the schema. Map-only.
+    "feat_one_hot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      t(s, d, "customer").select(
+        col("c_custkey") +: segs.map(sg =>
+          when(col("c_mktsegment") === sg, 1L).otherwise(0L)
+            .as("seg_" + sg.toLowerCase)): _*)
+        .orderBy("c_custkey")
+    }),
+
     // Percent-of-total — the share report every revenue rollup ends in:
     // group sums plus a 1-row exact total broadcast back (the
     // bounded-scalar crossJoin convention); the fact aggregates once.
@@ -661,6 +676,19 @@ object Aggregates {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "feat_one_hot" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+        |    AS seg_automobile,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+        |    AS seg_building,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END
+        |    AS seg_furniture,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END
+        |    AS seg_household,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END
+        |    AS seg_machinery
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "agg_percent_of_total" ->
       """WITH g AS (
         |  SELECT o_orderpriority,
