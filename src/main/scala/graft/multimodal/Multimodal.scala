@@ -259,9 +259,10 @@ object Multimodal {
     // re-walked the string per sample and benched 12.5 s at sf0.1;
     // this runs in the noise). Replayable: mean = Σ/64 is an exact
     // power-of-two division, bit packing via bitwise OR, the oracle
-    // re-signs through the HUGEINT bridge; ASCII payloads make char
-    // position = byte position. A production corpus hashes decoded
-    // pixel bytes the same way behind the decoder boundary.
+    // re-signs through the HUGEINT bridge and samples payload BYTES
+    // via the hex()-pair bridge (byte-exact on any corpus, no ASCII
+    // assumption). A production corpus hashes decoded pixel bytes the
+    // same way behind the decoder boundary.
     "multimodal_ahash" -> ((s, d) => {
       val sess = s; import sess.implicits._
       val hashed = mediaTable(s, d)
@@ -331,18 +332,27 @@ object Multimodal {
       s" ELSE CAST('0' AS HUGEINT) END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
-    // aHash replay: the same 64 strided samples (ord of the char at
-    // (i·len) div 64 — ASCII payload ⇒ char == byte), mean = Σ/64
-    // (exact power-of-two division), bit pack as a HUGEINT sum of
-    // 2^i literals re-signed through the Java-long bridge, lag window
-    // per 100-id block for the hamming screen.
+    // aHash replay: the same 64 strided samples, taken over payload
+    // BYTES via the hex()-pair bridge (the same byte-exact replay the
+    // decode oracle uses) — sampling characters with ord(substr(...))
+    // would silently diverge on any multi-byte character, shifting both
+    // the stride positions and the sampled codes. mean = Σ/64 (exact
+    // power-of-two division), bit pack as a HUGEINT sum of 2^i
+    // literals re-signed through the Java-long bridge, lag window per
+    // 100-id block for the hamming screen.
     "multimodal_ahash" ->
-      s"""WITH codes AS (
-         |  SELECT doc_id, list_transform(range(0, 64), i ->
-         |    CAST(ord(substr(text,
-         |      CAST((i * length(text)) // 64 AS INT) + 1, 1)) AS BIGINT))
-         |    AS cs
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    CAST(strlen(text) AS BIGINT) AS len
          |  FROM documents),
+         |codes AS (
+         |  SELECT doc_id, list_transform(range(0, 64), i ->
+         |    CAST((strpos('0123456789ABCDEF', substr(hx,
+         |        CAST(((i * len) // 64) * 2 + 1 AS INT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', substr(hx,
+         |        CAST(((i * len) // 64) * 2 + 2 AS INT), 1)) - 1)
+         |      AS BIGINT)) AS cs
+         |  FROM b),
          |m2 AS (SELECT doc_id, cs, list_sum(cs) / 64.0 AS mean FROM codes),
          |h AS (SELECT doc_id,
          |    ${graft.plans.XxhSqlOracle.sign64(s"($ahashBits)")} AS ahash

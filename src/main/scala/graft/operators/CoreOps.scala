@@ -58,7 +58,7 @@ object CoreOps {
       val table = graft.sources.PartitionedData.ordersManifestTable(s, d)
       val (df, _, _) = graft.sources.ManifestTable.readRange(
         s, table, "o_orderdate",
-        "1996-01-01 00:00:00", "1996-12-31 23:59:59")
+        "1996-01-01 00:00:00", "1997-01-01 00:00:00", hiExclusive = true)
       df.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .groupBy("o_orderpriority")

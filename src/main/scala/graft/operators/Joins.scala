@@ -211,13 +211,18 @@ object Joins {
         .select("event_id", "user_id", "tsu", "view_value", "side")
       val w = Window.partitionBy("user_id").orderBy("tsu", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The carried (timestamp, value) pair MUST come from the same view
+      // row: carrying two independent ignoreNulls-last aggregates would
+      // let a null-valued latest view split them (stale value judged by
+      // the fresh view's timestamp — exactly the stale-match the
+      // tolerance contract forbids). One struct keeps them atomic.
       l.unionByName(r)
-        .withColumn("m_val", last("view_value", ignoreNulls = true).over(w))
-        .withColumn("m_tsu", last(
-          when(col("side") === 0, col("tsu")), ignoreNulls = true).over(w))
+        .withColumn("m", last(
+          when(col("side") === 0, struct(col("tsu").as("vtsu"),
+            col("view_value"))), ignoreNulls = true).over(w))
         .filter(col("side") === 1)
         .select(col("event_id"), col("user_id"),
-          when(col("tsu") - col("m_tsu") <= tolUs, col("m_val"))
+          when(col("tsu") - col("m.vtsu") <= tolUs, col("m.view_value"))
             .as("matched"))
         .orderBy("event_id")
     }),

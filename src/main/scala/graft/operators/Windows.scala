@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * never a full global sort).
   */
 object Windows {
+
+  /** seq_pattern_detect's per-user history bound: only the first this-
+    * many events (event-time order, event_id tiebreak) of each user
+    * enter the symbol string. Part of the query contract (the oracle
+    * applies the same cap); keeps the hottest key's aggregation buffer
+    * and output string bounded at any corpus scale. */
+  val SeqHistoryCap = 4096
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -344,18 +351,29 @@ object Windows {
     // (one char per event type — initials are unique here) and funnel
     // patterns run as REGEXES over it: 'v[es]*c' = view→click with only
     // errors/signups between, 'v[ces]*p' = any path from view to
-    // purchase. Build is sort_array(collect_list(struct(t, id, sym)))
-    // per user — bounded by per-user history (the sessionize bound);
-    // the regex scan is per-row codegen'd string work. Both engines
-    // count non-overlapping left-to-right matches and the patterns use
-    // only literals + char classes, so Java regex and RE2 agree.
+    // purchase. The per-user history is HARD-CAPPED at the first
+    // SeqHistoryCap events (row_number ≤ cap BEFORE the collect, so
+    // the aggregation buffer is bounded too, not just the output): a
+    // hot user with 10^8 events at 100 TB scale must not become one
+    // task's unbounded string. The cap is part of the query contract —
+    // n_events saturates at the cap and matches appear only within the
+    // capped prefix — and the oracle applies the same QUALIFY cap.
+    // The cap filter rides the same user_id exchange the aggregation
+    // needs (window and groupBy share HashPartitioning(user_id)): one
+    // shuffle total. The regex scan is per-row codegen'd string work.
+    // Both engines count non-overlapping left-to-right matches and the
+    // patterns use only literals + char classes, so Java regex and RE2
+    // agree.
     "seq_pattern_detect" -> ((s, d) => {
       val sym = expr("CASE event_type WHEN 'click' THEN 'c' " +
         "WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p' " +
         "WHEN 'signup' THEN 's' ELSE 'v' END")
+      val wCap = Window.partitionBy("user_id").orderBy("tsu", "event_id")
       t(s, d, "events")
         .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
           col("event_id"), sym.as("sym"))
+        .withColumn("rn", row_number().over(wCap))
+        .filter(col("rn") <= SeqHistoryCap)
         .groupBy("user_id")
         .agg(concat_ws("", transform(
           sort_array(collect_list(struct(col("tsu"), col("event_id"),
@@ -809,12 +827,14 @@ object Windows {
         |  max(len) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "seq_pattern_detect" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
         |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
         |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
         |      ELSE 'v' END AS sym
-        |  FROM events),
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) <= $SeqHistoryCap),
         |q AS (
         |  SELECT user_id,
         |    string_agg(sym, '' ORDER BY tsu, event_id) AS seq

@@ -305,7 +305,7 @@ object Similarity {
   private val semCentroidCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Array[(Int, Array[Double])]]()
   @volatile private var lastSemCentroids:
-    Option[Array[(Int, Array[Double])]] = None
+    Option[(Array[(Int, Array[Double])], Double)] = None
 
   def clearSemCache(): Unit = semCentroidCache.clear()
 
@@ -344,7 +344,7 @@ object Similarity {
       tableSignature(d) * 31 + k)
     val cents = semCentroidCache.computeIfAbsent(sig,
       _ => trainIvfCentroids(s, d, k, 2, sampleEvery))
-    lastSemCentroids = Some(cents)
+    lastSemCentroids = Some((cents, tau))
     val cidCol = assignCol(col("vd"), cents).cast("long")
     // Norms precompute per VECTOR, not per pair — inside a cluster of c
     // vectors each norm would otherwise be folded c-1 times; the pair
@@ -360,8 +360,13 @@ object Similarity {
     val denom = col("nrm") * col("nrm0")
     val cos = when(denom === 0.0, lit(null).cast("double"))
       .otherwise(dot(col("vd"), col("vd0")) / denom)
+    // Engine-stable rounding (U.round6 = round(x*1e6)/1e6) at the τ
+    // threshold — Spark's round(col, 6) is BigDecimal HALF_UP on the
+    // decimal string while DuckDB rounds the binary double; a last-ulp
+    // divergence at exactly τ flips a kept/dropped bit. Every other
+    // ratio threshold in the repo already uses this spelling.
     val dropped = e.join(rhs, Seq("cid"))
-      .filter(col("vid0") < col("vec_id") && round(cos, 6) >= tau)
+      .filter(col("vid0") < col("vec_id") && U.round6(cos) >= tau)
       .select("vec_id").distinct()
       .withColumn("is_dropped", lit(true))
     e.join(dropped, Seq("vec_id"), "left")
@@ -1015,10 +1020,11 @@ object Similarity {
     * null-guarded [[VectorOps.cosine]]. */
   private def semDedupOracleEntry: Map[String, String] = lastSemCentroids match {
     case None => Map.empty
-    case Some(cs) => Map("sim_semdedup" -> semDedupOracleSqlFor(cs))
+    case Some((cs, tau)) => Map("sim_semdedup" -> semDedupOracleSqlFor(cs, tau))
   }
 
-  private def semDedupOracleSqlFor(cs: Array[(Int, Array[Double])]): String = {
+  private def semDedupOracleSqlFor(cs: Array[(Int, Array[Double])],
+      tau: Double): String = {
     val dim = cs.head._2.length
     val values = cs.sortBy(_._1)
       .map { case (id, v) => s"($id, ${v.mkString("[", ",", "]")})" }
@@ -1040,7 +1046,8 @@ object Similarity {
        |  FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
        |  WHERE round(list_dot_product(a.vd, b.vd) /
        |      (sqrt(list_dot_product(a.vd, a.vd)) *
-       |       sqrt(list_dot_product(b.vd, b.vd))), 6) >= 0.3)
+       |       sqrt(list_dot_product(b.vd, b.vd))) * 1000000) / 1000000
+       |      >= $tau)
        |SELECT asg.vec_id, asg.cid, (dr.vec_id IS NULL) AS kept
        |FROM asg LEFT JOIN dropped dr ON dr.vec_id = asg.vec_id
        |ORDER BY asg.vec_id""".stripMargin

@@ -243,7 +243,8 @@ object ManifestTable {
     * row groups, the filter keeps rows. Returns (frame, filesKept,
     * filesTotal) so callers — and tests — can assert the skipping. */
   def readRange(spark: SparkSession, table: String, statsCol: String,
-      lo: String, hi: String, version: Option[Int] = None)
+      lo: String, hi: String, version: Option[Int] = None,
+      hiExclusive: Boolean = false)
       : (DataFrame, Int, Int) = {
     val v = version.getOrElse(versions(table).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $table")))
@@ -259,10 +260,18 @@ object ManifestTable {
       if (numeric) BigDecimal(a) >= BigDecimal(b) else a >= b
     def leq(a: String, b: String) =
       if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    def lt(a: String, b: String) =
+      if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+    // With hiExclusive the prune window is [lo, hi): callers whose
+    // residual predicate is `col < hi` must use it — an inclusive
+    // bound derived by "rounding hi down" (e.g. '…23:59:59' for
+    // `< 1997-01-01`) silently drops files whose min stat falls in the
+    // sub-second gap (a '…23:59:59.5' min string-compares above it).
     val kept = entries.filter { e =>
       val (mn, mx) = (e.mins(statsCol), e.maxs(statsCol))
       // null stats (all-null column in that file) = unknown → keep
-      mn == null || mx == null || (geq(mx, lo) && leq(mn, hi))
+      mn == null || mx == null ||
+        (geq(mx, lo) && (if (hiExclusive) lt(mn, hi) else leq(mn, hi)))
     }
     val df =
       if (kept.isEmpty)
@@ -300,12 +309,20 @@ object ManifestTable {
       Seq(min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     } :+ count(lit(1)).as("__rows")
+    // Compacted files must carry the SAME index surface as the files
+    // they replace: if the previous manifest had bloom indexes, rebuild
+    // them for the new files — otherwise the first readPoint after
+    // compaction fails its "no bloom index" require even though the
+    // caller asked for one at write time.
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
     val compacted = withFile.groupBy("__file").agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         FileEntry(r.getAs[String]("__file"), r.getAs[Long]("__rows"),
           statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
-          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap)
+          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap,
+          bloomCols.map(c =>
+            c -> fileBloom(spark, r.getAs[String]("__file"), c)).toMap)
       }.sortBy(_.path).toSeq
     writeManifest(table, newVersion, large ++ compacted, statsCols,
       readTypes(table, vs.last))

@@ -200,6 +200,31 @@ class ManifestSpec extends SparkSpec {
     assert(keptNone <= 1)
   }
 
+  test("compaction preserves bloom indexes: readPoint works after compact") {
+    val t = tmp()
+    val scattered = Tables.t(spark, sfDir, "orders")
+      .repartition(8, col("o_orderkey"))
+    ManifestTable.write(scattered, t, Seq("o_orderkey"),
+      bloomCols = Seq("o_orderkey"))
+    val probe = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey").orderBy("o_orderkey").limit(750)
+      .collect().last.getLong(0)
+    // compact everything into 2 files — the new entries must carry
+    // REBUILT blooms (an index the writer asked for cannot silently
+    // vanish on maintenance), so the point-lookup path still works
+    val v2 = ManifestTable.compact(spark, t, Seq("o_orderkey"),
+      targetFiles = 2)
+    assert(v2 === 2)
+    val (df, kept, tot) = ManifestTable.readPoint(spark, t, "o_orderkey",
+      probe)
+    assert(tot === 2 && kept >= 1)
+    val direct = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") === probe)
+    val viaBloom = df.filter(col("o_orderkey") === probe)
+    assert(viaBloom.count() === direct.count())
+    assert(viaBloom.exceptAll(direct).count() === 0)
+  }
+
   test("all-null stats column: file kept unconditionally, no crash") {
     val t = tmp()
     val df = spark.range(10).toDF("id")

@@ -538,4 +538,48 @@ class OperatorSemanticsSpec extends SparkSpec {
     // micro-unit arithmetic → bit-identical across runs
     assert(run() === ranks)
   }
+
+  /** Write a minimal events table to a temp dir so a registered query can
+    * run against planted rows (the queries read `dir/events.parquet`). */
+  private def plantEvents(rows: Seq[(Long, Long, Long, String, Double)],
+      nullValueIds: Set[Long] = Set.empty): String = {
+    val dir = java.nio.file.Files.createTempDirectory("planted").toString
+    val df = rows.map { case (id, uid, tSec, ty, v) =>
+      (id, uid, new java.sql.Timestamp(tSec * 1000), ty,
+        if (nullValueIds(id)) null else java.lang.Double.valueOf(v))
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("seq_pattern_detect: hot-user history hard-capped at SeqHistoryCap") {
+    val cap = operators.Windows.SeqHistoryCap
+    // hot user 1: cap views, then a click BEYOND the cap — the v[es]*c
+    // match must NOT fire because the click never enters the history.
+    // normal user 2: view then click → one match.
+    val hot = (0 until cap).map(i =>
+      (i.toLong, 1L, 100L + i, "view", 1.0)) :+
+      ((cap.toLong, 1L, 100L + cap, "click", 1.0))
+    val normal = Seq((90000L, 2L, 10L, "view", 1.0),
+      (90001L, 2L, 20L, "click", 1.0))
+    val dir = plantEvents(hot ++ normal)
+    val got = operators.Windows.queries("seq_pattern_detect")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (user, n_events, n_view_click)
+    assert(got === Seq((1L, cap.toLong, 0L), (2L, 2L, 1L)))
+  }
+
+  test("asof tolerance: null-valued latest view must NOT resurrect stale value") {
+    // user 1: view t=10 value=5.0; view t=100 value=NULL; click t=110.
+    // The LATEST view at-or-before the click is the null-valued one —
+    // the match must be NULL (same as DuckDB ASOF + tolerance), never
+    // the stale 5.0 judged fresh by the newer view's timestamp.
+    val dir = plantEvents(Seq(
+      (1L, 1L, 10L, "view", 5.0),
+      (2L, 1L, 100L, "view", 0.0),
+      (3L, 1L, 110L, "click", 0.0)), nullValueIds = Set(2L))
+    val got = operators.Joins.queries("join_asof_tolerance")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(got === Seq((3L, None)))
+  }
 }
