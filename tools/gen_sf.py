@@ -9,7 +9,18 @@ embeddings) so plans and cardinality ratios behave comparably — it does
 NOT reproduce the driver's RNG bit-for-bit, which scaling curves don't
 need (correctness runs use the driver's own data).
 
-Usage: python3 tools/gen_sf.py <sf> <outDir>   e.g. 0.5 target/testdata/sf0.5
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--chain-depth D]
+  e.g. 0.5 target/testdata/sf0.5
+       0.1 target/testdata/sf0.1-d4096 --chain-depth 4096
+
+--chain-depth D plants one run of D CONSECUTIVE doc_ids whose texts are
+distinct permutations of the same word set: distinct md5 → each is its
+own keeper, identical word set → adjacent-keeper jaccard 1.0 ≥ 0.9, so
+keeperPointers links them into ONE pointer chain of depth D. This makes
+dedup_canonical_resolve's fixpoint round count (= ceil(log2 D)+1)
+a controlled experiment variable instead of an accident of the driver's
+duplicate sampling — the reproducibility knob for the round-7 bench
+record question.
 """
 import json
 import sys
@@ -22,6 +33,9 @@ import pyarrow.parquet as pq
 def main():
     sf = float(sys.argv[1])
     out = sys.argv[2]
+    chain_depth = 0
+    if "--chain-depth" in sys.argv:
+        chain_depth = int(sys.argv[sys.argv.index("--chain-depth") + 1])
     import os
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -126,6 +140,22 @@ def main():
         else:
             nw = int(rng.integers(10, 101))
             texts.append(" ".join(np.array(vocab)[rng.integers(0, len(vocab), nw)]))
+    if chain_depth > 1:
+        assert chain_depth <= n_doc, "chain deeper than the corpus"
+        # one shared word set (≤20 words — the driver vocab is tiny),
+        # D distinct permutations, consecutive ids
+        nw_chain = min(20, len(vocab))
+        words = np.array(vocab)[rng.choice(len(vocab), nw_chain, replace=False)]
+        start = max(0, min(n_doc // 4, n_doc - chain_depth))
+        seen = set()
+        for j in range(chain_depth):
+            while True:
+                perm = " ".join(words[rng.permutation(nw_chain)])
+                if perm not in seen:
+                    seen.add(perm)
+                    break
+            texts[start + j] = perm
+        print(f"planted chain: depth {chain_depth} at doc_id {start}")
     write("documents", pa.table({
         "doc_id": pa.array(range(n_doc), pa.int64()),
         "text": texts,
