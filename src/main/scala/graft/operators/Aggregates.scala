@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
 object Aggregates {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** agg_hll_sketch_merge's relative standard deviation (→ p = 9,
+    * m = 512 registers); shared by the query and its oracle SQL. */
+  val HllMergeRsd = 0.05
+
   /** Typed custom aggregation (B.2 agg_typed_custom): exact money sum in
     * integer cents — associative, overflow-safe at test scale, and a
     * template for sparse-vector sums. Registered per the Aggregator API
@@ -512,27 +516,50 @@ object Aggregates {
           U.dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("bucket")),
 
-    // Mergeable HLL sketches (DataSketches): per-group sketches built
-    // once, UNIONED at query time — the 100 TB pattern where per-
-    // partition/day sketches are precomputed and distinct counts over any
-    // group-union become a cheap merge instead of a re-scan. NO ORACLE —
-    // an expressibility limit, not an omission: unlike Spark's own HLL++
-    // (order-free bucket-max, replayed in HllSqlOracle), the DataSketches
-    // HLL the hll_sketch_agg family wraps is STATEFUL across modes
-    // (LIST → SET → HLL promotion happens at insertion-order-dependent
-    // thresholds, HLL_4 keeps an exception map keyed by a running curMin)
-    // and its estimator composes those internals — no set-oriented SQL
-    // over the raw rows reproduces the estimate. The estimate-vs-exact
-    // bound is asserted in ScalaTest instead.
+    // Mergeable HLL sketches: per-group sketches built once, UNIONED at
+    // query time — the 100 TB pattern where per-partition/day sketches
+    // are precomputed and distinct counts over any group-union become a
+    // cheap register merge instead of a re-scan. ORACLED (round 8,
+    // verdict item 4) by re-basing on the engine's replayable HLL++
+    // path: registers are built EXPLICITLY as DataFrame columns — the
+    // exact update rule HllSqlOracle pins against Spark's own
+    // HyperLogLogPlusPlusHelper (xxhash64 seed 42, idx = h >>> (64-p),
+    // rank = nlz((h << p)|1<<(p-1)) + 1 as an integer threshold ladder,
+    // register max) — per-nation sketches union via groupBy(idx).max
+    // (register max IS the HLL union), and the ≤ 2^p = 512 unioned
+    // registers (k-bounded metadata, like an IVF codebook) feed the
+    // replayed estimator. Equality with the DuckDB global-register
+    // replay is the union-correctness statement; hard equality with
+    // native approx_count_distinct is additionally pinned in
+    // OperatorSemanticsSpec. The DataSketches variant (stateful
+    // LIST→SET→HLL promotion — the documented round-7 expressibility
+    // limit) remains as a parity test there, no longer the oracle
+    // surface.
     "agg_hll_sketch_merge" -> ((s, d) => {
-      val perNation = t(s, d, "customer")
-        .groupBy("c_nationkey")
-        .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
-          count(lit(1)).as("n"))
-      perNation.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
-          .as("est_distinct_total"),
-        sum(col("n")).as("n_rows"))
+      val rsd = HllMergeRsd
+      val p = math.ceil(2.0d * math.log(1.106d / rsd) / math.log(2.0d)).toInt
+      val cust = t(s, d, "customer")
+      val hashed = cust
+        .select(col("c_nationkey"), xxhash64(col("c_custkey")).as("h"))
+        .withColumn("idx", shiftrightunsigned(col("h"), 64 - p))
+        .withColumn("w", shiftleft(col("h"), p)
+          .bitwiseOR(lit(1L << (p - 1))))
+      // rank = nlz(w) + 1 over the UNSIGNED view of w: rank 1 is the
+      // sign bit, then a descending power-of-two ladder (w has bit p-1
+      // set by the padding OR, so 64-p+1 branches are exhaustive) — the
+      // same integer ladder the SQL replay uses; no floating log2.
+      val rank = (1 to (64 - p)).foldLeft(when(col("w") < 0, lit(1))) {
+        (acc, i) => acc.when(col("w") >= lit(1L << (63 - i)), lit(i + 1))
+      }
+      val perNation = hashed.groupBy("c_nationkey", "idx")
+        .agg(max(rank).as("mr"))
+      val unioned = perNation.groupBy("idx")
+        .agg(max(col("mr")).as("mr"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val est = graft.plans.HllSqlOracle.estimateFromRegisters(unioned, rsd)
+      val nRows = cust.count()
+      val sess = s; import sess.implicits._
+      Seq((est, nRows)).toDF("est_distinct_total", "n_rows")
     }),
 
     // Count-min frequency sketch per group — the mergeable heavy-hitter
@@ -619,6 +646,10 @@ object Aggregates {
     // HLL++ replayed exactly — rsd/table/columns must mirror the query.
     "agg_approx_distinct" -> graft.plans.HllSqlOracle.approxCountDistinctSql(
       "lineitem", "l_returnflag", "l_partkey", 0.02, "approx_parts"),
+    // union of per-nation register sketches == global registers (max is
+    // associative/commutative) — the replay builds them globally
+    "agg_hll_sketch_merge" -> graft.plans.HllSqlOracle.hllUnionTotalSql(
+      "customer", "c_custkey", HllMergeRsd, "est_distinct_total", "n_rows"),
     // The CMS serialized size is parameter-determined, not
     // data-determined: pin it by serializing a sketch with the query's
     // exact (eps, confidence, seed) right here at generation time.

@@ -42,7 +42,29 @@ object HllSqlOracle {
     * ordered by the group column. `valueCol` must be a BIGINT column
     * (the LongType hash path). */
   def approxCountDistinctSql(table: String, groupCol: String,
-      valueCol: String, rsd: Double, outCol: String): String = {
+      valueCol: String, rsd: Double, outCol: String): String =
+    estimateCtes(table, groupCol, valueCol, rsd) +
+      s"""
+         |SELECT grp AS $groupCol, CAST(floor(est + 0.5) AS BIGINT) AS $outCol
+         |FROM finalest ORDER BY $groupCol""".stripMargin
+
+  /** The agg_hll_sketch_merge replay: the UNION of per-group HLL++
+    * sketches estimated as one total. Because the union is register max
+    * — associative and commutative — unioning per-group sketches is
+    * EXACTLY the global sketch, so the replay builds registers globally
+    * (`groupExpr = "1"`); equality with the Spark side's explicit
+    * two-stage (per-group build → union) pipeline is precisely the
+    * union-correctness statement the oracle exists to check. */
+  def hllUnionTotalSql(table: String, valueCol: String, rsd: Double,
+      outCol: String, nRowsCol: String): String =
+    estimateCtes(table, "1", valueCol, rsd) +
+      s"""
+         |SELECT CAST(floor(est + 0.5) AS BIGINT) AS $outCol,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $table) AS $nRowsCol
+         |FROM finalest""".stripMargin
+
+  private def estimateCtes(table: String, groupCol: String,
+      valueCol: String, rsd: Double): String = {
     val p = math.ceil(2.0d * math.log(1.106d / rsd) / math.log(2.0d)).toInt
     require(p >= 4 && p < 19, s"unsupported precision $p")
     val m = 1 << p
@@ -124,8 +146,49 @@ object HllSqlOracle {
        |    ELSE CASE WHEN est0.e < ${5.0d * m} THEN est0.e - b.bias
        |              ELSE est0.e END
        |    END AS est
-       |  FROM est0 JOIN biasof b USING (grp))
-       |SELECT grp AS $groupCol, CAST(floor(est + 0.5) AS BIGINT) AS $outCol
-       |FROM finalest ORDER BY $groupCol""".stripMargin
+       |  FROM est0 JOIN biasof b USING (grp))""".stripMargin
+  }
+
+  /** Scala replay of `HyperLogLogPlusPlusHelper.query` over an explicit
+    * register table (idx → max rank) — the estimator for queries that
+    * build/union HLL++ registers as DataFrame columns rather than
+    * through approx_count_distinct. Mirrors the SQL replay above branch
+    * for branch (linear counting gate, bias kNN walk, Math.round);
+    * validated by hard equality with approx_count_distinct in
+    * AggregatesSpec/OperatorSemanticsSpec parity tests. */
+  def estimateFromRegisters(regs: Seq[(Long, Int)], rsd: Double): Long = {
+    val p = math.ceil(2.0d * math.log(1.106d / rsd) / math.log(2.0d)).toInt
+    require(p >= 7 && p < 19, s"unsupported precision $p")
+    val m = 1 << p
+    val alphaM2 = (0.7213d / (1.0d + 1.079d / m)) * m * m
+    val v = (m - regs.size).toDouble
+    // ascending-idx fold: a fixed, partition-independent sum order
+    val zinv = regs.sortBy(_._1).map { case (_, mr) =>
+      1.0 / (1L << mr).toDouble
+    }.sum + v
+    val e = alphaM2 / zinv
+    val threshold = HyperLogLogPlusPlusHelper.THRESHOLDS(p - 4)
+    val raw = HyperLogLogPlusPlusHelper.RAW_ESTIMATE_DATA(p - 4)
+    val biasT = HyperLogLogPlusPlusHelper.BIAS_DATA(p - 4)
+    val k = HyperLogLogPlusPlusHelper.K
+    val n = raw.length
+    def bias: Double = {
+      val ip = raw.count(_ < e)
+      val lo0 = math.max(ip - (k - 1), 0)
+      val hi0 = math.min(lo0 + k, n)
+      var ks = 0
+      def stop(kk: Int): Boolean = hi0 + kk >= n || {
+        val rh = raw(hi0 + kk); val rl = raw(lo0 + kk)
+        (rh - e) * (rh - e) >= (rl - e) * (rl - e)
+      }
+      while (!stop(ks)) ks += 1
+      (lo0 + ks until hi0 + ks).map(biasT).sum / (hi0 - lo0)
+    }
+    val est =
+      if (v > 0 && (m * math.log(m / v) <= threshold || e <= 2.5d * m))
+        m * math.log(m / v)
+      else if (e < 5.0d * m) e - bias
+      else e
+    Math.round(est)
   }
 }

@@ -233,7 +233,47 @@ object StreamingOps {
         .orderBy("user_id", "event_type")),
     "stream_static_enrich" -> ((s, d) =>
       staticEnrich(Tables.t(s, d, "events"), Tables.t(s, d, "customer"))
-        .orderBy("c_mktsegment", "event_type"))
+        .orderBy("c_mktsegment", "event_type")),
+
+    // Batch analog of the watermark late-drop (the one B.7 key whose
+    // execution check — StreamingSpec "watermark drops late rows" — had
+    // no CORRECTNESS row): arrival order is event_id, event time gets a
+    // deterministic back-jitter (the driver's events are arrival-ordered,
+    // so disorder must be planted to make lateness non-vacuous), and the
+    // watermark before each row is the strictly-before running max of
+    // event time minus the 10-minute delay — the strictest
+    // arrival-consistent form of Structured Streaming's batch-start
+    // watermark. A row below it is LATE and excluded from its tumbling
+    // window's count, exactly what the streaming agg's state eviction
+    // does. The running max is the two-level block stitch (per-block
+    // strict-before window + broadcast prefix max of block maxima) —
+    // never a global raw-row window; Spark's greatest() skips nulls, so
+    // hwm is null only for the global first row (kept by definition).
+    "stream_watermark_late" -> ((s, d) => {
+      val delayUs = 600L * 1000000
+      val winUs = 600L * 1000000
+      val ev = Tables.t(s, d, "events")
+        .select(col("event_id"),
+          (U.tsUs(col("ts")) - (col("event_id") % 10) * 180000000L)
+            .as("etsu"))
+        .withColumn("blk", expr("event_id div 4096"))
+      val wLoc = Window.partitionBy("blk").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = ev.withColumn("lmax", max(col("etsu")).over(wLoc))
+      val blocks = ev.groupBy("blk").agg(max(col("etsu")).as("bmax"))
+        .withColumn("pmax", max(col("bmax")).over(
+          Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("blk"), col("pmax"))
+      local.join(broadcast(blocks), "blk")
+        .withColumn("hwm", greatest(col("lmax"), col("pmax")))
+        .withColumn("is_late",
+          col("hwm").isNotNull && col("etsu") < col("hwm") - delayUs)
+        .withColumn("ws_us", expr(s"(etsu div $winUs) * $winUs"))
+        .groupBy("ws_us")
+        .agg(count(when(!col("is_late"), 1)).as("n_kept"),
+          count(when(col("is_late"), 1)).as("n_late"))
+        .orderBy("ws_us")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,6 +360,26 @@ object StreamingOps {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events) WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the watermark analog replayed with a plain global running max —
+    // equality with the Spark side is exactly the block-stitch proof
+    "stream_watermark_late" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |    epoch_us(ts) - (event_id % 10) * 180000000 AS etsu
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, etsu,
+        |    max(etsu) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM s)
+        |SELECT (etsu // 600000000) * 600000000 AS ws_us,
+        |  CAST(count(*) FILTER (
+        |    WHERE hwm IS NULL OR etsu >= hwm - 600000000) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(count(*) FILTER (
+        |    WHERE hwm IS NOT NULL AND etsu < hwm - 600000000) AS BIGINT)
+        |    AS n_late
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

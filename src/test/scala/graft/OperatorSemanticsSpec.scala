@@ -158,6 +158,21 @@ class OperatorSemanticsSpec extends SparkSpec {
       s"merged=$merged exact=$exact")
   }
 
+  test("explicit HLL++ register union == native approx_count_distinct " +
+    "(hard equality)") {
+    // agg_hll_sketch_merge builds registers explicitly and unions them
+    // by max; if the update rule, the union, or the replayed estimator
+    // drifted from Spark's own HyperLogLogPlusPlusHelper by even one
+    // register, this equality would break.
+    val rsd = operators.Aggregates.HllMergeRsd
+    val est = operators.Aggregates.queries("agg_hll_sketch_merge")(
+      spark, sfDir).select($"est_distinct_total").as[Long].head()
+    val native = Tables.t(spark, sfDir, "customer")
+      .agg(approx_count_distinct($"c_custkey", rsd).cast("long"))
+      .as[Long].head()
+    assert(est === native, s"register-union=$est native=$native")
+  }
+
   test("approx_percentile honors the GK rank bound per group") {
     // the ε·N guarantee (ε = 1/accuracy): the returned value must be an
     // actual group element whose rank is within N/1000 of the target —
