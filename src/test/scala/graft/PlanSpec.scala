@@ -351,6 +351,41 @@ class PlanSpec extends SparkSpec {
         nested.mkString("\n"))
   }
 
+  test("suite-wide plan hygiene: every unpartitioned window sits above a " +
+    "bounded summary (LIMIT or aggregate)") {
+    // `WindowExec: No Partition Defined` is benign ONLY when the window's
+    // input is already a bounded summary — a per-block aggregate, a
+    // top-k LIMIT, a handful of posting lists. This sweep turns the
+    // warning into a tripwire: any unpartitioned window whose input
+    // subtree contains NO limit/aggregate is moving raw data-scaled rows
+    // through one task and fails here before it ships. (Round-7 verdict
+    // item 5: the four known bounded-summary sites — zipf's top-500
+    // table, RRF's ≤50-row rank lists, the block summaries in the
+    // stitched-numbering and keeper-linkage helpers — all carry an
+    // aggregate or limit in their input subtree, so no name whitelist is
+    // needed: the structural check subsumes it.)
+    import org.apache.spark.sql.execution.SparkPlan
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+    def boundedBelow(p: SparkPlan): Boolean = subtree(p).exists { n =>
+      val c = n.getClass.getSimpleName
+      c.contains("Limit") || c.contains("TakeOrderedAndProject") ||
+        c.contains("Aggregate")
+    }
+    val eagerBuilders = Set("dedup_canonical_resolve", "vocab_bpe_train")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eagerBuilders(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        subtree(plan).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+            s"$name: unpartitioned window over unbounded input " +
+              s"(orderBy ${w.orderSpec.map(_.sql).mkString(",")})"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("mixture sampling: rate table broadcasts — the corpus never " +
     "shuffles for the join") {
     val df = SparkEntry.queries("sample_mixture_budget")(spark, sfDir)
