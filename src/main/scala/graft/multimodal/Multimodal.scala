@@ -52,11 +52,17 @@ object Multimodal {
     * `mapInPandas` batch UDF would hold its model. */
   trait MediaDecoder extends Serializable {
     def decode(a: MediaAsset): MediaFeatures
+    /** Provenance tag surfaced as the `decoder` output column: "real"
+      * for actual codec paths, "stub" for the deterministic fake —
+      * downstream consumers must be able to tell decoded features from
+      * stand-ins IN THE DATA, not just in source comments. */
+    def provenance: String
   }
 
   /** STUB decoder (deterministic byte math standing in for codec +
     * feature extractor — the SQL-replayable path the oracle pins). */
   final class StubDecoder extends MediaDecoder {
+    val provenance = "stub"
     def decode(a: MediaAsset): MediaFeatures = {
       val len = a.payload.length.toLong
       val mean = if (len == 0) 0.0
@@ -72,6 +78,7 @@ object Multimodal {
     * first 8 samples (row-major) / 255. An undecodable payload fails
     * loudly (null from ImageIO.read) rather than shipping zeros. */
   final class ImageIoDecoder extends MediaDecoder {
+    val provenance = "real"
     def decode(a: MediaAsset): MediaFeatures = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(a.payload))
@@ -107,6 +114,7 @@ object Multimodal {
     * (full-scale-normalized). An undecodable or non-PCM payload fails
     * loudly with the asset id rather than shipping zeros. */
   final class JavaSoundDecoder extends MediaDecoder {
+    val provenance = "real"
     def decode(a: MediaAsset): MediaFeatures = {
       val in = try {
         javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -172,12 +180,16 @@ object Multimodal {
   def extractFeaturesWith(s: SparkSession, media: DataFrame)(
       mk: () => MediaDecoder): DataFrame = {
     import s.implicits._
+    val prov = mk().provenance // factory output is homogeneous per call
     media.as[MediaAsset]
       .mapPartitions { batch =>
         val decoder = mk() // per-partition init, reused per row
         batch.map(decoder.decode)
       }
       .toDF()
+      // provenance travels IN the data so stub features can never be
+      // mistaken for decoded ones downstream (round-8 verdict item 9)
+      .withColumn("decoder", lit(prov))
   }
 
   /** Stub-decoder default (the oracled queries' path). */
@@ -206,7 +218,8 @@ object Multimodal {
     // (80, 131, 182) round differently in float32 vs double arithmetic.
     "multimodal_decode" -> ((s, d) =>
       extractFeatures(s, mediaTable(s, d))
-        .select(col("doc_id"), col("media_type"), col("byte_len"),
+        .select(col("doc_id"), col("media_type"), col("decoder"),
+          col("byte_len"),
           // U.round6, not round(_,6): sum/len is an integer ratio, the
           // engine-unstable shape on exact 7-decimal halves (len=2^a·5^b).
           graft.U.round6(col("mean_byte")).as("mean_byte"),
@@ -388,7 +401,7 @@ object Multimodal {
         |      + (strpos('0123456789ABCDEF',
         |                substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) AS bs
         |  FROM b)
-        |SELECT doc_id, media_type, byte_len,
+        |SELECT doc_id, media_type, 'stub' AS decoder, byte_len,
         |  round(CASE WHEN byte_len = 0 THEN 0.0
         |        ELSE CAST(list_sum(bs) AS DOUBLE) / byte_len END
         |        * 1000000) / 1000000 AS mean_byte,

@@ -19,7 +19,11 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.mediaTable(spark, sfDir)
     val feats = Multimodal.extractFeatures(spark, media)
     assert(feats.columns.toSeq ===
-      Seq("doc_id", "media_type", "byte_len", "mean_byte", "head_features"))
+      Seq("doc_id", "media_type", "byte_len", "mean_byte", "head_features",
+        "decoder"))
+    // the stub path must be labeled as such in the data
+    assert(feats.select("decoder").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("stub"))
     assert(feats.count() === 500)
     // byte_len of the fake payload equals n_chars (ascii text)
     val joined = feats.join(Tables.t(spark, sfDir, "documents"), "doc_id")
