@@ -67,6 +67,27 @@ object CoreOps {
         .orderBy("o_orderpriority")
     }),
 
+    // Full lakehouse ingestion end-to-end (scan_lakehouse_ingest): avro
+    // landing → graft-avro MicroBatchStream (checkpointed, exactly-once)
+    // → staged parquet → ManifestTable snapshot → clustered COMPACTION
+    // → manifest-pruned range query. Oracled against the plain parquet
+    // orders with the same predicate: a mismatch means some stage of the
+    // pipeline dropped, duplicated, or corrupted rows. ManifestSpec
+    // additionally asserts post-compaction files ARE skipped.
+    "scan_lakehouse_ingest" -> ((s, d) => {
+      val table = graft.sources.PartitionedData.ordersLakehouseTable(s, d)
+      val (df, _, _) = graft.sources.ManifestTable.readRange(
+        s, table, "o_orderdate",
+        "1998-01-01 00:00:00", "1999-01-01 00:00:00", hiExclusive = true)
+      df.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          U.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("o_orderstatus")
+    }),
+
     // project_select (make_directory.py:48 `df[["uuid"]]`)
     "project_select" -> ((s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey")),
@@ -216,6 +237,15 @@ object CoreOps {
     "scan_parquet_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the whole land→stream→manifest→compact pipeline vs the original
+    "scan_lakehouse_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "project_select" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
     "project_drop_col" ->

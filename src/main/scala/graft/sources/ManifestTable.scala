@@ -290,7 +290,8 @@ object ManifestTable {
     * WITHOUT breaking time travel (old versions still reference the
     * old files until [[vacuum]]). */
   def compact(spark: SparkSession, table: String, statsCols: Seq[String],
-      smallBytes: Long = 32L * 1024 * 1024, targetFiles: Int = 1): Int = {
+      smallBytes: Long = 32L * 1024 * 1024, targetFiles: Int = 1,
+      clusterBy: Option[String] = None): Int = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no snapshots at $table")
     val entries = readManifest(table, vs.last)
@@ -300,9 +301,18 @@ object ManifestTable {
     if (small.size <= 1) return vs.last // nothing to do
     val newVersion = vs.last + 1
     val dataDir = s"$table/data-v$newVersion"
-    spark.read.parquet(small.map(_.path): _*)
-      .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    // clusterBy keeps the rewritten files RANGE-clustered on the named
+    // stats column (Delta OPTIMIZE-style): a plain round-robin
+    // repartition would smear every file's min/max across the whole
+    // domain and silently defeat the stats pruning the table was
+    // written for. Default (None) preserves the old size-only behavior.
+    val src = spark.read.parquet(small.map(_.path): _*)
+    val shaped = clusterBy match {
+      case Some(c) => src.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(c)
+      case None => src.repartition(targetFiles)
+    }
+    shaped.write.mode(SaveMode.Overwrite).parquet(dataDir)
     val withFile = spark.read.parquet(dataDir)
       .withColumn("__file", input_file_name())
     val aggs = statsCols.flatMap { c =>

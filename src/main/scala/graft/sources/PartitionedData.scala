@@ -147,6 +147,65 @@ object PartitionedData {
     })
   }
 
+  /** The FULL lakehouse ingestion path as one derived table (round-8
+    * verdict item 8): producer lands `orders` as Avro
+    * ([[ordersAvroLanding]]) → the engine's `graft-avro`
+    * MicroBatchStream ingests it exactly-once into staged parquet
+    * (checkpointed file log) → the staged files commit as a
+    * [[ManifestTable]] snapshot with o_orderdate stats → COMPACTION
+    * rewrites the small streamed files into a new snapshot. Queries on
+    * the result exercise land → stream → manifest → compact → prune
+    * end-to-end, with a CORRECTNESS row against the plain parquet
+    * original (`scan_lakehouse_ingest`). Memoized per (sfDir, orders
+    * content) like every derived layout here. */
+  def ordersLakehouseTable(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
+    val key = (s"lakehouse:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"orders_lakehouse_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name)
+      val table = out.resolve("table").toString
+      if (ManifestTable.versions(table).isEmpty) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        val landing = ordersAvroLanding(spark, d)
+        val stage = out.resolve("stage").toString
+        val ckpt = out.resolve("ckpt").toString
+        val q = spark.readStream.format("graft-avro")
+          .schema(Tables.t(spark, d, "orders").schema)
+          .load(landing)
+          .writeStream.format("parquet").option("path", stage)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        // streamed micro-batch output → manifest snapshot v1 (small
+        // files, per-file o_orderdate stats), then compact → v2: the
+        // maintenance op a streaming-ingested table always needs
+        ManifestTable.write(
+          spark.read.parquet(stage)
+            .repartitionByRange(8, col("o_orderdate"))
+            .sortWithinPartitions("o_orderdate"),
+          table, statsCols = Seq("o_orderdate"))
+        ManifestTable.compact(spark, table, Seq("o_orderdate"),
+          targetFiles = 4, clusterBy = Some("o_orderdate"))
+      }
+      table
+    })
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

@@ -200,6 +200,27 @@ class ManifestSpec extends SparkSpec {
     assert(keptNone <= 1)
   }
 
+  test("lakehouse table: clustered compaction keeps range stats tight — " +
+    "the registered query's prune actually skips files") {
+    val table = sources.PartitionedData.ordersLakehouseTable(spark, sfDir)
+    // post-compaction snapshot: 4 range-clustered files
+    assert(ManifestTable.versions(table).last === 2)
+    val (df, kept, total) = ManifestTable.readRange(spark, table,
+      "o_orderdate", "1998-01-01 00:00:00", "1999-01-01 00:00:00",
+      hiExclusive = true)
+    // the 1998 slice of a ~1995-2001 domain must NOT touch every file —
+    // round-robin compaction would smear stats and keep all 4
+    assert(total === 4 && kept < total, s"kept $kept of $total")
+    val direct = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val pruned = df
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    assert(pruned.count() === direct.count())
+    assert(pruned.exceptAll(direct).count() === 0)
+  }
+
   test("compaction preserves bloom indexes: readPoint works after compact") {
     val t = tmp()
     val scattered = Tables.t(spark, sfDir, "orders")
