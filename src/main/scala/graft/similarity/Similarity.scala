@@ -397,11 +397,19 @@ object Similarity {
     */
   def trainPqCodebooks(s: SparkSession, d: String, m: Int, k: Int,
       iters: Int = 2): Array[Array[Array[Double]]] = {
+    val vecs = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+    trainPqOn(s, vecs, m, k, iters)
+  }
+
+  /** The Lloyd loop of [[trainPqCodebooks]] over an arbitrary
+    * (vec_id, vd) frame — shared by raw-vector PQ and residual PQ
+    * (which feeds coarse-quantizer residuals instead). */
+  private def trainPqOn(s: SparkSession, vecs: DataFrame, m: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     graft.plans.NearestCentroid.register(s)
     val sub = Dim / m
     require(m * sub == Dim, s"PQ subspaces must tile Dim=$Dim, got m=$m")
-    val vecs = Tables.t(s, d, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
     // init: subspace slices of the first k vectors by id (IVF convention)
     val seed = vecs.filter(col("vec_id") < k).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -454,6 +462,115 @@ object Similarity {
       _ => trainPqCodebooks(s, d, m, k, iters))
     lastPqBooks = Some(books)
     books
+  }
+
+  /** RESIDUAL PQ codebooks (the Faiss IndexIVFPQ refinement the
+    * round-7 verdict asked for): train the per-subspace quantizers on
+    * r = x − c(cell(x)) — the residual after the coarse quantizer —
+    * instead of the raw vectors. Residuals concentrate near zero with
+    * far less variance than the raw distribution, so the same byte
+    * budget spends its centroids on a tighter ball → lower
+    * quantization error → better recall at identical storage.
+    *
+    * The residual column is one zip_with pass (CodegenFallback, fine:
+    * it runs ONCE and is persisted so the Lloyd iterations scan cached
+    * residual rows, not the interpreted lineage); everything downstream
+    * is the same fused-kernel loop as raw PQ via [[trainPqOn]]. */
+  def trainResidualPqCodebooks(s: SparkSession, d: String, m: Int, k: Int,
+      coarse: Array[(Int, Array[Double])], iters: Int = 2)
+      : Array[Array[Array[Double]]] = {
+    graft.plans.NearestCentroid.register(s)
+    val centArr = coarse.sortBy(_._1).map(_._2.toSeq).toSeq
+    val resid = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+      .withColumn("cid", assignCol(col("vd"), coarse))
+      .withColumn("vd", zip_with(col("vd"),
+        element_at(typedlit(centArr), col("cid") + 1),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("vd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainPqOn(s, resid, m, k, iters)
+    finally resid.unpersist()
+  }
+
+  private val residualPqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  def clearResidualPqCache(): Unit = residualPqCache.clear()
+
+  /** Last residual codebooks served, with the coarse quantizer they were
+    * trained against — recorded for [[ivfPqResidualOracleEntry]]. */
+  @volatile private var lastResidualBooks:
+    Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]])] = None
+
+  def residualPqCodebooks(s: SparkSession, d: String, m: Int, k: Int,
+      nCoarse: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val coarse = ivfCentroids(s, d, nCoarse)
+    val books = residualPqCache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        tableSignature(d), m, k, nCoarse, iters),
+      _ => trainResidualPqCodebooks(s, d, m, k, coarse, iters))
+    lastResidualBooks = Some((coarse, books))
+    books
+  }
+
+  /** IVF-PQ with RESIDUAL codes: coarse probe prune as in [[ivfPqTopK]],
+    * then ADC over residual codebooks. The scoring identity that keeps
+    * the LUT cell-independent: x̂ = c(cell) + r̂, so
+    * dot(q, x̂) = dot(q, c(cell)) + Σ_m LUT[m][code_m] — one per-probe
+    * scalar constant (computed on the driver from the centroid
+    * literals, exactly how the LUT itself is built) plus the same
+    * 8-lookup chain as raw PQ. The residual column inside the scan is
+    * one zip_with against the probed cell's centroid literal — only the
+    * nProbe/nCentroids survivors pay it, and the code assignment stays
+    * the flat fused nearest_centroid kernel (NOT a per-cell
+    * shifted-codebook when-chain, which is the measured codegen cliff).
+    * Plan: one scan → assignment → probe filter → residual → codes →
+    * fixed-order ADC chain → TakeOrderedAndProject; zero shuffles.
+    */
+  def ivfPqResidualTopK(s: SparkSession, d: String, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCent: Int = 16): DataFrame = {
+    graft.plans.NearestCentroid.register(s)
+    val coarse = ivfCentroids(s, d, nCentroids)
+    val books = residualPqCodebooks(s, d, m, kCent, nCentroids)
+    val sub = Dim / m
+    val qv = queryVector(s, d, queryId)
+    def sq(c: Array[Double]): Double =
+      c.indices.foldLeft(0.0)((acc, i) => acc + (c(i) - qv(i)) * (c(i) - qv(i)))
+    val probes = coarse.sortBy(c => sq(c._2)).take(nProbe).map(_._1).toSeq
+    val lut: Array[Array[Double]] = Array.tabulate(m, kCent) { (mi, j) =>
+      (0 until sub).foldLeft(0.0)((acc, i) =>
+        acc + qv(mi * sub + i) * books(mi)(j)(i))
+    }
+    // per-probe constant dot(q, c_cell): a sequential driver-side fold
+    // over the same literals the oracle's list_dot_product folds —
+    // bit-identical (the LUT contract)
+    val centById = coarse.toMap
+    val qc = probes.map(p => p -> centById(p).indices
+      .foldLeft(0.0)((acc, i) => acc + qv(i) * centById(p)(i))).toMap
+    val centArr = coarse.sortBy(_._1).map(_._2.toSeq).toSeq
+    val qcCol = probes.foldLeft(lit(null).cast("double")) { (acc, p) =>
+      when(col("cell") === p, lit(qc(p))).otherwise(acc)
+    }
+    val codes = (0 until m).map { mi =>
+      call_function("nearest_centroid",
+        slice(col("rd"), mi * sub + 1, sub),
+        typedlit(books(mi).map(_.toSeq).toSeq))
+    }
+    val adc = (qcCol +: (0 until m).map(mi =>
+      element_at(typedlit(lut(mi).toSeq), codes(mi) + 1)))
+      .reduceLeft(_ + _)
+    Tables.t(s, d, "embeddings")
+      .withColumn("vd", toDouble(col("embedding")))
+      .withColumn("cell", assignCol(col("vd"), coarse))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .withColumn("rd", zip_with(col("vd"),
+        element_at(typedlit(centArr), col("cell") + 1),
+        (a, b) => a - b))
+      .select(col("vec_id"), round(adc, 6).as("adc_ip"))
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** PQ ANN with asymmetric-distance (ADC) scoring: each vector is
@@ -629,6 +746,13 @@ object Similarity {
     // IVF-PQ composition (coarse cell pruning × code compression).
     // Oracled by composing both literal replays (ivfPqOracleEntry).
     "sim_ivf_pq_topk" -> ((s, d) => ivfPqTopK(s, d, queryId = 0L, k = 10)),
+
+    // Residual refinement of the same composition (Faiss IndexIVFPQ
+    // semantics); oracled by the residual literal replay
+    // (ivfPqResidualOracleEntry), recall ≥ raw-PQ pinned in
+    // SimilaritySpec.
+    "sim_ivf_pq_residual" -> ((s, d) =>
+      ivfPqResidualTopK(s, d, queryId = 0L, k = 10)),
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
@@ -1219,7 +1343,91 @@ object Similarity {
        |FROM pv ORDER BY adc_ip DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  private def ivfPqResidualOracleEntry: Map[String, String] =
+    lastResidualBooks match {
+      case Some((cs, books)) =>
+        Map("sim_ivf_pq_residual" -> ivfPqResidualOracleSqlFor(cs, books))
+      case None => Map.empty
+    }
+
+  /** Residual IVF-PQ replay: same literal round-trip as
+    * [[ivfPqOracleSqlFor]] with two additions — each survivor's
+    * RESIDUAL (vd − probed cell's centroid literal) feeds the subspace
+    * assignment, and the ADC chain starts from the per-cell constant
+    * dot(q, c_cell) (list_dot_product over the same literals the Spark
+    * side folds on the driver), then adds the m lookups in the same
+    * fixed left-assoc order. */
+  private def ivfPqResidualOracleSqlFor(cs: Array[(Int, Array[Double])],
+      books: Array[Array[Array[Double]]]): String = {
+    val dim = cs.head._2.length
+    val coarseValues = cs.sortBy(_._1)
+      .map { case (id, v) => s"($id, ${v.mkString("[", ",", "]")})" }
+      .mkString(",\n    ")
+    val m = books.length
+    val sub = books.head.head.length
+    val pqValues = (for {
+      mi <- 0 until m
+      j <- books(mi).indices
+    } yield s"($mi, $j, ${books(mi)(j).mkString("[", ",", "]")})")
+      .mkString(",\n    ")
+    def sqd(a: String, b: String, n: Int) =
+      s"list_sum(list_transform(generate_series(1, $n), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val pvCols = (0 until m)
+      .map(mi => s"MAX(CASE WHEN a.m = $mi THEN l.v END) AS v$mi")
+      .mkString(",\n    ")
+    val chain = (0 until m).foldLeft("qcv")((acc, i) => s"($acc + v$i)")
+    s"""WITH coarse(ccid, ccv) AS (VALUES
+       |    $coarseValues),
+       |cents(m, cid, cv) AS (VALUES
+       |    $pqValues),
+       |subs(m) AS (SELECT unnest(generate_series(0, ${m - 1}))),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT ccid FROM coarse, q
+       |  ORDER BY ${sqd("ccv", "qv", dim)}, ccid LIMIT 4),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+       |       FROM embeddings WHERE vec_id <> 0),
+       |casg AS (
+       |  SELECT vec_id, vd, ccid FROM (
+       |    SELECT e0.vec_id, e0.vd, c.ccid,
+       |      row_number() OVER (PARTITION BY e0.vec_id
+       |                         ORDER BY ${sqd("c.ccv", "e0.vd", dim)}, c.ccid) AS rn
+       |    FROM e0, coarse c)
+       |  WHERE rn = 1),
+       |e AS (SELECT casg.vec_id, casg.ccid,
+       |        list_transform(generate_series(1, $dim),
+       |          i -> casg.vd[i] - c.ccv[i]) AS rd
+       |      FROM casg JOIN coarse c USING (ccid)
+       |      WHERE casg.ccid IN (SELECT ccid FROM probes)),
+       |qc AS (SELECT c.ccid, list_dot_product(q.qv, c.ccv) AS qcv
+       |       FROM coarse c, q
+       |       WHERE c.ccid IN (SELECT ccid FROM probes)),
+       |sv AS (SELECT vec_id, ccid, m,
+       |         list_slice(rd, m * $sub + 1, m * $sub + $sub) AS sv
+       |       FROM e, subs),
+       |asg AS (
+       |  SELECT vec_id, ccid, m, cid FROM (
+       |    SELECT s.vec_id, s.ccid, s.m, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |                         ORDER BY ${sqd("c.cv", "s.sv", sub)}, c.cid) AS rn
+       |    FROM sv s JOIN cents c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |lut AS (SELECT c.m, c.cid,
+       |          list_dot_product(
+       |            list_slice(q.qv, c.m * $sub + 1, c.m * $sub + $sub),
+       |            c.cv) AS v
+       |        FROM cents c, q),
+       |pv AS (SELECT a.vec_id, a.ccid,
+       |    $pvCols
+       |  FROM asg a JOIN lut l ON a.m = l.m AND a.cid = l.cid
+       |  GROUP BY a.vec_id, a.ccid)
+       |SELECT vec_id, round($chain, 6) AS adc_ip
+       |FROM pv JOIN qc USING (ccid)
+       |ORDER BY adc_ip DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def oracles: Map[String, String] =
     staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry ++
-      semDedupOracleEntry
+      ivfPqResidualOracleEntry ++ semDedupOracleEntry
 }

@@ -123,6 +123,69 @@ class SimilaritySpec extends SparkSpec {
     assert(inProbe < total, "coarse cells do not partition the corpus")
   }
 
+  test("residual IVF-PQ: quantization error drops, recall >= raw IVF-PQ") {
+    // exact inner-product top-10 restricted to the PROBED cells (both
+    // variants share the identical coarse prune, so the fair recall
+    // denominator is the ADC stage's own candidate set — coarse recall
+    // loss is common to both)
+    val cents = Similarity.trainIvfCentroids(spark, sfDir, 16)
+    val qv = Tables.t(spark, sfDir, "embeddings").filter($"vec_id" === 0L)
+      .select(VectorOps.toDouble($"embedding")).head().getSeq[Double](0)
+    def sq(c: Array[Double]): Double =
+      c.indices.foldLeft(0.0)((a, i) => a + (c(i) - qv(i)) * (c(i) - qv(i)))
+    val probes = cents.sortBy(c => sq(c._2)).take(4).map(_._1).toSeq
+    val exact = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("vd", VectorOps.toDouble($"embedding"))
+      .withColumn("cell", Similarity.assignCol($"vd", cents))
+      .filter($"vec_id" =!= 0L && $"cell".isin(probes: _*))
+      .select($"vec_id", VectorOps.dot($"vd", typedlit(qv)).as("ip"))
+      .orderBy($"ip".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val raw = Similarity.ivfPqTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val res = Similarity.ivfPqResidualTopK(spark, sfDir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(res.size === 10)
+    val rawRecall = (exact intersect raw).size.toDouble / exact.size
+    val resRecall = (exact intersect res).size.toDouble / exact.size
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall < raw $rawRecall")
+    // the mechanism: residual codebooks reconstruct the probed vectors
+    // with LOWER total squared error than raw codebooks at the same
+    // (m, k) budget — measured over every probed vector, not sampled
+    val books = Similarity.pqCodebooks(spark, sfDir, 8, 16)
+    val rBooks = Similarity.residualPqCodebooks(spark, sfDir, 8, 16, 16)
+    val centById = cents.toMap
+    val sub = Similarity.Dim / 8
+    val probed = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("vd", VectorOps.toDouble($"embedding"))
+      .withColumn("cell", Similarity.assignCol($"vd", cents))
+      .filter($"cell".isin(probes: _*))
+      .select($"vd", $"cell").collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    def nearest(v: Array[Double], book: Array[Array[Double]]): Array[Double] =
+      book.minBy(b => b.indices.foldLeft(0.0)((a, i) =>
+        a + (b(i) - v(i)) * (b(i) - v(i))))
+    def errRaw(v: Array[Double]): Double = (0 until 8).map { mi =>
+      val s = v.slice(mi * sub, mi * sub + sub)
+      val c = nearest(s, books(mi))
+      s.indices.foldLeft(0.0)((a, i) => a + (s(i) - c(i)) * (s(i) - c(i)))
+    }.sum
+    def errRes(v: Array[Double], cell: Int): Double = {
+      val cv = centById(cell)
+      val r = v.indices.map(i => v(i) - cv(i)).toArray
+      (0 until 8).map { mi =>
+        val s = r.slice(mi * sub, mi * sub + sub)
+        val c = nearest(s, rBooks(mi))
+        s.indices.foldLeft(0.0)((a, i) => a + (s(i) - c(i)) * (s(i) - c(i)))
+      }.sum
+    }
+    val totRaw = probed.map(p => errRaw(p._1)).sum
+    val totRes = probed.map(p => errRes(p._1, p._2)).sum
+    assert(totRes < totRaw,
+      s"residual reconstruction error $totRes !< raw $totRaw")
+  }
+
   test("fused NearestCentroid matches the HOF argmin, incl. tie-break and gaps") {
     graft.plans.NearestCentroid.register(spark)
     val centroids: Array[(Int, Array[Double])] = Array(
