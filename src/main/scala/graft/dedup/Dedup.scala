@@ -296,6 +296,80 @@ object Dedup {
     out
   }
 
+  /** Connected components over an arbitrary undirected edge set by
+    * alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the general
+    * cluster-closure primitive [[canonicalResolve]]'s monotone-forest
+    * precondition can't cover: near-dup candidate PAIRS form an
+    * arbitrary graph (a node's one-hop min is not its component min —
+    * e.g. edges (5,3),(5,4) leave 4 pointing at itself), so pointer
+    * doubling alone under-merges.
+    *
+    *  - large-star: every neighbor v > u re-attaches to
+    *    min(Γ(u) ∪ {u}) — one groupBy(min) + equi-join, no per-node
+    *    adjacency collect;
+    *  - small-star: every small neighbor (and u itself) attaches to the
+    *    group min over the (hi → lo)-oriented edges.
+    *
+    * Both rounds are shuffle-on-node-id aggregations + joins; the edge
+    * set provably shrinks toward a star forest in O(log² n) rounds.
+    * Same iterative-DataFrame discipline as [[canonicalResolve]]:
+    * persist each level, one equality-check pass, LogicalRDD lineage
+    * truncation every 5 rounds (the self-referencing plan otherwise
+    * doubles per round). Returns the star edges (node, root) for every
+    * non-root node; callers left-join and coalesce for singletons.
+    * Throws past maxIters — a partially-merged labeling must never
+    * masquerade as components. */
+  @volatile var lastCcIters: Int = 0
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var cur = canon(edges).persist(lvl)
+    var curCount = cur.count()
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      // large-star over the symmetric view
+      val sym = cur.select(col("a").as("u"), col("b").as("n"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("n")))
+      val mins = sym.groupBy("u").agg(min(col("n")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = canon(sym.join(mins, "u").filter(col("n") > col("u"))
+        .select(col("n").as("a"), col("m").as("b")))
+      // small-star over the (hi=a → lo=b) orientation canon provides
+      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = ls.join(mins2, "a")
+        .select(col("b").as("x"), col("m").as("y"))
+        .unionByName(mins2.select(col("a").as("x"), col("m").as("y")))
+      // Lineage truncation EVERY round: one ls+ss round references
+      // `cur` ~8× (sym twice, mins from sym, ss from ls twice, …), so
+      // the logical plan multiplies ~8× per round — a periodic
+      // truncation cadence that works for pointer doubling (2×/round)
+      // OOMs the driver here by round 5. Wrapping the round's output
+      // RDD in a LogicalRDD before persisting costs nothing extra: the
+      // persist's own materialization is the only pass.
+      val plan = canon(ss.select(col("x").as("a"), col("y").as("b")))
+      val next = plan.sparkSession.createDataFrame(plan.rdd, plan.schema)
+        .persist(lvl)
+      val nextCount = next.count()
+      // set equality: same cardinality and no row of next outside cur
+      // (both sides are post-distinct)
+      done = nextCount == curCount && next.exceptAll(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      curCount = nextCount
+      iters += 1
+    }
+    lastCcIters = iters
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds")
+    cur
+  }
+
   /** Embedding near-dup pairs: sign-bit LSH bucket + exact cosine for
     * every within-bucket pair, ranked by similarity.
     *
@@ -614,6 +688,36 @@ object Dedup {
         .orderBy("id1")
     }),
 
+    // Near-dup cluster closure via GENERAL connected components: the
+    // simhash screen emits candidate EDGES (adjacent ids within hamming
+    // 16 here; any pair generator plugs in), and [[connectedComponents]]
+    // closes them into clusters with alternating large-star/small-star
+    // rounds — the arbitrary-graph primitive canonicalResolve's
+    // backward-pointer forest can't express. Every doc gets its
+    // component's min doc_id as the cluster label (singletons label
+    // themselves). The ORACLE exploits that adjacent-id edges form
+    // PATHS: a component is a maximal linked run, so its label is the
+    // running max of break positions — linear SQL, no transitive
+    // closure. Equality proves the general algorithm collapses paths
+    // (its worst case for round count) exactly; DedupSpec pins
+    // arbitrary non-path graphs (stars, triangles, crossings).
+    "dedup_connected_components" -> ((s, d) => {
+      val sh = simhashFused(s, t(s, d, "documents"), "text")
+        .withColumnRenamed("simhash", "sh")
+      val l = sh.select(col("doc_id"), col("sh").as("sha"))
+      val r = sh.select((col("doc_id") - 1).as("doc_id"),
+        col("doc_id").as("nxt"), col("sh").as("shb"))
+      val edges = l.join(r, Seq("doc_id"))
+        .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 16)
+        .select(col("doc_id").as("a"), col("nxt").as("b"))
+      val stars = connectedComponents(edges)
+      t(s, d, "documents").select(col("doc_id"))
+        .join(stars.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("b"), col("doc_id")).as("component_id"))
+        .orderBy("doc_id")
+    }),
+
     // Boilerplate REMOVAL — the apply step of dedup_repeated_ngrams'
     // detection below: the most-shared 5-gram (deterministic
     // (count, gram) argmax) broadcasts as a 1-row scalar and every
@@ -776,6 +880,24 @@ object Dedup {
     // 64 bit-votes as one aggregation.
     "dedup_simhash" -> graft.plans.XxhSqlOracle.simhashSql,
     "dedup_simhash_pairs" -> graft.plans.XxhSqlOracle.simhashPairsSql,
+    // path-structure replay: adjacent-id edges ⇒ components are maximal
+    // linked runs ⇒ label = running max of break positions (see the
+    // query comment); the simhash itself replays via simhashCore
+    "dedup_connected_components" ->
+      (graft.plans.XxhSqlOracle.simhashCore +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS i,
+          |    bit_count(xor(a.simhash, b.simhash)) AS ham
+          |  FROM sigs a JOIN sigs b ON a.doc_id = b.doc_id + 1),
+          |brk AS (
+          |  SELECT s.doc_id,
+          |    CASE WHEN p.ham IS NULL OR p.ham > 16 THEN s.doc_id END AS brk
+          |  FROM sigs s LEFT JOIN pairs p ON p.i = s.doc_id)
+          |SELECT doc_id,
+          |  max(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          |    AS component_id
+          |FROM brk ORDER BY doc_id""".stripMargin),
     // MinHash family replayed the same way: the per-seed chain
     // hashInt(j, hashUTF8String(shingle, 42)) hashes each DISTINCT
     // shingle's bytes ONCE (the cost that kept this rows-only in

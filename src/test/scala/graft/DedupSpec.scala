@@ -189,6 +189,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: arbitrary graphs the monotone forest can't " +
+    "express (stars, triangles, crossings, deep path)") {
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val stars = Dedup.connectedComponents(edges.toDF("a", "b"))
+      val m = stars.as[(Long, Long)].collect().toMap
+      m // non-root -> root
+    }
+    // high-center star: (5,3),(5,4) — 4's one-hop min is itself, the
+    // exact case pointer doubling under-merges; CC must give {3,4,5}→3
+    assert(cc(Seq((5L, 3L), (5L, 4L))) === Map(5L -> 3L, 4L -> 3L))
+    // triangle + disjoint edge + duplicate/reversed edges
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 1L), (9L, 8L), (8L, 9L))) ===
+      Map(2L -> 1L, 3L -> 1L, 9L -> 8L))
+    // crossing: two stars merged by one bridge edge
+    assert(cc(Seq((10L, 1L), (10L, 11L), (20L, 2L), (20L, 21L), (11L, 21L)))
+      === Map(10L -> 1L, 11L -> 1L, 2L -> 1L, 20L -> 1L, 21L -> 1L))
+    // deep path: worst case for round count; crosses lineage truncation
+    val n = 600L
+    val path = (1L until n).map(i => (i - 1, i))
+    val got = cc(path)
+    assert(got.size === n - 1)
+    assert(got.values.forall(_ === 0L))
+    assert(Dedup.lastCcIters <= 15, s"took ${Dedup.lastCcIters} rounds")
+  }
+
   test("canonicalResolve: depth-2000 chain crosses lineage truncation, " +
     "stays log-round") {
     // Deep enough to force multiple LogicalRDD truncations (every 5
