@@ -31,7 +31,8 @@ object SparkEntry {
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
-      streaming.StreamingOps.queries
+      streaming.StreamingOps.queries ++
+      ml.Logreg.queries
 
   def oracleSql: Map[String, String] =
     operators.CoreOps.oracles ++
@@ -49,5 +50,6 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
-      streaming.StreamingOps.oracles
+      streaming.StreamingOps.oracles ++
+      ml.Logreg.oracles
 }

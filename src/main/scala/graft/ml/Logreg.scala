@@ -1,0 +1,183 @@
+package graft.ml
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainable quality-classifier gate: logistic regression by
+  * deterministic full-batch gradient descent, trained and applied as
+  * Spark aggregations — the fastText-style learned filter a training-data
+  * pipeline puts after the rule-based gates (Gopher rules score surface
+  * shape; a trained model learns the weighting from labels).
+  *
+  * Task here: predict `lang = 'en'` from four exact surface features
+  * (word count, mean word length, type-token ratio, char length) — a
+  * real signal in this corpus, and every feature is rational per-row
+  * arithmetic, so the whole pipeline replays in DuckDB.
+  *
+  * Determinism engineering (the whole point — a trained model whose
+  * weights are bit-identical on any partitioning and any engine):
+  *  - full-batch GD, fixed 3 iterations, lr = 0.5, w₀ = 0: no RNG, no
+  *    convergence race;
+  *  - the margin z = w·x is a FIXED left-assoc chain (w0·1 + w1·x1 + …)
+  *    so both engines fold the same doubles in the same order;
+  *  - σ(z) = 1/(1+exp(−z)) is the one transcendental — rounded per ROW
+  *    to 12 decimals before it enters the gradient (Java Math.exp and
+  *    libm exp agree to <1 ulp; the round makes the residual
+  *    disagreement probability vanish, the same discipline as the
+  *    engine's log-based scores);
+  *  - gradient components sum through DECIMAL(18,6) (U.dec6) — the
+  *    partition-order-invariant double-sum bridge every trainer here
+  *    uses — then divide by N exactly.
+  *
+  * At 100 TB: each GD iteration is ONE map-side-combined aggregation
+  * over the corpus (5 decimal sums), the model is a handful of driver
+  * doubles broadcast back — the classic "statistics small, data big"
+  * shape. Minibatch/LBFGS are drop-in upgrades of the same plan. */
+object Logreg {
+
+  val Lr = 0.5
+  val Iters = 3
+  val NFeatures = 4 // + bias
+
+  /** Exact per-row features + label. nw ≥ 1 for any text (split of ""
+    * is [""]), so the rationals are total. */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+    val words = split(col("text"), " ")
+    val nw = size(words).cast("double")
+    docs.select(
+      col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (nw / 100.0).as("x1"),
+      ((length(col("text")).cast("double") - (nw - 1.0)) / nw).as("x2"),
+      (size(array_distinct(words)).cast("double") / nw).as("x3"),
+      (length(col("text")).cast("double") / 1000.0).as("x4"))
+  }
+
+  /** round(σ(z), 12) as a Column — the per-row transcendental bridge. */
+  private def sigma12(z: Column): Column =
+    round((lit(1.0) / (lit(1.0) + exp(-z))) * 1e12) / 1e12
+
+  /** Fixed left-assoc margin chain from literal weights. */
+  private def margin(w: Array[Double]): Column =
+    (1 to NFeatures).foldLeft(lit(w(0)): Column)((acc, j) =>
+      acc + lit(w(j)) * col(s"x$j"))
+
+  /** Deterministic full-batch GD. Returns (w0..w4). One aggregation per
+    * iteration; the feature frame is persisted across iterations so the
+    * corpus is scanned from cache, not re-derived. */
+  def train(s: SparkSession, d: String): Array[Double] = {
+    val f = features(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = f.count().toDouble
+      val w = Array.fill(NFeatures + 1)(0.0)
+      for (_ <- 0 until Iters) {
+        val err = col("y") - sigma12(margin(w))
+        val gradCols = U.dbl(sum(U.dec6(err))).as("g0") +:
+          (1 to NFeatures).map(j =>
+            U.dbl(sum(U.dec6(err * col(s"x$j")))).as(s"g$j"))
+        val grads = f.select(gradCols: _*).head()
+        for (j <- 0 to NFeatures)
+          w(j) = w(j) + Lr * (grads.getDouble(j) / n)
+      }
+      w
+    } finally f.unpersist()
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[Double]]()
+  def clearCache(): Unit = cache.clear()
+
+  def weights(s: SparkSession, d: String): Array[Double] =
+    cache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
+      _ => train(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the learned model itself — one row of weights (round6 for the
+    // driver compare; the apply query consumes the unrounded doubles)
+    "ml_logreg_train" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+      val w = weights(s, d)
+      Seq((r6(w(0)), r6(w(1)), r6(w(2)), r6(w(3)), r6(w(4))))
+        .toDF("w0", "w1", "w2", "w3", "w4")
+    }),
+    // scored corpus: the quality gate a pipeline filters/samples on
+    "ml_logreg_apply" -> ((s, d) => {
+      val w = weights(s, d)
+      features(s, d).select(
+        col("doc_id"),
+        U.round6(sigma12(margin(w))).as("score"),
+        (sigma12(margin(w)) >= 0.5).as("pred_en"),
+        col("y").cast("long").as("label_en"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** The full training REPLAYED in SQL (BPE-train-style unrolled
+    * iterations, not weight literals — the oracle checks the trainer,
+    * not just the apply): feats once, then per iteration a 1-row
+    * gradient aggregate cross-joined forward into the next weights CTE.
+    * 3 unrolled stages reference feats 3× — linear duplication, nowhere
+    * near the exponential-CTE trap (each stage is one aggregate, not a
+    * self-join). */
+  private def sqlSigma(z: String): String =
+    s"round((1.0 / (1.0 + exp(-($z)))) * 1e12) / 1e12"
+
+  private def sqlMargin(p: String): String =
+    (1 to NFeatures).foldLeft(s"$p.w0")((acc, j) =>
+      s"($acc + $p.w$j * x$j)")
+
+  private def gradStage(i: Int): String = {
+    val prev = s"w$i"
+    val err = s"(y - ${sqlSigma(sqlMargin(prev))})"
+    val gs = (0 to NFeatures).map { j =>
+      val e = if (j == 0) err else s"$err * x$j"
+      s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / (SELECT n FROM nn) AS g$j"
+    }.mkString(",\n    ")
+    val ws = (0 to NFeatures)
+      .map(j => s"$prev.w$j + $Lr * g.g$j AS w$j").mkString(", ")
+    s"""g${i + 1} AS (
+       |  SELECT $gs
+       |  FROM feats, $prev),
+       |w${i + 1} AS (SELECT $ws FROM $prev, g${i + 1} g)""".stripMargin
+  }
+
+  val trainSqlCtes: String = {
+    val stages = (0 until Iters).map(gradStage).mkString(",\n")
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    len(string_split(text, ' ')) / 100.0 AS x1,
+       |    (length(text) - (len(string_split(text, ' ')) - 1.0))
+       |      / len(string_split(text, ' ')) AS x2,
+       |    len(list_distinct(string_split(text, ' ')))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x3,
+       |    length(text) / 1000.0 AS x4
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+       |              0.0 AS w4),
+       |$stages""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ml_logreg_train" -> (trainSqlCtes +
+      s"""
+         |SELECT ${(0 to NFeatures).map(j =>
+              s"round(w$j * 1000000) / 1000000 AS w$j").mkString(", ")}
+         |FROM w$Iters""".stripMargin),
+    "ml_logreg_apply" -> (trainSqlCtes +
+      s"""
+         |SELECT doc_id,
+         |  round(${sqlSigma(sqlMargin(s"w$Iters"))} * 1000000) / 1000000
+         |    AS score,
+         |  ${sqlSigma(sqlMargin(s"w$Iters"))} >= 0.5 AS pred_en,
+         |  CAST(y AS BIGINT) AS label_en
+         |FROM feats, w$Iters ORDER BY doc_id""".stripMargin)
+  )
+}
