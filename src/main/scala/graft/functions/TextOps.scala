@@ -500,6 +500,51 @@ object TextOps {
     // dominant lang at 100 TB would otherwise sort on one partition) —
     // then each stratum's start offset and size join back as a
     // #strata-row broadcast and the split is a map-side CASE.
+    // GROUP-holdout split (GroupKFold semantics): every doc of a SOURCE
+    // lands in the same subset, so near-duplicate/continuation leakage
+    // across train/test cannot happen through shared provenance — the
+    // leakage mode a per-doc split silently permits. Routing is
+    // pmod(xxhash64(source), 10): deterministic, data-independent,
+    // map-only (no shuffle at all — the hash is computed per row; at
+    // 100 TB this is a free column). 0–7 train, 8 val, 9 test. The
+    // oracle replays the string hash bit-exactly (stringHashCtes) over
+    // the DISTINCT sources and joins back.
+    "split_group_holdout" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          pmod(xxhash64(col("source")), lit(10)).as("b"))
+        .withColumn("subset",
+          when(col("b") <= 7, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+        .select("doc_id", "source", "subset")
+        .orderBy("doc_id")),
+
+    // Deterministic T5-style span corruption: the masking schedule is
+    // pure positional arithmetic — token i of doc d is a span START iff
+    // (i + d) mod 7 = 0 (replaced by the sentinel) and a span
+    // CONTINUATION iff (i + d) mod 7 = 1 (dropped); everything else
+    // passes through. The doc_id offset de-phases the schedule across
+    // documents so the corpus-level mask rate is uniform without any
+    // RNG — same hash-not-random doctrine as every sampler here, and
+    // exactly replayable. Targets carry the masked-out tokens in order.
+    // Map-only: transform/filter/concat_ws inside one projection.
+    "text_span_corrupt" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val corrupted = transform(toks, (tok, i) =>
+        when((i + col("doc_id")) % 7 === 0, lit("<X>"))
+          .when((i + col("doc_id")) % 7 === 1, lit(null))
+          .otherwise(tok))
+      val masked = transform(toks, (tok, i) =>
+        when((i + col("doc_id")) % 7 <= 1, tok))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(filter(masked, x => x.isNotNull)).cast("long").as("n_masked"),
+          concat_ws(" ", filter(corrupted, x => x.isNotNull)).as("corrupted"),
+          concat_ws(" ", filter(masked, x => x.isNotNull)).as("target"))
+        .orderBy("doc_id")
+    }),
+
     "split_train_val_test" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
       val rn = graft.operators.Windows.stitchedRowNumber(
@@ -1107,6 +1152,40 @@ object TextOps {
         |  CAST(strpos('0123456789abcdef', substring(text_md5, 1, 1)) - 1
         |       AS BIGINT) AS shard
         |FROM packed ORDER BY doc_id""".stripMargin,
+    // group routing replayed bit-exactly: hash the ~20 DISTINCT sources
+    // through the xxh64 string chain, pmod via double-% on the signed
+    // value, join back to docs
+    "split_group_holdout" ->
+      ("""WITH srcs AS (SELECT DISTINCT source AS g FROM documents),
+         |""".stripMargin +
+        graft.plans.XxhSqlOracle.stringHashCtes("srcs", "shash") +
+        """,
+          |asg AS (SELECT g, ((h % 10) + 10) % 10 AS b FROM shash)
+          |SELECT doc_id, source,
+          |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+          |       ELSE 'test' END AS subset
+          |FROM documents JOIN asg ON asg.g = documents.source
+          |ORDER BY doc_id""".stripMargin),
+    "text_span_corrupt" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |m AS (SELECT doc_id, len(w) AS n,
+        |  list_transform(range(0, len(w)), i ->
+        |    CASE WHEN (i + doc_id) % 7 = 0 THEN '<X>'
+        |         WHEN (i + doc_id) % 7 = 1 THEN NULL
+        |         ELSE w[CAST(i + 1 AS INT)] END) AS corr,
+        |  list_transform(range(0, len(w)), i ->
+        |    CASE WHEN (i + doc_id) % 7 <= 1
+        |         THEN w[CAST(i + 1 AS INT)] END) AS tgt
+        |  FROM tk)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tgt, x -> x IS NOT NULL)) AS BIGINT)
+        |    AS n_masked,
+        |  array_to_string(list_filter(corr, x -> x IS NOT NULL), ' ')
+        |    AS corrupted,
+        |  array_to_string(list_filter(tgt, x -> x IS NOT NULL), ' ')
+        |    AS target
+        |FROM m ORDER BY doc_id""".stripMargin,
     "split_train_val_test" ->
       """WITH rn AS (
         |  SELECT doc_id, lang,

@@ -189,6 +189,20 @@ object XxhSqlOracle {
     head ++ tails ++ av
   }
 
+  /** CTE stack hashing every row of `vocabCte` (one column `g`) with
+    * Spark's `xxhash64(stringCol)` = XXH64.hashUTF8String(g, 42):
+    * appendable after a caller-provided vocab CTE, ends in
+    * `outCte(g, h)` with h signed BIGINT (Java-long identical). The
+    * public entry point for oracles that replay string-hash routing
+    * (group-holdout splits, shard assignment, …). */
+  def stringHashCtes(vocabCte: String, outCte: String): String = {
+    val (chainSql, lastCte) = chain("gh0", "gh", hashStages)
+    s"""${byteTableCte("ghb", vocabCte)},
+       |gh0 AS (SELECT $scalarExtract FROM ghb),
+       |$chainSql,
+       |$outCte AS (SELECT g, ${sign64("x5v")} AS h FROM $lastCte)""".stripMargin
+  }
+
   /** Shared CTE prefix ending in `sigs(doc_id, simhash)`: tokenize,
     * hash the DISTINCT word vocabulary once (instances join back — the
     * big win: hash cost scales with vocabulary, not token count), then

@@ -870,6 +870,30 @@ object Similarity {
     // 100 TB — the batch amortizes the scan, and the per-query top-k
     // window shuffles only the narrow (qid, vec_id, sim) triples).
     "sim_batch_topk" -> ((s, d) => batchTopK(s, d, nQueries = 8, k = 5)),
+
+    // Hard-negative mining for contrastive training: each anchor's
+    // top-k most-similar vectors with a DIFFERENT label — the negatives
+    // that actually move an embedding model (random negatives are
+    // trivially separable). Same broadcast-anchors single-scan shape as
+    // sim_batch_topk with the label-disequality in the join condition,
+    // so the filter prunes before scoring.
+    "pair_hard_negatives" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
+      val W = org.apache.spark.sql.expressions.Window
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("vd"))
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("vd").as("qd"))
+      emb.join(broadcast(anchors), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("vd"), col("qd")), 6).as("cos_sim"))
+        .withColumn("rn", row_number()
+          .over(W.partitionBy("qid")
+            .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }),
     // Oracled: the "engine-defined" bucketing is actually replayable —
     // the oracle embeds the hyperplane constants as literals and repeats
     // the sign-bit fold, the multi-probe flip enumeration, and the exact
@@ -1016,6 +1040,24 @@ object Similarity {
         |      x -> abs(CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))))
         |      AS BIGINT) END AS q_l1
         |FROM m ORDER BY vec_id""".stripMargin,
+    "pair_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, vd AS qd
+        |      FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_dot_product(e.vd, q.qd) /
+        |      (sqrt(list_dot_product(e.vd, e.vd)) *
+        |       sqrt(list_dot_product(q.qd, q.qd))), 6) AS cos_sim
+        |  FROM e, q WHERE e.label <> q.qlabel),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, cos_sim, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "sim_batch_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qd
         |           FROM embeddings WHERE vec_id < 8),
