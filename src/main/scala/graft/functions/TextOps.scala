@@ -307,6 +307,32 @@ object TextOps {
     // sample_stratified, but with the 16-bit threshold computed from
     // each row's own quality. Map-only, no RNG, no shuffle; the 0.9
     // cap keeps the %04x encoding below its 65536 overflow.
+    // Weighted sampling WITHOUT replacement, exact k (Efraimidis-
+    // Spirakis A-Res): each row gets key = ln(u)/w with u a
+    // hash-derived uniform in (0,1) and w its weight (n_chars here);
+    // the k LARGEST keys are the sample — equivalent to u^(1/w)
+    // ranking, monotone-transformed to avoid pow. Deterministic end to
+    // end: u = (unsigned(xxhash64(doc_id)) + 0.5) / 2^64 (no RNG —
+    // the repo's hash-not-random doctrine), ln rounded per row to 12
+    // decimals (transcendental bridge), tie-broken by doc_id. Top-k
+    // compiles to TakeOrderedAndProject — no global sort, no shuffle
+    // of the corpus, the 100 TB shape for "give me k docs sampled
+    // ∝ weight". Bernoulli keep-rate sampling (sample_quality_weighted
+    // below) cannot hit an exact k; this does.
+    "sample_weighted_ares" -> ((s, d) => {
+      val two64 = 1.8446744073709552e19 // 2^64 as the same double both engines see
+      val h = xxhash64(col("doc_id"))
+      val unsigned = h.cast("double") +
+        when(h < 0, lit(two64)).otherwise(lit(0.0))
+      val u = (unsigned + lit(0.5)) / lit(two64)
+      val w = col("n_chars").cast("double")
+      val key = round(log(u) / w * lit(1e12)) / lit(1e12)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), key.as("ares_key"))
+        .orderBy(col("ares_key").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     "sample_quality_weighted" -> ((s, d) => {
       // null quality (null text) must mean keep-rate 0, not threshold
       // "null": format_string renders a null arg as the literal string
@@ -1588,6 +1614,24 @@ object TextOps {
     "text_quality_score" ->
       s"""SELECT doc_id, $QualityScoreSql AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // A-Res replay: hashLong chain over the ids, then the SAME two-step
+    // double spelling (cast-then-conditional-add — one shared rounding
+    // sequence, not CAST(h + 2^64) which rounds once) and per-row ln
+    // bridge
+    "sample_weighted_ares" ->
+      ("""WITH ids AS (SELECT DISTINCT doc_id AS v FROM documents),
+         |""".stripMargin +
+        graft.plans.XxhSqlOracle.longHashCtes("ids", "lhash") +
+        """,
+          |keys AS (
+          |  SELECT d.doc_id, d.n_chars,
+          |    round(ln(((CAST(h AS DOUBLE) +
+          |        CASE WHEN h < 0 THEN 1.8446744073709552e19
+          |             ELSE 0.0 END) + 0.5) / 1.8446744073709552e19)
+          |      / CAST(d.n_chars AS DOUBLE) * 1e12) / 1e12 AS ares_key
+          |  FROM documents d JOIN lhash ON lhash.v = d.doc_id)
+          |SELECT doc_id, n_chars, ares_key FROM keys
+          |ORDER BY ares_key DESC, doc_id LIMIT 50""".stripMargin),
     "sample_quality_weighted" ->
       s"""SELECT doc_id, lang, source FROM documents
         |WHERE $DigestPrefixSql <

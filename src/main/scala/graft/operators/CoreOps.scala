@@ -88,6 +88,21 @@ object CoreOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Copy-on-write MERGE end-to-end (scan_manifest_merge): base
+    // snapshot → one CDC batch (update/delete/insert) merged via
+    // ManifestTable.merge (only key-range-affected files rewritten) →
+    // aggregate over the merged snapshot. Oracled against plain SQL
+    // applying the same changes to the original orders: a mismatch
+    // means the merge dropped, duplicated, or failed to route a row.
+    "scan_manifest_merge" -> ((s, d) => {
+      val table = graft.sources.PartitionedData.ordersMergedManifestTable(s, d)
+      graft.sources.ManifestTable.read(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          U.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // project_select (make_directory.py:48 `df[["uuid"]]`)
     "project_select" -> ((s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey")),
@@ -237,6 +252,23 @@ object CoreOps {
     "scan_parquet_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the CDC merge replayed as plain set algebra over the original
+    "scan_manifest_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 50.0
+        |    AS o_totalprice
+        |  FROM orders WHERE o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey >= 2000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, 1000.0
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // the whole land→stream→manifest→compact pipeline vs the original
     "scan_lakehouse_ingest" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

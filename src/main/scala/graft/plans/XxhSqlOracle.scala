@@ -203,6 +203,18 @@ object XxhSqlOracle {
        |$outCte AS (SELECT g, ${sign64("x5v")} AS h FROM $lastCte)""".stripMargin
   }
 
+  /** CTE stack hashing every row of `vocabCte` (one BIGINT column `v`)
+    * with Spark's `xxhash64(longCol)` = XXH64.hashLong(v, 42): ends in
+    * `outCte(v, h)`, h signed BIGINT. The numeric sibling of
+    * [[stringHashCtes]] for id-keyed routing/sampling replays. */
+  def longHashCtes(vocabCte: String, outCte: String): String = {
+    val stages = hashLongStages("lh", "CAST(42 AS HUGEINT)", "vu")
+    val (chainSql, lastCte) = chain("lh0", "lhc", stages)
+    s"""lh0 AS (SELECT v, ${unsign64("v")} AS vu FROM $vocabCte),
+       |$chainSql,
+       |$outCte AS (SELECT v, ${sign64("lhx5")} AS h FROM $lastCte)""".stripMargin
+  }
+
   /** Shared CTE prefix ending in `sigs(doc_id, simhash)`: tokenize,
     * hash the DISTINCT word vocabulary once (instances join back — the
     * big win: hash cost scales with vocabulary, not token count), then

@@ -339,6 +339,87 @@ object ManifestTable {
     newVersion
   }
 
+  /** MERGE (copy-on-write upsert/delete) — the CDC landing op of a real
+    * lakehouse (Delta MERGE INTO / Iceberg copy-on-write): apply a
+    * batch of changes keyed on `keyCol` — rows with `opCol` = "U"
+    * upsert (replace-or-insert), "D" delete — by rewriting ONLY the
+    * data files whose `keyCol` stats range can contain a change key.
+    * Untouched files carry over into the new snapshot by reference:
+    * zero data movement for the (at 100 TB, overwhelming) cold part of
+    * the table. That file-level selectivity is the entire point — a
+    * naive merge rewrites the table; this one rewrites
+    * O(changed key locality) files, which is why CDC tables cluster on
+    * their merge key.
+    *
+    * The change-key set is collected to the driver: a CDC batch is
+    * bounded by arrival rate, not table size (same contract as every
+    * metadata collect here). Stats prune with the same typed compare
+    * as [[readRange]]; a file with null key stats is conservatively
+    * rewritten. New files recompute stats and carry rebuilt blooms if
+    * the previous snapshot had them; `clusterBy` keeps the rewrite
+    * range-clustered like [[compact]]. Time travel to the pre-merge
+    * snapshot keeps working. Returns the new version. */
+  def merge(spark: SparkSession, table: String, changes: DataFrame,
+      keyCol: String, opCol: String = "__op",
+      clusterBy: Option[String] = None): Int = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshots at $table")
+    val (entries, types) = readManifestFull(table, vs.last)
+    val statsCols = entries.headOption
+      .map(_.mins.keys.toSeq.sorted).getOrElse(Seq.empty)
+    require(statsCols.contains(keyCol),
+      s"merge key $keyCol has no stats — write(statsCols = ...) first")
+    val numeric = Set("tinyint", "smallint", "int", "bigint",
+      "float", "double").contains(types.getOrElse(keyCol, "string")) ||
+      types.getOrElse(keyCol, "").startsWith("decimal")
+    def geq(a: String, b: String) =
+      if (numeric) BigDecimal(a) >= BigDecimal(b) else a >= b
+    def leq(a: String, b: String) =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    val keys = changes.select(col(keyCol).cast("string").as("k"))
+      .distinct().collect().map(_.getString(0))
+    val (affected, untouched) = entries.partition { e =>
+      val (mn, mx) = (e.mins(keyCol), e.maxs(keyCol))
+      mn == null || mx == null ||
+        keys.exists(k => geq(k, mn) && leq(k, mx))
+    }
+    val newVersion = vs.last + 1
+    val upserts = changes.filter(col(opCol) === "U").drop(opCol)
+    val changedKeys = changes.select(col(keyCol)).distinct()
+    val merged =
+      if (affected.isEmpty) upserts
+      else spark.read.parquet(affected.map(_.path): _*)
+        .join(broadcast(changedKeys), Seq(keyCol), "left_anti")
+        .unionByName(upserts)
+    val dataDir = s"$table/data-v$newVersion"
+    val targetFiles = math.max(1, affected.size)
+    val shaped = clusterBy match {
+      case Some(c) => merged.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(c)
+      case None => merged.repartition(targetFiles)
+    }
+    shaped.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+    val withFile = spark.read.parquet(dataDir)
+      .withColumn("__file", input_file_name())
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val rewritten = withFile.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        FileEntry(r.getAs[String]("__file"), r.getAs[Long]("__rows"),
+          statsCols.map(c => c -> r.getAs[String](s"min_$c")).toMap,
+          statsCols.map(c => c -> r.getAs[String](s"max_$c")).toMap,
+          bloomCols.map(c =>
+            c -> fileBloom(spark, r.getAs[String]("__file"), c)).toMap)
+      }.sortBy(_.path).toSeq
+    writeManifest(table, newVersion, untouched ++ rewritten, statsCols,
+      types)
+    newVersion
+  }
+
   /** VACUUM: expire every version before `keepFrom` and delete data
     * files no surviving snapshot references. Time travel to expired
     * versions stops working — that is the retention trade. Returns the

@@ -206,6 +206,64 @@ object PartitionedData {
     })
   }
 
+  /** CDC-merged snapshot of `orders` — the [[ManifestTable.merge]]
+    * end-to-end path as a derived table: base snapshot range-clustered
+    * on o_orderkey (8 files, tight key ranges), then ONE deterministic
+    * CDC batch merged copy-on-write:
+    *   - UPDATE rows with o_orderkey < 1000 (price + 50);
+    *   - DELETE rows with 1000 ≤ o_orderkey < 2000;
+    *   - INSERT fresh rows keyed o_orderkey + 10_000_000 for
+    *     o_orderkey < 500 (priority carried, price 1000.0).
+    * The change keys live in a narrow slice of the key domain, so the
+    * merge rewrites the low-range file(s) plus one insert file and
+    * carries the rest by reference — ManifestSpec asserts that
+    * selectivity; `scan_manifest_merge` oracles the merged CONTENT
+    * against plain SQL over the original orders. */
+  def ordersMergedManifestTable(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
+    val key = (s"merged:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"orders_merged_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name).toString
+      if (ManifestTable.versions(out).isEmpty) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        val orders = Tables.t(spark, d, "orders")
+        ManifestTable.write(
+          orders.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          out, statsCols = Seq("o_orderkey"))
+        val updates = orders.filter(col("o_orderkey") < 1000)
+          .withColumn("o_totalprice", col("o_totalprice") + 50.0)
+          .withColumn("__op", lit("U"))
+        val deletes = orders
+          .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+          .withColumn("__op", lit("D"))
+        val inserts = orders.filter(col("o_orderkey") < 500)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_totalprice", lit(1000.0))
+          .withColumn("__op", lit("U"))
+        ManifestTable.merge(spark, out,
+          updates.unionByName(deletes).unionByName(inserts),
+          keyCol = "o_orderkey", clusterBy = Some("o_orderkey"))
+      }
+      out
+    })
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

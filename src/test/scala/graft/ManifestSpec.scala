@@ -221,6 +221,51 @@ class ManifestSpec extends SparkSpec {
     assert(pruned.exceptAll(direct).count() === 0)
   }
 
+  test("copy-on-write merge rewrites only key-range-affected files; " +
+    "untouched files carry over by reference") {
+    val t = tmp()
+    val orders = Tables.t(spark, sfDir, "orders")
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      t, statsCols = Seq("o_orderkey"))
+    val before = ManifestTable.read(spark, t).inputFiles.toSet
+    // narrow change batch relative to the ACTUAL key domain: the first
+    // file covers ~1/8th of it, so a batch inside the first 6% of the
+    // domain must touch exactly one file
+    val hiKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val updHi = hiKey / 16
+    val delHi = hiKey / 10
+    val changes = orders.filter(col("o_orderkey") < updHi)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("__op", lit("U"))
+      .unionByName(orders
+        .filter(col("o_orderkey") >= updHi && col("o_orderkey") < delHi)
+        .withColumn("__op", lit("D")))
+    val v2 = ManifestTable.merge(spark, t, changes, "o_orderkey",
+      clusterBy = Some("o_orderkey"))
+    assert(v2 === 2)
+    val after = ManifestTable.read(spark, t).inputFiles.toSet
+    // selectivity: most files carried over by IDENTICAL path
+    val carried = (before intersect after).size
+    assert(carried >= 6, s"only $carried of ${before.size} files carried")
+    // content: updates applied, deletes gone, counts consistent
+    val merged = ManifestTable.read(spark, t)
+    val nDel = orders
+      .filter(col("o_orderkey") >= updHi && col("o_orderkey") < delHi).count()
+    assert(merged.count() === orders.count() - nDel)
+    assert(merged.filter(col("o_orderkey") >= updHi &&
+      col("o_orderkey") < delHi).count() === 0)
+    val updSum = merged.filter(col("o_orderkey") < updHi)
+      .agg(graft.U.dsum(col("o_totalprice"))).head().getDouble(0)
+    val origSum = orders.filter(col("o_orderkey") < updHi)
+      .agg(graft.U.dsum(col("o_totalprice"))).head().getDouble(0)
+    val nUpd = orders.filter(col("o_orderkey") < updHi).count()
+    assert(math.abs(updSum - (origSum + nUpd * 1.0)) < 1e-6)
+    // time travel: the pre-merge snapshot still reads the original
+    assert(ManifestTable.read(spark, t, Some(1)).count() === orders.count())
+  }
+
   test("compaction preserves bloom indexes: readPoint works after compact") {
     val t = tmp()
     val scattered = Tables.t(spark, sfDir, "orders")
