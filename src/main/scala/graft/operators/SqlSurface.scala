@@ -426,7 +426,30 @@ object SqlSurface {
       |WHERE c_custkey <= 50
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // WITH RECURSIVE (Spark 4 native): generate a monthly calendar spine
+  // by recursion and LEFT JOIN order aggregates onto it — the canonical
+  // production use (a generated dimension that PRESERVES empty periods,
+  // which a plain GROUP BY over the fact silently drops). Identical
+  // text runs in DuckDB; months render as strings so the compare stays
+  // engine-neutral on date formatting.
+  private val RecursiveCte =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < DATE '1996-12-01')
+      |SELECT CAST(months.m AS STRING) AS month_start,
+      |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM months LEFT JOIN orders
+      |  ON o_orderdate >= months.m
+      | AND o_orderdate < months.m + INTERVAL 1 MONTH
+      |GROUP BY months.m
+      |ORDER BY months.m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> ((s, d) => withViews(s, d)(RecursiveCte)),
     "sql_lateral_topn" -> ((s, d) => withViews(s, d)(LateralTopN)),
     "sql_q1_pricing" -> ((s, d) => withViews(s, d)(Q1)),
     "sql_q2_min_cost_supp" -> ((s, d) => withViews(s, d)(Q2)),
@@ -491,6 +514,7 @@ object SqlSurface {
         |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "sql_recursive_cte" -> RecursiveCte,
     "sql_lateral_topn" -> LateralTopN,
     "sql_q1_pricing" -> Q1,
     "sql_q2_min_cost_supp" -> Q2,
