@@ -227,6 +227,52 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of join — both temporal directions at once: each click
+    // matches the view closest in time, ties to the EARLIER view. One
+    // union + two frames over the same single user_id exchange (the
+    // backward last-struct and the forward first-struct), then a
+    // map-side pick by absolute delta — still no range self-join, no
+    // per-key loop. The matched (timestamp, value) stays atomic per
+    // direction (the join_asof_tolerance struct lesson).
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .withColumn("view_value", lit(null).cast("double"))
+        .withColumn("side", lit(1))
+      val r = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), U.tsUs(col("ts")).as("tsu"))
+        .agg(max(col("value")).as("view_value"))
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("side", lit(0))
+        .select("event_id", "user_id", "tsu", "view_value", "side")
+      val wB = Window.partitionBy("user_id").orderBy("tsu", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id").orderBy("tsu", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val vs = when(col("side") === 0,
+        struct(col("tsu").as("vtsu"), col("view_value")))
+      val back = col("b"); val fwd = col("f")
+      val bd = col("tsu") - back.getField("vtsu")
+      val fd = fwd.getField("vtsu") - col("tsu")
+      l.unionByName(r)
+        .withColumn("b", last(vs, ignoreNulls = true).over(wB))
+        .withColumn("f", first(vs, ignoreNulls = true).over(wF))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(back.isNull && fwd.isNull, lit(null).cast("double"))
+            .when(fwd.isNull, back.getField("view_value"))
+            .when(back.isNull, fwd.getField("view_value"))
+            .when(bd <= fd, back.getField("view_value"))
+            .otherwise(fwd.getField("view_value")).as("matched"),
+          when(back.isNull && fwd.isNull, lit(null).cast("long"))
+            .when(fwd.isNull, -bd)
+            .when(back.isNull, fd)
+            .when(bd <= fd, -bd)
+            .otherwise(fd).as("delta_us"))
+        .orderBy("event_id")
+    }),
+
     // Forward as-of join — the mirror temporal direction (each click
     // matched to the NEXT view at-or-after it; the "time-to-next-event"
     // feature shape). Same single-exchange union+window plan as
@@ -512,6 +558,21 @@ object Joins {
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, r.vv AS matched
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu <= r.tsu
+        |ORDER BY l.event_id""".stripMargin,
+    // nearest replayed by brute rank over the per-user join (fine at
+    // oracle scale; the Spark side is the one-exchange union+window)
+    "join_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS vv
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, r.vv, r.tsu - l.tsu AS delta,
+        |        row_number() OVER (PARTITION BY l.event_id
+        |          ORDER BY abs(r.tsu - l.tsu), r.tsu) AS rn
+        |      FROM l JOIN r ON l.user_id = r.user_id)
+        |SELECT l.event_id, l.user_id, j.vv AS matched,
+        |  CAST(j.delta AS BIGINT) AS delta_us
+        |FROM l LEFT JOIN j ON j.event_id = l.event_id AND j.rn = 1
         |ORDER BY l.event_id""".stripMargin,
     "join_interval_overlap" ->
       """SELECT DISTINCT p_partkey AS a_id, s_suppkey AS b_id

@@ -407,6 +407,53 @@ object Windows {
         .orderBy("o_orderpriority")
     }),
 
+    // Maximum drawdown per user — the running-peak decline metric
+    // (portfolio risk / telemetry degradation): dd_t = peak_t − x_t
+    // with peak the running max over event-time order, answer =
+    // max(dd). One partitioned window + one aggregation; running max
+    // and subtraction are exact double ops (no rounding bridge needed —
+    // max of exact per-row values is partition-invariant).
+    "window_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("value"))
+        .withColumn("peak", max(col("value")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("peak") - col("value")).as("max_drawdown"),
+          count(lit(1)).as("n_obs"))
+        .orderBy("user_id")
+    }),
+
+    // OHLC time-bar resample — the tick→bar compression every
+    // time-series store runs at ingest: per (user, hour) open/high/low/
+    // close/count, with open/close defined by the TOTAL (tsu, event_id)
+    // order so ties cannot make the bar engine-dependent. first/last
+    // over an explicit full frame inside the partitioned window, then
+    // one row per bar via distinct — no self-join back onto the fact.
+    "window_ohlc_resample" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "hr")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("value"))
+        .withColumn("hr", expr("tsu div 3600000000"))
+        .withColumn("open", first(col("value")).over(w))
+        .withColumn("close", last(col("value")).over(w))
+        .withColumn("high", max(col("value")).over(w))
+        .withColumn("low", min(col("value")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("user_id"), col("hr"), col("open"), col("high"),
+          col("low"), col("close"), col("n"))
+        .distinct()
+        .orderBy("user_id", "hr")
+    }),
+
     // Time-weighted average — the telemetry metric plain AVG gets
     // wrong: each reading holds until the next one, so its weight is
     // the interval it covered (a sensor emitting 1 Hz while idle and
@@ -826,6 +873,33 @@ object Windows {
         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  max(len) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_drawdown" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (
+        |  SELECT user_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM s)
+        |SELECT user_id, max(peak - value) AS max_drawdown,
+        |  count(*) AS n_obs
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_ohlc_resample" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+        |    epoch_us(ts) // 3600000000 AS hr
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT DISTINCT user_id, hr,
+        |  first_value(value) OVER w AS open,
+        |  max(value) OVER w AS high,
+        |  min(value) OVER w AS low,
+        |  last_value(value) OVER w AS close,
+        |  count(*) OVER w AS n
+        |FROM s
+        |WINDOW w AS (PARTITION BY user_id, hr ORDER BY tsu, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, hr""".stripMargin,
     "seq_pattern_detect" ->
       s"""WITH s AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
