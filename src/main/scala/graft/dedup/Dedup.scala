@@ -688,6 +688,41 @@ object Dedup {
         .orderBy("id1")
     }),
 
+    // Paragraph-level corpus dedup (the Dolma/C4 shape): documents are
+    // chunked into fixed 10-word "paragraphs", every chunk dedups
+    // CORPUS-WIDE (keeper = lexicographically first (doc_id, chunk_idx)
+    // occurrence), and each document reassembles from its surviving
+    // chunks — the sub-document dedup that removes boilerplate shared
+    // ACROSS documents where doc-level exact/near dedup keeps both.
+    // Scale shape: one explode → one hash aggregation keyed on the
+    // chunk text → join back → per-doc bounded re-assembly
+    // (collect_list is capped by chunks-per-doc, ~len/10); the shuffle
+    // carries chunk digests, never the reassembled corpus.
+    "dedup_paragraph" -> ((s, d) => {
+      val P = 10
+      val toks = split(col("text"), " ")
+      val nChunks = ceil(size(toks) / P.toDouble).cast("int")
+      val chunks = t(s, d, "documents").select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+      val keeper = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      chunks.join(keeper, "chunk")
+        .withColumn("kept",
+          col("doc_id") === col("k.doc_id") &&
+            col("chunk_idx") === col("k.chunk_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(when(col("kept"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk"))).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup cluster closure via GENERAL connected components: the
     // simhash screen emits candidate EDGES (adjacent ids within hamming
     // 16 here; any pair generator plugs in), and [[connectedComponents]]
@@ -880,6 +915,25 @@ object Dedup {
     // 64 bit-votes as one aggregation.
     "dedup_simhash" -> graft.plans.XxhSqlOracle.simhashSql,
     "dedup_simhash_pairs" -> graft.plans.XxhSqlOracle.simhashPairsSql,
+    "dedup_paragraph" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ix.i AS chunk_idx,
+        |    array_to_string(w[CAST(ix.i * 10 + 1 AS INT)
+        |                      :CAST(ix.i * 10 + 10 AS INT)], ' ') AS chunk
+        |  FROM tk, (SELECT unnest(range(0, 200)) AS i) ix
+        |  WHERE ix.i < ceil(len(w) / 10.0)),
+        |marked AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    row_number() OVER (PARTITION BY chunk
+        |                       ORDER BY doc_id, chunk_idx) = 1 AS kept
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+        |                      ORDER BY chunk_idx), '') AS clean_text
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // path-structure replay: adjacent-id edges ⇒ components are maximal
     // linked runs ⇒ label = running max of break positions (see the
     // query comment); the simhash itself replays via simhashCore

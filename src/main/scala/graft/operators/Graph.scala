@@ -49,6 +49,37 @@ object Graph {
   private val iterations = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Triangle counting over the embedding near-dup graph — the local
+    // clustering primitive (community cores, collusion detection; in a
+    // data pipeline: how CLIQUEY is the near-dup neighborhood, which
+    // separates template families from chains). Edges = LSH-bucket
+    // pairs with cosine ≥ τ (cosine is not transitive, so this is a
+    // genuine sparse graph, not bucket cliques). The count is the
+    // classic sorted-edge two-join: every edge stored once as
+    // (lo, hi), triangles enumerated as a<b<c via (a,b)⋈(b,c)⋈(a,c) —
+    // each triangle found exactly once, no orientation dedup pass.
+    // Per-node counts come from exploding each triangle's corners.
+    // Scale: the joins key on node ids over the (already thresholded,
+    // bucket-capped) edge table — shuffles scale with EDGES, never with
+    // the corpus.
+    "graph_triangle_count" -> ((s, d) => {
+      val edges = graft.dedup.Dedup.embeddingLshPairs(
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding")))
+        .filter(col("cos_sim") >= 0.05)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      val e1 = edges
+      val e2 = edges.select(col("a").as("b"), col("b").as("c"))
+      val e3 = edges.select(col("a").as("ta"), col("b").as("tc"))
+      val tris = e1.join(e2, "b")
+        .join(e3, col("a") === col("ta") && col("c") === col("tc"))
+        .select(col("a"), col("b"), col("c"))
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("vec_id")
+    }),
+
     // PageRank over the event-type transition graph: which states of
     // the user journey accumulate stationary mass. Contraction is the
     // distributed half (window + aggregate); the ≤|types|² contracted
@@ -106,6 +137,41 @@ object Graph {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same plane-literal LSH replay as dedup_embedding_lsh, thresholded
+    // into an edge set, then the a<b<c triple join
+    "graph_triangle_count" ->
+      s"""WITH pl AS (
+        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, vd,
+        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
+        |    sqrt(list_dot_product(vd, vd)) AS nrm
+        |  FROM e, pl),
+        |cap AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bucket
+        |                                 ORDER BY vec_id) AS rn
+        |    FROM b) WHERE rn <= 256),
+        |edges AS (
+        |  SELECT e1.vec_id AS a, e2.vec_id AS b
+        |  FROM cap e1 JOIN cap e2
+        |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+        |  WHERE e1.nrm * e2.nrm > 0.0
+        |    AND round(list_dot_product(e1.vd, e2.vd)
+        |          / (e1.nrm * e2.nrm), 6) >= 0.05),
+        |tris AS (
+        |  SELECT x.a, x.b, y.b AS c
+        |  FROM edges x JOIN edges y ON y.a = x.b
+        |  JOIN edges z ON z.a = x.a AND z.b = y.b),
+        |corners AS (
+        |  SELECT a AS vec_id FROM tris
+        |  UNION ALL SELECT b FROM tris
+        |  UNION ALL SELECT c FROM tris)
+        |SELECT vec_id, count(*) AS n_triangles
+        |FROM corners GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "graph_pagerank_types" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS dst,
