@@ -197,7 +197,59 @@ object StreamingOps {
         })
   }
 
+  /** Streaming Holt linear-trend smoothing per key — EWMA's two-state
+    * sibling (level + trend), the forecast-capable smoother: for each
+    * event-time-ordered x,
+    *   level' = α·x + (1−α)·(level + trend)
+    *   trend' = β·(level' − level) + (1−β)·trend
+    * with α = 0.3, β = 0.1, init (level, trend) = (x₁, 0). State per key
+    * is THREE numbers regardless of stream length — the same O(1)-state
+    * argument that makes EWMA the streaming smoother, extended to carry
+    * a slope so `level + trend` is a one-step forecast. Same
+    * sort-within-batch / trust-arrival-across-batches convention and
+    * the same batch/stream/recursive-CTE shared IEEE sequence as
+    * [[ewmaPerKey]]. */
+  def holtPerKey(events: org.apache.spark.sql.Dataset[(Long, Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            st: GroupState[(Long, Double, Double)]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var cur = st.getOption
+          sorted.foreach { case (_, _, _, x) =>
+            cur = Some(cur match {
+              case None => (1L, x, 0.0)
+              case Some((n, l, b)) =>
+                val l2 = 0.3 * x + 0.7 * (l + b)
+                val b2 = 0.1 * (l2 - l) + 0.9 * b
+                (n + 1, l2, b2)
+            })
+          }
+          cur.foreach(st.update)
+          cur.map(c => (user, c._1, c._2, c._3)).iterator
+        })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_holt_linear" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      val ev = Tables.t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      holtPerKey(ev)
+        .toDF("user_id", "n_events", "level", "trend")
+        .withColumn("level", U.round6(col("level")))
+        .withColumn("trend", U.round6(col("trend")))
+        .withColumn("forecast_1",
+          U.round6(col("level") + col("trend")))
+        .orderBy("user_id")
+    }),
+
     "stream_ewma" -> ((s, d) => {
       val sess = s; import sess.implicits._
       val ev = Tables.t(s, d, "events")
@@ -277,6 +329,33 @@ object StreamingOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stream_ewma recursion with a second carried column; the l'
+    // expression textually repeats inside the trend update — same
+    // expression over the same inputs is the same IEEE double, so the
+    // repetition cannot diverge from Spark's single evaluation
+    "stream_holt_linear" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |    0.3 * s.value + 0.7 * (r.l + r.b),
+        |    0.1 * ((0.3 * s.value + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+        |mx AS (SELECT user_id, max(rn) AS mrn FROM s GROUP BY user_id),
+        |f AS (
+        |  SELECT r.user_id, mx.mrn AS n_events,
+        |    round(r.l * 1000000) / 1000000 AS level,
+        |    round(r.b * 1000000) / 1000000 AS trend
+        |  FROM r JOIN mx ON r.user_id = mx.user_id AND r.rn = mx.mrn)
+        |SELECT user_id, n_events, level, trend,
+        |  round((level + trend) * 1000000) / 1000000 AS forecast_1
+        |FROM f ORDER BY user_id""".stripMargin,
     // the window_ewma recursive-CTE fold, read out at each key's last row
     "stream_ewma" ->
       """WITH RECURSIVE s AS (

@@ -114,6 +114,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt linear trend folds level+trend through the state " +
+    "store across batches, final summary matches the batch query") {
+    implicit val ctx = spark.sqlContext
+    val ev = Tables.t(spark, sfDir, "events")
+      .filter($"value".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("tsu"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._2, r._3))
+    val (b1s, b2s) = ev.splitAt(ev.length / 2)
+    val rnd = new scala.util.Random(13)
+    val (b1, b2) = (rnd.shuffle(b1s.toSeq), rnd.shuffle(b2s.toSeq))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamingOps.holtPerKey(
+      input.toDS().toDF("user_id", "tsu", "event_id", "value")
+        .as[(Long, Long, Long, Double)])
+      .toDF("user_id", "n_events", "level", "trend")
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("holt_out")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"level", $"trend")).as("s"))
+        .select($"user_id", $"s.n_events",
+          round($"s.level" * 1e6) / 1e6, round($"s.trend" * 1e6) / 1e6)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val batch = StreamingOps.queries("stream_holt_linear")(spark, sfDir)
+        .select($"user_id", $"n_events", $"level", $"trend")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond the threshold") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
