@@ -198,6 +198,24 @@ object Aggregates {
         .orderBy("c_nationkey", "seg_out")
     }),
 
+    // l-diversity audit — k-anonymity's necessary companion: a
+    // quasi-identifier group can be k-anonymous yet leak the sensitive
+    // attribute if every member SHARES it (the homogeneity attack).
+    // Here QI = (nation, mktsegment), sensitive = account-balance band;
+    // a group passes at l=3 iff it carries ≥3 distinct bands. One
+    // aggregation (count + distinct-count per group) — partial+final
+    // all the way, shuffle carries group keys only.
+    "privacy_l_diversity" -> ((s, d) => {
+      val band = floor(col("c_acctbal") / 2000.0).cast("long")
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("band")).as("n_bands"))
+        .withColumn("meets_l", col("n_bands") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // Salted two-phase aggregation — the skew pattern (SURVEY §2 intro,
     // §7.4.7): when one group key dominates, a straight groupBy sends the
     // hot key to one reducer. Phase 1 groups by (key, salt) spreading the
@@ -771,6 +789,15 @@ object Aggregates {
         |SELECT user_id,
         |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT))
+        |       AS BIGINT) AS n_bands,
+        |  count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 3
+        |    AS meets_l
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "privacy_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS n
