@@ -485,6 +485,38 @@ object TextOps {
     // every stage is the scale shape its standalone query pinned. The
     // output is the manifest a trainer consumes: one row per surviving
     // doc with its pack, shard, and loss weight.
+    // The round-8 composed pipeline — paragraph-level dedup feeding the
+    // TRAINED quality gate feeding the leakage-safe split, end to end
+    // in one lineage: documents → dedup_paragraph reassembly →
+    // ml.Logreg score over the CLEANED text (gate trained once on the
+    // raw corpus, applied downstream — the realistic deployment order)
+    // → length + score filter → group-holdout subset. Every stage is
+    // individually replayable, so the oracle is the CONCATENATION of
+    // their CTE stacks — the composability proof that the per-operator
+    // replay discipline buys. Scale: stage shuffles are the operators'
+    // own (chunk digests, one GD aggregation amortized via the weight
+    // memo, map-only hash routing).
+    "pipeline_corpus_prep_v2" -> ((s, d) => {
+      val cleaned = graft.dedup.Dedup.queries("dedup_paragraph")(s, d)
+      val w = graft.ml.Logreg.weights(s, d)
+      val score = graft.ml.Logreg.scoreOf(col("clean_text"), w)
+      val nTok = size(split(col("clean_text"), " ")).cast("long")
+      cleaned
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .withColumn("n_tokens_clean", nTok)
+        .withColumn("score", score)
+        .filter(col("n_tokens_clean") >= 10 && col("score") >= 0.15)
+        .withColumn("b", pmod(xxhash64(col("source")), lit(10)))
+        .withColumn("subset",
+          when(col("b") <= 7, "train").when(col("b") === 8, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("source"), col("subset"),
+          col("n_tokens_clean"), col("n_dropped"),
+          U.round6(col("score")).as("score"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_corpus_prep" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val words = split(col("text"), " ")
@@ -1147,6 +1179,55 @@ object TextOps {
         |    AS idf
         |FROM df, n
         |ORDER BY df DESC, term LIMIT 25""".stripMargin,
+    // the composability proof: paragraph stack + unrolled trainer +
+    // cleaned-text apply + group-hash routing, concatenated
+    "pipeline_corpus_prep_v2" ->
+      ("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents),
+         |ch AS (
+         |  SELECT doc_id, ix.i AS chunk_idx,
+         |    array_to_string(w[CAST(ix.i * 10 + 1 AS INT)
+         |                      :CAST(ix.i * 10 + 10 AS INT)], ' ') AS chunk
+         |  FROM tk, (SELECT unnest(range(0, 200)) AS i) ix
+         |  WHERE ix.i < ceil(len(w) / 10.0)),
+         |marked AS (
+         |  SELECT doc_id, chunk_idx, chunk,
+         |    row_number() OVER (PARTITION BY chunk
+         |                       ORDER BY doc_id, chunk_idx) = 1 AS kept
+         |  FROM ch),
+         |cleaned AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dropped,
+         |    coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+         |                        ORDER BY chunk_idx), '') AS clean_text
+         |  FROM marked GROUP BY doc_id),
+         |""".stripMargin +
+        graft.ml.Logreg.trainSqlCtes.stripPrefix("WITH ") +
+        s""",
+           |feats2 AS (
+           |  SELECT c.doc_id, d.source, c.n_dropped, c.clean_text,
+           |    ${graft.ml.Logreg.featureSql("c.clean_text")}
+           |  FROM cleaned c JOIN documents d USING (doc_id)),
+           |scored AS (
+           |  SELECT doc_id, source, n_dropped,
+           |    CAST(len(string_split(clean_text, ' ')) AS BIGINT)
+           |      AS n_tokens_clean,
+           |    ${graft.ml.Logreg.applySql(s"w${graft.ml.Logreg.Iters}")}
+           |      AS score
+           |  FROM feats2, w${graft.ml.Logreg.Iters}),
+           |srcs AS (SELECT DISTINCT source AS g FROM documents),
+           |""".stripMargin +
+        graft.plans.XxhSqlOracle.stringHashCtes("srcs", "shash") +
+        """,
+          |asg AS (SELECT g, ((h % 10) + 10) % 10 AS b FROM shash)
+          |SELECT s.doc_id, s.source,
+          |  CASE WHEN a.b <= 7 THEN 'train' WHEN a.b = 8 THEN 'val'
+          |       ELSE 'test' END AS subset,
+          |  s.n_tokens_clean, s.n_dropped,
+          |  round(s.score * 1000000) / 1000000 AS score
+          |FROM scored s JOIN asg a ON a.g = s.source
+          |WHERE s.n_tokens_clean >= 10 AND s.score >= 0.15
+          |ORDER BY s.doc_id""".stripMargin),
     "pipeline_corpus_prep" ->
       """WITH gated AS (
         |  SELECT doc_id, lang, source, md5(text) AS text_md5,

@@ -59,6 +59,38 @@ object Logreg {
   private def sigma12(z: Column): Column =
     round((lit(1.0) / (lit(1.0) + exp(-z))) * 1e12) / 1e12
 
+  /** Model applied to an arbitrary text column (features built inline,
+    * same fixed left-assoc margin + sigmoid bridge as training) — the
+    * reusable gate for composed pipelines. */
+  def scoreOf(text: Column, w: Array[Double]): Column = {
+    val words = split(text, " ")
+    val nw = size(words).cast("double")
+    val xs = Seq(
+      nw / 100.0,
+      (length(text).cast("double") - (nw - 1.0)) / nw,
+      size(array_distinct(words)).cast("double") / nw,
+      length(text).cast("double") / 1000.0)
+    val z = xs.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (x, j)) => acc + lit(w(j + 1)) * x
+    }
+    sigma12(z)
+  }
+
+  /** SQL spelling of σ(w·x) with weights from CTE `prefix` and feature
+    * columns x1..x4 in scope — for oracles that re-apply the replayed
+    * trained weights to a different feature source. */
+  def applySql(prefix: String): String = sqlSigma(sqlMargin(prefix))
+
+  /** SQL SELECT list computing x1..x4 from a text expression — must
+    * stay textually in lockstep with [[scoreOf]]/[[features]]. */
+  def featureSql(text: String): String =
+    s"""len(string_split($text, ' ')) / 100.0 AS x1,
+       |    (length($text) - (len(string_split($text, ' ')) - 1.0))
+       |      / len(string_split($text, ' ')) AS x2,
+       |    len(list_distinct(string_split($text, ' ')))
+       |      / CAST(len(string_split($text, ' ')) AS DOUBLE) AS x3,
+       |    length($text) / 1000.0 AS x4""".stripMargin
+
   /** Fixed left-assoc margin chain from literal weights. */
   private def margin(w: Array[Double]): Column =
     (1 to NFeatures).foldLeft(lit(w(0)): Column)((acc, j) =>
