@@ -1084,9 +1084,57 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("shard"))
+  ,
+
+    // SIZE-balanced shard assignment — hash sharding (above) balances
+    // COUNTS but a heavy-tailed size distribution still skews bytes per
+    // shard; training shards want equal token budgets. Deterministic
+    // distributed near-FFD: global size-descending order via the
+    // block-stitched numbering (no raw-row global window), then
+    // serpentine round-robin over N shards (big items spread first,
+    // each N-block reverses direction so the shard that got the largest
+    // item gets the smallest of the next block — the classic
+    // boustrophedon balance trick, fully positional and replayable,
+    // unlike true FFD whose greedy state is inherently sequential).
+    // Emits per-shard load evidence; the spread (max−min) is what
+    // ShardBalanceSpec-style checks bound.
+    "shard_balance_size" -> ((s, d) => {
+      val n = 8
+      val ranked = graft.operators.Windows.stitchedRowNumber(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        expr("- (n_chars div 64)"),
+        Seq(col("n_chars").desc, col("doc_id")), out = "rn")
+      ranked
+        .withColumn("blk", expr(s"(rn - 1) div $n"))
+        .withColumn("pos", expr(s"(rn - 1) % $n"))
+        .withColumn("shard", U.lng(
+          when(col("blk") % 2 === 0, col("pos"))
+            .otherwise(lit(n - 1) - col("pos"))))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("shard")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // serpentine balance replayed with a plain global rank — equality
+    // doubles as the block-stitch proof (same contract as
+    // ids_contiguous_assign)
+    "shard_balance_size" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |a AS (SELECT doc_id, n_chars, (rn - 1) // 8 AS blk,
+        |             (rn - 1) % 8 AS pos
+        |      FROM r),
+        |s AS (SELECT *, CASE WHEN blk % 2 = 0 THEN pos
+        |                     ELSE 7 - pos END AS shard
+        |      FROM a)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     // poly_hash64 replayed in SQL: UTF-8 bytes recovered by hex()
     // pair-parsing, the h*31+b fold done in HUGEINT with an explicit
     // mod 2^64 (Java long wraparound), result re-signed to BIGINT.
