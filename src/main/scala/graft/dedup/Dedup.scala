@@ -723,6 +723,44 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL connected components — the arriving-batch form of the
+    // cluster closure: history (doc_id < 80% of corpus) is already
+    // resolved to star edges (node → root); a new batch arrives and
+    // only ITS candidate edges are generated (adjacent-id simhash pairs
+    // touching a new doc). Re-closure runs over (history stars ∪ new
+    // edges): correct because a star forest preserves exactly the
+    // history's connectivity, and log²-cheap because the history
+    // contributes depth-1 trees — the work scales with the BATCH plus
+    // affected components, never the corpus (signatures for history
+    // never recompute at production; here the corpus is re-read only
+    // because the fixture derives both halves from one table). The
+    // ORACLE is the same full-corpus run-label replay as
+    // dedup_connected_components: incremental == full recompute IS the
+    // correctness statement.
+    "dedup_cc_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val cut = (n * 4) / 5
+      val sh = simhashFused(s, docs, "text").withColumnRenamed("simhash", "sh")
+      val lhs = sh.select(col("doc_id"), col("sh").as("sha"))
+      val rhs = sh.select((col("doc_id") - 1).as("doc_id"),
+        col("doc_id").as("nxt"), col("sh").as("shb"))
+      val allEdges = lhs.join(rhs, Seq("doc_id"))
+        .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 16)
+        .select(col("doc_id").as("a"), col("nxt").as("b"))
+      // history closure (what a previous run would have persisted)
+      val historyStars = connectedComponents(
+        allEdges.filter(col("b") < cut))
+      // new-batch edges: any pair touching a doc past the cut
+      val newEdges = allEdges.filter(col("b") >= cut)
+      val stars = connectedComponents(historyStars.unionByName(newEdges))
+      docs.select(col("doc_id"))
+        .join(stars.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("b"), col("doc_id")).as("component_id"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup cluster closure via GENERAL connected components: the
     // simhash screen emits candidate EDGES (adjacent ids within hamming
     // 16 here; any pair generator plugs in), and [[connectedComponents]]
@@ -915,6 +953,23 @@ object Dedup {
     // 64 bit-votes as one aggregation.
     "dedup_simhash" -> graft.plans.XxhSqlOracle.simhashSql,
     "dedup_simhash_pairs" -> graft.plans.XxhSqlOracle.simhashPairsSql,
+    // incremental == full recompute: the oracle is the full-corpus
+    // path replay, so a green row proves the star-forest carry is exact
+    "dedup_cc_incremental" ->
+      (graft.plans.XxhSqlOracle.simhashCore +
+        """,
+          |pairs AS (
+          |  SELECT a.doc_id AS i,
+          |    bit_count(xor(a.simhash, b.simhash)) AS ham
+          |  FROM sigs a JOIN sigs b ON a.doc_id = b.doc_id + 1),
+          |brk AS (
+          |  SELECT s.doc_id,
+          |    CASE WHEN p.ham IS NULL OR p.ham > 16 THEN s.doc_id END AS brk
+          |  FROM sigs s LEFT JOIN pairs p ON p.i = s.doc_id)
+          |SELECT doc_id,
+          |  max(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+          |    AS component_id
+          |FROM brk ORDER BY doc_id""".stripMargin),
     "dedup_paragraph" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
         |            FROM documents),
