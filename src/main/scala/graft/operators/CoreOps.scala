@@ -103,6 +103,23 @@ object CoreOps {
         .orderBy("o_orderpriority")
     }),
 
+    // Z-order pruned scan (scan_zorder_prune): a CUSTKEY range over the
+    // layout clustered on the Morton interleave of (custkey, date) —
+    // the same snapshot also serves date ranges (ManifestSpec's
+    // z-order test asserts pruning on both dims); here the custkey
+    // range's file skipping gets a CORRECTNESS row against the plain
+    // table.
+    "scan_zorder_prune" -> ((s, d) => {
+      val table = graft.sources.PartitionedData.ordersZorderManifestTable(s, d)
+      val (df, _, _) = graft.sources.ManifestTable.readRange(
+        s, table, "o_custkey", "100", "300")
+      df.filter(col("o_custkey").between(100, 300))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          U.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // project_select (make_directory.py:48 `df[["uuid"]]`)
     "project_select" -> ((s, d) =>
       t(s, d, "customer").select("c_custkey", "c_name").orderBy("c_custkey")),
@@ -252,6 +269,12 @@ object CoreOps {
     "scan_parquet_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_zorder_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 300
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the CDC merge replayed as plain set algebra over the original
     "scan_manifest_merge" ->
       """WITH merged AS (

@@ -264,6 +264,52 @@ object PartitionedData {
     })
   }
 
+  /** Z-ORDERED manifest snapshot of `orders` — one layout serving
+    * range predicates on EITHER (o_custkey, o_orderdate): files sorted
+    * by the Morton interleave keep per-file min/max tight on both
+    * dimensions. Both dims normalize to comparable bit ranges first
+    * (custkey rescaled to ~256 buckets from its actual domain, dates
+    * to 8-day buckets from the corpus floor) — unbalanced ranges
+    * degenerate the curve to a single-column sort (ZOrderSpec). */
+  def ordersZorderManifestTable(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
+    val key = (s"zorder:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"orders_zorder_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name).toString
+      if (ManifestTable.versions(out).isEmpty) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        graft.plans.ZOrder64.register(spark)
+        val orders = Tables.t(spark, d, "orders")
+        val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
+        val cDiv = math.max(1L, (maxCust + 1) / 256)
+        val day0 = 9131L // epoch day of 1995-01-01, the corpus floor
+        val zkey = call_function("zorder64",
+          expr(s"o_custkey div $cDiv"),
+          (((unix_micros(col("o_orderdate")) / lit(86400000000L))
+            .cast("long") - day0) / lit(8L)).cast("long"))
+        ManifestTable.write(
+          orders.repartitionByRange(32, zkey).sortWithinPartitions(zkey),
+          out, statsCols = Seq("o_custkey", "o_orderdate"))
+      }
+      out
+    })
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

@@ -266,6 +266,62 @@ class ManifestSpec extends SparkSpec {
     assert(ManifestTable.read(spark, t, Some(1)).count() === orders.count())
   }
 
+  test("streaming CDC: foreachBatch merges each micro-batch copy-on-write " +
+    "into the manifest table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val t = tmp()
+    val orders = Tables.t(spark, sfDir, "orders")
+    ManifestTable.write(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      t, statsCols = Seq("o_orderkey"))
+    val hiKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (updHi, delHi) = (hiKey / 16, hiKey / 10)
+    // the CDC stream carries full rows + op; two micro-batches
+    val changes = orders.filter(col("o_orderkey") < delHi)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") < updHi, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("__op",
+        when(col("o_orderkey") < updHi, "U").otherwise("D"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate", $"o_orderpriority", $"__op")
+      .as[(Long, Long, String, Double, java.sql.Timestamp, String, String)]
+      .collect().toSeq
+    val (b1, b2) = changes.splitAt(changes.length / 2)
+    val input = MemoryStream[(Long, Long, String, Double,
+      java.sql.Timestamp, String, String)]
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority", "__op")
+    val q = input.toDS().toDF(cols: _*)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          ManifestTable.merge(spark, t, batch.toDF(),
+            "o_orderkey", clusterBy = Some("o_orderkey"))
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // one commit per non-empty micro-batch on top of v1
+    assert(ManifestTable.versions(t).last === 3)
+    val merged = ManifestTable.read(spark, t)
+    val nDel = orders.filter(col("o_orderkey") >= updHi &&
+      col("o_orderkey") < delHi).count()
+    assert(merged.count() === orders.count() - nDel)
+    val updSum = merged.filter(col("o_orderkey") < updHi)
+      .agg(graft.U.dsum(col("o_totalprice"))).head().getDouble(0)
+    val origSum = orders.filter(col("o_orderkey") < updHi)
+      .agg(graft.U.dsum(col("o_totalprice"))).head().getDouble(0)
+    val nUpd = orders.filter(col("o_orderkey") < updHi).count()
+    assert(math.abs(updSum - (origSum + nUpd * 5.0)) < 1e-6)
+  }
+
   test("compaction preserves bloom indexes: readPoint works after compact") {
     val t = tmp()
     val scattered = Tables.t(spark, sfDir, "orders")
