@@ -871,6 +871,60 @@ object Similarity {
     // window shuffles only the narrow (qid, vec_id, sim) triples).
     "sim_batch_topk" -> ((s, d) => batchTopK(s, d, nQueries = 8, k = 5)),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein) — the
+    // retrieval step between ANN and the consumer: from the query's
+    // top-20 relevance candidates, greedily select 5 maximizing
+    // λ·rel − (1−λ)·max-sim-to-already-selected (λ = 0.7) so the
+    // result covers the neighborhood instead of returning 5 copies of
+    // the same near-duplicate. The greedy is inherently sequential but
+    // K-BOUNDED: it runs on the driver over the collected ≤20-row
+    // candidate set (the same metadata-collect contract as IVF
+    // centroids), after the distributed top-k scan produced the
+    // candidates. All sims round6 exactly as the oracle's; scores are
+    // identical per-row IEEE arithmetic on those, so they compare raw.
+    "sim_mmr_rerank" -> ((s, d) => {
+      // both weights as LITERALS: deriving 0.3 as (1.0 - 0.7) yields
+      // 0.30000000000000004 and a last-ulp score divergence vs the
+      // oracle's literal 0.3 (caught by the gate)
+      val lambda = 0.7
+      val mu = 0.3
+      val cands = bruteForceTopK(s, d, queryId = 0L, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val ids = cands.map(_._1)
+      val vecs = Tables.t(s, d, "embeddings")
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos6(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom > 0.0) math.round(dot / denom * 1e6) / 1e6 else 0.0
+      }
+      val rel = cands.toMap
+      var selected = Vector.empty[(Long, Double)] // (vec_id, mmr score)
+      var remaining = cands.map(_._1).toVector
+      while (selected.size < 5 && remaining.nonEmpty) {
+        val scored = remaining.map { c =>
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.map(sel => cos6(vecs(c), vecs(sel._1))).max
+          (c, lambda * rel(c) - mu * ms)
+        }
+        val pick = scored.minBy { case (id, sc) => (-sc, id) }
+        selected :+= pick
+        remaining = remaining.filterNot(_ == pick._1)
+      }
+      val sess = s; import sess.implicits._
+      selected.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1L, id, sc) }
+        .toDF("rank", "vec_id", "mmr_score")
+        .orderBy("rank")
+    }),
+
     // Hard-negative mining for contrastive training: each anchor's
     // top-k most-similar vectors with a DIFFERENT label — the negatives
     // that actually move an embedding model (random negatives are
@@ -1040,6 +1094,51 @@ object Similarity {
         |      x -> abs(CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))))
         |      AS BIGINT) END AS q_l1
         |FROM m ORDER BY vec_id""".stripMargin,
+    // unrolled greedy: one CTE pair (scores, pick) per selection step —
+    // tiny tables, no exponential duplication
+    "sim_mmr_rerank" -> {
+      def stage(k: Int): String = {
+        val prior = (1 until k).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        if (k == 1)
+          """s1 AS (SELECT vec_id, 0.7 * rel AS sc FROM cands
+            |       ORDER BY 0.7 * rel DESC, vec_id LIMIT 1)""".stripMargin
+        else
+          s"""m$k AS (
+             |  SELECT c.vec_id,
+             |    0.7 * c.rel - 0.3 * (SELECT max(s.s) FROM sims s
+             |      WHERE s.i = c.vec_id AND s.j IN ($prior)) AS sc
+             |  FROM cands c WHERE c.vec_id NOT IN ($prior)),
+             |s$k AS (SELECT vec_id, sc FROM m$k
+             |        ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin
+      }
+      val stages = (1 to 5).map(stage).mkString(",\n")
+      val out = (1 to 5).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, vec_id, sc AS mmr_score FROM s$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+         |           FROM embeddings),
+         |q AS (SELECT vd AS qv FROM e WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT e.vec_id,
+         |    round(list_dot_product(e.vd, q.qv) /
+         |      (sqrt(list_dot_product(e.vd, e.vd)) *
+         |       sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel, e.vd
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+         |sims AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    CASE WHEN sqrt(list_dot_product(a.vd, a.vd)) *
+         |              sqrt(list_dot_product(b.vd, b.vd)) > 0.0
+         |         THEN round(list_dot_product(a.vd, b.vd) /
+         |           (sqrt(list_dot_product(a.vd, a.vd)) *
+         |            sqrt(list_dot_product(b.vd, b.vd))), 6)
+         |         ELSE 0.0 END AS s
+         |  FROM cands a, cands b),
+         |$stages
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
     "pair_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
         |           FROM embeddings),
