@@ -871,6 +871,33 @@ object Similarity {
     // window shuffles only the narrow (qid, vec_id, sim) triples).
     "sim_batch_topk" -> ((s, d) => batchTopK(s, d, nQueries = 8, k = 5)),
 
+    // IVF probe over the cid-PARTITIONED storage layout — the
+    // production access path DESIGN_SCALE documents: cells assigned at
+    // ingest become directory partitions, so the probe's cell filter
+    // prunes partitions before file listing (PlanSpec asserts
+    // PartitionFilters) and only nProbe/nCentroids of the corpus is
+    // READ. Same centroids, same probes, same scoring as sim_ivf_topk
+    // — the shared oracle proves the layout changes the access path,
+    // never the answer.
+    "sim_ivf_partitioned_probe" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
+      graft.plans.NearestCentroid.register(s)
+      val dir = graft.sources.PartitionedData.embeddingsByCell(s, d)
+      val centroids = ivfCentroids(s, d, 16)
+      val qv = queryVector(s, d, 0L)
+      def sq(c: Array[Double]): Double =
+        c.indices.foldLeft(0.0)((acc, i) =>
+          acc + (c(i) - qv(i)) * (c(i) - qv(i)))
+      val probes = centroids.sortBy(c => sq(c._2)).take(4).map(_._1).toSeq
+      val q = typedlit(qv.toSeq)
+      s.read.parquet(dir)
+        .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          round(cosine(toDouble(col("embedding")), q), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // MMR diversified re-ranking (Carbonell & Goldstein) — the
     // retrieval step between ANN and the consumer: from the query's
     // top-20 relevance candidates, greedily select 5 maximizing
@@ -1273,7 +1300,14 @@ object Similarity {
     * quantizer. */
   private def ivfOracleEntry: Map[String, String] = lastCentroids match {
     case None => Map.empty
-    case Some(cs) => Map("sim_ivf_topk" -> ivfOracleSqlFor(cs))
+    case Some(cs) => Map(
+      "sim_ivf_topk" -> ivfOracleSqlFor(cs),
+      // the partitioned-layout probe computes the IDENTICAL result set
+      // (same centroids, same probes, same exact scoring) — only the
+      // physical access path differs (partition pruning instead of an
+      // in-scan filter), which is precisely what the shared oracle
+      // proves
+      "sim_ivf_partitioned_probe" -> ivfOracleSqlFor(cs))
   }
 
   /** SemDeDup replay from the recorded quantizer literals: assignment

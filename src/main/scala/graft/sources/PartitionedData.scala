@@ -310,6 +310,51 @@ object PartitionedData {
     })
   }
 
+  /** Embeddings partitioned BY COARSE CELL — the DESIGN_SCALE claim
+    * ("at production `cid` is the storage partition key") made real:
+    * each vector's IVF cell assignment is computed once at ingest and
+    * becomes the directory partition, so an ANN probe's cell filter
+    * prunes PARTITIONS before Spark lists a single data file —
+    * nProbe/nCentroids of the corpus is never read, not merely
+    * filtered. Memoized per (sfDir, embeddings content); the quantizer
+    * is the same memoized [[graft.similarity.Similarity.ivfCentroids]]
+    * every IVF query shares, so layouts and probes can never disagree
+    * on cell ids. */
+  def embeddingsByCell(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(
+      java.nio.file.Paths.get(d, "embeddings.parquet"))
+    val key = (s"embcell:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"embeddings_by_cell_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name)
+      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        graft.plans.NearestCentroid.register(spark)
+        val cents = graft.similarity.Similarity.ivfCentroids(spark, d, 16)
+        Tables.t(spark, d, "embeddings")
+          .withColumn("cid", graft.similarity.Similarity.assignCol(
+            graft.functions.VectorOps.toDouble(col("embedding")), cents))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cid").parquet(out.toString)
+      }
+      out.toString
+    })
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder())

@@ -388,6 +388,21 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("IVF partitioned probe: the cell filter prunes storage partitions " +
+    "(PartitionFilters), not just rows") {
+    val df = SparkEntry.queries("sim_ivf_partitioned_probe")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cid[^\\]]*\\].*"),
+      s"no cid partition filter in scan:\n${plan.take(2000)}")
+    // and the probed layout reads a strict subset of the partitions
+    val all = spark.read.parquet(
+      sources.PartitionedData.embeddingsByCell(spark, sfDir))
+      .select("cid").distinct().count()
+    assert(all > 4, s"layout has only $all cells")
+    assert(df.inputFiles.nonEmpty)
+  }
+
   test("mixture sampling: rate table broadcasts — the corpus never " +
     "shuffles for the join") {
     val df = SparkEntry.queries("sample_mixture_budget")(spark, sfDir)
