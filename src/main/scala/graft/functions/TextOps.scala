@@ -1075,6 +1075,26 @@ object TextOps {
     // (co-locating a shard's files); the balance aggregate here proves
     // uniformity. instr() on the hex alphabet avoids conv(), which the
     // oracle engine lacks.
+    // Readability scoring (Flesch-style): syllables approximated as
+    // vowel GROUPS ([aeiouy]+ runs — the standard cheap proxy), the
+    // whole document treated as one sentence (this corpus has no
+    // sentence punctuation; the convention is part of the contract).
+    // Pure per-row regex counting + double math → exact cross-engine.
+    "text_reading_level" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nw = size(words).cast("double")
+      val syll = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))).cast("double")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nw.cast("long").as("n_words"),
+        syll.cast("long").as("n_syllables"),
+        U.round6(syll / nw).as("syll_per_word"),
+        U.round6(lit(206.835) - lit(1.015) * nw -
+          lit(84.6) * (syll / nw)).as("flesch"))
+        .orderBy("doc_id")
+    }),
+
     "shard_assign" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("shard", U.lng(
@@ -1118,6 +1138,20 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_reading_level" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |       AS BIGINT) AS n_syllables,
+        |  round(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000000)
+        |    / 1000000 AS syll_per_word,
+        |  round((206.835
+        |    - 1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |    - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)))
+        |    * 1000000) / 1000000 AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // serpentine balance replayed with a plain global rank — equality
     // doubles as the block-stitch proof (same contract as
     // ids_contiguous_assign)

@@ -198,6 +198,32 @@ object Aggregates {
         .orderBy("c_nationkey", "seg_out")
     }),
 
+    // Weighted median — the robust center when observations carry
+    // unequal mass (price per UNIT SHIPPED, not per line): smallest
+    // value whose cumulative weight reaches half the group total.
+    // One partitioned running-sum window over the (value, tiebreak)
+    // total order + one aggregation; weights are integral quantities
+    // so the cumulative compare is exact long arithmetic (2·cum ≥
+    // total — no division, no float boundary).
+    "agg_weighted_median" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wq = col("l_quantity").cast("long")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"), wq.as("q"))
+        .withColumn("cumq", sum(col("q")).over(w))
+        .withColumn("totq", sum(col("q")).over(
+          W.partitionBy("l_returnflag")))
+        .filter(col("cumq") * 2 >= col("totq"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("weighted_median"),
+          max(col("totq")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // l-diversity audit — k-anonymity's necessary companion: a
     // quasi-identifier group can be k-anonymous yet leak the sensitive
     // attribute if every member SHARES it (the homogeneity attack).
@@ -789,6 +815,22 @@ object Aggregates {
         |SELECT user_id,
         |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cumq,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS totq
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(l_extendedprice) AS weighted_median,
+        |  CAST(max(totq) AS BIGINT) AS total_weight
+        |FROM s WHERE cumq * 2 >= totq
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "privacy_l_diversity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  count(*) AS n,

@@ -454,6 +454,42 @@ object Windows {
         .orderBy("user_id", "hr")
     }),
 
+    // Bollinger bands — the rolling mean ± 2σ envelope with breakout
+    // flags (anomaly screen for telemetry/finance ticks). The rolling
+    // VARIANCE is computed from exact decimal frame sums
+    // ((Σx² − (Σx)²/n)/(n−1)) instead of var_samp: streaming-Welford
+    // implementations differ across engines in the last ulp, but both
+    // engines cast identical per-row doubles to DECIMAL and sum
+    // exactly, and sqrt is IEEE correctly-rounded — so the bands are
+    // engine-identical without a rounding fudge anywhere before the
+    // final display rounding. Full 20-row frames only (warmup rows
+    // excluded); one partitioned window, no shuffle beyond the key.
+    "window_bollinger" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      val s1 = U.dbl(sum(U.dec6(col("value"))).over(w))
+      val s2 = U.dbl(sum(U.dec6(col("value") * col("value"))).over(w))
+      val n = count(lit(1)).over(w).cast("double")
+      val mean = s1 / n
+      val variance = (s2 - s1 * s1 / n) / (n - 1.0)
+      val sigma = sqrt(greatest(variance, lit(0.0)))
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), col("value"))
+        .withColumn("n", n.cast("long"))
+        .withColumn("mean", mean)
+        .withColumn("sigma", sigma)
+        .filter(col("n") === 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          U.round6(col("mean")).as("mid"),
+          U.round6(col("mean") + lit(2.0) * col("sigma")).as("upper"),
+          (col("value") > col("mean") + lit(2.0) * col("sigma"))
+            .as("breakout"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Time-weighted average — the telemetry metric plain AVG gets
     // wrong: each reading holds until the next one, so its weight is
     // the interval it covered (a sensor emitting 1 Hz while idle and
@@ -873,6 +909,28 @@ object Windows {
         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  max(len) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_bollinger" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) OVER w
+        |         AS DOUBLE) AS s2,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT user_id, event_id, value, n, s1 / n AS mean,
+        |    sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0)) AS sigma
+        |  FROM f WHERE n = 20)
+        |SELECT user_id, event_id, value,
+        |  round((mean) * 1000000) / 1000000 AS mid,
+        |  round((mean + 2.0 * sigma) * 1000000) / 1000000 AS upper,
+        |  value > mean + 2.0 * sigma AS breakout
+        |FROM b ORDER BY user_id, event_id""".stripMargin,
     "window_drawdown" ->
       """WITH s AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value
