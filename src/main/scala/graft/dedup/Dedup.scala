@@ -688,6 +688,29 @@ object Dedup {
         .orderBy("id1")
     }),
 
+    // k-NN graph over the LSH buckets — the neighborhood structure
+    // every graph-based pipeline stage consumes (triangle counting,
+    // label propagation, graph-based dedup): per vector, its 3 most
+    // similar WITHIN-BUCKET neighbors, both directions of each bucket
+    // pair. Bucket-local rank windows (partitioned by src — never
+    // global); candidate generation inherits embeddingLshPairs'
+    // capped buckets, so fan-out is bounded at any corpus size.
+    "sim_knn_graph" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pairs = embeddingLshPairs(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+        .filter(col("cos_sim").isNotNull)
+      val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"),
+          col("cos_sim"))
+        .unionByName(pairs.select(col("id2").as("src"),
+          col("id1").as("dst"), col("cos_sim")))
+      sym.withColumn("rn", row_number().over(
+          W.partitionBy("src").orderBy(col("cos_sim").desc, col("dst")))
+          .cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("src", "rn")
+    }),
+
     // Paragraph-level corpus dedup (the Dolma/C4 shape): documents are
     // chunked into fixed 10-word "paragraphs", every chunk dedups
     // CORPUS-WIDE (keeper = lexicographically first (doc_id, chunk_idx)
@@ -970,6 +993,39 @@ object Dedup {
           |  max(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
           |    AS component_id
           |FROM brk ORDER BY doc_id""".stripMargin),
+    "sim_knn_graph" ->
+      s"""WITH pl AS (
+        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, vd,
+        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
+        |    sqrt(list_dot_product(vd, vd)) AS nrm
+        |  FROM e, pl),
+        |cap AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bucket
+        |                                 ORDER BY vec_id) AS rn
+        |    FROM b) WHERE rn <= 256),
+        |pairs AS (
+        |  SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+        |    round(list_dot_product(e1.vd, e2.vd)
+        |      / (e1.nrm * e2.nrm), 6) AS cos_sim
+        |  FROM cap e1 JOIN cap e2
+        |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+        |  WHERE e1.nrm * e2.nrm > 0.0),
+        |sym AS (
+        |  SELECT id1 AS src, id2 AS dst, cos_sim FROM pairs
+        |  UNION ALL SELECT id2, id1, cos_sim FROM pairs),
+        |ranked AS (
+        |  SELECT src, dst, cos_sim,
+        |    row_number() OVER (PARTITION BY src
+        |                       ORDER BY cos_sim DESC, dst) AS rn
+        |  FROM sym)
+        |SELECT src, dst, cos_sim, rn FROM ranked WHERE rn <= 3
+        |ORDER BY src, rn""".stripMargin,
     "dedup_paragraph" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
         |            FROM documents),
