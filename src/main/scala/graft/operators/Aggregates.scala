@@ -335,6 +335,30 @@ object Aggregates {
     // aggregate, 25 rows out), broadcast back onto the fact, map-only
     // transform. At 100 TB the stats table stays dim-sized no matter
     // the fact size; the fact itself never shuffles.
+    // Robust scaling — (x − median) / IQR per group: the outlier-proof
+    // sibling of feat_zscore (mean/σ move with every outlier; median
+    // and quartiles don't). Exact grouped percentiles fit once and
+    // broadcast back, the same two-stage fit/apply shape as every
+    // scaler here; at 100 TB the fit swaps to approx_percentile (the
+    // feat_winsorize trade, same note). round(·,4) on the fit values
+    // pins the interpolated quartiles cross-engine before the division.
+    "feat_robust_scale" -> ((s, d) => {
+      val stats = t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("c_nationkey").as("k"),
+          round(element_at(col("q"), 2), 4).as("med"),
+          (round(element_at(col("q"), 3), 4) -
+            round(element_at(col("q"), 1), 4)).as("iqr"))
+      t(s, d, "customer")
+        .join(broadcast(stats), col("c_nationkey") === col("k"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("iqr") > 0,
+            U.round6((col("c_acctbal") - col("med")) / col("iqr")))
+            .as("robust_z"))
+        .orderBy("c_custkey")
+    }),
+
     "feat_zscore" -> ((s, d) => {
       val x = U.dec4(col("c_acctbal"))
       val stats = t(s, d, "customer")
@@ -922,6 +946,19 @@ object Aggregates {
         |    round(sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000) / 1000000
         |  END AS stddev
         |FROM s ORDER BY c_nationkey""".stripMargin,
+    "feat_robust_scale" ->
+      """WITH s AS (
+        |  SELECT c_nationkey AS k,
+        |    round(quantile_cont(c_acctbal, 0.5), 4) AS med,
+        |    round(quantile_cont(c_acctbal, 0.75), 4)
+        |      - round(quantile_cont(c_acctbal, 0.25), 4) AS iqr
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c_nationkey,
+        |  CASE WHEN iqr > 0 THEN
+        |    round((c_acctbal - med) / iqr * 1000000) / 1000000 END
+        |    AS robust_z
+        |FROM customer JOIN s ON s.k = c_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     "feat_zscore" ->
       """WITH s AS (
         |  SELECT c_nationkey AS k, count(*) AS n,

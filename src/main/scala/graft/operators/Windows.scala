@@ -407,6 +407,23 @@ object Windows {
         .orderBy("o_orderpriority")
     }),
 
+    // Rank-distribution functions — percent_rank / cume_dist per group:
+    // both are exact RATIONAL functions of integer ranks ((rk−1)/(n−1),
+    // rank-of-last-peer/n), so they compare engine-exact without any
+    // rounding bridge. Total order (price, orderkey) makes ranks
+    // deterministic; one partitioned window.
+    "window_rank_percentile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+
     // Maximum drawdown per user — the running-peak decline metric
     // (portfolio risk / telemetry degradation): dd_t = peak_t − x_t
     // with peak the running max over event-time order, answer =
@@ -909,6 +926,14 @@ object Windows {
         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  max(len) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_rank_percentile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS cd
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     "window_bollinger" ->
       """WITH s AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value
