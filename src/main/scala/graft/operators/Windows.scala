@@ -424,6 +424,40 @@ object Windows {
         .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
     }),
 
+    // First/last-touch attribution — which click gets credit for a
+    // purchase: within the hour BEFORE each purchase (inclusive), the
+    // earliest click is the first touch and the latest the last touch.
+    // One union + one RANGE-framed window per bound (range frames bound
+    // the lookback by VALUE, so no per-key history accumulates —
+    // exactly the watermark-style state bound a streaming attribution
+    // job needs); (tsu, event_id) structs keep id and time atomic, the
+    // join_asof_tolerance lesson. No self-join, one user_id exchange.
+    "events_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), lit(0).as("side"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), U.tsUs(col("ts")).as("tsu"),
+          col("event_id"), lit(1).as("side"))
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-3600000000L, 0L)
+      val clickStruct = when(col("side") === 0,
+        struct(col("tsu").as("ctsu"), col("event_id").as("cid")))
+      clicks.unionByName(buys)
+        .withColumn("ft", min(clickStruct).over(w))
+        .withColumn("lt", max(clickStruct).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ft.cid").as("first_touch_id"),
+          when(col("ft.ctsu").isNotNull, col("tsu") - col("ft.ctsu"))
+            .as("first_touch_age_us"),
+          col("lt.cid").as("last_touch_id"),
+          when(col("lt.ctsu").isNotNull, col("tsu") - col("lt.ctsu"))
+            .as("last_touch_age_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Maximum drawdown per user — the running-peak decline metric
     // (portfolio risk / telemetry degradation): dd_t = peak_t − x_t
     // with peak the running max over event-time order, answer =
@@ -926,6 +960,28 @@ object Windows {
         |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
         |  max(len) AS longest_streak
         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_attribution" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |f AS (
+        |  SELECT user_id, tsu, event_id, side,
+        |    min(CASE WHEN side = 0
+        |        THEN {'t': tsu, 'i': event_id} END) OVER w AS ft,
+        |    max(CASE WHEN side = 0
+        |        THEN {'t': tsu, 'i': event_id} END) OVER w AS lt
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id,
+        |  (ft).i AS first_touch_id,
+        |  CASE WHEN (ft).t IS NOT NULL THEN tsu - (ft).t END
+        |    AS first_touch_age_us,
+        |  (lt).i AS last_touch_id,
+        |  CASE WHEN (lt).t IS NOT NULL THEN tsu - (lt).t END
+        |    AS last_touch_age_us
+        |FROM f WHERE side = 1 ORDER BY purchase_id""".stripMargin,
     "window_rank_percentile" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  percent_rank() OVER (PARTITION BY o_orderpriority
