@@ -335,6 +335,45 @@ object Aggregates {
     // aggregate, 25 rows out), broadcast back onto the fact, map-only
     // transform. At 100 TB the stats table stays dim-sized no matter
     // the fact size; the fact itself never shuffles.
+    // Histogram quantile — the DETERMINISTIC mergeable approximate
+    // percentile (the Prometheus histogram_quantile model), and the
+    // 100 TB answer to why GK approx_percentile stays rows-only here:
+    // fixed equi-width bins make the sketch a plain count vector —
+    // partial+final combinable, merge-order-INVARIANT (addition
+    // commutes), and exactly replayable — unlike GK, whose kept
+    // samples depend on insert/merge order. Estimate = linear
+    // interpolation inside the bin where the cumulative count crosses
+    // q·N. Error is bounded by bin width (domain/256 here) — the
+    // explicit precision/replayability trade.
+    "agg_histogram_quantile" -> ((s, d) => {
+      val nBins = 256
+      val lo = 0.0; val hi = 600000.0
+      val width = (hi - lo) / nBins
+      val bin = least(greatest(
+        floor((col("o_totalprice") - lo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long")
+      val hist = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), bin.as("b"))
+        .agg(count(lit(1)).as("c"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("o_orderpriority").orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy("o_orderpriority")
+      def q(p: Double) = {
+        val target = lit(p) * col("n")
+        when(col("cum") >= target && col("cum") - col("c") < target,
+          U.round6(lit(lo) + (col("b") + (target - (col("cum") - col("c")))
+            / col("c")) * lit(width)))
+      }
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy("o_orderpriority")
+        .agg(max(q(0.5)).as("p50_est"), max(q(0.9)).as("p90_est"),
+          max(col("n")).as("n_rows"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Robust scaling — (x − median) / IQR per group: the outlier-proof
     // sibling of feat_zscore (mean/σ move with every outlier; median
     // and quartiles don't). Exact grouped percentiles fit once and
@@ -839,6 +878,32 @@ object Aggregates {
         |SELECT user_id,
         |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same fixed-bin sketch replayed: counts are merge-order-invariant
+    // by construction, interpolation is the identical expression chain
+    "agg_histogram_quantile" -> {
+      val width = 600000.0 / 256
+      def q(p: Double) =
+        s"""max(CASE WHEN cum >= $p * n AND cum - c < $p * n
+           |    THEN round((0.0 + (b + ($p * n - (cum - c)) / c) * $width)
+           |         * 1000000) / 1000000 END)""".stripMargin
+      s"""WITH h AS (
+         |  SELECT o_orderpriority,
+         |    CAST(least(greatest(floor((o_totalprice - 0.0) / $width),
+         |         0.0), 255.0) AS BIGINT) AS b,
+         |    count(*) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |f AS (
+         |  SELECT o_orderpriority, b, c,
+         |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM h)
+         |SELECT o_orderpriority,
+         |  ${q(0.5)} AS p50_est,
+         |  ${q(0.9)} AS p90_est,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "agg_weighted_median" ->
       """WITH s AS (
         |  SELECT l_returnflag, l_extendedprice,
