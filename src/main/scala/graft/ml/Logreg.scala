@@ -138,6 +138,46 @@ object Logreg {
       Seq((r6(w(0)), r6(w(1)), r6(w(2)), r6(w(3)), r6(w(4))))
         .toDF("w0", "w1", "w2", "w3", "w4")
     }),
+    // confusion matrix + derived metrics at the 0.5 threshold — the
+    // eval row every trained gate ships with: one aggregation over the
+    // scored corpus, metrics as exact ratios of counts.
+    "ml_logreg_eval" -> ((s, d) => {
+      val w = weights(s, d)
+      val pred = sigma12(margin(w)) >= 0.5
+      val pos = col("y") === 1.0
+      val agg = features(s, d).agg(
+        sum(when(pred && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !pos, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && pos, 1L).otherwise(0L)).as("fn"))
+      agg.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        U.round6((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"),
+        when(col("tp") + col("fp") > 0, U.round6(col("tp").cast("double")
+          / (col("tp") + col("fp")))).as("precision"),
+        when(col("tp") + col("fn") > 0, U.round6(col("tp").cast("double")
+          / (col("tp") + col("fn")))).as("recall"))
+    }),
+
+    // calibration curve (reliability diagram): decile score bins ×
+    // observed positive rate — whether 0.3 means 30%. Deterministic
+    // binning on the rounded score; one aggregation.
+    "ml_logreg_calibration" -> ((s, d) => {
+      val w = weights(s, d)
+      val score = sigma12(margin(w))
+      features(s, d)
+        .select(col("y"), score.as("sc"))
+        .withColumn("bin", least(floor(col("sc") * 10), lit(9.0))
+          .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          U.round6(U.dbl(sum(U.dec6(col("sc")))) / count(lit(1)))
+            .as("mean_score"),
+          U.round6(sum(col("y").cast("long")).cast("double")
+            / count(lit(1))).as("pos_rate"))
+        .orderBy("bin")
+    }),
+
     // scored corpus: the quality gate a pipeline filters/samples on
     "ml_logreg_apply" -> ((s, d) => {
       val w = weights(s, d)
@@ -198,6 +238,42 @@ object Logreg {
   }
 
   val oracles: Map[String, String] = Map(
+    "ml_logreg_eval" -> (trainSqlCtes +
+      s""",
+         |sc AS (
+         |  SELECT y, ${sqlSigma(sqlMargin(s"w$Iters"))} >= 0.5 AS pred
+         |  FROM feats, w$Iters),
+         |cm AS (
+         |  SELECT
+         |    CAST(count(*) FILTER (pred AND y = 1.0) AS BIGINT) AS tp,
+         |    CAST(count(*) FILTER (pred AND y <> 1.0) AS BIGINT) AS fp,
+         |    CAST(count(*) FILTER (NOT pred AND y <> 1.0) AS BIGINT) AS tn,
+         |    CAST(count(*) FILTER (NOT pred AND y = 1.0) AS BIGINT) AS fn
+         |  FROM sc)
+         |SELECT tp, fp, tn, fn,
+         |  round((tp + tn) / CAST(tp + fp + tn + fn AS DOUBLE) * 1000000)
+         |    / 1000000 AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(tp / CAST(tp + fp AS DOUBLE) * 1000000) / 1000000 END
+         |    AS precision,
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(tp / CAST(tp + fn AS DOUBLE) * 1000000) / 1000000 END
+         |    AS recall
+         |FROM cm""".stripMargin),
+    "ml_logreg_calibration" -> (trainSqlCtes +
+      s""",
+         |sc AS (
+         |  SELECT y, ${sqlSigma(sqlMargin(s"w$Iters"))} AS s
+         |  FROM feats, w$Iters),
+         |binned AS (
+         |  SELECT CAST(least(floor(s * 10), 9.0) AS BIGINT) AS bin, y, s
+         |  FROM sc)
+         |SELECT bin, count(*) AS n,
+         |  round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    * 1000000) / 1000000 AS mean_score,
+         |  round(CAST(count(*) FILTER (y = 1.0) AS DOUBLE) / count(*)
+         |    * 1000000) / 1000000 AS pos_rate
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin),
     "ml_logreg_train" -> (trainSqlCtes +
       s"""
          |SELECT ${(0 to NFeatures).map(j =>
