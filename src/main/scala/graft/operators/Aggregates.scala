@@ -207,16 +207,36 @@ object Aggregates {
     // total — no division, no float boundary).
     "agg_weighted_median" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
-      val w = W.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      // The cumulative weight is BLOCK-STITCHED, not a single per-group
+      // running window: with 3 return flags a plain
+      // partitionBy(l_returnflag) window has parallelism 3 for the
+      // whole fact (measured 11.9 s at sf1 — 6M rows on 3 tasks).
+      // Blocks are price ranges (monotone in the cum order, ties stay
+      // inside a block because the block is a pure function of the
+      // leading sort key): local running sums parallelize over
+      // (group × block), the per-group block prefix runs over a tiny
+      // summary, and cum = prefix + local — the stitchedRowNumber
+      // discipline applied to SUM. 11.9 → ~2 s at sf1.
       val wq = col("l_quantity").cast("long")
-      t(s, d, "lineitem")
+      val rows = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"), wq.as("q"))
-        .withColumn("cumq", sum(col("q")).over(w))
-        .withColumn("totq", sum(col("q")).over(
+        .withColumn("blk", floor(col("l_extendedprice") / 2000.0).cast("long"))
+      val wLoc = W.partitionBy("l_returnflag", "blk")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val offsets = rows.groupBy("l_returnflag", "blk")
+        .agg(sum(col("q")).as("bq"))
+        .withColumn("off", coalesce(
+          sum(col("bq")).over(W.partitionBy("l_returnflag").orderBy("blk")
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("totq", sum(col("bq")).over(
           W.partitionBy("l_returnflag")))
+        .select(col("l_returnflag"), col("blk"), col("off"), col("totq"))
+      rows
+        .withColumn("lcum", sum(col("q")).over(wLoc))
+        .join(broadcast(offsets), Seq("l_returnflag", "blk"))
+        .withColumn("cumq", col("off") + col("lcum"))
         .filter(col("cumq") * 2 >= col("totq"))
         .groupBy("l_returnflag")
         .agg(min(col("l_extendedprice")).as("weighted_median"),
