@@ -355,6 +355,34 @@ object Aggregates {
     // aggregate, 25 rows out), broadcast back onto the fact, map-only
     // transform. At 100 TB the stats table stays dim-sized no matter
     // the fact size; the fact itself never shuffles.
+    // Wilson score interval — the correct CI for a grouped binomial
+    // rate (the naive ±1.96·√(p(1−p)/n) misbehaves near 0/1 and small
+    // n; Wilson stays inside [0,1]): rate of fulfilled orders per
+    // priority with a 95% band. One aggregation; the interval is a
+    // FIXED per-row double chain over exact counts (z embedded as the
+    // literal 1.96, sqrt correctly rounded), so both engines emit
+    // identical doubles before the display rounding.
+    "agg_wilson_ci" -> ((s, d) => {
+      val z = 1.96
+      val g = t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("k"))
+      val n = col("n").cast("double")
+      val p = col("k").cast("double") / n
+      val z2 = lit(z * z)
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (lit(2.0) * n)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        z2 / (lit(4.0) * n * n)) / denom
+      g.select(col("o_orderpriority"), col("n"), col("k"),
+        U.round6(p).as("rate"),
+        U.round6(center - half).as("ci_lo"),
+        U.round6(center + half).as("ci_hi"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Histogram quantile — the DETERMINISTIC mergeable approximate
     // percentile (the Prometheus histogram_quantile model), and the
     // 100 TB answer to why GK approx_percentile stays rows-only here:
@@ -898,6 +926,30 @@ object Aggregates {
         |SELECT user_id,
         |  CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS entropy
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_wilson_ci" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS k
+        |  FROM orders GROUP BY o_orderpriority),
+        |e AS (
+        |  SELECT o_orderpriority, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g),
+        |c AS (
+        |  SELECT *,
+        |    (1.0 + 3.8415999999999997 / nd) AS denom,
+        |    (p + 3.8415999999999997 / (2.0 * nd)) AS num,
+        |    1.96 * sqrt(p * (1.0 - p) / nd
+        |      + 3.8415999999999997 / (4.0 * nd * nd)) AS halfnum
+        |  FROM e)
+        |SELECT o_orderpriority, n, k,
+        |  round(p * 1000000) / 1000000 AS rate,
+        |  round((num / denom - halfnum / denom) * 1000000) / 1000000
+        |    AS ci_lo,
+        |  round((num / denom + halfnum / denom) * 1000000) / 1000000
+        |    AS ci_hi
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
     // same fixed-bin sketch replayed: counts are merge-order-invariant
     // by construction, interpolation is the identical expression chain
     "agg_histogram_quantile" -> {
