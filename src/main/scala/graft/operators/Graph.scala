@@ -80,6 +80,27 @@ object Graph {
         .orderBy("vec_id")
     }),
 
+    // The contracted transition graph exposed as its own surface — the
+    // Markov transition matrix (P(next=dst | cur=src)) user journeys
+    // are analyzed with: the same per-user lag contraction PageRank
+    // consumes, row-normalized to probabilities. One window + one
+    // aggregation; probabilities are exact count ratios.
+    "agg_markov_transition" -> ((s, d) => {
+      val perUser = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+      val W = Window.partitionBy("src")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("dst"),
+          lag(col("event_type"), 1).over(perUser).as("src"))
+        .filter(col("src").isNotNull)
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", U.round6(col("n").cast("double")
+          / sum(col("n")).over(W)))
+        .orderBy("src", "dst")
+    }),
+
     // PageRank over the event-type transition graph: which states of
     // the user journey accumulate stationary mass. Contraction is the
     // distributed half (window + aggregate); the ≤|types|² contracted
@@ -172,6 +193,19 @@ object Graph {
         |  UNION ALL SELECT c FROM tris)
         |SELECT vec_id, count(*) AS n_triangles
         |FROM corners GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "agg_markov_transition" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS dst,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS src
+        |  FROM events),
+        |edges AS (
+        |  SELECT src, dst, count(*) AS n FROM seq
+        |  WHERE src IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY src) * 1000000) / 1000000 AS p
+        |FROM edges ORDER BY src, dst""".stripMargin,
     "graph_pagerank_types" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS dst,
