@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.Pruning.queries ++
       operators.Graph.queries ++
+      operators.Stats.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       functions.Bpe.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       operators.Pipeline.oracles ++
       operators.Pruning.oracles ++
       operators.Graph.oracles ++
+      operators.Stats.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++

@@ -137,6 +137,34 @@ object Joins {
         .orderBy("id1", "id2")
     }),
 
+    // Entity-resolution scoring with the native [[graft.plans.JaroWinkler]]
+    // codegen Expression — Spark has levenshtein but no Jaro-Winkler,
+    // and JW is the right metric for short human-keyed labels (prefix-
+    // weighted, transposition-tolerant). TWO blocking keys (brand AND
+    // first name token) keep candidate generation from going quadratic
+    // within a block as the corpus scales: pairs come from an equi-join
+    // on the compound key, and the expression scores them inside
+    // whole-stage codegen — no UDF, no extra exchange. Threshold
+    // compares engine-stable round6 values on both sides.
+    "join_blocked_jaro" -> ((s, d) => {
+      graft.plans.JaroWinkler.register(s)
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"),
+          col("p_brand"))
+        .withColumn("tok1", split_part(col("nm"), lit(" "), lit(1)))
+      val a = p.select(col("p_partkey").as("id1"), col("nm").as("n1"),
+        col("p_brand"), col("tok1"))
+      val b = p.select(col("p_partkey").as("id2"), col("nm").as("n2"),
+        col("p_brand"), col("tok1"))
+      a.join(b, Seq("p_brand", "tok1"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("jw",
+          U.round6(call_function("jaro_winkler", col("n1"), col("n2"))))
+        .filter(col("jw") >= 0.82)
+        .select(col("id1"), col("id2"), col("jw"))
+        .orderBy("id1", "id2")
+    }),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
     // match null keys — the join you need when the key is itself derived
     // and can legitimately be null (here: a sentinel value nulled out).
@@ -502,6 +530,20 @@ object Joins {
         |  CAST(levenshtein(a.name, bb.name) AS BIGINT) AS dist
         |FROM b a JOIN b bb ON a.blk = bb.blk AND a.c_custkey < bb.c_custkey
         |WHERE levenshtein(a.name, bb.name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
+    "join_blocked_jaro" ->
+      """WITH p AS (
+        |  SELECT p_partkey, lower(p_name) AS nm, p_brand,
+        |    split_part(lower(p_name), ' ', 1) AS tok1
+        |  FROM part)
+        |SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  round(jaro_winkler_similarity(a.nm, b.nm) * 1000000) / 1000000
+        |    AS jw
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
+        |  / 1000000 >= 0.82
         |ORDER BY id1, id2""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (SELECT nullif(event_type, 'error') AS k, event_id

@@ -1,0 +1,541 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Tables, U}
+
+/** Hypothesis testing / distribution diagnostics — the statistical
+  * audit layer every large-scale data pipeline needs before shipping a
+  * corpus: did this source's distribution shift vs that one (KS,
+  * Mann-Whitney), are these two attributes independent (chi-square /
+  * Cramér's V), does group membership explain the variance (ANOVA), is
+  * this numeric column organically generated (Benford), how monotone is
+  * the relationship (Spearman), how autocorrelated is a series (ACF)?
+  *
+  * All tests are EXACT (no sampling, no approximation) and
+  * engine-deterministic:
+  *   - counts/ranks accumulate as longs or DECIMAL — partition-order
+  *     invariant;
+  *   - global ECDF / rank positions use the block-stitched cumulative
+  *     pattern ([[Windows.stitchedRowNumber]] discipline) — per-value
+  *     aggregation first (shuffle carries one row per DISTINCT value),
+  *     then local running sums within value-range blocks stitched by a
+  *     broadcast offset table. No unpartitioned window ever sees a
+  *     data-scaled row count;
+  *   - closed-form statistics are per-row double math over those exact
+  *     sums, spelled token-for-token like the DuckDB oracle, rounded
+  *     with the engine-stable `round(x*1e6)/1e6`.
+  *
+  * Reference ancestry: the reference pipeline ships no statistics
+  * beyond descriptive aggregation — this family is part of the mandated
+  * beyond-reference surface (SURVEY §2 Part B extensions / training-
+  * data pipeline operators).
+  */
+object Stats {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  private def dec38(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Per-distinct-value cumulative counts of `l_extendedprice` for the
+    * two-sample (returnflag R vs A) tests, block-stitched:
+    *
+    *   1. groupBy(value) — the only data-scaled shuffle, map-side
+    *      combined, one output row per distinct price;
+    *   2. running sums WITHIN price-range blocks (partitioned window —
+    *      parallel, bounded state);
+    *   3. per-block totals (≤ ~60 rows) take the only global-order
+    *      window; offsets broadcast back.
+    *
+    * Output: one row per distinct value with cumr/cuma (cumulative
+    * group counts through that value) and the constant totals n_r/n_a.
+    */
+  private def twoSampleCum(s: SparkSession, d: String): DataFrame = {
+    val pv = t(s, d, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_extendedprice").as("v"), col("l_returnflag").as("g"))
+      .groupBy("v")
+      .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"))
+      .withColumn("blk", floor(col("v") / 2000.0).cast("long"))
+    val wLoc = Window.partitionBy("blk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = pv.groupBy("blk")
+      .agg(sum(col("cr")).as("bcr"), sum(col("ca")).as("bca"))
+      .withColumn("offr", coalesce(
+        sum(col("bcr")).over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offa", coalesce(
+        sum(col("bca")).over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("offr"), col("offa"))
+    val tot = pv.groupBy()
+      .agg(sum(col("cr")).as("n_r"), sum(col("ca")).as("n_a"))
+    pv
+      .withColumn("lcr", sum(col("cr")).over(wLoc))
+      .withColumn("lca", sum(col("ca")).over(wLoc))
+      .join(broadcast(offs), Seq("blk"))
+      .withColumn("cumr", col("offr") + col("lcr"))
+      .withColumn("cuma", col("offa") + col("lca"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("cr"), col("ca"), col("cumr"), col("cuma"),
+        col("n_r"), col("n_a"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-sample Kolmogorov-Smirnov: D = max |F_R(x) − F_A(x)| over the
+    // pooled support — THE nonparametric "did the distribution shift"
+    // test (source drift, A/B invariance, train/serve skew). Exact
+    // ECDFs from block-stitched cumulative counts; D is a max over
+    // per-row IEEE quotients (order-invariant). The decision column
+    // compares ROUNDED statistic to ROUNDED asymptotic critical value
+    // (α = 0.05, c = 1.358) so the boundary can't flip across engines.
+    "stats_ks_two_sample" -> ((s, d) => {
+      val cum = twoSampleCum(s, d)
+        .withColumn("diff", abs(
+          U.dbl(col("cumr")) / U.dbl(col("n_r"))
+            - U.dbl(col("cuma")) / U.dbl(col("n_a"))))
+      cum.groupBy("n_r", "n_a")
+        .agg(max(col("diff")).as("d0"))
+        .select(
+          U.round6(col("d0")).as("d_stat"),
+          col("n_r"), col("n_a"),
+          U.round6(lit(1.358) * sqrt(
+            U.dbl(col("n_r") + col("n_a"))
+              / U.dbl(col("n_r") * col("n_a")))).as("d_crit"))
+        .withColumn("reject_h0", col("d_stat") > col("d_crit"))
+    }),
+
+    // Mann-Whitney U (Wilcoxon rank-sum), exact with midranks and tie
+    // correction: the location-shift sibling of KS — "is one group
+    // stochastically larger". Midranks never materialize per row: for a
+    // distinct value with combined count c and `off` items before it,
+    // every occurrence has rank (2·off + c + 1)/2, so the group-R rank
+    // sum is Σ cr·(2off+c+1)/2 — exact integer arithmetic on the
+    // per-value table, DECIMAL(38)-summed. z uses the tie-corrected
+    // variance; Σ(c³−c) stays in long per row (documented bound: a
+    // single value repeated >2.1M times would need the decimal cast
+    // moved inward).
+    "stats_mann_whitney" -> ((s, d) => {
+      val cum = twoSampleCum(s, d)
+        .withColumn("c", col("cr") + col("ca"))
+        .withColumn("off", col("cumr") + col("cuma") - col("c"))
+      val agg = cum.groupBy("n_r", "n_a")
+        .agg(
+          U.dbl(sum(dec38(
+            col("cr") * (lit(2L) * col("off") + col("c") + 1L)))).as("r2"),
+          U.dbl(sum(dec38(
+            col("c") * col("c") * col("c") - col("c")))).as("ties"))
+      val nrD = U.dbl(col("n_r"))
+      val naD = U.dbl(col("n_a"))
+      val nD = U.dbl(col("n_r") + col("n_a"))
+      val uR = (col("r2") - nrD * (nrD + 1.0)) / 2.0
+      val mu = nrD * naD / 2.0
+      val sig2 = nrD * naD / 12.0 *
+        ((nD + 1.0) - col("ties") / (nD * (nD - 1.0)))
+      agg.select(
+        col("n_r"), col("n_a"),
+        uR.as("u_r0"),
+        (nrD * naD - uR).as("u_a0"),
+        when(sig2 > 0, U.round6((uR - mu) / sqrt(sig2))).as("z"))
+        .select(col("n_r"), col("n_a"),
+          col("u_r0").as("u_r"), col("u_a0").as("u_a"), col("z"))
+    }),
+
+    // Chi-square test of independence + Cramér's V over the
+    // (o_orderpriority × o_orderstatus) contingency table. Observed
+    // cells, row/column marginals and N are all partial+final
+    // aggregates (shuffle carries category keys only); expected counts
+    // and cell terms are per-row doubles over the tiny cell table,
+    // decimal-summed after engine-stable rounding.
+    "stats_chi2_independence" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority").as("rk"), col("o_orderstatus").as("ck"))
+      val obs = o.groupBy("rk", "ck").agg(count(lit(1)).as("n"))
+      val rowTot = o.groupBy("rk").agg(count(lit(1)).as("rt"))
+      val colTot = o.groupBy("ck").agg(count(lit(1)).as("ct"))
+      val stats = o.groupBy().agg(count(lit(1)).as("nn"),
+        countDistinct(col("rk")).as("r"), countDistinct(col("ck")).as("c"))
+      val e = U.dbl(col("rt")) * U.dbl(col("ct")) / U.dbl(col("nn"))
+      val term = U.round6((U.dbl(col("n")) - e) * (U.dbl(col("n")) - e) / e)
+      obs
+        .join(broadcast(rowTot), Seq("rk"))
+        .join(broadcast(colTot), Seq("ck"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term", term)
+        .groupBy("nn", "r", "c")
+        .agg(U.dbl(sum(U.dec6(col("term")))).as("chi2raw"))
+        .select(
+          U.round6(col("chi2raw")).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          U.round6(sqrt(col("chi2raw") /
+            (U.dbl(col("nn")) * U.dbl(least(col("r") - 1, col("c") - 1)))))
+            .as("cramers_v"),
+          col("nn").as("n"))
+    }),
+
+    // One-way ANOVA F over l_quantity by l_returnflag: between/within
+    // sums of squares from exact per-group decimal moments (the
+    // agg_corr_exact discipline), closed form in doubles. Second-level
+    // aggregation runs over the 3-row group summary.
+    "stats_anova_f" -> ((s, d) => {
+      val q = U.dec4(col("l_quantity"))
+      val g = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("ng"),
+          U.dbl(sum(q)).as("sg"),
+          U.dbl(sum(q * q)).as("ssg"))
+        .withColumn("ssw_term",
+          U.round6(col("ssg") - col("sg") * col("sg") / U.dbl(col("ng"))))
+        .withColumn("ssb_term",
+          U.round6(col("sg") * col("sg") / U.dbl(col("ng"))))
+      val tot = g.groupBy()
+        .agg(count(lit(1)).as("k"),
+          sum(col("ng")).as("n"),
+          U.dbl(sum(U.dec4(col("sg")))).as("s"),
+          U.dbl(sum(U.dec6(col("ssw_term")))).as("ssw0"),
+          U.dbl(sum(U.dec6(col("ssb_term")))).as("sb0"))
+        .withColumn("ssb0",
+          U.round6(col("sb0") - col("s") * col("s") / U.dbl(col("n"))))
+        .withColumn("ssw1", U.round6(col("ssw0")))
+      val f = (col("ssb0") / U.dbl(col("k") - 1)) /
+        (col("ssw1") / U.dbl(col("n") - col("k")))
+      tot.select(col("k"), col("n"),
+        col("ssb0").as("ss_between"), col("ssw1").as("ss_within"),
+        U.round6(f).as("f_stat"),
+        U.round6(col("ssb0") / (col("ssb0") + col("ssw1"))).as("eta_sq"))
+    }),
+
+    // Benford first-digit audit of l_extendedprice — the classic
+    // fabricated-numbers screen (and a quick synthetic-vs-organic
+    // tell on any positive, scale-spanning column). First significant
+    // digit extracted by a bounded integer CASE ladder on exact cents —
+    // no log10 on data (transcendentals only touch the 9 expected
+    // constants, where rounding is boundary-safe).
+    "stats_benford" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * 100.0).cast("long")
+      val digit = expr(
+        """CASE WHEN cents < 10 THEN cents
+          | WHEN cents < 100 THEN cents div 10
+          | WHEN cents < 1000 THEN cents div 100
+          | WHEN cents < 10000 THEN cents div 1000
+          | WHEN cents < 100000 THEN cents div 10000
+          | WHEN cents < 1000000 THEN cents div 100000
+          | WHEN cents < 10000000 THEN cents div 1000000
+          | WHEN cents < 100000000 THEN cents div 10000000
+          | WHEN cents < 1000000000 THEN cents div 100000000
+          | WHEN cents < 10000000000 THEN cents div 1000000000
+          | WHEN cents < 100000000000 THEN cents div 10000000000
+          | WHEN cents < 1000000000000 THEN cents div 100000000000
+          | ELSE cents div 1000000000000 END""".stripMargin)
+      val base = t(s, d, "lineitem")
+        .filter(col("l_extendedprice") > 0)
+        .select(cents.as("cents"))
+        .withColumn("digit", digit)
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = base.groupBy().agg(sum(col("n")).as("nn"))
+      base.crossJoin(broadcast(tot))
+        .withColumn("obs_p", U.round6(U.dbl(col("n")) / U.dbl(col("nn"))))
+        .withColumn("exp_p",
+          U.round6(log10(lit(1.0) + lit(1.0) / U.dbl(col("digit")))))
+        .select(col("digit"), col("n"), col("obs_p"), col("exp_p"),
+          U.round6(abs(col("obs_p") - col("exp_p"))).as("abs_dev"))
+        .orderBy("digit")
+    }),
+
+    // Spearman rank correlation between l_quantity and l_discount —
+    // monotone association, robust to any monotone transform. Midranks
+    // come from the per-distinct-value count tables (both supports are
+    // tiny: the cumulative windows run over ≤ ~60 aggregated rows, and
+    // the rank maps broadcast back to the fact). Doubled midranks stay
+    // integral; co-moments accumulate in DECIMAL(38) so the Pearson
+    // closed form on ranks is exact-input deterministic.
+    "stats_spearman" -> ((s, d) => {
+      def rankMap(valCol: String, out: String): DataFrame = {
+        val pv = t(s, d, "lineitem")
+          .groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
+        pv.withColumn("cum", sum(col("c")).over(
+            Window.orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("v"),
+            (lit(2L) * (col("cum") - col("c")) + col("c") + 1L).as(out))
+      }
+      val rq = rankMap("l_quantity", "rx2")
+      val rd = rankMap("l_discount", "ry2")
+      val rows = t(s, d, "lineitem")
+        .select(col("l_quantity").as("vq"), col("l_discount").as("vd"))
+        .join(broadcast(rq.withColumnRenamed("v", "vq")), Seq("vq"))
+        .join(broadcast(rd.withColumnRenamed("v", "vd")), Seq("vd"))
+      val agg = rows.groupBy().agg(
+        count(lit(1)).as("n"),
+        U.dbl(sum(dec38(col("rx2")))).as("sx"),
+        U.dbl(sum(dec38(col("ry2")))).as("sy"),
+        U.dbl(sum(dec38(col("rx2") * col("ry2")))).as("sxy"),
+        U.dbl(sum(dec38(col("rx2") * col("rx2")))).as("sxx"),
+        U.dbl(sum(dec38(col("ry2") * col("ry2")))).as("syy"))
+      val nD = U.dbl(col("n"))
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      val den = sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+        sqrt(nD * col("syy") - col("sy") * col("sy"))
+      agg.select(col("n"),
+        when(den > 0, U.round6(num / den)).as("spearman_rho"))
+    }),
+
+    // Autocorrelation function at lags 1..3 of each user's event-value
+    // series — the seasonality/stickiness probe (an i.i.d.-corpus check
+    // before treating per-user samples as independent). Per-user
+    // partitioned windows only (mean, lags), decimal-bridged sums;
+    // users under 10 observations don't score.
+    "stats_acf" -> ((s, d) => {
+      val wu = Window.partitionBy("user_id")
+      val wo = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val src = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("us"),
+          col("event_id"), col("value").as("v"))
+        .withColumn("mu",
+          U.dbl(sum(U.dec6(col("v"))).over(wu)) / count(col("v")).over(wu))
+        .withColumn("cnt", count(col("v")).over(wu))
+        .withColumn("l1", lag(col("v"), 1).over(wo))
+        .withColumn("l2", lag(col("v"), 2).over(wo))
+        .withColumn("l3", lag(col("v"), 3).over(wo))
+      def num(lc: Column) =
+        U.dbl(sum(U.dec6((col("v") - col("mu")) * (lc - col("mu")))))
+      src.groupBy("user_id")
+        .agg(max(col("cnt")).as("n"),
+          U.dbl(sum(U.dec6((col("v") - col("mu")) * (col("v") - col("mu")))))
+            .as("den"),
+          num(col("l1")).as("n1"), num(col("l2")).as("n2"),
+          num(col("l3")).as("n3"))
+        .filter(col("n") >= 10)
+        .select(col("user_id"), col("n"),
+          when(col("den") > 0, U.round6(col("n1") / col("den"))).as("acf1"),
+          when(col("den") > 0, U.round6(col("n2") / col("den"))).as("acf2"),
+          when(col("den") > 0, U.round6(col("n3") / col("den"))).as("acf3"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "stats_ks_two_sample" ->
+      """WITH src AS (
+        |  SELECT l_extendedprice AS v, l_returnflag AS g
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |pv AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca
+        |  FROM src GROUP BY v),
+        |tot AS (SELECT sum(cr) AS n_r, sum(ca) AS n_a FROM pv),
+        |c AS (
+        |  SELECT v,
+        |    sum(cr) OVER (ORDER BY v) AS cumr,
+        |    sum(ca) OVER (ORDER BY v) AS cuma
+        |  FROM pv),
+        |d AS (
+        |  SELECT max(abs(CAST(cumr AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |    - CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE))) AS d0
+        |  FROM c, tot)
+        |SELECT round(d0 * 1000000) / 1000000 AS d_stat, n_r, n_a,
+        |  round(1.358 * sqrt(CAST(n_r + n_a AS DOUBLE)
+        |    / CAST(n_r * n_a AS DOUBLE)) * 1000000) / 1000000 AS d_crit,
+        |  round(d0 * 1000000) / 1000000 >
+        |    round(1.358 * sqrt(CAST(n_r + n_a AS DOUBLE)
+        |      / CAST(n_r * n_a AS DOUBLE)) * 1000000) / 1000000 AS reject_h0
+        |FROM d, tot""".stripMargin,
+    "stats_mann_whitney" ->
+      """WITH src AS (
+        |  SELECT l_extendedprice AS v, l_returnflag AS g
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |pv AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS ca
+        |  FROM src GROUP BY v),
+        |tot AS (SELECT sum(cr) AS n_r, sum(ca) AS n_a FROM pv),
+        |c AS (
+        |  SELECT v, cr, ca, cr + ca AS c,
+        |    sum(cr + ca) OVER (ORDER BY v) - (cr + ca) AS off
+        |  FROM pv),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CAST(cr * (2 * off + c + 1) AS DECIMAL(38, 0)))
+        |      AS DOUBLE) AS r2,
+        |    CAST(sum(CAST(c * c * c - c AS DECIMAL(38, 0)))
+        |      AS DOUBLE) AS ties
+        |  FROM c)
+        |SELECT n_r, n_a,
+        |  (r2 - CAST(n_r AS DOUBLE) * (CAST(n_r AS DOUBLE) + 1.0)) / 2.0
+        |    AS u_r,
+        |  CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |    - (r2 - CAST(n_r AS DOUBLE) * (CAST(n_r AS DOUBLE) + 1.0)) / 2.0
+        |    AS u_a,
+        |  CASE WHEN CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE) / 12.0 *
+        |      ((CAST(n_r + n_a AS DOUBLE) + 1.0)
+        |        - ties / (CAST(n_r + n_a AS DOUBLE)
+        |            * (CAST(n_r + n_a AS DOUBLE) - 1.0))) > 0
+        |  THEN round(
+        |    ((r2 - CAST(n_r AS DOUBLE) * (CAST(n_r AS DOUBLE) + 1.0)) / 2.0
+        |      - CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE) / 12.0 *
+        |      ((CAST(n_r + n_a AS DOUBLE) + 1.0)
+        |        - ties / (CAST(n_r + n_a AS DOUBLE)
+        |            * (CAST(n_r + n_a AS DOUBLE) - 1.0))))
+        |    * 1000000) / 1000000 END AS z
+        |FROM a, tot""".stripMargin,
+    "stats_chi2_independence" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS rk, o_orderstatus AS ck FROM orders),
+        |obs AS (SELECT rk, ck, count(*) AS n FROM o GROUP BY rk, ck),
+        |rt AS (SELECT rk, count(*) AS rt FROM o GROUP BY rk),
+        |ct AS (SELECT ck, count(*) AS ct FROM o GROUP BY ck),
+        |st AS (SELECT count(*) AS nn, count(DISTINCT rk) AS r,
+        |              count(DISTINCT ck) AS c FROM o),
+        |cells AS (
+        |  SELECT round(
+        |      (CAST(n AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(n AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * 1000000) / 1000000 AS term, nn, r, c
+        |  FROM obs JOIN rt USING (rk) JOIN ct USING (ck), st),
+        |agg AS (
+        |  SELECT nn, r, c,
+        |    CAST(sum(CAST(term AS DECIMAL(18, 6))) AS DOUBLE) AS chi2raw
+        |  FROM cells GROUP BY nn, r, c)
+        |SELECT round(chi2raw * 1000000) / 1000000 AS chi2,
+        |  (r - 1) * (c - 1) AS dof,
+        |  round(sqrt(chi2raw / (CAST(nn AS DOUBLE)
+        |    * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1000000) / 1000000
+        |    AS cramers_v,
+        |  nn AS n
+        |FROM agg""".stripMargin,
+    "stats_anova_f" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS ng,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE) AS sg,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18, 4))
+        |           * CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE) AS ssg
+        |  FROM lineitem GROUP BY l_returnflag),
+        |gt AS (
+        |  SELECT l_returnflag, ng, sg,
+        |    round((ssg - sg * sg / CAST(ng AS DOUBLE)) * 1000000) / 1000000
+        |      AS ssw_term,
+        |    round(sg * sg / CAST(ng AS DOUBLE) * 1000000) / 1000000
+        |      AS ssb_term
+        |  FROM g),
+        |tot AS (
+        |  SELECT count(*) AS k, sum(ng) AS n,
+        |    CAST(sum(CAST(sg AS DECIMAL(18, 4))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(ssw_term AS DECIMAL(18, 6))) AS DOUBLE) AS ssw0,
+        |    CAST(sum(CAST(ssb_term AS DECIMAL(18, 6))) AS DOUBLE) AS sb0
+        |  FROM gt),
+        |fin AS (
+        |  SELECT k, n,
+        |    round((sb0 - s * s / CAST(n AS DOUBLE)) * 1000000) / 1000000
+        |      AS ssb0,
+        |    round(ssw0 * 1000000) / 1000000 AS ssw1
+        |  FROM tot)
+        |SELECT k, n, ssb0 AS ss_between, ssw1 AS ss_within,
+        |  round((ssb0 / CAST(k - 1 AS DOUBLE))
+        |    / (ssw1 / CAST(n - k AS DOUBLE)) * 1000000) / 1000000 AS f_stat,
+        |  round(ssb0 / (ssb0 + ssw1) * 1000000) / 1000000 AS eta_sq
+        |FROM fin""".stripMargin,
+    "stats_benford" ->
+      """WITH c0 AS (
+        |  SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |dig AS (
+        |  SELECT CASE WHEN cents < 10 THEN cents
+        |    WHEN cents < 100 THEN cents // 10
+        |    WHEN cents < 1000 THEN cents // 100
+        |    WHEN cents < 10000 THEN cents // 1000
+        |    WHEN cents < 100000 THEN cents // 10000
+        |    WHEN cents < 1000000 THEN cents // 100000
+        |    WHEN cents < 10000000 THEN cents // 1000000
+        |    WHEN cents < 100000000 THEN cents // 10000000
+        |    WHEN cents < 1000000000 THEN cents // 100000000
+        |    WHEN cents < 10000000000 THEN cents // 1000000000
+        |    WHEN cents < 100000000000 THEN cents // 10000000000
+        |    WHEN cents < 1000000000000 THEN cents // 100000000000
+        |    ELSE cents // 1000000000000 END AS digit
+        |  FROM c0),
+        |b AS (SELECT digit, count(*) AS n FROM dig GROUP BY digit),
+        |tot AS (SELECT sum(n) AS nn FROM b),
+        |f AS (
+        |  SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) * 1000000)
+        |      / 1000000 AS obs_p,
+        |    round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000)
+        |      / 1000000 AS exp_p
+        |  FROM b, tot)
+        |SELECT digit, n, obs_p, exp_p,
+        |  round(abs(obs_p - exp_p) * 1000000) / 1000000 AS abs_dev
+        |FROM f ORDER BY digit""".stripMargin,
+    "stats_spearman" ->
+      """WITH rq AS (
+        |  SELECT v, 2 * (cum - c) + c + 1 AS rx2 FROM (
+        |    SELECT l_quantity AS v, count(*) AS c,
+        |      sum(count(*)) OVER (ORDER BY l_quantity) AS cum
+        |    FROM lineitem GROUP BY l_quantity)),
+        |rd AS (
+        |  SELECT v, 2 * (cum - c) + c + 1 AS ry2 FROM (
+        |    SELECT l_discount AS v, count(*) AS c,
+        |      sum(count(*)) OVER (ORDER BY l_discount) AS cum
+        |    FROM lineitem GROUP BY l_discount)),
+        |rows_ AS (
+        |  SELECT rx2, ry2 FROM lineitem
+        |  JOIN rq ON rq.v = l_quantity
+        |  JOIN rd ON rd.v = l_discount),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(rx2 AS DECIMAL(38, 0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ry2 AS DECIMAL(38, 0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rx2 * ry2 AS DECIMAL(38, 0))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(rx2 * rx2 AS DECIMAL(38, 0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ry2 * ry2 AS DECIMAL(38, 0))) AS DOUBLE) AS syy
+        |  FROM rows_)
+        |SELECT n,
+        |  CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy) > 0
+        |  THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+        |    * 1000000) / 1000000 END AS spearman_rho
+        |FROM a""".stripMargin,
+    "stats_acf" ->
+      """WITH src AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, v,
+        |    CAST(sum(CAST(v AS DECIMAL(18, 6)))
+        |        OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / count(v) OVER (PARTITION BY user_id) AS mu,
+        |    count(v) OVER (PARTITION BY user_id) AS cnt,
+        |    lag(v, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS l1,
+        |    lag(v, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS l2,
+        |    lag(v, 3) OVER (PARTITION BY user_id ORDER BY us, event_id) AS l3
+        |  FROM src),
+        |a AS (
+        |  SELECT user_id, max(cnt) AS n,
+        |    CAST(sum(CAST((v - mu) * (v - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS den,
+        |    CAST(sum(CAST((v - mu) * (l1 - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS n1,
+        |    CAST(sum(CAST((v - mu) * (l2 - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS n2,
+        |    CAST(sum(CAST((v - mu) * (l3 - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS n3
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN den > 0
+        |    THEN round(n1 / den * 1000000) / 1000000 END AS acf1,
+        |  CASE WHEN den > 0
+        |    THEN round(n2 / den * 1000000) / 1000000 END AS acf2,
+        |  CASE WHEN den > 0
+        |    THEN round(n3 / den * 1000000) / 1000000 END AS acf3
+        |FROM a WHERE n >= 10 ORDER BY user_id""".stripMargin)
+}

@@ -311,7 +311,11 @@ class PlanSpec extends SparkSpec {
       "vocab_bpe_apply",   // 1-row learned-rules array broadcast
       "agg_percent_of_total", // 1-row exact-total scalar broadcast
       "pair_hard_negatives", // 8-row broadcast anchor set (label-disequality join)
-      "sql_recursive_cte")  // 24-row recursive month spine broadcast (range join)
+      "sql_recursive_cte",  // 24-row recursive month spine broadcast (range join)
+      "stats_ks_two_sample", // 1-row (n_r, n_a) totals scalar broadcast
+      "stats_mann_whitney",  // same 1-row totals scalar broadcast
+      "stats_chi2_independence", // 1-row (N, r, c) stats scalar broadcast
+      "stats_benford")       // 1-row corpus-total scalar broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Stats
+
+/** Semantics of the statistics family ([[graft.operators.Stats]]) and
+  * the [[graft.plans.JaroWinkler]] kernel, on planted fixtures with
+  * hand-computed expectations. Oracle parity at data scale is the
+  * driver's DuckDB gate; these pin the math itself.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    plans.JaroWinkler.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro-winkler kernel matches the DuckDB-pinned reference values") {
+    // (a, b, jaro_winkler_similarity) probed from DuckDB before the
+    // kernel was written — the oracle engine defines the contract
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334), // jaro>0.7 but prefix 0
+      ("ABCVWXYZ", "CABVWXYZ", 0.9583333333333334),
+      ("appel", "applet", 0.9144444444444445),
+      ("ABCD", "ABCDXXXXXX", 0.88),
+      ("ABCDEF", "ABXXXX", 0.5555555555555555), // below boost threshold
+      ("AB", "AX", 0.6666666666666666), // 0.667 ≤ 0.7: no boost
+      ("A", "A", 1.0),
+      ("ABCDE", "ABCDE", 1.0))
+    for ((a, b, want) <- pinned)
+      assert(math.abs(jw(a, b) - want) < 1e-9, s"jw($a, $b)")
+    // empty-side convention (both engines): 0.0 even for both-empty
+    assert(jw("", "ABC") == 0.0)
+    assert(jw("", "") == 0.0)
+    // zero match window on equal-length-2 transposed pair
+    assert(jw("AB", "BA") == 0.0)
+    // symmetry
+    assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
+  }
+
+  test("jaro-winkler codegen path equals the interpreted kernel") {
+    plans.JaroWinkler.register(spark)
+    val pairs = Seq(("MARTHA", "MARHTA"), ("CRATE", "TRACE"),
+      ("azure lace", "azure lace navy"), ("", "x"), ("same", "same"))
+    val got = pairs.toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")))
+      .as[Double].collect()
+    val want = pairs.map { case (a, b) => jw(a, b) }
+    assert(got.toSeq == want)
+    // null propagates (BinaryExpression null-intolerant default)
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  private def plantLineitem(rows: Seq[(Double, String, Double, Double)]): String = {
+    val dir = Files.createTempDirectory("graft-stats").toString
+    rows.toDF("l_extendedprice", "l_returnflag", "l_quantity", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("KS two-sample: hand-computed D on a planted pair of samples") {
+    // R = {1,2,3}, A = {2,3,4}: pooled ECDF gap peaks at 1/3
+    val d = plantLineitem(Seq(
+      (1.0, "R", 1.0, 0.0), (2.0, "R", 1.0, 0.0), (3.0, "R", 1.0, 0.0),
+      (2.0, "A", 1.0, 0.0), (3.0, "A", 1.0, 0.0), (4.0, "A", 1.0, 0.0)))
+    val r = Stats.queries("stats_ks_two_sample")(spark, d).collect()(0)
+    assert(r.getAs[Double]("d_stat") == 0.333333)
+    assert(r.getAs[Long]("n_r") == 3L && r.getAs[Long]("n_a") == 3L)
+    assert(!r.getAs[Boolean]("reject_h0")) // tiny n: crit ≈ 1.109
+  }
+
+  test("Mann-Whitney: midranks and U on a planted tie") {
+    // R = {1,2}, A = {2,3}: ranks 1, 2.5 | 2.5, 4 → U_R = 0.5
+    val d = plantLineitem(Seq(
+      (1.0, "R", 1.0, 0.0), (2.0, "R", 1.0, 0.0),
+      (2.0, "A", 1.0, 0.0), (3.0, "A", 1.0, 0.0)))
+    val r = Stats.queries("stats_mann_whitney")(spark, d).collect()(0)
+    assert(r.getAs[Double]("u_r") == 0.5)
+    assert(r.getAs[Double]("u_a") == 3.5)
+  }
+
+  test("Spearman: perfectly monotone planted data gives rho = 1") {
+    val d = plantLineitem(Seq(
+      (1.0, "R", 1.0, 0.01), (1.0, "R", 2.0, 0.02), (1.0, "R", 3.0, 0.04),
+      (1.0, "R", 5.0, 0.05)))
+    val r = Stats.queries("stats_spearman")(spark, d).collect()(0)
+    assert(r.getAs[Double]("spearman_rho") == 1.0)
+  }
+
+  test("Benford: digit ladder extracts the first significant digit") {
+    val d = plantLineitem(Seq(
+      (9.99, "R", 1.0, 0.0), // cents 999 → 9
+      (10.00, "R", 1.0, 0.0), // 1000 → 1
+      (123.45, "R", 1.0, 0.0), // 12345 → 1
+      (0.07, "R", 1.0, 0.0), // 7 → 7
+      (85000.5, "R", 1.0, 0.0))) // 8500050 → 8
+    val got = Stats.queries("stats_benford")(spark, d)
+      .select("digit", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
+  test("chi-square independence: hand-computed 2x2 contingency") {
+    val dir = Files.createTempDirectory("graft-stats-chi").toString
+    val rows =
+      Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+        Seq.fill(20)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    rows.toDF("o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Stats.queries("stats_chi2_independence")(spark, dir).collect()(0)
+    // all expected = 15; per-cell term round6(25/15) = 1.666667 ×4
+    assert(r.getAs[Double]("chi2") == 6.666668)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n") == 60L)
+  }
+
+  test("ACF: linear ramp has acf1 = 0.75; constant series doesn't score") {
+    val dir = Files.createTempDirectory("graft-stats-acf").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(t0.getTime + i * 60000L)
+    val ramp = (1 to 12).map(i => (ts(i), 1L, i.toLong, i.toDouble))
+    val const = (1 to 12).map(i => (ts(i), 2L, 100L + i, 5.0))
+    (ramp ++ const).toDF("ts", "user_id", "event_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.queries("stats_acf")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        Option(r.get(r.fieldIndex("acf1")))).toMap
+    // user 1: num1 = 107.25, den = 143 → 0.75 exactly
+    assert(got(1L).contains(0.75))
+    // user 2: zero variance → null ACF (guarded, not NaN)
+    assert(got(2L).isEmpty)
+  }
+
+  test("ANOVA on the real sf0.001 lineitem is finite and well-formed") {
+    val r = Stats.queries("stats_anova_f")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("ss_between") >= 0.0)
+    assert(r.getAs[Double]("ss_within") > 0.0)
+    val f = r.getAs[Double]("f_stat")
+    assert(!f.isNaN && f >= 0.0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+  }
+
+  test("blocked jaro join: every emitted pair respects block and threshold") {
+    val rows = operators.Joins.queries("join_blocked_jaro")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("jw") >= 0.82))
+    assert(rows.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
+  }
+}
