@@ -244,6 +244,22 @@ object Dedup {
     var cur = handle
     var iters = 0
     var done = false
+    // Adaptive small-table execution, the connectedComponents
+    // discipline: once the (constant-per-loop) pointer-table row count
+    // is known tiny, AQE's per-stage barriers and 32-way shuffles on a
+    // few thousand rows are the whole cost of a round — drop to plain
+    // pipelined scheduling with np shuffle partitions for the rest of
+    // the loop, restore in `finally`. The row count rides the SAME
+    // per-round aggregation job as the convergence check (count +
+    // conditional count), so the adaptivity costs zero extra jobs.
+    // Above the threshold nothing changes — the 100 TB path keeps AQE
+    // and full parallelism.
+    val smallRows = 1L << 20
+    val spark = pointers.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    var toggled = false
+    try {
     while (!done && iters < maxIters) {
       val targets = cur.select(col("id").as("t_id"), col("root").as("t_root"))
       // One join serves both the doubling step and the stability check.
@@ -251,16 +267,23 @@ object Dedup {
         .select(col("id"), col("root").as("old_root"),
           coalesce(col("t_root"), col("root")).as("root"))
         .persist(lvl)
-      // ONE job per round: the changed-row count both materializes every
-      // partition of the persisted step (a full count over the filter
-      // scans all cached blocks — isEmpty alone would cache only the
+      // ONE job per round: the (total, changed) aggregation both
+      // materializes every partition of the persisted step (a full pass
+      // over all cached blocks — isEmpty alone would cache only the
       // partitions it touched, and the next round would recompute the
       // rest through unpersisted lineage) and decides convergence. At
       // log-depth round counts the per-round job overhead IS the cost
       // model at bench scale, so rounds must not pay two scheduler
       // round-trips for one pass of work.
-      val stable =
-        step.filter(col("root") =!= col("old_root")).count() == 0L
+      val cnts = step.agg(count(lit(1)),
+        count(when(col("root") =!= col("old_root"), lit(1)))).head()
+      val stable = cnts.getLong(1) == 0L
+      if (!toggled && cnts.getLong(0) < smallRows && aqeWas == "true") {
+        val np = math.max(1L, math.min(32L, cnts.getLong(0) / 100000L))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", np.toString)
+        toggled = true
+      }
       handle.unpersist()
       handle = step
       cur = step.select(col("id"), col("root"))
@@ -278,6 +301,10 @@ object Dedup {
         handle = slim
         cur = slim
       }
+    }
+    } finally if (toggled) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     lastResolveIters = iters
     if (!done) throw new IllegalStateException(
@@ -348,27 +375,66 @@ object Dedup {
     var curSig = fingerprint(cur)
     var iters = 0
     var done = false
+    // Adaptive small-graph execution (measured 3.05 → 1.60 s at sf0.1,
+    // 1 668 edges, 5 rounds): once the persisted edge set is KNOWN tiny
+    // (the fingerprint already counts it — no extra job), each round's
+    // ~8 shuffle stages are pure scheduler latency at 32-way
+    // parallelism, and AQE makes it worse by inserting a materialization
+    // barrier per query stage. So below the threshold the loop (a)
+    // repartitions the round input to ceil(|E|/100k) partitions and (b)
+    // runs with AQE off — plain DAG pipelining, one scheduler pass per
+    // round. Above the threshold nothing changes: full parallelism, AQE
+    // skew/coalesce handling — the 100 TB path is untouched. The AQE
+    // toggle is scoped to the loop and restored in `finally` (queries
+    // in a session run sequentially through Verify/Bench; the loop is
+    // not re-entrant within a session by construction).
+    val smallGraphEdges = 1L << 20
+    val spark = edges.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    var toggled = false
+    try {
     while (!done && iters < maxIters) {
-      // large-star over the symmetric view
-      val sym = cur.select(col("a").as("u"), col("b").as("n"))
-        .unionByName(cur.select(col("b").as("u"), col("a").as("n")))
-      val mins = sym.groupBy("u").agg(min(col("n")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = canon(sym.join(mins, "u").filter(col("n") > col("u"))
-        .select(col("n").as("a"), col("m").as("b")))
+      val small = curSig._1 < smallGraphEdges
+      val np = math.max(1L, math.min(32L, curSig._1 / 100000L)).toInt
+      if (small && !toggled && aqeWas == "true") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", np.toString)
+        toggled = true
+      }
+      val curIn = if (small) cur.repartition(np) else cur
+      // one alternation: large-star over the symmetric view, then
       // small-star over the (hi=a → lo=b) orientation canon provides
-      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = ls.join(mins2, "a")
-        .select(col("b").as("x"), col("m").as("y"))
-        .unionByName(mins2.select(col("a").as("x"), col("m").as("y")))
-      // Lineage truncation EVERY round: one ls+ss round references
-      // `cur` ~8× (sym twice, mins from sym, ss from ls twice, …), so
-      // the logical plan multiplies ~8× per round — a periodic
-      // truncation cadence that works for pointer doubling (2×/round)
-      // OOMs the driver here by round 5. Wrapping the round's output
-      // RDD in a LogicalRDD before persisting costs nothing extra: the
-      // persist's own materialization is the only pass.
-      val plan = canon(ss.select(col("x").as("a"), col("y").as("b")))
+      def starRound(e: DataFrame): DataFrame = {
+        val sym = e.select(col("a").as("u"), col("b").as("n"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("n")))
+        val mins = sym.groupBy("u").agg(min(col("n")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val ls = canon(sym.join(mins, "u").filter(col("n") > col("u"))
+          .select(col("n").as("a"), col("m").as("b")))
+        val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+        val ss = ls.join(mins2, "a")
+          .select(col("b").as("x"), col("m").as("y"))
+          .unionByName(mins2.select(col("a").as("x"), col("m").as("y")))
+        canon(ss.select(col("x").as("a"), col("y").as("b")))
+      }
+      // Exactly ONE alternation per materialization. Batching two to
+      // halve scheduler passes was MEASURED WORSE (2.3 → 8.1 s warm):
+      // the outer round references the inner result ~8× and nothing is
+      // persisted between them, so the inner alternation recomputes
+      // under every reference — DataFrames share no common-subplan
+      // reuse below an exchange, and the duplicated-subtree plan also
+      // bloats Catalyst. The persist-per-round discipline is not
+      // overhead to amortize away; it IS what makes each round linear.
+      val plan = starRound(curIn)
+      // Lineage truncation EVERY materialization: one ls+ss round
+      // references `cur` ~8× (sym twice, mins from sym, ss from ls
+      // twice, …), so the logical plan multiplies ~8× per round —
+      // a periodic truncation cadence that works for pointer doubling
+      // (2×/round) OOMs the driver here by round 5. Wrapping the
+      // round's output RDD in a LogicalRDD before persisting costs
+      // nothing extra: the persist's own materialization is the only
+      // pass.
       val next = plan.sparkSession.createDataFrame(plan.rdd, plan.schema)
         .persist(lvl)
       val nextSig = fingerprint(next)
@@ -379,6 +445,10 @@ object Dedup {
       cur = next
       curSig = nextSig
       iters += 1
+    }
+    } finally if (toggled) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
     }
     lastCcIters = iters
     if (!done) throw new IllegalStateException(
