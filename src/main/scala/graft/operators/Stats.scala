@@ -283,6 +283,70 @@ object Stats {
         when(den > 0, U.round6(num / den)).as("spearman_rho"))
     }),
 
+    // RFM (recency / frequency / monetary) customer scoring — the
+    // classic lifecycle-segmentation surface. Per-customer aggregates
+    // (exact decimal monetary), then quintile boundaries fit ONCE on
+    // the customer summary (exact interpolated percentiles, a 1-row
+    // broadcast) and applied map-side — never an ntile window over the
+    // data-scaled customer set (at production scale the boundary fit
+    // swaps to approx_percentile; the apply side is unchanged).
+    // Boundary compares are flip-safe: an interpolated quantile either
+    // EQUALS a data value exactly (frac 0 — both engines agree) or
+    // lies strictly between adjacent distinct values.
+    "events_rfm_scores" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val users = o.groupBy("o_custkey")
+        .agg(max(U.tsUs(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          U.dbl(sum(U.dec4(col("o_totalprice")))).as("mon"))
+      val mx = o.groupBy().agg(max(U.tsUs(col("o_orderdate"))).as("mx"))
+      val u2 = users.crossJoin(broadcast(mx))
+        .withColumn("rec_days", expr("(mx - last_us) div 86400000000"))
+      val probs = "array(0.2, 0.4, 0.6, 0.8)"
+      val qs = u2.groupBy().agg(
+        expr(s"percentile(rec_days, $probs)").as("qr"),
+        expr(s"percentile(freq, $probs)").as("qf"),
+        expr(s"percentile(mon, $probs)").as("qm"))
+      def score(v: Column, q: Column): Column =
+        lit(1) + (v > element_at(q, 1)).cast("int") +
+          (v > element_at(q, 2)).cast("int") +
+          (v > element_at(q, 3)).cast("int") +
+          (v > element_at(q, 4)).cast("int")
+      u2.crossJoin(broadcast(qs))
+        .withColumn("r_score",
+          (lit(6) - score(U.dbl(col("rec_days")), col("qr"))).cast("long"))
+        .withColumn("f_score", score(U.dbl(col("freq")), col("qf")).cast("long"))
+        .withColumn("m_score", score(col("mon"), col("qm")).cast("long"))
+        .select(col("o_custkey"), col("rec_days"), col("freq"),
+          round(col("mon"), 4).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_cell"))
+        .orderBy("o_custkey")
+    }),
+
+    // Q-Q comparison at the deciles between the two return-flag price
+    // distributions — where KS answers "did it shift", the Q-Q table
+    // answers WHERE: which quantiles moved and by how much. One exact
+    // interpolated-percentile aggregate per group (each a pushed-down
+    // single-group scan), 1-row × 1-row join, decile unnest. Quantile
+    // values land on a 0.001 grid (2-decimal prices × 0.1-step
+    // interpolation), so round-4 is boundary-safe.
+    "stats_qq_deciles" -> ((s, d) => {
+      val probs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+      def side(flag: String, out: String) =
+        t(s, d, "lineitem").filter(col("l_returnflag") === flag)
+          .groupBy()
+          .agg(expr(s"percentile(l_extendedprice, $probs)").as(out))
+      side("R", "qr").crossJoin(broadcast(side("A", "qa")))
+        .select(posexplode(arrays_zip(col("qr"), col("qa"))))
+        .select(((col("pos") + 1) * 10).cast("long").as("decile"),
+          round(col("col.qr"), 4).as("q_r"),
+          round(col("col.qa"), 4).as("q_a"),
+          round(col("col.qa") - col("col.qr"), 4).as("diff"))
+        .orderBy("decile")
+    }),
+
     // Autocorrelation function at lags 1..3 of each user's event-value
     // series — the seasonality/stickiness probe (an i.i.d.-corpus check
     // before treating per-user samples as independent). Per-user
@@ -505,6 +569,63 @@ object Stats {
         |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
         |    * 1000000) / 1000000 END AS spearman_rho
         |FROM a""".stripMargin,
+    "events_rfm_scores" ->
+      """WITH u AS (
+        |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(epoch_us(o_orderdate)) AS mx FROM orders),
+        |u2 AS (
+        |  SELECT o_custkey, (mx - last_us) // 86400000000 AS rec_days,
+        |    freq, mon
+        |  FROM u, mx),
+        |q AS (
+        |  SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS qr,
+        |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS qf,
+        |    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS qm
+        |  FROM u2),
+        |sc AS (
+        |  SELECT o_custkey, rec_days, freq, mon,
+        |    CAST(6 - (1
+        |      + CASE WHEN rec_days > qr[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN rec_days > qr[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN rec_days > qr[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN rec_days > qr[4] THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r_score,
+        |    CAST(1
+        |      + CASE WHEN freq > qf[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > qf[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > qf[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > qf[4] THEN 1 ELSE 0 END AS BIGINT)
+        |      AS f_score,
+        |    CAST(1
+        |      + CASE WHEN mon > qm[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN mon > qm[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN mon > qm[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN mon > qm[4] THEN 1 ELSE 0 END AS BIGINT)
+        |      AS m_score
+        |  FROM u2, q)
+        |SELECT o_custkey, rec_days, freq, round(mon, 4) AS monetary,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_cell
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    "stats_qq_deciles" ->
+      """WITH r AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |a AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |z AS (SELECT unnest(generate_series(1, 9)) AS i, r.q AS qr,
+        |        a.q AS qa
+        |      FROM r, a)
+        |SELECT CAST(i * 10 AS BIGINT) AS decile,
+        |  round(qr[i], 4) AS q_r, round(qa[i], 4) AS q_a,
+        |  round(qa[i] - qr[i], 4) AS diff
+        |FROM z ORDER BY decile""".stripMargin,
     "stats_acf" ->
       """WITH src AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, value AS v

@@ -648,6 +648,36 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Rolling least-squares trend: the SLOPE of value-vs-time over each
+    // user's trailing 20 events — the windowed sibling of
+    // agg_regression_exact (drift detection that reacts in-window
+    // instead of per-group). Same discipline: co-moments accumulate as
+    // DECIMAL window sums over the bounded frame (partition-order
+    // invariant), closed form is per-row double math, rebased seconds
+    // keep Σx² small. Rows with an incomplete frame (n < 20) don't
+    // emit — a 3-point "trend" is noise wearing a slope.
+    "window_rolling_regression" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id")).rowsBetween(-19, 0)
+      val x = U.dec6(expr("us div 1000000 - 1704067200"))
+      val y = U.dec6(col("value"))
+      val vx = col("sxx") - col("sx") * col("sx") / col("n")
+      val slope = (col("sxy") - col("sx") * col("sy") / col("n")) / vx
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          U.tsUs(col("ts")).as("us"), col("value"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", U.dbl(sum(x).over(w)))
+        .withColumn("sy", U.dbl(sum(y).over(w)))
+        .withColumn("sxy", U.dbl(sum(x * y).over(w)))
+        .withColumn("sxx", U.dbl(sum(x * x).over(w)))
+        .filter(col("n") === 20)
+        .select(col("event_id"), col("user_id"),
+          when(vx > 0, U.round6(slope)).as("slope20"))
+        .orderBy("event_id")
+    }),
+
     // Gaps-and-islands streak detection: longest run of CONSECUTIVE
     // active days per user — engagement analytics' standard shape. The
     // classic trick makes it one window + two aggregations: within a
@@ -776,6 +806,31 @@ object Windows {
   }
 
   val oracles: Map[String, String] = Map(
+    "window_rolling_regression" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, event_id,
+        |    count(*) OVER win AS n,
+        |    CAST(sum(CAST(us // 1000000 - 1704067200 AS DECIMAL(18, 0)))
+        |      OVER win AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(18, 6)))
+        |      OVER win AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(us // 1000000 - 1704067200 AS DECIMAL(18, 0))
+        |        * CAST(value AS DECIMAL(18, 6)))
+        |      OVER win AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(us // 1000000 - 1704067200 AS DECIMAL(18, 0))
+        |        * CAST(us // 1000000 - 1704067200 AS DECIMAL(18, 0)))
+        |      OVER win AS DOUBLE) AS sxx
+        |  FROM src
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN sxx - sx * sx / n > 0
+        |    THEN round((sxy - sx * sy / n) / (sxx - sx * sx / n)
+        |      * 1000000) / 1000000 END AS slope20
+        |FROM w WHERE n = 20 ORDER BY event_id""".stripMargin,
     "ids_contiguous_assign" ->
       """SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id, source
         |FROM documents ORDER BY rn""".stripMargin,

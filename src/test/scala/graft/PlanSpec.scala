@@ -315,7 +315,9 @@ class PlanSpec extends SparkSpec {
       "stats_ks_two_sample", // 1-row (n_r, n_a) totals scalar broadcast
       "stats_mann_whitney",  // same 1-row totals scalar broadcast
       "stats_chi2_independence", // 1-row (N, r, c) stats scalar broadcast
-      "stats_benford")       // 1-row corpus-total scalar broadcast
+      "stats_benford",       // 1-row corpus-total scalar broadcast
+      "events_rfm_scores",   // 1-row max-date + quintile-bounds broadcasts
+      "stats_qq_deciles")    // 1-row × 1-row per-group percentile join
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
