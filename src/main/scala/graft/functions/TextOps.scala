@@ -140,6 +140,54 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RAKE keyword extraction (Rose et al. 2010) — unsupervised
+    // per-document keyphrases: candidate phrases are maximal runs
+    // between stopword/punctuation delimiters; a word's score is
+    // degree/freq over the doc's phrase multiset (words that appear in
+    // long phrases rank above words that appear often alone); a
+    // phrase's score is the sum of its word scores; top 3 per doc.
+    // All relational: explode to (doc, word), two aggregations, one
+    // per-doc-partitioned rank window — shuffles carry (doc, word) and
+    // (doc, phrase) keys, linear in token count. Determinism: word
+    // scores are round6 integer ratios; phrase scores sum them through
+    // exact decimals (a double sum would be partition-order dependent).
+    // Regex classes stay in the Java∩RE2 common dialect (char classes
+    // + \b on ASCII) so the DuckDB oracle replays them verbatim.
+    "text_keyword_rake" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      def squish(p: Column): Column = trim(regexp_replace(p, " +", " "))
+      val stops = "\\b(the|a|of|and|or|to|in)\\b"
+      val seg = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z ]", "|"), stops, "|")
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          filter(transform(split(seg, "\\|"), p => squish(p)),
+            p => p =!= "").as("phrases"))
+      val inst = base
+        .select(col("doc_id"), explode(col("phrases")).as("phrase"))
+        .withColumn("wlen", size(split(col("phrase"), " ")))
+      val wstats = inst
+        .select(col("doc_id"), col("wlen"),
+          explode(split(col("phrase"), " ")).as("word"))
+        .groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("freq"), sum(col("wlen")).as("degree"))
+        .withColumn("wscore",
+          U.round6(U.dbl(col("degree")) / U.dbl(col("freq"))))
+        .select(col("doc_id"), col("word"), col("wscore"))
+      val scored = inst.select("doc_id", "phrase").distinct()
+        .withColumn("word", explode(split(col("phrase"), " ")))
+        .join(wstats, Seq("doc_id", "word"))
+        .groupBy("doc_id", "phrase")
+        .agg(U.round6(U.dbl(sum(U.dec6(col("wscore"))))).as("score"))
+      scored
+        .withColumn("rnk", row_number().over(
+          W.partitionBy("doc_id").orderBy(col("score").desc, col("phrase"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("phrase"), col("score"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Per-document surface statistics (oracle-checked).
     "text_stats" -> ((s, d) => {
       val text = col("text")
@@ -1138,6 +1186,44 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_keyword_rake" ->
+      """WITH ph0 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z ]', '|', 'g'),
+        |      '\b(the|a|of|and|or|to|in)\b', '|', 'g') AS s
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+        |  FROM ph0, unnest(string_split(s, '|')) AS t(p)
+        |  WHERE trim(regexp_replace(p, ' +', ' ', 'g')) <> ''),
+        |wi AS (SELECT doc_id, phrase,
+        |         len(string_split(phrase, ' ')) AS wlen
+        |       FROM inst),
+        |words AS (SELECT doc_id, wlen,
+        |            unnest(string_split(phrase, ' ')) AS word
+        |          FROM wi),
+        |ws AS (
+        |  SELECT doc_id, word,
+        |    round(CAST(sum(wlen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      * 1000000) / 1000000 AS wscore
+        |  FROM words GROUP BY doc_id, word),
+        |dp AS (SELECT DISTINCT doc_id, phrase FROM wi),
+        |pw AS (SELECT doc_id, phrase,
+        |         unnest(string_split(phrase, ' ')) AS word
+        |       FROM dp),
+        |sc AS (
+        |  SELECT p.doc_id, p.phrase,
+        |    round(CAST(sum(CAST(wscore AS DECIMAL(18, 6))) AS DOUBLE)
+        |      * 1000000) / 1000000 AS score
+        |  FROM pw p JOIN ws USING (doc_id, word)
+        |  GROUP BY p.doc_id, p.phrase),
+        |rk AS (
+        |  SELECT doc_id, phrase, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, phrase, score, rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_reading_level" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
