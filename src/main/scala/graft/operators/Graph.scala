@@ -44,6 +44,37 @@ import graft.{Tables, U}
 object Graph {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Synchronous label propagation over an undirected edge set
+    * (`a`/`b` columns): `rounds` fixed iterations of "adopt the most
+    * frequent neighbor label, ties to the smallest label"; isolated
+    * nodes keep their seed label (their own id). Fixed rounds is the
+    * honest contract — LPA has no general fixpoint (labels can
+    * 2-cycle on bipartite structures), so callers pick the horizon
+    * and the oracle unrolls exactly that many steps. Per round: one
+    * join + one (node, label) count + one per-node rank window, all
+    * keyed shuffles linear in |E|. */
+  def labelPropagate(edges: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    val W = Window
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    def step(labels: DataFrame): DataFrame = {
+      val upd = sym
+        .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+        .groupBy("u", "lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("u").orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lbl").as("new_lbl"))
+      labels.join(upd, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    var cur = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) cur = step(cur)
+    cur
+  }
+
   /** Damping factor and iteration count pinned by the query contract. */
   private val damping = 0.85
   private val iterations = 3
@@ -77,6 +108,31 @@ object Graph {
       tris.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
         .groupBy("vec_id")
         .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("vec_id")
+    }),
+
+    // Label propagation (2 synchronous rounds, min-label tie-break)
+    // over the same embedding near-dup graph triangle counting uses —
+    // the soft-community sibling of connected components: where CC
+    // closes ANY connectivity, LPA labels by neighborhood MAJORITY, so
+    // a weak bridge between two dense template families does not merge
+    // them. Fixed round count makes the op deterministic and the
+    // oracle an exact 2-step unroll (LPA has no general fixpoint —
+    // labels can oscillate — so bounded rounds is the honest
+    // contract). Each round is one join + one (node,label) count
+    // aggregation + one per-node partitioned rank window: shuffles
+    // carry edge endpoints, linear in |E| per round. The LSH edge
+    // pipeline is recomputed per round by the suite's
+    // no-persist-in-returned-lineage convention — at production the
+    // edge table would be a persisted artifact.
+    "graph_label_propagation" -> ((s, d) => {
+      val edges = graft.dedup.Dedup.embeddingLshPairs(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+        .filter(col("cos_sim") >= 0.05)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      val nodes = t(s, d, "embeddings").select(col("vec_id").as("node"))
+      labelPropagate(edges, nodes, rounds = 2)
+        .select(col("node").as("vec_id"), col("lbl").as("label2"))
         .orderBy("vec_id")
     }),
 
@@ -193,6 +249,51 @@ object Graph {
         |  UNION ALL SELECT c FROM tris)
         |SELECT vec_id, count(*) AS n_triangles
         |FROM corners GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "graph_label_propagation" ->
+      s"""WITH pl AS (
+        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, vd,
+        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
+        |    sqrt(list_dot_product(vd, vd)) AS nrm
+        |  FROM e, pl),
+        |cap AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bucket
+        |                                 ORDER BY vec_id) AS rn
+        |    FROM b) WHERE rn <= 256),
+        |edges AS (
+        |  SELECT e1.vec_id AS a, e2.vec_id AS b
+        |  FROM cap e1 JOIN cap e2
+        |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+        |  WHERE e1.nrm * e2.nrm > 0.0
+        |    AND round(list_dot_product(e1.vd, e2.vd)
+        |          / (e1.nrm * e2.nrm), 6) >= 0.05),
+        |sym AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |nodes AS (SELECT vec_id AS node FROM embeddings),
+        |l0 AS (SELECT node, node AS lbl FROM nodes),
+        |n1 AS (SELECT s.u, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u, l.lbl),
+        |u1 AS (SELECT u AS node, lbl AS new_lbl FROM (
+        |         SELECT u, lbl, row_number() OVER (
+        |           PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+        |         FROM n1) WHERE rn = 1),
+        |l1 AS (SELECT l.node, coalesce(u.new_lbl, l.lbl) AS lbl
+        |       FROM l0 l LEFT JOIN u1 u USING (node)),
+        |n2 AS (SELECT s.u, l.lbl, count(*) AS cnt
+        |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u, l.lbl),
+        |u2 AS (SELECT u AS node, lbl AS new_lbl FROM (
+        |         SELECT u, lbl, row_number() OVER (
+        |           PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+        |         FROM n2) WHERE rn = 1),
+        |l2 AS (SELECT l.node, coalesce(u.new_lbl, l.lbl) AS lbl
+        |       FROM l1 l LEFT JOIN u2 u USING (node))
+        |SELECT node AS vec_id, lbl AS label2
+        |FROM l2 ORDER BY vec_id""".stripMargin,
     "agg_markov_transition" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS dst,

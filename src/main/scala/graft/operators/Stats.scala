@@ -347,6 +347,46 @@ object Stats {
         .orderBy("decile")
     }),
 
+    // 2-D skyline (Pareto frontier) over (price, size): the parts no
+    // other part beats on both dimensions — the multi-objective
+    // shortlist primitive (cheapest-AND-smallest tradeoff curve). The
+    // relational classic is a quadratic NOT-EXISTS dominance self-join
+    // (the oracle keeps that spelling as independent ground truth);
+    // the engine form is LINEAR after one per-price aggregation: sort
+    // by price, a point is on the frontier iff its size beats the
+    // prefix-minimum size over all strictly-cheaper prices — and the
+    // prefix-min runs block-stitched (per-block partitioned windows +
+    // a tiny broadcast block summary), never as one global window.
+    // Equal (price, size) duplicates stay (dominance is strict
+    // somewhere); costlier-but-equal-size points fall (strictly
+    // cheaper dominator with size <=).
+    "window_skyline_2d" -> ((s, d) => {
+      val W = Window
+      val pp = t(s, d, "part")
+        .groupBy("p_retailprice")
+        .agg(min(col("p_size")).as("ms"))
+        .withColumn("blk", floor(col("p_retailprice") / 100.0).cast("long"))
+      val wLoc = W.partitionBy("blk").orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offs = pp.groupBy("blk").agg(min(col("ms")).as("bm"))
+        .withColumn("pref", min(col("bm")).over(W.orderBy("blk")
+          .rowsBetween(W.unboundedPreceding, -1)))
+        .select(col("blk"), col("pref"))
+      val frontier = pp
+        .withColumn("lmin", min(col("ms")).over(wLoc))
+        .join(broadcast(offs), Seq("blk"))
+        .withColumn("prefmin", least(
+          coalesce(col("lmin"), lit(Int.MaxValue)),
+          coalesce(col("pref"), lit(Int.MaxValue))))
+        .filter(col("ms") < col("prefmin"))
+        .select(col("p_retailprice"), col("ms").as("p_size"))
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .join(broadcast(frontier), Seq("p_retailprice", "p_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
+    }),
+
     // Autocorrelation function at lags 1..3 of each user's event-value
     // series — the seasonality/stickiness probe (an i.i.d.-corpus check
     // before treating per-user samples as independent). Per-user
@@ -626,6 +666,16 @@ object Stats {
         |  round(qr[i], 4) AS q_r, round(qa[i], 4) AS q_a,
         |  round(qa[i] - qr[i], 4) AS diff
         |FROM z ORDER BY decile""".stripMargin,
+    "window_skyline_2d" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |      OR b.p_size < a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
     "stats_acf" ->
       """WITH src AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, value AS v

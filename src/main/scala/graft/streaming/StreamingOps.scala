@@ -27,6 +27,27 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-window top-k heavy hitters: the tumbling count (incrementally
+    * maintainable with watermarked state in streaming) followed by a
+    * rank over each window's closed summary. In streaming this is the
+    * standard two-stage shape — the windowed count runs incrementally;
+    * the rank applies per FINALIZED window (downstream of the
+    * watermark / in foreachBatch), because ranking an open window
+    * would retract results. The batch form here is the exact analog;
+    * the rank window partitions by window-start so its state is one
+    * window's type summary, never the stream. */
+  def windowTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy("ws_us").orderBy(col("n").desc, col("event_type")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sliding 10-minute windows every 5 minutes. */
   def slidingAgg(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
@@ -278,6 +299,8 @@ object StreamingOps {
       tumblingAgg(Tables.t(s, d, "events")).orderBy("ws_us", "event_type")),
     "stream_sliding_agg" -> ((s, d) =>
       slidingAgg(Tables.t(s, d, "events")).orderBy("ws_us")),
+    "stream_window_topk" -> ((s, d) =>
+      windowTopK(Tables.t(s, d, "events")).orderBy("ws_us", "rnk")),
     "stream_session_agg" -> ((s, d) =>
       sessionAgg(Tables.t(s, d, "events")).orderBy("user_id", "ss_us")),
     "stream_dedup_first" -> ((s, d) =>
@@ -405,6 +428,19 @@ object StreamingOps {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_window_topk" ->
+      """WITH c AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '1 hour',
+        |           make_timestamp(epoch_us(ts)))) AS ws_us,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws_us, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY ws_us
+        |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT ws_us, event_type, n, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY ws_us, rnk""".stripMargin,
     "stream_sliding_agg" ->
       """SELECT epoch_us(time_bucket(INTERVAL '5 minutes',
         |         make_timestamp(epoch_us(ts)))

@@ -140,6 +140,32 @@ class StatsSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("skyline: planted dominance cases, duplicates on the frontier stay") {
+    val dir = Files.createTempDirectory("graft-stats-sky").toString
+    Seq((1L, 1.0, 5), (2L, 2.0, 3), (3L, 3.0, 3), (4L, 2.0, 7),
+      (5L, 1.0, 5))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Stats.queries("window_skyline_2d")(spark, dir)
+      .select("p_partkey").as[Long].collect().toSet
+    // 3 falls to (2.0,3) (equal size, strictly cheaper); 4 falls to
+    // (1.0,5); the duplicate pair (1.0,5) is mutually non-dominating
+    assert(got == Set(1L, 2L, 5L))
+  }
+
+  test("label propagation: majority adoption with min-label tie-break") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val l1 = operators.Graph.labelPropagate(edges, nodes, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // leaves adopt the hub's label; the hub sees three distinct labels
+    // (one vote each) and ties to the smallest; isolated 5 keeps itself
+    assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    val l2 = operators.Graph.labelPropagate(edges, nodes, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2(1L) == 1L && l2(2L) == 2L && l2(5L) == 5L)
+  }
+
   test("ANOVA on the real sf0.001 lineitem is finite and well-formed") {
     val r = Stats.queries("stats_anova_f")(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("k") == 3L)

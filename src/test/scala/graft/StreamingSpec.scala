@@ -35,6 +35,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k: incremental counts + finalized-window rank " +
+    "match the batch analog") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    // stage 1 runs incrementally (the stateful windowed count);
+    // stage 2 (rank) applies to finalized windows downstream — here on
+    // the completed memory sink, as it would in foreachBatch
+    val counts = df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"))
+    val q = counts.writeStream.format("memory")
+      .queryName("wtopk_counts").outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (ts(1), "click", 1.0), (ts(2), "click", 1.0), (ts(3), "view", 1.0),
+        (ts(4), "view", 1.0), (ts(5), "view", 1.0), (ts(6), "buy", 1.0),
+        (ts(7), "scroll", 1.0), (ts(65), "buy", 1.0))
+      input.addData(rows.take(4))
+      q.processAllAvailable()
+      input.addData(rows.drop(4))
+      q.processAllAvailable()
+      val W = org.apache.spark.sql.expressions.Window
+      val ranked = spark.table("wtopk_counts")
+        .withColumn("rnk", row_number().over(
+          W.partitionBy("ws_us").orderBy(col("n").desc, col("event_type")))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("ws_us", "event_type", "n", "rnk")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val batch = StreamingOps.windowTopK(
+        rows.toDF("ts", "event_type", "value"))
+        .select("ws_us", "event_type", "n", "rnk")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(ranked == batch)
+      // hour 0: view(3) > click(2) > buy=1 < scroll... rank3 is buy
+      // (tie with scroll broken alphabetically)
+      assert(batch.contains((0L, "view", 3L, 1L)))
+      assert(batch.contains((0L, "buy", 1L, 3L)))
+      assert(!batch.exists(r => r._1 == 0L && r._2 == "scroll"))
+    } finally q.stop()
+  }
+
   test("streaming SCD2 emits closed intervals incrementally, " +
     "matching the batch query across batch boundaries") {
     implicit val ctx = spark.sqlContext
