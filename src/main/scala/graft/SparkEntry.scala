@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.Pruning.queries ++
       operators.Graph.queries ++
+      operators.Market.queries ++
       operators.Stats.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.Pipeline.oracles ++
       operators.Pruning.oracles ++
       operators.Graph.oracles ++
+      operators.Market.oracles ++
       operators.Stats.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++

@@ -75,9 +75,66 @@ object Graph {
     cur
   }
 
+  /** Multi-source BFS hop distances: `rounds` synchronous Bellman-Ford
+    * steps over an undirected edge set (`a`/`b`), starting from a
+    * distance map `seeded` (`node`, `dist` — 0 at seeds, NULL
+    * elsewhere). After round k every node within k hops of a seed
+    * carries its exact hop count; farther nodes stay NULL. Each round
+    * is one join + one per-node min aggregate + one elementwise min —
+    * keyed shuffles linear in |E|. */
+  def bfsLayers(edges: DataFrame, seeded: DataFrame,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    var dist = seeded.select(col("node"), col("dist").cast("int").as("dist"))
+    for (_ <- 1 to rounds) {
+      val cand = sym
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("v"), col("dist")), Seq("v"))
+        .groupBy("u").agg((min(col("dist")) + 1).as("cand"))
+      dist = dist
+        .join(cand.select(col("u").as("node"), col("cand")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(least(col("dist"), col("cand")),
+            col("dist"), col("cand")).as("dist"))
+    }
+    dist
+  }
+
   /** Damping factor and iteration count pinned by the query contract. */
   private val damping = 0.85
   private val iterations = 3
+
+  /** Shared DuckDB CTE chain replaying the LSH near-dup EDGE SET the
+    * graph family iterates on (plane-literal hyperplane LSH → capped
+    * buckets → cosine-thresholded pairs) — byte-identical semantics to
+    * [[graft.dedup.Dedup.embeddingLshPairs]] at τ = 0.05. Interpolated
+    * as the head of every graph oracle so the replay cannot drift
+    * between siblings. */
+  private def lshEdgesCte: String =
+    s"""pl AS (
+      |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, vd,
+      |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
+      |    sqrt(list_dot_product(vd, vd)) AS nrm
+      |  FROM e, pl),
+      |cap AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY bucket
+      |                                 ORDER BY vec_id) AS rn
+      |    FROM b) WHERE rn <= 256),
+      |edges AS (
+      |  SELECT e1.vec_id AS a, e2.vec_id AS b
+      |  FROM cap e1 JOIN cap e2
+      |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+      |  WHERE e1.nrm * e2.nrm > 0.0
+      |    AND round(list_dot_product(e1.vd, e2.vd)
+      |          / (e1.nrm * e2.nrm), 6) >= 0.05)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Triangle counting over the embedding near-dup graph — the local
@@ -133,6 +190,31 @@ object Graph {
       val nodes = t(s, d, "embeddings").select(col("vec_id").as("node"))
       labelPropagate(edges, nodes, rounds = 2)
         .select(col("node").as("vec_id"), col("lbl").as("label2"))
+        .orderBy("vec_id")
+    }),
+
+    // Multi-source BFS hop layers over the same near-dup graph — "how
+    // far is every vector from the seeded set" (contamination blast
+    // radius, curated-seed expansion tiers). 3 synchronous
+    // Bellman-Ford rounds: each round joins the current distance map
+    // onto the symmetric edge list, takes min(neighbor dist)+1 per
+    // node, and keeps the elementwise minimum — so after round k every
+    // node ≤ k hops from a seed carries its exact hop count and
+    // farther nodes stay NULL. Fixed rounds is the same honest bounded
+    // contract as label propagation (the oracle unrolls exactly 3
+    // steps); per round the shuffles are keyed on node ids, linear in
+    // |E|. Seeds: vec_id ≡ 0 (mod 50) — a deterministic 2% sample.
+    "graph_bfs_layers" -> ((s, d) => {
+      val edges = graft.dedup.Dedup.embeddingLshPairs(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+        .filter(col("cos_sim") >= 0.05)
+        .select(col("id1").as("a"), col("id2").as("b"))
+      val seeded = t(s, d, "embeddings")
+        .select(col("vec_id").as("node"))
+        .withColumn("dist", when(col("node") % 50 === 0, lit(0))
+          .otherwise(lit(null).cast("int")))
+      bfsLayers(edges, seeded, rounds = 3)
+        .select(col("node").as("vec_id"), col("dist").as("hops"))
         .orderBy("vec_id")
     }),
 
@@ -217,28 +299,7 @@ object Graph {
     // same plane-literal LSH replay as dedup_embedding_lsh, thresholded
     // into an edge set, then the a<b<c triple join
     "graph_triangle_count" ->
-      s"""WITH pl AS (
-        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
-        |e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-        |  FROM embeddings),
-        |b AS (
-        |  SELECT vec_id, vd,
-        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
-        |    sqrt(list_dot_product(vd, vd)) AS nrm
-        |  FROM e, pl),
-        |cap AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY bucket
-        |                                 ORDER BY vec_id) AS rn
-        |    FROM b) WHERE rn <= 256),
-        |edges AS (
-        |  SELECT e1.vec_id AS a, e2.vec_id AS b
-        |  FROM cap e1 JOIN cap e2
-        |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
-        |  WHERE e1.nrm * e2.nrm > 0.0
-        |    AND round(list_dot_product(e1.vd, e2.vd)
-        |          / (e1.nrm * e2.nrm), 6) >= 0.05),
+      s"""WITH $lshEdgesCte,
         |tris AS (
         |  SELECT x.a, x.b, y.b AS c
         |  FROM edges x JOIN edges y ON y.a = x.b
@@ -250,28 +311,7 @@ object Graph {
         |SELECT vec_id, count(*) AS n_triangles
         |FROM corners GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "graph_label_propagation" ->
-      s"""WITH pl AS (
-        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
-        |e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-        |  FROM embeddings),
-        |b AS (
-        |  SELECT vec_id, vd,
-        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
-        |    sqrt(list_dot_product(vd, vd)) AS nrm
-        |  FROM e, pl),
-        |cap AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY bucket
-        |                                 ORDER BY vec_id) AS rn
-        |    FROM b) WHERE rn <= 256),
-        |edges AS (
-        |  SELECT e1.vec_id AS a, e2.vec_id AS b
-        |  FROM cap e1 JOIN cap e2
-        |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
-        |  WHERE e1.nrm * e2.nrm > 0.0
-        |    AND round(list_dot_product(e1.vd, e2.vd)
-        |          / (e1.nrm * e2.nrm), 6) >= 0.05),
+      s"""WITH $lshEdgesCte,
         |sym AS (SELECT a AS u, b AS v FROM edges
         |        UNION ALL SELECT b AS u, a AS v FROM edges),
         |nodes AS (SELECT vec_id AS node FROM embeddings),
@@ -294,6 +334,33 @@ object Graph {
         |       FROM l1 l LEFT JOIN u2 u USING (node))
         |SELECT node AS vec_id, lbl AS label2
         |FROM l2 ORDER BY vec_id""".stripMargin,
+    "graph_bfs_layers" ->
+      s"""WITH $lshEdgesCte,
+        |sym AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |d0 AS (SELECT vec_id AS node,
+        |         CASE WHEN vec_id % 50 = 0 THEN 0 END AS dist
+        |       FROM embeddings),
+        |c1 AS (SELECT s.u, min(d.dist) + 1 AS cand
+        |       FROM sym s JOIN d0 d ON d.node = s.v
+        |       WHERE d.dist IS NOT NULL GROUP BY s.u),
+        |d1 AS (SELECT d.node,
+        |         coalesce(least(d.dist, c.cand), d.dist, c.cand) AS dist
+        |       FROM d0 d LEFT JOIN c1 c ON c.u = d.node),
+        |c2 AS (SELECT s.u, min(d.dist) + 1 AS cand
+        |       FROM sym s JOIN d1 d ON d.node = s.v
+        |       WHERE d.dist IS NOT NULL GROUP BY s.u),
+        |d2 AS (SELECT d.node,
+        |         coalesce(least(d.dist, c.cand), d.dist, c.cand) AS dist
+        |       FROM d1 d LEFT JOIN c2 c ON c.u = d.node),
+        |c3 AS (SELECT s.u, min(d.dist) + 1 AS cand
+        |       FROM sym s JOIN d2 d ON d.node = s.v
+        |       WHERE d.dist IS NOT NULL GROUP BY s.u),
+        |d3 AS (SELECT d.node,
+        |         coalesce(least(d.dist, c.cand), d.dist, c.cand) AS dist
+        |       FROM d2 d LEFT JOIN c3 c ON c.u = d.node)
+        |SELECT node AS vec_id, dist AS hops
+        |FROM d3 ORDER BY vec_id""".stripMargin,
     "agg_markov_transition" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS dst,

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, U}
+
+/** Market-basket / portfolio analytics over the order fact — the
+  * co-occurrence and concentration primitives every commerce-flavored
+  * warehouse ships (and every recommendation training pipeline needs as
+  * its candidate-generation stage).
+  *
+  * Scale shapes (the 100 TB contract):
+  *  - co-purchase pair generation is keyed on the ORDER — the shuffle
+  *    carries (order, part) pairs once and the fan-out per order is
+  *    basket-size-bounded (k·(k−1)/2 for a k-item basket), never
+  *    corpus-quadratic;
+  *  - the part-frequency join keys on the part id — a plain keyed
+  *    shuffle linear in the pair table;
+  *  - concentration (ABC) runs its global cumulative window over the
+  *    per-part AGGREGATE (|parts| rows, not |lineitem|); at a scale
+  *    where even the part dimension is huge the cumulative sum
+  *    block-stitches by revenue decade exactly like
+  *    [[Windows.stitchedRowNumber]] stitches numbering.
+  *
+  * Reference ancestry: none — the reference pipeline has no basket
+  * analytics; this is beyond-reference engine surface (training-data
+  * co-occurrence features, SURVEY §2 Part B spirit).
+  */
+object Market {
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Item-to-item co-purchase top-k over a DISTINCT (`l_orderkey`,
+    * `l_partkey`) incidence table: pair counts keyed on the order
+    * (basket-size-bounded fan-out), cosine = n/√(fa·fb) rounded to
+    * 1e-6 BEFORE the rank window so ordering is engine-stable. */
+  def coPurchaseTopK(dp: DataFrame, k: Int): DataFrame = {
+    val f = dp.groupBy("l_partkey").agg(count(lit(1)).as("fc"))
+    val pairs = dp.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(dp.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+    val sym = pairs
+      .select(col("pa").as("src"), col("pb").as("dst"), col("n"))
+      .unionByName(pairs
+        .select(col("pb").as("src"), col("pa").as("dst"), col("n")))
+    sym
+      .join(f.select(col("l_partkey").as("src"), col("fc").as("fa")), "src")
+      .join(f.select(col("l_partkey").as("dst"), col("fc").as("fb")), "dst")
+      .withColumn("cosine",
+        U.round6(col("n") / sqrt(col("fa") * col("fb"))))
+      .withColumn("rnk", row_number().over(Window.partitionBy("src")
+        .orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rnk") <= k)
+      .select(col("src").as("p_src"), col("dst").as("p_dst"),
+        col("n").as("n_co"), col("cosine"), col("rnk"))
+  }
+
+  /** Merge overlapping intervals (`user_id`, `st`, `en` — µs longs)
+    * into maximal islands per user: boundary = start strictly after the
+    * running max of every previous end. One partitioned window pass +
+    * one aggregate; exact integer arithmetic throughout. */
+  def mergeIntervals(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("st")
+    iv.withColumn("pmax", max(col("en")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw", when(col("pmax").isNull
+        || col("st") > col("pmax"), 1).otherwise(0))
+      .withColumn("island", sum(col("nw")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("st")).as("start_us"), max(col("en")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** ABC classification over a (`l_partkey`, `r` — exact decimal
+    * revenue) summary: cumulative-share classes decided by exact
+    * decimal cross-multiplication (c·5 ≤ t·4 ⇔ share ≤ 0.8), shares
+    * displayed as rounded doubles. */
+  def abcClassify(rev: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("r").desc, col("l_partkey"))
+    rev
+      .withColumn("c", sum(col("r")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", sum(col("r")).over(
+        ord.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("l_partkey"), U.dbl(col("r")).as("revenue"),
+        U.round6(U.dbl(col("c")) / U.dbl(col("t"))).as("cum_share"),
+        when(col("c") * 5 <= col("t") * 4, "A")
+          .when(col("c") * 20 <= col("t") * 19, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Item-to-item co-purchase similarity: parts sharing an order form
+    // an edge weighted by co-occurrence count, normalized to the cosine
+    // of the (binary) order-incidence vectors — n_ab / √(n_a·n_b) —
+    // and each part keeps its top-3 partners. This is the classic
+    // "customers who bought X" candidate generator: cheap, exact, and
+    // embarrassingly parallel. Determinism: cosine is a ratio of an
+    // integer and an IEEE sqrt of an integer product (bit-identical
+    // across engines), rounded to 1e-6 BEFORE ranking so the rank
+    // window orders identical values on both sides; ties break on the
+    // partner id.
+    "graph_copurchase_topk" -> ((s, d) => {
+      coPurchaseTopK(t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct(), k = 3)
+        .orderBy("p_src", "rnk")
+    }),
+
+    // Merge overlapping per-user activity intervals (each event opens a
+    // 30-minute span) into maximal islands — the gaps-and-islands
+    // primitive behind contiguous-coverage questions (uptime stitching,
+    // ad-exposure windows, session coverage distinct from gap-based
+    // sessionization which keys on DELTAS, not interval overlap).
+    // Shape: one per-user sort; island boundary = start strictly after
+    // the running max of all previous ends (exact µs longs, no float);
+    // the running max + running boundary count are the same
+    // partitioned-window pass; the final aggregate collapses each
+    // island to (start, end, n_events). Tie-safety: rows sharing a
+    // start land in the same island under ANY tie order (an equal
+    // start can never exceed the tied row's end), so the frame-based
+    // windows are deterministic without an event-id tie-break.
+    "window_interval_merge" -> ((s, d) => {
+      val span = 1800L * 1000000L // 30 min in µs
+      mergeIntervals(t(s, d, "events")
+        .select(col("user_id"), U.tsUs(col("ts")).as("st"))
+        .withColumn("en", col("st") + lit(span)))
+        .orderBy("user_id", "island")
+    }),
+
+    // ABC / Pareto concentration: classify parts by cumulative revenue
+    // share — A = the head making up the first 80%, B = to 95%, C =
+    // tail. The classification compares EXACT decimals cross-multiplied
+    // against integer thresholds (c·5 ≤ t·4 ⇔ share ≤ 0.8) so no
+    // float division ever decides a class; the displayed share is the
+    // rounded double. Both the cumulative and the total come from ONE
+    // unpartitioned window sort over the per-part aggregate (bounded
+    // summary — the structural contract PlanSpec enforces).
+    "window_abc_classify" -> ((s, d) => {
+      abcClassify(t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(U.dec4(col("l_extendedprice")
+          * (lit(1) - col("l_discount")))).as("r")))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "graph_copurchase_topk" ->
+      """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (SELECT l_partkey, count(*) AS fc FROM dp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+        |  FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT pa AS src, pb AS dst, n FROM pr
+        |        UNION ALL SELECT pb, pa, n FROM pr),
+        |sc AS (
+        |  SELECT s.src, s.dst, s.n,
+        |    round(s.n / sqrt(fa.fc * fb.fc) * 1000000) / 1000000 AS cosine
+        |  FROM sym s JOIN f fa ON fa.l_partkey = s.src
+        |  JOIN f fb ON fb.l_partkey = s.dst),
+        |rk AS (SELECT *, row_number() OVER (
+        |         PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+        |       FROM sc)
+        |SELECT src AS p_src, dst AS p_dst, n AS n_co, cosine, rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY p_src, rnk""".stripMargin,
+    "window_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 1800000000 AS en
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |fl AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax
+        |         THEN 1 ELSE 0 END AS nw FROM m),
+        |isl AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY st
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS island
+        |        FROM fl)
+        |SELECT user_id, island, min(st) AS start_us, max(en) AS end_us,
+        |  count(*) AS n_events
+        |FROM isl GROUP BY user_id, island ORDER BY user_id, island"""
+        .stripMargin,
+    "window_abc_classify" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(18,4))) AS r
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT l_partkey, r,
+        |    sum(r) OVER (ORDER BY r DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |    sum(r) OVER () AS t
+        |  FROM rev)
+        |SELECT l_partkey, CAST(r AS DOUBLE) AS revenue,
+        |  round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1000000)
+        |    / 1000000 AS cum_share,
+        |  CASE WHEN c * 5 <= t * 4 THEN 'A'
+        |       WHEN c * 20 <= t * 19 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM cum ORDER BY revenue DESC, l_partkey""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Market}
+
+/** Planted-fixture semantics for the market-basket family
+  * ([[graft.operators.Market]]) and BFS layers
+  * ([[graft.operators.Graph.bfsLayers]]). Oracle parity at data scale
+  * is the driver's DuckDB gate; these pin the math on fixtures small
+  * enough to verify by hand — including the exact-decimal ABC
+  * threshold boundaries and the strictly-after interval-merge edge.
+  */
+class MarketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfsLayers: exact hop counts on a planted path, frontier " +
+    "stops at the round horizon") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (7L, 8L)).toDF("a", "b")
+    val seeded = Seq((1L, Some(0)), (2L, None), (3L, None), (4L, None),
+      (5L, None), (6L, None), (7L, None), (8L, None))
+      .toDF("node", "dist")
+    val got = Graph.bfsLayers(edges, seeded, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map(1L -> Some(0), 2L -> Some(1), 3L -> Some(2),
+      4L -> Some(3), 5L -> None, // 4 hops out: beyond the horizon
+      6L -> None, // isolated
+      7L -> None, 8L -> None)) // disconnected component, no seed
+  }
+
+  test("bfsLayers: a node adjacent to two seeds takes the min, and " +
+    "an already-labeled node never regresses") {
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val seeded = Seq((1L, Some(0)), (2L, None), (3L, Some(0)))
+      .toDF("node", "dist")
+    val got = Graph.bfsLayers(edges, seeded, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1 and 3 stay 0 (neighbor candidates 1+1=2 never overwrite 0)
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("mergeIntervals: overlap chains fuse, a touching endpoint " +
+    "(start == prev end) still merges, strict gaps split") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), // chain → [0,15]
+      (1L, 20L, 30L), (1L, 30L, 40L), // touch at 30 → [20,40]
+      (1L, 50L, 60L), // strict gap → own island
+      (2L, 100L, 110L)).toDF("user_id", "st", "en")
+    val got = Market.mergeIntervals(iv)
+      .orderBy("user_id", "island")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 15L, 2L),
+      (1L, 2L, 20L, 40L, 2L),
+      (1L, 3L, 50L, 60L, 1L),
+      (2L, 1L, 100L, 110L, 1L)))
+  }
+
+  test("abcClassify: exact-decimal thresholds — cum shares of " +
+    "exactly 0.80 and 0.95 classify as A and B (boundary inclusive)") {
+    val rev = Seq((10L, "80.0000"), (20L, "15.0000"), (30L, "5.0000"))
+      .toDF("l_partkey", "rs")
+      .select(col("l_partkey"),
+        col("rs").cast("decimal(18,4)").as("r"))
+    val got = Market.abcClassify(rev)
+      .orderBy(col("revenue").desc)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (10L, 80.0, 0.8, "A"), // cum 80/100: exactly the A boundary
+      (20L, 15.0, 0.95, "B"), // cum 95/100: exactly the B boundary
+      (30L, 5.0, 1.0, "C")))
+  }
+
+  test("coPurchaseTopK: planted baskets give the hand-computed " +
+    "cosines and rank order") {
+    val dp = Seq((1L, 100L), (1L, 200L), (1L, 300L),
+      (2L, 100L), (2L, 200L)).toDF("l_orderkey", "l_partkey")
+    val got = Market.coPurchaseTopK(dp, k = 3)
+      .orderBy("p_src", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // f(100)=2, f(200)=2, f(300)=1; n(100,200)=2 → cos 1.0;
+    // n(100,300)=n(200,300)=1 → cos 1/√2 = 0.707107
+    assert(got.toSeq == Seq(
+      (100L, 200L, 2L, 1.0, 1), (100L, 300L, 1L, 0.707107, 2),
+      (200L, 100L, 2L, 1.0, 1), (200L, 300L, 1L, 0.707107, 2),
+      (300L, 100L, 1L, 0.707107, 1), (300L, 200L, 1L, 0.707107, 2)))
+  }
+}
