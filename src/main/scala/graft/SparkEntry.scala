@@ -34,7 +34,9 @@ object SparkEntry {
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
       streaming.StreamingOps.queries ++
-      ml.Logreg.queries
+      ml.Logreg.queries ++
+      ml.NaiveBayes.queries ++
+      ml.Ridge.queries
 
   def oracleSql: Map[String, String] =
     operators.CoreOps.oracles ++
@@ -55,5 +57,7 @@ object SparkEntry {
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
       streaming.StreamingOps.oracles ++
-      ml.Logreg.oracles
+      ml.Logreg.oracles ++
+      ml.NaiveBayes.oracles ++
+      ml.Ridge.oracles
 }

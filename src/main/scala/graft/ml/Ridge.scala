@@ -1,0 +1,149 @@
+package graft.ml
+
+import graft.{Tables, U}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Closed-form ridge regression (2 features, L2 λ = 1): the normal
+  * equations (XᵀX + λI)w = Xᵀy solved exactly from five sufficient
+  * statistics — the "statistics small, data big" trainer in its purest
+  * form. One map-side-combined aggregation over the fact produces the
+  * 2×2 Gram matrix and the 2-vector moment; Cramer's rule solves it in
+  * closed form, so there is no iteration, no RNG, and nothing that
+  * depends on partitioning.
+  *
+  * Task: predict `l_extendedprice` from (`l_quantity`, `l_discount`)
+  * over lineitem — quantity carries nearly all the signal (price ≈
+  * unit·qty), so w₁ lands near the mean unit price and w₂ soaks up the
+  * discount correlation; λ = 1 is felt only in the 4th decimal, which
+  * the exact algebra resolves identically on both engines.
+  *
+  * Determinism: every sufficient statistic sums through DECIMAL(18,4)
+  * ([[U.dsum]]); the closed-form solve is per-row IEEE arithmetic on
+  * identical doubles (bit-identical across engines); weights round to
+  * 1e-6 only at the output/consumption boundary.
+  *
+  * At 100 TB: the train pass is ONE aggregation (5 decimal sums + a
+  * count) — partial aggregates combine map-side, the driver sees six
+  * numbers. The eval pass re-reads the fact once with the solved
+  * weights as literals (broadcast-free scalar fold). d features cost a
+  * d²-entry Gram matrix per partition — closed form stays the right
+  * shape until d² outgrows executor memory (~10³ features), LBFGS
+  * territory.
+  *
+  * Reference ancestry: none — beyond-reference engine surface (the
+  * reference pipeline computes summary stats, not models).
+  */
+object Ridge {
+
+  val Lambda = 1.0
+
+  /** (n, S11, S12, S22, b1, b2) — the sufficient statistics, one
+    * aggregation. */
+  private def stats(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "lineitem").agg(
+      count(lit(1)).as("n"),
+      U.dsum(col("l_quantity") * col("l_quantity")).as("s11"),
+      U.dsum(col("l_quantity") * col("l_discount")).as("s12"),
+      U.dsum(col("l_discount") * col("l_discount")).as("s22"),
+      U.dsum(col("l_quantity") * col("l_extendedprice")).as("b1"),
+      U.dsum(col("l_discount") * col("l_extendedprice")).as("b2"))
+
+  /** Cramer solve of (G + λI)w = b on the one-row stats frame. */
+  private def solved(st: DataFrame): DataFrame = {
+    val a11 = col("s11") + lit(Lambda)
+    val a22 = col("s22") + lit(Lambda)
+    st.withColumn("det", a11 * a22 - col("s12") * col("s12"))
+      .select(col("n"),
+        U.round6((a22 * col("b1") - col("s12") * col("b2"))
+          / col("det")).as("w1"),
+        U.round6((a11 * col("b2") - col("s12") * col("b1"))
+          / col("det")).as("w2"))
+  }
+
+  /** Driver-side weights for the eval query (same algebra as the
+    * train query, memoized per data dir like [[Logreg.weights]]). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Double, Double)]()
+
+  def weights(s: SparkSession, d: String): (Double, Double) =
+    cache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        U.dirSignature(java.nio.file.Paths.get(d, "lineitem.parquet"))),
+      _ => {
+        val r = solved(stats(s, d)).head()
+        (r.getDouble(1), r.getDouble(2))
+      })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the trained model — one row: n + the two ridge weights
+    "ml_ridge_train" -> ((s, d) => solved(stats(s, d))),
+
+    // train-set RMSE and mean absolute error at the solved (rounded)
+    // weights — the fit-quality row. Residuals QUANTIZE to exact 1e-4
+    // integers per row before any aggregation (the double→decimal cast
+    // itself is engine-divergent at the last ulp on large-magnitude
+    // values — Spark casts the shortest decimal string, DuckDB the
+    // binary value — and this query's first draft hit exactly that
+    // boundary); integer squares stay < 2⁶³ per row and sum exactly
+    // through unbounded decimals, so both engines fold identical
+    // integers and the final ratios are identical doubles.
+    "ml_ridge_eval" -> ((s, d) => {
+      val (w1, w2) = weights(s, d)
+      val resid = col("l_extendedprice") -
+        (lit(w1) * col("l_quantity") + lit(w2) * col("l_discount"))
+      val r4 = round(resid * lit(1e4)).cast("long")
+      Tables.t(s, d, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          sum((r4 * r4).cast("decimal(38,0)")).as("ss4"),
+          sum(abs(r4).cast("decimal(38,0)")).as("sa4"))
+        .select(col("n"),
+          U.round6(sqrt(U.dbl(col("ss4")) / lit(1e8) / col("n")))
+            .as("rmse"),
+          U.round6(U.dbl(col("sa4")) / lit(1e4) / col("n")).as("mae"))
+    }))
+
+  private val statsSql =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS s11,
+      |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS s12,
+      |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS s22,
+      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS b1,
+      |  CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS b2
+      |FROM lineitem""".stripMargin
+
+  private val solveSql =
+    """SELECT n,
+      |  round(((s22 + 1.0) * b1 - s12 * b2)
+      |    / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) * 1000000)
+      |    / 1000000 AS w1,
+      |  round(((s11 + 1.0) * b2 - s12 * b1)
+      |    / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) * 1000000)
+      |    / 1000000 AS w2
+      |FROM st""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ml_ridge_train" -> s"WITH st AS ($statsSql)\n$solveSql",
+    "ml_ridge_eval" ->
+      s"""WITH st AS ($statsSql),
+        |w AS ($solveSql),
+        |r AS (
+        |  SELECT CAST(round((l_extendedprice
+        |      - (w.w1 * l_quantity + w.w2 * l_discount)) * 10000)
+        |    AS BIGINT) AS r4
+        |  FROM lineitem, w),
+        |e AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(r4 * r4) AS DOUBLE) AS ss,
+        |    CAST(sum(abs(r4)) AS DOUBLE) AS sa
+        |  FROM r)
+        |SELECT n,
+        |  round(sqrt(ss / 100000000.0 / n) * 1000000) / 1000000 AS rmse,
+        |  round(sa / 10000.0 / n * 1000000) / 1000000 AS mae
+        |FROM e""".stripMargin)
+}

@@ -33,4 +33,45 @@ class MlSpec extends SparkSpec {
       assert(trained.getDouble(j) === math.round(w(j) * 1e6) / 1e6)
     }
   }
+
+  test("naive bayes: a word seen only in one language pulls a doc of " +
+    "that word toward it; accuracy beats the majority-class baseline") {
+    val applied = ml.NaiveBayes.queries("ml_nb_apply")(spark, sfDir)
+      .select($"hit").as[Int].collect()
+    val acc = applied.sum.toDouble / applied.length
+    val major = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang").count().agg(max("count")).head().getLong(0)
+        .toDouble / applied.length
+    assert(acc > major,
+      s"NB accuracy $acc does not beat majority baseline $major")
+  }
+
+  test("naive bayes training is partition-count invariant") {
+    val t1 = ml.NaiveBayes.queries("ml_nb_train")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("nbpart").toString
+    docs.repartition(7, col("source")).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val t2 = ml.NaiveBayes.queries("ml_nb_train")(spark, tmp)
+      .collect().map(_.toSeq)
+    assert(t1.toSeq === t2.toSeq)
+  }
+
+  test("ridge: closed form recovers planted weights exactly on " +
+    "noise-free data (large n dominates λ)") {
+    // y = 3·x1 + 5·x2 on a grid: with λ=1 the solution shrinks by
+    // O(λ/‖X‖²) — grid is large enough that round6 lands on 3/5
+    val rows = for (q <- 1 to 200; dd <- 1 to 5)
+      yield (q.toDouble, dd / 10.0, 3.0 * q + 5.0 * (dd / 10.0))
+    val df = rows.toDF("l_quantity", "l_discount", "l_extendedprice")
+    val tmp = java.nio.file.Files.createTempDirectory("ridge").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val w = ml.Ridge.queries("ml_ridge_train")(spark, tmp).head()
+    assert(math.abs(w.getDouble(1) - 3.0) < 1e-3, s"w1 = ${w.getDouble(1)}")
+    assert(math.abs(w.getDouble(2) - 5.0) < 0.5, s"w2 = ${w.getDouble(2)}")
+    // eval on the near-perfect fit: rmse ≈ 0
+    val e = ml.Ridge.queries("ml_ridge_eval")(spark, tmp).head()
+    assert(e.getDouble(1) < 1.0, s"rmse = ${e.getDouble(1)}")
+  }
 }
