@@ -756,6 +756,34 @@ object Similarity {
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
+    // Binary (sign-bit) Hamming search — the 64×-compression end of the
+    // quantization spectrum (int8 → PQ → 1-bit): similarity = how many
+    // of the 64 hyper-octant sign bits agree with the query's. At
+    // production scale the signatures pack into ONE 64-bit word per
+    // vector at ingest and the scan is xor+popcount on longs (the same
+    // fused-signature shape as [[graft.plans.SimHash64]]); here the
+    // sign comparison stays unpacked per dimension so the DuckDB oracle
+    // replays it exactly. Exact cosine rides along per candidate — the
+    // coarse→fine rerank pair in one row. Ties (equal distance) break
+    // on vec_id; the Hamming distance is exact integer arithmetic, so
+    // the top-k cut is engine-identical with no rounding bridge at all.
+    "sim_hamming_topk" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
+      val qv = queryVector(s, d, 0L)
+      val qSigns = typedlit(qv.map(_ >= 0.0).toSeq)
+      val ham = size(filter(
+        zip_with(col("embedding"), qSigns,
+          (e, q) => (e >= lit(0.0f)) =!= q),
+        x => x)).cast("long")
+      Tables.t(s, d, "embeddings")
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"), ham.as("hamming"),
+          round(cosine(toDouble(col("embedding")),
+            typedlit(qv.toSeq)), 6).as("cos_sim"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(20)
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of the dense (cosine)
     // and lexical (BM25) candidate lists, the standard RAG two-tower
     // merge: score = Σ 1/(60 + rank) over the lists a candidate appears
@@ -1283,7 +1311,21 @@ object Similarity {
         |                           CAST(e.embedding AS DOUBLE[]))) *
         |     sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
         |FROM embeddings e, q WHERE vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "sim_hamming_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+        |              <> (q.qe[i] >= 0) THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS hamming,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+        |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY hamming, e.vec_id LIMIT 20""".stripMargin
   )
 
   /** IVF replay generated from the CONVERGED quantizer: graft.Verify

@@ -277,4 +277,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.85, s"int8 recall@20 = $recall")
   }
+
+  test("binary hamming top-k: distances in [0,64], candidates carry " +
+    "meaningfully higher cosine than the corpus at large") {
+    val top = SparkEntry.queries("sim_hamming_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.length === 20)
+    assert(top.forall { case (_, h, _) => h >= 0 && h <= 64 })
+    // ordered by hamming asc
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.toSeq)
+    val candMean = top.map(_._3).sum / top.length
+    val corpusMean = Similarity.bruteForceTopK(spark, sfDir, 0L, 100000)
+      .agg(avg($"cos_sim")).head().getDouble(0)
+    assert(candMean > corpusMean + 0.05,
+      s"1-bit candidates ($candMean) no better than corpus mean " +
+        s"($corpusMean) — sign signatures carry no signal?")
+  }
 }
