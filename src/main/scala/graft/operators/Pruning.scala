@@ -76,7 +76,27 @@ object Pruning {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_partition_prune" -> ((s, d) => partitionPrunedScan(s, d)),
     "join_dpp_prune" -> ((s, d) => dppJoin(s, d)),
-    "join_bloom_runtime" -> ((s, d) => bloomJoin(s, d))
+    "join_bloom_runtime" -> ((s, d) => bloomJoin(s, d)),
+
+    // Transparent materialized-view rewrite (plans.MvRewrite): the
+    // query is written — and oracled — against the RAW fact; the
+    // optimizer proves it subsumed by the registered pricing summary
+    // (filter on a view group column, roll-up grouping, re-aggregable
+    // measures only) and swaps the fact scan for the |groups|-row
+    // summary scan. Exactness is by construction: the MV stores
+    // DECIMAL sums, so re-summed partials are bit-identical to the
+    // direct decimal sum. PlanSpec pins the scan swap + the negative
+    // controls (non-stored measure / non-group filter read the fact).
+    "scan_mv_rewrite" -> ((s, d) => {
+      graft.sources.MaterializedView.ensure(s, d)
+      t(s, d, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(U.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          max(col("l_shipdate")).as("latest_ship"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,6 +120,14 @@ object Pruning {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "scan_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  count(*) AS n_rows,
+        |  max(l_shipdate) AS latest_ship
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -104,5 +104,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // Interval-overlap theta joins → bucketed equi-joins (no BNLJ).
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // Transparent materialized-view rewrite for subsumed aggregates.
+    ext.injectOptimizerRule(s => new MvRewrite(s))
   }
 }

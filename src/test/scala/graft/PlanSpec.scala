@@ -469,4 +469,36 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"$q has no codegen span:\n$p")
     }
   }
+
+  test("materialized-view rewrite: a subsumed rollup reads the summary; " +
+    "non-stored measures and non-group filters read the fact") {
+    val df = SparkEntry.queries("scan_mv_rewrite")(spark, sfDir)
+    df.collect()
+    assert(df.inputFiles.exists(_.contains("mv_lineitem_pricing")),
+      s"rewrite did not fire — scans: ${df.inputFiles.take(3).toSeq}")
+    assert(!df.inputFiles.exists(_.contains("lineitem.parquet")),
+      "rewritten query still reads the fact")
+    // negative: sum over a measure the view does not store
+    val neg1 = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(U.dsum(col("l_tax")).as("t"))
+    assert(neg1.inputFiles.exists(_.contains("lineitem.parquet")),
+      "non-stored measure was wrongly served from the view")
+    // negative: a filter on a non-group column needs raw rows — the
+    // always-true predicate blocks the rewrite WITHOUT changing
+    // semantics, which doubles as the value-equality control below
+    val neg2 = Tables.t(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") >= 0.0)
+      .groupBy("l_returnflag").agg(U.dsum(col("l_quantity")).as("q"))
+      .orderBy("l_returnflag")
+    assert(neg2.inputFiles.exists(_.contains("lineitem.parquet")),
+      "non-group filter was wrongly served from the view")
+    // the same rollup without the blocking filter IS rewritten, and
+    // returns bit-identical values (decimal partial sums are exact)
+    val pos = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(U.dsum(col("l_quantity")).as("q"))
+      .orderBy("l_returnflag")
+    assert(pos.inputFiles.exists(_.contains("mv_lineitem_pricing")))
+    assert(pos.collect().map(_.toSeq).toSeq ===
+      neg2.collect().map(_.toSeq).toSeq)
+  }
 }
