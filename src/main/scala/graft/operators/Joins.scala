@@ -165,6 +165,56 @@ object Joins {
         .orderBy("id1", "id2")
     }),
 
+    // Fellegi-Sunter probabilistic record linkage over the same
+    // two-key-blocked candidate pairs: each field comparison
+    // (name Jaro-Winkler ≥ 0.95, type equality, size within ±1, price
+    // within 10%) contributes its log₂(m/u) agreement weight or
+    // log₂((1−m)/(1−u)) disagreement weight; the pair matches when the
+    // summed evidence clears the threshold. The m/u parameters are
+    // fixed by the query contract and their log-weights are spelled as
+    // identical 6-decimal literals on both engines (derived constants
+    // are never recomputed cross-engine — the last-ulp rule), so the
+    // score is a fixed-order sum of identical doubles. Blocking keeps
+    // candidate generation sub-quadratic exactly as join_blocked_jaro;
+    // scoring is map-only over the pair table.
+    "join_er_fellegi_sunter" -> ((s, d) => {
+      graft.plans.JaroWinkler.register(s)
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"),
+          col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+        .withColumn("tok1", split_part(col("nm"), lit(" "), lit(1)))
+      val a = p.select(col("p_partkey").as("id1"), col("nm").as("n1"),
+        col("p_brand"), col("tok1"), col("p_type").as("t1"),
+        col("p_size").as("s1"), col("p_retailprice").as("r1"))
+      val b = p.select(col("p_partkey").as("id2"), col("nm").as("n2"),
+        col("p_brand"), col("tok1"), col("p_type").as("t2"),
+        col("p_size").as("s2"), col("p_retailprice").as("r2"))
+      // log2 m/u weights: name m=.95 u=.05, type m=.9 u=.2,
+      // size m=.85 u=.25, price m=.8 u=.3 — literal-pinned
+      val scored = a.join(b, Seq("p_brand", "tok1"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("jw",
+          U.round6(call_function("jaro_winkler", col("n1"), col("n2"))))
+        .withColumn("a_name", (col("jw") >= 0.95).cast("int"))
+        .withColumn("a_type", (col("t1") === col("t2")).cast("int"))
+        .withColumn("a_size",
+          (abs(col("s1") - col("s2")) <= 1).cast("int"))
+        .withColumn("a_price", (abs(col("r1") - col("r2"))
+          <= lit(0.1) * greatest(col("r1"), col("r2"))).cast("int"))
+        .withColumn("score",
+          when(col("a_name") === 1, lit(4.247928)).otherwise(lit(-4.247928))
+            + when(col("a_type") === 1, lit(2.169925)).otherwise(lit(-3.0))
+            + when(col("a_size") === 1, lit(1.765535)).otherwise(lit(-2.321928))
+            + when(col("a_price") === 1, lit(1.415037)).otherwise(lit(-1.807355)))
+      scored
+        .withColumn("score_r", U.round6(col("score")))
+        .select(col("id1"), col("id2"), col("a_name"), col("a_type"),
+          col("a_size"), col("a_price"), col("score_r").as("score"),
+          (col("score_r") >= 3.0).cast("int").as("is_match"))
+        .orderBy("id1", "id2")
+    }),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
     // match null keys — the join you need when the key is itself derived
     // and can legitimately be null (here: a sentinel value nulled out).
@@ -545,6 +595,37 @@ object Joins {
         |WHERE round(jaro_winkler_similarity(a.nm, b.nm) * 1000000)
         |  / 1000000 >= 0.82
         |ORDER BY id1, id2""".stripMargin,
+    "join_er_fellegi_sunter" ->
+      """WITH p AS (
+        |  SELECT p_partkey, lower(p_name) AS nm, p_brand, p_type,
+        |    p_size, p_retailprice,
+        |    split_part(lower(p_name), ' ', 1) AS tok1
+        |  FROM part),
+        |pr AS (
+        |  SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |    CASE WHEN round(jaro_winkler_similarity(a.nm, b.nm)
+        |        * 1000000) / 1000000 >= 0.95 THEN 1 ELSE 0 END AS a_name,
+        |    CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS a_type,
+        |    CASE WHEN abs(a.p_size - b.p_size) <= 1
+        |      THEN 1 ELSE 0 END AS a_size,
+        |    CASE WHEN abs(a.p_retailprice - b.p_retailprice)
+        |        <= 0.1 * greatest(a.p_retailprice, b.p_retailprice)
+        |      THEN 1 ELSE 0 END AS a_price
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+        |    AND a.p_partkey < b.p_partkey),
+        |sc AS (
+        |  SELECT *,
+        |    round(CAST(
+        |      (CASE WHEN a_name = 1 THEN 4.247928 ELSE -4.247928 END
+        |       + CASE WHEN a_type = 1 THEN 2.169925 ELSE -3.0 END
+        |       + CASE WHEN a_size = 1 THEN 1.765535 ELSE -2.321928 END
+        |       + CASE WHEN a_price = 1 THEN 1.415037 ELSE -1.807355 END)
+        |      AS DOUBLE) * 1000000) / 1000000 AS score
+        |  FROM pr)
+        |SELECT id1, id2, a_name, a_type, a_size, a_price, score,
+        |  CASE WHEN score >= 3.0 THEN 1 ELSE 0 END AS is_match
+        |FROM sc ORDER BY id1, id2""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (SELECT nullif(event_type, 'error') AS k, event_id
         |           FROM events),

@@ -85,6 +85,59 @@ object Stats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Column profiling — the ANALYZE/data-quality primitive: per
+    // numeric column, non-null count, exact distinct count, min/max,
+    // all from ONE scan (the multi-distinct aggregate expands the scan
+    // 4× internally — exact by contract; the 100 TB variant swaps in
+    // approx_count_distinct and loses the expand). The one-row
+    // aggregate unpivots via stack() into one row per column.
+    "profile_columns" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"))) :+ count(lit(1)).as("n_rows")
+      val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      one.select(expr(s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
+          ") as (col_name, n_nonnull, n_distinct, min_val, max_val)"),
+        col("n_rows"))
+        .orderBy("col_name")
+    }),
+
+    // Seasonal decomposition (STL-lite) of the daily value series:
+    // trend = centered 7-day moving average (complete frames only),
+    // seasonal = per-weekday mean of the detrended series, residual =
+    // what neither explains. Determinism: daily totals and the 7-day
+    // window sum stay DECIMAL (a double window sum would depend on the
+    // engine's frame-accumulation order — DuckDB segment-trees it,
+    // Spark folds left-to-right); every derived ratio rounds at 1e-6;
+    // the weekday means sum rounded values through DECIMAL(18,6). The
+    // global windows run over the per-day AGGREGATE (|days| rows);
+    // the weekday table (7 rows) broadcasts back.
+    "timeseries_seasonal_decompose" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(U.dec4(col("value"))).as("tot_dec"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+          U.round6(U.dbl(sum(col("tot_dec")).over(w7)) / lit(7.0))))
+        .withColumn("total", U.dbl(col("tot_dec")))
+        .withColumn("detr", col("total") - col("trend"))
+        .withColumn("wd", dayofweek(col("day")))
+      val seasonal = detr.filter(col("detr").isNotNull)
+        .groupBy("wd")
+        .agg(U.round6(U.dbl(sum(U.dec6(col("detr"))))
+          / count(col("detr"))).as("seasonal"))
+      detr.join(broadcast(seasonal), Seq("wd"))
+        .select(col("day"), col("total"), col("trend"), col("seasonal"),
+          U.round6(col("detr") - col("seasonal")).as("resid"))
+        .orderBy("day")
+    }),
+
     // Two-sample Kolmogorov-Smirnov: D = max |F_R(x) − F_A(x)| over the
     // pooled support — THE nonparametric "did the distribution shift"
     // test (source drift, A/B invariance, train/serve skew). Exact
@@ -422,6 +475,51 @@ object Stats {
     }))
 
   val oracles: Map[String, String] = Map(
+    "profile_columns" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  count(l_quantity) AS nn1, count(DISTINCT l_quantity) AS nd1,
+        |  min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+        |  count(l_extendedprice) AS nn2,
+        |  count(DISTINCT l_extendedprice) AS nd2,
+        |  min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+        |  count(l_discount) AS nn3, count(DISTINCT l_discount) AS nd3,
+        |  min(l_discount) AS mn3, max(l_discount) AS mx3,
+        |  count(l_tax) AS nn4, count(DISTINCT l_tax) AS nd4,
+        |  min(l_tax) AS mn4, max(l_tax) AS mx4
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_name, nn1 AS n_nonnull,
+        |  nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val, n_rows
+        |FROM a
+        |UNION ALL SELECT 'l_extendedprice', nn2, nd2, mn2, mx2, n_rows
+        |FROM a
+        |UNION ALL SELECT 'l_discount', nn3, nd3, mn3, mx3, n_rows
+        |FROM a
+        |UNION ALL SELECT 'l_tax', nn4, nd4, mn4, mx4, n_rows FROM a
+        |ORDER BY col_name""".stripMargin,
+    "timeseries_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS tot_dec
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, CAST(tot_dec AS DOUBLE) AS total,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      round(CAST(sum(tot_dec) OVER w7 AS DOUBLE) / 7.0
+        |        * 1000000) / 1000000 END AS trend,
+        |    dayofweek(day) + 1 AS wd
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |de AS (SELECT *, total - trend AS detr FROM tr),
+        |se AS (
+        |  SELECT wd,
+        |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(detr) * 1000000) / 1000000 AS seasonal
+        |  FROM de WHERE detr IS NOT NULL GROUP BY wd)
+        |SELECT de.day, de.total, de.trend, se.seasonal,
+        |  round((de.detr - se.seasonal) * 1000000) / 1000000 AS resid
+        |FROM de JOIN se USING (wd)
+        |ORDER BY de.day""".stripMargin,
     "stats_ks_two_sample" ->
       """WITH src AS (
         |  SELECT l_extendedprice AS v, l_returnflag AS g
