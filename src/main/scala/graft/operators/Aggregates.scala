@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Tables, U}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Aggregation matrix — SURVEY.md §2 A.4 + B.2.
@@ -39,6 +39,36 @@ object Aggregates {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Percent-of-parent hierarchical shares — the drill-down ratio
+    // every BI rollup shows (nation's share of its region, region's
+    // share of world): the fact aggregates ONCE to the leaf level
+    // (nation), then parent totals come from windows OVER that
+    // aggregate — region totals partitioned by region, the world total
+    // from the same sorted pass. Exact decimal sums; shares round at
+    // 1e-6 via the engine-stable spelling.
+    "agg_pct_of_parent" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(U.dec4(col("o_totalprice"))).as("rev"))
+      val byRegion = Window.partitionBy("r_name")
+      val world = Window.partitionBy()
+      rev
+        .withColumn("region_rev", sum(col("rev")).over(byRegion))
+        .withColumn("world_rev", sum(col("rev")).over(world))
+        .select(col("r_name"), col("n_name"), U.dbl(col("rev")).as("revenue"),
+          U.round6(U.dbl(col("rev")) / U.dbl(col("region_rev")))
+            .as("pct_of_region"),
+          U.round6(U.dbl(col("region_rev")) / U.dbl(col("world_rev")))
+            .as("region_pct_of_world"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // TPC-H Q1-shaped scan-heavy group-by: the canonical map-side-combine
     // aggregation (tiny key cardinality → partial agg collapses the scan).
     "agg_hash_group" -> ((s, d) =>
@@ -798,6 +828,26 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pct_of_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |w AS (
+        |  SELECT *,
+        |    sum(rev) OVER (PARTITION BY r_name) AS region_rev,
+        |    sum(rev) OVER () AS world_rev
+        |  FROM rev)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE)
+        |    * 1000000) / 1000000 AS pct_of_region,
+        |  round(CAST(region_rev AS DOUBLE) / CAST(world_rev AS DOUBLE)
+        |    * 1000000) / 1000000 AS region_pct_of_world
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
     // HLL++ replayed exactly — rsd/table/columns must mirror the query.
     "agg_approx_distinct" -> graft.plans.HllSqlOracle.approxCountDistinctSql(
       "lineitem", "l_returnflag", "l_partkey", 0.02, "approx_parts"),

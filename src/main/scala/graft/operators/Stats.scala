@@ -138,6 +138,42 @@ object Stats {
         .orderBy("day")
     }),
 
+    // A/B experiment readout — the end-to-end product-analytics
+    // surface: deterministic 50/50 arm assignment by md5 of the user
+    // id (the engine's hash-sampling bridge — identical bytes on any
+    // engine, stable under re-runs and late data), per-user conversion
+    // (ever purchased), then the two-proportion pooled z-test in one
+    // row. Everything after the per-user aggregate is per-row IEEE
+    // arithmetic on exact integer counts — no rounding bridge needed
+    // until the displayed ratios. Shape: one keyed user aggregate
+    // (partial+final) + one global conditional aggregate.
+    "stats_ab_lift" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14, 1).otherwise(0).as("conv"))
+        .withColumn("arm", when(
+          substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+      val agg = perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("conv").cast("long"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("conv").cast("long"))
+          .otherwise(0L)).as("conv_b"))
+      val pA = col("conv_a").cast("double") / col("n_a")
+      val pB = col("conv_b").cast("double") / col("n_b")
+      val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val z = (pA - pB) / sqrt(pPool * (lit(1.0) - pPool)
+        * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      agg.select(col("n_a"), col("conv_a"), U.round6(pA).as("rate_a"),
+        col("n_b"), col("conv_b"), U.round6(pB).as("rate_b"),
+        U.round6(pA - pB).as("lift"), U.round6(z).as("z"),
+        when(abs(z) >= 1.959964, 1).otherwise(0).as("significant"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov: D = max |F_R(x) − F_A(x)| over the
     // pooled support — THE nonparametric "did the distribution shift"
     // test (source drift, A/B invariance, train/serve skew). Exact
@@ -520,6 +556,42 @@ object Stats {
         |  round((de.detr - se.seasonal) * 1000000) / 1000000 AS resid
         |FROM de JOIN se USING (wd)
         |ORDER BY de.day""".stripMargin,
+    "stats_ab_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM pu),
+        |c AS (
+        |  SELECT *,
+        |    CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |    CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM ag),
+        |z AS (
+        |  SELECT *, (pa - pb) / sqrt(pp * (1.0 - pp)
+        |    * (1.0 / n_a + 1.0 / n_b)) AS zr
+        |  FROM c)
+        |SELECT n_a, conv_a, round(pa * 1000000) / 1000000 AS rate_a,
+        |  n_b, conv_b, round(pb * 1000000) / 1000000 AS rate_b,
+        |  round((pa - pb) * 1000000) / 1000000 AS lift,
+        |  round(zr * 1000000) / 1000000 AS z,
+        |  CASE WHEN abs(zr) >= 1.959964 THEN 1 ELSE 0 END
+        |    AS significant
+        |FROM z""".stripMargin,
     "stats_ks_two_sample" ->
       """WITH src AS (
         |  SELECT l_extendedprice AS v, l_returnflag AS g

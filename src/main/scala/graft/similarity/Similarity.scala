@@ -784,6 +784,35 @@ object Similarity {
         .limit(20)
     }),
 
+    // Per-label per-dimension moments — the embedding-drift monitor
+    // (did dimension 17 of class 3 shift between pipeline versions?)
+    // and the diagonal-Gaussian class model in one table. Values
+    // QUANTIZE to exact 1e-6 integers per element before any sum (the
+    // double→decimal cast is engine-divergent at the last ulp; integer
+    // sums are not), so mean and variance derive from exact integer
+    // moments — bit-identical on any engine and any partitioning.
+    // Shape: posexplode → one (label, dim) keyed aggregation; the
+    // long form trades 64× row fan-out for exact-moment simplicity —
+    // the array-kernel variant (one fused pass, per-dim buffers) is
+    // the throughput path at 100 TB, this is the auditable one.
+    "sim_label_dim_stats" -> ((s, d) => {
+      val pe = Tables.t(s, d, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          round(col("x").cast("double") * lit(1e6)).cast("long")
+            .as("x6"))
+      val a = pe.groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("x6")).as("s1"),
+          sum(col("x6") * col("x6")).as("s2"))
+      val s1d = U.dbl(col("s1")) / lit(1e6)
+      a.select(col("label"), col("dim"), col("n"),
+          U.round6(s1d / col("n")).as("mean"),
+          U.round6((U.dbl(col("s2")) / lit(1e12) - s1d * s1d / col("n"))
+            / (col("n") - 1)).as("variance"))
+        .orderBy("label", "dim")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of the dense (cosine)
     // and lexical (BM25) candidate lists, the standard RAG two-tower
     // merge: score = Σ 1/(60 + rank) over the lists a candidate appears
@@ -1325,7 +1354,25 @@ object Similarity {
         |                           CAST(e.embedding AS DOUBLE[]))) *
         |     sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY hamming, e.vec_id LIMIT 20""".stripMargin
+        |ORDER BY hamming, e.vec_id LIMIT 20""".stripMargin,
+    "sim_label_dim_stats" ->
+      """WITH pe AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000000)
+        |      AS BIGINT) AS x6
+        |  FROM embeddings),
+        |a AS (SELECT label, dim, count(*) AS n,
+        |  CAST(sum(x6) AS BIGINT) AS s1,
+        |  CAST(sum(x6 * x6) AS BIGINT) AS s2
+        |  FROM pe GROUP BY 1, 2)
+        |SELECT label, dim, n,
+        |  round(CAST(s1 AS DOUBLE) / 1000000.0 / n * 1000000)
+        |    / 1000000 AS mean,
+        |  round((CAST(s2 AS DOUBLE) / 1000000000000.0
+        |    - (CAST(s1 AS DOUBLE) / 1000000.0)
+        |      * (CAST(s1 AS DOUBLE) / 1000000.0) / n)
+        |    / (n - 1) * 1000000) / 1000000 AS variance
+        |FROM a ORDER BY label, dim""".stripMargin
   )
 
   /** IVF replay generated from the CONVERGED quantizer: graft.Verify
