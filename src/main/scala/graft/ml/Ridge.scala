@@ -2,6 +2,7 @@ package graft.ml
 
 import graft.{Tables, U}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Closed-form ridge regression (2 features, L2 λ = 1): the normal
@@ -101,6 +102,46 @@ object Ridge {
           U.round6(sqrt(U.dbl(col("ss4")) / lit(1e8) / col("n")))
             .as("rmse"),
           U.round6(U.dbl(col("sa4")) / lit(1e4) / col("n")).as("mae"))
+    }),
+
+    // Split conformal prediction — the distribution-free uncertainty
+    // wrapper every deployed regressor should ship with: hash-split
+    // the rows 50/50 (md5 of the natural key — deterministic, engine-
+    // identical), take the ⌈0.9·(n+1)⌉-th smallest absolute residual
+    // on the calibration half as the interval half-width q, then
+    // measure empirical coverage of ŷ ± q on the held-out half
+    // (guaranteed ≥ 90% in expectation by exchangeability — the test
+    // pins it ≥ 88% on this data). Residuals quantize to exact 1e-4
+    // integers (the ml_ridge_eval discipline), so the order statistic
+    // is an integer threshold — no interpolation, no rounding bridge.
+    // The rank is found distributively: per-value counts + one
+    // cumulative window OVER that aggregate; only the two scalars
+    // (n_cal, q) come to the driver.
+    "ml_conformal_interval" -> ((s, d) => {
+      val (w1, w2) = weights(s, d)
+      val resid = col("l_extendedprice") -
+        (lit(w1) * col("l_quantity") + lit(w2) * col("l_discount"))
+      val base = Tables.t(s, d, "lineitem").select(
+        round(abs(resid) * lit(1e4)).cast("long").as("a4"),
+        (substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("_"), col("l_linenumber").cast("string"))), 1, 1) < "8")
+          .as("is_cal"))
+      val calCounts = base.filter(col("is_cal"))
+        .groupBy("a4").agg(count(lit(1)).as("c"))
+      val nCal = calCounts.agg(sum(col("c"))).head().getLong(0)
+      val k = math.ceil(0.9 * (nCal + 1)).toLong
+      val q4 = calCounts
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("a4")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") >= k)
+        .agg(min(col("a4"))).head().getLong(0)
+      base.filter(!col("is_cal"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("a4") <= q4, 1L).otherwise(0L)).as("covered"))
+        .select(lit(nCal).as("n_cal"), col("n_test"),
+          lit(q4.toDouble / 1e4).as("q"),
+          U.round6(col("covered").cast("double") / col("n_test"))
+            .as("coverage"))
     }))
 
   private val statsSql =
@@ -145,5 +186,36 @@ object Ridge {
         |SELECT n,
         |  round(sqrt(ss / 100000000.0 / n) * 1000000) / 1000000 AS rmse,
         |  round(sa / 10000.0 / n * 1000000) / 1000000 AS mae
-        |FROM e""".stripMargin)
+        |FROM e""".stripMargin,
+    "ml_conformal_interval" ->
+      s"""WITH st AS ($statsSql),
+        |w AS ($solveSql),
+        |r AS (
+        |  SELECT CAST(round(abs(l_extendedprice
+        |      - (w.w1 * l_quantity + w.w2 * l_discount)) * 10000)
+        |    AS BIGINT) AS a4,
+        |    CASE WHEN substring(md5(concat(
+        |        CAST(l_orderkey AS VARCHAR), '_',
+        |        CAST(l_linenumber AS VARCHAR))), 1, 1) < '8'
+        |      THEN 1 ELSE 0 END AS is_cal
+        |  FROM lineitem, w),
+        |cnt AS (SELECT a4, count(*) AS c FROM r
+        |        WHERE is_cal = 1 GROUP BY a4),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cnt),
+        |k AS (SELECT CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT) AS k,
+        |        n_cal FROM n),
+        |cc AS (SELECT a4, sum(c) OVER (ORDER BY a4
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cum FROM cnt),
+        |q AS (SELECT min(a4) AS q4 FROM cc, k WHERE cc.cum >= k.k),
+        |tst AS (
+        |  SELECT count(*) AS n_test,
+        |    CAST(sum(CASE WHEN r.a4 <= q.q4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered
+        |  FROM r, q WHERE is_cal = 0)
+        |SELECT k.n_cal, tst.n_test,
+        |  CAST(q.q4 AS DOUBLE) / 10000.0 AS q,
+        |  round(CAST(covered AS DOUBLE) / n_test * 1000000) / 1000000
+        |    AS coverage
+        |FROM tst, q, k""".stripMargin)
 }

@@ -74,4 +74,13 @@ class MlSpec extends SparkSpec {
     val e = ml.Ridge.queries("ml_ridge_eval")(spark, tmp).head()
     assert(e.getDouble(1) < 1.0, s"rmse = ${e.getDouble(1)}")
   }
+
+  test("conformal interval: empirical coverage honors the 90% target " +
+    "within exchangeability noise") {
+    val r = ml.Ridge.queries("ml_conformal_interval")(spark, sfDir).head()
+    val coverage = r.getDouble(3)
+    assert(coverage >= 0.86 && coverage <= 0.96,
+      s"coverage $coverage strays from the 0.9 target")
+    assert(r.getDouble(2) > 0.0) // the interval half-width is real
+  }
 }
