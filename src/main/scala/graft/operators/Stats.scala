@@ -174,6 +174,55 @@ object Stats {
         when(abs(z) >= 1.959964, 1).otherwise(0).as("significant"))
     }),
 
+    // Kaplan-Meier survival curve with right-censoring — time from a
+    // user's first event to their first 'error', censored at their
+    // last activity if none: S(t) = ∏_{tᵢ≤t} (1 − dᵢ/nᵢ). The fact
+    // collapses to one row per user (keyed aggregate), then to one row
+    // per discrete hour (bounded support); every window runs over that
+    // aggregate. The product goes through log space — each factor's
+    // ln rounds at 1e-6 the moment it is computed, the cumulative sum
+    // is DECIMAL(18,6)-exact, and exp of identical sums is identical —
+    // with the d=n absorbing state (ln 0 = −∞) handled by an explicit
+    // cumulative flag instead of letting infinities near the bridge.
+    // Censoring convention: users censored AT tᵢ still count in the
+    // risk set nᵢ (the standard estimator).
+    "stats_kaplan_meier" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val perUser = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(U.tsUs(col("ts"))).as("t0"),
+          min(when(col("event_type") === "error", U.tsUs(col("ts"))))
+            .as("te"),
+          max(U.tsUs(col("ts"))).as("tmax"))
+        .select(
+          when(col("te").isNotNull,
+            expr(s"(te - t0) div $hourUs"))
+            .otherwise(expr(s"(tmax - t0) div $hourUs")).as("time_h"),
+          when(col("te").isNotNull, 1L).otherwise(0L).as("observed"))
+      val byTime = perUser.groupBy("time_h")
+        .agg(sum(col("observed")).as("d"), count(lit(1)).as("c"))
+      val ord = Window.orderBy("time_h")
+      val cum = Window.orderBy("time_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risky = byTime
+        .withColumn("n_risk", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))
+          - coalesce(sum(col("c")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("d") > 0)
+      risky
+        .withColumn("logf", when(col("d") < col("n_risk"),
+          U.round6(log(lit(1.0) - col("d") / col("n_risk")))))
+        .withColumn("dead", max(when(col("d") === col("n_risk"), 1)
+          .otherwise(0)).over(cum))
+        .withColumn("cuml", sum(U.dec6(col("logf"))).over(cum))
+        .select(col("time_h"), col("n_risk"), col("d").as("d_events"),
+          when(col("dead") === 1, 0.0)
+            .otherwise(U.round6(exp(U.dbl(col("cuml"))))).as("surv"))
+        .orderBy("time_h")
+    }),
+
     // Two-sample Kolmogorov-Smirnov: D = max |F_R(x) − F_A(x)| over the
     // pooled support — THE nonparametric "did the distribution shift"
     // test (source drift, A/B invariance, train/serve skew). Exact
@@ -556,6 +605,43 @@ object Stats {
         |  round((de.detr - se.seasonal) * 1000000) / 1000000 AS resid
         |FROM de JOIN se USING (wd)
         |ORDER BY de.day""".stripMargin,
+    "stats_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        |      AS te,
+        |    max(epoch_us(ts)) AS tmax
+        |  FROM events GROUP BY user_id),
+        |du AS (
+        |  SELECT CASE WHEN te IS NOT NULL
+        |      THEN (te - t0) // 3600000000
+        |      ELSE (tmax - t0) // 3600000000 END AS time_h,
+        |    CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |  FROM pu),
+        |bt AS (SELECT time_h, CAST(sum(observed) AS BIGINT) AS d,
+        |         count(*) AS c
+        |       FROM du GROUP BY time_h),
+        |rk AS (
+        |  SELECT *, sum(c) OVER () - coalesce(sum(c) OVER (
+        |      ORDER BY time_h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS n_risk
+        |  FROM bt),
+        |ev AS (
+        |  SELECT time_h, n_risk, d,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER cw AS dead,
+        |    sum(CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+        |          * 1000000) / 1000000 AS DECIMAL(18,6)) END)
+        |      OVER cw AS cuml
+        |  FROM rk WHERE d > 0
+        |  WINDOW cw AS (ORDER BY time_h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT time_h, n_risk, d AS d_events,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(CAST(cuml AS DOUBLE)) * 1000000) / 1000000
+        |  END AS surv
+        |FROM ev ORDER BY time_h""".stripMargin,
     "stats_ab_lift" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -184,4 +184,33 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("jw") >= 0.82))
     assert(rows.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
   }
+
+  test("kaplan-meier: textbook planted cohort — censoring keeps the " +
+    "risk set, the absorbing d=n step zeroes survival") {
+    import spark.implicits._
+    val h = 3600L
+    // 5 users, all starting at t=0: events at h1/h3/h5, censors at h2/h4
+    val rows = Seq(
+      (1L, 0L, "signup"), (1L, 1 * h, "error"),
+      (2L, 0L, "signup"), (2L, 2 * h, "view"),
+      (3L, 0L, "signup"), (3L, 3 * h, "error"),
+      (4L, 0L, "signup"), (4L, 4 * h, "view"),
+      (5L, 0L, "signup"), (5L, 5 * h, "error"))
+    val tmp = java.nio.file.Files.createTempDirectory("km").toString
+    rows.toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_type"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val km = operators.Stats.queries("stats_kaplan_meier")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // S(1)=4/5=.8 (n=5,d=1); S(3)=.8·(2/3)=.533333 (n=3: censored-at-2
+    // user left the risk set, censored-at-4 user still in);
+    // S(5): last at-risk user dies → absorbing 0
+    assert(km.length === 3, km.toSeq.toString)
+    assert(km(0) === ((1L, 5L, 1L, 0.8)))
+    assert(km(1)._1 == 3L && km(1)._2 == 3L && km(1)._3 == 1L &&
+      math.abs(km(1)._4 - 0.533333) < 2e-6, km(1).toString)
+    assert(km(2) === ((5L, 1L, 1L, 0.0)))
+  }
 }
