@@ -140,6 +140,33 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // N-gram novelty — what fraction of a document's 3-word shingles
+    // appear in NO earlier document (by doc id): the per-document
+    // freshness signal behind dedup-aware curation (near-zero novelty
+    // = template spam even when no single pair crosses the Jaccard
+    // threshold) and train-set ordering studies. First-occurrence
+    // attribution is one min-aggregate on the gram key + a join back —
+    // both shuffles carry (gram, doc) pairs with map-side partial
+    // aggregation; the shingle set reuses the fused word_kgrams
+    // codegen kernel (distinct per doc by construction).
+    "text_gram_novelty" -> ((s, d) => {
+      graft.plans.WordKGrams.register(s)
+      val grams = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.dedup.Dedup.wordKShingles(col("text"), 3))
+            .as("g"))
+      val firstSeen = grams.groupBy("g")
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstSeen, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L)
+            .otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          U.round6(col("n_novel").cast("double") / col("n_grams")))
+        .orderBy("doc_id")
+    }),
+
     // RAKE keyword extraction (Rose et al. 2010) — unsupervised
     // per-document keyphrases: candidate phrases are maximal runs
     // between stopword/punctuation delimiters; a word's score is
@@ -1186,6 +1213,18 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_gram_novelty" ->
+      s"""WITH toks AS (
+        |${graft.plans.XxhSqlOracle.kgramToksSql(3)}),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM toks GROUP BY g)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_doc = t.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN fs.first_doc = t.doc_id
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000)
+        |    / 1000000 AS novelty
+        |FROM toks t JOIN fs USING (g)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "text_keyword_rake" ->
       """WITH ph0 AS (
         |  SELECT doc_id,

@@ -265,6 +265,10 @@ object XxhSqlOracle {
   /** toks body for positional k-word shingles (plans.WordKGrams: k-gram
     * windows, `< k words → the whole text as one gram` fallback,
     * list_distinct per doc — same replay dedup_contamination pins). */
+  /** Public form of [[kgramToks]] for oracles that consume the raw
+    * shingle stream without the minhash pipeline (e.g. gram novelty). */
+  def kgramToksSql(k: Int): String = kgramToks(k)
+
   private def kgramToks(k: Int): String =
     s"""SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, greatest(len(w) - ${k - 1}, 1)),
