@@ -1391,11 +1391,13 @@ object TextOps {
     "pipeline_corpus_prep_v2" ->
       ("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
          |            FROM documents),
+         |mx AS (SELECT CAST(max(ceil(len(w) / 10.0)) AS BIGINT) AS m
+         |       FROM tk),
          |ch AS (
          |  SELECT doc_id, ix.i AS chunk_idx,
          |    array_to_string(w[CAST(ix.i * 10 + 1 AS INT)
          |                      :CAST(ix.i * 10 + 10 AS INT)], ' ') AS chunk
-         |  FROM tk, (SELECT unnest(range(0, 200)) AS i) ix
+         |  FROM tk, (SELECT unnest(range(0, (SELECT m FROM mx))) AS i) ix
          |  WHERE ix.i < ceil(len(w) / 10.0)),
          |marked AS (
          |  SELECT doc_id, chunk_idx, chunk,

@@ -185,7 +185,8 @@ object Market {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |          AS island
         |        FROM fl)
-        |SELECT user_id, island, min(st) AS start_us, max(en) AS end_us,
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  min(st) AS start_us, max(en) AS end_us,
         |  count(*) AS n_events
         |FROM isl GROUP BY user_id, island ORDER BY user_id, island"""
         .stripMargin,

@@ -637,7 +637,7 @@ object Stats {
         |  FROM rk WHERE d > 0
         |  WINDOW cw AS (ORDER BY time_h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT time_h, n_risk, d AS d_events,
+        |SELECT time_h, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
         |  CASE WHEN dead = 1 THEN 0.0
         |    ELSE round(exp(CAST(cuml AS DOUBLE)) * 1000000) / 1000000
         |  END AS surv
@@ -697,7 +697,8 @@ object Stats {
         |  SELECT max(abs(CAST(cumr AS DOUBLE) / CAST(n_r AS DOUBLE)
         |    - CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE))) AS d0
         |  FROM c, tot)
-        |SELECT round(d0 * 1000000) / 1000000 AS d_stat, n_r, n_a,
+        |SELECT round(d0 * 1000000) / 1000000 AS d_stat,
+        |  CAST(n_r AS BIGINT) AS n_r, CAST(n_a AS BIGINT) AS n_a,
         |  round(1.358 * sqrt(CAST(n_r + n_a AS DOUBLE)
         |    / CAST(n_r * n_a AS DOUBLE)) * 1000000) / 1000000 AS d_crit,
         |  round(d0 * 1000000) / 1000000 >
@@ -725,7 +726,7 @@ object Stats {
         |    CAST(sum(CAST(c * c * c - c AS DECIMAL(38, 0)))
         |      AS DOUBLE) AS ties
         |  FROM c)
-        |SELECT n_r, n_a,
+        |SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_a AS BIGINT) AS n_a,
         |  (r2 - CAST(n_r AS DOUBLE) * (CAST(n_r AS DOUBLE) + 1.0)) / 2.0
         |    AS u_r,
         |  CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE)
@@ -787,7 +788,7 @@ object Stats {
         |      AS ssb_term
         |  FROM g),
         |tot AS (
-        |  SELECT count(*) AS k, sum(ng) AS n,
+        |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
         |    CAST(sum(CAST(sg AS DECIMAL(18, 4))) AS DOUBLE) AS s,
         |    CAST(sum(CAST(ssw_term AS DECIMAL(18, 6))) AS DOUBLE) AS ssw0,
         |    CAST(sum(CAST(ssb_term AS DECIMAL(18, 6))) AS DOUBLE) AS sb0

@@ -673,8 +673,12 @@ object Windows {
         .withColumn("sxy", U.dbl(sum(x * y).over(w)))
         .withColumn("sxx", U.dbl(sum(x * x).over(w)))
         .filter(col("n") === 20)
+        // `+ 0.0` canonicalizes IEEE -0.0 to +0.0 (exact identity for
+        // every other finite double) — the oracle applies the same
+        // normalization, so sign-of-zero never depends on which engine's
+        // rounding path produced the zero.
         .select(col("event_id"), col("user_id"),
-          when(vx > 0, U.round6(slope)).as("slope20"))
+          when(vx > 0, U.round6(slope) + lit(0.0)).as("slope20"))
         .orderBy("event_id")
     }),
 
@@ -829,7 +833,7 @@ object Windows {
         |SELECT event_id, user_id,
         |  CASE WHEN sxx - sx * sx / n > 0
         |    THEN round((sxy - sx * sy / n) / (sxx - sx * sx / n)
-        |      * 1000000) / 1000000 END AS slope20
+        |      * 1000000) / 1000000 + 0.0 END AS slope20
         |FROM w WHERE n = 20 ORDER BY event_id""".stripMargin,
     "ids_contiguous_assign" ->
       """SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id, source

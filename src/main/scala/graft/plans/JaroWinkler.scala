@@ -85,8 +85,12 @@ object JaroWinkler {
       i += 1
     }
     if (m == 0) return 0.0
-    // misordered matched pairs, counted pairwise then halved (integer
-    // division is safe: the count is provably even)
+    // misordered matched pairs, counted pairwise then halved. The count
+    // can be ODD (a 3-cycle permutation of the matched subsequence, e.g.
+    // "abcZZZ" vs "cabZZZ" gives t=3), so integer division FLOORS here —
+    // cross-engine equality relies on DuckDB's jaro_winkler_similarity
+    // flooring identically, pinned by JaroWinklerSpec's odd-transposition
+    // case (DuckDB = 0.9444444444444445 = (1+1+(6-1)/6)/3, i.e. floor).
     var t = 0
     var k = 0
     i = 0

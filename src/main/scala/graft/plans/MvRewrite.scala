@@ -29,7 +29,11 @@ case class MvDef(
     dec4Sums: Map[String, String],
     cntCol: String,
     mins: Map[String, String],
-    maxs: Map[String, String])
+    maxs: Map[String, String],
+    // content signature of sourcePath at build time; the rewrite rule
+    // re-validates it at lookup so a regenerated source can never be
+    // served a stale summary (the stale def auto-unregisters)
+    sourceSig: Long = 0L)
 
 /** Process-wide MV catalog the optimizer rule consults. Registration
   * replaces by name, so a rebuilt summary (new data signature → new
@@ -40,9 +44,24 @@ object MvRegistry {
   def register(d: MvDef): Unit = defs.put(d.name, d)
   def unregister(name: String): Unit = defs.remove(name)
   def isEmpty: Boolean = defs.isEmpty
+
+  /** Live defs for `path`, FRESHNESS-CHECKED: a def whose recorded
+    * build-time signature no longer matches the source directory is
+    * unregistered and never offered to the rewrite (serving the old
+    * summary after the source was regenerated in-session would be a
+    * silent wrong-answer — correctness beats acceleration). The check
+    * is file-listing metadata only (names/sizes/mtimes), the same
+    * freshness token `ensure()` memoizes on — at warehouse scale this
+    * is one manifest read per planned aggregate, noise next to the
+    * scan it replaces. */
   def forSource(path: String): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
-    defs.values.asScala.filter(_.sourcePath == path).toSeq
+    defs.values.asScala.filter(_.sourcePath == path).toSeq.filter { d =>
+      val fresh = d.sourceSig == graft.U.dirSignature(
+        java.nio.file.Paths.get(d.sourcePath))
+      if (!fresh) defs.remove(d.name)
+      fresh
+    }
   }
 }
 

@@ -78,7 +78,8 @@ object MaterializedView {
           "l_extendedprice" -> "sum_l_extendedprice"),
         cntCol = "cnt",
         mins = Map("l_shipdate" -> "min_l_shipdate"),
-        maxs = Map("l_shipdate" -> "max_l_shipdate"))
+        maxs = Map("l_shipdate" -> "max_l_shipdate"),
+        sourceSig = sig)
       MvRegistry.register(mv)
       mv
     })

@@ -41,6 +41,13 @@ class StatsSpec extends SparkSpec {
     assert(jw("", "") == 0.0)
     // zero match window on equal-length-2 transposed pair
     assert(jw("AB", "BA") == 0.0)
+    // ODD transposition count: a 3-cycle of the matched subsequence
+    // ("abc" vs "cab" within window 2) yields t=3 — this pins that the
+    // kernel's integer t/2 FLOORS exactly like DuckDB does
+    // (probed 2026-08-14: jaro_winkler_similarity('abcZZZ','cabZZZ')
+    // = 0.9444444444444445 = (1 + 1 + (6-1)/6)/3, i.e. floor(3/2)=1;
+    // un-floored t/2=1.5 would give 0.9166666666666666)
+    assert(math.abs(jw("abcZZZ", "cabZZZ") - 0.9444444444444445) < 1e-15)
     // symmetry
     assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
   }

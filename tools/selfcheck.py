@@ -8,15 +8,19 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
 
 def canon(v):
+    # Floats compare by BIT PATTERN (catches -0.0 vs +0.0, which Python's
+    # == treats as equal but the driver's value hash does not); NaN stays
+    # a canonical token so all NaN payloads compare equal.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f64", struct.pack("<d", v))
     return v
 
 def main():
@@ -52,6 +56,28 @@ def main():
             continue
         if sorted(c.lower() for c in mcols) != sorted(c.lower() for c in ocols):
             print(f"FAIL {name}: columns {sorted(mcols)} vs {sorted(ocols)}")
+            nfail += 1
+            continue
+        # Compare column TYPES too (name-aligned): Python's int is
+        # arbitrary-precision, so a DuckDB HUGEINT oracle column fetches
+        # equal to Spark's BIGINT row-by-row while the driver's hash (typed)
+        # diverges. This is exactly the class that shipped 5 red rows in r8.
+        # Driver-faithful canonicalization (verified against the r8 gate):
+        # int widths up to 64-bit hash the same (INTEGER vs BIGINT rows
+        # were green), but HUGEINT (int128) does NOT fold into them.
+        def canon_type(t):
+            return {"TINYINT": "i64", "SMALLINT": "i64",
+                    "INTEGER": "i64", "BIGINT": "i64"}.get(t, t)
+        mtypes = {mcols[i].lower(): canon_type(str(mine_rel.types[i]))
+                  for i in morder}
+        otypes = {ocols[i].lower(): canon_type(str(orel.types[i]))
+                  for i in oorder}
+        tdiff = [(c, mtypes[c], otypes[c]) for c in sorted(mtypes)
+                 if mtypes[c] != otypes[c]]
+        if tdiff:
+            print(f"FAIL {name}: column type mismatch "
+                  + "; ".join(f"{c}: spark={a} oracle={b}"
+                              for c, a, b in tdiff))
             nfail += 1
             continue
         if len(mine) != len(ora):
