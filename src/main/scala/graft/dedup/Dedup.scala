@@ -213,10 +213,11 @@ object Dedup {
     * fixpoint isn't reached within maxIters — partially-resolved roots
     * must never masquerade as canonical ids.
     *
-    * Lifecycle: the returned DataFrame IS the persisted
-    * (MEMORY_AND_DISK) fixpoint result — consume it, then
-    * `result.unpersist()` to release the blocks; every intermediate
-    * level was already released inside the loop.
+    * Lifecycle, lineage truncation (the self-join doubles the logical
+    * plan per round), and the adaptive small-table fast path all live in
+    * [[graft.plans.Iterate.fixpoint]] — fanout 2, so the harness
+    * truncates every 5th round. The result is an eager localCheckpoint:
+    * GC-released, never a CacheManager entry.
     */
   /** Fixpoint round count of the most recent [[canonicalResolve]] call —
     * instrumentation for bench notes and the chain-depth scaling sweep
@@ -224,49 +225,18 @@ object Dedup {
   @volatile var lastResolveIters: Int = 0
 
   def canonicalResolve(pointers: DataFrame, maxIters: Int = 30): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Lineage truncation cadence. `cur` appears TWICE in each doubling
-    // step (self-join), so the LOGICAL plan doubles per round — persist
-    // caches the data but does NOT shrink the analyzed tree, and by
-    // round 11 (chain depth ~1024) the driver spends minutes walking a
-    // 2^11-node plan in Catalyst analysis/plan-string code while every
-    // executor idles (measured: 68 s of driver CPU in generateTreeString
-    // on a planted depth-1024 chain; executors <1 s busy). Every
-    // truncateEvery rounds the materialized rows are re-wrapped in a
-    // LogicalRDD (createDataFrame over the cached RDD), capping the
-    // plan at 2^truncateEvery joins for the cost of one extra cached
-    // pass — the standard iterative-DataFrame discipline (same reason
-    // GraphX/connected-components checkpoint periodically).
-    val truncateEvery = 5
-    // `handle` is the DataFrame persist() was called on — unpersist must
-    // hit that exact plan, not a projection of it.
-    var handle = pointers.select(col("id"), col("parent").as("root")).persist(lvl)
-    var cur = handle
-    var iters = 0
-    var done = false
-    // Adaptive small-table execution, the connectedComponents
-    // discipline: once the (constant-per-loop) pointer-table row count
-    // is known tiny, AQE's per-stage barriers and 32-way shuffles on a
-    // few thousand rows are the whole cost of a round — drop to plain
-    // pipelined scheduling with np shuffle partitions for the rest of
-    // the loop, restore in `finally`. The row count rides the SAME
-    // per-round aggregation job as the convergence check (count +
-    // conditional count), so the adaptivity costs zero extra jobs.
-    // Above the threshold nothing changes — the 100 TB path keeps AQE
-    // and full parallelism.
-    val smallRows = 1L << 20
-    val spark = pointers.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    var toggled = false
-    try {
-    while (!done && iters < maxIters) {
+    val (out, iters) = graft.plans.Iterate.fixpoint(
+      pointers.select(col("id"), col("parent").as("root")),
+      fanout = 2, maxIters = maxIters,
+      // the round output carries old_root for the convergence check;
+      // the loop state (and result) is the narrow (id, root) projection
+      narrow = _.select(col("id"), col("root"))) { cur =>
       val targets = cur.select(col("id").as("t_id"), col("root").as("t_root"))
       // One join serves both the doubling step and the stability check.
-      val step = cur.join(targets, cur("root") === col("t_id"), "left")
+      cur.join(targets, cur("root") === col("t_id"), "left")
         .select(col("id"), col("root").as("old_root"),
           coalesce(col("t_root"), col("root")).as("root"))
-        .persist(lvl)
+    } { (step, _) =>
       // ONE job per round: the (total, changed) aggregation both
       // materializes every partition of the persisted step (a full pass
       // over all cached blocks — isEmpty alone would cache only the
@@ -277,49 +247,12 @@ object Dedup {
       // round-trips for one pass of work.
       val cnts = step.agg(count(lit(1)),
         count(when(col("root") =!= col("old_root"), lit(1)))).head()
-      val stable = cnts.getLong(1) == 0L
-      if (!toggled && cnts.getLong(0) < smallRows && aqeWas == "true") {
-        val np = math.max(1L, math.min(32L, cnts.getLong(0) / 100000L))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", np.toString)
-        toggled = true
-      }
-      handle.unpersist()
-      handle = step
-      cur = step.select(col("id"), col("root"))
-      done = stable
-      iters += 1
-      if (!done && iters % truncateEvery == 0) {
-        // Truncate: materialize the narrow projection behind a fresh
-        // LogicalRDD, then release the step it came from. Recompute
-        // path if blocks are ever lost falls back through the original
-        // pointer lineage — same recoverability as the untruncated loop.
-        val slim = cur.sparkSession.createDataFrame(cur.rdd, cur.schema)
-          .persist(lvl)
-        slim.count()
-        handle.unpersist()
-        handle = slim
-        cur = slim
-      }
-    }
-    } finally if (toggled) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+      graft.plans.RoundEval(cnts.getLong(0), cnts.getLong(1) == 0L)
+    } { n =>
+      s"canonicalResolve did not converge in $n rounds " +
+        "(cycle, forward pointer, or raise maxIters)"
     }
     lastResolveIters = iters
-    if (!done) throw new IllegalStateException(
-      s"canonicalResolve did not converge in $maxIters rounds " +
-        "(cycle, forward pointer, or raise maxIters)")
-    // Re-persist the NARROW final projection and release the last
-    // fixpoint step (which still carries old_root): the caller receives
-    // the exact persisted plan, so `result.unpersist()` actually frees
-    // the blocks — a projection of an internal handle would leave the
-    // cache unreleasable from outside and leak a table-sized block set
-    // per call into long-lived sessions (measured distorting unrelated
-    // queries run after it in the same JVM at sf1).
-    val out = cur.persist(lvl)
-    out.count()
-    handle.unpersist()
     out
   }
 
@@ -340,16 +273,18 @@ object Dedup {
     *
     * Both rounds are shuffle-on-node-id aggregations + joins; the edge
     * set provably shrinks toward a star forest in O(log² n) rounds.
-    * Same iterative-DataFrame discipline as [[canonicalResolve]]:
-    * persist each level, one equality-check pass, LogicalRDD lineage
-    * truncation every 5 rounds (the self-referencing plan otherwise
-    * doubles per round). Returns the star edges (node, root) for every
-    * non-root node; callers left-join and coalesce for singletons.
-    * Throws past maxIters — a partially-merged labeling must never
-    * masquerade as components. */
+    * Lifecycle, lineage truncation, and the adaptive small-graph fast
+    * path (measured 3.05 → 1.60 s at sf0.1) live in
+    * [[graft.plans.Iterate.fixpoint]] — one ls+ss alternation references
+    * its input ~8× (sym twice, mins from sym, ss from ls twice, …), so
+    * fanout 8 makes the harness truncate lineage EVERY round (a periodic
+    * cadence that works for pointer doubling OOMs the driver here by
+    * round 5). Returns the star edges (node, root) for every non-root
+    * node; callers left-join and coalesce for singletons. Throws past
+    * maxIters — a partially-merged labeling must never masquerade as
+    * components. */
   @volatile var lastCcIters: Int = 0
   def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
@@ -371,89 +306,46 @@ object Dedup {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var cur = canon(edges).persist(lvl)
-    var curSig = fingerprint(cur)
-    var iters = 0
-    var done = false
-    // Adaptive small-graph execution (measured 3.05 → 1.60 s at sf0.1,
-    // 1 668 edges, 5 rounds): once the persisted edge set is KNOWN tiny
-    // (the fingerprint already counts it — no extra job), each round's
-    // ~8 shuffle stages are pure scheduler latency at 32-way
-    // parallelism, and AQE makes it worse by inserting a materialization
-    // barrier per query stage. So below the threshold the loop (a)
-    // repartitions the round input to ceil(|E|/100k) partitions and (b)
-    // runs with AQE off — plain DAG pipelining, one scheduler pass per
-    // round. Above the threshold nothing changes: full parallelism, AQE
-    // skew/coalesce handling — the 100 TB path is untouched. The AQE
-    // toggle is scoped to the loop and restored in `finally` (queries
-    // in a session run sequentially through Verify/Bench; the loop is
-    // not re-entrant within a session by construction).
-    val smallGraphEdges = 1L << 20
-    val spark = edges.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    var toggled = false
-    try {
-    while (!done && iters < maxIters) {
-      val small = curSig._1 < smallGraphEdges
-      val np = math.max(1L, math.min(32L, curSig._1 / 100000L)).toInt
-      if (small && !toggled && aqeWas == "true") {
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", np.toString)
-        toggled = true
-      }
-      val curIn = if (small) cur.repartition(np) else cur
+    var curSig: (Long, java.math.BigDecimal) = null
+    val (out, iters) = graft.plans.Iterate.fixpoint(
+      canon(edges), fanout = 8, maxIters = maxIters,
+      // the convergence fingerprint doubles as the harness's sizing
+      // pass, so a tiny edge set runs even round 1 on the small path
+      init = Some { e => curSig = fingerprint(e); curSig._1 }) { cur =>
       // one alternation: large-star over the symmetric view, then
-      // small-star over the (hi=a → lo=b) orientation canon provides
-      def starRound(e: DataFrame): DataFrame = {
-        val sym = e.select(col("a").as("u"), col("b").as("n"))
-          .unionByName(e.select(col("b").as("u"), col("a").as("n")))
-        val mins = sym.groupBy("u").agg(min(col("n")).as("mn"))
-          .select(col("u"), least(col("mn"), col("u")).as("m"))
-        val ls = canon(sym.join(mins, "u").filter(col("n") > col("u"))
-          .select(col("n").as("a"), col("m").as("b")))
-        val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
-        val ss = ls.join(mins2, "a")
-          .select(col("b").as("x"), col("m").as("y"))
-          .unionByName(mins2.select(col("a").as("x"), col("m").as("y")))
-        canon(ss.select(col("x").as("a"), col("y").as("b")))
-      }
-      // Exactly ONE alternation per materialization. Batching two to
-      // halve scheduler passes was MEASURED WORSE (2.3 → 8.1 s warm):
+      // small-star over the (hi=a → lo=b) orientation canon provides.
+      // Exactly ONE alternation per materialization: batching two to
+      // halve scheduler passes was MEASURED WORSE (2.3 → 8.1 s warm) —
       // the outer round references the inner result ~8× and nothing is
       // persisted between them, so the inner alternation recomputes
-      // under every reference — DataFrames share no common-subplan
+      // under every reference; DataFrames share no common-subplan
       // reuse below an exchange, and the duplicated-subtree plan also
       // bloats Catalyst. The persist-per-round discipline is not
       // overhead to amortize away; it IS what makes each round linear.
-      val plan = starRound(curIn)
-      // Lineage truncation EVERY materialization: one ls+ss round
-      // references `cur` ~8× (sym twice, mins from sym, ss from ls
-      // twice, …), so the logical plan multiplies ~8× per round —
-      // a periodic truncation cadence that works for pointer doubling
-      // (2×/round) OOMs the driver here by round 5. Wrapping the
-      // round's output RDD in a LogicalRDD before persisting costs
-      // nothing extra: the persist's own materialization is the only
-      // pass.
-      val next = plan.sparkSession.createDataFrame(plan.rdd, plan.schema)
-        .persist(lvl)
+      val sym = cur.select(col("a").as("u"), col("b").as("n"))
+        .unionByName(cur.select(col("b").as("u"), col("a").as("n")))
+      val mins = sym.groupBy("u").agg(min(col("n")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = canon(sym.join(mins, "u").filter(col("n") > col("u"))
+        .select(col("n").as("a"), col("m").as("b")))
+      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = ls.join(mins2, "a")
+        .select(col("b").as("x"), col("m").as("y"))
+        .unionByName(mins2.select(col("a").as("x"), col("m").as("y")))
+      canon(ss.select(col("x").as("a"), col("y").as("b")))
+    } { (next, prev) =>
+      if (curSig == null) curSig = fingerprint(prev)
       val nextSig = fingerprint(next)
       // candidate (hash match) → confirm exactly: same cardinality and
-      // no row of next outside cur (both sides are post-distinct)
-      done = nextSig == curSig && next.exceptAll(cur).isEmpty
-      cur.unpersist()
-      cur = next
+      // no row of next outside prev (both sides are post-distinct)
+      val done = nextSig == curSig && next.exceptAll(prev).isEmpty
       curSig = nextSig
-      iters += 1
-    }
-    } finally if (toggled) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+      graft.plans.RoundEval(nextSig._1, done)
+    } { n =>
+      s"connectedComponents did not converge in $n rounds"
     }
     lastCcIters = iters
-    if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds")
-    cur
+    out
   }
 
   /** Embedding near-dup pairs: sign-bit LSH bucket + exact cosine for
@@ -868,9 +760,8 @@ object Dedup {
         // new-batch edges: any pair touching a doc past the cut
         val newEdges = allEdges.filter(col("b") >= cut)
         val stars = connectedComponents(historyStars.unionByName(newEdges))
-        // the final closure is materialized (its loop is eager) — the
-        // intermediate history result can release its blocks now
-        historyStars.unpersist()
+        // historyStars is an eager localCheckpoint — its blocks release
+        // via the ContextCleaner once this closure drops the reference
         docs.select(col("doc_id"))
           .join(stars.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -214,20 +214,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCcIters <= 15, s"took ${Dedup.lastCcIters} rounds")
   }
 
-  test("canonicalResolve: depth-2000 chain crosses lineage truncation, " +
+  test("canonicalResolve: depth-4096 chain crosses lineage truncation, " +
     "stays log-round") {
     // Deep enough to force multiple LogicalRDD truncations (every 5
-    // rounds): without truncation the logical plan doubles per round and
-    // the driver drowns in a 2^11-node tree (measured minutes at depth
+    // rounds for the doubling loop's fanout 2, set by Iterate.fixpoint):
+    // without truncation the logical plan doubles per round and the
+    // driver drowns in a 2^12-node tree (measured minutes at depth
     // 1024); with it this finishes in seconds. Also pins the round
-    // count: fixpoint in ceil(log2(2000))+1 = 12 doubling rounds.
-    val pointers = (1L to 2000L).map(i => (i, i - 1)).toDF("id", "parent")
+    // count: fixpoint in log2(4096)+1 = 13 doubling rounds.
+    val pointers = (1L to 4096L).map(i => (i, i - 1)).toDF("id", "parent")
     val resolved = Dedup.canonicalResolve(pointers)
       .as[(Long, Long)].collect()
-    assert(resolved.length === 2000)
+    assert(resolved.length === 4096)
     assert(resolved.forall(_._2 === 0L))
-    assert(Dedup.lastResolveIters === 12,
-      s"expected 12 rounds, got ${Dedup.lastResolveIters}")
+    assert(Dedup.lastResolveIters === 13,
+      s"expected 13 rounds, got ${Dedup.lastResolveIters}")
   }
 
   test("keeperPointers block stitch equals the single-block (global) linkage") {
