@@ -373,7 +373,14 @@ class PlanSpec extends SparkSpec {
     // aggregate or limit in their input subtree, so no name whitelist is
     // needed: the structural check subsumes it.)
     import org.apache.spark.sql.execution.SparkPlan
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // Descend through AQE wrappers: AdaptiveSparkPlanExec reports no
+    // children, so a plain-children walk would sweep NOTHING for any
+    // adaptive query (and with AQE on by default, that is most of them).
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: subtree(a.executedPlan)
+      case _ => p +: p.children.flatMap(subtree)
+    }
     def boundedBelow(p: SparkPlan): Boolean = subtree(p).exists { n =>
       val c = n.getClass.getSimpleName
       c.contains("Limit") || c.contains("TakeOrderedAndProject") ||
@@ -392,6 +399,41 @@ class PlanSpec extends SparkSpec {
         }
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("KS / Mann-Whitney: the cumulative window runs over the per-value " +
+    "aggregate, never raw rows") {
+    // Both two-sample tests stitch cumulative counts from a
+    // per-DISTINCT-value table (groupBy(v) in twoSampleCum): the
+    // windows downstream must therefore sit ABOVE that HashAggregate.
+    // At 100 TB the raw lineitem rows never cross a window — only the
+    // value-distinct table (bounded by the price domain) and the
+    // per-block offset summary do. This names the invariant the
+    // suite-wide hygiene sweep checks structurally.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: subtree(a.executedPlan)
+      case _ => p +: p.children.flatMap(subtree)
+    }
+    for (q <- Seq("stats_ks_two_sample", "stats_mann_whitney")) {
+      val exec = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      val windows = subtree(exec).collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: expected window operators in the plan")
+      for (w <- windows) {
+        val below = subtree(w.child).map(_.getClass.getSimpleName)
+        assert(below.exists(_.contains("Aggregate")),
+          s"$q: window input subtree has no aggregate — " +
+            s"raw rows reach the cumulative step: ${below.mkString(",")}")
+      }
+      // and the per-value aggregate is keyed on the value column, i.e.
+      // the distinct-value compression really happens before any window
+      val aggs = subtree(exec).map(_.toString)
+      assert(aggs.exists(s => s.contains("HashAggregate(keys=[v#") ||
+        s.contains("HashAggregate(keys=[v_")),
+        s"$q: no per-value HashAggregate found below the windows")
+    }
   }
 
   test("IVF partitioned probe: the cell filter prunes storage partitions " +
