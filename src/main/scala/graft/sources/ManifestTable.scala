@@ -31,13 +31,21 @@ import org.apache.spark.sql.functions._
   *     ranges), selective queries read a handful of files out of
   *     millions.
   *
-  * Scope note: single-writer commit protocol (version numbers are
-  * monotonic; concurrent writers would need a CAS on the version
-  * name, which object stores provide via if-none-match). Readers are
-  * lock-free and always consistent.
+  * Concurrency: optimistic, Delta-style. A writer stages its data
+  * files under a nonce-unique directory (two racing writers can never
+  * clobber each other's parquet), then claims the next version number
+  * by renaming its manifest into place WITHOUT overwrite — on HDFS a
+  * single atomic namenode op, on object stores the if-none-match CAS.
+  * A losing [[write]] re-reads the new latest snapshot and retries the
+  * claim (its staged files are version-independent); a losing
+  * [[compact]]/[[merge]] throws ConcurrentModificationException
+  * instead, because its rewrite was derived from a snapshot that is no
+  * longer latest — retrying without re-deriving could resurrect
+  * deleted rows. Staged directories of failed commits are orphans no
+  * manifest references; readers are lock-free and always consistent.
   */
 object ManifestTable {
-  private case class FileEntry(path: String, rows: Long,
+  private[graft] case class FileEntry(path: String, rows: Long,
       mins: Map[String, String], maxs: Map[String, String],
       blooms: Map[String, String] = Map.empty) // col → base64 BloomFilter
 
@@ -66,13 +74,11 @@ object ManifestTable {
       mode: SaveMode = SaveMode.Overwrite,
       bloomCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
-    val vOld = versions(table)
-    val prev: Seq[FileEntry] =
-      if (mode == SaveMode.Append && vOld.nonEmpty)
-        readManifest(table, vOld.last)
-      else Seq.empty
-    val newVersion = vOld.lastOption.getOrElse(0) + 1
-    val dataDir = s"$table/data-v$newVersion"
+    // Stage ONCE under a nonce directory: the staged parquet is
+    // version-independent, so losing the claim below never rewrites
+    // data, and two racing writers can never clobber each other's
+    // files no matter which version each ends up with.
+    val dataDir = s"$table/data-${java.util.UUID.randomUUID}"
     df.write.mode(SaveMode.Overwrite).parquet(dataDir)
     // Per-file stats in ONE distributed pass: group by input_file_name.
     // (A production writer collects these from the parquet footers it
@@ -96,8 +102,28 @@ object ManifestTable {
       }.sortBy(_.path).toSeq
     val types = statsCols.map(c =>
       c -> df.schema(c).dataType.simpleString).toMap
-    writeManifest(table, newVersion, prev ++ entries, statsCols, types)
-    newVersion
+    // Optimistic claim loop: re-read the log each attempt (Append must
+    // carry the CURRENT latest snapshot forward, which changes when a
+    // concurrent writer wins a round), then try to commit the next
+    // version. The staged entries never change across attempts.
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val vOld = versions(table)
+      val prev: Seq[FileEntry] =
+        if (mode == SaveMode.Append && vOld.nonEmpty)
+          readManifest(table, vOld.last)
+        else Seq.empty
+      val newVersion = vOld.lastOption.getOrElse(0) + 1
+      if (tryCommitManifest(table, newVersion, prev ++ entries, statsCols,
+          types)) committed = newVersion
+      else {
+        attempt += 1
+        if (attempt >= 20) throw new java.util.ConcurrentModificationException(
+          s"lost $attempt version claims in a row on $table — writer storm")
+      }
+    }
+    committed
   }
 
   /** Per-file bloom of a point-lookup column, base64'd into the
@@ -150,9 +176,13 @@ object ManifestTable {
     case c => c.toString
   } + "\""
 
-  private def writeManifest(table: String, version: Int,
+  /** Stage + attempt to claim `version`. Returns false when another
+    * writer committed that version first — the staged tmp is cleaned
+    * up and nothing in the log changed. Package-visible so the spec
+    * can drive a deterministic two-writer conflict. */
+  private[graft] def tryCommitManifest(table: String, version: Int,
       entries: Seq[FileEntry], statsCols: Seq[String],
-      types: Map[String, String]): Unit = {
+      types: Map[String, String]): Boolean = {
     val f = fs(table)
     f.mkdirs(manifestDir(table))
     val typesJson = types.toSeq.sortBy(_._1)
@@ -167,16 +197,28 @@ object ManifestTable {
         .mkString("{", ", ", "}")
       s"""{"path": ${esc(e.path)}, "rows": ${e.rows}, "stats": $stats, "blooms": $blooms}"""
     }.mkString(s"{\"types\": $typesJson, \"files\": [\n", ",\n", "\n]}")
-    val tmp = new Path(manifestDir(table), f"v$version%05d.json.tmp")
+    val tmp = new Path(manifestDir(table),
+      f"v$version%05d.json.${java.util.UUID.randomUUID}%s.tmp")
     val dst = new Path(manifestDir(table), f"v$version%05d.json")
     val out = f.create(tmp, true)
     out.write(json.getBytes("UTF-8"))
     out.close()
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest commit failed: $dst exists")
+    // Version claim: rename-without-overwrite. On HDFS
+    // FileSystem.rename fails atomically when dst exists (one namenode
+    // op — the production guarantee); object-store committers use the
+    // if-none-match CAS the same way. The LOCAL filesystem's rename(2)
+    // overwrites, so the exists guard carries the check there — atomic
+    // enough for tests and single-host use, and the claim below a
+    // java-synchronized block closes the in-process window local[*]
+    // could actually hit. A false return means "lost the race —
+    // re-read the log and decide".
+    val won = claimLock.synchronized { !f.exists(dst) && f.rename(tmp, dst) }
+    if (!won) f.delete(tmp, false)
+    won
   }
+  private val claimLock = new Object
 
-  private def readManifest(table: String, version: Int): Seq[FileEntry] =
+  private[graft] def readManifest(table: String, version: Int): Seq[FileEntry] =
     readManifestFull(table, version)._1
 
   private def readTypes(table: String, version: Int): Map[String, String] =
@@ -300,7 +342,7 @@ object ManifestTable {
       f.getFileStatus(new Path(e.path)).getLen < smallBytes)
     if (small.size <= 1) return vs.last // nothing to do
     val newVersion = vs.last + 1
-    val dataDir = s"$table/data-v$newVersion"
+    val dataDir = s"$table/data-v$newVersion-${java.util.UUID.randomUUID}"
     // clusterBy keeps the rewritten files RANGE-clustered on the named
     // stats column (Delta OPTIMIZE-style): a plain round-robin
     // repartition would smear every file's min/max across the whole
@@ -334,8 +376,11 @@ object ManifestTable {
           bloomCols.map(c =>
             c -> fileBloom(spark, r.getAs[String]("__file"), c)).toMap)
       }.sortBy(_.path).toSeq
-    writeManifest(table, newVersion, large ++ compacted, statsCols,
-      readTypes(table, vs.last))
+    if (!tryCommitManifest(table, newVersion, large ++ compacted,
+        statsCols, readTypes(table, vs.last)))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit claimed v$newVersion of $table before this " +
+          "compaction — rerun against the new snapshot")
     newVersion
   }
 
@@ -391,7 +436,7 @@ object ManifestTable {
       else spark.read.parquet(affected.map(_.path): _*)
         .join(broadcast(changedKeys), Seq(keyCol), "left_anti")
         .unionByName(upserts)
-    val dataDir = s"$table/data-v$newVersion"
+    val dataDir = s"$table/data-v$newVersion-${java.util.UUID.randomUUID}"
     val targetFiles = math.max(1, affected.size)
     val shaped = clusterBy match {
       case Some(c) => merged.repartitionByRange(targetFiles, col(c))
@@ -415,8 +460,11 @@ object ManifestTable {
           bloomCols.map(c =>
             c -> fileBloom(spark, r.getAs[String]("__file"), c)).toMap)
       }.sortBy(_.path).toSeq
-    writeManifest(table, newVersion, untouched ++ rewritten, statsCols,
-      types)
+    if (!tryCommitManifest(table, newVersion, untouched ++ rewritten,
+        statsCols, types))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit claimed v$newVersion of $table before this " +
+          "merge — re-derive against the new snapshot and rerun")
     newVersion
   }
 

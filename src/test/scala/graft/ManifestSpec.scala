@@ -374,4 +374,70 @@ class ManifestSpec extends SparkSpec {
     assert(names === Seq("v00001.json"))
     assert(!names.exists(_.endsWith(".tmp")))
   }
+
+  test("two-writer conflict: the version claim is first-wins, the loser " +
+    "never corrupts the chain") {
+    // Deterministic conflict via the commit primitive: both writers
+    // derived from v1 and race for v2. Exactly one claim must succeed,
+    // and the committed v2 must be the WINNER's content, bit-for-bit
+    // untouched by the loser's attempt.
+    val t = tmp()
+    ManifestTable.write(ordersRanged.limit(50), t, Seq("o_orderdate"))
+    val base = ManifestTable.readManifest(t, 1)
+    val a = base.map(e => e.copy(rows = e.rows)) // writer A: same files
+    val b = base.take(1) // writer B: different content
+    assert(ManifestTable.tryCommitManifest(t, 2, a, Seq("o_orderdate"),
+      Map("o_orderdate" -> "date")))
+    assert(!ManifestTable.tryCommitManifest(t, 2, b, Seq("o_orderdate"),
+      Map("o_orderdate" -> "date")), "second claim of v2 must lose")
+    assert(ManifestTable.readManifest(t, 2).map(_.path) === a.map(_.path),
+      "v2 must still be the winner's manifest")
+    // the loser's retry at the NEXT version succeeds; chain stays sane
+    assert(ManifestTable.tryCommitManifest(t, 3, b, Seq("o_orderdate"),
+      Map("o_orderdate" -> "date")))
+    assert(ManifestTable.versions(t) === Seq(1, 2, 3))
+    // no stray tmp files from the failed claim
+    val dir = new java.io.File(t, "_manifests")
+    assert(!dir.listFiles().map(_.getName).exists(_.contains(".tmp")))
+  }
+
+  test("two concurrent appends both land: claim-loop retry serializes " +
+    "them without losing either writer's rows") {
+    val t = tmp()
+    // deterministically disjoint writer inputs, keyed on o_orderkey
+    val orders = Tables.t(spark, sfDir, "orders")
+    val base = orders.filter(col("o_orderkey") % 7 === 0)
+    val moreA = orders.filter(col("o_orderkey") % 7 === 1)
+    val moreB = orders.filter(col("o_orderkey") % 7 === 2)
+    val (nBase, nA, nB) = (base.count(), moreA.count(), moreB.count())
+    ManifestTable.write(base, t, Seq("o_orderdate"))
+    // Both writers start from the SAME observed snapshot (v1) and
+    // commit through the claim loop from two threads released together:
+    // whichever loses the v2 race must retry, re-read v2, and land as
+    // v3 carrying the winner's files forward.
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = { gate.await()
+          ManifestTable.write(moreA, t, Seq("o_orderdate"), SaveMode.Append) }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = { gate.await()
+          ManifestTable.write(moreB, t, Seq("o_orderdate"), SaveMode.Append) }
+      })
+      val (va, vb) = (fa.get(), fb.get())
+      assert(Set(va, vb) === Set(2, 3), s"got versions $va, $vb")
+    } finally pool.shutdown()
+    assert(ManifestTable.versions(t) === Seq(1, 2, 3))
+    // v3 (the final snapshot) contains base + BOTH appends — nothing
+    // lost, nothing doubled
+    val finalRows = ManifestTable.read(spark, t)
+    assert(finalRows.count() === nBase + nA + nB)
+    assert(finalRows.exceptAll(base.unionByName(moreA).unionByName(moreB))
+      .count() === 0)
+    // and every version in the chain still parses + scans
+    for (v <- ManifestTable.versions(t))
+      ManifestTable.read(spark, t, Some(v)).count()
+  }
 }
