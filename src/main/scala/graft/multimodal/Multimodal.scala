@@ -37,12 +37,16 @@ case class MediaFeatures(
   * JVM — PNG/GIF/BMP) through the exact same mapPartitions batch shape,
   * exercised end-to-end in MultimodalSpec. AUDIO decode is REAL too:
   * [[JavaSoundDecoder]] runs `javax.sound.sampled` (pure JVM — WAV/
-  * AIFF/AU PCM) through the same lifecycle. Video codecs are not
-  * available in this environment, so [[StubDecoder]] remains the
-  * clearly-marked deterministic fake the oracled queries run (its byte
-  * math is SQL-replayable, which is what makes `multimodal_decode`
-  * value-checked). Swapping decoders changes NOTHING in the pipeline
-  * shape: same schema, same partitioning, same per-partition batching.
+  * AIFF/AU PCM) through the same lifecycle. VIDEO decode is REAL for
+  * MJPEG-in-AVI: [[AviMjpegDecoder]] parses the RIFF container from
+  * spec and decodes each frame with the JDK's JPEG codec; other video
+  * codecs fail loudly, and [[StubDecoder]] REFUSES video payloads
+  * outright so stub features can never impersonate decoded video.
+  * [[StubDecoder]] remains the clearly-marked deterministic fake the
+  * oracled image/audio queries run (its byte math is SQL-replayable,
+  * which is what makes `multimodal_decode` value-checked). Swapping
+  * decoders changes NOTHING in the pipeline shape: same schema, same
+  * partitioning, same per-partition batching.
   */
 object Multimodal {
 
@@ -64,6 +68,12 @@ object Multimodal {
   final class StubDecoder extends MediaDecoder {
     val provenance = "stub"
     def decode(a: MediaAsset): MediaFeatures = {
+      // Video REFUSES the stub: a real decoder exists (AviMjpegDecoder),
+      // and byte-math "video features" flowing into training silently is
+      // the exact failure the provenance column guards against.
+      require(!a.media_type.toLowerCase.startsWith("video"),
+        s"doc ${a.doc_id}: stub decode refused for video payload " +
+          s"(${a.media_type}) — use AviMjpegDecoder")
       val len = a.payload.length.toLong
       val mean = if (len == 0) 0.0
         else a.payload.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / len
@@ -158,7 +168,98 @@ object Multimodal {
     }
   }
 
-  /** STUB: deterministic fake "decode + featurize" (see [[StubDecoder]]). */
+  /** REAL video decoder: MJPEG-in-AVI, pure JVM — the RIFF/AVI
+    * container is parsed from spec (chunk walk: `hdrl`→`avih` for
+    * dims/frame count, `movi` for the frame stream) and each `00db`/
+    * `00dc` chunk is a complete JPEG image decoded by `javax.imageio`
+    * (JPEG ships with the JDK). Same MediaFeatures schema over the
+    * TEMPORAL axis: byte_len = decoded sample count (frames × w × h),
+    * mean_byte = mean first-band sample across all frames,
+    * head_features = first 8 FRAMES' mean sample / 255 — a temporal
+    * signature (scene changes move it; a static clip is flat), which is
+    * what a video featurizer feeds downstream where an image decoder
+    * feeds spatial samples. Any non-AVI payload, non-MJPEG stream, or
+    * undecodable frame fails loudly with the asset id — a video asset
+    * can never silently fall through to stub features. */
+  final class AviMjpegDecoder extends MediaDecoder {
+    val provenance = "real"
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    def decode(a: MediaAsset): MediaFeatures = {
+      val b = a.payload
+      require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+        fourcc(b, 8) == "AVI ",
+        s"doc ${a.doc_id}: payload is not a RIFF/AVI container")
+      // chunk walk; LIST payloads get a 4CC subtype then nested chunks
+      var frames = List.empty[java.awt.image.BufferedImage]
+      var declaredFrames = -1L
+      var declaredW = -1L
+      var declaredH = -1L
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(b, o)
+          val sz = u32(b, o + 4).toInt
+          val body = o + 8
+          id match {
+            case "LIST" if sz >= 4 =>
+              walk(body + 4, body + sz) // skip the subtype 4CC
+            case "avih" =>
+              declaredFrames = u32(b, body + 16)
+              declaredW = u32(b, body + 32)
+              declaredH = u32(b, body + 36)
+            case dd if dd.endsWith("db") || dd.endsWith("dc") =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, body, sz))
+              require(img != null,
+                s"doc ${a.doc_id}: undecodable frame chunk $dd " +
+                  s"at offset $o (not MJPEG?)")
+              frames ::= img
+            case _ => () // idx1, strl headers, junk padding — skip
+          }
+          o = body + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, b.length)
+      val fs = frames.reverse
+      require(fs.nonEmpty, s"doc ${a.doc_id}: AVI has no frame chunks")
+      if (declaredFrames >= 0)
+        require(fs.size == declaredFrames,
+          s"doc ${a.doc_id}: avih declares $declaredFrames frames, " +
+            s"stream has ${fs.size}")
+      val (w, h) = (fs.head.getWidth, fs.head.getHeight)
+      if (declaredW > 0) require(w == declaredW && h == declaredH,
+        s"doc ${a.doc_id}: header ${declaredW}x$declaredH vs " +
+          s"decoded ${w}x$h")
+      var total = 0L
+      val frameMeans = fs.map { img =>
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        total += sum
+        sum.toDouble / (w.toLong * h)
+      }
+      val n = fs.size.toLong * w * h
+      MediaFeatures(a.doc_id, a.media_type, n, total.toDouble / n,
+        frameMeans.take(8).map(m => (m / 255.0).toFloat))
+    }
+  }
+
+  /** STUB: deterministic fake "decode + featurize" (see [[StubDecoder]]).
+    * REFUSES video payloads: every video container this engine knows
+    * has a real decoder ([[AviMjpegDecoder]]), and a video asset
+    * silently featurized by byte math is exactly the failure mode the
+    * in-data `decoder` provenance column exists to prevent — training
+    * on stub "video features" without noticing. */
   def decodeStub(a: MediaAsset): MediaFeatures = new StubDecoder().decode(a)
 
   /** Build a media table from `documents` by treating the text payload as
