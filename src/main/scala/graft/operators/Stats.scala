@@ -530,34 +530,172 @@ object Stats {
     // before treating per-user samples as independent). Per-user
     // partitioned windows only (mean, lags), decimal-bridged sums;
     // users under 10 observations don't score.
-    "stats_acf" -> ((s, d) => {
-      val wu = Window.partitionBy("user_id")
-      val wo = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val src = t(s, d, "events")
-        .filter(col("value").isNotNull)
-        .select(col("user_id"), U.tsUs(col("ts")).as("us"),
-          col("event_id"), col("value").as("v"))
-        .withColumn("mu",
-          U.dbl(sum(U.dec6(col("v"))).over(wu)) / count(col("v")).over(wu))
-        .withColumn("cnt", count(col("v")).over(wu))
-        .withColumn("l1", lag(col("v"), 1).over(wo))
-        .withColumn("l2", lag(col("v"), 2).over(wo))
-        .withColumn("l3", lag(col("v"), 3).over(wo))
-      def num(lc: Column) =
-        U.dbl(sum(U.dec6((col("v") - col("mu")) * (lc - col("mu")))))
-      src.groupBy("user_id")
-        .agg(max(col("cnt")).as("n"),
-          U.dbl(sum(U.dec6((col("v") - col("mu")) * (col("v") - col("mu")))))
-            .as("den"),
-          num(col("l1")).as("n1"), num(col("l2")).as("n2"),
-          num(col("l3")).as("n3"))
-        .filter(col("n") >= 10)
+    "stats_acf" -> ((s, d) =>
+      acfPerUser(s, d).orderBy("user_id")),
+
+    // Ljung-Box portmanteau Q over the SAME rounded lag-1..3
+    // autocorrelations as stats_acf (shared pipeline — the rounding IS
+    // the cross-engine contract, so Q composes from engine-identical
+    // inputs): Q = n(n+2) Σ_k r_k²/(n−k), dof = 3. The standard
+    // "is this series white noise" gate run per key after any
+    // smoothing/forecast fit; all per-row double math over the
+    // per-user aggregate row.
+    "stats_ljung_box" -> ((s, d) => {
+      val n = U.dbl(col("n"))
+      val q = n * (n + 2) *
+        (col("acf1") * col("acf1") / (n - 1) +
+          col("acf2") * col("acf2") / (n - 2) +
+          col("acf3") * col("acf3") / (n - 3))
+      acfPerUser(s, d)
+        .filter(col("acf1").isNotNull)
         .select(col("user_id"), col("n"),
-          when(col("den") > 0, U.round6(col("n1") / col("den"))).as("acf1"),
-          when(col("den") > 0, U.round6(col("n2") / col("den"))).as("acf2"),
-          when(col("den") > 0, U.round6(col("n3") / col("den"))).as("acf3"))
+          U.round6(q).as("q_stat"), lit(3).as("dof"))
         .orderBy("user_id")
+    }),
+
+    // Welch's unequal-variance t-test: did the R-returned and A-returned
+    // populations ship different price distributions? ONE conditional-
+    // aggregation pass (no pivot, no second scan): exact decimal moments
+    // per branch, then the closed form (t statistic + Welch-Satterthwaite
+    // dof) as per-row double math on the single reduced row. The
+    // map-side-combined two-branch reduce is the 100 TB shape: shuffle
+    // carries one partial row per partition.
+    "stats_ttest_welch" -> ((s, d) => {
+      val v4 = U.dec4(col("v"))
+      val isR = col("g") === "R"
+      val agg = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v"))
+        .groupBy()
+        .agg(
+          sum(when(isR, 1L).otherwise(0L)).as("n_r"),
+          sum(when(!isR, 1L).otherwise(0L)).as("n_a"),
+          U.dbl(sum(when(isR, v4))).as("s_r"),
+          U.dbl(sum(when(!isR, v4))).as("s_a"),
+          U.dbl(sum(when(isR, v4 * v4))).as("ss_r"),
+          U.dbl(sum(when(!isR, v4 * v4))).as("ss_a"))
+      val nr = U.dbl(col("n_r")); val na = U.dbl(col("n_a"))
+      val mr = col("s_r") / nr; val ma = col("s_a") / na
+      val vr = (col("ss_r") - col("s_r") * col("s_r") / nr) / (nr - 1)
+      val va = (col("ss_a") - col("s_a") * col("s_a") / na) / (na - 1)
+      val se2 = vr / nr + va / na
+      val dof = se2 * se2 /
+        ((vr / nr) * (vr / nr) / (nr - 1) + (va / na) * (va / na) / (na - 1))
+      agg.select(col("n_r"), col("n_a"),
+        U.round6(mr).as("mean_r"), U.round6(ma).as("mean_a"),
+        U.round6((mr - ma) / sqrt(se2)).as("t_stat"),
+        U.round6(dof).as("dof"))
+    }),
+
+    // Levene's homogeneity-of-variance test (center = mean): do the
+    // return-flag branches have the same quantity SPREAD, not just the
+    // same mean (the ANOVA question)? Two scans by construction — pass 1
+    // reduces to the 3-row group means (broadcast back), pass 2
+    // aggregates the absolute deviations z = |x − μ_g| — then the
+    // one-way-F closed form over the 3-row summary. z is per-row double
+    // on identical inputs (engine-exact), summed through DECIMAL.
+    "stats_levene" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"), U.dbl(col("l_quantity")).as("v"))
+      val mu = li.groupBy("g")
+        .agg((U.dbl(sum(U.dec4(col("v")))) / count(lit(1))).as("mu"))
+      val z = li.join(broadcast(mu), Seq("g"))
+        .withColumn("z", abs(col("v") - col("mu")))
+      val g = z.groupBy("g")
+        .agg(count(lit(1)).as("ng"),
+          U.dbl(sum(U.dec6(col("z")))).as("sz"),
+          U.dbl(sum(U.dec6(col("z") * col("z")))).as("szz"))
+        .withColumn("num_term",
+          U.round6(col("sz") * col("sz") / U.dbl(col("ng"))))
+        .withColumn("den_term",
+          U.round6(col("szz") - col("sz") * col("sz") / U.dbl(col("ng"))))
+      val tot = g.groupBy()
+        .agg(count(lit(1)).as("k"),
+          sum(col("ng")).cast("long").as("n"),
+          U.dbl(sum(U.dec4(col("sz")))).as("szt"),
+          U.dbl(sum(U.dec6(col("num_term")))).as("num0"),
+          U.dbl(sum(U.dec6(col("den_term")))).as("den0"))
+      val nn = U.dbl(col("n"))
+      val between = col("num0") - col("szt") * col("szt") / nn
+      val w = ((nn - U.dbl(col("k"))) / U.dbl(col("k") - 1)) *
+        between / col("den0")
+      tot.select(col("k"), col("n"), U.round6(w).as("w_stat"))
+    }),
+
+    // Kendall's τ-b rank correlation between line number and quantity —
+    // monotone-association on DISCRETE columns, where Spearman's
+    // midranks blur ties. The pair counting runs entirely on the
+    // CONTINGENCY CELLS: one data-scaled groupBy reduces to ≤ |dom(x)| ×
+    // |dom(y)| cells (7 × 50 here), the concordant/discordant sums are a
+    // broadcast self-join of that bounded table, and tie corrections
+    // come from its marginals. Pair counts accumulate as DECIMAL(38,0) —
+    // n(n−1)/2 overflows BIGINT near n ≈ 6·10⁹, i.e. exactly the 100 TB
+    // regime this engine targets.
+    "stats_kendall_tau" -> ((s, d) => {
+      val cells = t(s, d, "lineitem")
+        .groupBy(col("l_linenumber").as("x"), col("l_quantity").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val c1 = cells.select(col("x").as("x1"), col("y").as("y1"),
+        dec38(col("c")).as("c1"))
+      val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
+        dec38(col("c")).as("c2"))
+      val pairs = c1.join(broadcast(c2),
+          col("x2") > col("x1"), "inner")
+        .groupBy()
+        .agg(
+          sum(when(col("y2") > col("y1"), col("c1") * col("c2"))
+            .otherwise(lit(0))).as("conc"),
+          sum(when(col("y2") < col("y1"), col("c1") * col("c2"))
+            .otherwise(lit(0))).as("disc"))
+      val xm = cells.groupBy("x").agg(dec38(sum(col("c"))).as("nx"))
+        .groupBy().agg(sum(col("nx") * (col("nx") - 1)).as("tx2"))
+      val ym = cells.groupBy("y").agg(dec38(sum(col("c"))).as("ny"))
+        .groupBy().agg(sum(col("ny") * (col("ny") - 1)).as("ty2"))
+      val nt = cells.groupBy().agg(dec38(sum(col("c"))).as("n"))
+      val n0x2 = col("n") * (col("n") - 1) // 2·N0 — keep integral
+      val tau = (U.dbl(col("conc")) - U.dbl(col("disc"))) /
+        sqrt((U.dbl(n0x2) - U.dbl(col("tx2"))) / 2.0 *
+          ((U.dbl(n0x2) - U.dbl(col("ty2"))) / 2.0))
+      pairs.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
+        .crossJoin(broadcast(nt))
+        .select(col("n").cast("long").as("n"),
+          col("conc").cast("double").as("concordant"),
+          col("disc").cast("double").as("discordant"),
+          U.round6(tau).as("tau_b"))
     }))
+
+  /** Shared lag-1..3 autocorrelation pipeline (stats_acf /
+    * stats_ljung_box): per-user mean + lags via partitioned windows,
+    * exact dec6-bridged co-moment sums, ratios rounded at 1e-6 — the
+    * rounding is the cross-engine contract both consumers inherit. */
+  private def acfPerUser(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val wo = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val src = t(s, d, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), U.tsUs(col("ts")).as("us"),
+        col("event_id"), col("value").as("v"))
+      .withColumn("mu",
+        U.dbl(sum(U.dec6(col("v"))).over(wu)) / count(col("v")).over(wu))
+      .withColumn("cnt", count(col("v")).over(wu))
+      .withColumn("l1", lag(col("v"), 1).over(wo))
+      .withColumn("l2", lag(col("v"), 2).over(wo))
+      .withColumn("l3", lag(col("v"), 3).over(wo))
+    def num(lc: Column) =
+      U.dbl(sum(U.dec6((col("v") - col("mu")) * (lc - col("mu")))))
+    src.groupBy("user_id")
+      .agg(max(col("cnt")).as("n"),
+        U.dbl(sum(U.dec6((col("v") - col("mu")) * (col("v") - col("mu")))))
+          .as("den"),
+        num(col("l1")).as("n1"), num(col("l2")).as("n2"),
+        num(col("l3")).as("n3"))
+      .filter(col("n") >= 10)
+      .select(col("user_id"), col("n"),
+        when(col("den") > 0, U.round6(col("n1") / col("den"))).as("acf1"),
+        when(col("den") > 0, U.round6(col("n2") / col("den"))).as("acf2"),
+        when(col("den") > 0, U.round6(col("n3") / col("den"))).as("acf3"))
+  }
 
   val oracles: Map[String, String] = Map(
     "profile_columns" ->
@@ -965,5 +1103,151 @@ object Stats {
         |    THEN round(n2 / den * 1000000) / 1000000 END AS acf2,
         |  CASE WHEN den > 0
         |    THEN round(n3 / den * 1000000) / 1000000 END AS acf3
-        |FROM a WHERE n >= 10 ORDER BY user_id""".stripMargin)
+        |FROM a WHERE n >= 10 ORDER BY user_id""".stripMargin,
+    "stats_ljung_box" ->
+      """WITH src AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, v,
+        |    CAST(sum(CAST(v AS DECIMAL(18, 6)))
+        |        OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / count(v) OVER (PARTITION BY user_id) AS mu,
+        |    count(v) OVER (PARTITION BY user_id) AS cnt,
+        |    lag(v, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS l1,
+        |    lag(v, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS l2,
+        |    lag(v, 3) OVER (PARTITION BY user_id ORDER BY us, event_id) AS l3
+        |  FROM src),
+        |a AS (
+        |  SELECT user_id, max(cnt) AS n,
+        |    CAST(sum(CAST((v - mu) * (v - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS den,
+        |    CAST(sum(CAST((v - mu) * (l1 - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS n1,
+        |    CAST(sum(CAST((v - mu) * (l2 - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS n2,
+        |    CAST(sum(CAST((v - mu) * (l3 - mu) AS DECIMAL(18, 6)))
+        |      AS DOUBLE) AS n3
+        |  FROM w GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, n,
+        |    CASE WHEN den > 0
+        |      THEN round(n1 / den * 1000000) / 1000000 END AS acf1,
+        |    CASE WHEN den > 0
+        |      THEN round(n2 / den * 1000000) / 1000000 END AS acf2,
+        |    CASE WHEN den > 0
+        |      THEN round(n3 / den * 1000000) / 1000000 END AS acf3
+        |  FROM a WHERE n >= 10)
+        |SELECT user_id, n,
+        |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2)
+        |    * (acf1 * acf1 / (CAST(n AS DOUBLE) - 1)
+        |      + acf2 * acf2 / (CAST(n AS DOUBLE) - 2)
+        |      + acf3 * acf3 / (CAST(n AS DOUBLE) - 3))
+        |    * 1000000) / 1000000 AS q_stat,
+        |  3 AS dof
+        |FROM r WHERE acf1 IS NOT NULL ORDER BY user_id""".stripMargin,
+    "stats_ttest_welch" ->
+      """WITH f AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'A')),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        |    CAST(sum(CASE WHEN g <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN g = 'R'
+        |      THEN CAST(v AS DECIMAL(18, 4)) END) AS DOUBLE) AS s_r,
+        |    CAST(sum(CASE WHEN g <> 'R'
+        |      THEN CAST(v AS DECIMAL(18, 4)) END) AS DOUBLE) AS s_a,
+        |    CAST(sum(CASE WHEN g = 'R'
+        |      THEN CAST(v AS DECIMAL(20, 4)) * CAST(v AS DECIMAL(18, 4))
+        |      END) AS DOUBLE) AS ss_r,
+        |    CAST(sum(CASE WHEN g <> 'R'
+        |      THEN CAST(v AS DECIMAL(20, 4)) * CAST(v AS DECIMAL(18, 4))
+        |      END) AS DOUBLE) AS ss_a
+        |  FROM f),
+        |m AS (
+        |  SELECT n_r, n_a,
+        |    s_r / CAST(n_r AS DOUBLE) AS mr, s_a / CAST(n_a AS DOUBLE) AS ma,
+        |    (ss_r - s_r * s_r / CAST(n_r AS DOUBLE))
+        |      / (CAST(n_r AS DOUBLE) - 1) AS vr,
+        |    (ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1) AS va
+        |  FROM a),
+        |se AS (
+        |  SELECT n_r, n_a, mr, ma, vr, va,
+        |    vr / CAST(n_r AS DOUBLE) + va / CAST(n_a AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT n_r, n_a,
+        |  round(mr * 1000000) / 1000000 AS mean_r,
+        |  round(ma * 1000000) / 1000000 AS mean_a,
+        |  round((mr - ma) / sqrt(se2) * 1000000) / 1000000 AS t_stat,
+        |  round(se2 * se2
+        |    / ((vr / CAST(n_r AS DOUBLE)) * (vr / CAST(n_r AS DOUBLE))
+        |        / (CAST(n_r AS DOUBLE) - 1)
+        |      + (va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE))
+        |        / (CAST(n_a AS DOUBLE) - 1))
+        |    * 1000000) / 1000000 AS dof
+        |FROM se""".stripMargin,
+    "stats_levene" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem),
+        |mu AS (
+        |  SELECT g, CAST(sum(CAST(v AS DECIMAL(18, 4))) AS DOUBLE)
+        |    / count(*) AS mu
+        |  FROM li GROUP BY g),
+        |z AS (
+        |  SELECT li.g, abs(v - mu) AS z FROM li JOIN mu USING (g)),
+        |gr AS (
+        |  SELECT g, count(*) AS ng,
+        |    CAST(sum(CAST(z AS DECIMAL(18, 6))) AS DOUBLE) AS sz,
+        |    CAST(sum(CAST(z * z AS DECIMAL(18, 6))) AS DOUBLE) AS szz
+        |  FROM z GROUP BY g),
+        |g2 AS (
+        |  SELECT ng, sz,
+        |    round(sz * sz / CAST(ng AS DOUBLE) * 1000000) / 1000000
+        |      AS num_term,
+        |    round((szz - sz * sz / CAST(ng AS DOUBLE)) * 1000000) / 1000000
+        |      AS den_term
+        |  FROM gr),
+        |tot AS (
+        |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(CAST(sz AS DECIMAL(18, 4))) AS DOUBLE) AS szt,
+        |    CAST(sum(CAST(num_term AS DECIMAL(18, 6))) AS DOUBLE) AS num0,
+        |    CAST(sum(CAST(den_term AS DECIMAL(18, 6))) AS DOUBLE) AS den0
+        |  FROM g2)
+        |SELECT k, n,
+        |  round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |      / CAST(k - 1 AS DOUBLE))
+        |    * (num0 - szt * szt / CAST(n AS DOUBLE)) / den0
+        |    * 1000000) / 1000000 AS w_stat
+        |FROM tot""".stripMargin,
+    "stats_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT l_linenumber AS x, l_quantity AS y, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    sum(CASE WHEN c2.y > c1.y
+        |      THEN CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT)
+        |      ELSE 0 END) AS conc,
+        |    sum(CASE WHEN c2.y < c1.y
+        |      THEN CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT)
+        |      ELSE 0 END) AS disc
+        |  FROM cells c1 JOIN cells c2 ON c2.x > c1.x),
+        |xm AS (
+        |  SELECT sum(CAST(nx AS HUGEINT) * (CAST(nx AS HUGEINT) - 1)) AS tx2
+        |  FROM (SELECT x, sum(c) AS nx FROM cells GROUP BY x)),
+        |ym AS (
+        |  SELECT sum(CAST(ny AS HUGEINT) * (CAST(ny AS HUGEINT) - 1)) AS ty2
+        |  FROM (SELECT y, sum(c) AS ny FROM cells GROUP BY y)),
+        |nt AS (SELECT sum(c) AS n FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(conc AS DOUBLE) AS concordant,
+        |  CAST(disc AS DOUBLE) AS discordant,
+        |  round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+        |    / sqrt((CAST(n * (n - 1) AS DOUBLE) - CAST(tx2 AS DOUBLE)) / 2.0
+        |      * ((CAST(n * (n - 1) AS DOUBLE) - CAST(ty2 AS DOUBLE)) / 2.0))
+        |    * 1000000) / 1000000 AS tau_b
+        |FROM p, xm, ym, nt""".stripMargin)
 }

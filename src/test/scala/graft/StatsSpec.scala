@@ -220,4 +220,66 @@ class StatsSpec extends SparkSpec {
       math.abs(km(1)._4 - 0.533333) < 2e-6, km(1).toString)
     assert(km(2) === ((5L, 1L, 1L, 0.0)))
   }
+
+  test("ljung-box: Q on the linear ramp composes from the same rounded " +
+    "lag-1..3 autocorrelations stats_acf reports") {
+    val dir = Files.createTempDirectory("graft-stats-lb").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(t0.getTime + i * 60000L)
+    val ramp = (1 to 12).map(i => (ts(i), 1L, i.toLong, i.toDouble))
+    val const = (1 to 12).map(i => (ts(i), 2L, 100L + i, 5.0))
+    (ramp ++ const).toDF("ts", "user_id", "event_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.queries("stats_ljung_box")(spark, dir).collect()
+    // constant series has null acf1 → filtered; only the ramp scores
+    assert(got.length == 1 && got(0).getAs[Long]("user_id") == 1L)
+    // ramp 1..12: den = n(n²−1)/12 = 143, num1/2/3 = 107.25/72.5/39.75
+    // → r = (.75, .506993, .277972); Q = 12·14·Σ r_k²/(12−k)
+    val q = 168.0 * (0.75 * 0.75 / 11 + 0.506993 * 0.506993 / 10 +
+      0.277972 * 0.277972 / 9)
+    assert(math.abs(got(0).getAs[Double]("q_stat") - q) < 1e-6)
+    assert(got(0).getAs[Int]("dof") == 3)
+  }
+
+  test("welch t-test: planted unequal-variance branches match the " +
+    "closed form (t and Welch-Satterthwaite dof)") {
+    val dir = Files.createTempDirectory("graft-stats-welch").toString
+    val rows = Seq(("R", 1.0), ("R", 2.0), ("R", 3.0),
+      ("A", 2.0), ("A", 4.0), ("A", 6.0), ("A", 8.0),
+      ("N", 999.0)) // non-R/A branch must be excluded
+    rows.toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Stats.queries("stats_ttest_welch")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_r") == 3L && r.getAs[Long]("n_a") == 4L)
+    assert(r.getAs[Double]("mean_r") == 2.0)
+    assert(r.getAs[Double]("mean_a") == 5.0)
+    // vr=1, va=20/3 → se2=2, t=(2−5)/√2, dof=4/(1/18+25/27)=216/53
+    assert(math.abs(r.getAs[Double]("t_stat") - (-3.0 / math.sqrt(2))) < 1e-6)
+    assert(math.abs(r.getAs[Double]("dof") - 216.0 / 53) < 1e-6)
+  }
+
+  test("levene: planted two-group spread difference gives the " +
+    "hand-computed W") {
+    val dir = Files.createTempDirectory("graft-stats-levene").toString
+    Seq(("R", 1.0), ("R", 3.0), ("A", 2.0), ("A", 6.0), ("A", 10.0))
+      .toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Stats.queries("stats_levene")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 5L)
+    // z_R={1,1}, z_A={4,0,4} → between=10/3, within=32/3, W=3·(10/32)
+    assert(math.abs(r.getAs[Double]("w_stat") - 0.9375) < 1e-5)
+  }
+
+  test("kendall tau-b: planted x/y ties hit both tie corrections") {
+    val dir = Files.createTempDirectory("graft-stats-kendall").toString
+    Seq((1, 1.0), (1, 2.0), (2, 1.0), (2, 3.0), (3, 3.0))
+      .toDF("l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Stats.queries("stats_kendall_tau")(spark, dir).collect()(0)
+    // conc=5, disc=1, tx2=ty2=4 → τb = 4/√((20−4)/2 · (20−4)/2) = 0.5
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("concordant") == 5.0)
+    assert(r.getAs[Double]("discordant") == 1.0)
+    assert(r.getAs[Double]("tau_b") == 0.5)
+  }
 }
