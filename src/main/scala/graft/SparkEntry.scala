@@ -35,6 +35,7 @@ object SparkEntry {
       multimodal.Multimodal.queries ++
       streaming.StreamingOps.queries ++
       ml.Logreg.queries ++
+      ml.Pca.queries ++
       ml.NaiveBayes.queries ++
       ml.Ridge.queries
 
@@ -58,6 +59,7 @@ object SparkEntry {
       multimodal.Multimodal.oracles ++
       streaming.StreamingOps.oracles ++
       ml.Logreg.oracles ++
+      ml.Pca.oracles ++
       ml.NaiveBayes.oracles ++
       ml.Ridge.oracles
 }

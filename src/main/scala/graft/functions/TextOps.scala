@@ -825,6 +825,50 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser-Ney bigram probabilities (D = 0.75) — the
+    // smoothing every serious n-gram LM filter uses instead of
+    // add-one: the backoff weight is the DIVERSITY of continuations
+    // (how many distinct words follow w1), and the unigram fallback is
+    // the continuation probability (in how many distinct contexts does
+    // w2 appear), not raw frequency — so "francisco" scores low after
+    // anything but "san" even though it is frequent. Entirely
+    // relational: the bigram count table (same arrays_zip instance
+    // contract as text_bigram_logprob), its two marginals, and one
+    // scalar type count; every statistic is an exact integer, the
+    // closed form is per-row double math, so no decimal bridging is
+    // needed anywhere. Shuffles carry (w1, w2) / (w1) / (w2) keys with
+    // map-side combine — Zipf-bounded vocab, never corpus-scaled rows.
+    "text_kneser_ney_bigram" -> ((s, d) => {
+      val D = 0.75
+      val words = split(lower(col("text")), " ")
+      val docs = t(s, d, "documents")
+        .filter(size(words) >= 2)
+        .select(words.as("w"))
+      val inst = docs.select(
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("g"))
+        .select(col("g").getField("0").as("w1"),
+          col("g").getField("1").as("w2"))
+      val bg = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      // c_x = bigram-table left marginal (token count of w1 as a
+      // context); n1p_fwd = |{w2 : c(w1 w2) > 0}| rides the same agg
+      val cx = bg.groupBy("w1").agg(sum(col("c_xy")).as("c_x"),
+        count(lit(1)).as("n1p_fwd"))
+      val cont = bg.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
+      val types = bg.agg(count(lit(1)).as("n_types"))
+      bg.filter(col("c_xy") >= 2)
+        .join(cx, "w1").join(cont, "w2")
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          U.round6(
+            greatest(col("c_xy") - lit(D), lit(0.0)) / col("c_x")
+              + lit(D) * col("n1p_fwd") / col("c_x")
+              * (col("n1p_rev").cast("double") / col("n_types")))
+            .as("p_kn"))
+        .orderBy("w1", "w2")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — public method):
     // score every document by the log-likelihood ratio of a TARGET
@@ -1647,6 +1691,29 @@ object TextOps {
         |  round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) / count(*)
         |    * 1000000) / 1000000 AS mean_surprisal
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bigram instances WITH multiplicity (the LM contract), then the
+    // interpolated-KN closed form on exact integer marginals
+    "text_kneser_ney_bigram" ->
+      """WITH docs AS (
+        |  SELECT string_split(lower(text), ' ') AS w
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |inst AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2
+        |  FROM docs, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+        |bg AS (SELECT w1, w2, count(*) AS c_xy
+        |       FROM inst GROUP BY w1, w2),
+        |cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x,
+        |         count(*) AS n1p_fwd
+        |       FROM bg GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS n1p_rev FROM bg GROUP BY w2),
+        |ty AS (SELECT count(*) AS n_types FROM bg)
+        |SELECT b.w1, b.w2, b.c_xy,
+        |  round((greatest(b.c_xy - 0.75, 0.0) / c_x
+        |      + 0.75 * n1p_fwd / c_x * (CAST(n1p_rev AS DOUBLE) / n_types))
+        |    * 1000000) / 1000000 AS p_kn
+        |FROM bg b JOIN cx USING (w1) JOIN cont USING (w2), ty
+        |WHERE b.c_xy >= 2 ORDER BY w1, w2""".stripMargin,
     "filter_perplexity_gate" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w

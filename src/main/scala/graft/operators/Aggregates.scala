@@ -292,6 +292,39 @@ object Aggregates {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // t-closeness — the release gate one level past l-diversity: a
+    // quasi-identifier group leaks even with diverse sensitive values
+    // if its DISTRIBUTION skews far from the table's (Li et al. 2007).
+    // For an unordered sensitive attribute the earth-mover distance
+    // degenerates to total variation: t = ½ Σ_s |P(s|group) − P(s)|.
+    // Relational shape: three counts (group×segment, group, segment)
+    // + one scalar, a group×segment GRID built by cross-joining the
+    // two marginals (missing cells must contribute |0 − P(s)|, which
+    // an inner join would silently drop), per-cell deviation rounded
+    // 1e-6 then decimal-summed per group. The grid is |groups|×|dom|,
+    // never data-scaled; the only fact-sized work is the three counts,
+    // all map-side combined.
+    "privacy_t_closeness" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"))
+      val gs = c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_gs"))
+      val g = c.groupBy("c_nationkey").agg(count(lit(1)).as("n_g"))
+      val sg = c.groupBy("c_mktsegment").agg(count(lit(1)).as("n_s"))
+      val tot = c.agg(count(lit(1)).as("n_tot"))
+      g.crossJoin(broadcast(sg.crossJoin(tot)))
+        .join(gs, Seq("c_nationkey", "c_mktsegment"), "left")
+        .withColumn("dv", U.round6(abs(
+          coalesce(col("n_gs"), lit(0L)).cast("double") / col("n_g")
+            - col("n_s").cast("double") / col("n_tot"))))
+        .groupBy("c_nationkey")
+        .agg(max(col("n_g")).as("group_size"),
+          U.round6(U.dbl(sum(U.dec6(col("dv")))) / lit(2.0))
+            .as("t_dist"))
+        .withColumn("meets_t", col("t_dist") <= 0.2)
+        .orderBy("c_nationkey")
+    }),
+
     // Salted two-phase aggregation — the skew pattern (SURVEY §2 intro,
     // §7.4.7): when one group key dominates, a straight groupBy sends the
     // hot key to one reducer. Phase 1 groups by (key, salt) spreading the
@@ -1051,6 +1084,30 @@ object Aggregates {
         |    AS meets_l
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // full group×segment grid via cross-joined marginals (missing
+    // cells contribute |0 − P(s)|), per-cell TV deviation rounded
+    // 1e-6 then decimal-summed
+    "privacy_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment FROM customer),
+        |gs AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_gs
+        |       FROM c GROUP BY 1, 2),
+        |g AS (SELECT c_nationkey, count(*) AS n_g FROM c GROUP BY 1),
+        |sg AS (SELECT c_mktsegment, count(*) AS n_s FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_tot FROM c),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.n_g,
+        |    round(abs(CAST(coalesce(n_gs, 0) AS DOUBLE) / n_g
+        |        - CAST(n_s AS DOUBLE) / n_tot) * 1000000) / 1000000 AS dv
+        |  FROM g CROSS JOIN sg CROSS JOIN tot
+        |  LEFT JOIN gs ON gs.c_nationkey = g.c_nationkey
+        |             AND gs.c_mktsegment = sg.c_mktsegment)
+        |SELECT c_nationkey, group_size, t_dist, t_dist <= 0.2 AS meets_t
+        |FROM (
+        |  SELECT c_nationkey, CAST(max(n_g) AS BIGINT) AS group_size,
+        |    round(CAST(sum(CAST(dv AS DECIMAL(18, 6))) AS DOUBLE) / 2.0
+        |      * 1000000) / 1000000 AS t_dist
+        |  FROM grid GROUP BY c_nationkey)
+        |ORDER BY c_nationkey""".stripMargin,
     "privacy_k_anonymity" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -47,6 +47,46 @@ object CoreOps {
           max(U.tsUs(col("o_orderdate"))).as("max_date_us"))
         .orderBy("o_orderpriority")),
 
+    // Permissive CSV ingest (scan_csv_permissive): the landing-zone
+    // read real feeds need — a garbage line must quarantine into the
+    // corrupt-record column, not kill the job and not silently vanish.
+    // The fixture ([[graft.sources.PartitionedData.nationCsvLanding]])
+    // plants exactly 3 malformed lines (bad key / bad region / token
+    // overflow) next to the clean nation rows; the clean aggregate is
+    // oracled against the parquet original and the quarantine count
+    // against the fixture contract. At scale this read is splittable
+    // like any CSV scan, and the corrupt column costs nothing on rows
+    // that parse.
+    "scan_csv_permissive" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val path = graft.sources.PartitionedData.nationCsvLanding(s, d)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        // every data column is OBSERVED in the output on purpose: the
+        // CSV parser only parses (and therefore only VALIDATES) the
+        // columns the plan asks for — an aggregate touching a subset
+        // would let garbage in unreferenced fields sail through as
+        // "clean" (measured: 27/1 instead of 25/3 when only the key
+        // was referenced). Ingest validation parses the whole row.
+        .agg(
+          count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+          count(when(col("_corrupt").isNotNull, 1)).as("n_quarantined"),
+          sum(when(col("_corrupt").isNull, col("n_nationkey")))
+            .as("key_sum"),
+          max(when(col("_corrupt").isNull, length(col("n_name"))))
+            .as("max_name_len"),
+          max(when(col("_corrupt").isNull, col("n_regionkey")))
+            .as("max_region"))
+    }),
+
     // Manifest-pruned scan (scan_manifest_prune): a date-range query
     // over the ManifestTable snapshot of orders — file skipping comes
     // from MANIFEST stats (one json read), before Spark ever lists or
@@ -259,6 +299,14 @@ object CoreOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  max(epoch_us(o_orderdate)) AS max_date_us
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // clean rows must equal the parquet original; the quarantine count
+    // is the fixture's planted-bad-line contract
+    "scan_csv_permissive" ->
+      """SELECT count(*) AS n_clean, CAST(3 AS BIGINT) AS n_quarantined,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(max(length(n_name)) AS INTEGER) AS max_name_len,
+        |  max(n_regionkey) AS max_region
+        |FROM nation""".stripMargin,
     "scan_manifest_prune" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -136,6 +136,123 @@ object Graph {
       |    AND round(list_dot_product(e1.vd, e2.vd)
       |          / (e1.nrm * e2.nrm), 6) >= 0.05)""".stripMargin
 
+  /** The shared near-dup edge set every graph-family query iterates
+    * on: plane-literal LSH buckets → capped pairs → cosine ≥ 0.05,
+    * stored once as (a < b). Mirrored token-for-token by
+    * [[lshEdgesCte]] on the oracle side. */
+  private def lshEdges(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.embeddingLshPairs(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+      .filter(col("cos_sim") >= 0.05)
+      .select(col("id1").as("a"), col("id2").as("b"))
+
+  /** Both directions of an (a, b) edge list — the undirected view the
+    * degree/neighborhood operators aggregate over. */
+  private def symEdges(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+
+  /** Per-node local clustering coefficient over an (a, b) edge list:
+    * C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2; T(v) via the
+    * sorted-edge a<b<c triple join, degree via the symmetric view. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val deg = symEdges(edges)
+      .groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    val e2 = edges.select(col("a").as("b"), col("b").as("c"))
+    val e3 = edges.select(col("a").as("ta"), col("b").as("tc"))
+    val tris = edges.join(e2, "b")
+      .join(e3, col("a") === col("ta") && col("c") === col("tc"))
+      .select(col("a"), col("b"), col("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("tri"))
+    deg.filter(col("degree") >= 2)
+      .join(tris, Seq("u"), "left")
+      .select(col("u").as("vec_id"), col("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        U.round6(lit(2.0) * coalesce(col("tri"), lit(0L))
+          / (col("degree") * (col("degree") - 1)))
+          .as("clustering_coeff"))
+  }
+
+  /** Neighborhood Jaccard over an (a, b) edge list: wedge-enumerated
+    * candidate pairs (≥ 1 common neighbor), J by inclusion-exclusion
+    * on the open neighborhoods. */
+  def jaccardNeighbors(edges: DataFrame): DataFrame = {
+    val sym = symEdges(edges)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("u").as("x"), col("v").as("w"))
+      .join(sym.select(col("u").as("y"), col("v").as("w")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+    wedges
+      .join(deg.select(col("u").as("x"), col("deg").as("deg_1")),
+        Seq("x"))
+      .join(deg.select(col("u").as("y"), col("deg").as("deg_2")),
+        Seq("y"))
+      .select(col("x").as("id1"), col("y").as("id2"), col("common"),
+        col("deg_1"), col("deg_2"),
+        U.round6(col("common").cast("double")
+          / (col("deg_1") + col("deg_2") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** Bounded k-core peel: up to `rounds` synchronous rounds of "drop
+    * every node with degree < k, restrict edges to survivors", early-
+    * stopped when a round removes nothing (the edge set shrinks
+    * monotonically, so an unchanged COUNT means an unchanged SET and
+    * every further round is a no-op). Returns surviving per-node
+    * degrees. Runs on the [[graft.plans.Iterate]] harness. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var last = -1L
+    var done = 0
+    val (core, _) = graft.plans.Iterate.fixpoint(
+      initial = edges, fanout = 3, maxIters = rounds + 1)(
+      step = { e =>
+        val deg = e.select(col("a").as("n0"))
+          .unionByName(e.select(col("b").as("n0")))
+          .groupBy("n0").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select(col("n0"))
+        e.join(keep.select(col("n0").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n0").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      })(
+      eval = { (out, _) =>
+        val rows = out.count()
+        done += 1
+        val stop = done >= rounds || rows == last
+        last = rows
+        graft.plans.RoundEval(rows, stop)
+      })(
+      onFail = i => s"k-core peel did not settle in $i rounds")
+    core.select(col("a").as("vec_id"))
+      .unionByName(core.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Newman degree assortativity over an (a, b) edge list: Pearson r
+    * of endpoint degrees on the directed-symmetrized view; integer
+    * moment sums, closed form on the single reduced row. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val sym = symEdges(edges)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("deg_v")),
+        Seq("v"))
+    val m0 = pairs.groupBy().agg(
+      count(lit(1)).as("m"),
+      sum(col("deg")).as("s_u"), sum(col("deg_v")).as("s_v"),
+      sum(col("deg") * col("deg_v")).as("s_uv"),
+      sum(col("deg") * col("deg")).as("s_uu"),
+      sum(col("deg_v") * col("deg_v")).as("s_vv"))
+    val md = U.dbl(col("m"))
+    val num = col("s_uv") / md - (col("s_u") / md) * (col("s_v") / md)
+    val du = col("s_uu") / md - (col("s_u") / md) * (col("s_u") / md)
+    val dv = col("s_vv") / md - (col("s_v") / md) * (col("s_v") / md)
+    m0.select(col("m"),
+      U.round6(num / sqrt(du * dv)).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Triangle counting over the embedding near-dup graph — the local
     // clustering primitive (community cores, collusion detection; in a
@@ -151,11 +268,7 @@ object Graph {
     // bucket-capped) edge table — shuffles scale with EDGES, never with
     // the corpus.
     "graph_triangle_count" -> ((s, d) => {
-      val edges = graft.dedup.Dedup.embeddingLshPairs(
-        t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding")))
-        .filter(col("cos_sim") >= 0.05)
-        .select(col("id1").as("a"), col("id2").as("b"))
+      val edges = lshEdges(s, d)
       val e1 = edges
       val e2 = edges.select(col("a").as("b"), col("b").as("c"))
       val e3 = edges.select(col("a").as("ta"), col("b").as("tc"))
@@ -183,10 +296,7 @@ object Graph {
     // no-persist-in-returned-lineage convention — at production the
     // edge table would be a persisted artifact.
     "graph_label_propagation" -> ((s, d) => {
-      val edges = graft.dedup.Dedup.embeddingLshPairs(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-        .filter(col("cos_sim") >= 0.05)
-        .select(col("id1").as("a"), col("id2").as("b"))
+      val edges = lshEdges(s, d)
       val nodes = t(s, d, "embeddings").select(col("vec_id").as("node"))
       labelPropagate(edges, nodes, rounds = 2)
         .select(col("node").as("vec_id"), col("lbl").as("label2"))
@@ -205,10 +315,7 @@ object Graph {
     // steps); per round the shuffles are keyed on node ids, linear in
     // |E|. Seeds: vec_id ≡ 0 (mod 50) — a deterministic 2% sample.
     "graph_bfs_layers" -> ((s, d) => {
-      val edges = graft.dedup.Dedup.embeddingLshPairs(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-        .filter(col("cos_sim") >= 0.05)
-        .select(col("id1").as("a"), col("id2").as("b"))
+      val edges = lshEdges(s, d)
       val seeded = t(s, d, "embeddings")
         .select(col("vec_id").as("node"))
         .withColumn("dist", when(col("node") % 50 === 0, lit(0))
@@ -293,7 +400,63 @@ object Graph {
       nodes.map(node => (node, rank(node) / 1e6)).toSeq
         .toDF("event_type", "pagerank")
         .orderBy("event_type")
-    }))
+    }),
+
+    // Local clustering coefficient — triangle counting's per-node
+    // normalization: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2.
+    // In a near-dup graph this is the template-vs-chain separator per
+    // NODE: C ≈ 1 marks members of pasted-boilerplate cliques, C ≈ 0
+    // marks incidental bridge vectors that merely connect families.
+    // T(v) reuses the sorted-edge a<b<c triple join; degree is one
+    // aggregate over the symmetric view; both key on node ids so every
+    // shuffle scales with the thresholded EDGE table. The ratio is
+    // per-row double math over exact integer counts — engine-identical
+    // by construction.
+    "graph_clustering_coeff" -> ((s, d) =>
+      clusteringCoeff(lshEdges(s, d)).orderBy("vec_id")),
+
+    // Neighborhood Jaccard — structural node similarity WITHOUT
+    // touching the embeddings again: two vectors whose near-dup
+    // NEIGHBORHOODS overlap belong to the same template family even
+    // when their own cosine fell below τ (the classic link-prediction
+    // / entity-consolidation signal). Candidate pairs come from wedge
+    // enumeration — the symmetric edge list self-joined on the shared
+    // middle node — so only pairs with ≥ 1 common neighbor ever
+    // materialize, and the wedge count is Σ_w deg(w)², bounded here by
+    // the LSH bucket cap (≤ 256 per bucket), never corpus-quadratic.
+    // J = common / (deg_u + deg_v − common) by inclusion-exclusion on
+    // the open neighborhoods.
+    "graph_jaccard_neighbors" -> ((s, d) =>
+      jaccardNeighbors(lshEdges(s, d)).orderBy("id1", "id2")),
+
+    // k-core peel (k = 3, ≤ 4 synchronous rounds) — the density filter
+    // that strips chains and pendant vectors off the near-dup graph,
+    // leaving only neighborhoods where every member has ≥ 3 surviving
+    // neighbors (the "burst of template spam" cores worth human
+    // review). Each round drops every node with degree < k and
+    // restricts the edge set to survivors; the loop runs on the
+    // [[graft.plans.Iterate]] fixpoint harness (persist lifecycle,
+    // fanout-derived lineage truncation, small-state fast path) and
+    // stops early when a round removes nothing — from which point
+    // further peels are no-ops, which is exactly why the bounded
+    // contract ("the 4-round 3-core approximant") stays oracle-equal
+    // whether or not the peel converged: the oracle unrolls all 4
+    // rounds unconditionally. Per round: one degree aggregate + two
+    // semi-joins, all keyed on node ids — shuffles scale with |E|.
+    "graph_kcore" -> ((s, d) =>
+      kcorePeel(lshEdges(s, d), k = 3, rounds = 4).orderBy("vec_id")),
+
+    // Degree assortativity — Newman's r: the Pearson correlation of
+    // endpoint degrees over the directed-symmetrized edge list. r > 0
+    // (hubs attach to hubs) is the signature of template FAMILIES;
+    // r < 0 (hubs attach to leaves) of hub-and-spoke scraping. One
+    // degree aggregate, two broadcast-sized joins back onto the edges,
+    // and a single-row reduce of integer moments — deg ≤ the LSH
+    // bucket cap bounds every product at 2^16, so BIGINT sums hold to
+    // ~10^14 edges before the DECIMAL bridge would be needed. The
+    // closed form is per-row double math on the one reduced row.
+    "graph_degree_assortativity" -> ((s, d) =>
+      degreeAssortativity(lshEdges(s, d))))
 
   val oracles: Map[String, String] = Map(
     // same plane-literal LSH replay as dedup_embedding_lsh, thresholded
@@ -423,5 +586,103 @@ object Graph {
         |      / 1000000 AS r
         |  FROM nodes LEFT JOIN s3 USING (node), n)
         |SELECT node AS event_type, r AS pagerank
-        |FROM r3 ORDER BY event_type""".stripMargin)
+        |FROM r3 ORDER BY event_type""".stripMargin,
+    // same LSH edge replay; triangle triple-join + symmetric degree,
+    // then the per-node C(v) ratio on exact integer counts
+    "graph_clustering_coeff" ->
+      s"""WITH $lshEdgesCte,
+        |sym AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |deg AS (SELECT u, count(*) AS degree FROM sym GROUP BY u),
+        |tris AS (
+        |  SELECT x.a, x.b, y.b AS c
+        |  FROM edges x JOIN edges y ON y.a = x.b
+        |  JOIN edges z ON z.a = x.a AND z.b = y.b),
+        |tc AS (
+        |  SELECT u, count(*) AS tri FROM (
+        |    SELECT a AS u FROM tris
+        |    UNION ALL SELECT b FROM tris
+        |    UNION ALL SELECT c FROM tris) GROUP BY u)
+        |SELECT deg.u AS vec_id, degree,
+        |  coalesce(tri, CAST(0 AS BIGINT)) AS n_triangles,
+        |  round(2.0 * coalesce(tri, 0) / (degree * (degree - 1))
+        |    * 1000000) / 1000000 AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON tc.u = deg.u
+        |WHERE degree >= 2 ORDER BY vec_id""".stripMargin,
+    // wedge enumeration on the symmetric view; inclusion-exclusion on
+    // the open neighborhoods
+    "graph_jaccard_neighbors" ->
+      s"""WITH $lshEdgesCte,
+        |sym AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |wed AS (
+        |  SELECT s1.u AS x, s2.u AS y, count(*) AS common
+        |  FROM sym s1 JOIN sym s2 ON s2.v = s1.v AND s1.u < s2.u
+        |  GROUP BY s1.u, s2.u)
+        |SELECT x AS id1, y AS id2, common,
+        |  d1.deg AS deg_1, d2.deg AS deg_2,
+        |  round(CAST(common AS DOUBLE) / (d1.deg + d2.deg - common)
+        |    * 1000000) / 1000000 AS jaccard
+        |FROM wed JOIN deg d1 ON d1.u = x JOIN deg d2 ON d2.u = y
+        |ORDER BY id1, id2""".stripMargin,
+    // 4 unconditionally-unrolled peel rounds (k = 3); MATERIALIZED
+    // keeps DuckDB from inlining each round's edge set into the 3
+    // places the next round references it (the exponential-CTE-tree
+    // hazard the xxhash replay documented)
+    "graph_kcore" ->
+      s"""WITH $lshEdgesCte,
+        |e0 AS MATERIALIZED (SELECT a, b FROM edges),
+        |k1 AS MATERIALIZED (SELECT n FROM (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY n) WHERE deg >= 3),
+        |e1 AS MATERIALIZED (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1)),
+        |k2 AS MATERIALIZED (SELECT n FROM (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+        |  GROUP BY n) WHERE deg >= 3),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT n FROM k2) AND b IN (SELECT n FROM k2)),
+        |k3 AS MATERIALIZED (SELECT n FROM (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+        |  GROUP BY n) WHERE deg >= 3),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT n FROM k3) AND b IN (SELECT n FROM k3)),
+        |k4 AS MATERIALIZED (SELECT n FROM (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+        |  GROUP BY n) WHERE deg >= 3),
+        |e4 AS MATERIALIZED (SELECT a, b FROM e3
+        |  WHERE a IN (SELECT n FROM k4) AND b IN (SELECT n FROM k4))
+        |SELECT vec_id, count(*) AS core_degree FROM (
+        |  SELECT a AS vec_id FROM e4 UNION ALL SELECT b FROM e4)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // Newman's r over the directed-symmetrized edge list: integer
+    // moment sums, closed form on the single reduced row
+    "graph_degree_assortativity" ->
+      s"""WITH $lshEdgesCte,
+        |sym AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        |pr AS (
+        |  SELECT d1.deg AS du, d2.deg AS dv
+        |  FROM sym JOIN deg d1 ON d1.u = sym.u
+        |  JOIN deg d2 ON d2.u = sym.v),
+        |a AS (
+        |  SELECT count(*) AS m,
+        |    sum(du) AS s_u, sum(dv) AS s_v, sum(du * dv) AS s_uv,
+        |    sum(du * du) AS s_uu, sum(dv * dv) AS s_vv
+        |  FROM pr)
+        |SELECT m,
+        |  round((CAST(s_uv AS DOUBLE) / m
+        |      - (CAST(s_u AS DOUBLE) / m) * (CAST(s_v AS DOUBLE) / m))
+        |    / sqrt((CAST(s_uu AS DOUBLE) / m
+        |        - (CAST(s_u AS DOUBLE) / m) * (CAST(s_u AS DOUBLE) / m))
+        |      * (CAST(s_vv AS DOUBLE) / m
+        |        - (CAST(s_v AS DOUBLE) / m) * (CAST(s_v AS DOUBLE) / m)))
+        |    * 1000000) / 1000000 AS assortativity
+        |FROM a""".stripMargin)
 }

@@ -879,6 +879,47 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     }),
 
+    // 2-D grid-bucketed radius join — the SPATIAL join pattern (lat/lon
+    // proximity, UMAP-plane neighborhoods), structurally different from
+    // LSH: the grid is deterministic, exhaustive within r (NO missed
+    // pairs — LSH trades recall, a grid join trades nothing), and the
+    // candidate set is the 9-cell Moore neighborhood. Points land in
+    // floor(coord/r) cells; the probe side explodes to its 9 neighbor
+    // cells, the build side stays keyed by its own cell, so every
+    // near pair meets exactly once (ordered ids kill the symmetric
+    // duplicate; same-cell pairs meet at the build point's cell) and
+    // the exact-distance filter runs only inside neighborhoods.
+    // Scale: shuffles key on cell ids — 9× probe fanout, never
+    // all-pairs; a dense hot cell is a salting candidate, same recipe
+    // as join_salted_skew. Plane = embedding dims (0, 1) — the
+    // projection a UMAP/PCA stage would emit.
+    "sim_grid_join_2d" -> ((s, d) => {
+      val r = 0.1
+      val pts = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").getItem(0).cast("double").as("x"),
+          col("embedding").getItem(1).cast("double").as("y"))
+        .withColumn("cx", floor(col("x") / r).cast("long"))
+        .withColumn("cy", floor(col("y") / r).cast("long"))
+      val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+      val probe = pts.select(col("vec_id").as("id1"),
+          col("x").as("x1"), col("y").as("y1"),
+          explode(offs).as("o"), col("cx"), col("cy"))
+        .select(col("id1"), col("x1"), col("y1"),
+          (col("cx") + col("o.dx")).as("jx"),
+          (col("cy") + col("o.dy")).as("jy"))
+      val d2 = (col("x1") - col("x")) * (col("x1") - col("x")) +
+        (col("y1") - col("y")) * (col("y1") - col("y"))
+      probe.join(pts,
+          col("jx") === col("cx") && col("jy") === col("cy") &&
+            col("id1") < col("vec_id"))
+        .filter(d2 <= lit(0.01))
+        .select(col("id1"), col("vec_id").as("id2"),
+          U.round6(sqrt(d2)).as("dist"))
+        .orderBy("id1", "id2")
+    }),
+
     // Int8-quantized retrieval: the 100 TB memory story (4-8x smaller
     // vectors, integer SIMD-friendly scoring) demonstrated end-to-end —
     // per-vector absmax quantization (the persisted form at scale), the
@@ -1271,6 +1312,29 @@ object Similarity {
         |SELECT vec_id, cos_sim FROM scored
         |WHERE cos_sim >= 0.1
         |ORDER BY cos_sim DESC, vec_id""".stripMargin,
+    // same floor(coord/r) grid, 9-cell Moore probe, exact L2 inside
+    "sim_grid_join_2d" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[2] AS DOUBLE) AS y,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT)
+        |      AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT)
+        |      AS cy
+        |  FROM embeddings),
+        |probe AS (
+        |  SELECT vec_id AS id1, x AS x1, y AS y1,
+        |    cx + dx.d AS jx, cy + dy.d AS jy
+        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx,
+        |       (SELECT unnest([-1, 0, 1]) AS d) dy)
+        |SELECT id1, b.vec_id AS id2,
+        |  round(sqrt((x1 - b.x) * (x1 - b.x) + (y1 - b.y) * (y1 - b.y))
+        |    * 1000000) / 1000000 AS dist
+        |FROM probe JOIN c b
+        |  ON b.cx = probe.jx AND b.cy = probe.jy AND probe.id1 < b.vec_id
+        |WHERE (x1 - b.x) * (x1 - b.x) + (y1 - b.y) * (y1 - b.y) <= 0.01
+        |ORDER BY id1, id2""".stripMargin,
     "sim_hybrid_rrf" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0),

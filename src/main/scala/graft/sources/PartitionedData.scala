@@ -110,6 +110,56 @@ object PartitionedData {
     })
   }
 
+  /** CSV landing-zone copy of `nation` with 3 PLANTED malformed lines
+    * — the permissive-ingest fixture for scan_csv_permissive: real
+    * feeds carry garbage rows, and the ingest contract is
+    * quarantine-don't-crash. Exactly 3 bad lines is part of the
+    * fixture contract (the oracle encodes it as a literal): one
+    * unparseable key, one unparseable region, one token-count
+    * overflow. Headerless (schema supplied at read); Spark's CSV
+    * writer handles quoting, and the extra bad-lines part file slots
+    * into the directory like any other split. `_BADROWS` (not
+    * Spark's `_SUCCESS`) is the completion marker so a crash between
+    * the clean write and the bad-line append can't memoize a fixture
+    * missing its garbage. */
+  def nationCsvLanding(spark: SparkSession, d: String): String = {
+    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "nation.parquet"))
+    val key = (s"csv:$d", sig)
+    memo.computeIfAbsent(key, { _ =>
+      val base = java.nio.file.Paths.get("target", "graft-derived")
+        .toAbsolutePath
+      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
+      val prefix = s"nation_csv_${dirTag}_"
+      val name = f"$prefix$sig%016x"
+      val out = base.resolve(name)
+      if (!java.nio.file.Files.exists(out.resolve("_BADROWS"))) {
+        if (java.nio.file.Files.isDirectory(base)) {
+          val s = java.nio.file.Files.list(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            }
+          } finally s.close()
+        }
+        Tables.t(spark, d, "nation")
+          .write.mode(SaveMode.Overwrite)
+          .option("header", "false").csv(out.toString)
+        java.nio.file.Files.write(
+          out.resolve("part-99999-malformed.csv"),
+          java.util.Arrays.asList(
+            "notakey,BADLAND planted malformed row,0",
+            "98,WORSELAND planted malformed row,notaregion",
+            "99,EXTRALAND planted malformed row,1,too,many,columns"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.createFile(out.resolve("_BADROWS"))
+      }
+      out.toString
+    })
+  }
+
   /** Manifest-tracked snapshot of `orders` ([[ManifestTable]]) —
     * range-partitioned and sorted on `o_orderdate` so per-file min/max
     * stats are TIGHT and date-range queries skip whole files from the

@@ -89,6 +89,29 @@ object StreamingOps {
       .groupBy("click_id").agg(count(lit(1)).as("n_views"))
   }
 
+  /** LEFT-OUTER stream-stream interval join (batch analog): like
+    * [[clickViewJoin]] but every click row survives — a click with no
+    * preceding view emits n_views = 0. In the streaming run this is
+    * exactly what the watermarked left-outer join produces at state
+    * EXPIRY: the unmatched left row is held in the state store until
+    * the view-side watermark passes the end of its match interval,
+    * then emitted with nulls (see StreamingSpec's execution test).
+    * The time-range predicate must live in the JOIN condition, not a
+    * post-filter — outer-join semantics differ, and it is also what
+    * lets Structured Streaming derive the state retention bound. */
+  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        U.tsUs(col("ts")).as("ctu"))
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), U.tsUs(col("ts")).as("vtu"))
+    c.join(v,
+      col("v_uid") === col("user_id") &&
+        col("vtu") <= col("ctu") &&
+        col("ctu") - col("vtu") <= 10L * 60 * 1000000, "left")
+      .groupBy("click_id").agg(count(col("vtu")).as("n_views"))
+  }
+
   /** Stream-static enrichment join: the unbounded stream joins a
     * broadcast dimension snapshot (re-resolved per micro-batch by
     * Structured Streaming, so dim updates between batches are picked
@@ -295,6 +318,8 @@ object StreamingOps {
     }),
     "stream_join_interval" -> ((s, d) =>
       clickViewJoin(Tables.t(s, d, "events")).orderBy("click_id")),
+    "stream_join_left_outer" -> ((s, d) =>
+      clickViewLeftJoin(Tables.t(s, d, "events")).orderBy("click_id")),
     "stream_tumbling_agg" -> ((s, d) =>
       tumblingAgg(Tables.t(s, d, "events")).orderBy("ws_us", "event_type")),
     "stream_sliding_agg" -> ((s, d) =>
@@ -421,6 +446,17 @@ object StreamingOps {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND epoch_us(v.ts) <= epoch_us(c.ts)
         | AND epoch_us(c.ts) - epoch_us(v.ts) <= 600000000
+        |GROUP BY c.event_id ORDER BY click_id""".stripMargin,
+    // count(v.ts) over the LEFT join: unmatched clicks emit 0 — the
+    // row the streaming run emits at view-watermark expiry
+    "stream_join_left_outer" ->
+      """SELECT c.event_id AS click_id, count(v.ts) AS n_views
+        |FROM events c LEFT JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view'
+        | AND epoch_us(v.ts) <= epoch_us(c.ts)
+        | AND epoch_us(c.ts) - epoch_us(v.ts) <= 600000000
+        |WHERE c.event_type = 'click'
         |GROUP BY c.event_id ORDER BY click_id""".stripMargin,
     "stream_tumbling_agg" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour',

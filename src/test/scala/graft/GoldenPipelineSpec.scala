@@ -429,4 +429,38 @@ class GoldenPipelineSpec extends SparkSpec {
     val viaApi = operators.Pipeline.flagship(spark, sfDir).collect().toSeq
     assert(viaApi === viaSql)
   }
+
+  test("permissive CSV ingest: clean rows parse, the 3 planted " +
+    "malformed lines quarantine with their raw text intact") {
+    val agg = operators.CoreOps.queries("scan_csv_permissive")(
+      spark, sfDir).collect()(0)
+    val nNation = Tables.t(spark, sfDir, "nation").count()
+    val keySum = Tables.t(spark, sfDir, "nation")
+      .agg(sum(col("n_nationkey"))).collect()(0).getLong(0)
+    assert(agg.getLong(0) === nNation)
+    assert(agg.getLong(1) === 3L)
+    assert(agg.getLong(2) === keySum)
+    // the quarantined lines are RECOVERABLE (raw text, not dropped)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_corrupt", StringType)))
+    // a data column rides along: Spark refuses reads that reference
+    // ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val bad = spark.read.schema(schema)
+      .option("header", "false").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(sources.PartitionedData.nationCsvLanding(spark, sfDir))
+      .filter(col("_corrupt").isNotNull)
+      // ALL data columns stay in the output: pruning any of them also
+      // prunes its PARSE, and garbage confined to a pruned field would
+      // not quarantine (the same effect the query's aggregate guards)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_corrupt"))
+      .collect().map(r => Option(r.getString(3)).getOrElse(""))
+    assert(bad.length === 3)
+    assert(bad.forall(_.contains("planted malformed")))
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Planted-graph semantics for the round-9 graph family (clustering
+  * coefficient, neighborhood Jaccard, k-core peel, assortativity).
+  * Fixture: triangle {1,2,3} plus pendant 4 hanging off 1 — small
+  * enough that every expectation below is hand-computed. Oracle parity
+  * at data scale is the driver's DuckDB gate; these pin the math.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trianglePendant =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+
+  test("clustering coefficient: triangle members score 1, the hub is " +
+    "diluted by its pendant, degree-1 nodes don't score") {
+    val got = Graph.clusteringCoeff(trianglePendant)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // node 1: deg 3, 1 triangle → 2·1/(3·2) = 1/3
+    assert(got(1L) === ((3L, 1L, 0.333333)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((2L, 1L, 1.0)))
+    assert(!got.contains(4L)) // degree 1 — coefficient undefined
+  }
+
+  test("neighborhood jaccard: wedge-only candidates, " +
+    "inclusion-exclusion denominators") {
+    val got = Graph.jaccardNeighbors(trianglePendant)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    // N(1)={2,3,4} N(2)={1,3} N(3)={1,2} N(4)={1}
+    assert(got((1L, 2L)) === ((1L, 0.25)))      // {3} / {1,2,3,4}\{}… 1/4
+    assert(got((1L, 3L)) === ((1L, 0.25)))
+    assert(got((2L, 3L)) === ((1L, 0.333333))) // {1} / (2+2−1)
+    assert(got((2L, 4L)) === ((1L, 0.5)))
+    assert(got((3L, 4L)) === ((1L, 0.5)))
+    assert(!got.contains((1L, 4L))) // adjacent but no common neighbor
+  }
+
+  test("k-core peel: k=2 strips the pendant and early-stops on the " +
+    "triangle; k=3 empties the graph") {
+    val core2 = Graph.kcorePeel(trianglePendant, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val core3 = Graph.kcorePeel(trianglePendant, k = 3, rounds = 4)
+    assert(core3.count() === 0L)
+  }
+
+  test("degree assortativity: hand-computed Newman r on the " +
+    "triangle+pendant (hub-leaf edge drives it negative)") {
+    val r = Graph.degreeAssortativity(trianglePendant).collect()(0)
+    // m=8 directed pairs; Σdu=Σdv=18, Σdudv=38, Σdu²=Σdv²=44
+    // r = (38/8 − (18/8)²)/(44/8 − (18/8)²) = −0.3125/0.4375
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === -0.714286)
+  }
+
+  test("k-core peel holds the bounded-round contract: a long chain " +
+    "loses exactly one layer per round") {
+    // path 1-2-3-...-9: 2-core is empty, but peeling only removes the
+    // two endpoints per round — after 2 rounds nodes 3..7 remain
+    val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.kcorePeel(chain, k = 2, rounds = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === (3L to 7L).toSet)
+  }
+}

@@ -83,4 +83,25 @@ class MlSpec extends SparkSpec {
       s"coverage $coverage strays from the 0.9 target")
     assert(r.getDouble(2) > 0.0) // the interval half-width is real
   }
+
+  test("pca power iteration recovers the planted rank-1 direction " +
+    "and its eigenvalue") {
+    // x = t·u for t ∈ {−2, 0, 2}, u = (0.6, 0.8, 0, …): population
+    // covariance is var(t)·uuᵀ = (8/3)·uuᵀ, so the top component is u
+    // with λ = 8/3 (rank-1 ⇒ one power step aligns exactly)
+    val u0 = 0.6f; val u1 = 0.8f
+    val rows = Seq(-2.0f, 0.0f, 2.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(t * u0, t * u1) ++ Array.fill(62)(0.0f))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pca").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = ml.Pca.queries("ml_pca_power")(spark, tmp).collect()
+    assert(got.length == 64)
+    val load = got.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(load(0L) - 0.6) < 1e-3, load(0L).toString)
+    assert(math.abs(load(1L) - 0.8) < 1e-3, load(1L).toString)
+    assert((2L to 63L).forall(i => math.abs(load(i)) < 1e-9))
+    assert(math.abs(got(0).getDouble(2) - 8.0 / 3) < 3e-3)
+  }
 }

@@ -597,4 +597,44 @@ class OperatorSemanticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
     assert(got === Seq((3L, None)))
   }
+
+  test("t-closeness: total-variation distance counts MISSING segment " +
+    "cells, hand-computed on a planted release") {
+    val dir = java.nio.file.Files.createTempDirectory("tclose").toString
+    // nation 1: {A, A, B}; nation 2: {B} — global P = (A:.5, B:.5)
+    Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "B"))
+      .toDF("c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = operators.Aggregates.queries("privacy_t_closeness")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // nation 1: ½(|2/3−½| + |1/3−½|) = 1/6 → passes t ≤ 0.2
+    assert(got(1L) === ((3L, 0.166667, true)))
+    // nation 2: A is ABSENT in-group — ½(|0−½| + |1−½|) = 0.5 → fails
+    assert(got(2L) === ((1L, 0.5, false)))
+  }
+
+  test("sorted-neighborhood ER: near-identical neighbors match on " +
+    "full evidence, far records pair but don't match") {
+    val dir = java.nio.file.Files.createTempDirectory("snm").toString
+    Seq(
+      (10L, "widget alpha", "small", 5L, 100.0),
+      (20L, "widget alphb", "small", 5L, 101.0), // sort-adjacent near-dup
+      (30L, "zzz gadget", "large", 40L, 900.0))  // within w but no evidence
+      .toDF("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = operators.Joins.queries("join_er_sorted_neighborhood")(
+      spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(6), r.getInt(7)))).toMap
+    // n=3, w=10 → all 3 pairs are candidates
+    assert(got.keySet === Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    // jw(widget alpha, widget alphb) ≥ .95; type/size agree, price
+    // within 10% → all four agreements: 4.247928+2.169925+1.765535
+    // +1.415037 = 9.598425
+    assert(got((10L, 20L)) === ((9.598425, 1)))
+    assert(got((10L, 30L))._2 === 0)
+    assert(got((20L, 30L))._2 === 0)
+  }
 }

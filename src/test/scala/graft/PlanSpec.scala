@@ -317,7 +317,10 @@ class PlanSpec extends SparkSpec {
       "stats_chi2_independence", // 1-row (N, r, c) stats scalar broadcast
       "stats_benford",       // 1-row corpus-total scalar broadcast
       "events_rfm_scores",   // 1-row max-date + quintile-bounds broadcasts
-      "stats_qq_deciles")    // 1-row × 1-row per-group percentile join
+      "stats_qq_deciles",    // 1-row × 1-row per-group percentile join
+      "stats_kendall_tau",   // ≤|dom(x)|·|dom(y)| cell self-join + 1-row marginals
+      "privacy_t_closeness", // |dom(segment)|-row × 1-row marginal grid
+      "text_kneser_ney_bigram") // 1-row bigram-type-count scalar broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final

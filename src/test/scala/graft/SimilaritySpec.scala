@@ -293,4 +293,27 @@ class SimilaritySpec extends SparkSpec {
       s"1-bit candidates ($candMean) no better than corpus mean " +
         s"($corpusMean) — sign signatures carry no signal?")
   }
+
+  test("grid join 2d: exhaustive within r across cell borders, " +
+    "negative-coordinate cells, no far pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("grid2d").toString
+    def v(x: Float, y: Float) = Array(x, y) ++ Array.fill(62)(0.0f)
+    Seq(
+      (1L, v(0.025f, 0.025f)),  // cell (0,0)
+      (2L, v(0.05f, 0.05f)),    // cell (0,0)
+      (3L, v(0.115f, 0.025f)),  // cell (1,0) — cross-border neighbor
+      (4L, v(2.0f, 2.0f)),      // far
+      (5L, v(-0.025f, 0.025f))) // cell (−1,0) — floor on negatives
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.queries("sim_grid_join_2d")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // d(1,3)=0.09 crosses cells (0,0)→(1,0); d(3,5)=0.14 > r drops
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 5L), (2L, 5L)))
+    assert(math.abs(got((1L, 2L)) - 0.035355) < 1e-6)
+    assert(math.abs(got((2L, 5L)) - 0.079057) < 1e-6)
+    assert(math.abs(got((1L, 3L)) - 0.09) < 1e-6)
+  }
 }

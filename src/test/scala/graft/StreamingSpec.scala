@@ -609,4 +609,59 @@ class StreamingSpec extends SparkSpec {
       assert(kept.toSeq === Seq(11L, 13L))
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join: matches emit inner rows, the " +
+    "unmatched click emits its null row at view-watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "user_id", "click_id")
+      .withWatermark("cts", "0 seconds")
+    val v = views.toDF().toDF("vts", "v_uid")
+      .withWatermark("vts", "0 seconds")
+    val j = c.join(v,
+      col("v_uid") === col("user_id") &&
+        col("vts") <= col("cts") &&
+        col("vts") >= col("cts") - expr("INTERVAL 10 minutes"),
+      "leftOuter")
+      .select(col("click_id"), col("v_uid"))
+    val q = j.writeStream.format("memory").queryName("lsj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(10), 1L, 100L), (ts(10), 2L, 200L))
+      views.addData((ts(5), 1L)) // matches click 100; user 2 unmatched
+      q.processAllAvailable()
+      // push BOTH watermarks past click 200's match interval so its
+      // buffered state expires; expiry rows surface a batch later
+      clicks.addData((ts(60), 9L, 900L))
+      views.addData((ts(60), 9L))
+      q.processAllAvailable()
+      clicks.addData((ts(120), 8L, 800L))
+      views.addData((ts(120), 8L))
+      q.processAllAvailable()
+      val rows = spark.table("lsj_out")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(rows.contains((100L, Some(1L)))) // the inner match
+      assert(rows.contains((200L, None)),     // the expiry emission
+        s"unmatched click never expired: $rows")
+    } finally q.stop()
+  }
+
+  test("left-outer interval join batch analog: zero-view clicks " +
+    "survive with n_views = 0, late views don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 5L, "view"),   // matches user 1's click at t=10
+      (2L, 1L, 10L, "click"), // → 1 view
+      (3L, 2L, 10L, "click"), // user 2: no views at all → 0
+      (4L, 3L, 20L, "view"),  // AFTER user 3's click — must not count
+      (5L, 3L, 10L, "click")) // → 0
+      .map { case (id, u, t, ty) =>
+        (id, u, new Timestamp(t * 60 * 1000), ty, 0.0)
+      }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = StreamingOps.clickViewLeftJoin(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 1L, 3L -> 0L, 5L -> 0L))
+  }
 }

@@ -118,4 +118,21 @@ class TextOpsSpec extends SparkSpec {
     assert(f.map(_._1).toSeq === Seq(1L, 2L, 5L, 6L)) // 3 and 4 dropped
     assert(f.find(_._1 == 5L).get === ((5L, 3L, 1L, 3L))) // "x x" ×3
   }
+
+  test("kneser-ney bigram: hand-computed discount, continuation " +
+    "diversity, and backoff on a planted corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("kn").toString
+    Seq((1L, "a b a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("text_kneser_ney_bigram")(spark, tmp)
+      .collect()
+    // bigrams: (a,b)×2, (b,a)×1, (a,c)×1 — only (a,b) clears c≥2.
+    // c_x(a)=3, N1+(a·)=2, N1+(·b)=1, types=3:
+    // p = (2−.75)/3 + .75·2/3·(1/3) = 0.416667 + 0.166667
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "a" && got(0).getString(1) == "b")
+    assert(got(0).getLong(2) == 2L)
+    assert(got(0).getDouble(3) === 0.583333)
+  }
 }
