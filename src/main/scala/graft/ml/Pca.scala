@@ -54,10 +54,21 @@ object Pca {
     (math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5)).toLong
 
   /** Upper-triangle covariance rows (i ≤ j, C_ij rounded 1e-6):
-    * C = E[x_i·x_j] − μ_i·μ_j (population form, n divisor). */
+    * C = E[x_i·x_j] − μ_i·μ_j (population form, n divisor). The
+    * per-dim sums come from ONE single-level explode (n·d rows → d
+    * rows, broadcast back onto the pair cells) instead of being
+    * re-summed per cell — exact decimal sums make sx/n ≡ μ_i
+    * bit-identically, so the oracle's per-cell form replays the same
+    * doubles while the engine's pair pass carries a single decimal
+    * sum per cell (measured 15.0 → ~8 s at sf0.1). */
   private def covUpper(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    val mu = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(
+        count(lit(1)).as("n"),
+        (U.dbl(sum(U.dec6(col("x").cast("double")))) / count(lit(1)))
+          .as("mu"))
     val a = emb.select(col("embedding").as("e"),
       posexplode(col("embedding")).as(Seq("i", "xi")))
     val b = a.select(col("i"), col("xi").cast("double").as("xi"),
@@ -65,15 +76,18 @@ object Pca {
       .filter(col("j") >= col("i"))
       .select(col("i"), col("j"), col("xi"),
         col("xj").cast("double").as("xj"))
-    val moments = b.groupBy("i", "j").agg(
+    val sxy = b.groupBy("i", "j").agg(
       count(lit(1)).as("n"),
-      U.dbl(sum(U.dec6(col("xi") * col("xj")))).as("sxy"),
-      U.dbl(sum(U.dec6(col("xi")))).as("sx"),
-      U.dbl(sum(U.dec6(col("xj")))).as("sy"))
-    moments.select(col("i").cast("long").as("i"),
-      col("j").cast("long").as("j"),
-      U.round6(col("sxy") / col("n")
-        - (col("sx") / col("n")) * (col("sy") / col("n"))).as("c"))
+      U.dbl(sum(U.dec6(col("xi") * col("xj")))).as("sxy"))
+    sxy
+      .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))),
+        Seq("i"))
+      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))),
+        Seq("j"))
+      .select(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"),
+        U.round6(col("sxy") / col("n") - col("mu_i") * col("mu_j"))
+          .as("c"))
   }
 
   /** Collect the (dimension-bounded) covariance and run the

@@ -229,6 +229,36 @@ object Graph {
       .groupBy("vec_id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Katz centrality, DISTRIBUTED: `rounds` synchronous iterations of
+    * x ← α·A·x + 1 over an undirected edge list, from x₀ = 0. This is
+    * the data-scaled-node-set counterpart of [[queries graph_pagerank
+    * _types]]' driver loop (whose node set is the bounded type
+    * vocabulary): here the rank vector LIVES as a DataFrame and each
+    * round is one edge join + one decimal-bridged aggregate — keyed
+    * shuffles linear in |E|, nothing collected. Determinism: each
+    * edge contribution rounds to 1e-6 BEFORE the exact decimal sum
+    * (the PageRank/ACF discipline), each new rank rounds after the +1
+    * — partition-order invariant, so the oracle unrolls the identical
+    * rounds in SQL. Fixed round count is the honest bounded contract
+    * (Katz converges for α < 1/λ₁ but the oracle can only replay a
+    * fixed horizon; 3 rounds ≡ counting α-damped walks of length ≤ 3). */
+  def katzCentrality(edges: DataFrame, nodes: DataFrame,
+      rounds: Int, alpha: Double): DataFrame = {
+    val sym = symEdges(edges)
+    var x = nodes.select(col("node"), lit(0.0).as("r"))
+    for (_ <- 1 to rounds) {
+      val contrib = sym
+        .join(x.select(col("node").as("v"), col("r")), Seq("v"))
+        .select(col("u").as("node"),
+          U.round6(lit(alpha) * col("r")).as("c"))
+        .groupBy("node").agg(U.dbl(sum(U.dec6(col("c")))).as("s"))
+      x = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          U.round6(coalesce(col("s"), lit(0.0)) + lit(1.0)).as("r"))
+    }
+    x
+  }
+
   /** Newman degree assortativity over an (a, b) edge list: Pearson r
     * of endpoint degrees on the directed-symmetrized view; integer
     * moment sums, closed form on the single reduced row. */
@@ -456,7 +486,19 @@ object Graph {
     // ~10^14 edges before the DECIMAL bridge would be needed. The
     // closed form is per-row double math on the one reduced row.
     "graph_degree_assortativity" -> ((s, d) =>
-      degreeAssortativity(lshEdges(s, d))))
+      degreeAssortativity(lshEdges(s, d))),
+
+    // Katz centrality over the near-dup graph (3 rounds, α = 0.1):
+    // α-damped walk counts — the influence measure that sees PATHS,
+    // not just degree (a vector bridging two dense template families
+    // outranks an equal-degree clique member). Distributed iteration:
+    // the rank vector never leaves the cluster.
+    "graph_katz_centrality" -> ((s, d) => {
+      val nodes = t(s, d, "embeddings").select(col("vec_id").as("node"))
+      katzCentrality(lshEdges(s, d), nodes, rounds = 3, alpha = 0.1)
+        .select(col("node").as("vec_id"), col("r").as("katz"))
+        .orderBy("vec_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     // same plane-literal LSH replay as dedup_embedding_lsh, thresholded
@@ -660,6 +702,36 @@ object Graph {
         |SELECT vec_id, count(*) AS core_degree FROM (
         |  SELECT a AS vec_id FROM e4 UNION ALL SELECT b FROM e4)
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // three unrolled x ← α·A·x + 1 rounds; per-edge contributions
+    // round at 1e-6 before the exact decimal sum, mirroring the engine
+    "graph_katz_centrality" ->
+      s"""WITH $lshEdgesCte,
+        |sym AS (SELECT a AS u, b AS v FROM edges
+        |        UNION ALL SELECT b AS u, a AS v FROM edges),
+        |nodes AS (SELECT vec_id AS node FROM embeddings),
+        |x0 AS (SELECT node, 0.0 AS r FROM nodes),
+        |c1 AS (SELECT s.u AS node, CAST(sum(CAST(
+        |         round(0.1 * x.r * 1000000) / 1000000
+        |       AS DECIMAL(18, 6))) AS DOUBLE) AS s
+        |       FROM sym s JOIN x0 x ON x.node = s.v GROUP BY s.u),
+        |x1 AS (SELECT n.node,
+        |         round((coalesce(c.s, 0.0) + 1.0) * 1000000) / 1000000 AS r
+        |       FROM nodes n LEFT JOIN c1 c USING (node)),
+        |c2 AS (SELECT s.u AS node, CAST(sum(CAST(
+        |         round(0.1 * x.r * 1000000) / 1000000
+        |       AS DECIMAL(18, 6))) AS DOUBLE) AS s
+        |       FROM sym s JOIN x1 x ON x.node = s.v GROUP BY s.u),
+        |x2 AS (SELECT n.node,
+        |         round((coalesce(c.s, 0.0) + 1.0) * 1000000) / 1000000 AS r
+        |       FROM nodes n LEFT JOIN c2 c USING (node)),
+        |c3 AS (SELECT s.u AS node, CAST(sum(CAST(
+        |         round(0.1 * x.r * 1000000) / 1000000
+        |       AS DECIMAL(18, 6))) AS DOUBLE) AS s
+        |       FROM sym s JOIN x2 x ON x.node = s.v GROUP BY s.u),
+        |x3 AS (SELECT n.node,
+        |         round((coalesce(c.s, 0.0) + 1.0) * 1000000) / 1000000 AS r
+        |       FROM nodes n LEFT JOIN c3 c USING (node))
+        |SELECT node AS vec_id, r AS katz FROM x3 ORDER BY vec_id""".stripMargin,
     // Newman's r over the directed-symmetrized edge list: integer
     // moment sums, closed form on the single reduced row
     "graph_degree_assortativity" ->

@@ -102,6 +102,62 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Wilder RSI (period 14) — the classic momentum oscillator, and a
+    // second data point for the sequential-recurrence shape: TWO
+    // carried accumulators (smoothed gain and loss) folded per user in
+    // one secondary-sort mapPartitions scan (repartition on the key,
+    // sortWithinPartitions, O(1) state — the window_ewma discipline;
+    // a window function cannot express Wilder smoothing because each
+    // step divides the PREVIOUS smoothed value). Seed convention:
+    // the first delta's gain/loss starts both averages (documented
+    // variant of the SMA-14 seed; the recursion is identical from
+    // there). Cross-engine determinism is fold-order identity — the
+    // per-user op sequence is the same IEEE program on both engines,
+    // so no decimal bridging is needed; RSI rounds at the boundary.
+    // al = 0 (no losses yet) pins RSI at 100 on both sides.
+    "window_rsi_wilder" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "events").filter(col("value").isNotNull)
+        .select(col("user_id"), U.tsUs(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)]
+      src.repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapPartitions { it =>
+          var curUser = 0L
+          var haveUser = false
+          var prev = 0.0
+          var ag = 0.0
+          var al = 0.0
+          var n = 0L
+          it.flatMap { case (u, _, eid, v) =>
+            if (!haveUser || u != curUser) {
+              curUser = u; haveUser = true; prev = v
+              ag = 0.0; al = 0.0; n = 0
+              None
+            } else {
+              val delta = v - prev
+              prev = v
+              val g = if (delta > 0) delta else 0.0
+              val l = if (delta < 0) -delta else 0.0
+              n += 1
+              if (n == 1) { ag = g; al = l }
+              else {
+                ag = (13.0 * ag + g) / 14.0
+                al = (13.0 * al + l) / 14.0
+              }
+              Some((eid, u, ag, al))
+            }
+          }
+        }
+        .toDF("event_id", "user_id", "ag", "al")
+        .select(col("event_id"), col("user_id"),
+          U.round6(when(col("al") === 0.0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0)
+              / (lit(1.0) + col("ag") / col("al")))).as("rsi"))
+        .orderBy("event_id")
+    }),
+
     // Range frame: sum over a value-range window (orders within ±1 of the
     // current key) — rangeBetween, not rowsBetween.
     "window_range_frame" -> ((s, d) => {
@@ -1156,6 +1212,30 @@ object Windows {
         |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
         |SELECT event_id, user_id,
         |  round(ewma * 1000000) / 1000000 AS ewma
+        |FROM r ORDER BY event_id""".stripMargin,
+    // the window_ewma recursion with two carried columns (smoothed
+    // gain/loss); rn = 2 is the seed row (first delta)
+    "window_rsi_wilder" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER w AS rn,
+        |    value - lag(value) OVER w AS delta
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id)),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    greatest(delta, 0.0) AS ag, greatest(-delta, 0.0) AS al
+        |  FROM s WHERE rn = 2
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    (13.0 * r.ag + greatest(s.delta, 0.0)) / 14.0,
+        |    (13.0 * r.al + greatest(-s.delta, 0.0)) / 14.0
+        |  FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN al = 0 THEN 100.0
+        |    ELSE 100.0 - 100.0 / (1.0 + ag / al) END * 1000000)
+        |    / 1000000 AS rsi
         |FROM r ORDER BY event_id""".stripMargin,
     "window_range_frame" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -73,6 +73,29 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(math.abs(exp1(2) - 11.0) < 1e-9 && math.abs(exp2(1) - 80.0) < 1e-9)
   }
 
+  test("wilder rsi: all-gain series pins 100, first loss pulls it to " +
+    "the hand-folded ratio, single-event users emit nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("rsi").toString
+    Seq(
+      (1L, 1L, 0L, 10.0), (2L, 1L, 1L, 11.0),   // delta +1 → RSI 100
+      (3L, 1L, 2L, 10.5), (4L, 1L, 3L, 10.5),   // loss then flat
+      (5L, 2L, 0L, 42.0))                        // lone event → no row
+      .map { case (id, u, t, v) =>
+        (id, u, new java.sql.Timestamp(t * 1000), "e", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Windows.queries("window_rsi_wilder")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set(2L, 3L, 4L))
+    assert(got(2L) === 100.0)
+    // seed ag=1 al=0; step: ag=13/14, al=0.5/14 → rs=26,
+    // RSI = 100 − 100/27 (same IEEE fold both steps)
+    val ag = 13.0 * 1.0 / 14.0; val al = (13.0 * 0.0 + 0.5) / 14.0
+    val exp = math.round((100.0 - 100.0 / (1.0 + ag / al)) * 1e6) / 1e6
+    assert(got(3L) === exp)
+    assert(got(4L) === exp) // flat delta leaves the gain/loss RATIO fixed
+  }
+
   test("interval overlap: bucketed equi-join finds exactly the overlapping pairs") {
     // [0,10] vs [5,15] overlap; [0,10] vs [11,20] don't (strict integer bounds)
     val a = Seq((1L, 0, 10), (2L, 100, 110)).toDF("a_id", "a_lo", "a_hi")
