@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The bench/verify suite compiles thousands of whole-stage-codegen
+  // classes in one JVM; the JDK default 240 MB code cache overflows
+  // partway through and the JIT degrades to interpreted execution —
+  // a uniform, suite-size-dependent slowdown. Same flags as
+  // tools/run_bench.sh so sbt-forked runs measure the same thing.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -41,27 +41,31 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
 
   /** Local harness session: `local[cpus]`, shuffle partitions = cores.
-    * `maxPartitionBytes` is lowered HERE (not in [[configure]]) because
-    * the testdata tables are single small parquet files — at the default
-    * 128 MB every scan is 1-3 tasks and the scan stage runs nearly
-    * serial on 32 cores. Production guidance stays 256 MB
-    * (DESIGN_SCALE.md): real layouts have many files. */
+    *
+    * Scan/shuffle sizing stays at Spark defaults. Three mid-round-9
+    * "small-SF tuning" overrides (maxPartitionBytes=1m,
+    * advisoryPartitionSizeInBytes=2m, bloom threshold=0) were each
+    * measured WORSE in single-knob A/B on the sf0.1 suite and
+    * reverted: the testdata parquet is ONE row group per file, so a
+    * small maxPartitionBytes only adds empty splits (a row group is
+    * the atomic scan unit — nothing parallelizes); the 2 MB advisory
+    * target over-fragments post-shuffle stages (join_sort_merge 1.37 s
+    * → 0.97 s at 64 MB); and a zero bloom threshold taxes every
+    * eligible join with a bloom-build aggregate (the capability query
+    * scopes it to a cloned session instead — Pruning.bloomJoin).
+    * SPARK_GRAFT_* env knobs remain for dev A/B. */
   def local(cpus: String, uiEnabled: Boolean = false): SparkSession = {
+    def knob(env: String, dflt: String): String =
+      sys.env.getOrElse(env, dflt)
     val spark = configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "1m")
-      // Post-shuffle coalesce target, same story as maxPartitionBytes:
-      // the default 64 MB folds every test-SF shuffle (tens of MB) into
-      // 1-3 tasks and serializes the stage on 32 cores; production keeps
-      // the default (real shuffles are GBs — DESIGN_SCALE.md).
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
-      // Runtime bloom-filter join pruning triggers only when the probe
-      // side scan is ≥ 10 GB by default — correct production gate, but
-      // it makes the capability invisible at test SF; the harness lowers
-      // the gate so the injected filter is exercised and plan-asserted
-      // (operators.Pruning.bloomJoin).
-      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      .config("spark.sql.files.maxPartitionBytes",
+        knob("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        knob("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        knob("SPARK_GRAFT_BLOOM_THRESHOLD", "10GB"))
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

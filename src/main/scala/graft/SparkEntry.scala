@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Graph.queries ++
       operators.Market.queries ++
       operators.Stats.queries ++
+      operators.Resample.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       functions.Bpe.queries ++
@@ -37,7 +38,8 @@ object SparkEntry {
       ml.Logreg.queries ++
       ml.Pca.queries ++
       ml.NaiveBayes.queries ++
-      ml.Ridge.queries
+      ml.Ridge.queries ++
+      ml.Gmm.queries
 
   def oracleSql: Map[String, String] =
     operators.CoreOps.oracles ++
@@ -51,6 +53,7 @@ object SparkEntry {
       operators.Graph.oracles ++
       operators.Market.oracles ++
       operators.Stats.oracles ++
+      operators.Resample.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++
@@ -61,5 +64,6 @@ object SparkEntry {
       ml.Logreg.oracles ++
       ml.Pca.oracles ++
       ml.NaiveBayes.oracles ++
-      ml.Ridge.oracles
+      ml.Ridge.oracles ++
+      ml.Gmm.oracles
 }

@@ -39,6 +39,13 @@ object Tables {
   *  - double AGGREGATION order is engine/partition dependent → always sum
   *    through an exact DECIMAL cast, then CAST the final result to DOUBLE;
   *  - transcendental fns (log, pow) may differ in the last ulp → round.
+  *  - the bare double→DECIMAL cast is itself engine-divergent at the
+  *    target-scale tie (Spark rounds the double's SHORTEST decimal
+  *    string, DuckDB the exact binary value): safe for raw parquet
+  *    columns with few decimal digits, but COMPUTED doubles (quotients,
+  *    products) must go through the engine-stable `round(y*1e6)/1e6`
+  *    BEFORE the cast — [[U.dec6r]]; measured in ml_gmm (2/1500
+  *    per-customer means flipped at the 1e-6 tie, drifting EM params).
   *  - `events.ts` carries sub-microsecond precision that Spark truncates on
   *    read → order/compare timestamps via `unix_micros` (oracle: epoch_us).
   */
@@ -68,6 +75,14 @@ object U {
     * (boundary probability ~0) but the helper is always safe for
     * |x| < 2^53 / 1e6. */
   def round6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
+  /** Engine-stable 1e-6 decimal quantization of a COMPUTED double:
+    * [[round6]] first (both engines round the same double at integer
+    * halves identically), then the decimal cast — whose tie is now
+    * ~1e-10 away on both sides instead of wherever the computed value
+    * landed. Oracle spelling:
+    * `CAST(round(y * 1000000) / 1000000 AS DECIMAL(18,6))`. */
+  def dec6r(c: Column): Column = dec6(round6(c))
 
   /** Cheap change-detection signature of a file tree: (name, size, mtime)
     * folded in walk order. Shared by every derived-artifact memo

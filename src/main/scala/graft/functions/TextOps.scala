@@ -250,6 +250,31 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Feature hashing (the hashing trick): every token maps to one of
+    // 64 buckets by md5, with a ±1 sign from the next hash nibble so
+    // collisions cancel in expectation (Weinberger et al.'s signed
+    // variant) — the vocabulary-free featurizer. This is the 100 TB
+    // counterpart of vocab_build+vocab_apply: NO vocabulary state, no
+    // broadcast, bounded output dimensionality; the whole operator is
+    // map-side token math plus one (doc, bucket) aggregate that
+    // collapses to ≤64 rows per doc before the exchange. Bucket and
+    // sign are INTEGER functions of the md5 hex (conv here; the oracle
+    // spells the same two nibbles via strpos — integer-exact either
+    // way, no float bridge needed).
+    "text_feature_hash" -> ((s, d) => {
+      val h = md5(col("term"))
+      val b16 = conv(substring(h, 1, 2), 16, 10).cast("int")
+      val sign = when(substring(h, 3, 1) < "8", 1).otherwise(-1)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .select(col("doc_id"), (b16 % 64).as("bucket"), sign.as("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("s")).as("weight"))
+        .filter(col("weight") =!= 0)
+        .orderBy("doc_id", "bucket")
+    }),
+
     "text_token_count" -> ((s, d) => {
       val text = col("text")
       val bpeish = regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
@@ -1257,6 +1282,23 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    md5(unnest(string_split(lower(text), ' '))) AS h
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+        |      % 64 AS bucket,
+        |    CASE WHEN substring(h, 3, 1) < '8' THEN 1 ELSE -1 END AS s
+        |  FROM toks)
+        |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(SUM(s) AS BIGINT) AS weight
+        |FROM feat GROUP BY doc_id, bucket
+        |HAVING SUM(s) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
     "text_gram_novelty" ->
       s"""WITH toks AS (
         |${graft.plans.XxhSqlOracle.kgramToksSql(3)}),

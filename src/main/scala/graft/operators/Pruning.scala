@@ -59,7 +59,20 @@ object Pruning {
     * it pays: a filter-application side with a shuffle to protect.
     * `isLikelySelective` requires the creation-side predicate to be a
     * literal comparison over the scan, which `o_orderpriority = lit` is. */
-  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+  def bloomJoin(s0: SparkSession, d: String): DataFrame = {
+    // The injection gate (application-side scan ≥ 10 GB by default) is
+    // lowered on a CLONED session (shared catalog/state, own SQLConf),
+    // so the capability is exercised at test SF without perturbing the
+    // 300+ other queries on the shared session — measured: threshold 0
+    // session-wide costs every eligible join an extra bloom-build
+    // aggregate, ~10% on the join-heavy suite slice. The clone's conf
+    // rides with this DataFrame's plan to execution time, so it holds
+    // whenever the caller materializes it (reentrancy-safe, no
+    // set/restore window).
+    val s = s0.newSession()
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
     val ord = t(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderpriority"))

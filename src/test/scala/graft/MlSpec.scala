@@ -104,4 +104,44 @@ class MlSpec extends SparkSpec {
     assert((2L to 63L).forall(i => math.abs(load(i)) < 1e-9))
     assert(math.abs(got(0).getDouble(2) - 8.0 / 3) < 3e-3)
   }
+
+  test("gmm: EM training is partition-count invariant (bit-identical " +
+    "params through the quantized M-step sums)") {
+    ml.Gmm.clearCache()
+    val p1 = ml.Gmm.train(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("gmmpart").toString
+    Tables.t(spark, sfDir, "orders").repartition(7, col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val p2 = ml.Gmm.train(spark, tmp)
+    assert(p1 == p2.copy(n = p1.n))
+  }
+
+  test("gmm: fitted mixture is well-formed and separates a planted " +
+    "bimodal population") {
+    // two clean spend tiers: customers 0..99 average ~1x Scale/10,
+    // customers 100..199 average ~4x Scale/10
+    val tmp = java.nio.file.Files.createTempDirectory("gmmsep").toString
+    (0 until 200).flatMap { c =>
+      val level = if (c < 100) 10000.0 else 40000.0
+      (0 until 3).map(j => ((c * 3 + j).toLong, c.toLong, "O",
+        level + j * 100.0, new java.sql.Timestamp(0L), "1-URGENT"))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val p = ml.Gmm.train(spark, tmp)
+    assert(p.pi1 > 0.4 && p.pi1 < 0.6, p.toString)
+    assert(p.mu1 < p.mu2, p.toString)
+    assert(math.abs(p.mu1 - 0.101) < 0.01, p.toString)
+    assert(math.abs(p.mu2 - 0.401) < 0.01, p.toString)
+    // assignments agree with the plant
+    val rows = ml.Gmm.queries("ml_gmm_assign")(spark, tmp).collect()
+    val byC = rows.map(r => r.getAs[Long]("cust") ->
+      r.getAs[Int]("component")).toMap
+    assert((0L until 100L).forall(byC(_) == 1))
+    assert((100L until 200L).forall(byC(_) == 2))
+    // responsibility/component consistency on real data
+    val real = ml.Gmm.queries("ml_gmm_assign")(spark, sfDir).collect()
+    assert(real.forall(r => (r.getAs[Double]("resp1") >= 0.5) ==
+      (r.getAs[Int]("component") == 1)))
+  }
 }

@@ -320,7 +320,10 @@ class PlanSpec extends SparkSpec {
       "stats_qq_deciles",    // 1-row × 1-row per-group percentile join
       "stats_kendall_tau",   // ≤|dom(x)|·|dom(y)| cell self-join + 1-row marginals
       "privacy_t_closeness", // |dom(segment)|-row × 1-row marginal grid
-      "text_kneser_ney_bigram") // 1-row bigram-type-count scalar broadcast
+      "text_kneser_ney_bigram", // 1-row bigram-type-count scalar broadcast
+      "stats_bootstrap_ci",  // 1-row obs-mean × 1-row sorted-replicates join
+      "stats_permutation_test", // 1-row observed-diff scalar broadcast
+      "timeseries_changepoint") // 1-row (total, n_days) scalar broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final

@@ -135,4 +135,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0).getLong(2) == 2L)
     assert(got(0).getDouble(3) === 0.583333)
   }
+
+  test("feature hash: buckets bounded, signs cancel, vocabulary-free " +
+    "determinism") {
+    val rows = functions.TextOps.queries("text_feature_hash")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b < 64
+    })
+    assert(rows.forall(_.getAs[Long]("weight") != 0L))
+    // the same token always lands in the same signed bucket, so a doc
+    // of one repeated token has exactly one feature with |weight| = n
+    val tmp = java.nio.file.Files.createTempDirectory("fh").toString
+    Seq((1L, "alpha alpha alpha alpha", "en", "t", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val one = functions.TextOps.queries("text_feature_hash")(spark, tmp)
+      .collect()
+    assert(one.length == 1)
+    assert(math.abs(one(0).getAs[Long]("weight")) == 4L)
+  }
 }
