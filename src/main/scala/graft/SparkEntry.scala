@@ -39,7 +39,8 @@ object SparkEntry {
       ml.Pca.queries ++
       ml.NaiveBayes.queries ++
       ml.Ridge.queries ++
-      ml.Gmm.queries
+      ml.Gmm.queries ++
+      ml.Stump.queries
 
   def oracleSql: Map[String, String] =
     operators.CoreOps.oracles ++
@@ -65,5 +66,6 @@ object SparkEntry {
       ml.Pca.oracles ++
       ml.NaiveBayes.oracles ++
       ml.Ridge.oracles ++
-      ml.Gmm.oracles
+      ml.Gmm.oracles ++
+      ml.Stump.oracles
 }

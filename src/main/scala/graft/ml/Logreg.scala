@@ -187,6 +187,49 @@ object Logreg {
         (sigma12(margin(w)) >= 0.5).as("pred_en"),
         col("y").cast("long").as("label_en"))
         .orderBy("doc_id")
+    }),
+
+    // ROC AUC of the scored corpus — threshold-free ranking quality,
+    // the metric that actually orders candidate gates. AUC is the
+    // Mann-Whitney U statistic normalized: P(score⁺ > score⁻) + ½
+    // P(=), computed from cumulative NEGATIVE counts below each
+    // distinct score. Scale shape (the stats-family discipline):
+    // ONE data-scaled stage (groupBy distinct score, map-side
+    // combined), then block-stitched cumulatives — per-block
+    // partitioned windows plus a ≤101-row offset table — so no
+    // unpartitioned window ever sees the data-scaled distinct-score
+    // set. Per-group contributions quantize through U.dec6r (the
+    // computed-double cast bridge) before the final exact sum.
+    "ml_logreg_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = weights(s, d)
+      val sc = features(s, d).select(
+        U.round6(sigma12(margin(w))).as("sc"), col("y"))
+      val g = sc.groupBy("sc").agg(
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
+      // scores live in [0,1]: floor(sc*100) splits the distinct-score
+      // mass into ≤101 range blocks, monotone along the score order
+      val blk = g.withColumn("b", floor(col("sc") * 100).cast("int"))
+      val wIn = Window.partitionBy("b").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = blk.withColumn("cn_in", sum(col("nn")).over(wIn))
+      val boff = blk.groupBy("b").agg(sum(col("nn")).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("b"), col("off"))
+      val cum = local.join(broadcast(boff), "b")
+        .withColumn("cb", col("off") + col("cn_in") - col("nn"))
+      val t = cum.agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(U.dec6r(col("np").cast("double")
+          * (col("cb").cast("double")
+            + col("nn").cast("double") / lit(2.0))))
+          .cast("double").as("u"))
+      t.select(col("n_pos"), col("n_neg"),
+        U.round6(col("u") / (col("n_pos").cast("double")
+          * col("n_neg").cast("double"))).as("auc"))
     })
   )
 
@@ -286,6 +329,38 @@ object Logreg {
          |    AS score,
          |  ${sqlSigma(sqlMargin(s"w$Iters"))} >= 0.5 AS pred_en,
          |  CAST(y AS BIGINT) AS label_en
-         |FROM feats, w$Iters ORDER BY doc_id""".stripMargin)
+         |FROM feats, w$Iters ORDER BY doc_id""".stripMargin),
+    "ml_logreg_auc" -> (trainSqlCtes +
+      s"""
+         |,
+         |sc AS (
+         |  SELECT round(${sqlSigma(sqlMargin(s"w$Iters"))} * 1000000)
+         |      / 1000000 AS sc, y
+         |  FROM feats, w$Iters),
+         |g AS (
+         |  SELECT sc,
+         |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np,
+         |    CAST(SUM(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nn
+         |  FROM sc GROUP BY sc),
+         |c AS (
+         |  SELECT np, nn,
+         |    coalesce(SUM(nn) OVER (ORDER BY sc
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cb
+         |  FROM g),
+         |t AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |    CAST(SUM(CAST(round(CAST(np AS DOUBLE)
+         |        * (CAST(cb AS DOUBLE) + CAST(nn AS DOUBLE) / 2.0)
+         |        * 1000000) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+         |      AS u
+         |  FROM c)
+         |SELECT n_pos, n_neg,
+         |  round(u / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         |    * 1000000) / 1000000 AS auc
+         |FROM t""".stripMargin)
   )
 }
