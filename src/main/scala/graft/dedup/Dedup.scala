@@ -689,6 +689,64 @@ object Dedup {
         .orderBy("src", "rn")
     }),
 
+    // kNN label propagation over the LSH graph — semi-supervised
+    // labeling in the shape that scales: neighbors come from the
+    // bucketed candidate generation above (never all-pairs), labels
+    // join in, and the majority vote is one bounded aggregate + one
+    // ≤k-row-per-vector rank. This is the production path; the exact
+    // all-pairs twin below is the oracle-able ground truth it is
+    // validated against.
+    "ml_knn_classify_ann" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val knn = queries("sim_knn_graph")(s, d)
+      val labels = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val votes = knn
+        .join(labels.select(col("vec_id").as("dst"),
+          col("label").as("nlabel")), "dst")
+        .groupBy("src", "nlabel").agg(count(lit(1)).as("c"))
+      val best = votes.withColumn("vr", row_number().over(
+          W.partitionBy("src").orderBy(col("c").desc, col("nlabel"))))
+        .filter(col("vr") === 1)
+      best.join(labels.select(col("vec_id").as("src"), col("label")), "src")
+        .select(col("src").as("vec_id"), col("label"),
+          col("nlabel").as("pred"),
+          (col("label") === col("nlabel")).as("correct"))
+        .orderBy("vec_id")
+    }),
+
+    // Exact leave-one-out 5-NN classification — the ground-truth eval
+    // for the ANN variant above. Deliberately all-pairs (the only form
+    // a SQL oracle can replay exactly); quadratic BY CONTRACT, run on
+    // the bounded embeddings table. At corpus scale the same vote runs
+    // over ANN candidates (ml_knn_classify_ann) — the pair is the
+    // recall experiment: exact answer vs bucketed candidates.
+    "ml_knn_classify" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e0 = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          VectorOps.toDouble(col("embedding")).as("vd"), col("label"))
+        .withColumn("nrm", VectorOps.l2norm(col("vd")))
+      val q = e0.select(col("vec_id").as("qid"), col("vd").as("qd"),
+        col("label").as("qlabel"), col("nrm").as("qnrm"))
+      val sc = e0.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .filter(col("nrm") * col("qnrm") > 0.0)
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(VectorOps.dot(col("vd"), col("qd"))
+            / (col("nrm") * col("qnrm")), 6).as("cs"))
+      val top = sc.withColumn("rn", row_number().over(
+          W.partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+      val votes = top.groupBy("qid", "qlabel", "label")
+        .agg(count(lit(1)).as("c"))
+      val best = votes.withColumn("vr", row_number().over(
+          W.partitionBy("qid").orderBy(col("c").desc, col("label"))))
+        .filter(col("vr") === 1)
+      best.select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("label").as("pred"),
+        (col("qlabel") === col("label")).as("correct"))
+        .orderBy("vec_id")
+    }),
+
     // Paragraph-level corpus dedup (the Dolma/C4 shape): documents are
     // chunked into fixed 10-word "paragraphs", every chunk dedups
     // CORPUS-WIDE (keeper = lexicographically first (doc_id, chunk_idx)
@@ -956,6 +1014,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** The sim_knn_graph oracle's CTE stack (LSH buckets → capped
+    * bucket-local pairs → symmetric edges → per-source rank), shared
+    * with the kNN-vote classifier oracle built on the same graph. */
+  private val knnGraphCtes: String =
+    s"""WITH pl AS (
+       |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, vd,
+       |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
+       |    sqrt(list_dot_product(vd, vd)) AS nrm
+       |  FROM e, pl),
+       |cap AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bucket
+       |                                 ORDER BY vec_id) AS rn
+       |    FROM b) WHERE rn <= 256),
+       |pairs AS (
+       |  SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+       |    round(list_dot_product(e1.vd, e2.vd)
+       |      / (e1.nrm * e2.nrm), 6) AS cos_sim
+       |  FROM cap e1 JOIN cap e2
+       |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+       |  WHERE e1.nrm * e2.nrm > 0.0),
+       |sym AS (
+       |  SELECT id1 AS src, id2 AS dst, cos_sim FROM pairs
+       |  UNION ALL SELECT id2, id1, cos_sim FROM pairs),
+       |ranked AS (
+       |  SELECT src, dst, cos_sim,
+       |    row_number() OVER (PARTITION BY src
+       |                       ORDER BY cos_sim DESC, dst) AS rn
+       |  FROM sym)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // SimHash replayed exactly: Spark's XXH64 string hash (seed 42) as
     // generated mod-2^64 HUGEINT SQL, distinct-vocabulary hashing, the
@@ -980,38 +1073,55 @@ object Dedup {
           |    AS component_id
           |FROM brk ORDER BY doc_id""".stripMargin),
     "sim_knn_graph" ->
-      s"""WITH pl AS (
-        |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
-        |e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-        |  FROM embeddings),
-        |b AS (
-        |  SELECT vec_id, vd,
-        |    ${graft.similarity.Similarity.bucketSql("vd")} AS bucket,
-        |    sqrt(list_dot_product(vd, vd)) AS nrm
-        |  FROM e, pl),
-        |cap AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY bucket
-        |                                 ORDER BY vec_id) AS rn
-        |    FROM b) WHERE rn <= 256),
-        |pairs AS (
-        |  SELECT e1.vec_id AS id1, e2.vec_id AS id2,
-        |    round(list_dot_product(e1.vd, e2.vd)
-        |      / (e1.nrm * e2.nrm), 6) AS cos_sim
-        |  FROM cap e1 JOIN cap e2
-        |    ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
-        |  WHERE e1.nrm * e2.nrm > 0.0),
-        |sym AS (
-        |  SELECT id1 AS src, id2 AS dst, cos_sim FROM pairs
-        |  UNION ALL SELECT id2, id1, cos_sim FROM pairs),
-        |ranked AS (
-        |  SELECT src, dst, cos_sim,
-        |    row_number() OVER (PARTITION BY src
-        |                       ORDER BY cos_sim DESC, dst) AS rn
-        |  FROM sym)
+      s"""$knnGraphCtes
         |SELECT src, dst, cos_sim, rn FROM ranked WHERE rn <= 3
         |ORDER BY src, rn""".stripMargin,
+    "ml_knn_classify_ann" ->
+      s"""$knnGraphCtes,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |wn AS (
+        |  SELECT r.src, l.label AS nlabel
+        |  FROM ranked r JOIN lab l ON l.vec_id = r.dst
+        |  WHERE r.rn <= 3),
+        |votes AS (
+        |  SELECT src, nlabel, count(*) AS c
+        |  FROM wn GROUP BY src, nlabel),
+        |best AS (
+        |  SELECT src, nlabel,
+        |    row_number() OVER (PARTITION BY src
+        |                       ORDER BY c DESC, nlabel) AS vr
+        |  FROM votes)
+        |SELECT b.src AS vec_id, l.label, b.nlabel AS pred,
+        |  l.label = b.nlabel AS correct
+        |FROM best b JOIN lab l ON l.vec_id = b.src
+        |WHERE b.vr = 1 ORDER BY vec_id""".stripMargin,
+    "ml_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd, label,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id, e.label,
+        |    round(list_dot_product(e.vd, q.vd) / (e.nrm * q.nrm), 6)
+        |      AS cs
+        |  FROM e, e q
+        |  WHERE e.vec_id <> q.vec_id AND e.nrm * q.nrm > 0.0),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cs DESC, vec_id) AS rn
+        |  FROM sc),
+        |votes AS (
+        |  SELECT qid, qlabel, label, count(*) AS c
+        |  FROM top WHERE rn <= 5 GROUP BY qid, qlabel, label),
+        |best AS (
+        |  SELECT qid, qlabel, label,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY c DESC, label) AS vr
+        |  FROM votes)
+        |SELECT qid AS vec_id, qlabel AS label, label AS pred,
+        |  qlabel = label AS correct
+        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
         |            FROM documents),

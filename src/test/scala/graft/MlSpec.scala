@@ -212,4 +212,23 @@ class MlSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-5,
       r.toString)
   }
+
+  test("knn classify: exact and ANN variants agree on label quality, " +
+    "and the exact form is majority-consistent") {
+    val exact = dedup.Dedup.queries("ml_knn_classify")(spark, sfDir)
+      .collect()
+    assert(exact.nonEmpty)
+    val accE = exact.count(_.getAs[Boolean]("correct")).toDouble / exact.length
+    val ann = dedup.Dedup.queries("ml_knn_classify_ann")(spark, sfDir)
+      .collect()
+    assert(ann.nonEmpty)
+    val accA = ann.count(_.getAs[Boolean]("correct")).toDouble / ann.length
+    // the LSH-graph vote sees a candidate subset; it should land in the
+    // same quality regime as the exact vote, not collapse to chance
+    assert(accA > accE - 0.25, s"exact=$accE ann=$accA")
+    // correctness flag is internally consistent
+    assert(exact.forall(r =>
+      r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("label") == r.getAs[Int]("pred"))))
+  }
 }

@@ -323,7 +323,12 @@ class PlanSpec extends SparkSpec {
       "text_kneser_ney_bigram", // 1-row bigram-type-count scalar broadcast
       "stats_bootstrap_ci",  // 1-row obs-mean × 1-row sorted-replicates join
       "stats_permutation_test", // 1-row observed-diff scalar broadcast
-      "timeseries_changepoint") // 1-row (total, n_days) scalar broadcast
+      "timeseries_changepoint", // 1-row (total, n_days) scalar broadcast
+      "ml_decision_stump",   // 1-row (min,max) + 1-row class-total broadcasts
+      "ml_mutual_info",      // 1-row (min,max) + 1-row N broadcasts
+      "ml_knn_classify")     // exact LOO all-pairs BY CONTRACT (the
+                             // oracle-able ground truth; the scale path
+                             // is ml_knn_classify_ann's bucketed graph
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
