@@ -84,6 +84,21 @@ object U {
     * `CAST(round(y * 1000000) / 1000000 AS DECIMAL(18,6))`. */
   def dec6r(c: Column): Column = dec6(round6(c))
 
+  /** Round-robin fan-out to the session's shuffle parallelism.
+    *
+    * The testdata tables are single-row-group parquet files, so a scan
+    * is ONE partition no matter what `maxPartitionBytes` says (a row
+    * group is the atomic scan unit) — and any map-heavy pipeline that
+    * does its expensive work BEFORE the first exchange (a ×B replicate
+    * explode, a broadcast-nested-loop pair generation) runs serial on
+    * one task. One cheap narrow-row shuffle up front buys full-core
+    * parallelism for everything after it; measured: the exact-kNN
+    * all-pairs stage sat at load ~1 on 32 cores without it. On a real
+    * multi-file layout the scan already has its parallelism and this
+    * is one redundant (row-count-bounded, narrow) exchange. */
+  def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Cheap change-detection signature of a file tree: (name, size, mtime)
     * folded in walk order. Shared by every derived-artifact memo
     * (IVF centroids, partitioned layouts) so change-detection semantics

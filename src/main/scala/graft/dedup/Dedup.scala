@@ -728,7 +728,9 @@ object Dedup {
         .withColumn("nrm", VectorOps.l2norm(col("vd")))
       val q = e0.select(col("vec_id").as("qid"), col("vd").as("qd"),
         col("label").as("qlabel"), col("nrm").as("qnrm"))
-      val sc = e0.join(broadcast(q), col("vec_id") =!= col("qid"))
+      // U.fan: the all-pairs stage runs on the streamed side's scan
+      // partitioning — one task for a single-row-group input
+      val sc = graft.U.fan(e0).join(broadcast(q), col("vec_id") =!= col("qid"))
         .filter(col("nrm") * col("qnrm") > 0.0)
         .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
           round(VectorOps.dot(col("vd"), col("qd"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Tables, U}
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -623,6 +623,59 @@ object Aggregates {
     // fact is a broadcast-join map-side transform. All means go
     // decimal-sum → round6, so the encoding is partition-order
     // invariant and engine-identical.
+    // Bloom-filter membership as a DATA artifact (m = 4096 bits,
+    // k = 3 md5-derived positions): build the bit set from URGENT
+    // orders' customer keys, probe every customer, and report the
+    // flagged/true-member/false-positive accounting against the exact
+    // semi-join — the sketch-vs-truth readout that tells a pipeline
+    // whether a bloom pre-filter is worth shipping. The bit set is a
+    // ≤4096-row DISTINCT aggregate (broadcast to the probe side); a
+    // probe is flagged iff all 3 of its positions hit — one equi-join
+    // + a per-key count, no bit-array state. Positions are integer
+    // md5-hex arithmetic (conv here, strpos in the oracle) — exact on
+    // both engines.
+    "agg_bloom_membership" -> ((s, d) => {
+      def positions(key: Column): Column = {
+        val h = md5(key.cast("string"))
+        array((0 until 3).map(i =>
+          conv(substring(h, i * 3 + 1, 3), 16, 10).cast("int") % 4096): _*)
+      }
+      val buildKeys = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val bits = buildKeys
+        .select(explode(positions(col("o_custkey"))).as("pos"))
+        .distinct()
+      val probes = t(s, d, "customer").select(col("c_custkey"))
+      val hits = probes
+        .select(col("c_custkey"),
+          explode(positions(col("c_custkey"))).as("pos"))
+        .join(broadcast(bits), "pos")
+        .groupBy("c_custkey").agg(count(lit(1)).as("nhit"))
+      val flagged = probes
+        .join(hits, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          (coalesce(col("nhit"), lit(0L)) === 3L).as("flag"))
+      val truth = probes
+        .join(buildKeys.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(true).as("member"))
+      flagged.join(truth, Seq("c_custkey"), "left")
+        .select(col("flag"),
+          coalesce(col("member"), lit(false)).as("member"))
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("flag") && !col("member"), 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("flag") && col("member"), 1L).otherwise(0L))
+            .as("n_false_neg"))
+        .select(col("n_probe"), col("n_flagged"), col("n_members"),
+          col("n_false_pos"), col("n_false_neg"),
+          U.round6(col("n_false_pos").cast("double")
+            / (col("n_probe") - col("n_members"))).as("fp_rate"))
+    }),
+
     // Exponentially time-decayed engagement score per user (30-day
     // half-life anchored at the corpus max event time) — the recency
     // weighting every retention/ranking feature store ships. Pure
@@ -883,7 +936,57 @@ object Aggregates {
         .orderBy("c_custkey", "metric"))
   )
 
+  /** One 12-bit bloom position from md5 hex chars [off+1 .. off+3] of
+    * `h` — integer strpos arithmetic, the oracle twin of the engine's
+    * `conv(substring(h, off+1, 3), 16, 10)`. */
+  private def bloomPosSql(off: Int): String =
+    s"""((strpos('0123456789abcdef', substring(h, ${off + 1}, 1)) - 1)
+       |      * 256
+       |    + (strpos('0123456789abcdef', substring(h, ${off + 2}, 1))
+       |      - 1) * 16
+       |    + (strpos('0123456789abcdef', substring(h, ${off + 3}, 1))
+       |      - 1)) % 4096""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "agg_bloom_membership" ->
+      s"""WITH bk AS (
+         |  SELECT DISTINCT o_custkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |bh AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM bk),
+         |bits AS (
+         |  SELECT DISTINCT unnest([${bloomPosSql(0)},
+         |    ${bloomPosSql(3)}, ${bloomPosSql(6)}]) AS pos
+         |  FROM bh),
+         |ph AS (SELECT c_custkey,
+         |         md5(CAST(c_custkey AS VARCHAR)) AS h
+         |       FROM customer),
+         |pp AS (
+         |  SELECT c_custkey, unnest([${bloomPosSql(0)},
+         |    ${bloomPosSql(3)}, ${bloomPosSql(6)}]) AS pos
+         |  FROM ph),
+         |hits AS (
+         |  SELECT c_custkey, count(*) AS nhit
+         |  FROM pp JOIN bits USING (pos) GROUP BY c_custkey),
+         |fl AS (
+         |  SELECT c.c_custkey,
+         |    coalesce(h.nhit, 0) = 3 AS flag,
+         |    EXISTS (SELECT 1 FROM bk b
+         |            WHERE b.o_custkey = c.c_custkey) AS member
+         |  FROM customer c LEFT JOIN hits h USING (c_custkey))
+         |SELECT count(*) AS n_probe,
+         |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_members,
+         |  CAST(SUM(CASE WHEN flag AND NOT member THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_pos,
+         |  CAST(SUM(CASE WHEN NOT flag AND member THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_neg,
+         |  round(CAST(SUM(CASE WHEN flag AND NOT member THEN 1 ELSE 0
+         |      END) AS DOUBLE)
+         |    / (count(*) - SUM(CASE WHEN member THEN 1 ELSE 0 END))
+         |    * 1000000) / 1000000 AS fp_rate
+         |FROM fl""".stripMargin,
     "agg_decay_sum" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, value

@@ -138,6 +138,165 @@ object Stats {
         .orderBy("day")
     }),
 
+    // Seasonal/trend STRENGTH of the decomposition above (Hyndman's
+    // F_s/F_t): how much of the detrended variance the weekday pattern
+    // explains, and how much of the deseasonalized variance the trend
+    // explains — the one-row answer to "is this series actually
+    // seasonal?". Runs entirely over the decompose output (|days|
+    // rows); variances go through U.dec6r sums so the division of two
+    // exact moments is engine-identical.
+    "timeseries_stl_strength" -> ((s, d) => {
+      val dc = queries("timeseries_seasonal_decompose")(s, d)
+        .filter(col("resid").isNotNull)
+        .select(col("resid"),
+          (col("seasonal") + col("resid")).as("detr2"),
+          (col("total") - col("seasonal")).as("des"))
+      def varOf(x: Column, n: Column, sx: Column, qx: Column): Column =
+        qx / n - (sx / n) * (sx / n)
+      val a = dc.agg(
+        count(lit(1)).as("n_days"),
+        sum(U.dec6r(col("resid"))).cast("double").as("sr"),
+        sum(U.dec6r(col("resid") * col("resid"))).cast("double").as("qr"),
+        sum(U.dec6r(col("detr2"))).cast("double").as("sd"),
+        sum(U.dec6r(col("detr2") * col("detr2"))).cast("double").as("qd"),
+        sum(U.dec6r(col("des"))).cast("double").as("ss"),
+        sum(U.dec6r(col("des") * col("des"))).cast("double").as("qs"))
+      val n = col("n_days").cast("double")
+      val vr = varOf(col("resid"), n, col("sr"), col("qr"))
+      val vd = varOf(col("detr2"), n, col("sd"), col("qd"))
+      val vs = varOf(col("des"), n, col("ss"), col("qs"))
+      a.select(col("n_days"),
+        when(vd > 0.0, U.round6(greatest(lit(0.0), lit(1.0) - vr / vd)))
+          .as("f_seasonal"),
+        when(vs > 0.0, U.round6(greatest(lit(0.0), lit(1.0) - vr / vs)))
+          .as("f_trend"))
+    }),
+
+    // Theil-Sen robust slope of the daily event-count series: the
+    // median of all pairwise slopes — outlier-immune where OLS
+    // (window_rolling_regression) is not. The pair set is quadratic
+    // only in the CALENDAR (|days|² pairs, bounded), never in the
+    // data; the one data-scaled stage is the day rollup. The median
+    // is the lower order statistic by rank — no interpolation
+    // dialect to bridge.
+    "stats_theil_sen" -> ((s, d) => {
+      val W = Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val idx = daily
+        .withColumn("i", row_number().over(W.orderBy("day")))
+      val a = idx.select(col("i").as("i1"), col("c").as("c1"))
+      val b = idx.select(col("i").as("i2"), col("c").as("c2"))
+      val slopes = a.join(b, col("i2") > col("i1"))
+        .select(((col("c2") - col("c1")).cast("double")
+          / (col("i2") - col("i1")).cast("double")).as("slope"))
+      val cnt = slopes.agg(count(lit(1)).as("np"))
+      val ranked = slopes.withColumn("r",
+        row_number().over(W.orderBy("slope")))
+      ranked.crossJoin(broadcast(cnt))
+        .filter(col("r") === expr("(np + 1) div 2"))
+        .select((expr("(np + 1) div 2")).as("median_rank"), col("np")
+          .as("n_pairs"), U.round6(col("slope")).as("sen_slope"))
+    }),
+
+    // Cohen's d (+ Hedges' g small-sample correction) between the
+    // R/A return-flag price distributions — the effect-size readout
+    // that belongs next to every significance test (Welch/KS report
+    // "is it real", d reports "does it matter"). One conditional
+    // decimal-moment aggregate; the closed form is per-row IEEE math
+    // on exact sums.
+    "stats_cohens_d" -> ((s, d) => {
+      val isR = col("l_returnflag") === "R"
+      val x = U.dec4(col("l_extendedprice"))
+      val agg = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .agg(
+          sum(when(isR, 1L).otherwise(0L)).as("n_r"),
+          sum(when(!isR, 1L).otherwise(0L)).as("n_a"),
+          sum(when(isR, x)).cast("double").as("sr"),
+          sum(when(!isR, x)).cast("double").as("sa"),
+          sum(when(isR, U.dec4(col("l_extendedprice")
+            * col("l_extendedprice")))).cast("double").as("qr"),
+          sum(when(!isR, U.dec4(col("l_extendedprice")
+            * col("l_extendedprice")))).cast("double").as("qa"))
+      val nr = col("n_r").cast("double"); val na = col("n_a").cast("double")
+      val mr = col("sr") / nr; val ma = col("sa") / na
+      val vr = (col("qr") - col("sr") * col("sr") / nr) / (nr - 1.0)
+      val va = (col("qa") - col("sa") * col("sa") / na) / (na - 1.0)
+      val sp = sqrt(((nr - 1.0) * vr + (na - 1.0) * va) / (nr + na - 2.0))
+      val dd = (mr - ma) / sp
+      agg.select(col("n_r"), col("n_a"),
+        U.round6(mr - ma).as("mean_diff"),
+        U.round6(sp).as("pooled_sd"),
+        U.round6(dd).as("cohens_d"),
+        U.round6(dd * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (nr + na) - 9.0))).as("hedges_g"))
+    }),
+
+    // Neyman-optimal stratified-sample allocation over order
+    // priorities: sample size per stratum ∝ N_h·S_h (count × std of
+    // o_totalprice), the design that minimizes the estimator variance
+    // at a fixed budget — the planning table a stratified sampler
+    // consumes. One grouped decimal-moment aggregate (5 strata) + a
+    // 1-row total broadcast; floor allocation is integer math.
+    "sample_neyman_alloc" -> ((s, d) => {
+      val budget = 1000L
+      // o_totalprice is ~1e4-5e5; /1e5 keeps x² within the 1e-6
+      // decimal bridge's precision (ulp(x²) must stay far below the
+      // 1e-6 grid — the Gmm scaling rationale). s_h reports in the
+      // original units (exact ×1e5 at the end).
+      val x = col("o_totalprice") / lit(100000.0)
+      val g = t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("nh"),
+          sum(U.dec6r(x)).cast("double").as("sh"),
+          sum(U.dec6r(x * x)).cast("double").as("qh"))
+      val nhD = col("nh").cast("double")
+      val sd = sqrt((col("qh") - col("sh") * col("sh") / nhD)
+        / (nhD - 1.0))
+      val wted = g.select(col("o_orderpriority"), col("nh"),
+        U.round6(sd * lit(100000.0)).as("s_h"), (nhD * sd).as("w"))
+      val tot = wted.agg(sum(U.dec6r(col("w"))).cast("double").as("tw"))
+      wted.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("nh"), col("s_h"),
+          floor(lit(budget.toDouble) * col("w") / col("tw"))
+            .cast("long").as("alloc"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Time-to-convert distribution: per user, hours from first 'view'
+    // to first 'purchase' (converted users only), summarized as exact
+    // median/p90 order statistics. The user collapse and the
+    // per-distinct-hour counts are the data-scaled stages (both keyed,
+    // map-side combined); the rank scan runs over bounded distinct
+    // hour values above the aggregate.
+    "events_time_to_convert" -> ((s, d) => {
+      val W = Window
+      val per = t(s, d, "events").groupBy("user_id").agg(
+        min(when(col("event_type") === "view", U.tsUs(col("ts"))))
+          .as("v"),
+        min(when(col("event_type") === "purchase", U.tsUs(col("ts"))))
+          .as("p"))
+      val conv = per
+        .filter(col("v").isNotNull && col("p").isNotNull &&
+          col("p") >= col("v"))
+        .select(expr("(p - v) div 3600000000").as("dh"))
+      val tot = per.agg(count(lit(1)).as("n_users"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_conv")))
+      val cum = conv.groupBy("dh").agg(count(lit(1)).as("cn"))
+        .withColumn("cum", sum(col("cn")).over(W.orderBy("dh")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      cum.crossJoin(broadcast(tot))
+        .agg(first(col("n_users")).as("n_users"),
+          first(col("n_conv")).as("n_converted"),
+          U.round6(first(col("n_conv")).cast("double")
+            / first(col("n_users"))).as("conv_rate"),
+          min(when(col("cum") >= ceil(col("n_conv") * 0.5), col("dh")))
+            .as("median_h"),
+          min(when(col("cum") >= ceil(col("n_conv") * 0.9), col("dh")))
+            .as("p90_h"))
+    }),
+
     // A/B experiment readout — the end-to-end product-analytics
     // surface: deterministic 50/50 arm assignment by md5 of the user
     // id (the engine's hash-sampling bridge — identical bytes on any
@@ -697,6 +856,34 @@ object Stats {
         when(col("den") > 0, U.round6(col("n3") / col("den"))).as("acf3"))
   }
 
+  /** The seasonal-decompose oracle's CTE stack ending at `dc`
+    * (day, total, trend, seasonal, resid) — shared with the
+    * STL-strength oracle built on the same decomposition. */
+  private val decomposeCtes: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS tot_dec
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT day, CAST(tot_dec AS DOUBLE) AS total,
+      |    CASE WHEN count(*) OVER w7 = 7 THEN
+      |      round(CAST(sum(tot_dec) OVER w7 AS DOUBLE) / 7.0
+      |        * 1000000) / 1000000 END AS trend,
+      |    dayofweek(day) + 1 AS wd
+      |  FROM daily
+      |  WINDOW w7 AS (ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |de AS (SELECT *, total - trend AS detr FROM tr),
+      |se AS (
+      |  SELECT wd,
+      |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(detr) * 1000000) / 1000000 AS seasonal
+      |  FROM de WHERE detr IS NOT NULL GROUP BY wd),
+      |dc AS (
+      |  SELECT de.day, de.total, de.trend, se.seasonal,
+      |    round((de.detr - se.seasonal) * 1000000) / 1000000 AS resid
+      |  FROM de JOIN se USING (wd))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "profile_columns" ->
       """WITH a AS (SELECT count(*) AS n_rows,
@@ -720,29 +907,148 @@ object Stats {
         |UNION ALL SELECT 'l_tax', nn4, nd4, mn4, mx4, n_rows FROM a
         |ORDER BY col_name""".stripMargin,
     "timeseries_seasonal_decompose" ->
+      s"""$decomposeCtes
+        |SELECT day, total, trend, seasonal, resid FROM dc
+        |ORDER BY day""".stripMargin,
+    "timeseries_stl_strength" ->
+      s"""$decomposeCtes,
+        |w AS (
+        |  SELECT resid, seasonal + resid AS detr2,
+        |    total - seasonal AS des
+        |  FROM dc WHERE resid IS NOT NULL),
+        |m AS (
+        |  SELECT count(*) AS n_days,
+        |    CAST(SUM(CAST(round(resid * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+        |    CAST(SUM(CAST(round(resid * resid * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS qr,
+        |    CAST(SUM(CAST(round(detr2 * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(round(detr2 * detr2 * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS qd,
+        |    CAST(SUM(CAST(round(des * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS ss,
+        |    CAST(SUM(CAST(round(des * des * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS qs
+        |  FROM w),
+        |v AS (
+        |  SELECT n_days,
+        |    qr / CAST(n_days AS DOUBLE)
+        |      - (sr / CAST(n_days AS DOUBLE))
+        |        * (sr / CAST(n_days AS DOUBLE)) AS vr,
+        |    qd / CAST(n_days AS DOUBLE)
+        |      - (sd / CAST(n_days AS DOUBLE))
+        |        * (sd / CAST(n_days AS DOUBLE)) AS vd,
+        |    qs / CAST(n_days AS DOUBLE)
+        |      - (ss / CAST(n_days AS DOUBLE))
+        |        * (ss / CAST(n_days AS DOUBLE)) AS vs
+        |  FROM m)
+        |SELECT n_days,
+        |  CASE WHEN vd > 0.0 THEN
+        |    round(greatest(0.0, 1.0 - vr / vd) * 1000000) / 1000000 END
+        |    AS f_seasonal,
+        |  CASE WHEN vs > 0.0 THEN
+        |    round(greatest(0.0, 1.0 - vr / vs) * 1000000) / 1000000 END
+        |    AS f_trend
+        |FROM v""".stripMargin,
+    "stats_theil_sen" ->
       """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day,
-        |    sum(CAST(value AS DECIMAL(18,4))) AS tot_dec
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
         |  FROM events GROUP BY 1),
-        |tr AS (
-        |  SELECT day, CAST(tot_dec AS DOUBLE) AS total,
-        |    CASE WHEN count(*) OVER w7 = 7 THEN
-        |      round(CAST(sum(tot_dec) OVER w7 AS DOUBLE) / 7.0
-        |        * 1000000) / 1000000 END AS trend,
-        |    dayofweek(day) + 1 AS wd
-        |  FROM daily
-        |  WINDOW w7 AS (ORDER BY day
-        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |de AS (SELECT *, total - trend AS detr FROM tr),
-        |se AS (
-        |  SELECT wd,
-        |    round(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
-        |      / count(detr) * 1000000) / 1000000 AS seasonal
-        |  FROM de WHERE detr IS NOT NULL GROUP BY wd)
-        |SELECT de.day, de.total, de.trend, se.seasonal,
-        |  round((de.detr - se.seasonal) * 1000000) / 1000000 AS resid
-        |FROM de JOIN se USING (wd)
-        |ORDER BY de.day""".stripMargin,
+        |idx AS (SELECT c, row_number() OVER (ORDER BY day) AS i
+        |        FROM daily),
+        |sl AS (
+        |  SELECT CAST(b.c - a.c AS DOUBLE) / (b.i - a.i) AS slope
+        |  FROM idx a JOIN idx b ON b.i > a.i),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM sl),
+        |rk AS (SELECT slope, row_number() OVER (ORDER BY slope) AS r
+        |       FROM sl)
+        |SELECT CAST((np + 1) // 2 AS BIGINT) AS median_rank,
+        |  np AS n_pairs,
+        |  round(slope * 1000000) / 1000000 AS sen_slope
+        |FROM rk, np WHERE r = (np + 1) // 2""".stripMargin,
+    "stats_cohens_d" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_r,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN
+        |      CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+        |      AS sr,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN
+        |      CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE)
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN
+        |      CAST(l_extendedprice * l_extendedprice
+        |        AS DECIMAL(18,4)) END) AS DOUBLE) AS qr,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN
+        |      CAST(l_extendedprice * l_extendedprice
+        |        AS DECIMAL(18,4)) END) AS DOUBLE) AS qa
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |b AS (
+        |  SELECT n_r, n_a,
+        |    sr / n_r - sa / n_a AS md,
+        |    sqrt((
+        |      (n_r - 1.0) * ((qr - sr * sr / n_r) / (n_r - 1.0))
+        |      + (n_a - 1.0) * ((qa - sa * sa / n_a) / (n_a - 1.0)))
+        |      / (n_r + n_a - 2.0)) AS sp
+        |  FROM a)
+        |SELECT n_r, n_a,
+        |  round(md * 1000000) / 1000000 AS mean_diff,
+        |  round(sp * 1000000) / 1000000 AS pooled_sd,
+        |  round(md / sp * 1000000) / 1000000 AS cohens_d,
+        |  round(md / sp * (1.0 - 3.0 / (4.0 * (n_r + n_a) - 9.0))
+        |    * 1000000) / 1000000 AS hedges_g
+        |FROM b""".stripMargin,
+    "sample_neyman_alloc" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS nh,
+        |    CAST(SUM(CAST(round(o_totalprice / 100000.0 * 1000000)
+        |      / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS sh,
+        |    CAST(SUM(CAST(round((o_totalprice / 100000.0)
+        |        * (o_totalprice / 100000.0) * 1000000)
+        |      / 1000000 AS DECIMAL(18,6))) AS DOUBLE) AS qh
+        |  FROM orders GROUP BY o_orderpriority),
+        |w AS (
+        |  SELECT o_orderpriority, nh,
+        |    sqrt((qh - sh * sh / nh) / (nh - 1.0)) AS sd,
+        |    nh * sqrt((qh - sh * sh / nh) / (nh - 1.0)) AS wt
+        |  FROM g),
+        |tw AS (SELECT CAST(SUM(CAST(round(wt * 1000000) / 1000000
+        |  AS DECIMAL(18,6))) AS DOUBLE) AS tw FROM w)
+        |SELECT o_orderpriority, nh,
+        |  round(sd * 100000.0 * 1000000) / 1000000 AS s_h,
+        |  CAST(floor(1000.0 * wt / tw) AS BIGINT) AS alloc
+        |FROM w, tw ORDER BY o_orderpriority""".stripMargin,
+    "events_time_to_convert" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS v,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT (p - v) // 3600000000 AS dh FROM per
+        |  WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+        |tot AS (SELECT (SELECT count(*) FROM per) AS n_users,
+        |               (SELECT count(*) FROM conv) AS n_conv),
+        |cum AS (
+        |  SELECT dh, count(*) AS cn,
+        |    sum(count(*)) OVER (ORDER BY dh
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM conv GROUP BY dh)
+        |SELECT CAST(any_value(n_users) AS BIGINT) AS n_users,
+        |  CAST(any_value(n_conv) AS BIGINT) AS n_converted,
+        |  round(CAST(any_value(n_conv) AS DOUBLE) / any_value(n_users)
+        |    * 1000000) / 1000000 AS conv_rate,
+        |  CAST(min(CASE WHEN cum >= ceil(n_conv * 0.5) THEN dh END)
+        |    AS BIGINT) AS median_h,
+        |  CAST(min(CASE WHEN cum >= ceil(n_conv * 0.9) THEN dh END)
+        |    AS BIGINT) AS p90_h
+        |FROM cum, tot""".stripMargin,
     "stats_kaplan_meier" ->
       """WITH pu AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t0,

@@ -326,9 +326,14 @@ class PlanSpec extends SparkSpec {
       "timeseries_changepoint", // 1-row (total, n_days) scalar broadcast
       "ml_decision_stump",   // 1-row (min,max) + 1-row class-total broadcasts
       "ml_mutual_info",      // 1-row (min,max) + 1-row N broadcasts
-      "ml_knn_classify")     // exact LOO all-pairs BY CONTRACT (the
+      "ml_knn_classify",     // exact LOO all-pairs BY CONTRACT (the
                              // oracle-able ground truth; the scale path
                              // is ml_knn_classify_ann's bucketed graph
+      "stats_theil_sen",     // |days|²-bounded pair self-join (calendar-
+                             // bounded, above the day aggregate)
+      "events_time_to_convert", // 1-row (n_users, n_conv) totals broadcast
+      "agg_decay_sum",       // 1-row max-event-time anchor broadcast
+      "sample_neyman_alloc") // 1-row total-weight scalar broadcast
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final

@@ -141,4 +141,64 @@ class ResampleSpec extends SparkSpec {
     assert(flagged(0).getAs[java.sql.Date]("day").toString == "2024-01-31")
     assert(flagged(0).getAs[Long]("n_events") == 40L)
   }
+
+  test("theil-sen: exact slope on a planted ramp, immune to one outlier " +
+    "day") {
+    val tmp = Files.createTempDirectory("sen").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int, j: Int) =
+      new java.sql.Timestamp(t0.getTime + day * 86400000L + j * 1000L)
+    // counts 2, 4, 6, ..., 40 over 20 days; day 10 spiked to 200
+    val rows = (0 until 20).flatMap { day =>
+      val n = if (day == 10) 200 else 2 * (day + 1)
+      (0 until n).map(j =>
+        (ts(day, j), (day * 1000 + j).toLong, 1L, "view", 1.0, "{}"))
+    }
+    rows.toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.operators.Stats.queries("stats_theil_sen")(spark, tmp)
+      .head()
+    assert(r.getAs[Long]("n_pairs") == 190L)
+    assert(r.getAs[Double]("sen_slope") == 2.0, r.toString)
+  }
+
+  test("stl strength: a pure weekly pattern scores f_seasonal near 1") {
+    val tmp = Files.createTempDirectory("stl").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int, j: Int) =
+      new java.sql.Timestamp(t0.getTime + day * 86400000L + j * 1000L)
+    // value total per day cycles hard with weekday (1x vs 8x), no trend
+    val rows = (0 until 42).flatMap { day =>
+      val n = if (day % 7 < 2) 80 else 10
+      (0 until n).map(j =>
+        (ts(day, j), (day * 1000 + j).toLong, 1L, "view", 1.0, "{}"))
+    }
+    rows.toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.operators.Stats
+      .queries("timeseries_stl_strength")(spark, tmp).head()
+    assert(r.getAs[Long]("n_days") > 30L)
+    assert(r.getAs[Double]("f_seasonal") > 0.95, r.toString)
+  }
+
+  test("time to convert: planted deltas give the exact order statistics") {
+    val tmp = Files.createTempDirectory("ttc").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def h(hours: Int) = new java.sql.Timestamp(t0.getTime + hours * 3600000L)
+    // users 1/2/3 convert after 1h, 2h, 10h; user 4 never converts
+    val rows = Seq(
+      (h(0), 1L, 1L, "view", 1.0, "{}"), (h(1), 2L, 1L, "purchase", 1.0, "{}"),
+      (h(0), 3L, 2L, "view", 1.0, "{}"), (h(2), 4L, 2L, "purchase", 1.0, "{}"),
+      (h(0), 5L, 3L, "view", 1.0, "{}"), (h(10), 6L, 3L, "purchase", 1.0, "{}"),
+      (h(0), 7L, 4L, "view", 1.0, "{}"))
+    rows.toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.operators.Stats
+      .queries("events_time_to_convert")(spark, tmp).head()
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_converted") == 3L)
+    assert(r.getAs[Double]("conv_rate") == 0.75)
+    assert(r.getAs[Long]("median_h") == 2L)
+    assert(r.getAs[Long]("p90_h") == 10L)
+  }
 }

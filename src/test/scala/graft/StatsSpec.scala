@@ -282,4 +282,40 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("discordant") == 1.0)
     assert(r.getAs[Double]("tau_b") == 0.5)
   }
+
+  test("bloom membership: no false negatives ever, plausible fp rate") {
+    val r = graft.operators.Aggregates
+      .queries("agg_bloom_membership")(spark, sfDir).head()
+    assert(r.getAs[Long]("n_false_neg") == 0L,
+      "a bloom filter must never miss a true member")
+    assert(r.getAs[Long]("n_flagged") >= r.getAs[Long]("n_members"))
+    assert(r.getAs[Long]("n_members") > 0L)
+    val fp = r.getAs[Double]("fp_rate")
+    assert(fp >= 0.0 && fp < 0.5, s"fp_rate=$fp")
+  }
+
+  test("cohens d: identical-distribution groups give a small effect; " +
+    "hedges g shrinks it") {
+    val r = graft.operators.Stats.queries("stats_cohens_d")(spark, sfDir)
+      .head()
+    assert(r.getAs[Double]("pooled_sd") > 0.0)
+    val d = r.getAs[Double]("cohens_d")
+    val g = r.getAs[Double]("hedges_g")
+    assert(math.abs(d) < 0.2, s"R/A prices come from the same process: $d")
+    assert(math.abs(g) <= math.abs(d) + 1e-12)
+  }
+
+  test("neyman allocation: budget respected, allocation ordered by " +
+    "N_h times S_h") {
+    val rows = graft.operators.Stats
+      .queries("sample_neyman_alloc")(spark, sfDir).collect()
+    assert(rows.length == 5) // five order priorities
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    assert(total <= 1000L && total > 900L, s"total=$total")
+    val byWeight = rows.sortBy(r =>
+      -(r.getAs[Long]("nh").toDouble * r.getAs[Double]("s_h")))
+    val allocs = byWeight.map(_.getAs[Long]("alloc")).toSeq
+    assert(allocs.zip(allocs.tail).forall { case (a, b) => a >= b },
+      allocs.toString)
+  }
 }
