@@ -200,6 +200,79 @@ object Stats {
           .as("n_pairs"), U.round6(col("slope")).as("sen_slope"))
     }),
 
+    // Pairwise Pearson correlation matrix of the four lineitem
+    // numerics — the feature-redundancy screen a modeling pipeline
+    // runs before anything learns: ONE decimal-moment aggregate (4
+    // sums, 4 squares, 6 cross-products, map-side combined) unpacked
+    // into the 6-row upper triangle. Every moment is exact; the
+    // closed-form corr is per-row IEEE math on the one-row aggregate.
+    "agg_corr_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val sums = cols.map(c => sum(U.dec4(col(c))).cast("double")
+        .as(s"s_$c"))
+      val sqs = cols.map(c => sum(U.dec4(col(c) * col(c)))
+        .cast("double").as(s"q_$c"))
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val crosses = pairs.map { case (a, b) =>
+        sum(U.dec4(col(a) * col(b))).cast("double").as(s"x_${a}_$b") }
+      val aggs = (count(lit(1)).cast("double").as("n") +: sums) ++
+        sqs ++ crosses
+      val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      def corr(a: String, b: String): Column = {
+        val cov = col(s"x_${a}_$b") / col("n") -
+          (col(s"s_$a") / col("n")) * (col(s"s_$b") / col("n"))
+        val va = col(s"q_$a") / col("n") -
+          (col(s"s_$a") / col("n")) * (col(s"s_$a") / col("n"))
+        val vb = col(s"q_$b") / col("n") -
+          (col(s"s_$b") / col("n")) * (col(s"s_$b") / col("n"))
+        cov / sqrt(va * vb)
+      }
+      val rows = pairs.map { case (a, b) =>
+        one.select(lit(a).as("col_a"), lit(b).as("col_b"),
+          U.round6(corr(a, b)).as("corr")) }
+      rows.reduce(_.unionByName(_)).orderBy("col_a", "col_b")
+    }),
+
+    // Wald-Wolfowitz runs test on the daily event-count series: are
+    // above/below-median days randomly interleaved, or does volume
+    // cluster (trend/regime) — the nonparametric randomness check
+    // that complements ACF. Median, signs, and the run count all live
+    // on the bounded daily aggregate; the z closed form is exact
+    // integer math into IEEE doubles.
+    "stats_runs_test" -> ((s, d) => {
+      val W = Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val med = daily.agg(
+        sort_array(collect_list(col("c"))).as("arr"),
+        count(lit(1)).as("nd"))
+        .select(element_at(col("arr"),
+          ((col("nd") + 1) / lit(2)).cast("int")).as("med"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter(col("c") =!= col("med"))
+        .withColumn("sgn", (col("c") > col("med")).cast("int"))
+        .withColumn("prev", lag(col("sgn"), 1).over(W.orderBy("day")))
+      val agg = signed.agg(
+        sum(col("sgn")).as("n_above"),
+        sum(lit(1) - col("sgn")).as("n_below"),
+        (lit(1) + sum(when(col("prev").isNotNull &&
+          col("sgn") =!= col("prev"), 1L).otherwise(0L))).as("runs"))
+      val n1 = col("n_above").cast("double")
+      val n2 = col("n_below").cast("double")
+      val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+      val sg = sqrt((lit(2.0) * n1 * n2)
+        * (lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+      agg.select(col("n_above"), col("n_below"), col("runs"),
+        U.round6(mu).as("expected_runs"),
+        when(sg > 0.0, U.round6((col("runs").cast("double") - mu) / sg))
+          .as("z"))
+    }),
+
     // Cohen's d (+ Hedges' g small-sample correction) between the
     // R/A return-flag price distributions — the effect-size readout
     // that belongs next to every significance test (Welch/KS report
@@ -967,6 +1040,65 @@ object Stats {
         |  np AS n_pairs,
         |  round(slope * 1000000) / 1000000 AS sen_slope
         |FROM rk, np WHERE r = (np + 1) // 2""".stripMargin,
+    "agg_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val sums = cols.map(c =>
+        s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS s_$c")
+      val sqs = cols.map(c =>
+        s"CAST(SUM(CAST($c * $c AS DECIMAL(18,4))) AS DOUBLE) AS q_$c")
+      val crosses = pairs.map { case (a, b) =>
+        s"CAST(SUM(CAST($a * $b AS DECIMAL(18,4))) AS DOUBLE) AS x_${a}_$b" }
+      def corrSql(a: String, b: String): String =
+        s"""(x_${a}_$b / n - (s_$a / n) * (s_$b / n))
+           |    / sqrt((q_$a / n - (s_$a / n) * (s_$a / n))
+           |      * (q_$b / n - (s_$b / n) * (s_$b / n)))""".stripMargin
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round(${corrSql(a, b)} * 1000000) / 1000000 AS corr
+           |FROM a""".stripMargin }
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  ${(sums ++ sqs ++ crosses).mkString(",\n  ")}
+         |  FROM lineitem)
+         |${rows.mkString("\nUNION ALL ")}
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+    "stats_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |md AS (
+        |  SELECT list_sort(list(c))[CAST((count(*) + 1) // 2
+        |    AS INTEGER)] AS med
+        |  FROM daily),
+        |sg AS (
+        |  SELECT day, CASE WHEN c > med THEN 1 ELSE 0 END AS sgn,
+        |    lag(CASE WHEN c > med THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day) AS prev
+        |  FROM daily, md WHERE c <> med),
+        |a AS (
+        |  SELECT CAST(SUM(sgn) AS BIGINT) AS n_above,
+        |    CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+        |    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM sg),
+        |b AS (
+        |  SELECT n_above, n_below, runs,
+        |    2.0 * n_above * n_below / (n_above + n_below) + 1.0 AS mu,
+        |    sqrt((2.0 * n_above * n_below)
+        |      * (2.0 * n_above * n_below - n_above - n_below)
+        |      / ((n_above + n_below) * (n_above + n_below)
+        |        * (n_above + n_below - 1.0))) AS sig
+        |  FROM a)
+        |SELECT n_above, n_below, runs,
+        |  round(mu * 1000000) / 1000000 AS expected_runs,
+        |  CASE WHEN sig > 0.0 THEN
+        |    round((runs - mu) / sig * 1000000) / 1000000 END AS z
+        |FROM b""".stripMargin,
     "stats_cohens_d" ->
       """WITH a AS (
         |  SELECT

@@ -318,4 +318,56 @@ class StatsSpec extends SparkSpec {
     assert(allocs.zip(allocs.tail).forall { case (a, b) => a >= b },
       allocs.toString)
   }
+
+  test("corr matrix: quantity-extendedprice strongly positive, " +
+    "independent pairs near zero, all in [-1, 1]") {
+    val rows = graft.operators.Stats
+      .queries("agg_corr_matrix")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val m = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("corr")).toMap
+    assert(m.values.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    // this generator draws the numerics independently: nothing should
+    // look correlated
+    assert(m.values.forall(c => math.abs(c) < 0.2), m.toString)
+    // planted perfect linearity: price = 100 x quantity => corr 1.0
+    val tmp = java.nio.file.Files.createTempDirectory("corr").toString
+    (1 to 50).map(i => (i.toLong, i, i.toDouble,
+      i * 100.0, 0.01 * (i % 7), 0.01 * ((i * 3) % 5)))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val planted = graft.operators.Stats
+      .queries("agg_corr_matrix")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("corr")).toMap
+    assert(planted(("l_quantity", "l_extendedprice")) == 1.0,
+      planted.toString)
+  }
+
+  test("runs test: alternating series has max runs (positive z), " +
+    "blocked series has 2 runs (negative z)") {
+    // 40 signal days at 30 (high) / 10 (low) plus a final median
+    // sentinel day at 20 — the sentinel IS the median, gets excluded
+    // by the c <> median rule, and leaves exactly the 40 signed days
+    def plant(dirName: String, highDays: Int => Boolean) = {
+      val tmp = java.nio.file.Files.createTempDirectory(dirName).toString
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+      val rows = (0 to 40).flatMap { day =>
+        val n = if (day == 40) 20 else if (highDays(day)) 30 else 10
+        (0 until n).map(j => (new java.sql.Timestamp(
+          t0.getTime + day * 86400000L + j * 1000L),
+          (day * 1000 + j).toLong, 1L, "view", 1.0, "{}"))
+      }
+      rows.toDF("ts", "event_id", "user_id", "event_type", "value",
+        "props").write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      graft.operators.Stats.queries("stats_runs_test")(spark, tmp).head()
+    }
+    val alt = plant("runs-alt", _ % 2 == 0)
+    assert(alt.getAs[Long]("runs") == 40L, alt.toString)
+    assert(alt.getAs[Double]("z") > 3.0, alt.toString)
+    val blocked = plant("runs-blk", _ < 20)
+    assert(blocked.getAs[Long]("runs") == 2L, blocked.toString)
+    assert(blocked.getAs[Double]("z") < -3.0, blocked.toString)
+  }
 }
