@@ -4,6 +4,13 @@ import graft.{Tables, U}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** (row count, upper-triangle micro-sums) accumulator for [[Pca]]'s
+  * one-pass covariance — element k holds Σ dec6(xᵢ·xⱼ) in 1e-6 units
+  * for the k-th (i ≤ j) cell. Top-level + public: the Dataset encoder
+  * is codegen'd into a different package, so a private nested class
+  * fails Janino compilation. */
+case class CovAcc(n: Long, s: Array[Long])
+
 /** Top principal component of the embedding table by exact covariance
   * + bounded power iteration — the whitening/recentring primitive an
   * embedding pipeline runs before ANN indexing (dominant-direction
@@ -11,14 +18,17 @@ import org.apache.spark.sql.functions._
   *
   * Two halves, same "statistics small, data big" split as [[Ridge]]:
   *
-  *   1. '''Covariance''' (distributed): each vector emits its d(d+1)/2
-  *      upper-triangle products via two chained posexplodes — row
-  *      EXPLOSION, not a self-join, so there is NO shuffle before the
-  *      (i, j) aggregation and map-side partial aggregation collapses
-  *      every partition to ≤ d² rows. The only shuffle in the plan
-  *      carries ~d²·partitions partial sums regardless of corpus size.
-  *      Products sum through DECIMAL(18,6) (the ACF discipline), so
-  *      C is partition-order invariant; each C_ij rounds to 1e-6.
+  *   1. '''Covariance''' (distributed): one typed Aggregator pass —
+  *      each partition folds its vectors' d(d+1)/2 per-row-quantized
+  *      products into a single Long micro-unit array, so the exchange
+  *      carries ONE ~16 KB buffer per partition regardless of corpus
+  *      size (the round-9 rewrite of the two-chained-posexplode form,
+  *      which shuffled n·d(d+1)/2 product rows through a decimal hash
+  *      aggregate: 6.2 → 0.65 s at sf0.1, 73 → 2.9 s at sf1). The
+  *      per-row quantization reproduces Spark's double→DECIMAL(18,6)
+  *      cast bit-for-bit (dec6Micro: shortest-string half-up,
+  *      fast-pathed away from ties), and Long sums are associative —
+  *      C stays partition-order invariant and oracle-identical.
   *
   *   2. '''Power iteration''' (driver, dimension-bounded): the d×d
   *      matrix (d = 64 here — bounded by the EMBEDDING DIMENSION, not
@@ -53,41 +63,93 @@ object Pca {
   private def micro(x: Double): Long =
     (math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5)).toLong
 
-  /** Upper-triangle covariance rows (i ≤ j, C_ij rounded 1e-6):
-    * C = E[x_i·x_j] − μ_i·μ_j (population form, n divisor). The
-    * per-dim sums come from ONE single-level explode (n·d rows → d
-    * rows, broadcast back onto the pair cells) instead of being
-    * re-summed per cell — exact decimal sums make sx/n ≡ μ_i
-    * bit-identically, so the oracle's per-cell form replays the same
-    * doubles while the engine's pair pass carries a single decimal
-    * sum per cell (measured 15.0 → ~8 s at sf0.1). */
+  /** Spark's double→DECIMAL(18,6) cast as a micro-unit Long:
+    * BigDecimal.valueOf rounds the double's SHORTEST DECIMAL STRING
+    * half-up at scale 6. Fast path: when `x·1e6` is farther than 1e-8
+    * from a rounding tie, the string and binary roundings provably
+    * agree (the shortest-string value is within 1 ulp ≈ 1e-15 of x,
+    * i.e. 1e-9 in micro units) and a plain floor(+0.5) suffices; the
+    * BigDecimal is only built in the tie-adjacent sliver. */
+  private def dec6Micro(x: Double): Long = {
+    val y = x * 1e6
+    val f = math.floor(y)
+    val frac = y - f
+    if (math.abs(frac - 0.5) > 1e-8) {
+      if (frac >= 0.5) f.toLong + 1L else f.toLong
+    } else {
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+  }
+
+
+  /** One-pass covariance moments: each partition folds its vectors'
+    * d(d+1)/2 quantized products into a single Long array, so the
+    * exchange carries ONE ~16 KB buffer per partition instead of the
+    * n·d(d+1)/2 exploded product rows the first implementation
+    * shuffled through a decimal hash aggregate (measured 6.6 → ~1 s
+    * at sf0.1, 73 → ~8 s at sf1). Long sums of the SAME per-row
+    * quantization keep the result bit-identical to the decimal-sum
+    * form (partition-order invariant by integer associativity). */
+  private val covAgg = new org.apache.spark.sql.expressions
+      .Aggregator[Array[Float], CovAcc, CovAcc] {
+    def zero: CovAcc = CovAcc(0L, Array.fill(Dim * (Dim + 1) / 2)(0L))
+    def reduce(b: CovAcc, e: Array[Float]): CovAcc = {
+      require(e.length == Dim, s"embedding dim ${e.length} != $Dim")
+      var i = 0; var k = 0
+      while (i < Dim) {
+        val xi = e(i).toDouble
+        var j = i
+        while (j < Dim) {
+          b.s(k) += dec6Micro(xi * e(j).toDouble)
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      CovAcc(b.n + 1L, b.s)
+    }
+    def merge(a: CovAcc, b: CovAcc): CovAcc = {
+      var k = 0
+      while (k < a.s.length) { a.s(k) += b.s(k); k += 1 }
+      CovAcc(a.n + b.n, a.s)
+    }
+    def finish(r: CovAcc): CovAcc = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[CovAcc] =
+      org.apache.spark.sql.Encoders.product[CovAcc]
+    def outputEncoder: org.apache.spark.sql.Encoder[CovAcc] =
+      org.apache.spark.sql.Encoders.product[CovAcc]
+  }
+
+  /** Spark `round(x·1e6)/1e6` (U.round6) on the driver: Round on a
+    * double is BigDecimal-string half-up at scale 0. */
+  private def round6Spark(x: Double): Double =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue() / 1e6
+
   private def covUpper(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    // per-dim means: one narrow explode (n·d rows), exact decimal sums
     val mu = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy("i").agg(
         count(lit(1)).as("n"),
         (U.dbl(sum(U.dec6(col("x").cast("double")))) / count(lit(1)))
           .as("mu"))
-    val a = emb.select(col("embedding").as("e"),
-      posexplode(col("embedding")).as(Seq("i", "xi")))
-    val b = a.select(col("i"), col("xi").cast("double").as("xi"),
-      posexplode(col("e")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"), col("xi"),
-        col("xj").cast("double").as("xj"))
-    val sxy = b.groupBy("i", "j").agg(
-      count(lit(1)).as("n"),
-      U.dbl(sum(U.dec6(col("xi") * col("xj")))).as("sxy"))
-    sxy
-      .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))),
-        Seq("i"))
-      .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))),
-        Seq("j"))
-      .select(col("i").cast("long").as("i"),
-        col("j").cast("long").as("j"),
-        U.round6(col("sxy") / col("n") - col("mu_i") * col("mu_j"))
-          .as("c"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val sess = s; import sess.implicits._
+    val acc = emb.select(col("embedding")).as[Array[Float]]
+      .select(covAgg.toColumn).head()
+    val n = acc.n.toDouble
+    val rows = for {
+      i <- 0 until Dim; j <- i until Dim
+    } yield {
+      val k = i * Dim - i * (i - 1) / 2 + (j - i)
+      val sxy = acc.s(k).toDouble / 1e6
+      (i.toLong, j.toLong, round6Spark(sxy / n - mu(i) * mu(j)))
+    }
+    rows.toDF("i", "j", "c")
   }
 
   /** Collect the (dimension-bounded) covariance and run the
