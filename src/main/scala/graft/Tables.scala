@@ -84,6 +84,27 @@ object U {
     * `CAST(round(y * 1000000) / 1000000 AS DECIMAL(18,6))`. */
   def dec6r(c: Column): Column = dec6(round6(c))
 
+  /** Driver/aggregator-side twin of `dec6r` as a 1e-6 micro-unit Long:
+    * replicates Spark's `round(x·1e6)` half-up-on-the-shortest-decimal-
+    * string semantics (Round on DOUBLE goes through BigDecimal.valueOf)
+    * so a typed Aggregator can integer-sum what a Column pipeline would
+    * have decimal-summed, bit-identically. Fast path: when x·1e6 is
+    * farther than 1e-8·max(1,|y|·1e-7) from a rounding tie, string and
+    * binary rounding provably agree (shortest string is within 1 ulp). */
+  def r6MicroLong(x: Double): Long = {
+    val y = x * 1e6
+    val f = math.floor(y)
+    val frac = y - f
+    val guard = math.max(1e-8, math.abs(y) * 1e-15)
+    if (math.abs(frac - 0.5) > guard) {
+      if (frac >= 0.5) f.toLong + 1L else f.toLong
+    } else {
+      java.math.BigDecimal.valueOf(y)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+    }
+  }
+
   /** Round-robin fan-out to the session's shuffle parallelism.
     *
     * The testdata tables are single-row-group parquet files, so a scan

@@ -34,10 +34,57 @@ import graft.{Tables, U}
   * beyond-reference surface (SURVEY §2 Part B extensions / training-
   * data pipeline operators).
   */
+/** (row count, micro-unit Long sums) accumulator for one-pass moment
+  * aggregators — top-level + public because Dataset encoders are
+  * codegen'd into another package (the ml.Pca CovAcc lesson). */
+case class MomentAcc(n: Long, s: Array[Long])
+
 object Stats {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
   private def dec38(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Scaled feature vector for [[corrAgg]]: quantity/1e2, price/1e6,
+    * discount, tax — all magnitudes ≤ ~1 so quantized products sit far
+    * above their ulp. Spelled token-for-token in the oracle. */
+  private def corrFeatures(r: (Double, Double, Double, Double))
+      : Array[Double] =
+    Array(r._1 / 100.0, r._2 / 1000000.0, r._3, r._4)
+
+  /** One-pass moments for the correlation matrix: buffer = row count
+    * + 4 quantized sums + 10 quantized (i ≤ j) pair products, all in
+    * 1e-6 micro-unit Longs via [[U.r6MicroLong]] (bit-identical to the
+    * dec6r Column pipeline, associative, one buffer per partition). */
+  private val corrAgg = new org.apache.spark.sql.expressions
+      .Aggregator[(Double, Double, Double, Double), MomentAcc, MomentAcc] {
+    def zero: MomentAcc = MomentAcc(0L, Array.fill(14)(0L))
+    def reduce(b: MomentAcc, r: (Double, Double, Double, Double))
+        : MomentAcc = {
+      val x = corrFeatures(r)
+      var i = 0
+      while (i < 4) { b.s(i) += U.r6MicroLong(x(i)); i += 1 }
+      var k = 4
+      i = 0
+      while (i < 4) {
+        var j = i
+        while (j < 4) {
+          b.s(k) += U.r6MicroLong(x(i) * x(j)); k += 1; j += 1
+        }
+        i += 1
+      }
+      MomentAcc(b.n + 1L, b.s)
+    }
+    def merge(a: MomentAcc, b: MomentAcc): MomentAcc = {
+      var k = 0
+      while (k < a.s.length) { a.s(k) += b.s(k); k += 1 }
+      MomentAcc(a.n + b.n, a.s)
+    }
+    def finish(r: MomentAcc): MomentAcc = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[MomentAcc] =
+      org.apache.spark.sql.Encoders.product[MomentAcc]
+    def outputEncoder: org.apache.spark.sql.Encoder[MomentAcc] =
+      org.apache.spark.sql.Encoders.product[MomentAcc]
+  }
 
   /** Per-distinct-value cumulative counts of `l_extendedprice` for the
     * two-sample (returnflag R vs A) tests, block-stitched:
@@ -207,33 +254,41 @@ object Stats {
     // into the 6-row upper triangle. Every moment is exact; the
     // closed-form corr is per-row IEEE math on the one-row aggregate.
     "agg_corr_matrix" -> ((s, d) => {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
-        "l_tax")
-      val sums = cols.map(c => sum(U.dec4(col(c))).cast("double")
-        .as(s"s_$c"))
-      val sqs = cols.map(c => sum(U.dec4(col(c) * col(c)))
-        .cast("double").as(s"q_$c"))
-      val pairs = for {
-        i <- cols.indices; j <- cols.indices if i < j
-      } yield (cols(i), cols(j))
-      val crosses = pairs.map { case (a, b) =>
-        sum(U.dec4(col(a) * col(b))).cast("double").as(s"x_${a}_$b") }
-      val aggs = (count(lit(1)).cast("double").as("n") +: sums) ++
-        sqs ++ crosses
-      val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
-      def corr(a: String, b: String): Column = {
-        val cov = col(s"x_${a}_$b") / col("n") -
-          (col(s"s_$a") / col("n")) * (col(s"s_$b") / col("n"))
-        val va = col(s"q_$a") / col("n") -
-          (col(s"s_$a") / col("n")) * (col(s"s_$a") / col("n"))
-        val vb = col(s"q_$b") / col("n") -
-          (col(s"s_$b") / col("n")) * (col(s"s_$b") / col("n"))
-        cov / sqrt(va * vb)
+      // One typed-Aggregator pass (the ml.Pca covariance pattern):
+      // each partition folds 4 quantized sums + 10 quantized pair
+      // products into one 14-long buffer, so the exchange carries a
+      // ~120-byte row per partition instead of 14 decimal sums over
+      // the fact (measured 3.2 s -> sub-second at sf0.1). Features
+      // scale to <=1 magnitude first (the Gmm//1e5 rationale: the
+      // 1e-6 bridge needs ulp(product) far below the grid); Pearson r
+      // is scale-invariant so the output is the same statistic.
+      val sess = s; import sess.implicits._
+      val acc = t(s, d, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .as[(Double, Double, Double, Double)]
+        .select(corrAgg.toColumn).head()
+      val n = acc.n.toDouble
+      def sm(k: Int): Double = acc.s(k).toDouble / 1e6
+      def pidx(i: Int, j: Int): Int = {
+        // (i <= j) row-major upper triangle over 4 dims, after the 4 sums
+        4 + i * 4 - i * (i - 1) / 2 + (j - i)
       }
-      val rows = pairs.map { case (a, b) =>
-        one.select(lit(a).as("col_a"), lit(b).as("col_b"),
-          U.round6(corr(a, b)).as("corr")) }
-      rows.reduce(_.unionByName(_)).orderBy("col_a", "col_b")
+      def r6d(x: Double): Double =
+        java.math.BigDecimal.valueOf(x * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue() / 1e6
+      val names = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val rows = for {
+        i <- 0 until 4; j <- 0 until 4 if i < j
+      } yield {
+        val cov = sm(pidx(i, j)) / n - (sm(i) / n) * (sm(j) / n)
+        val vi = sm(pidx(i, i)) / n - (sm(i) / n) * (sm(i) / n)
+        val vj = sm(pidx(j, j)) / n - (sm(j) / n) * (sm(j) / n)
+        (names(i), names(j), r6d(cov / math.sqrt(vi * vj)))
+      }
+      rows.toDF("col_a", "col_b", "corr").orderBy("col_a", "col_b")
     }),
 
     // Wald-Wolfowitz runs test on the daily event-count series: are
@@ -1043,26 +1098,33 @@ object Stats {
     "agg_corr_matrix" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
         "l_tax")
-      val pairs = for {
-        i <- cols.indices; j <- cols.indices if i < j
+      // scaled-feature expressions in lockstep with corrFeatures
+      val fx = Map(
+        "l_quantity" -> "(l_quantity / 100.0)",
+        "l_extendedprice" -> "(l_extendedprice / 1000000.0)",
+        "l_discount" -> "l_discount",
+        "l_tax" -> "l_tax")
+      def d6r(e: String): String =
+        s"CAST(round(($e) * 1000000) / 1000000 AS DECIMAL(18,6))"
+      val pairsAll = for {
+        i <- cols.indices; j <- cols.indices if i <= j
       } yield (cols(i), cols(j))
       val sums = cols.map(c =>
-        s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS s_$c")
-      val sqs = cols.map(c =>
-        s"CAST(SUM(CAST($c * $c AS DECIMAL(18,4))) AS DOUBLE) AS q_$c")
-      val crosses = pairs.map { case (a, b) =>
-        s"CAST(SUM(CAST($a * $b AS DECIMAL(18,4))) AS DOUBLE) AS x_${a}_$b" }
+        s"CAST(SUM(${d6r(fx(c))}) AS DOUBLE) AS s_$c")
+      val prods = pairsAll.map { case (a, b) =>
+        s"CAST(SUM(${d6r(s"${fx(a)} * ${fx(b)}")}) AS DOUBLE)" +
+          s" AS p_${a}_$b" }
       def corrSql(a: String, b: String): String =
-        s"""(x_${a}_$b / n - (s_$a / n) * (s_$b / n))
-           |    / sqrt((q_$a / n - (s_$a / n) * (s_$a / n))
-           |      * (q_$b / n - (s_$b / n) * (s_$b / n)))""".stripMargin
-      val rows = pairs.map { case (a, b) =>
+        s"""(p_${a}_$b / n - (s_$a / n) * (s_$b / n))
+           |    / sqrt((p_${a}_$a / n - (s_$a / n) * (s_$a / n))
+           |      * (p_${b}_$b / n - (s_$b / n) * (s_$b / n)))""".stripMargin
+      val rows = pairsAll.filter(p => p._1 != p._2).map { case (a, b) =>
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
            |  round(${corrSql(a, b)} * 1000000) / 1000000 AS corr
            |FROM a""".stripMargin }
       s"""WITH a AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS n,
-         |  ${(sums ++ sqs ++ crosses).mkString(",\n  ")}
+         |  ${(sums ++ prods).mkString(",\n  ")}
          |  FROM lineitem)
          |${rows.mkString("\nUNION ALL ")}
          |ORDER BY col_a, col_b""".stripMargin

@@ -330,10 +330,12 @@ class StatsSpec extends SparkSpec {
     // this generator draws the numerics independently: nothing should
     // look correlated
     assert(m.values.forall(c => math.abs(c) < 0.2), m.toString)
-    // planted perfect linearity: price = 100 x quantity => corr 1.0
+    // planted perfect linearity at REALISTIC magnitudes (the corr
+    // features scale price by 1e6, so prices must live in the 1e4-5e5
+    // band the scaling is calibrated to): price = 1e4 x quantity
     val tmp = java.nio.file.Files.createTempDirectory("corr").toString
     (1 to 50).map(i => (i.toLong, i, i.toDouble,
-      i * 100.0, 0.01 * (i % 7), 0.01 * ((i * 3) % 5)))
+      i * 10000.0, 0.01 * (i % 7), 0.01 * ((i * 3) % 5)))
       .toDF("l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax")
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
