@@ -126,22 +126,33 @@ object Ridge {
         (substring(md5(concat(col("l_orderkey").cast("string"),
           lit("_"), col("l_linenumber").cast("string"))), 1, 1) < "8")
           .as("is_cal"))
-      val calCounts = base.filter(col("is_cal"))
-        .groupBy("a4").agg(count(lit(1)).as("c"))
-      val nCal = calCounts.agg(sum(col("c"))).head().getLong(0)
-      val k = math.ceil(0.9 * (nCal + 1)).toLong
-      val q4 = calCounts
-        .withColumn("cum", sum(col("c")).over(Window.orderBy("a4")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("cum") >= k)
-        .agg(min(col("a4"))).head().getLong(0)
-      base.filter(!col("is_cal"))
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("a4") <= q4, 1L).otherwise(0L)).as("covered"))
-        .select(lit(nCal).as("n_cal"), col("n_test"),
-          lit(q4.toDouble / 1e4).as("q"),
-          U.round6(col("covered").cast("double") / col("n_test"))
-            .as("coverage"))
+      // ONE scan: both halves' per-value counts in a single keyed
+      // aggregate, persisted; the rank threshold and the coverage
+      // count are then two small jobs over the bounded per-distinct-
+      // residual table instead of two more scans of the fact
+      // (measured 3.3 s → ~1 s warm at sf0.1).
+      val counts = base.groupBy("a4").agg(
+        sum(when(col("is_cal"), 1L).otherwise(0L)).as("cc"),
+        sum(when(!col("is_cal"), 1L).otherwise(0L)).as("tc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nCal = counts.agg(sum(col("cc"))).head().getLong(0)
+        val k = math.ceil(0.9 * (nCal + 1)).toLong
+        val q4 = counts.filter(col("cc") > 0)
+          .withColumn("cum", sum(col("cc")).over(Window.orderBy("a4")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") >= k)
+          .agg(min(col("a4"))).head().getLong(0)
+        val t = counts.agg(
+          sum(col("tc")).as("n_test"),
+          sum(when(col("a4") <= q4, col("tc")).otherwise(0L))
+            .as("covered")).head()
+        val nTest = t.getLong(0); val covered = t.getLong(1)
+        val sess = s; import sess.implicits._
+        Seq((nCal, nTest, q4.toDouble / 1e4,
+          math.round(covered.toDouble / nTest * 1e6) / 1e6))
+          .toDF("n_cal", "n_test", "q", "coverage")
+      } finally counts.unpersist()
     }))
 
   private val statsSql =
