@@ -432,6 +432,64 @@ object Graph {
         .orderBy("event_type")
     }),
 
+    // HITS hubs & authorities (Kleinberg) over the same contracted
+    // transition graph — the directed-role complement to PageRank:
+    // a state is a strong HUB when it leads into strong authorities
+    // (the "launchpad" events) and a strong AUTHORITY when strong
+    // hubs lead into it (the "destination" events); PageRank's single
+    // score cannot separate the two roles. Two bounded iterations of
+    // the weighted mutual recursion with L1 normalization, in the
+    // pagerank_types micro-unit discipline: contributions round to
+    // 1e-6 Longs, sums are exact integers, the driver loop mirrors
+    // the oracle's unrolled stages token for token. The distributed
+    // half is the same window+aggregate contraction; the ≤|types|²
+    // edge list iterates under the same driver guard.
+    "graph_hits_types" -> ((s, d) => {
+      val perUser = Window.partitionBy("user_id")
+        .orderBy(U.tsUs(col("ts")), col("event_id"))
+      val edgesDf = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("dst"))
+        .withColumn("src", lag(col("dst"), 1).over(perUser))
+        .filter(col("src").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .persist()
+      val nEdges = edgesDf.count()
+      require(nEdges <= 100000,
+        s"contracted transition graph has $nEdges edges — beyond " +
+          "the driver-iteration guard (keep the iteration distributed " +
+          "for data-scaled node sets)")
+      val edges = edgesDf
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      edgesDf.unpersist()
+      val nodes = t(s, d, "events")
+        .select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val n = nodes.length
+      var hub: Map[String, Long] =
+        nodes.map(_ -> math.round(1e6 / n)).toMap
+      var auth: Map[String, Long] = hub
+      def step(scores: Map[String, Long],
+          keyOf: ((String, String, Long)) => String,
+          srcOf: ((String, String, Long)) => String)
+          : Map[String, Long] = {
+        val raw = edges.map { e =>
+          keyOf(e) -> math.round(scores(srcOf(e)) / 1e6 * e._3 * 1e6) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val tot = nodes.map(nd => raw.getOrElse(nd, 0L)).sum
+        nodes.map(nd => nd -> math.round(
+          raw.getOrElse(nd, 0L) / tot.toDouble * 1e6)).toMap
+      }
+      for (_ <- 1 to 2) {
+        auth = step(hub, _._2, _._1)  // authority ← hubs pointing in
+        hub = step(auth, _._1, _._2)  // hub ← authorities pointed to
+      }
+      val sess = s; import sess.implicits._
+      nodes.map(nd => (nd, hub(nd) / 1e6, auth(nd) / 1e6)).toSeq
+        .toDF("event_type", "hub", "authority")
+        .orderBy("event_type")
+    }),
+
     // Local clustering coefficient — triangle counting's per-node
     // normalization: C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2.
     // In a near-dup graph this is the template-vs-chain separator per
@@ -579,6 +637,46 @@ object Graph {
         |  round(CAST(n AS DOUBLE)
         |    / sum(n) OVER (PARTITION BY src) * 1000000) / 1000000 AS p
         |FROM edges ORDER BY src, dst""".stripMargin,
+    "graph_hits_types" -> {
+      // authority stage: group contributions by edge dst, scores join
+      // on src; hub stage: the transpose
+      def stage(scoreTbl: String, out: String, grp: String,
+          jn: String): String =
+        s"""r_$out AS (
+           |  SELECT e.$grp AS node,
+           |    SUM(CAST(round(sc.sc / 1000000.0 * e.w * 1000000)
+           |      AS BIGINT)) AS s
+           |  FROM edges e JOIN $scoreTbl sc ON sc.node = e.$jn
+           |  GROUP BY e.$grp),
+           |t_$out AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM r_$out),
+           |$out AS (
+           |  SELECT nd.node, CAST(round(coalesce(r.s, 0)
+           |      / CAST(tot AS DOUBLE) * 1000000) AS BIGINT) AS sc
+           |  FROM nodes nd LEFT JOIN r_$out r ON r.node = nd.node,
+           |    t_$out)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS dst,
+         |    lag(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |      AS src
+         |  FROM events),
+         |edges AS (
+         |  SELECT src, dst, count(*) AS w FROM seq
+         |  WHERE src IS NOT NULL GROUP BY src, dst),
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |h0 AS (SELECT node, CAST(round(1000000.0 / n) AS BIGINT) AS sc
+         |       FROM nodes, nn),
+         |${stage("h0", "a1", "dst", "src")},
+         |${stage("a1", "h1", "src", "dst")},
+         |${stage("h1", "a2", "dst", "src")},
+         |${stage("a2", "h2", "src", "dst")}
+         |SELECT h2.node AS event_type,
+         |  h2.sc / 1000000.0 AS hub,
+         |  a2.sc / 1000000.0 AS authority
+         |FROM h2 JOIN a2 ON a2.node = h2.node
+         |ORDER BY event_type""".stripMargin
+    },
     "graph_pagerank_types" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS dst,

@@ -81,4 +81,32 @@ class GraphSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(got === (3L to 7L).toSet)
   }
+
+  test("HITS: the destination of a planted in-star is the top " +
+    "authority, its feeders the top hubs") {
+    val tmp = java.nio.file.Files.createTempDirectory("hits").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 30 users: each does one of a/b/c then lands on x; x never leads
+    // anywhere, so x's hub score collapses while its authority peaks
+    val rows = (0 until 30).flatMap { u =>
+      val srcT = Seq("view_a", "view_b", "view_c")(u % 3)
+      Seq(
+        (new java.sql.Timestamp(t0.getTime + u * 1000L),
+          (u * 2).toLong, u.toLong, srcT, 1.0, "{}"),
+        (new java.sql.Timestamp(t0.getTime + u * 1000L + 500L),
+          (u * 2 + 1).toLong, u.toLong, "checkout_x", 1.0, "{}"))
+    }
+    rows.toDF("ts", "event_id", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.operators.Graph
+      .queries("graph_hits_types")(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(out("checkout_x")._2 > 0.99, out.toString) // all authority
+    assert(out("checkout_x")._1 == 0.0, out.toString) // no out-edges
+    Seq("view_a", "view_b", "view_c").foreach { s =>
+      assert(out(s)._1 > 0.3, out.toString)      // equal hubs ~1/3
+      assert(out(s)._2 == 0.0, out.toString)     // nothing points at them
+    }
+  }
 }
