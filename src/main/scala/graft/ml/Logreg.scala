@@ -189,6 +189,51 @@ object Logreg {
         .orderBy("doc_id")
     }),
 
+    // Decile lift/gains table — the campaign-targeting readout: rank
+    // the corpus by gate score, cut at the score deciles (exact
+    // interpolated percentiles, the events_rfm discipline: boundary
+    // compares are flip-safe because an interpolated quantile either
+    // equals a data value or lies strictly between distinct values),
+    // and report each decile's response rate, lift over the base
+    // rate, and cumulative gains. One percentile aggregate (1-row
+    // broadcast) + one map-side decile assignment + a 10-row window.
+    "ml_logreg_lift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = weights(s, d)
+      val sc = features(s, d).select(
+        U.round6(sigma12(margin(w))).as("sc"), col("y"))
+      val probs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+      val qs = sc.groupBy().agg(
+        expr(s"percentile(sc, $probs)").as("q"),
+        count(lit(1)).as("n_all"),
+        sum(col("y").cast("long")).as("pos_all"))
+      def decile(v: org.apache.spark.sql.Column,
+          q: org.apache.spark.sql.Column) =
+        (1 to 9).foldLeft(lit(1): org.apache.spark.sql.Column)(
+          (acc, i) => acc + (v > element_at(q, i)).cast("int"))
+      val dec = sc.crossJoin(broadcast(qs))
+        // decile 1 = TOP scores (11 - raw bucket), targeting order
+        .withColumn("decile",
+          (lit(11) - decile(col("sc"), col("q"))).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("long")).as("pos"),
+          first(col("n_all")).as("n_all"),
+          first(col("pos_all")).as("pos_all"))
+      val base = col("pos_all").cast("double") / col("n_all")
+      dec
+        .withColumn("cum_pos", sum(col("pos")).over(Window
+          .orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n"), col("pos"),
+          U.round6(col("pos").cast("double") / col("n")).as("resp_rate"),
+          U.round6((col("pos").cast("double") / col("n")) / base)
+            .as("lift"),
+          U.round6(col("cum_pos").cast("double") / col("pos_all"))
+            .as("cum_gain"))
+        .orderBy("decile")
+    }),
+
     // ROC AUC of the scored corpus — threshold-free ranking quality,
     // the metric that actually orders candidate gates. AUC is the
     // Mann-Whitney U statistic normalized: P(score⁺ > score⁻) + ½
@@ -330,6 +375,44 @@ object Logreg {
          |  ${sqlSigma(sqlMargin(s"w$Iters"))} >= 0.5 AS pred_en,
          |  CAST(y AS BIGINT) AS label_en
          |FROM feats, w$Iters ORDER BY doc_id""".stripMargin),
+    "ml_logreg_lift" -> (trainSqlCtes +
+      s"""
+         |,
+         |sc AS (
+         |  SELECT round(${sqlSigma(sqlMargin(s"w$Iters"))} * 1000000)
+         |      / 1000000 AS sc, y
+         |  FROM feats, w$Iters),
+         |qs AS (
+         |  SELECT quantile_cont(sc, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,
+         |    0.8,0.9]) AS q,
+         |    count(*) AS n_all, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT)
+         |      AS pos_all
+         |  FROM sc),
+         |dec AS (
+         |  SELECT CAST(11 - (1
+         |      ${(1 to 9).map(i =>
+               s"+ CASE WHEN sc > q[$i] THEN 1 ELSE 0 END").mkString(" ")})
+         |    AS BIGINT) AS decile, y
+         |  FROM sc, qs),
+         |g AS (
+         |  SELECT decile, count(*) AS n,
+         |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos
+         |  FROM dec GROUP BY decile),
+         |c AS (
+         |  SELECT g.*, qs.n_all, qs.pos_all,
+         |    SUM(pos) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_pos
+         |  FROM g, qs)
+         |SELECT decile, n, pos,
+         |  round(CAST(pos AS DOUBLE) / n * 1000000) / 1000000
+         |    AS resp_rate,
+         |  round((CAST(pos AS DOUBLE) / n)
+         |      / (CAST(pos_all AS DOUBLE) / n_all) * 1000000) / 1000000
+         |    AS lift,
+         |  round(CAST(cum_pos AS DOUBLE) / pos_all * 1000000) / 1000000
+         |    AS cum_gain
+         |FROM c ORDER BY decile""".stripMargin),
     "ml_logreg_auc" -> (trainSqlCtes +
       s"""
          |,

@@ -231,4 +231,21 @@ class MlSpec extends SparkSpec {
       r.getAs[Boolean]("correct") ==
         (r.getAs[Int]("label") == r.getAs[Int]("pred"))))
   }
+
+  test("lift table: ten deciles partition the corpus, top decile " +
+    "lifts above 1, cumulative gains reach 1") {
+    val rows = ml.Logreg.queries("ml_logreg_lift")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // decile 1 holds the TOP scores: a working gate concentrates
+    // positives there
+    assert(rows.head.getAs[Double]("lift") > 1.0, rows.head.toString)
+    assert(math.abs(rows.last.getAs[Double]("cum_gain") - 1.0) < 1e-9)
+    // cumulative gains are monotone
+    val gains = rows.map(_.getAs[Double]("cum_gain")).toSeq
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a })
+  }
 }
