@@ -247,6 +247,40 @@ object Stats {
           .as("n_pairs"), U.round6(col("slope")).as("sen_slope"))
     }),
 
+    // Jarque-Bera normality test on the price distribution — the
+    // skewness/kurtosis-based screen that says whether z-score-style
+    // downstream logic is even applicable. One aggregate of four
+    // quantized moment sums (map-side combined); the central-moment
+    // identities and the JB statistic are per-row IEEE math on exact
+    // sums. The feature scales by 1e5 first (skew/kurtosis are
+    // scale-invariant; x⁴ must stay inside the 1e-6 decimal bridge —
+    // the Gmm/Neyman rationale).
+    "stats_jarque_bera" -> ((s, d) => {
+      val x = col("l_extendedprice") / lit(100000.0)
+      val a = t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(U.dec6r(x)).cast("double").as("s1"),
+        sum(U.dec6r(x * x)).cast("double").as("s2"),
+        sum(U.dec6r(x * x * x)).cast("double").as("s3"),
+        sum(U.dec6r(x * x * x * x)).cast("double").as("s4"))
+      val n = col("n").cast("double")
+      val mu = col("s1") / n
+      val m2 = col("s2") / n - mu * mu
+      val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+        lit(6.0) * mu * mu * (col("s2") / n) -
+        lit(3.0) * mu * mu * mu * mu
+      val g1 = m3 / sqrt(m2 * m2 * m2)
+      val g2 = m4 / (m2 * m2) - lit(3.0)
+      val jb = n / lit(6.0) * (g1 * g1 + g2 * g2 / lit(4.0))
+      a.select(col("n"),
+        U.round6(g1).as("skewness"),
+        U.round6(g2).as("ex_kurtosis"),
+        U.round6(jb).as("jb_stat"),
+        (jb < 5.991465).as("is_normal_95"))
+    }),
+
     // Pairwise Pearson correlation matrix of the four lineitem
     // numerics — the feature-redundancy screen a modeling pipeline
     // runs before anything learns: ONE decimal-moment aggregate (4
@@ -1129,6 +1163,46 @@ object Stats {
          |${rows.mkString("\nUNION ALL ")}
          |ORDER BY col_a, col_b""".stripMargin
     },
+    "stats_jarque_bera" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(CAST(round((l_extendedprice / 100000.0)
+        |        * 1000000) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS s1,
+        |    CAST(SUM(CAST(round((l_extendedprice / 100000.0)
+        |        * (l_extendedprice / 100000.0) * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(round((l_extendedprice / 100000.0)
+        |        * (l_extendedprice / 100000.0)
+        |        * (l_extendedprice / 100000.0) * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(round((l_extendedprice / 100000.0)
+        |        * (l_extendedprice / 100000.0)
+        |        * (l_extendedprice / 100000.0)
+        |        * (l_extendedprice / 100000.0) * 1000000) / 1000000
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS s4
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT n,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM a),
+        |c AS (
+        |  SELECT n, m3 / sqrt(m2 * m2 * m2) AS g1,
+        |    m4 / (m2 * m2) - 3.0 AS g2
+        |  FROM b)
+        |SELECT n,
+        |  round(g1 * 1000000) / 1000000 AS skewness,
+        |  round(g2 * 1000000) / 1000000 AS ex_kurtosis,
+        |  round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) * 1000000)
+        |    / 1000000 AS jb_stat,
+        |  n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) < 5.991465
+        |    AS is_normal_95
+        |FROM c""".stripMargin,
     "stats_runs_test" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS c

@@ -372,4 +372,25 @@ class StatsSpec extends SparkSpec {
     assert(blocked.getAs[Long]("runs") == 2L, blocked.toString)
     assert(blocked.getAs[Double]("z") < -3.0, blocked.toString)
   }
+
+  test("jarque-bera: a planted symmetric three-point distribution has " +
+    "zero skew and the expected kurtosis") {
+    val tmp = java.nio.file.Files.createTempDirectory("jb").toString
+    // equal mass at 1e5, 2e5, 3e5 (scaled: 1, 2, 3): mu=2, m2=2/3,
+    // m3=0 (symmetric), m4=2/3 => g1=0, g2=m4/m2^2-3 = 1.5-3 = -1.5,
+    // JB = n/6 * (0 + 2.25/4) = n * 0.09375
+    val rows = (0 until 300).map { i =>
+      (i.toLong, i % 7 + 1, 1.0, ((i % 3) + 1) * 100000.0, 0.0, 0.0)
+    }
+    rows.toDF("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = graft.operators.Stats
+      .queries("stats_jarque_bera")(spark, tmp).head()
+    assert(r.getAs[Double]("skewness") == 0.0, r.toString)
+    assert(r.getAs[Double]("ex_kurtosis") == -1.5, r.toString)
+    assert(math.abs(r.getAs[Double]("jb_stat") - 300 * 0.09375) < 1e-6,
+      r.toString)
+    assert(!r.getAs[Boolean]("is_normal_95"), r.toString)
+  }
 }
