@@ -726,6 +726,20 @@ object Dedup {
         .select(col("vec_id"),
           VectorOps.toDouble(col("embedding")).as("vd"), col("label"))
         .withColumn("nrm", VectorOps.l2norm(col("vd")))
+      // Quadratic-BY-CONTRACT guard (count-before-join, the
+      // Graph.scala:396 discipline): this is the labeled ground-truth
+      // twin of ml_knn_classify_ann and deliberately all-pairs — the
+      // only form a SQL oracle replays exactly. A copy-paste of it
+      // onto a data-scaled corpus must die loudly here, not OOM a
+      // cluster running n² cosines: 30k rows ≈ 9·10⁸ comparisons is
+      // the most a ground-truth eval should ever burn.
+      val nVec = e0.count()
+      require(nVec <= 30000L,
+        s"ml_knn_classify: $nVec vectors → ~${nVec * nVec} exact " +
+          "leave-one-out comparisons. This query is the all-pairs " +
+          "ground-truth eval (quadratic by contract); for corpus-scale " +
+          "classification use ml_knn_classify_ann (bucketed candidates) " +
+          "and validate its recall on a ≤30k sample of this query.")
       val q = e0.select(col("vec_id").as("qid"), col("vd").as("qd"),
         col("label").as("qlabel"), col("nrm").as("qnrm"))
       // U.fan: the all-pairs stage runs on the streamed side's scan

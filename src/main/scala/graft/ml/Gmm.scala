@@ -47,6 +47,7 @@ object Gmm {
     * well inside DECIMAL(18,6) and exp() arguments are moderate. */
   val Scale = 100000.0
   private val VarFloor = 0.000001
+  private val MassFloor = 0.000001
 
   /** Per-customer mean order value, scaled — the clustering feature.
     * The only data-scaled stage (one keyed aggregate). */
@@ -101,10 +102,16 @@ object Gmm {
           sum(U.dec6(U.round6(col("x") * col("x"))))
             .cast("double").as("qx"))
           .head()
-        val n1 = a.getDouble(0); val s1 = a.getDouble(1)
+        val n1raw = a.getDouble(0); val s1 = a.getDouble(1)
         val q1 = a.getDouble(2); val sx = a.getDouble(3)
         val qx = a.getDouble(4)
         val nd = n.toDouble
+        // Mass floor: if a component's total responsibility collapses
+        // to 0 (degenerate/tiny corpora), mu/v would go NaN/Inf and
+        // propagate silently — VarFloor only floors variances. Clamp
+        // n1 into [MassFloor, n - MassFloor], mirrored in emStage's
+        // SQL so the replay stays bit-identical.
+        val n1 = math.min(math.max(n1raw, MassFloor), nd - MassFloor)
         val mu1 = s1 / n1
         val mu2 = (sx - s1) / (nd - n1)
         p = Params(n, n1 / nd, mu1,
@@ -179,18 +186,23 @@ object Gmm {
        |    CAST(SUM(CAST(round(x * x * 1000000) / 1000000
        |      AS DECIMAL(18,6))) AS DOUBLE) AS qx
        |  FROM e${i + 1}),
+       |mc${i + 1} AS (
+       |  SELECT least(greatest(m.n1, $MassFloor),
+       |      $prev.n - $MassFloor) AS n1,
+       |    m.s1, m.q1, m.sx, m.qx, $prev.n
+       |  FROM $prev, m${i + 1} m),
        |w${i + 1} AS (
-       |  SELECT $prev.n,
-       |    m.n1 / $prev.n AS pi1,
+       |  SELECT m.n,
+       |    m.n1 / m.n AS pi1,
        |    m.s1 / m.n1 AS mu1,
        |    greatest(m.q1 / m.n1 - (m.s1 / m.n1) * (m.s1 / m.n1),
        |      $VarFloor) AS v1,
-       |    (m.sx - m.s1) / ($prev.n - m.n1) AS mu2,
-       |    greatest((m.qx - m.q1) / ($prev.n - m.n1)
-       |        - ((m.sx - m.s1) / ($prev.n - m.n1))
-       |          * ((m.sx - m.s1) / ($prev.n - m.n1)),
+       |    (m.sx - m.s1) / (m.n - m.n1) AS mu2,
+       |    greatest((m.qx - m.q1) / (m.n - m.n1)
+       |        - ((m.sx - m.s1) / (m.n - m.n1))
+       |          * ((m.sx - m.s1) / (m.n - m.n1)),
        |      $VarFloor) AS v2
-       |  FROM $prev, m${i + 1} m)""".stripMargin
+       |  FROM mc${i + 1} m)""".stripMargin
   }
 
   /** base + moment init + `Iters` unrolled EM stages; final params in

@@ -39,10 +39,14 @@ object Stump {
       when(col("lang") === "en", 1L).otherwise(0L).as("y"),
       length(col("text")).cast("double").as("x"))
     val mm = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // Degenerate-range guard (every x identical → mx = mn): the
+    // unguarded ratio is 0/0 = NaN, which Spark floors to null but
+    // DuckDB's CAST raises on — bin 0 on BOTH engines instead.
     docs.crossJoin(broadcast(mm))
-      .withColumn("bin", least(lit(bins - 1),
-        floor((col("x") - col("mn")) / (col("mx") - col("mn"))
-          * bins).cast("int")))
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(lit(bins - 1),
+          floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+            * bins).cast("int"))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,9 +108,10 @@ object Stump {
         col("lang"), length(col("text")).cast("double").as("x"))
       val mm = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       val cells = docs.crossJoin(broadcast(mm))
-        .withColumn("bin", least(lit(MiBins - 1),
-          floor((col("x") - col("mn")) / (col("mx") - col("mn"))
-            * MiBins).cast("int")))
+        .withColumn("bin", when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(MiBins - 1),
+            floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+              * MiBins).cast("int"))))
         .groupBy("bin", "lang").agg(count(lit(1)).as("c"))
       val rowTot = cells.groupBy("bin").agg(sum(col("c")).as("rb"))
       val colTot = cells.groupBy("lang").agg(sum(col("c")).as("cl"))
@@ -124,8 +129,9 @@ object Stump {
   )
 
   private def binSql(bins: Int): String =
-    s"""least(${bins - 1}, CAST(floor((x - mn) / (mx - mn)
-       |      * $bins) AS INTEGER))""".stripMargin
+    s"""CASE WHEN mx = mn THEN 0
+       |      ELSE least(${bins - 1}, CAST(floor((x - mn) / (mx - mn)
+       |      * $bins) AS INTEGER)) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ml_decision_stump" ->

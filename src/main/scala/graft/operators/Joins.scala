@@ -21,6 +21,37 @@ import org.apache.spark.sql.functions._
 object Joins {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Candidate-pair cap for fixed-vocabulary blocked self-joins
+    * (join_blocked_jaro / join_er_fellegi_sunter). These two keep a
+    * FIXED-cardinality blocking key by contract (the oracle-able
+    * textbook form), so block occupancy grows linearly with data and
+    * candidate pairs QUADRATICALLY — measured 1.0M pairs at sf0.1 →
+    * 100M at sf1 (round-9 scaling sweep). The cap makes that failure
+    * LOUD: Σ c·(c−1)/2 over blocks is counted distributedly BEFORE the
+    * self-join is launched (the Graph.scala:396 discipline — reject
+    * before materializing), so a copy-paste of this query onto a
+    * 100 TB corpus dies with a pointer to the n·w-bounded
+    * join_er_sorted_neighborhood instead of running 10¹² comparisons. */
+  private val ErPairCap = 20000000L
+
+  /** Distributed count-before-join guard: fails when the blocked
+    * self-join would generate more than `cap` candidate pairs. */
+  private[graft] def requireCandidatePairs(blocked: DataFrame,
+      keys: Seq[String], cap: Long, who: String): Unit = {
+    val pairs = blocked
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1)) / 2), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
+    require(pairs <= cap,
+      s"$who: fixed-vocabulary blocking would generate $pairs candidate " +
+        s"pairs (> cap $cap) — block occupancy grows linearly with the " +
+        "corpus under a fixed key, so pairs grow quadratically. Use " +
+        "join_er_sorted_neighborhood (n·w candidates by construction) " +
+        "for data-scaled inputs, or a blocking key whose cardinality " +
+        "scales with the data (email, zip, shingle).")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // dim⋈fact broadcast chain (bin/concatenate.py:105-111 donor join):
     // both dims broadcast → zero shuffle on the orders side.
@@ -157,6 +188,8 @@ object Joins {
         .select(col("p_partkey"), lower(col("p_name")).as("nm"),
           col("p_brand"))
         .withColumn("tok1", split_part(col("nm"), lit(" "), lit(1)))
+      requireCandidatePairs(p, Seq("p_brand", "tok1"), ErPairCap,
+        "join_blocked_jaro")
       val a = p.select(col("p_partkey").as("id1"), col("nm").as("n1"),
         col("p_brand"), col("tok1"))
       val b = p.select(col("p_partkey").as("id2"), col("nm").as("n2"),
@@ -191,6 +224,8 @@ object Joins {
           col("p_brand"), col("p_type"), col("p_size"),
           col("p_retailprice"))
         .withColumn("tok1", split_part(col("nm"), lit(" "), lit(1)))
+      requireCandidatePairs(p, Seq("p_brand", "tok1"), ErPairCap,
+        "join_er_fellegi_sunter")
       val a = p.select(col("p_partkey").as("id1"), col("nm").as("n1"),
         col("p_brand"), col("tok1"), col("p_type").as("t1"),
         col("p_size").as("s1"), col("p_retailprice").as("r1"))

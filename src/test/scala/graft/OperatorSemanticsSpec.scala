@@ -660,4 +660,42 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(got((10L, 30L))._2 === 0)
     assert(got((20L, 30L))._2 === 0)
   }
+
+  test("blocked-ER pair guard: planted skew (one hot block) trips the " +
+    "count-before-join require; benign blocking passes") {
+    // 200 rows in ONE block → 200·199/2 = 19900 candidate pairs
+    val hot = spark.range(200)
+      .selectExpr("'BrandX' AS p_brand", "'widget' AS tok1")
+    val eHot = intercept[IllegalArgumentException] {
+      operators.Joins.requireCandidatePairs(
+        hot, Seq("p_brand", "tok1"), 10000L, "planted")
+    }
+    assert(eHot.getMessage.contains("19900 candidate pairs"))
+    assert(eHot.getMessage.contains("join_er_sorted_neighborhood"),
+      "guard message must point at the scale-safe alternative")
+    // same 200 rows spread over 100 blocks → 100·(2·1/2) = 100 pairs
+    val spread = spark.range(200)
+      .selectExpr("CAST(id % 100 AS STRING) AS p_brand", "'w' AS tok1")
+    operators.Joins.requireCandidatePairs(
+      spread, Seq("p_brand", "tok1"), 10000L, "benign") // must not throw
+    // and the registered sf-test queries stay under the real cap
+    operators.Joins.queries("join_blocked_jaro")(spark, sfDir).limit(1)
+      .collect() // guard passes at test SF
+  }
+
+  test("ml_knn_classify guard: a data-scaled embeddings table fails " +
+    "loudly before the all-pairs join launches") {
+    val dir = java.nio.file.Files.createTempDirectory("knncap").toString
+    spark.range(30001)
+      .selectExpr("id AS vec_id",
+        "array(CAST(id AS FLOAT), 1.0F) AS embedding",
+        "CAST(id % 3 AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      dedup.Dedup.queries("ml_knn_classify")(spark, dir)
+    }
+    assert(e.getMessage.contains("30001 vectors"))
+    assert(e.getMessage.contains("ml_knn_classify_ann"),
+      "guard message must point at the bucketed ANN path")
+  }
 }

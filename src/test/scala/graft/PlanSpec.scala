@@ -334,7 +334,10 @@ class PlanSpec extends SparkSpec {
       "events_time_to_convert", // 1-row (n_users, n_conv) totals broadcast
       "agg_decay_sum",       // 1-row max-event-time anchor broadcast
       "sample_neyman_alloc", // 1-row total-weight scalar broadcast
-      "stats_runs_test")     // 1-row daily-median scalar broadcast
+      "stats_runs_test",     // 1-row daily-median scalar broadcast
+      "ml_logreg_lift")      // 1-row percentile/totals aggregate broadcast
+                             // (decile bounds + corpus counts, same class
+                             // as stats_qq_deciles / feat_bucketize)
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
