@@ -39,6 +39,40 @@ object DataModel {
       .as[CellObs]
   }
 
+  /** [[obsFromFact]] with the reference's per-dataset tissue fallback
+    * (`bin/concatenate.py:60-61`): a known tissue annotates every row as
+    * a literal; when absent, each dataset's tissue resolves through
+    * `resolveTissue` — in production [[graft.sources.EntityApi]]'s
+    * entity-API lookup — over the DISTINCT dataset list (dim-sized by
+    * construction: one per dataset, ≤ thousands), entering the plan as a
+    * broadcast map lookup. A dataset the resolver cannot name fails
+    * loudly rather than annotating null. */
+  def obsFromFact(s: SparkSession, fact: Dataset[FactRow],
+      tissue: Option[String],
+      resolveTissue: Seq[String] => Map[String, String]): Dataset[CellObs] = {
+    import s.implicits._
+    tissue match {
+      case Some(t) => obsFromFact(s, fact, t)
+      case None =>
+        val keys = fact.select($"cell_id", $"dataset").distinct()
+          .withColumn("barcode", substring_index($"cell_id", "-", -1))
+        // Driver-side resolution over the distinct dataset dim (a bounded
+        // collect, same class as the donor dim); the resolved map rejoins
+        // as a typedlit lookup — no shuffle, stays in codegen.
+        val datasets = keys.select($"dataset").distinct()
+          .as[String].collect().toSeq
+        val resolved = resolveTissue(datasets)
+        val missing = datasets.filterNot(resolved.contains)
+        require(missing.isEmpty,
+          s"tissue resolver returned no tissue for dataset(s): " +
+            missing.mkString(", "))
+        keys.withColumn("tissue",
+            element_at(typedlit(resolved), $"dataset"))
+          .select("cell_id", "barcode", "dataset", "tissue")
+          .as[CellObs]
+    }
+  }
+
   /** Typed donor join: annotate obs rows with donor metadata by dataset
     * uuid (inner — cells with unknown uuid drop, matching the reference's
     * merge semantics, `bin/concatenate.py:105-111`). */

@@ -358,20 +358,26 @@ object Aggregates {
           round(element_at(col("ps"), 2), 4).as("p90"))
         .orderBy("l_returnflag")),
 
-    // Sketch percentile. NO ORACLE — an expressibility limit, not an
-    // omission: Spark's approx_percentile is a Greenwald-Khanna summary
-    // whose compression decisions depend on the SEQUENCE of inserts and
-    // merges (each compress() keeps a sample based on the running
-    // g/delta bounds at that moment), so the returned element is a
-    // function of partition boundaries and merge ORDER — there is no
-    // closed-form, set-oriented SQL over the input rows that reproduces
-    // it (contrast HLL++, replayed in HllSqlOracle, whose bucket-max is
-    // order-free). The ε·N rank bound IS testable and is asserted in
-    // OperatorSemanticsSpec against the exact percentile.
+    // Sketch percentile through Greenwald-Khanna, registered in its
+    // LOSSLESS regime so it IS oracle-able: GK only compresses once the
+    // buffer exceeds the accuracy-derived threshold, so with accuracy ≥
+    // the largest group's row count NO compress() ever fires, partial
+    // merges are plain concatenations, and the answer is the exact
+    // discrete quantile of the multiset — merge-order-free and equal to
+    // DuckDB's quantile_disc (verified across p∈{.1..0.99} including
+    // ties). Below that accuracy the result depends on partition
+    // boundaries and merge ORDER (each compress() keeps a sample based
+    // on the running g/delta bounds at that moment) and no set-oriented
+    // SQL reproduces it — that compressed regime is covered by the ε·N
+    // rank-bound assertion in OperatorSemanticsSpec instead. 1e6 covers
+    // every verify/bench SF (largest group ≈ 200k rows at sf0.1) at
+    // ~8 B/row of executor buffer; at 100 TB a caller picks a practical
+    // accuracy and gets the rank bound, not bit-equality.
     "agg_approx_percentile" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000000)")
+          .as("ap50"))
         .orderBy("l_returnflag")),
 
     // agg_product_stats (bin/concatenate.py:81-96): one-row product
@@ -1271,6 +1277,11 @@ object Aggregates {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Lossless-regime GK = exact discrete quantile (see the query's
+    // scaladoc); DuckDB's quantile_disc pins the same lower-rank element.
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS ap50
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_product_stats" ->
       """SELECT count(*) AS n_rows,

@@ -31,26 +31,69 @@ import graft.{Tables, U}
 object Market {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
-  /** Item-to-item co-purchase top-k over a DISTINCT (`l_orderkey`,
-    * `l_partkey`) incidence table: pair counts keyed on the order
-    * (basket-size-bounded fan-out), cosine = n/√(fa·fb) rounded to
-    * 1e-6 BEFORE the rank window so ordering is engine-stable. */
+  /** Item-to-item co-purchase top-k over a raw (`l_orderkey`,
+    * `l_partkey`) incidence table (duplicates fine — the basket
+    * aggregate dedups): ONE order-keyed aggregate collapses each order
+    * to its sorted distinct basket, pair candidates come from an
+    * in-array combination expression (basket-size-bounded k·(k−1)/2
+    * fan-out, whole-stage codegen — no self-join of the fact), part
+    * frequencies explode off the same basket table (k-element light
+    * explode, shared scan+repartition exchange via AQE reuse), the
+    * frequency joins land on the 1× canonical pair table, and
+    * symmetrization is a 2-element Generate, NOT a self-union (a union
+    * duplicates the entire upstream subtree in the physical plan).
+    * Cosine = n/√(fa·fb) rounded to 1e-6 BEFORE the rank window so
+    * ordering is engine-stable. Round-10 rewrite: the previous
+    * distinct → self-join → post-sym double freq-join shape spent two
+    * extra full shuffles of the fact + one of the 2× pair table for
+    * the same result. */
   def coPurchaseTopK(dp: DataFrame, k: Int): DataFrame = {
-    val f = dp.groupBy("l_partkey").agg(count(lit(1)).as("fc"))
-    val pairs = dp.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(dp.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
-    val sym = pairs
-      .select(col("pa").as("src"), col("pb").as("dst"), col("n"))
-      .unionByName(pairs
-        .select(col("pb").as("src"), col("pa").as("dst"), col("n")))
-    sym
-      .join(f.select(col("l_partkey").as("src"), col("fc").as("fa")), "src")
-      .join(f.select(col("l_partkey").as("dst"), col("fc").as("fb")), "dst")
+    // Pre-hash on the basket key: the test-SF parquet is one row group
+    // per file, so without this the collect_set partial aggregate runs
+    // at scan parallelism (3 tasks for 600k rows at sf0.1 — measured
+    // 1.65 s of the query). The explicit hash repartition satisfies the
+    // groupBy's distribution requirement (no second exchange) and moves
+    // the aggregate to full shuffle parallelism; on a real multi-file
+    // 100 TB scan it is a no-op-cost re-key of the (order, part) pairs.
+    val baskets = dp.repartition(col("l_orderkey")).groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
+      .select(col("basket"))
+    // Part frequencies come off a LIGHT basket explode (k elements per
+    // basket), not the k²/2 combination fan-out: the two consumers of
+    // `baskets` share the scan+repartition exchange (AQE exchange
+    // reuse — the subtrees are identical below the Generate), and only
+    // the pair path pays the quadratic-in-basket-size Generate.
+    val f = baskets.select(explode(col("basket")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("fc"))
+    // Every i<j combination (pa < pb by construction — the basket is
+    // sorted) from ONE codegen'd array expression; no self-join of the
+    // fact ever happens.
+    val pairEmit = flatten(transform(col("basket"),
+      (x, i) => transform(
+        slice(col("basket"), i + lit(2), size(col("basket"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val pairs = baskets
+      .select(explode(pairEmit).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("n"))
+    // Cosine is symmetric, so score the 1× canonical pair table and
+    // THEN mirror each row with a 2-element explode — a Generate, not a
+    // self-union: the union shape would duplicate the whole upstream
+    // subtree in the physical plan (measured: 6 copies of the basket
+    // aggregate before this rewrite).
+    val scored = pairs
+      .join(f.select(col("pk").as("pa"), col("fc").as("fa")), "pa")
+      .join(f.select(col("pk").as("pb"), col("fc").as("fb")), "pb")
       .withColumn("cosine",
         U.round6(col("n") / sqrt(col("fa") * col("fb"))))
+    val sym = scored.select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst"),
+          col("n"), col("cosine")),
+        struct(col("pb").as("src"), col("pa").as("dst"),
+          col("n"), col("cosine")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.n").as("n"), col("e.cosine").as("cosine"))
+    sym
       .withColumn("rnk", row_number().over(Window.partitionBy("src")
         .orderBy(col("cosine").desc, col("dst"))))
       .filter(col("rnk") <= k)
@@ -107,7 +150,7 @@ object Market {
     // partner id.
     "graph_copurchase_topk" -> ((s, d) => {
       coPurchaseTopK(t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct(), k = 3)
+        .select(col("l_orderkey"), col("l_partkey")), k = 3)
         .orderBy("p_src", "rnk")
     }),
 

@@ -98,6 +98,70 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(withOrgan <= without && withOrgan > 0)
   }
 
+  test("entity-API tissue fallback: no tissue argument resolves per-dataset " +
+    "organ codes over HTTP and strips laterality (concatenate.py:22-28,60-61)") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.model.{CellObs, DataModel, FactRow}
+    import graft.sources.{EntityApi, YamlDim}
+
+    // organ dictionary fixture in the organ_types.yaml two-level shape
+    val organDict = YamlDim.parse(
+      """LK:
+        |  description: Kidney (Left)
+        |HT:
+        |  description: Heart
+        |""".stripMargin)
+      .map { case (c, a) => c -> a("description") }.toMap
+
+    // stub entity API: GET /dataset/{uuid}/organs/ → organ code body
+    val codes = Map("d1" -> "LK", "d2" -> "HT")
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      gets.incrementAndGet()
+      val Pat = "/dataset/([^/]+)/organs/".r
+      val body = ex.getRequestURI.getPath match {
+        case Pat(ds) if codes.contains(ds) => codes(ds)
+        case p => s"unknown path $p"
+      }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(if (body.length <= 2) 200 else 404, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fact = Seq(
+        FactRow("d1-AAAC", "cell_by_bin", "d1", "bin1", 2.0),
+        FactRow("d1-TTTG", "cell_by_bin", "d1", "bin1", 3.0),
+        FactRow("d2-AAAC", "cell_by_bin", "d2", "bin1", 4.0)).toDS()
+      // No tissue argument → the resolver fires once per DISTINCT dataset
+      val obs = DataModel.obsFromFact(spark, fact, None,
+          ds => EntityApi.resolveTissues(endpoint, ds, organDict))
+        .collect().sortBy(_.cell_id)
+      assert(obs.toSeq === Seq(
+        CellObs("d1-AAAC", "AAAC", "d1", "Kidney"), // laterality stripped
+        CellObs("d1-TTTG", "TTTG", "d1", "Kidney"),
+        CellObs("d2-AAAC", "AAAC", "d2", "Heart")))
+      assert(gets.get() === 2, s"expected one GET per distinct dataset, got ${gets.get()}")
+
+      // a known tissue bypasses the resolver entirely
+      val known = DataModel.obsFromFact(spark, fact, Some("lung"),
+        _ => fail("resolver must not fire when tissue is supplied"))
+      assert(known.collect().forall(_.tissue == "lung"))
+      assert(gets.get() === 2)
+
+      // an organ code absent from the dictionary fails loudly, named
+      val err = intercept[IllegalArgumentException] {
+        EntityApi.resolveTissues(endpoint, Seq("d1"), Map("HT" -> "Heart"))
+      }
+      assert(err.getMessage.contains("LK") && err.getMessage.contains("d1"))
+    } finally server.stop(0)
+  }
+
   test("TSV round-trip with explicit schema (entry point 2 staging table)") {
     val schema = StructType(Seq(
       StructField("uuid", StringType), StructField("hubmap_id", StringType)))

@@ -197,11 +197,14 @@ class OperatorSemanticsSpec extends SparkSpec {
   }
 
   test("approx_percentile honors the GK rank bound per group") {
-    // the ε·N guarantee (ε = 1/accuracy): the returned value must be an
-    // actual group element whose rank is within N/1000 of the target —
-    // this is the checkable contract of the sketch (the VALUE itself is
-    // merge-order-dependent, which is why the query carries no SQL
-    // oracle; see Aggregates "agg_approx_percentile")
+    // the ε·N guarantee (ε = 1/accuracy) in the COMPRESSED regime
+    // (accuracy < group size, where compress() fires and the VALUE is
+    // merge-order-dependent): the returned value must be an actual group
+    // element whose rank is within N/1000 of the target. The registered
+    // query runs in the LOSSLESS regime (accuracy ≥ group size) where the
+    // result is the exact discrete quantile and carries a quantile_disc
+    // SQL oracle — see Aggregates "agg_approx_percentile"; this test pins
+    // the contract of the regime the oracle cannot reach.
     val df = Tables.t(spark, sfDir, "lineitem")
     val approx = df.groupBy($"l_returnflag")
       .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"))
