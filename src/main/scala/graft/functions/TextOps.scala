@@ -820,8 +820,22 @@ object TextOps {
     // Same 1e-6-before-decimal-sum determinism discipline.
     "text_bigram_logprob" -> ((s, d) => {
       val words = split(lower(col("text")), " ")
-      val docs = t(s, d, "documents")
-        .filter(size(words) >= 2)
+      // ONE fanned corpus subtree feeds BOTH the bigram and the unigram
+      // paths: the raw text scan is the dominant cost here (single row
+      // group → 1 task, ~2.7 s at sf0.1) and with an identical
+      // scan+fan subtree under both consumers AQE reuses the exchange —
+      // one scan instead of two. The fan itself is the documented
+      // test-layout remedy (tokenization otherwise also runs 1-task); a
+      // multi-file production scan already has its parallelism.
+      val corpus = U.fan(t(s, d, "documents").select("doc_id", "text"))
+      // ≥2 words ⟺ text contains a space: split-on-' ' yields
+      // separators+1 tokens (empties included), so size(split)≥2 is
+      // EXACTLY instr(text,' ')≥1 — and the cheap predicate matters
+      // because Catalyst pushes this filter BELOW the fan exchange onto
+      // the 1-task scan, where the size(split(...)) spelling re-tokenized
+      // the whole corpus serially (measured 2.6 s of the 0.77 s stage).
+      val docs = corpus
+        .filter(instr(col("text"), " ") >= 1)
         .select(col("doc_id"), words.as("w"))
       val inst = docs.select(col("doc_id"),
         explode(arrays_zip(
@@ -831,7 +845,7 @@ object TextOps {
           concat_ws(" ", col("g").getField("0"), col("g").getField("1"))
             .as("gram"))
       val bc = inst.groupBy("gram").agg(count(lit(1)).as("c_xy"))
-      val uc = t(s, d, "documents")
+      val uc = corpus // unigrams count ALL docs (no ≥2-word filter)
         .select(explode(split(lower(col("text")), " ")).as("wd"))
         .groupBy("wd").agg(count(lit(1)).as("c1"))
       val v = uc.agg(count(lit(1)).as("v"))
@@ -986,7 +1000,7 @@ object TextOps {
     // surprisal rounds to 1e-6 BEFORE the exact decimal per-doc sum, so
     // doc scores are partition-order invariant and engine-identical.
     "text_unigram_logprob" -> ((s, d) => {
-      val toks = t(s, d, "documents")
+      val toks = U.fan(t(s, d, "documents").select("doc_id", "text"))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).as("tot"))

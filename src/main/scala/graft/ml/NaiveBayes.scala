@@ -37,10 +37,16 @@ object NaiveBayes {
   private def docs(s: SparkSession, d: String) =
     Tables.t(s, d, "documents")
 
-  /** Exploded token stream — the corpus convention (space-separated). */
+  /** Exploded token stream — the corpus convention (space-separated).
+    * U.fan before the explode: this stream is consumed by SEPARATE
+    * actions (vocab count, per-language stats, the scoring plan), each
+    * of which re-executes it, and on the single-row-group test layout
+    * the tokenize would otherwise run 1-task per action (the dominant
+    * cost of ml_nb_apply's measured 3.2 s). */
   private def tok(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("word"))
+    U.fan(docs(s, d).select("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
 
   /** (lang, word, c, loglik) — rounded smoothed log-likelihoods.
     * `v` = corpus vocabulary size (driver scalar, one count). */
@@ -57,10 +63,15 @@ object NaiveBayes {
   private def langStats(s: SparkSession, d: String): Seq[(String, Long, Long)] = {
     val st = docs(s, d).groupBy("lang").agg(count(lit(1)).as("ndocs"))
       .join(tok(s, d).groupBy("lang").agg(count(lit(1)).as("tot")), "lang")
-    val n = st.count()
-    require(n <= 100, s"$n languages — beyond the driver-stats guard; " +
-      "a data-scaled label set must keep scoring fully distributed")
-    st.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Guard folded INTO the materializing action: collect at most 101
+    // rows (bounded by construction — a data-scaled label set cannot
+    // flood the driver) and fail if the cap is hit; one job instead of
+    // the previous count-then-collect pair.
+    val rows = st.limit(101).collect()
+    require(rows.length <= 100,
+      s"over 100 languages — beyond the driver-stats guard; " +
+        "a data-scaled label set must keep scoring fully distributed")
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
   }
 

@@ -41,8 +41,14 @@ object Ridge {
 
   /** (n, S11, S12, S22, b1, b2) — the sufficient statistics, one
     * aggregation. */
+  // U.fan on the narrow 3-column projection: the five decimal sums are
+  // the cost, and on the single-row-group test layout they would run at
+  // scan parallelism (3 tasks, measured 2.4 s of ml_conformal_interval);
+  // one ~10 MB shuffle buys 32-way partial aggregation. On a multi-file
+  // production layout this is one redundant narrow exchange.
   private def stats(s: SparkSession, d: String): DataFrame =
-    Tables.t(s, d, "lineitem").agg(
+    U.fan(Tables.t(s, d, "lineitem")
+      .select("l_quantity", "l_discount", "l_extendedprice")).agg(
       count(lit(1)).as("n"),
       U.dsum(col("l_quantity") * col("l_quantity")).as("s11"),
       U.dsum(col("l_quantity") * col("l_discount")).as("s12"),
@@ -94,7 +100,8 @@ object Ridge {
       val resid = col("l_extendedprice") -
         (lit(w1) * col("l_quantity") + lit(w2) * col("l_discount"))
       val r4 = round(resid * lit(1e4)).cast("long")
-      Tables.t(s, d, "lineitem")
+      U.fan(Tables.t(s, d, "lineitem")
+          .select("l_quantity", "l_discount", "l_extendedprice"))
         .agg(count(lit(1)).as("n"),
           sum((r4 * r4).cast("decimal(38,0)")).as("ss4"),
           sum(abs(r4).cast("decimal(38,0)")).as("sa4"))
@@ -121,7 +128,11 @@ object Ridge {
       val (w1, w2) = weights(s, d)
       val resid = col("l_extendedprice") -
         (lit(w1) * col("l_quantity") + lit(w2) * col("l_discount"))
-      val base = Tables.t(s, d, "lineitem").select(
+      // fan BEFORE the md5/residual projection (that per-row compute is
+      // what must run at shuffle parallelism, not scan parallelism)
+      val base = U.fan(Tables.t(s, d, "lineitem")
+        .select("l_extendedprice", "l_quantity", "l_discount",
+          "l_orderkey", "l_linenumber")).select(
         round(abs(resid) * lit(1e4)).cast("long").as("a4"),
         (substring(md5(concat(col("l_orderkey").cast("string"),
           lit("_"), col("l_linenumber").cast("string"))), 1, 1) < "8")

@@ -100,6 +100,9 @@ object Stats {
     * group counts through that value) and the constant totals n_r/n_a.
     */
   private def twoSampleCum(s: SparkSession, d: String): DataFrame = {
+    // NO U.fan here (measured 2.2 → 3.6 s with it at sf0.1): the
+    // when/sum partial aggregate is cheap enough that the round-robin
+    // shuffle+sort costs more than 3-task parallelism loses.
     val pv = t(s, d, "lineitem")
       .filter(col("l_returnflag").isin("R", "A"))
       .select(col("l_extendedprice").as("v"), col("l_returnflag").as("g"))
@@ -257,7 +260,10 @@ object Stats {
     // the Gmm/Neyman rationale).
     "stats_jarque_bera" -> ((s, d) => {
       val x = col("l_extendedprice") / lit(100000.0)
-      val a = t(s, d, "lineitem").agg(
+      // U.fan on the 1-column projection: the four decimal power sums
+      // ran at scan parallelism on the single-row-group test layout
+      // (3 tasks, 3.8 s measured); a ~5 MB shuffle buys 32-way partials.
+      val a = U.fan(t(s, d, "lineitem").select("l_extendedprice")).agg(
         count(lit(1)).as("n"),
         sum(U.dec6r(x)).cast("double").as("s1"),
         sum(U.dec6r(x * x)).cast("double").as("s2"),
