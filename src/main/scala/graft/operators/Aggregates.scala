@@ -72,7 +72,13 @@ object Aggregates {
     // TPC-H Q1-shaped scan-heavy group-by: the canonical map-side-combine
     // aggregation (tiny key cardinality → partial agg collapses the scan).
     "agg_hash_group" -> ((s, d) =>
-      t(s, d, "lineitem")
+      // U.fan: the four decimal sums dominate (3.6 s at 3-task scan
+      // parallelism on the single-row-group layout); one ~15 MB narrow
+      // shuffle buys 32-way partials. Partial+final shape unchanged
+      // (PlanSpec asserts it).
+      U.fan(t(s, d, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           U.dsum(col("l_quantity")).as("sum_qty"),
@@ -606,6 +612,9 @@ object Aggregates {
     // decimals first so the clip thresholds are engine-stable (the
     // established agg_percentile precision).
     "feat_winsorize" -> ((s, d) => {
+      // NOT U.fan-ed (measured 2.25 → 5.13 s with it): exact-percentile
+      // partials carry their full value lists, so fanning just shuffles
+      // the column twice. Scan-parallel fit is the cheaper evil here.
       val qs = t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
