@@ -371,6 +371,60 @@ object TextOps {
     // unit), so the running sum is a partitioned window, never a
     // single-partition sort; token sums are integers (exact, no decimal
     // bridge needed).
+    // Fixed-window overlapping chunking — the context-window splitter
+    // every pretraining/RAG pipeline runs before embedding or packing:
+    // W = 64-word windows at stride S = 48 (16-word overlap), the tail
+    // window truncating rather than padding. Chunk starts come from ONE
+    // codegen sequence+explode over the fanned corpus (map-only after
+    // the fan exchange; the k-per-doc fan-out is length-bounded, never
+    // corpus-squared), so at 100 TB this is a single pass that scales
+    // with output size. chunk_idx/starts are exact integer arithmetic —
+    // no rounding bridge anywhere.
+    "text_chunk_overlap" -> ((s, d) => {
+      val W = 64
+      val S = 48
+      val docs = U.fan(t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // n_chunks = 1 + ceil(max(0, n - W) / S): starts 0, S, 2S, … cover
+      // every word, the last window reaching the tail (verified n = W,
+      // W+1, kS+W±1 by hand; TextOpsSpec pins planted boundaries).
+      val nc = (lit(1) + floor(
+        (greatest(size(col("w")) - lit(W), lit(0)) + lit(S - 1))
+          .cast("double") / lit(S))).cast("int")
+      docs
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), nc - 1)).as("ci"))
+        .select(col("doc_id"),
+          col("ci").cast("long").as("chunk_idx"),
+          (col("ci").cast("long") * S).as("start_word"),
+          U.lng(size(slice(col("w"), col("ci") * S + 1, lit(W))))
+            .as("n_tokens"),
+          array_join(slice(col("w"), col("ci") * S + 1, lit(W)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Curriculum shard ordering — shortest-first curriculum over the
+    // corpus, dealt round-robin into 8 shards so every shard sees the
+    // same difficulty ramp (the data-ordering step curriculum-training
+    // pipelines run after filtering): global rank by (n_chars, doc_id)
+    // via the block-stitched numbering helper (per-block windows + a
+    // broadcast offset table — NEVER a global single-partition window),
+    // then shard = (rank-1) mod 8, position = (rank-1) div 8. All
+    // integer arithmetic; scales as one keyed window + one broadcast.
+    "order_curriculum_shards" -> ((s, d) => {
+      val Shards = 8
+      val ranked = graft.operators.Windows.stitchedRowNumber(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        floor(col("n_chars") / 256).cast("long"),
+        Seq(col("n_chars"), col("doc_id")), "rank")
+      ranked.select(col("doc_id"), col("n_chars"), col("rank"),
+          ((col("rank") - 1) % Shards).cast("long").as("shard"),
+          floor((col("rank") - 1).cast("double") / Shards).cast("long")
+            .as("pos_in_shard"))
+        .orderBy("rank")
+    }),
+
     "pack_sequences" -> ((s, d) => {
       val budget = 512
       val w = org.apache.spark.sql.expressions.Window
@@ -1436,6 +1490,34 @@ object TextOps {
         |    WHEN 'src3' THEN '4000'
         |    ELSE '199a' END
         |ORDER BY doc_id""".stripMargin,
+    // DuckDB list slicing truncates past the end exactly like Spark's
+    // slice(); `//` is integer floor division on the non-negative count.
+    "text_chunk_overlap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |nc AS (
+        |  SELECT doc_id, w,
+        |    1 + (greatest(len(w) - 64, 0) + 47) // 48 AS n_chunks
+        |  FROM docs),
+        |ch AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, n_chunks - 1)) AS ci
+        |  FROM nc)
+        |SELECT doc_id,
+        |  CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(ci * 48 AS BIGINT) AS start_word,
+        |  CAST(len(w[ci * 48 + 1 : ci * 48 + 64]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "order_curriculum_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+        |  CAST((rank - 1) % 8 AS BIGINT) AS shard,
+        |  CAST((rank - 1) // 8 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY rank""".stripMargin,
     "pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

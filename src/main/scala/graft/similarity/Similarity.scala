@@ -102,6 +102,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Top-k overlap between the full-dimension cosine ranking and the
+    * `truncDims`-prefix ranking for query 0 — see `sim_matryoshka_eval`.
+    * One scan scores both similarities; `truncDims` = the full dimension
+    * degenerates to overlap = k (the SimilaritySpec contract). */
+  def matryoshkaOverlap(s: SparkSession, d: String, truncDims: Int,
+      k: Int): DataFrame = {
+    graft.plans.VectorExprs.register(s)
+    val qv = queryVector(s, d, 0L)
+    val qFull = typedlit(qv.toSeq)
+    val qTrunc = typedlit(qv.take(truncDims).toSeq)
+    val vd = toDouble(col("embedding"))
+    val scored = Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        U.round6(cosine(vd, qFull)).as("cf"),
+        U.round6(cosine(slice(vd, 1, truncDims), qTrunc)).as("ct"))
+    val topFull = scored.orderBy(col("cf").desc, col("vec_id"))
+      .limit(k).select(col("vec_id"))
+    val topTrunc = scored.orderBy(col("ct").desc, col("vec_id"))
+      .limit(k).select(col("vec_id"))
+    topFull.join(topTrunc, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), col("n_overlap"),
+        U.round6(col("n_overlap") / lit(k.toDouble)).as("overlap_frac"))
+  }
+
   /** Multi-vector maxsim top-k (see the `sim_maxsim_topk` registry
     * comment). `parts` sub-vectors of `dim/parts` each; score =
     * mean_q max_d cos(sub_q, sub_d). Zero-norm sub-vectors contribute
@@ -756,6 +782,21 @@ object Similarity {
 
     "sim_cosine_topk" -> ((s, d) => bruteForceTopK(s, d, queryId = 0L, k = 20)),
 
+    // Matryoshka truncation evaluation — the measurement every
+    // MRL-style embedding deployment runs before serving truncated
+    // vectors: top-k overlap between full-dimension cosine ranking and
+    // the prefix-truncated ranking (here 64 → 16 dims, k = 5). One
+    // fused-kernel scan scores BOTH similarities (the truncated dot is
+    // a slice of the same array — no second pass over storage), two
+    // TakeOrderedAndProject top-ks, and a 5×5 semi-join counts the
+    // intersection. Ranking ties break on vec_id after round6, so the
+    // cut is engine-identical. At 100 TB both top-ks are per-partition
+    // heaps over the same scan; nothing here materializes beyond 2k
+    // rows. SimilaritySpec pins the self-consistency contract
+    // (truncation at the full dimension ⇒ overlap = k).
+    "sim_matryoshka_eval" -> ((s, d) =>
+      matryoshkaOverlap(s, d, truncDims = 16, k = 5)),
+
     // Binary (sign-bit) Hamming search — the 64×-compression end of the
     // quantization spectrum (int8 → PQ → 1-bit): similarity = how many
     // of the 64 hyper-octant sign bits agree with the query's. At
@@ -1395,6 +1436,30 @@ object Similarity {
         |    / 1000000 AS rrf
         |FROM dense FULL OUTER JOIN lex USING (id)
         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // round(x*1e6)/1e6 spelling + vec_id tie-break on BOTH top-ks: the
+    // U.round6 bridge makes the two rankings engine-identical, so the
+    // intersection count is exact.
+    "sim_matryoshka_eval" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(ve, qe)
+        |      / (sqrt(list_dot_product(ve, ve))
+        |         * sqrt(list_dot_product(qe, qe))) * 1000000) / 1000000
+        |      AS cf,
+        |    round(list_dot_product(ve[1:16], qe[1:16])
+        |      / (sqrt(list_dot_product(ve[1:16], ve[1:16]))
+        |         * sqrt(list_dot_product(qe[1:16], qe[1:16])))
+        |      * 1000000) / 1000000 AS ct
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+        |        FROM embeddings WHERE vec_id <> 0), q),
+        |tf AS (SELECT vec_id FROM sc ORDER BY cf DESC, vec_id LIMIT 5),
+        |tt AS (SELECT vec_id FROM sc ORDER BY ct DESC, vec_id LIMIT 5)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_overlap,
+        |  round(count(*) / 5.0 * 1000000) / 1000000 AS overlap_frac
+        |FROM tf WHERE vec_id IN (SELECT vec_id FROM tt)""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id = 0)

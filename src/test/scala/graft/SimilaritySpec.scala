@@ -316,4 +316,16 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got((2L, 5L)) - 0.079057) < 1e-6)
     assert(math.abs(got((1L, 3L)) - 0.09) < 1e-6)
   }
+
+  test("matryoshka overlap: truncation at the full dimension is the " +
+    "identity ranking (overlap = k), 16-dim overlap stays in range") {
+    val full = Similarity.matryoshkaOverlap(spark, sfDir, truncDims = 64, k = 5)
+      .collect()(0)
+    assert(full.getAs[Long]("n_overlap") === 5L)
+    assert(full.getAs[Double]("overlap_frac") === 1.0)
+    val t16 = Similarity.matryoshkaOverlap(spark, sfDir, truncDims = 16, k = 5)
+      .collect()(0)
+    val n = t16.getAs[Long]("n_overlap")
+    assert(n >= 0L && n <= 5L)
+  }
 }

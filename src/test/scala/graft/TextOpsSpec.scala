@@ -156,4 +156,47 @@ class TextOpsSpec extends SparkSpec {
     assert(one.length == 1)
     assert(math.abs(one(0).getAs[Long]("weight")) == 4L)
   }
+
+  test("chunk overlap: planted word counts pin window starts, tail " +
+    "truncation, and the single-chunk short-doc case") {
+    val tmp = java.nio.file.Files.createTempDirectory("ck").toString
+    // 3 docs: 10 words (1 chunk), exactly 64 (1 chunk), 65 (2 chunks:
+    // the second starts at 48 and truncates to 17 words)
+    val words = (1 to 65).map(i => s"w$i")
+    Seq((1L, words.take(10).mkString(" ")),
+        (2L, words.take(64).mkString(" ")),
+        (3L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("text_chunk_overlap")(spark, tmp)
+      .select("doc_id", "chunk_idx", "start_word", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 10L),
+      (2L, 0L, 0L, 64L),
+      (3L, 0L, 0L, 64L), (3L, 1L, 48L, 17L)))
+    // overlap contract: chunk 1 of doc 3 starts 16 words inside chunk 0
+    val c3 = TextOps.queries("text_chunk_overlap")(spark, tmp)
+      .filter($"doc_id" === 3L).select("chunk").as[String].collect()
+    assert(c3(0).split(" ").drop(48).toSeq === c3(1).split(" ").take(16).toSeq)
+  }
+
+  test("curriculum shards: shortest-first rank deals round-robin and " +
+    "every shard sees the same difficulty ramp") {
+    val tmp = java.nio.file.Files.createTempDirectory("cu").toString
+    // 20 docs with distinct lengths; rank must equal length order
+    (1L to 20L).map(i => (i, "x", 21L - i)) // doc 20 is shortest
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("order_curriculum_shards")(spark, tmp)
+      .select("doc_id", "rank", "shard", "pos_in_shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // rank 1 = smallest n_chars = doc 20
+    assert(got.head === ((20L, 1L, 0L, 0L)))
+    // round-robin: shard = (rank-1) % 8, pos = (rank-1) / 8
+    assert(got.forall { case (_, r, s, p) =>
+      s == (r - 1) % 8 && p == (r - 1) / 8 })
+    // ranks are a contiguous permutation
+    assert(got.map(_._2).sorted == (1L to 20L).toSeq)
+  }
 }
