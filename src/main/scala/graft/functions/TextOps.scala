@@ -371,6 +371,56 @@ object TextOps {
     // unit), so the running sum is a partitioned window, never a
     // single-partition sort; token sums are integers (exact, no decimal
     // bridge needed).
+    // PII scrubbing — the redaction pass every shipped training corpus
+    // runs: email / dotted-or-dashed phone / IPv4 literals counted on
+    // the ORIGINAL text (counts are audit evidence) and replaced by
+    // typed placeholders. Replacement order (email → phone → IP) is
+    // pinned identically in the oracle — sequential replaces only
+    // commute when no pattern matches another's placeholder or residue,
+    // so the order is part of the operator contract, not cosmetics.
+    // Map-only over the fanned corpus; the
+    // patterns are RE2∩Java-regex common dialect (validated on both
+    // engines), so counts and scrubbed text are engine-identical.
+    "text_pii_scrub" -> ((s, d) => {
+      val Email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val Phone = """\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"""
+      val Ip = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+      U.fan(t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"),
+          U.lng(regexp_count(col("text"), lit(Email))).as("n_emails"),
+          U.lng(regexp_count(col("text"), lit(Phone))).as("n_phones"),
+          U.lng(regexp_count(col("text"), lit(Ip))).as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            Email, "<EMAIL>"), Phone, "<PHONE>"), Ip, "<IP>")
+            .as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // Character-level Shannon entropy — the gibberish/binary-noise gate
+    // (natural language sits ~3.5-4.5 bits-per-char-equivalent; key
+    // dumps and encoded blobs score high, repeated-char spam scores
+    // low). H = ln n − (Σ c·ln c)/n from exact per-char counts; the
+    // transcendental c·ln c rounds to 1e-6 BEFORE the exact decimal
+    // per-doc sum (the engine-wide discipline), so H is partition-order
+    // invariant and engine-identical. The char explode is length×rows —
+    // fanned, keyed shuffles only carry (doc_id, char) counts.
+    "text_char_entropy" -> ((s, d) => {
+      val cc = U.fan(t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("cc"))
+      val h = log(col("n").cast("double")) - col("sl") / col("n")
+      cc.groupBy("doc_id")
+        .agg(U.lng(sum(col("cc"))).as("n"),
+          count(lit(1)).as("n_distinct_chars"),
+          U.dbl(sum(U.dec6r(
+            col("cc") * log(col("cc").cast("double"))))).as("sl"))
+        .select(col("doc_id"), col("n").as("n_chars_total"),
+          col("n_distinct_chars"),
+          U.round6(h).as("entropy"),
+          (U.round6(h) < 3.0).as("low_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Fixed-window overlapping chunking — the context-window splitter
     // every pretraining/RAG pipeline runs before embedding or packing:
     // W = 64-word windows at stride S = 48 (16-word overlap), the tail
@@ -1490,6 +1540,39 @@ object TextOps {
         |    WHEN 'src3' THEN '4000'
         |    ELSE '199a' END
         |ORDER BY doc_id""".stripMargin,
+    // regexp_extract_all-len = Spark regexp_count; 'g' flag required for
+    // replace-all; replacement order email → phone → IP mirrors the query.
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS cc FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |    CAST(sum(CAST(round(cc * ln(cc) * 1000000) / 1000000
+        |      AS DECIMAL(18, 6))) AS DOUBLE) AS sl
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars_total, n_distinct_chars,
+        |  round((ln(n) - sl / n) * 1000000) / 1000000 AS entropy,
+        |  (round((ln(n) - sl / n) * 1000000) / 1000000) < 3.0
+        |    AS low_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // DuckDB list slicing truncates past the end exactly like Spark's
     // slice(); `//` is integer floor division on the non-negative count.
     "text_chunk_overlap" ->

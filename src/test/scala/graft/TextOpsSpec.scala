@@ -199,4 +199,36 @@ class TextOpsSpec extends SparkSpec {
     // ranks are a contiguous permutation
     assert(got.map(_._2).sorted == (1L to 20L).toSeq)
   }
+
+  test("PII scrub: planted email/phone/IP counts and redaction") {
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq((1L, "mail a@b.com or c.d@e.org call 555-123-4567 host 10.0.0.1"),
+        (2L, "dotted 555.123.4567 stays a phone"),
+        (3L, "clean text with no identifiers"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("text_pii_scrub")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got(0) === ((1L, 2L, 1L, 1L,
+      "mail <EMAIL> or <EMAIL> call <PHONE> host <IP>")))
+    // a dotted phone has 2 dots, the IPv4 shape needs 3 — no collision
+    assert(got(1) === ((2L, 0L, 1L, 0L, "dotted <PHONE> stays a phone")))
+    assert(got(2) === ((3L, 0L, 0L, 0L, "clean text with no identifiers")))
+  }
+
+  test("char entropy: hand-computed H on 'aab'; single-char doc is 0 " +
+    "and flags low_entropy") {
+    val tmp = java.nio.file.Files.createTempDirectory("ent").toString
+    Seq((1L, "aab"), (2L, "zzzz"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("text_char_entropy")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // H(aab) = ln 3 - round6(2 ln 2)/3 = 1.098612 - 1.386294/3
+    assert(got(0)._1 == 1L && got(0)._2 == 3L && got(0)._3 == 2L)
+    assert(math.abs(got(0)._4 - 0.636514) < 1e-9)
+    assert(got(1) === ((2L, 4L, 1L, 0.0, true)))
+  }
 }
