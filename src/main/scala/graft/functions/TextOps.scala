@@ -13,6 +13,63 @@ import org.apache.spark.sql.functions._
 object TextOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  // PII patterns — the RE2∩Java-regex common dialect (validated on both
+  // engines); shared by text_pii_scrub and pipeline_corpus_prep_v3.
+  private[graft] val PiiEmail =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val PiiPhone = """\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"""
+  private[graft] val PiiIp = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+
+  /** Redaction in the pinned order email → phone → IP (sequential
+    * replaces only commute when no pattern matches another's residue;
+    * the oracle replays the identical order). */
+  private[graft] def piiScrubbed(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>")
+
+  /** Per-doc character Shannon entropy of `txt`: (doc_id, n,
+    * n_distinct_chars, entropy). H = ln n − (Σ c·ln c)/n from exact
+    * char counts; c·ln c rounds to 1e-6 BEFORE the exact decimal sum
+    * (the engine-wide discipline), so H is partition-order invariant
+    * and engine-identical. Keyed shuffles carry (doc_id, char) counts. */
+  private[graft] def charEntropyOf(docs: DataFrame, txt: Column): DataFrame = {
+    val h = log(col("n").cast("double")) - col("sl") / col("n")
+    docs.select(col("doc_id"), explode(split(txt, "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cc"))
+      .groupBy("doc_id")
+      .agg(U.lng(sum(col("cc"))).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        U.dbl(sum(U.dec6r(
+          col("cc") * log(col("cc").cast("double"))))).as("sl"))
+      .select(col("doc_id"), col("n"), col("n_distinct_chars"),
+        U.round6(h).as("entropy"))
+  }
+
+  /** W=64/S=48 overlapping word windows of `txt`: (doc_id, chunk_idx,
+    * start_word, n_tokens, chunk). n_chunks = 1 + ceil(max(0, n−W)/S):
+    * starts 0, S, 2S, … cover every word, the last window truncating at
+    * the tail (verified n = W, W+1, kS+W±1 by hand; TextOpsSpec pins
+    * planted boundaries). One codegen sequence+explode — map-only,
+    * output-bounded. */
+  private[graft] def chunksOf(docs: DataFrame, txt: Column): DataFrame = {
+    val W = 64
+    val S = 48
+    val wdocs = docs.select(col("doc_id"), split(txt, " ").as("w"))
+    val nc = (lit(1) + floor(
+      (greatest(size(col("w")) - lit(W), lit(0)) + lit(S - 1))
+        .cast("double") / lit(S))).cast("int")
+    wdocs
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), nc - 1)).as("ci"))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        (col("ci").cast("long") * S).as("start_word"),
+        U.lng(size(slice(col("w"), col("ci") * S + 1, lit(W))))
+          .as("n_tokens"),
+        array_join(slice(col("w"), col("ci") * S + 1, lit(W)), " ")
+          .as("chunk"))
+  }
+
   /** Per-JVM memo of the built vocabulary (the
     * `Similarity.centroidCache` pattern): the vocabulary is a property
     * of the DATASET, not of each tokenization query, so re-aggregating
@@ -381,45 +438,31 @@ object TextOps {
     // Map-only over the fanned corpus; the
     // patterns are RE2∩Java-regex common dialect (validated on both
     // engines), so counts and scrubbed text are engine-identical.
-    "text_pii_scrub" -> ((s, d) => {
-      val Email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val Phone = """\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"""
-      val Ip = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+    "text_pii_scrub" -> ((s, d) =>
       U.fan(t(s, d, "documents").select("doc_id", "text"))
         .select(col("doc_id"),
-          U.lng(regexp_count(col("text"), lit(Email))).as("n_emails"),
-          U.lng(regexp_count(col("text"), lit(Phone))).as("n_phones"),
-          U.lng(regexp_count(col("text"), lit(Ip))).as("n_ips"),
-          regexp_replace(regexp_replace(regexp_replace(col("text"),
-            Email, "<EMAIL>"), Phone, "<PHONE>"), Ip, "<IP>")
-            .as("scrubbed"))
-        .orderBy("doc_id")
-    }),
+          U.lng(regexp_count(col("text"), lit(PiiEmail))).as("n_emails"),
+          U.lng(regexp_count(col("text"), lit(PiiPhone))).as("n_phones"),
+          U.lng(regexp_count(col("text"), lit(PiiIp))).as("n_ips"),
+          piiScrubbed(col("text")).as("scrubbed"))
+        .orderBy("doc_id")),
 
     // Character-level Shannon entropy — the gibberish/binary-noise gate
-    // (natural language sits ~3.5-4.5 bits-per-char-equivalent; key
-    // dumps and encoded blobs score high, repeated-char spam scores
-    // low). H = ln n − (Σ c·ln c)/n from exact per-char counts; the
+    // (natural language sits ~2.5-3.0 NATS per char — measured
+    // 2.55-2.93 on this corpus; repeated-char spam scores near 0, so
+    // the low_entropy flag cuts at 2.0). H = ln n − (Σ c·ln c)/n from exact per-char counts; the
     // transcendental c·ln c rounds to 1e-6 BEFORE the exact decimal
     // per-doc sum (the engine-wide discipline), so H is partition-order
     // invariant and engine-identical. The char explode is length×rows —
     // fanned, keyed shuffles only carry (doc_id, char) counts.
-    "text_char_entropy" -> ((s, d) => {
-      val cc = U.fan(t(s, d, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
-        .groupBy("doc_id", "c").agg(count(lit(1)).as("cc"))
-      val h = log(col("n").cast("double")) - col("sl") / col("n")
-      cc.groupBy("doc_id")
-        .agg(U.lng(sum(col("cc"))).as("n"),
-          count(lit(1)).as("n_distinct_chars"),
-          U.dbl(sum(U.dec6r(
-            col("cc") * log(col("cc").cast("double"))))).as("sl"))
+    "text_char_entropy" -> ((s, d) =>
+      charEntropyOf(
+        U.fan(t(s, d, "documents").select("doc_id", "text")), col("text"))
         .select(col("doc_id"), col("n").as("n_chars_total"),
           col("n_distinct_chars"),
-          U.round6(h).as("entropy"),
-          (U.round6(h) < 3.0).as("low_entropy"))
-        .orderBy("doc_id")
-    }),
+          col("entropy"),
+          (col("entropy") < 2.0).as("low_entropy"))
+        .orderBy("doc_id")),
 
     // Fixed-window overlapping chunking — the context-window splitter
     // every pretraining/RAG pipeline runs before embedding or packing:
@@ -430,29 +473,10 @@ object TextOps {
     // corpus-squared), so at 100 TB this is a single pass that scales
     // with output size. chunk_idx/starts are exact integer arithmetic —
     // no rounding bridge anywhere.
-    "text_chunk_overlap" -> ((s, d) => {
-      val W = 64
-      val S = 48
-      val docs = U.fan(t(s, d, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // n_chunks = 1 + ceil(max(0, n - W) / S): starts 0, S, 2S, … cover
-      // every word, the last window reaching the tail (verified n = W,
-      // W+1, kS+W±1 by hand; TextOpsSpec pins planted boundaries).
-      val nc = (lit(1) + floor(
-        (greatest(size(col("w")) - lit(W), lit(0)) + lit(S - 1))
-          .cast("double") / lit(S))).cast("int")
-      docs
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(0), nc - 1)).as("ci"))
-        .select(col("doc_id"),
-          col("ci").cast("long").as("chunk_idx"),
-          (col("ci").cast("long") * S).as("start_word"),
-          U.lng(size(slice(col("w"), col("ci") * S + 1, lit(W))))
-            .as("n_tokens"),
-          array_join(slice(col("w"), col("ci") * S + 1, lit(W)), " ")
-            .as("chunk"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "text_chunk_overlap" -> ((s, d) =>
+      chunksOf(U.fan(t(s, d, "documents").select("doc_id", "text")),
+          col("text"))
+        .orderBy("doc_id", "chunk_idx")),
 
     // Curriculum shard ordering — shortest-first curriculum over the
     // corpus, dealt round-robin into 8 shards so every shard sees the
@@ -700,6 +724,38 @@ object TextOps {
     // replay discipline buys. Scale: stage shuffles are the operators'
     // own (chunk digests, one GD aggregation amortized via the weight
     // memo, map-only hash routing).
+    // The round-10 stages composed end-to-end in one lineage: PII
+    // redaction → char-entropy gibberish gate over the SCRUBBED text
+    // (the realistic order — redaction changes the char distribution)
+    // → exact dedup on the scrubbed text (min-doc_id survivor per md5
+    // digest) → overlapping chunking → shortest-chunk-first curriculum
+    // rank dealt round-robin into 8 shards. Every stage is the
+    // registered operator's helper, so the oracle is the concatenation
+    // of their CTE stacks (the composability proof, v2's discipline).
+    // Scale: map-only scrub, keyed (doc_id, char) counts, digest
+    // window, output-bounded chunk Generate, block-stitched rank — no
+    // stage shuffles more than the operators' own.
+    "pipeline_corpus_prep_v3" -> ((s, d) => {
+      val scrubbed = U.fan(t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), piiScrubbed(col("text")).as("st"))
+      val gate = charEntropyOf(scrubbed, col("st"))
+        .filter(col("entropy") >= 2.0).select("doc_id")
+      val kept = scrubbed
+        .join(gate, Seq("doc_id"), "left_semi")
+        .withColumn("kid", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("st")))))
+        .filter(col("doc_id") === col("kid"))
+        .select(col("doc_id"), col("st"))
+      val chunks = chunksOf(kept, col("st"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+      graft.operators.Windows.stitchedRowNumber(chunks,
+          col("n_tokens"),
+          Seq(col("n_tokens"), col("doc_id"), col("chunk_idx")), "rank")
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("rank"), ((col("rank") - 1) % 8).cast("long").as("shard"))
+        .orderBy("rank")
+    }),
+
     "pipeline_corpus_prep_v2" -> ((s, d) => {
       val cleaned = graft.dedup.Dedup.queries("dedup_paragraph")(s, d)
       val w = graft.ml.Logreg.weights(s, d)
@@ -1540,6 +1596,48 @@ object TextOps {
         |    WHEN 'src3' THEN '4000'
         |    ELSE '199a' END
         |ORDER BY doc_id""".stripMargin,
+    // the round-10 stages' CTE stacks concatenated (the v2 discipline)
+    "pipeline_corpus_prep_v3" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS st
+        |  FROM documents),
+        |ch0 AS (SELECT doc_id, unnest(string_split(st, '')) AS c FROM sc),
+        |cc AS (SELECT doc_id, c, count(*) AS cc FROM ch0 GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(cc * ln(cc) * 1000000) / 1000000
+        |      AS DECIMAL(18, 6))) AS DOUBLE) AS sl
+        |  FROM cc GROUP BY doc_id),
+        |gate AS (SELECT doc_id FROM ent
+        |         WHERE round((ln(n) - sl / n) * 1000000) / 1000000 >= 2.0),
+        |kept AS (
+        |  SELECT doc_id, st FROM (
+        |    SELECT doc_id, st,
+        |      min(doc_id) OVER (PARTITION BY md5(st)) AS kid
+        |    FROM sc WHERE doc_id IN (SELECT doc_id FROM gate))
+        |  WHERE doc_id = kid),
+        |w AS (SELECT doc_id, string_split(st, ' ') AS w FROM kept),
+        |nc AS (SELECT doc_id, w,
+        |         1 + (greatest(len(w) - 64, 0) + 47) // 48 AS n_chunks
+        |       FROM w),
+        |chk AS (SELECT doc_id, w,
+        |          unnest(generate_series(0, n_chunks - 1)) AS ci
+        |        FROM nc),
+        |out0 AS (
+        |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |    CAST(len(w[ci * 48 + 1 : ci * 48 + 64]) AS BIGINT) AS n_tokens
+        |  FROM chk),
+        |r AS (SELECT *, row_number()
+        |        OVER (ORDER BY n_tokens, doc_id, chunk_idx) AS rank
+        |      FROM out0)
+        |SELECT doc_id, chunk_idx, n_tokens, CAST(rank AS BIGINT) AS rank,
+        |  CAST((rank - 1) % 8 AS BIGINT) AS shard
+        |FROM r ORDER BY rank""".stripMargin,
     // regexp_extract_all-len = Spark regexp_count; 'g' flag required for
     // replace-all; replacement order email → phone → IP mirrors the query.
     "text_pii_scrub" ->
@@ -1570,7 +1668,7 @@ object TextOps {
         |  FROM cc GROUP BY doc_id)
         |SELECT doc_id, n AS n_chars_total, n_distinct_chars,
         |  round((ln(n) - sl / n) * 1000000) / 1000000 AS entropy,
-        |  (round((ln(n) - sl / n) * 1000000) / 1000000) < 3.0
+        |  (round((ln(n) - sl / n) * 1000000) / 1000000) < 2.0
         |    AS low_entropy
         |FROM agg ORDER BY doc_id""".stripMargin,
     // DuckDB list slicing truncates past the end exactly like Spark's

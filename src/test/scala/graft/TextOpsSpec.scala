@@ -231,4 +231,28 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got(0)._4 - 0.636514) < 1e-9)
     assert(got(1) === ((2L, 4L, 1L, 0.0, true)))
   }
+
+  test("corpus prep v3: scrub -> entropy gate -> dedup -> chunk -> " +
+    "curriculum shards on a planted corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("v3").toString
+    val natural = (1 to 70).map(i => s"word$i").mkString(" ")
+    Seq(
+      (1L, natural),                  // survives; 70 words -> 2 chunks
+      (2L, natural),                  // exact dup of 1 -> dropped
+      (3L, "zz zz zz zz zz zz"),      // low char entropy -> gated out
+      (4L, "mail a@b.com " + natural) // scrub changes text, survives
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("pipeline_corpus_prep_v3")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // docs 1 and 4 survive, each chunking to (64, 22)/(64, 24) tokens
+    assert(got.map(_._1).toSet === Set(1L, 4L))
+    assert(got.length === 4)
+    // curriculum: shortest chunks first, rank contiguous, shard = (rank-1)%8
+    assert(got.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.forall { case (_, _, _, r, s) => s == (r - 1) % 8 })
+    val byRank = got.sortBy(_._4).map(_._3)
+    assert(byRank.toSeq === byRank.sorted.toSeq) // n_tokens ascending
+  }
 }
