@@ -159,6 +159,12 @@ class GoldenPipelineSpec extends SparkSpec {
         EntityApi.resolveTissues(endpoint, Seq("d1"), Map("HT" -> "Heart"))
       }
       assert(err.getMessage.contains("LK") && err.getMessage.contains("d1"))
+
+      // a non-200 entity answer fails loudly with status + dataset named
+      val http = intercept[IllegalArgumentException] {
+        EntityApi.resolveTissues(endpoint, Seq("d9"), organDict)
+      }
+      assert(http.getMessage.contains("404") && http.getMessage.contains("d9"))
     } finally server.stop(0)
   }
 
