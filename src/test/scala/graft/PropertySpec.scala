@@ -305,4 +305,34 @@ class PropertySpec extends SparkSpec {
         s"syms=$syms rules=$rules")
     }
   }
+
+  test("chunk overlap covers every word exactly, starts on the stride, " +
+    "and consecutive full chunks overlap by W-S words") {
+    // random word counts, including the empty-ish and exact-boundary cases
+    val nGen = Gen.oneOf(Gen.choose(1, 200),
+      Gen.oneOf(1, 63, 64, 65, 112, 113, 160))
+    check(nGen, n = 15) { n =>
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val tmp = java.nio.file.Files.createTempDirectory("ckp").toString
+      Seq((1L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val chunks = graft.functions.TextOps.queries("text_chunk_overlap")(
+        spark, tmp)
+        .select("chunk_idx", "start_word", "n_tokens")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // starts are consecutive multiples of the stride
+      assert(chunks.map(_._2).toSeq ===
+        chunks.indices.map(_ * 48L))
+      // every word index [0, n) is inside some [start, start+len) window
+      val covered = chunks.flatMap { case (_, st, len) => st until (st + len) }
+      assert(covered.toSet === (0L until n.toLong).toSet)
+      // all but the last chunk are full W=64; the last reaches word n
+      chunks.init.foreach { case (_, _, len) => assert(len === 64L) }
+      val (_, lastSt, lastLen) = chunks.last
+      assert(lastSt + lastLen === n.toLong)
+      // consecutive full chunks overlap by exactly W-S = 16 words
+      if (chunks.length >= 2)
+        assert(chunks(0)._2 + 64 - chunks(1)._2 === 16L)
+    }
+  }
 }
