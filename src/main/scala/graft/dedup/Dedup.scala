@@ -777,7 +777,11 @@ object Dedup {
       val P = 10
       val toks = split(col("text"), " ")
       val nChunks = ceil(size(toks) / P.toDouble).cast("int")
-      val chunks = t(s, d, "documents").select(col("doc_id"),
+      // U.fan before the chunk explode: split+slice+concat of every
+      // document ran on the 1-task single-row-group scan (1.9 s at
+      // sf0.1); the narrow corpus shuffle buys 32-way chunking.
+      val chunks = graft.U.fan(t(s, d, "documents")
+          .select("doc_id", "text")).select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nChunks - 1),
             i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))))
         .withColumnRenamed("pos", "chunk_idx")

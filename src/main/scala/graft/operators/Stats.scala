@@ -149,6 +149,9 @@ object Stats {
         count_distinct(col(c)).as(s"nd_$c"),
         min(col(c)).as(s"mn_$c"),
         max(col(c)).as(s"mx_$c"))) :+ count(lit(1)).as("n_rows")
+      // NOT U.fan-ed (measured flat, 1.96 vs 1.97 s): count_distinct's
+      // own Expand+exchange dominates, so the extra fan exchange buys
+      // nothing here and would be pure cost on a real layout.
       val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
       one.select(expr(s"stack(${cols.length}, " + cols.map(c =>
           s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
