@@ -137,33 +137,41 @@ object Ridge {
         (substring(md5(concat(col("l_orderkey").cast("string"),
           lit("_"), col("l_linenumber").cast("string"))), 1, 1) < "8")
           .as("is_cal"))
-      // ONE scan: both halves' per-value counts in a single keyed
-      // aggregate, persisted; the rank threshold and the coverage
-      // count are then two small jobs over the bounded per-distinct-
-      // residual table instead of two more scans of the fact
-      // (measured 3.3 s → ~1 s warm at sf0.1).
+      // ONE scan, ZERO head() round-trips (round-10 rewrite): per-value
+      // counts in a single keyed aggregate, MATERIALIZED ONCE as an
+      // eager localCheckpoint (self-join re-aliasing defeats AQE
+      // exchange reuse here — measured 3× recompute of the fan+md5+
+      // aggregate, 1-1.8 s each, without it; checkpoint blocks are
+      // GC-released, the Iterate discipline). The calibration total and
+      // the ⌈0.9·(n+1)⌉-rank threshold then reduce to 1-row broadcasts
+      // (the sanctioned scalar-broadcast shape, whitelisted in
+      // PlanSpec), and coverage is one final aggregate over the counts
+      // joined to both scalars. The unpartitioned cum window is safe:
+      // its input is the bounded per-distinct-residual AGGREGATE (the
+      // PlanSpec structural rule).
       val counts = base.groupBy("a4").agg(
         sum(when(col("is_cal"), 1L).otherwise(0L)).as("cc"),
         sum(when(!col("is_cal"), 1L).otherwise(0L)).as("tc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nCal = counts.agg(sum(col("cc"))).head().getLong(0)
-        val k = math.ceil(0.9 * (nCal + 1)).toLong
-        val q4 = counts.filter(col("cc") > 0)
-          .withColumn("cum", sum(col("cc")).over(Window.orderBy("a4")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .filter(col("cum") >= k)
-          .agg(min(col("a4"))).head().getLong(0)
-        val t = counts.agg(
-          sum(col("tc")).as("n_test"),
-          sum(when(col("a4") <= q4, col("tc")).otherwise(0L))
-            .as("covered")).head()
-        val nTest = t.getLong(0); val covered = t.getLong(1)
-        val sess = s; import sess.implicits._
-        Seq((nCal, nTest, q4.toDouble / 1e4,
-          math.round(covered.toDouble / nTest * 1e6) / 1e6))
-          .toDF("n_cal", "n_test", "q", "coverage")
-      } finally counts.unpersist()
+        .localCheckpoint(true)
+      val tot = counts.agg(sum(col("cc")).as("n_cal"),
+        sum(col("tc")).as("n_test"))
+      // same ceil spelling as the SQL oracle (exact integer-valued
+      // doubles — engine-identical)
+      val q4 = counts.filter(col("cc") > 0)
+        .withColumn("cum", sum(col("cc")).over(Window.orderBy("a4")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") >=
+          ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"))
+        .agg(min(col("a4")).as("q4"))
+      counts.crossJoin(broadcast(q4))
+        .agg(sum(when(col("a4") <= col("q4"), col("tc")).otherwise(0L))
+          .as("covered"), first(col("q4")).as("q4f"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_cal"), col("n_test"),
+          (col("q4f").cast("double") / 1e4).as("q"),
+          U.round6(col("covered").cast("double") / col("n_test"))
+            .as("coverage"))
     }))
 
   private val statsSql =

@@ -335,9 +335,12 @@ class PlanSpec extends SparkSpec {
       "agg_decay_sum",       // 1-row max-event-time anchor broadcast
       "sample_neyman_alloc", // 1-row total-weight scalar broadcast
       "stats_runs_test",     // 1-row daily-median scalar broadcast
-      "ml_logreg_lift")      // 1-row percentile/totals aggregate broadcast
+      "ml_logreg_lift",      // 1-row percentile/totals aggregate broadcast
                              // (decile bounds + corpus counts, same class
                              // as stats_qq_deciles / feat_bucketize)
+      "ml_conformal_interval") // 1-row (n_cal, n_test) totals + 1-row
+                             // rank-threshold scalar broadcasts (the
+                             // round-10 zero-driver-action rewrite)
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
