@@ -149,17 +149,22 @@ object Ridge {
       // joined to both scalars. The unpartitioned cum window is safe:
       // its input is the bounded per-distinct-residual AGGREGATE (the
       // PlanSpec structural rule).
+      // The cum window rides INSIDE the checkpointed computation, where
+      // its input is the counts aggregate (the bounded-summary rule it
+      // must satisfy); computing it over all rows instead of the
+      // cc>0-filtered view is identity-preserving — cum only increases
+      // at cc>0 rows, so "min a4 with cum ≥ k" lands on the same row.
       val counts = base.groupBy("a4").agg(
         sum(when(col("is_cal"), 1L).otherwise(0L)).as("cc"),
         sum(when(!col("is_cal"), 1L).otherwise(0L)).as("tc"))
+        .withColumn("cum", sum(col("cc")).over(Window.orderBy("a4")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .localCheckpoint(true)
       val tot = counts.agg(sum(col("cc")).as("n_cal"),
         sum(col("tc")).as("n_test"))
       // same ceil spelling as the SQL oracle (exact integer-valued
       // doubles — engine-identical)
       val q4 = counts.filter(col("cc") > 0)
-        .withColumn("cum", sum(col("cc")).over(Window.orderBy("a4")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(broadcast(tot))
         .filter(col("cum") >=
           ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"))
