@@ -102,7 +102,13 @@ object Stats {
   private def twoSampleCum(s: SparkSession, d: String): DataFrame = {
     // NO U.fan here (measured 2.2 → 3.6 s with it at sf0.1): the
     // when/sum partial aggregate is cheap enough that the round-robin
-    // shuffle+sort costs more than 3-task parallelism loses.
+    // shuffle+sort costs more than 3-task parallelism loses. The
+    // three consumers (block offsets, totals, the windowed main path)
+    // do re-execute this subtree — an eager-checkpoint dedup (the
+    // conformal-interval fix) would save ~0.8 s here but hide the
+    // per-value aggregate from PlanSpec's windows-sit-above-aggregates
+    // proof, which this helper exists to exemplify; the structural
+    // guarantee is worth more than the re-execution.
     val pv = t(s, d, "lineitem")
       .filter(col("l_returnflag").isin("R", "A"))
       .select(col("l_extendedprice").as("v"), col("l_returnflag").as("g"))
