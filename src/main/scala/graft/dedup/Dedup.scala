@@ -322,6 +322,12 @@ object Dedup {
       // reuse below an exchange, and the duplicated-subtree plan also
       // bloats Catalyst. The persist-per-round discipline is not
       // overhead to amortize away; it IS what makes each round linear.
+      // Round-10 re-measured the batch in SMALL MODE too (where the
+      // recompute is only a few thousand rows): still worse — rounds
+      // went 0.5-2 s → 2-3.7 s each (dedup_cc_incremental 6.4 → 17 s)
+      // because analyzing + codegen-compiling the 8×-duplicated plan
+      // costs more driver time than the saved materializations. The
+      // one-alternation-per-persist shape is optimal at BOTH widths.
       val sym = cur.select(col("a").as("u"), col("b").as("n"))
         .unionByName(cur.select(col("b").as("u"), col("a").as("n")))
       val mins = sym.groupBy("u").agg(min(col("n")).as("mn"))
