@@ -60,7 +60,17 @@ object Bench {
       }
       case None => 2
     }
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ORDER=reverse is the suite-position bisect knob (dev
+    // only; the driver never sets it): the round-10/11 driver-tail
+    // anomaly cluster (copurchase, rake, vocab_apply, tfidf, hits — all
+    // ~2x their isolated numbers ONLY in full-suite runs) correlates
+    // with alphabetical position; running the suite reversed swaps which
+    // queries sit late, separating "this query is slow" from "any query
+    // is slow after ~300 predecessors" (cumulative JVM state: code-cache
+    // flushing, codegen class accumulation, GC debt).
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "asc")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = (if (order == "reverse") sorted.reverse else sorted)
       .filter { case (n, _) => only.isEmpty || only(n) }
     // Between-query cleanup (ON by default; SPARK_GRAFT_ISOLATE=0
     // disables): drop every cached block and nudge the ContextCleaner
@@ -132,6 +142,17 @@ object Bench {
     // runs only — a dev run restricted to a few queries must not
     // overwrite the round record.
     if (only.isEmpty) writeLine("bench/bench_latest.json")
+    // Snapshot path: bench_latest.json is overwritten by EVERY full-suite
+    // run — including the driver's per-round sweep, which round-10 showed
+    // destroying the builder's record run. A run tagged with
+    // SPARK_GRAFT_BENCH_TAG=<tag> ALSO lands at bench/bench_<tag>.json,
+    // a per-round artifact no later sweep touches (tools/close_round.sh
+    // tags its record run with the round id).
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").map(_.trim).filter(_.nonEmpty)
+      .foreach { tag =>
+        val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
+        writeLine(s"bench/bench_$safe.json")
+      }
     // The stdout line must survive the driver's 2000-char tail capture
     // (every BENCH_r{1..4}.json has parsed:null because the 100+-query map
     // overflows it; sbt appends its own ~80-char "[success]" line after

@@ -224,10 +224,58 @@ object Dedup {
     * (expected value: ceil(log2(max chain depth)) + 1). */
   @volatile var lastResolveIters: Int = 0
 
-  def canonicalResolve(pointers: DataFrame, maxIters: Int = 30): DataFrame = {
+  def canonicalResolve(pointers: DataFrame, maxIters: Int = 30,
+      driverRowCap: Long = CcDriverEdgeCap): DataFrame = {
+    // Same guarded driver fast path as [[connectedComponents]]: a
+    // distributed count first (one job over the persisted pointer set —
+    // the job doubles as fixpoint's sizing pass when the distributed
+    // path runs), and under the cap the whole log-depth doubling loop
+    // collapses to one collect + memoized pointer chase (path-compressed,
+    // cycle-budgeted so a planted cycle still fails loudly). Identical
+    // output contract: one (id, root) row per input row, dangling
+    // parents are roots; parity pinned both-sides in DedupSpec.
+    val spark = pointers.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = pointers.select(col("id"), col("parent").as("root")).persist(lvl)
+    val nRows = pts.count()
+    if (nRows <= driverRowCap) {
+      try {
+        val rows = pts.select(col("id").cast("long"), col("root").cast("long"))
+          .collect()
+        val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+        rows.foreach(r => parent.put(r.getLong(0), r.getLong(1)))
+        def chase(x0: Long): Long = {
+          var x = x0
+          var steps = 0L
+          while (parent.getOrDefault(x, x) != x) {
+            x = parent.get(x)
+            steps += 1
+            if (steps > nRows)
+              throw new IllegalStateException(
+                s"canonicalResolve did not converge in $steps steps " +
+                  "(cycle, forward pointer, or raise maxIters)")
+          }
+          // path compression: re-walk and point every hop at the root
+          var c = x0
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, x); c = nxt
+          }
+          x
+        }
+        val resolved = rows.map(r => (r.getLong(0), chase(r.getLong(1))))
+        lastResolveIters = 0
+        import spark.implicits._
+        val idT = pts.schema("id").dataType
+        val rtT = pts.schema("root").dataType
+        return spark.createDataset(resolved.toSeq)
+          .select(col("_1").cast(idT).as("id"), col("_2").cast(rtT).as("root"))
+      } finally pts.unpersist()
+    }
     val (out, iters) = graft.plans.Iterate.fixpoint(
-      pointers.select(col("id"), col("parent").as("root")),
+      pts,
       fanout = 2, maxIters = maxIters,
+      // the sizing count already materialized the persisted pointer set
+      init = Some(_ => nRows),
       // the round output carries old_root for the convergence check;
       // the loop state (and result) is the narrow (id, root) projection
       narrow = _.select(col("id"), col("root"))) { cur =>
@@ -284,7 +332,18 @@ object Dedup {
     * maxIters — a partially-merged labeling must never masquerade as
     * components. */
   @volatile var lastCcIters: Int = 0
-  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+
+  /** Edge-count ceiling for the driver-side union-find fast path: 1M
+    * canonical edges ≈ tens of MB transient on the driver — far under
+    * the bench/verify heap, far over any test-SF edge set. Above it the
+    * distributed large-star/small-star path runs untouched (the 100 TB
+    * path); the choice is made by a DISTRIBUTED count first, the same
+    * count-before-materialize discipline as
+    * [[graft.operators.Joins.requireCandidatePairs]]. */
+  val CcDriverEdgeCap: Long = 1000000L
+
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25,
+      driverEdgeCap: Long = CcDriverEdgeCap): DataFrame = {
     def canon(e: DataFrame): DataFrame = e
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
@@ -306,12 +365,64 @@ object Dedup {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
+    // The initial edge set is persisted and fingerprinted HERE (one job,
+    // which both sizes the graph and materializes the cache) so the
+    // small-graph decision happens before any round runs. Under the cap
+    // the whole closure collapses to one collect + driver-side
+    // union-find: per-round cost in the iterative path is pure scheduler
+    // latency once the graph is tiny (measured: dedup_cc_incremental's
+    // 7.27 s driver-tail number was ~1 s of real work + rounds × stage
+    // barriers), and a bounded union-find is exact, deterministic, and
+    // one job. The path choice is invisible to callers: both emit the
+    // identical star forest (node → component-min), pinned both-sides
+    // by DedupSpec's planted arbitrary graphs.
+    val spark = edges.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ce = canon(edges).persist(lvl)
+    val initSig = fingerprint(ce) // materializes every cached partition
+    if (initSig._1 <= driverEdgeCap) {
+      try {
+        val rows = ce.select(col("a").cast("long"), col("b").cast("long"))
+          .collect()
+        // Union-find, roots kept at the component MIN (attach the larger
+        // root under the smaller) with iterative path compression — the
+        // same labeling the large-star/small-star fixpoint converges to.
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) {
+            val nxt = parent.get(c); parent.put(c, r); c = nxt
+          }
+          r
+        }
+        val nodes = new java.util.TreeSet[java.lang.Long]()
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          nodes.add(a); nodes.add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        import scala.jdk.CollectionConverters._
+        val stars = nodes.asScala.iterator.map(n => (n.longValue, find(n)))
+          .filter(p => p._1 != p._2).toSeq
+        lastCcIters = 0
+        import spark.implicits._
+        val aT = ce.schema("a").dataType
+        val bT = ce.schema("b").dataType
+        return spark.createDataset(stars)
+          .select(col("_1").cast(aT).as("a"), col("_2").cast(bT).as("b"))
+      } finally ce.unpersist()
+    }
     var curSig: (Long, java.math.BigDecimal) = null
     val (out, iters) = graft.plans.Iterate.fixpoint(
-      canon(edges), fanout = 8, maxIters = maxIters,
-      // the convergence fingerprint doubles as the harness's sizing
-      // pass, so a tiny edge set runs even round 1 on the small path
-      init = Some { e => curSig = fingerprint(e); curSig._1 }) { cur =>
+      ce, fanout = 8, maxIters = maxIters,
+      // the sizing/convergence fingerprint already ran on the persisted
+      // initial state above — reuse it; fixpoint's persist() on the
+      // already-persisted `ce` is idempotent and its lifecycle (handle
+      // unpersisted as round 1 lands) releases the same blocks
+      init = Some { _ => curSig = initSig; curSig._1 }) { cur =>
       // one alternation: large-star over the symmetric view, then
       // small-star over the (hi=a → lo=b) orientation canon provides.
       // Exactly ONE alternation per materialization: batching two to
@@ -808,6 +919,68 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Exact substring-SPAN dedup (the deduplicate-text-datasets class —
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better", public method): report every maximal run of ≥ L
+    // consecutive words shared verbatim between a document pair. The
+    // paper builds a corpus suffix array; the bucketed-fingerprint form
+    // here is the same detector re-expressed relationally: positional
+    // K-word grams are emitted in ONE map pass (posexplode over the
+    // fanned scan), grams BUCKET by their text — only grams with 2..50
+    // occurrences generate pairs (singleton grams can't witness a
+    // shared span; grams above the cap are corpus boilerplate, the
+    // boilerplate_strip family's job, and the cap bounds bucket fanout
+    // exactly like the MinHash band cap — never all-pairs) — and
+    // matched position pairs merge into maximal spans by
+    // gaps-and-islands arithmetic on the (pair, diagonal) key: inside
+    // one (doc_a, doc_b, pa−pb) group, consecutive pa values are one
+    // island (island id = pa − row_number), and a length-n shared run
+    // contributes exactly the consecutive diagonal matches
+    // pa..pa+n−K. Shuffles carry (gram → positions) then
+    // (pair, diagonal)-keyed integers, never document text; every
+    // window is partitioned. span_words = max(pa)−min(pa)+K is exact
+    // when the span's interior grams all survive the occurrence cap (a
+    // capped interior gram splits the report into two shorter spans —
+    // the oracle replays the identical rule, and at the paper's scale
+    // those grams are precisely the ones its boilerplate pass removes
+    // first).
+    "dedup_substring_span" -> ((s, d) => {
+      val K = 8
+      val L = 16
+      val W = org.apache.spark.sql.expressions.Window
+      val w = split(col("text"), " ")
+      val grams = graft.U.fan(t(s, d, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= K)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - K),
+            i => array_join(slice(col("w"), i + 1, lit(K)), " "))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
+      val shared = grams.groupBy("gram")
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2 && col("occ") <= 50)
+        .select("gram")
+      val hits = grams.join(shared, "gram")
+      val pairs = hits
+        .select(col("gram"), col("doc_id").as("da"), col("p").as("pa"))
+        .join(hits.select(col("gram"), col("doc_id").as("db"),
+          col("p").as("pb")), Seq("gram"))
+        .filter(col("da") < col("db"))
+      val runs = pairs
+        .withColumn("diag", col("pa") - col("pb"))
+        .withColumn("isl", col("pa") - row_number().over(
+          W.partitionBy("da", "db", "diag").orderBy("pa")))
+      runs.groupBy("da", "db", "diag", "isl")
+        .agg(min(col("pa")).as("sa"), min(col("pb")).as("sb"),
+          (max(col("pa")) - min(col("pa")) + K).as("len"))
+        .filter(col("len") >= L)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("sa").cast("long").as("start_a"),
+          col("sb").cast("long").as("start_b"),
+          col("len").cast("long").as("span_words"))
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
     // INCREMENTAL connected components — the arriving-batch form of the
     // cluster closure: history (doc_id < 80% of corpus) is already
     // resolved to star edges (node → root); a new batch arrives and
@@ -826,13 +999,18 @@ object Dedup {
       val docs = t(s, d, "documents")
       val n = docs.count()
       val cut = (n * 4) / 5
+      // The signature table persists BEFORE the adjacent-id self-join:
+      // its two branches are different projections of `sh` (no
+      // ReusedExchange), so without the persist the fused simhash scan
+      // — the expensive pass over the corpus — would run twice inside
+      // the edge materialization (measured ~1.3 s/pass at sf0.1).
       val sh = simhashFused(s, docs, "text").withColumnRenamed("simhash", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lhs = sh.select(col("doc_id"), col("sh").as("sha"))
       val rhs = sh.select((col("doc_id") - 1).as("doc_id"),
         col("doc_id").as("nxt"), col("sh").as("shb"))
-      // ONE signature pass feeds both closures: without the persist the
-      // history and batch filters would each recompute the fused
-      // simhash scan through lineage (measured ~1.3 s/pass at sf0.1)
+      // ONE edge pass feeds both closures: without the persist the
+      // history and batch filters would each recompute the join
       val allEdges = lhs.join(rhs, Seq("doc_id"))
         .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 16)
         .select(col("doc_id").as("a"), col("nxt").as("b"))
@@ -851,7 +1029,7 @@ object Dedup {
           .select(col("doc_id"),
             coalesce(col("b"), col("doc_id")).as("component_id"))
           .orderBy("doc_id")
-      } finally allEdges.unpersist()
+      } finally { allEdges.unpersist(); sh.unpersist() }
     }),
 
     // Near-dup cluster closure via GENERAL connected components: the
@@ -868,15 +1046,23 @@ object Dedup {
     // (its worst case for round count) exactly; DedupSpec pins
     // arbitrary non-path graphs (stars, triangles, crossings).
     "dedup_connected_components" -> ((s, d) => {
+      // persist the signature table: the self-join's two projections
+      // would otherwise each recompute the fused simhash corpus scan
+      // (same rationale as dedup_cc_incremental above); the closure is
+      // EAGER inside connectedComponents (fingerprint + collect or
+      // fixpoint + localCheckpoint), so the release is safe right after
       val sh = simhashFused(s, t(s, d, "documents"), "text")
         .withColumnRenamed("simhash", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val l = sh.select(col("doc_id"), col("sh").as("sha"))
       val r = sh.select((col("doc_id") - 1).as("doc_id"),
         col("doc_id").as("nxt"), col("sh").as("shb"))
       val edges = l.join(r, Seq("doc_id"))
         .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 16)
         .select(col("doc_id").as("a"), col("nxt").as("b"))
-      val stars = connectedComponents(edges)
+      val stars =
+        try connectedComponents(edges)
+        finally sh.unpersist()
       t(s, d, "documents").select(col("doc_id"))
         .join(stars.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1169,6 +1355,41 @@ object Dedup {
         |  coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
         |                      ORDER BY chunk_idx), '') AS clean_text
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical fingerprint → bucket-cap → diagonal-islands replay;
+    // DuckDB list slicing w[a:b] is inclusive and every gram is full-K
+    // by the len(w) >= 8 / i <= len(w) - 8 guards, so gram text matches
+    // Spark's slice() byte-for-byte
+    "dedup_substring_span" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents),
+        |g AS (
+        |  SELECT doc_id, ix.i AS p,
+        |    array_to_string(w[CAST(ix.i + 1 AS INT)
+        |                      :CAST(ix.i + 8 AS INT)], ' ') AS gram
+        |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
+        |                                      BIGINT) FROM tk))) AS i) ix
+        |  WHERE len(w) >= 8 AND ix.i <= len(w) - 8),
+        |shared AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 50),
+        |h AS (SELECT g.* FROM g JOIN shared USING (gram)),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        |  FROM h a JOIN h b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT da, db, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM pr),
+        |sp AS (
+        |  SELECT da, db, min(pa) AS sa, min(pb) AS sb,
+        |    max(pa) - min(pa) + 8 AS len
+        |  FROM runs GROUP BY da, db, diag, isl)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(sa AS BIGINT) AS start_a, CAST(sb AS BIGINT) AS start_b,
+        |  CAST(len AS BIGINT) AS span_words
+        |FROM sp WHERE len >= 16
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     // path-structure replay: adjacent-id edges ⇒ components are maximal
     // linked runs ⇒ label = running max of break positions (see the
     // query comment); the simhash itself replays via simhashCore

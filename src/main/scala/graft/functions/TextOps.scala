@@ -455,9 +455,15 @@ object TextOps {
     // per-doc sum (the engine-wide discipline), so H is partition-order
     // invariant and engine-identical. The char explode is length×rows —
     // fanned, keyed shuffles only carry (doc_id, char) counts.
+    // Empty documents are filtered IDENTICALLY on both engines (ADVICE
+    // r10): Spark's split('', '') yields [''] (the doc would surface as
+    // n=1, entropy 0) while DuckDB's string_split('', '') yields [] (the
+    // doc would vanish) — entropy of an empty string is undefined either
+    // way, so both sides pin `length(text) > 0` explicitly.
     "text_char_entropy" -> ((s, d) =>
       charEntropyOf(
-        U.fan(t(s, d, "documents").select("doc_id", "text")), col("text"))
+        U.fan(t(s, d, "documents").select("doc_id", "text")
+          .filter(length(col("text")) > 0)), col("text"))
         .select(col("doc_id"), col("n").as("n_chars_total"),
           col("n_distinct_chars"),
           col("entropy"),
@@ -1658,7 +1664,7 @@ object TextOps {
     "text_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS c
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |cc AS (SELECT doc_id, c, count(*) AS cc FROM ch GROUP BY 1, 2),
         |agg AS (
         |  SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n,

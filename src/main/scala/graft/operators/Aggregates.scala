@@ -375,16 +375,31 @@ object Aggregates {
     // boundaries and merge ORDER (each compress() keeps a sample based
     // on the running g/delta bounds at that moment) and no set-oriented
     // SQL reproduces it — that compressed regime is covered by the ε·N
-    // rank-bound assertion in OperatorSemanticsSpec instead. 1e6 covers
-    // every verify/bench SF (largest group ≈ 200k rows at sf0.1) at
-    // ~8 B/row of executor buffer; at 100 TB a caller picks a practical
-    // accuracy and gets the rank bound, not bit-equality.
-    "agg_approx_percentile" -> ((s, d) =>
+    // rank-bound assertion in OperatorSemanticsSpec instead. The
+    // accuracy is DERIVED from a counted bound (one cheap pre-aggregate:
+    // max group size, ADVICE r10) so the lossless precondition holds at
+    // ANY verification SF instead of silently breaking past 1e6 rows per
+    // group (sf1's ~2M-row l_returnflag groups would have resumed GK
+    // compression under a fixed 1e6 and mismatched the oracle with
+    // nothing naming why). Past the executor-buffer ceiling (~8 B/row,
+    // 16M rows ≈ 128 MB of quantile buffer) the query fails with a
+    // pointed message: at that scale a caller picks a practical accuracy
+    // and gets the ε·N rank bound, not bit-equality.
+    "agg_approx_percentile" -> ((s, d) => {
+      val nMax = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+      require(nMax <= (1L << 24),
+        s"agg_approx_percentile: largest group has $nMax rows — beyond " +
+          "the lossless-GK oracle regime (per-group quantile buffer would " +
+          "exceed ~128 MB); use an explicit accuracy and verify the ε·N " +
+          "rank bound instead of quantile_disc equality")
+      val acc = math.max(1000000L, nMax)
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000000)")
+        .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $acc)")
           .as("ap50"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // agg_product_stats (bin/concatenate.py:81-96): one-row product
     // metadata scalars (deterministic subset — no uuid()/now()).

@@ -190,10 +190,24 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents: arbitrary graphs the monotone forest can't " +
-    "express (stars, triangles, crossings, deep path)") {
+    "express (stars, triangles, crossings, deep path) — BOTH paths: the " +
+    "distributed star alternation (cap 0) and the driver union-find " +
+    "fast path must emit the identical star forest") {
+    var distIters = 0
     def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
-      val stars = Dedup.connectedComponents(edges.toDF("a", "b"))
+      // force the distributed path (the 100 TB shape stays covered even
+      // though every test graph is under the driver-edge cap)
+      val stars = Dedup.connectedComponents(edges.toDF("a", "b"),
+        driverEdgeCap = 0L)
       val m = stars.as[(Long, Long)].collect().toMap
+      distIters = Dedup.lastCcIters
+      assert(distIters > 0, "cap 0 must run the iterative path")
+      // parity: the union-find fast path labels identically
+      val fast = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(Dedup.lastCcIters === 0, "under the cap must run union-find")
+      assert(fast === m, "union-find fast path diverged from the " +
+        "distributed star alternation")
       m // non-root -> root
     }
     // high-center star: (5,3),(5,4) — 4's one-hop min is itself, the
@@ -211,7 +225,34 @@ class DedupSpec extends SparkSpec {
     val got = cc(path)
     assert(got.size === n - 1)
     assert(got.values.forall(_ === 0L))
-    assert(Dedup.lastCcIters <= 15, s"took ${Dedup.lastCcIters} rounds")
+    assert(distIters <= 15, s"took $distIters rounds")
+  }
+
+  test("dedup_substring_span: planted shared passages — recall on the " +
+    "30-word passage and the exact-duplicate pair, silence below L, " +
+    "maximality of the reported span") {
+    def ws(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => s"$prefix$i")
+    val passage = ws("p", 30) // shared 30-word passage (≥ L = 16)
+    val short = ws("q", 15)   // shared 15-word run (< L) — must NOT report
+    val dup = ws("f", 40).mkString(" ") // exact duplicate pair
+    Seq(
+      (1L, (ws("a", 10) ++ passage ++ ws("x", 50)).mkString(" ")),
+      (2L, (ws("b", 20) ++ passage ++ ws("y", 20)).mkString(" ")),
+      (3L, ws("c", 50).mkString(" ")), // no overlap with anything
+      (4L, (ws("d", 5) ++ short ++ ws("u", 20)).mkString(" ")),
+      (5L, (ws("e", 10) ++ short ++ ws("v", 10)).mkString(" ")),
+      (6L, dup), (7L, dup))
+      .toDF("doc_id", "text").repartition(2)
+      .write.mode("overwrite")
+      .parquet("/tmp/graft_test_span/documents.parquet")
+    val out = Dedup.queries("dedup_substring_span")(spark, "/tmp/graft_test_span")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the 30-word passage reports ONCE, maximal, at its exact offsets
+    // (interior 8-grams match positions 10..32 vs 20..42 on one diagonal);
+    // the duplicate pair reports its full 40 words; the 15-word run and
+    // doc 3 are silent
+    assert(out === Seq((1L, 2L, 10L, 20L, 30L), (6L, 7L, 0L, 0L, 40L)))
   }
 
   test("canonicalResolve: depth-4096 chain crosses lineage truncation, " +
@@ -223,12 +264,18 @@ class DedupSpec extends SparkSpec {
     // 1024); with it this finishes in seconds. Also pins the round
     // count: fixpoint in log2(4096)+1 = 13 doubling rounds.
     val pointers = (1L to 4096L).map(i => (i, i - 1)).toDF("id", "parent")
-    val resolved = Dedup.canonicalResolve(pointers)
+    // force the distributed doubling path — the 100 TB shape must stay
+    // covered even though 4096 rows are under the driver-row cap
+    val resolved = Dedup.canonicalResolve(pointers, driverRowCap = 0L)
       .as[(Long, Long)].collect()
     assert(resolved.length === 4096)
     assert(resolved.forall(_._2 === 0L))
     assert(Dedup.lastResolveIters === 13,
       s"expected 13 rounds, got ${Dedup.lastResolveIters}")
+    // parity: the driver-side chase resolves the same chain identically
+    val fast = Dedup.canonicalResolve(pointers).as[(Long, Long)].collect()
+    assert(Dedup.lastResolveIters === 0, "under the cap must run the chase")
+    assert(fast.sorted.toSeq === resolved.sorted.toSeq)
   }
 
   test("keeperPointers block stitch equals the single-block (global) linkage") {

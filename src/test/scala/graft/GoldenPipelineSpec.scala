@@ -168,6 +168,77 @@ class GoldenPipelineSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("entity-API bounded failure semantics: request timeout, one retry on " +
+    "transient 5xx, JSON organ bodies (ADVICE r10: no unbounded hangs)") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.time.Duration
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import graft.sources.EntityApi
+
+    // the live endpoint answers JSON, not plain text (the reference's own
+    // parsing is broken — concatenate.py:26-27 keys organ_dict on the
+    // Response object); all three single-organ shapes must normalize
+    assert(EntityApi.normalizeOrganBody("LK", "d") === "LK")
+    assert(EntityApi.normalizeOrganBody(""""LK"""", "d") === "LK")
+    assert(EntityApi.normalizeOrganBody("""["LK"]""", "d") === "LK")
+    assert(EntityApi.normalizeOrganBody(""" [ "LK" ] """, "d") === "LK")
+    val multi = intercept[IllegalArgumentException](
+      EntityApi.normalizeOrganBody("""["LK","RK"]""", "d7"))
+    assert(multi.getMessage.contains("multiple") &&
+      multi.getMessage.contains("d7"))
+    val junk = intercept[IllegalArgumentException](
+      EntityApi.normalizeOrganBody("""{"organ": "LK"}""", "d8"))
+    assert(junk.getMessage.contains("d8"))
+
+    val gets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val mode = new java.util.concurrent.atomic.AtomicReference[String]("flaky")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // concurrent handler pool: the default executor is the dispatcher
+    // thread itself, so a handler sleeping past the client timeout would
+    // serialize the retry BEHIND the stuck first request and the GET
+    // counter would read 1 at assert time
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
+    server.createContext("/", (ex: HttpExchange) => {
+      val n = gets.incrementAndGet()
+      mode.get() match {
+        case "slow" => // exceed the request timeout; client gives up first
+          Thread.sleep(2000)
+          ex.sendResponseHeaders(200, -1); ex.close()
+        case "flaky" => // transient 500 on the first hit, then JSON 200
+          val body = if (n == 1) "upstream blew up" else """["HT"]"""
+          val bytes = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(if (n == 1) 500 else 200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // one retry absorbs a single transient 500 → resolves via JSON body
+      val out = EntityApi.resolveTissues(endpoint, Seq("dA"),
+        Map("HT" -> "Heart"), requestTimeout = Duration.ofSeconds(5))
+      assert(out === Map("dA" -> "Heart"))
+      assert(gets.get() === 2, s"expected 500-then-200, got ${gets.get()} GETs")
+
+      // a stuck endpoint fails in bounded time (timeout × (retries+1)),
+      // never hangs: 2 attempts at 250ms each ≪ the 2s server sleep
+      mode.set("slow"); gets.set(0)
+      val t0 = System.nanoTime()
+      val stuck = intercept[IllegalArgumentException] {
+        EntityApi.resolveTissues(endpoint, Seq("dB"), Map("HT" -> "Heart"),
+          requestTimeout = Duration.ofMillis(250))
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(stuck.getMessage.contains("dB") &&
+        stuck.getMessage.contains("attempt"))
+      assert(gets.get() === 2, s"expected initial + 1 retry, got ${gets.get()}")
+      assert(dt < 5.0, f"bounded-failure path took $dt%.1fs")
+    } finally { server.stop(0); pool.shutdownNow() }
+  }
+
   test("TSV round-trip with explicit schema (entry point 2 staging table)") {
     val schema = StructType(Seq(
       StructField("uuid", StringType), StructField("hubmap_id", StringType)))

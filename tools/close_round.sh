@@ -5,17 +5,26 @@
 #
 #   1. full `sbt test` (all suites)
 #   2. full graft.Verify + DuckDB selfcheck at sf0.01 (the driver's gate)
-#   3. full bench sweep at sf0.1 (refreshes bench/bench_latest.json)
-#   4. PLANS.md regeneration (headline physical plans on record)
+#   3. full bench sweep at sf0.1 (refreshes bench/bench_latest.json AND
+#      snapshots it to bench/bench_${ROUND}_record.json — the driver's
+#      per-round sweep overwrites bench_latest.json, which destroyed the
+#      round-10 record run; the tagged snapshot survives)
+#   4. pinned 60-query headline set at sf1 (isolated, 2-pass) →
+#      bench/bench_${ROUND}_headline_sf1.json, gated at ≤1.2x median
+#      per-query ratio vs the previous round's sf1 headline file
+#      (VERDICT r10 item 4: per-op sf1 rows existed but no cross-round
+#      pinned set ran at sf1)
+#   5. PLANS.md regeneration (headline physical plans on record)
 #
-# Usage: tools/close_round.sh
+# Usage: GRAFT_ROUND=r11 tools/close_round.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
+ROUND="${GRAFT_ROUND:-r11}"
 
-echo "== 1/4 sbt test"
+echo "== 1/5 sbt test"
 sbt -batch test
 
-echo "== 2/4 Verify + selfcheck @ sf0.01"
+echo "== 2/5 Verify + selfcheck @ sf0.01"
 sbt -batch package
 bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/close_round_verify
 python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/close_round_verify \
@@ -23,10 +32,39 @@ python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/close_round_verify \
 grep -q ", 0 fail" /tmp/close_round_selfcheck.txt \
   || { echo "SELFCHECK RED — do not commit"; exit 1; }
 
-echo "== 3/4 full bench sweep @ sf0.1"
+echo "== 3/5 full bench sweep @ sf0.1 (record tagged ${ROUND}_record)"
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} bash tools/run_bench.sh | tail -1
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  SPARK_GRAFT_BENCH_TAG="${ROUND}_record" \
+  bash tools/run_bench.sh | tail -1
 
-echo "== 4/4 PLANS.md"
+echo "== 4/5 sf1 headline set (pinned cross-round gate)"
+if [ ! -d target/testdata/sf1 ]; then
+  echo "generating sf1 testdata (one-time)"
+  python3 tools/gen_sf.py 1 target/testdata/sf1
+fi
+SPARK_GRAFT_SF_DIR=target/testdata/sf1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_OUT="bench/bench_${ROUND}_headline_sf1.json" \
+  bash tools/run_bench.sh --headline | tail -1
+PREV=$(ls bench/bench_r*_headline_sf1.json 2>/dev/null \
+  | grep -v "${ROUND}" | sort | tail -1 || true)
+if [ -n "$PREV" ]; then
+  python3 - "$PREV" "bench/bench_${ROUND}_headline_sf1.json" <<'EOF'
+import json, statistics, sys
+old = json.load(open(sys.argv[1]))["queries"]
+new = json.load(open(sys.argv[2]))["queries"]
+common = sorted(set(old) & set(new))
+med = statistics.median(new[k] / max(old[k], 1e-9) for k in common)
+print(f"sf1 headline median per-query ratio vs {sys.argv[1]}: {med:.3f} "
+      f"({len(common)} common queries)")
+if med > 1.2:
+    print("SF1 HEADLINE GATE RED (median ratio > 1.2) — do not commit")
+    sys.exit(1)
+EOF
+else
+  echo "no prior sf1 headline file — recording baseline for next round"
+fi
+
+echo "== 5/5 PLANS.md"
 bash tools/run_plandump.sh >/dev/null
 echo "close_round: ALL GREEN"
