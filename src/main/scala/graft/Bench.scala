@@ -87,7 +87,7 @@ object Bench {
     // full-suite A/B at sf0.1 (isolated 273.5 s vs contaminated
     // 310.6 s) shows the cleanup also wins on total.
     val isolate = !sys.env.get("SPARK_GRAFT_ISOLATE").contains("0")
-    val results = (1 to passes).map { _ =>
+    val allPasses = (1 to passes).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -101,7 +101,23 @@ object Bench {
         }
         name -> dt
       }
-    }.last
+    }
+    // Per-query time = MIN across passes (for passes >= 2), not the last
+    // pass: back-to-back identical full sweeps measured a median
+    // per-query ratio of 1.01 but INDIVIDUAL queries at 2.5-4.7x between
+    // runs with unchanged code (round-11 forensics — 8 of 347 queries
+    // above 2.5x, a different set each sweep; the round-9/10 driver-tail
+    // "anomaly cluster" was this noise, not code). The noise is
+    // one-sided (a GC pause, an async ContextCleaner deletion burst, or
+    // ambient box load lands IN some query's timed window and only adds
+    // time), so the min is the steady-state estimator; the ~0.1-0.3 s
+    // first-pass codegen-compile overhead means the min usually picks a
+    // warm pass anyway. With SPARK_GRAFT_REPEAT=1 this degrades to the
+    // single cold pass unchanged.
+    val passMaps = allPasses.map(_.toMap)
+    val results = allPasses.last.map { case (name, _) =>
+      name -> passMaps.iterator.map(_(name)).min
+    }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a
     // comma decimal separator would silently break the JSON contract.
     def num(v: Double): String =

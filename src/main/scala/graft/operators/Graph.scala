@@ -53,8 +53,43 @@ object Graph {
     * and the oracle unrolls exactly that many steps. Per round: one
     * join + one (node, label) count + one per-node rank window, all
     * keyed shuffles linear in |E|. */
-  def labelPropagate(edges: DataFrame, nodes: DataFrame,
-      rounds: Int): DataFrame = {
+  def labelPropagate(edges: DataFrame, nodes: DataFrame, rounds: Int,
+      driverCap: Long = graft.dedup.Dedup.CcDriverEdgeCap): DataFrame = {
+    // Guarded driver fast path (see [[bfsLayers]]): the adopt-the-mode
+    // step is integer counting with a deterministic (max count, min
+    // label) tie-break — no ordering sensitivity — so under the
+    // count-first cap the rounds run locally on the collected edge and
+    // node lists. Above the cap the keyed-shuffle rounds below run
+    // untouched; parity is pinned both-sides in GraphSpec.
+    val spark = edges.sparkSession
+    if (edges.count() <= driverCap && nodes.count() <= driverCap) {
+      val eArr = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nArr = nodes.select(col("node").cast("long"))
+        .collect().map(_.getLong(0))
+      val lbl = new java.util.HashMap[Long, Long]()
+      nArr.foreach(n => lbl.put(n, n))
+      for (_ <- 1 to rounds) {
+        // synchronous: counts read the previous round's labels
+        val cnt = new java.util.HashMap[(Long, Long), Long]()
+        def vote(u: Long, v: Long): Unit = if (lbl.containsKey(v))
+          cnt.merge((u, lbl.get(v)), 1L, _ + _)
+        eArr.foreach { case (a, b) => vote(a, b); vote(b, a) }
+        val best = new java.util.HashMap[Long, (Long, Long)]()
+        cnt.forEach { (k, c) =>
+          val (u, l) = k
+          val cur = best.get(u)
+          if (cur == null || c > cur._2 || (c == cur._2 && l < cur._1))
+            best.put(u, (l, c))
+        }
+        best.forEach((u, lc) => lbl.put(u, lc._1))
+      }
+      import spark.implicits._
+      val nT = nodes.schema("node").dataType
+      return spark.createDataset(nArr.toSeq.map(n => (n, lbl.get(n))))
+        .select(col("_1").cast(nT).as("node"),
+          col("_2").cast(nT).as("lbl"))
+    }
     val W = Window
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
@@ -82,8 +117,50 @@ object Graph {
     * carries its exact hop count; farther nodes stay NULL. Each round
     * is one join + one per-node min aggregate + one elementwise min —
     * keyed shuffles linear in |E|. */
-  def bfsLayers(edges: DataFrame, seeded: DataFrame,
-      rounds: Int): DataFrame = {
+  def bfsLayers(edges: DataFrame, seeded: DataFrame, rounds: Int,
+      driverCap: Long = graft.dedup.Dedup.CcDriverEdgeCap): DataFrame = {
+    // Guarded driver fast path (the connectedComponents/canonicalResolve
+    // pattern): the per-round cost of the distributed form is ~3 keyed
+    // shuffles of a few thousand rows — pure stage-barrier latency at
+    // test scale (the sf0.1 near-dup graph is 5k edges / 50k nodes) —
+    // so under a distributed count-first cap the synchronous rounds run
+    // as one collect + local Bellman-Ford, bit-identically (integer hop
+    // math has no ordering sensitivity). Above the cap the DataFrame
+    // rounds run untouched: that is the 100 TB path, and the parity is
+    // pinned both-sides in MarketSpec.
+    val spark = edges.sparkSession
+    val nE = edges.count()
+    val nN = seeded.count()
+    if (nE <= driverCap && nN <= driverCap) {
+      val eArr = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seedRows = seeded
+        .select(col("node").cast("long"), col("dist").cast("int")).collect()
+      val dist = new java.util.HashMap[Long, Int]()
+      val order = new Array[Long](seedRows.length)
+      var i = 0
+      seedRows.foreach { r =>
+        order(i) = r.getLong(0); i += 1
+        if (!r.isNullAt(1)) dist.put(r.getLong(0), r.getInt(1))
+      }
+      for (_ <- 1 to rounds) {
+        // synchronous step: candidates read the PREVIOUS round's map
+        val cand = new java.util.HashMap[Long, Int]()
+        def relax(u: Long, v: Long): Unit = if (dist.containsKey(v)) {
+          val c = dist.get(v) + 1
+          if (!cand.containsKey(u) || c < cand.get(u)) cand.put(u, c)
+        }
+        eArr.foreach { case (a, b) => relax(a, b); relax(b, a) }
+        cand.forEach { (n, c) =>
+          if (!dist.containsKey(n) || c < dist.get(n)) dist.put(n, c)
+        }
+      }
+      import spark.implicits._
+      val nT = seeded.schema("node").dataType
+      return spark.createDataset(order.toSeq.map(n =>
+          (n, if (dist.containsKey(n)) Some(dist.get(n)) else None)))
+        .select(col("_1").cast(nT).as("node"), col("_2").as("dist"))
+    }
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
     var dist = seeded.select(col("node"), col("dist").cast("int").as("dist"))
@@ -139,12 +216,14 @@ object Graph {
   /** The shared near-dup edge set every graph-family query iterates
     * on: plane-literal LSH buckets → capped pairs → cosine ≥ 0.05,
     * stored once as (a < b). Mirrored token-for-token by
-    * [[lshEdgesCte]] on the oracle side. */
+    * [[lshEdgesCte]] on the oracle side. Served from the
+    * signature-keyed derived layout
+    * ([[graft.sources.PartitionedData.lshEdgeSet]]) — the graph is a
+    * property of the DATASET, recomputing the LSH + cosine pass per
+    * query was ~8x redundant per sweep, and at 100 TB the near-dup
+    * graph is a persisted ingest-time table. */
   private def lshEdges(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.embeddingLshPairs(
-      t(s, d, "embeddings").select(col("vec_id"), col("embedding")))
-      .filter(col("cos_sim") >= 0.05)
-      .select(col("id1").as("a"), col("id2").as("b"))
+    s.read.parquet(graft.sources.PartitionedData.lshEdgeSet(s, d))
 
   /** Both directions of an (a, b) edge list — the undirected view the
     * degree/neighborhood operators aggregate over. */
@@ -202,7 +281,47 @@ object Graph {
     * monotonically, so an unchanged COUNT means an unchanged SET and
     * every further round is a no-op). Returns surviving per-node
     * degrees. Runs on the [[graft.plans.Iterate]] harness. */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+      driverCap: Long = graft.dedup.Dedup.CcDriverEdgeCap): DataFrame = {
+    // Guarded driver fast path (same count-first discipline as
+    // connectedComponents): each distributed peel round is one degree
+    // aggregate + two semi-joins — ~4 stage barriers over a few
+    // thousand edges at test scale. Under the cap the synchronous peel
+    // runs locally on the collected edge list (integer degree counting
+    // — no ordering sensitivity), with the identical early-stop rule
+    // (a round that removes nothing ends the loop). Above the cap the
+    // Iterate-harness rounds below run untouched; parity is pinned
+    // both-sides in GraphSpec.
+    val spark = edges.sparkSession
+    if (edges.count() <= driverCap) {
+      var es = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var r = 0
+      var stable = false
+      while (!stable && r < rounds) {
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (a, b) =>
+          deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+        }
+        val next = es.filter { case (a, b) =>
+          deg.get(a) >= k && deg.get(b) >= k }
+        stable = next.length == es.length
+        es = next
+        r += 1
+      }
+      val coreDeg = new java.util.LinkedHashMap[Long, Long]()
+      es.foreach { case (a, b) =>
+        coreDeg.merge(a, 1L, _ + _); coreDeg.merge(b, 1L, _ + _)
+      }
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val vT = edges.schema("a").dataType
+      return spark.createDataset(
+          coreDeg.entrySet().asScala.toSeq
+            .map(e => (e.getKey.longValue, e.getValue.longValue)))
+        .select(col("_1").cast(vT).as("vec_id"),
+          col("_2").as("core_degree"))
+    }
     var last = -1L
     var done = 0
     val (core, _) = graft.plans.Iterate.fixpoint(

@@ -44,12 +44,17 @@ class GraphSpec extends SparkSpec {
   }
 
   test("k-core peel: k=2 strips the pendant and early-stops on the " +
-    "triangle; k=3 empties the graph") {
-    val core2 = Graph.kcorePeel(trianglePendant, k = 2, rounds = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
-    val core3 = Graph.kcorePeel(trianglePendant, k = 3, rounds = 4)
-    assert(core3.count() === 0L)
+    "triangle; k=3 empties the graph — BOTH paths (driver-solve and " +
+    "forced-distributed, cap 0) agree") {
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val core2 = Graph.kcorePeel(trianglePendant, k = 2, rounds = 4,
+          driverCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"cap=$cap")
+      val core3 = Graph.kcorePeel(trianglePendant, k = 3, rounds = 4,
+        driverCap = cap)
+      assert(core3.count() === 0L, s"cap=$cap")
+    }
   }
 
   test("degree assortativity: hand-computed Newman r on the " +
@@ -77,9 +82,11 @@ class GraphSpec extends SparkSpec {
     // path 1-2-3-...-9: 2-core is empty, but peeling only removes the
     // two endpoints per round — after 2 rounds nodes 3..7 remain
     val chain = (1L to 8L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Graph.kcorePeel(chain, k = 2, rounds = 2)
-      .select("vec_id").as[Long].collect().toSet
-    assert(got === (3L to 7L).toSet)
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val got = Graph.kcorePeel(chain, k = 2, rounds = 2, driverCap = cap)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got === (3L to 7L).toSet, s"cap=$cap")
+    }
   }
 
   test("HITS: the destination of a planted in-star is the top " +

@@ -21,13 +21,15 @@ class MarketSpec extends SparkSpec {
     val seeded = Seq((1L, Some(0)), (2L, None), (3L, None), (4L, None),
       (5L, None), (6L, None), (7L, None), (8L, None))
       .toDF("node", "dist")
-    val got = Graph.bfsLayers(edges, seeded, rounds = 3)
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
-    assert(got == Map(1L -> Some(0), 2L -> Some(1), 3L -> Some(2),
-      4L -> Some(3), 5L -> None, // 4 hops out: beyond the horizon
-      6L -> None, // isolated
-      7L -> None, 8L -> None)) // disconnected component, no seed
+    for (cap <- Seq(Long.MaxValue, 0L)) { // driver-solve AND distributed
+      val got = Graph.bfsLayers(edges, seeded, rounds = 3, driverCap = cap)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got == Map(1L -> Some(0), 2L -> Some(1), 3L -> Some(2),
+        4L -> Some(3), 5L -> None, // 4 hops out: beyond the horizon
+        6L -> None, // isolated
+        7L -> None, 8L -> None), s"cap=$cap") // disconnected, no seed
+    }
   }
 
   test("bfsLayers: a node adjacent to two seeds takes the min, and " +
@@ -35,10 +37,12 @@ class MarketSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (3L, 2L), (2L, 1L)).toDF("a", "b")
     val seeded = Seq((1L, Some(0)), (2L, None), (3L, Some(0)))
       .toDF("node", "dist")
-    val got = Graph.bfsLayers(edges, seeded, rounds = 2)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // 1 and 3 stay 0 (neighbor candidates 1+1=2 never overwrite 0)
-    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val got = Graph.bfsLayers(edges, seeded, rounds = 2, driverCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // 1 and 3 stay 0 (neighbor candidates 1+1=2 never overwrite 0)
+      assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0), s"cap=$cap")
+    }
   }
 
   test("mergeIntervals: overlap chains fuse, a touching endpoint " +

@@ -160,17 +160,23 @@ class StatsSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 5L))
   }
 
-  test("label propagation: majority adoption with min-label tie-break") {
+  test("label propagation: majority adoption with min-label tie-break — " +
+    "BOTH paths (driver-solve and forced-distributed, cap 0) agree") {
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
-    val l1 = operators.Graph.labelPropagate(edges, nodes, rounds = 1)
-      .as[(Long, Long)].collect().toMap
-    // leaves adopt the hub's label; the hub sees three distinct labels
-    // (one vote each) and ties to the smallest; isolated 5 keeps itself
-    assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
-    val l2 = operators.Graph.labelPropagate(edges, nodes, rounds = 2)
-      .as[(Long, Long)].collect().toMap
-    assert(l2(1L) == 1L && l2(2L) == 2L && l2(5L) == 5L)
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val l1 = operators.Graph.labelPropagate(edges, nodes, rounds = 1,
+          driverCap = cap)
+        .as[(Long, Long)].collect().toMap
+      // leaves adopt the hub's label; the hub sees three distinct labels
+      // (one vote each) and ties to the smallest; isolated 5 keeps itself
+      assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L),
+        s"cap=$cap")
+      val l2 = operators.Graph.labelPropagate(edges, nodes, rounds = 2,
+          driverCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(l2(1L) == 1L && l2(2L) == 2L && l2(5L) == 5L, s"cap=$cap")
+    }
   }
 
   test("ANOVA on the real sf0.001 lineitem is finite and well-formed") {
