@@ -48,21 +48,39 @@ object NaiveBayes {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
 
-  /** (lang, word, c, loglik) — rounded smoothed log-likelihoods.
-    * `v` = corpus vocabulary size (driver scalar, one count). */
-  private def loglikTable(s: SparkSession, d: String, v: Long): DataFrame = {
-    val perLang = Window.partitionBy("lang")
+  /** The (lang, word, c) count table, materialized ONCE as an eager
+    * localCheckpoint (the Iterate-harness persistence shape: blocks
+    * live outside the CacheManager and the ContextCleaner frees them
+    * when the result is dropped — immune to the bench's between-query
+    * clearCache). Everything the model needs — vocabulary size,
+    * per-language token totals, smoothed likelihoods — derives from
+    * this VOCABULARY-SIZED table, so the corpus-wide tokenize+explode
+    * pass runs once here (plus once in apply's scoring join) instead of
+    * four times across the v-count / lang-stats / likelihood / scoring
+    * plans (measured: the repeated tokenize was the dominant cost of
+    * ml_nb_apply's 4.5 s at sf0.1). */
+  private def countsTable(s: SparkSession, d: String): DataFrame =
     tok(s, d).groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+
+  /** (lang, word, c, loglik) — rounded smoothed log-likelihoods over a
+    * materialized counts table. `v` = corpus vocabulary size. */
+  private def loglikTable(counts: DataFrame, v: Long): DataFrame = {
+    val perLang = Window.partitionBy("lang")
+    counts
       .withColumn("tot", sum(col("c")).over(perLang))
       .withColumn("loglik", U.round6(log((col("c").cast("double") + 1.0)
         / (col("tot") + lit(v)))))
   }
 
   /** Per-language stats collected under a guard: (lang, nDocs,
-    * totTokens) — cardinality = |languages|, never data-scaled. */
-  private def langStats(s: SparkSession, d: String): Seq[(String, Long, Long)] = {
+    * totTokens) — cardinality = |languages|, never data-scaled. Token
+    * totals fold from the counts table (Σc per lang ≡ the token count),
+    * not from a fresh corpus pass. */
+  private def langStats(s: SparkSession, d: String,
+      counts: DataFrame): Seq[(String, Long, Long)] = {
     val st = docs(s, d).groupBy("lang").agg(count(lit(1)).as("ndocs"))
-      .join(tok(s, d).groupBy("lang").agg(count(lit(1)).as("tot")), "lang")
+      .join(counts.groupBy("lang").agg(sum(col("c")).as("tot")), "lang")
     // Guard folded INTO the materializing action: collect at most 101
     // rows (bounded by construction — a data-scaled label set cannot
     // flood the driver) and fail if the cap is hit; one job instead of
@@ -80,8 +98,9 @@ object NaiveBayes {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the trained model: smoothed log-likelihood per (lang, word)
     "ml_nb_train" -> ((s, d) => {
-      val v = tok(s, d).select("word").distinct().count()
-      loglikTable(s, d, v)
+      val counts = countsTable(s, d)
+      val v = counts.select("word").distinct().count()
+      loglikTable(counts, v)
         .select(col("lang"), col("word"), col("c"), col("loglik"))
         .orderBy("lang", "word")
     }),
@@ -91,15 +110,16 @@ object NaiveBayes {
     // aggregation; priors and smoothing floors enter as literals from
     // the guarded per-language stats.
     "ml_nb_apply" -> ((s, d) => {
-      val v = tok(s, d).select("word").distinct().count()
-      val stats = langStats(s, d)
+      val counts = countsTable(s, d)
+      val v = counts.select("word").distinct().count()
+      val stats = langStats(s, d, counts)
       val nd = stats.map(_._2).sum
       val langs = stats.map(_._1)
       val prior = stats.map { case (l, n, _) =>
         l -> r6(math.log(n.toDouble / nd)) }.toMap
       val miss = stats.map { case (l, _, tot) =>
         l -> r6(math.log(1.0 / (tot + v))) }.toMap
-      val pivoted = loglikTable(s, d, v)
+      val pivoted = loglikTable(counts, v)
         .groupBy("word").pivot("lang", langs).agg(first(col("loglik")))
       val filled = langs.foldLeft(pivoted) { (df, l) =>
         df.withColumn(l, coalesce(col(l), lit(miss(l)))) }
