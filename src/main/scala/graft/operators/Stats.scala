@@ -808,11 +808,21 @@ object Stats {
     // interpolation), so round-4 is boundary-safe.
     "stats_qq_deciles" -> ((s, d) => {
       val probs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
-      def side(flag: String, out: String) =
-        t(s, d, "lineitem").filter(col("l_returnflag") === flag)
-          .groupBy()
-          .agg(expr(s"percentile(l_extendedprice, $probs)").as(out))
-      side("R", "qr").crossJoin(broadcast(side("A", "qa")))
+      // ONE grouped scan, not one filtered scan per flag: both decile
+      // vectors ride a single percentile aggregate keyed on the flag,
+      // and the 2-row result folds to one row with first(when(...))
+      // (each branch non-null exactly once). No fan — exact-percentile
+      // partials carry their value lists through any exchange (the
+      // feat_winsorize negative result), so the 1-task scan stays the
+      // cheapest layout at test SF.
+      val q = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .groupBy("l_returnflag")
+        .agg(expr(s"percentile(l_extendedprice, $probs)").as("q"))
+      q.groupBy()
+        .agg(
+          first(when(col("l_returnflag") === "R", col("q")), true).as("qr"),
+          first(when(col("l_returnflag") === "A", col("q")), true).as("qa"))
         .select(posexplode(arrays_zip(col("qr"), col("qa"))))
         .select(((col("pos") + 1) * 10).cast("long").as("decile"),
           round(col("col.qr"), 4).as("q_r"),
