@@ -465,6 +465,45 @@ object Dedup {
     out
   }
 
+  /** Shared detector for the substring-span family (dedup_substring_span
+    * reports, dedup_substring_strip applies): maximal runs of ≥ L = 16
+    * consecutive words shared verbatim between a document pair, via
+    * bucketed positional K = 8-gram fingerprints and diagonal
+    * gaps-and-islands merging. Returns (da, db, sa, sb, len) with
+    * da < db; full design rationale at the dedup_substring_span query
+    * registration. Empty/short docs self-exclude (size(w) >= K). */
+  private def substringSpans(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val L = 16
+    val W = org.apache.spark.sql.expressions.Window
+    val w = split(col("text"), " ")
+    val grams = graft.U.fan(t(s, d, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= K)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - K),
+          i => array_join(slice(col("w"), i + 1, lit(K)), " "))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
+    val shared = grams.groupBy("gram")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2 && col("occ") <= 50)
+      .select("gram")
+    val hits = grams.join(shared, "gram")
+    val pairs = hits
+      .select(col("gram"), col("doc_id").as("da"), col("p").as("pa"))
+      .join(hits.select(col("gram"), col("doc_id").as("db"),
+        col("p").as("pb")), Seq("gram"))
+      .filter(col("da") < col("db"))
+    val runs = pairs
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(
+        W.partitionBy("da", "db", "diag").orderBy("pa")))
+    runs.groupBy("da", "db", "diag", "isl")
+      .agg(min(col("pa")).as("sa"), min(col("pb")).as("sb"),
+        (max(col("pa")) - min(col("pa")) + K).as("len"))
+      .filter(col("len") >= L)
+  }
+
   /** Embedding near-dup pairs: sign-bit LSH bucket + exact cosine for
     * every within-bucket pair, ranked by similarity.
     *
@@ -944,41 +983,67 @@ object Dedup {
     // the oracle replays the identical rule, and at the paper's scale
     // those grams are precisely the ones its boilerplate pass removes
     // first).
-    "dedup_substring_span" -> ((s, d) => {
-      val K = 8
-      val L = 16
-      val W = org.apache.spark.sql.expressions.Window
-      val w = split(col("text"), " ")
-      val grams = graft.U.fan(t(s, d, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), w.as("w"))
-        .filter(size(col("w")) >= K)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), size(col("w")) - K),
-            i => array_join(slice(col("w"), i + 1, lit(K)), " "))))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
-      val shared = grams.groupBy("gram")
-        .agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2 && col("occ") <= 50)
-        .select("gram")
-      val hits = grams.join(shared, "gram")
-      val pairs = hits
-        .select(col("gram"), col("doc_id").as("da"), col("p").as("pa"))
-        .join(hits.select(col("gram"), col("doc_id").as("db"),
-          col("p").as("pb")), Seq("gram"))
-        .filter(col("da") < col("db"))
-      val runs = pairs
-        .withColumn("diag", col("pa") - col("pb"))
-        .withColumn("isl", col("pa") - row_number().over(
-          W.partitionBy("da", "db", "diag").orderBy("pa")))
-      runs.groupBy("da", "db", "diag", "isl")
-        .agg(min(col("pa")).as("sa"), min(col("pb")).as("sb"),
-          (max(col("pa")) - min(col("pa")) + K).as("len"))
-        .filter(col("len") >= L)
+    "dedup_substring_span" -> ((s, d) =>
+      substringSpans(s, d)
         .select(col("da").as("doc_a"), col("db").as("doc_b"),
           col("sa").cast("long").as("start_a"),
           col("sb").cast("long").as("start_b"),
           col("len").cast("long").as("span_words"))
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
+    // The APPLY step of substring-span dedup (the deduplicate-text-
+    // datasets policy: the pair's LATER document loses its copy of
+    // every detected span; the earlier keeps it — same lowest-id
+    // survivor convention as dedup_exact). Per document: union the
+    // [start_b, start_b+len) word intervals from every span where it is
+    // the later side, merge overlaps/touches by the windowed
+    // gaps-and-islands pass (deterministic: DISTINCT intervals ordered
+    // (st, en) — equal-start intervals always merge since en > st), and
+    // rebuild the text from the surviving word positions. Scale shape:
+    // the interval table is output-bounded (docs with detected spans
+    // only), the anti join is an equi-join on doc_id with a range
+    // residual against a dim-sized interval list, and the per-doc
+    // reassembly is the dedup_paragraph collect_list shape (bounded by
+    // words-per-doc). Empty documents are excluded IDENTICALLY on both
+    // engines (the split('')-vs-string_split('') divergence pinned by
+    // text_char_entropy).
+    "dedup_substring_strip" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val iv = substringSpans(s, d)
+        .select(col("db").as("doc_id"), col("sb").cast("long").as("st"),
+          (col("sb") + col("len")).cast("long").as("en"))
+        .distinct()
+      val w = W.partitionBy("doc_id").orderBy("st", "en")
+      val merged = iv
+        .withColumn("pmax", max(col("en")).over(
+          w.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("nw", when(col("pmax").isNull
+          || col("st") > col("pmax"), 1).otherwise(0))
+        .withColumn("isl", sum(col("nw")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .filter(length(col("text")) > 0)
+      val words = graft.U.fan(docs)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "word")
+      val kept = words.join(merged,
+        words("doc_id") === merged("doc_id")
+          && col("p") >= col("st") && col("p") < col("en"), "left_anti")
+      val ka = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("p"), col("word")))),
+            x => x.getField("word"))).as("clean_text"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+        .join(ka, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     }),
 
     // INCREMENTAL connected components — the arriving-batch form of the
@@ -1261,6 +1326,40 @@ object Dedup {
        |                       ORDER BY cos_sim DESC, dst) AS rn
        |  FROM sym)""".stripMargin
 
+  /** Shared CTE chain replaying [[substringSpans]] (K = 8, L = 16,
+    * occurrence cap 50) — interpolated into both substring-family
+    * oracles so the replay cannot drift between the detector and the
+    * apply step. `tk` excludes empty documents (Spark split('') vs
+    * DuckDB string_split('') divergence — harmless for spans, visible
+    * in the strip's output universe). */
+  private val substringSpanCtes: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS w
+      |       FROM documents WHERE length(text) > 0),
+      |g AS (
+      |  SELECT doc_id, ix.i AS p,
+      |    array_to_string(w[CAST(ix.i + 1 AS INT)
+      |                      :CAST(ix.i + 8 AS INT)], ' ') AS gram
+      |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
+      |                                      BIGINT) FROM tk))) AS i) ix
+      |  WHERE len(w) >= 8 AND ix.i <= len(w) - 8),
+      |shared AS (
+      |  SELECT gram FROM g GROUP BY gram
+      |  HAVING count(*) >= 2 AND count(*) <= 50),
+      |h AS (SELECT g.* FROM g JOIN shared USING (gram)),
+      |pr AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+      |  FROM h a JOIN h b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT da, db, pa, pb, pa - pb AS diag,
+      |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+      |                            ORDER BY pa) AS isl
+      |  FROM pr),
+      |sp AS (
+      |  SELECT da, db, min(pa) AS sa, min(pb) AS sb,
+      |    max(pa) - min(pa) + 8 AS len
+      |  FROM runs GROUP BY da, db, diag, isl
+      |  HAVING max(pa) - min(pa) + 8 >= 16)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // SimHash replayed exactly: Spark's XXH64 string hash (seed 42) as
     // generated mod-2^64 HUGEINT SQL, distinct-vocabulary hashing, the
@@ -1360,36 +1459,56 @@ object Dedup {
     // by the len(w) >= 8 / i <= len(w) - 8 guards, so gram text matches
     // Spark's slice() byte-for-byte
     "dedup_substring_span" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents),
-        |g AS (
-        |  SELECT doc_id, ix.i AS p,
-        |    array_to_string(w[CAST(ix.i + 1 AS INT)
-        |                      :CAST(ix.i + 8 AS INT)], ' ') AS gram
-        |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
-        |                                      BIGINT) FROM tk))) AS i) ix
-        |  WHERE len(w) >= 8 AND ix.i <= len(w) - 8),
-        |shared AS (
-        |  SELECT gram FROM g GROUP BY gram
-        |  HAVING count(*) >= 2 AND count(*) <= 50),
-        |h AS (SELECT g.* FROM g JOIN shared USING (gram)),
-        |pr AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
-        |  FROM h a JOIN h b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        |runs AS (
-        |  SELECT da, db, pa, pb, pa - pb AS diag,
-        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
-        |                            ORDER BY pa) AS isl
-        |  FROM pr),
-        |sp AS (
-        |  SELECT da, db, min(pa) AS sa, min(pb) AS sb,
-        |    max(pa) - min(pa) + 8 AS len
-        |  FROM runs GROUP BY da, db, diag, isl)
+      s"""WITH $substringSpanCtes
         |SELECT da AS doc_a, db AS doc_b,
         |  CAST(sa AS BIGINT) AS start_a, CAST(sb AS BIGINT) AS start_b,
         |  CAST(len AS BIGINT) AS span_words
-        |FROM sp WHERE len >= 16
+        |FROM sp
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    // apply step: distinct later-side intervals → deterministic
+    // (st, en)-ordered islands merge → positional anti join → ordered
+    // string_agg reassembly; empty docs excluded identically to Spark
+    "dedup_substring_strip" ->
+      s"""WITH $substringSpanCtes,
+        |iv AS (
+        |  SELECT DISTINCT db AS doc_id, CAST(sb AS BIGINT) AS st,
+        |    CAST(sb + len AS BIGINT) AS en
+        |  FROM sp),
+        |mg0 AS (
+        |  SELECT doc_id, st, en,
+        |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |mg1 AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS nw
+        |  FROM mg0),
+        |mg2 AS (
+        |  SELECT doc_id, st, en,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM mg1),
+        |mg AS (SELECT doc_id, min(st) AS st, max(en) AS en
+        |       FROM mg2 GROUP BY doc_id, isl),
+        |wd AS (
+        |  SELECT doc_id, ix.i AS p, w[CAST(ix.i + 1 AS INT)] AS word
+        |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
+        |                                      BIGINT) FROM tk))) AS i) ix
+        |  WHERE ix.i < len(w)),
+        |kept AS (
+        |  SELECT wd.* FROM wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM mg
+        |    WHERE mg.doc_id = wd.doc_id
+        |      AND wd.p >= mg.st AND wd.p < mg.en)),
+        |ka AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(word, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        |  CAST(len(t.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(ka.clean_text, '') AS clean_text
+        |FROM tk t LEFT JOIN ka USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // path-structure replay: adjacent-id edges ⇒ components are maximal
     // linked runs ⇒ label = running max of break positions (see the
     // query comment); the simhash itself replays via simhashCore

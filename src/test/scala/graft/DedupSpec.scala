@@ -253,6 +253,21 @@ class DedupSpec extends SparkSpec {
     // the duplicate pair reports its full 40 words; the 15-word run and
     // doc 3 are silent
     assert(out === Seq((1L, 2L, 10L, 20L, 30L), (6L, 7L, 0L, 0L, 40L)))
+
+    // apply step: the LATER doc of each pair loses its copy — doc 2
+    // drops words 20..49 (the passage), doc 7 (exact duplicate) empties;
+    // every other doc (including the below-threshold 15-word run pair)
+    // passes through verbatim
+    val strip = Dedup.queries("dedup_substring_strip")(
+        spark, "/tmp/graft_test_span")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(strip(2L) === ((70L, 30L,
+      (ws("b", 20) ++ ws("y", 20)).mkString(" "))))
+    assert(strip(7L) === ((40L, 40L, "")))
+    assert(strip(1L)._2 === 0L && strip(6L)._2 === 0L)
+    assert(strip(4L)._2 === 0L && strip(5L)._2 === 0L) // below L: kept
+    assert(strip(3L) === ((50L, 0L, ws("c", 50).mkString(" "))))
   }
 
   test("canonicalResolve: depth-4096 chain crosses lineage truncation, " +
