@@ -61,6 +61,19 @@ object Similarity {
        |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
        |      (a, x) -> a * 2 + x)""".stripMargin
 
+  /** DCG discount weights round6(1/log2(i+1)), i = 1..k — computed ONCE
+    * here and interpolated as literals into both engines (see
+    * sim_eval_recall_ndcg), so no transcendental runs at query time. */
+  def ndcgWeights(k: Int): Seq[Double] =
+    (1 to k).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))) / 1e6)
+
+  /** The first `n` hyperplanes as a DuckDB literal (the coarser-bucket
+    * twin of [[planesSqlLiteral]], for the eval query's 4-bit buckets). */
+  def planesSqlLiteralTake(n: Int): String =
+    planes.take(n).map(p => p.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
   /** Driver-side signature of a plain vector (for the query point). */
   def signatureOf(v: Array[Double], nBits: Int = NBits): Long =
     planes.take(nBits).foldLeft(0L) { (acc, p) =>
@@ -797,6 +810,64 @@ object Similarity {
     "sim_matryoshka_eval" -> ((s, d) =>
       matryoshkaOverlap(s, d, truncDims = 16, k = 5)),
 
+    // Retrieval-quality evaluation — recall@10 and nDCG@10 of the
+    // LSH-bucketed ANN path against exact-cosine ground truth, the
+    // measurement every embedding-retrieval deployment runs before
+    // trusting an index. SET-BASED, one plan: a fixed 10-query panel
+    // (vec_id < 10 — constant across SFs, so ground-truth cost stays
+    // 10·N, linear) broadcasts against the corpus for exact ranking;
+    // the ANN side joins the same panel to its 4-bit LSH bucket
+    // (coarser than serving's 8 bits so bucket occupancy — and
+    // therefore recall — is non-degenerate at test SF; at 100 TB the
+    // panel is a held-out query log and the index setting under test).
+    // Binary relevance vs the exact top-10; DCG discount weights
+    // 1/log2(i+1) are LITERALS on the 1e-6 grid computed once in Scala
+    // and interpolated into both engines (shortest-round-trip doubles),
+    // so the DCG is an exact decimal sum of literal-selected values —
+    // zero query-time transcendentals, partition-order invariant.
+    // Ranks tie-break (cos_sim desc, vec_id); every window is
+    // partitioned by query.
+    "sim_eval_recall_ndcg" -> ((s, d) => {
+      graft.plans.VectorExprs.register(s)
+      val W = org.apache.spark.sql.expressions.Window
+      val k = 10
+      val wts = ndcgWeights(k)
+      val wlit = typedlit(wts)
+      val idcg = wts.sum // exact: 1e-6-grid literals, k of them
+      val b = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+        .withColumn("bucket", bucketCol(col("vd"), 4))
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("vd").as("qvd"),
+          col("bucket").as("qbucket"))
+      def ranked(cands: DataFrame, rnName: String): DataFrame = cands
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cs", round(cosine(col("vd"), col("qvd")), 6))
+        .withColumn(rnName, row_number().over(
+          W.partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col(rnName) <= k)
+        .select(col("qid"), col("vec_id"), col(rnName))
+      val gt = ranked(b.crossJoin(broadcast(q)), "rn_gt")
+      val ann = ranked(b.join(broadcast(q),
+        col("bucket") === col("qbucket")), "rn_ann")
+      val hits = ann.join(gt, Seq("qid", "vec_id"))
+      val annN = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+      val hitAgg = hits.groupBy("qid")
+        .agg(count(lit(1)).as("n_hits"),
+          U.dbl(sum(U.dec6(element_at(wlit, col("rn_ann")))))
+            .as("dcg"))
+      q.select(col("qid"))
+        .join(annN, Seq("qid"), "left")
+        .join(hitAgg, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          U.round6(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / k).as("recall10"),
+          U.round6(coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg10"))
+        .orderBy("qid")
+    }),
+
     // Binary (sign-bit) Hamming search — the 64×-compression end of the
     // quantization spectrum (int8 → PQ → 1-bit): similarity = how many
     // of the 64 hyper-octant sign bits agree with the query's. At
@@ -1125,6 +1196,66 @@ object Similarity {
   /** SQL-static oracles; [[oracles]] appends the dynamically generated
     * IVF replay when a trained quantizer has been recorded. */
   private val staticOracles: Map[String, String] = Map(
+    // same panel, same 4-bit plane-literal buckets, same literal DCG
+    // weights (shortest-round-trip doubles), same (cs desc, vec_id)
+    // tie-break — binary relevance vs the exact top-10
+    "sim_eval_recall_ndcg" -> {
+      val wts = ndcgWeights(10)
+      val wLit = wts.mkString("[", ",", "]")
+      val idcg = wts.sum
+      s"""WITH pl AS (SELECT ${planesSqlLiteralTake(4)} AS ps),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |      FROM embeddings),
+        |b AS (SELECT vec_id, vd, ${bucketSql("vd")} AS bucket
+        |      FROM e, pl),
+        |q AS (SELECT vec_id AS qid, vd AS qvd, bucket AS qbucket
+        |      FROM b WHERE vec_id < 10),
+        |gt AS (
+        |  SELECT * FROM (
+        |    SELECT q.qid, b.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(CASE WHEN sqrt(list_dot_product(b.vd, b.vd)) *
+        |                        sqrt(list_dot_product(q.qvd, q.qvd)) = 0.0
+        |              THEN NULL
+        |              ELSE list_dot_product(b.vd, q.qvd) /
+        |                   (sqrt(list_dot_product(b.vd, b.vd)) *
+        |                    sqrt(list_dot_product(q.qvd, q.qvd))) END, 6)
+        |          DESC NULLS LAST, b.vec_id) AS rn_gt
+        |    FROM b CROSS JOIN q WHERE b.vec_id <> q.qid)
+        |  WHERE rn_gt <= 10),
+        |ann AS (
+        |  SELECT * FROM (
+        |    SELECT q.qid, b.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(CASE WHEN sqrt(list_dot_product(b.vd, b.vd)) *
+        |                        sqrt(list_dot_product(q.qvd, q.qvd)) = 0.0
+        |              THEN NULL
+        |              ELSE list_dot_product(b.vd, q.qvd) /
+        |                   (sqrt(list_dot_product(b.vd, b.vd)) *
+        |                    sqrt(list_dot_product(q.qvd, q.qvd))) END, 6)
+        |          DESC NULLS LAST, b.vec_id) AS rn_ann
+        |    FROM b JOIN q ON b.bucket = q.qbucket
+        |    WHERE b.vec_id <> q.qid)
+        |  WHERE rn_ann <= 10),
+        |annn AS (SELECT qid, count(*) AS n_ann FROM ann GROUP BY qid),
+        |w AS (SELECT $wLit AS wts),
+        |hits AS (
+        |  SELECT a.qid, a.rn_ann FROM ann a
+        |  JOIN gt g ON g.qid = a.qid AND g.vec_id = a.vec_id),
+        |ha AS (
+        |  SELECT qid, count(*) AS n_hits,
+        |    CAST(sum(CAST(wts[CAST(rn_ann AS INT)]
+        |      AS DECIMAL(18, 6))) AS DOUBLE) AS dcg
+        |  FROM hits, w GROUP BY qid)
+        |SELECT q.qid, coalesce(annn.n_ann, 0) AS n_ann,
+        |  coalesce(ha.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(ha.n_hits, 0) AS DOUBLE) / 10 * 1000000)
+        |    / 1000000 AS recall10,
+        |  round(coalesce(ha.dcg, 0.0) / $idcg * 1000000) / 1000000
+        |    AS ndcg10
+        |FROM q LEFT JOIN annn USING (qid) LEFT JOIN ha USING (qid)
+        |ORDER BY q.qid""".stripMargin
+    },
     // LSH replayed exactly: plane literals → per-vector sign-bit bucket,
     // query signature + all 1-bit and 2-bit probe flips, exact cosine of
     // the probed candidates. CASE-guard instead of division so a

@@ -338,9 +338,12 @@ class PlanSpec extends SparkSpec {
       "ml_logreg_lift",      // 1-row percentile/totals aggregate broadcast
                              // (decile bounds + corpus counts, same class
                              // as stats_qq_deciles / feat_bucketize)
-      "ml_conformal_interval") // 1-row (n_cal, n_test) totals + 1-row
+      "ml_conformal_interval", // 1-row (n_cal, n_test) totals + 1-row
                              // rank-threshold scalar broadcasts (the
                              // round-10 zero-driver-action rewrite)
+      "sim_eval_recall_ndcg") // 10-row fixed query-panel broadcast (the
+                             // exact ground-truth side is panel × corpus
+                             // by construction — linear in N)
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
