@@ -335,4 +335,26 @@ class PropertySpec extends SparkSpec {
         assert(chunks(0)._2 + 64 - chunks(1)._2 === 16L)
     }
   }
+
+  test("substring-span detector: a planted shared run of n >= L words is " +
+    "reported exactly once, maximal, at its exact offsets, for random " +
+    "run lengths and context paddings") {
+    // (passage length, ctxA prefix, ctxB prefix) — all-unique context
+    // words so the ONLY shared 8-grams are the passage's interior ones
+    val gen = Gen.zip(Gen.choose(16, 48), Gen.choose(0, 30), Gen.choose(0, 30))
+    check(gen, n = 6) { case (n, padA, padB) =>
+      val passage = (0 until n).map(i => s"p$i")
+      val docA = ((0 until padA).map(i => s"a$i") ++ passage ++
+        (0 until 12).map(i => s"x$i")).mkString(" ")
+      val docB = ((0 until padB).map(i => s"b$i") ++ passage ++
+        (0 until 12).map(i => s"y$i")).mkString(" ")
+      val tmp = java.nio.file.Files.createTempDirectory("ssp").toString
+      Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = Dedup.queries("dedup_substring_span")(spark, tmp)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 2L, padA.toLong, padB.toLong, n.toLong)),
+        s"n=$n padA=$padA padB=$padB")
+    }
+  }
 }
