@@ -484,11 +484,21 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("w")) - K),
           i => array_join(slice(col("w"), i + 1, lit(K)), " "))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
-    val shared = grams.groupBy("gram")
-      .agg(count(lit(1)).as("occ"))
+    // Occurrence cap via a gram-partitioned window instead of a
+    // groupBy + join-back: the aggregate form computed the gram subtree
+    // (tokenize + K slices + string builds — the dominant cost) THREE
+    // times (count branch + both join inputs); the window form folds the
+    // cap into each join input's own pipeline (two computations, no
+    // third branch, no join-back exchange), and the window's
+    // exchange/sort already clusters on `gram` — exactly what the
+    // self-join needs, so no additional shuffle on either side.
+    // Measured 2.28 → 1.26 s at sf0.1. Same occ semantics: total
+    // occurrence count per gram across the corpus.
+    val hits = grams
+      .withColumn("occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
       .filter(col("occ") >= 2 && col("occ") <= 50)
-      .select("gram")
-    val hits = grams.join(shared, "gram")
+      .select("doc_id", "p", "gram")
     val pairs = hits
       .select(col("gram"), col("doc_id").as("da"), col("p").as("pa"))
       .join(hits.select(col("gram"), col("doc_id").as("db"),
@@ -1342,10 +1352,12 @@ object Dedup {
       |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
       |                                      BIGINT) FROM tk))) AS i) ix
       |  WHERE len(w) >= 8 AND ix.i <= len(w) - 8),
-      |shared AS (
-      |  SELECT gram FROM g GROUP BY gram
-      |  HAVING count(*) >= 2 AND count(*) <= 50),
-      |h AS (SELECT g.* FROM g JOIN shared USING (gram)),
+      |h AS (
+      |  SELECT doc_id, p, gram FROM (
+      |    SELECT doc_id, p, gram,
+      |      count(*) OVER (PARTITION BY gram) AS occ
+      |    FROM g)
+      |  WHERE occ >= 2 AND occ <= 50),
       |pr AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
       |  FROM h a JOIN h b ON a.gram = b.gram AND a.doc_id < b.doc_id),
