@@ -1372,6 +1372,53 @@ object Dedup {
       |  FROM runs GROUP BY da, db, diag, isl
       |  HAVING max(pa) - min(pa) + 8 >= 16)""".stripMargin
 
+  /** [[substringSpanCtes]] extended through the strip's interval merge,
+    * anti join and reassembly, ending in
+    * `stripped(doc_id, n_words, n_dropped, clean_text)` — shared by the
+    * dedup_substring_strip oracle and pipeline_corpus_prep_v4's
+    * composed replay. */
+  private[graft] val substringStripCtes: String =
+    s"""$substringSpanCtes,
+      |iv AS (
+      |  SELECT DISTINCT db AS doc_id, CAST(sb AS BIGINT) AS st,
+      |    CAST(sb + len AS BIGINT) AS en
+      |  FROM sp),
+      |mg0 AS (
+      |  SELECT doc_id, st, en,
+      |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |mg1 AS (
+      |  SELECT doc_id, st, en,
+      |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS nw
+      |  FROM mg0),
+      |mg2 AS (
+      |  SELECT doc_id, st, en,
+      |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st, en
+      |      ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM mg1),
+      |mg AS (SELECT doc_id, min(st) AS st, max(en) AS en
+      |       FROM mg2 GROUP BY doc_id, isl),
+      |wd AS (
+      |  SELECT doc_id, ix.i AS p, w[CAST(ix.i + 1 AS INT)] AS word
+      |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
+      |                                      BIGINT) FROM tk))) AS i) ix
+      |  WHERE ix.i < len(w)),
+      |kept AS (
+      |  SELECT wd.* FROM wd
+      |  WHERE NOT EXISTS (SELECT 1 FROM mg
+      |    WHERE mg.doc_id = wd.doc_id
+      |      AND wd.p >= mg.st AND wd.p < mg.en)),
+      |ka AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY p) AS clean_text
+      |  FROM kept GROUP BY doc_id),
+      |stripped AS (
+      |  SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+      |    CAST(len(t.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dropped,
+      |    coalesce(ka.clean_text, '') AS clean_text
+      |  FROM tk t LEFT JOIN ka USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // SimHash replayed exactly: Spark's XXH64 string hash (seed 42) as
     // generated mod-2^64 HUGEINT SQL, distinct-vocabulary hashing, the
@@ -1481,46 +1528,9 @@ object Dedup {
     // (st, en)-ordered islands merge → positional anti join → ordered
     // string_agg reassembly; empty docs excluded identically to Spark
     "dedup_substring_strip" ->
-      s"""WITH $substringSpanCtes,
-        |iv AS (
-        |  SELECT DISTINCT db AS doc_id, CAST(sb AS BIGINT) AS st,
-        |    CAST(sb + len AS BIGINT) AS en
-        |  FROM sp),
-        |mg0 AS (
-        |  SELECT doc_id, st, en,
-        |    max(en) OVER (PARTITION BY doc_id ORDER BY st, en
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-        |  FROM iv),
-        |mg1 AS (
-        |  SELECT doc_id, st, en,
-        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS nw
-        |  FROM mg0),
-        |mg2 AS (
-        |  SELECT doc_id, st, en,
-        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st, en
-        |      ROWS UNBOUNDED PRECEDING) AS isl
-        |  FROM mg1),
-        |mg AS (SELECT doc_id, min(st) AS st, max(en) AS en
-        |       FROM mg2 GROUP BY doc_id, isl),
-        |wd AS (
-        |  SELECT doc_id, ix.i AS p, w[CAST(ix.i + 1 AS INT)] AS word
-        |  FROM tk, (SELECT unnest(range(0, (SELECT CAST(max(len(w)) AS
-        |                                      BIGINT) FROM tk))) AS i) ix
-        |  WHERE ix.i < len(w)),
-        |kept AS (
-        |  SELECT wd.* FROM wd
-        |  WHERE NOT EXISTS (SELECT 1 FROM mg
-        |    WHERE mg.doc_id = wd.doc_id
-        |      AND wd.p >= mg.st AND wd.p < mg.en)),
-        |ka AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(word, ' ' ORDER BY p) AS clean_text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
-        |  CAST(len(t.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dropped,
-        |  coalesce(ka.clean_text, '') AS clean_text
-        |FROM tk t LEFT JOIN ka USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin,
+      s"""WITH $substringStripCtes
+        |SELECT doc_id, n_words, n_dropped, clean_text
+        |FROM stripped ORDER BY doc_id""".stripMargin,
     // path-structure replay: adjacent-id edges ⇒ components are maximal
     // linked runs ⇒ label = running max of break positions (see the
     // query comment); the simhash itself replays via simhashCore

@@ -762,6 +762,33 @@ object TextOps {
         .orderBy("rank")
     }),
 
+    // The round-11 composed pipeline: cross-document substring-span
+    // REMOVAL (dedup_substring_strip — the later doc loses each shared
+    // ≥16-word passage) → retention gate (docs that kept ≥ 10 words AND
+    // ≥ half their content — the cross-multiplied INTEGER comparison
+    // n_clean·2 ≥ n_words, no rounding boundary; retention is reported
+    // round6 for humans, never compared) → source/lang manifest join →
+    // deterministic 16-way shard routing on xxhash64(doc_id) (replayed
+    // in the oracle via the XxhSqlOracle hashLong chain). Every stage
+    // is the registered operator's own shape; the oracle is the
+    // concatenation of their CTE stacks (the composability discipline
+    // of v2/v3).
+    "pipeline_corpus_prep_v4" -> ((s, d) => {
+      val stripped = graft.dedup.Dedup.queries("dedup_substring_strip")(s, d)
+      stripped
+        .withColumn("n_tokens_clean", col("n_words") - col("n_dropped"))
+        .filter(col("n_tokens_clean") >= 10 &&
+          col("n_tokens_clean") * 2 >= col("n_words"))
+        .join(t(s, d, "documents").select("doc_id", "source", "lang"),
+          "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens_clean"), col("n_dropped"),
+          U.round6(col("n_tokens_clean").cast("double") / col("n_words"))
+            .as("retention"),
+          pmod(xxhash64(col("doc_id")), lit(16L)).as("shard"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_corpus_prep_v2" -> ((s, d) => {
       val cleaned = graft.dedup.Dedup.queries("dedup_paragraph")(s, d)
       val w = graft.ml.Logreg.weights(s, d)
@@ -1644,6 +1671,27 @@ object TextOps {
         |SELECT doc_id, chunk_idx, n_tokens, CAST(rank AS BIGINT) AS rank,
         |  CAST((rank - 1) % 8 AS BIGINT) AS shard
         |FROM r ORDER BY rank""".stripMargin,
+    // composed replay: the strip's full CTE stack + the retention gate
+    // (integer cross-multiplication) + the hashLong shard chain
+    "pipeline_corpus_prep_v4" ->
+      s"""WITH ${graft.dedup.Dedup.substringStripCtes},
+        |gated AS (
+        |  SELECT doc_id, n_words, n_dropped,
+        |    n_words - n_dropped AS n_tokens_clean
+        |  FROM stripped
+        |  WHERE n_words - n_dropped >= 10
+        |    AND (n_words - n_dropped) * 2 >= n_words),
+        |v4ids AS (SELECT doc_id AS v FROM gated),
+        |${graft.plans.XxhSqlOracle.longHashCtes("v4ids", "v4h")}
+        |SELECT g.doc_id, dd.source, dd.lang,
+        |  g.n_tokens_clean, g.n_dropped,
+        |  round(CAST(g.n_tokens_clean AS DOUBLE) / g.n_words * 1000000)
+        |    / 1000000 AS retention,
+        |  ((v4h.h % 16) + 16) % 16 AS shard
+        |FROM gated g
+        |JOIN documents dd USING (doc_id)
+        |JOIN v4h ON v4h.v = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // regexp_extract_all-len = Spark regexp_count; 'g' flag required for
     // replace-all; replacement order email → phone → IP mirrors the query.
     "text_pii_scrub" ->
