@@ -362,7 +362,42 @@ object Graph {
     * (Katz converges for α < 1/λ₁ but the oracle can only replay a
     * fixed horizon; 3 rounds ≡ counting α-damped walks of length ≤ 3). */
   def katzCentrality(edges: DataFrame, nodes: DataFrame,
-      rounds: Int, alpha: Double): DataFrame = {
+      rounds: Int, alpha: Double,
+      driverCap: Long = graft.dedup.Dedup.CcDriverEdgeCap): DataFrame = {
+    // Guarded driver fast path (see [[bfsLayers]]), with the decimal
+    // discipline replicated EXACTLY: each edge contribution quantizes
+    // via U.r6MicroLong (the proven local twin of round6 → DECIMAL(18,6)
+    // — same helper the PCA aggregator and pagerank's driver loop use),
+    // micro-units integer-sum (≡ the exact decimal sum, order-free),
+    // the sum re-enters double through BigDecimal(micro, 6).doubleValue
+    // (≡ Spark's Decimal.toDouble), and the +1 re-round is the same
+    // round(x·1e6)/1e6 both sides. Above the cap the distributed rounds
+    // below run untouched; GraphSpec pins both paths on the
+    // hand-unrolled fixture.
+    val spark = edges.sparkSession
+    if (edges.count() <= driverCap && nodes.count() <= driverCap) {
+      val eArr = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nArr = nodes.select(col("node").cast("long"))
+        .collect().map(_.getLong(0))
+      val x = new java.util.HashMap[Long, Double]()
+      nArr.foreach(n => x.put(n, 0.0))
+      for (_ <- 1 to rounds) {
+        val micro = new java.util.HashMap[Long, Long]()
+        def add(u: Long, v: Long): Unit = if (x.containsKey(v))
+          micro.merge(u, U.r6MicroLong(alpha * x.get(v)), _ + _)
+        eArr.foreach { case (a, b) => add(a, b); add(b, a) }
+        nArr.foreach { n =>
+          val s = java.math.BigDecimal.valueOf(
+            micro.getOrDefault(n, 0L), 6).doubleValue()
+          x.put(n, U.r6MicroLong(s + 1.0).toDouble / 1e6)
+        }
+      }
+      import spark.implicits._
+      val nT = nodes.schema("node").dataType
+      return spark.createDataset(nArr.toSeq.map(n => (n, x.get(n))))
+        .select(col("_1").cast(nT).as("node"), col("_2").as("r"))
+    }
     val sym = symEdges(edges)
     var x = nodes.select(col("node"), lit(0.0).as("r"))
     for (_ <- 1 to rounds) {

@@ -67,14 +67,17 @@ class GraphSpec extends SparkSpec {
   }
 
   test("katz centrality: 3 hand-unrolled rounds on the " +
-    "triangle+pendant, isolated node keeps the β mass") {
+    "triangle+pendant, isolated node keeps the β mass — BOTH paths " +
+    "(driver micro-unit solve and forced-distributed) agree") {
     val nodes = (1L to 5L).toDF("node")
-    val got = Graph.katzCentrality(trianglePendant, nodes,
-        rounds = 3, alpha = 0.1)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // x1 = 1 everywhere; x2 = 1 + 0.1·deg; x3(v) = 1 + Σ round6(0.1·x2(n))
-    assert(got === Map(1L -> 1.35, 2L -> 1.25, 3L -> 1.25,
-      4L -> 1.13, 5L -> 1.0))
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val got = Graph.katzCentrality(trianglePendant, nodes,
+          rounds = 3, alpha = 0.1, driverCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // x1 = 1 everywhere; x2 = 1 + 0.1·deg; x3(v) = 1 + Σ round6(0.1·x2(n))
+      assert(got === Map(1L -> 1.35, 2L -> 1.25, 3L -> 1.25,
+        4L -> 1.13, 5L -> 1.0), s"cap=$cap")
+    }
   }
 
   test("k-core peel holds the bounded-round contract: a long chain " +
