@@ -90,8 +90,10 @@ object Bench {
     val allPasses = (1 to passes).map { _ =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -99,24 +101,29 @@ object Bench {
           spark.catalog.clearCache()
           System.gc() // lets the ContextCleaner reap dead shuffles
         }
-        name -> dt
+        (name, dt, ok)
       }
     }
-    // Per-query time = MIN across passes (for passes >= 2), not the last
-    // pass: back-to-back identical full sweeps measured a median
-    // per-query ratio of 1.01 but INDIVIDUAL queries at 2.5-4.7x between
-    // runs with unchanged code (round-11 forensics — 8 of 347 queries
-    // above 2.5x, a different set each sweep; the round-9/10 driver-tail
-    // "anomaly cluster" was this noise, not code). The noise is
-    // one-sided (a GC pause, an async ContextCleaner deletion burst, or
-    // ambient box load lands IN some query's timed window and only adds
-    // time), so the min is the steady-state estimator; the ~0.1-0.3 s
-    // first-pass codegen-compile overhead means the min usually picks a
-    // warm pass anyway. With SPARK_GRAFT_REPEAT=1 this degrades to the
-    // single cold pass unchanged.
-    val passMaps = allPasses.map(_.toMap)
-    val results = allPasses.last.map { case (name, _) =>
-      name -> passMaps.iterator.map(_(name)).min
+    // Per-query time = MIN across SUCCESSFUL passes (for passes >= 2),
+    // not the last pass: back-to-back identical full sweeps measured a
+    // median per-query ratio of 1.01 but INDIVIDUAL queries at 2.5-4.7x
+    // between runs with unchanged code (round-11 forensics — 8 of 347
+    // queries above 2.5x, a different set each sweep; the round-9/10
+    // driver-tail "anomaly cluster" was this noise, not code). The
+    // noise is one-sided (a GC pause, an async ContextCleaner deletion
+    // burst, or ambient box load lands IN some query's timed window and
+    // only adds time), so the min is the steady-state estimator; the
+    // ~0.1-0.3 s first-pass codegen-compile overhead means the min
+    // usually picks a warm pass anyway. A FAILED pass's (fail-fast)
+    // duration must not masquerade as a speedup, so the min ranges over
+    // successful passes only; a query with zero successful passes keeps
+    // its last duration (the pre-round-11 behavior for always-failing
+    // guard-by-contract entries). With SPARK_GRAFT_REPEAT=1 this
+    // degrades to the single cold pass unchanged.
+    val byName = allPasses.flatten.groupBy(_._1)
+    val results = allPasses.last.map { case (name, lastDt, _) =>
+      val good = byName(name).filter(_._3).map(_._2)
+      name -> (if (good.nonEmpty) good.min else lastDt)
     }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a
     // comma decimal separator would silently break the JSON contract.
@@ -157,18 +164,23 @@ object Bench {
     // entries survive the driver's stdout tail truncation). Full-suite
     // runs only — a dev run restricted to a few queries must not
     // overwrite the round record.
-    if (only.isEmpty) writeLine("bench/bench_latest.json")
-    // Snapshot path: bench_latest.json is overwritten by EVERY full-suite
-    // run — including the driver's per-round sweep, which round-10 showed
-    // destroying the builder's record run. A run tagged with
-    // SPARK_GRAFT_BENCH_TAG=<tag> ALSO lands at bench/bench_<tag>.json,
-    // a per-round artifact no later sweep touches (tools/close_round.sh
-    // tags its record run with the round id).
-    sys.env.get("SPARK_GRAFT_BENCH_TAG").map(_.trim).filter(_.nonEmpty)
-      .foreach { tag =>
-        val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
-        writeLine(s"bench/bench_$safe.json")
-      }
+    if (only.isEmpty) {
+      writeLine("bench/bench_latest.json")
+      // Snapshot path: bench_latest.json is overwritten by EVERY
+      // full-suite run — including the driver's per-round sweep, which
+      // round-10 showed destroying the builder's record run. A run
+      // tagged with SPARK_GRAFT_BENCH_TAG=<tag> ALSO lands at
+      // bench/bench_<tag>.json, a per-round artifact no later sweep
+      // touches (tools/close_round.sh tags its record run with the
+      // round id). Full-suite runs only — a query-restricted dev run
+      // with a stale tag still exported must not overwrite the round
+      // record (same guard as bench_latest.json).
+      sys.env.get("SPARK_GRAFT_BENCH_TAG").map(_.trim).filter(_.nonEmpty)
+        .foreach { tag =>
+          val safe = tag.replaceAll("[^A-Za-z0-9._-]", "_")
+          writeLine(s"bench/bench_$safe.json")
+        }
+    }
     // The stdout line must survive the driver's 2000-char tail capture
     // (every BENCH_r{1..4}.json has parsed:null because the 100+-query map
     // overflows it; sbt appends its own ~80-char "[success]" line after

@@ -238,7 +238,8 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pts = pointers.select(col("id"), col("parent").as("root")).persist(lvl)
     val nRows = pts.count()
-    if (nRows <= driverRowCap) {
+    if (nRows <= driverRowCap &&
+        graft.operators.Graph.integralIds(pts, "id", "root")) {
       try {
         val rows = pts.select(col("id").cast("long"), col("root").cast("long"))
           .collect()
@@ -380,7 +381,10 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ce = canon(edges).persist(lvl)
     val initSig = fingerprint(ce) // materializes every cached partition
-    if (initSig._1 <= driverEdgeCap) {
+    // integral-id guard: the fast path collects ids as longs; any other
+    // key type falls through to the type-generic star alternation
+    if (initSig._1 <= driverEdgeCap &&
+        graft.operators.Graph.integralIds(ce, "a", "b")) {
       try {
         val rows = ce.select(col("a").cast("long"), col("b").cast("long"))
           .collect()

@@ -44,6 +44,18 @@ import graft.{Tables, U}
 object Graph {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** The driver fast paths collect ids as longs, so only integral id
+    * columns qualify — any other type (string keys, nulls-possible
+    * decimals) falls through to the type-generic distributed path
+    * instead of NPE-ing in cast-to-long + getLong. */
+  private[graft] def integralIds(df: DataFrame, cols: String*): Boolean = {
+    import org.apache.spark.sql.types._
+    cols.forall(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
   /** Synchronous label propagation over an undirected edge set
     * (`a`/`b` columns): `rounds` fixed iterations of "adopt the most
     * frequent neighbor label, ties to the smallest label"; isolated
@@ -59,36 +71,50 @@ object Graph {
     // step is integer counting with a deterministic (max count, min
     // label) tie-break — no ordering sensitivity — so under the
     // count-first cap the rounds run locally on the collected edge and
-    // node lists. Above the cap the keyed-shuffle rounds below run
-    // untouched; parity is pinned both-sides in GraphSpec.
+    // node lists (persisted first, the count-then-collect discipline —
+    // one derivation, two cheap cache reads). Above the cap — or for
+    // non-integral id types the long collect can't carry — the
+    // keyed-shuffle rounds below run untouched; parity is pinned
+    // both-sides in GraphSpec. The label UNIVERSE is confined to
+    // `nodes` exactly as in the distributed path (labels.join(upd,
+    // "left") keeps the frame = nodes): an edge endpoint absent from
+    // `nodes` never acquires a label and never votes one onward.
     val spark = edges.sparkSession
-    if (edges.count() <= driverCap && nodes.count() <= driverCap) {
-      val eArr = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nArr = nodes.select(col("node").cast("long"))
-        .collect().map(_.getLong(0))
-      val lbl = new java.util.HashMap[Long, Long]()
-      nArr.foreach(n => lbl.put(n, n))
-      for (_ <- 1 to rounds) {
-        // synchronous: counts read the previous round's labels
-        val cnt = new java.util.HashMap[(Long, Long), Long]()
-        def vote(u: Long, v: Long): Unit = if (lbl.containsKey(v))
-          cnt.merge((u, lbl.get(v)), 1L, _ + _)
-        eArr.foreach { case (a, b) => vote(a, b); vote(b, a) }
-        val best = new java.util.HashMap[Long, (Long, Long)]()
-        cnt.forEach { (k, c) =>
-          val (u, l) = k
-          val cur = best.get(u)
-          if (cur == null || c > cur._2 || (c == cur._2 && l < cur._1))
-            best.put(u, (l, c))
+    if (integralIds(edges, "a", "b") && integralIds(nodes, "node")) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val eP = edges.persist(lvl)
+      val nP = nodes.persist(lvl)
+      try {
+        if (eP.count() <= driverCap && nP.count() <= driverCap) {
+          val eArr = eP.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nArr = nP.select(col("node").cast("long"))
+            .collect().map(_.getLong(0))
+          val lbl = new java.util.HashMap[Long, Long]()
+          nArr.foreach(n => lbl.put(n, n))
+          for (_ <- 1 to rounds) {
+            // synchronous: counts read the previous round's labels
+            val cnt = new java.util.HashMap[(Long, Long), Long]()
+            def vote(u: Long, v: Long): Unit = if (lbl.containsKey(v))
+              cnt.merge((u, lbl.get(v)), 1L, _ + _)
+            eArr.foreach { case (a, b) => vote(a, b); vote(b, a) }
+            val best = new java.util.HashMap[Long, (Long, Long)]()
+            cnt.forEach { (k, c) =>
+              val (u, l) = k
+              val cur = best.get(u)
+              if (cur == null || c > cur._2 || (c == cur._2 && l < cur._1))
+                best.put(u, (l, c))
+            }
+            best.forEach((u, lc) =>
+              if (lbl.containsKey(u)) lbl.put(u, lc._1))
+          }
+          import spark.implicits._
+          val nT = nodes.schema("node").dataType
+          return spark.createDataset(nArr.toSeq.map(n => (n, lbl.get(n))))
+            .select(col("_1").cast(nT).as("node"),
+              col("_2").cast(nT).as("lbl"))
         }
-        best.forEach((u, lc) => lbl.put(u, lc._1))
-      }
-      import spark.implicits._
-      val nT = nodes.schema("node").dataType
-      return spark.createDataset(nArr.toSeq.map(n => (n, lbl.get(n))))
-        .select(col("_1").cast(nT).as("node"),
-          col("_2").cast(nT).as("lbl"))
+      } finally { eP.unpersist(); nP.unpersist() }
     }
     val W = Window
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
@@ -128,38 +154,52 @@ object Graph {
     // math has no ordering sensitivity). Above the cap the DataFrame
     // rounds run untouched: that is the 100 TB path, and the parity is
     // pinned both-sides in MarketSpec.
+    // Distance UNIVERSE confined to `seeded` exactly as in the
+    // distributed path (dist.join(cand, "left") keeps the frame =
+    // seeded): an edge endpoint absent from `seeded` never carries a
+    // distance and never relays one. Persist-count-collect discipline
+    // and the integral-id guard as in [[labelPropagate]].
     val spark = edges.sparkSession
-    val nE = edges.count()
-    val nN = seeded.count()
-    if (nE <= driverCap && nN <= driverCap) {
-      val eArr = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val seedRows = seeded
-        .select(col("node").cast("long"), col("dist").cast("int")).collect()
-      val dist = new java.util.HashMap[Long, Int]()
-      val order = new Array[Long](seedRows.length)
-      var i = 0
-      seedRows.foreach { r =>
-        order(i) = r.getLong(0); i += 1
-        if (!r.isNullAt(1)) dist.put(r.getLong(0), r.getInt(1))
-      }
-      for (_ <- 1 to rounds) {
-        // synchronous step: candidates read the PREVIOUS round's map
-        val cand = new java.util.HashMap[Long, Int]()
-        def relax(u: Long, v: Long): Unit = if (dist.containsKey(v)) {
-          val c = dist.get(v) + 1
-          if (!cand.containsKey(u) || c < cand.get(u)) cand.put(u, c)
+    if (integralIds(edges, "a", "b") && integralIds(seeded, "node")) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val eP = edges.persist(lvl)
+      val sP = seeded.persist(lvl)
+      try {
+        if (eP.count() <= driverCap && sP.count() <= driverCap) {
+          val eArr = eP.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val seedRows = sP
+            .select(col("node").cast("long"), col("dist").cast("int"))
+            .collect()
+          val dist = new java.util.HashMap[Long, Int]()
+          val universe = new java.util.HashSet[Long]()
+          val order = new Array[Long](seedRows.length)
+          var i = 0
+          seedRows.foreach { r =>
+            order(i) = r.getLong(0); i += 1
+            universe.add(r.getLong(0))
+            if (!r.isNullAt(1)) dist.put(r.getLong(0), r.getInt(1))
+          }
+          for (_ <- 1 to rounds) {
+            // synchronous step: candidates read the PREVIOUS round's map
+            val cand = new java.util.HashMap[Long, Int]()
+            def relax(u: Long, v: Long): Unit = if (dist.containsKey(v)) {
+              val c = dist.get(v) + 1
+              if (!cand.containsKey(u) || c < cand.get(u)) cand.put(u, c)
+            }
+            eArr.foreach { case (a, b) => relax(a, b); relax(b, a) }
+            cand.forEach { (n, c) =>
+              if (universe.contains(n) &&
+                  (!dist.containsKey(n) || c < dist.get(n))) dist.put(n, c)
+            }
+          }
+          import spark.implicits._
+          val nT = seeded.schema("node").dataType
+          return spark.createDataset(order.toSeq.map(n =>
+              (n, if (dist.containsKey(n)) Some(dist.get(n)) else None)))
+            .select(col("_1").cast(nT).as("node"), col("_2").as("dist"))
         }
-        eArr.foreach { case (a, b) => relax(a, b); relax(b, a) }
-        cand.forEach { (n, c) =>
-          if (!dist.containsKey(n) || c < dist.get(n)) dist.put(n, c)
-        }
-      }
-      import spark.implicits._
-      val nT = seeded.schema("node").dataType
-      return spark.createDataset(order.toSeq.map(n =>
-          (n, if (dist.containsKey(n)) Some(dist.get(n)) else None)))
-        .select(col("_1").cast(nT).as("node"), col("_2").as("dist"))
+      } finally { eP.unpersist(); sP.unpersist() }
     }
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
@@ -293,34 +333,40 @@ object Graph {
     // Iterate-harness rounds below run untouched; parity is pinned
     // both-sides in GraphSpec.
     val spark = edges.sparkSession
-    if (edges.count() <= driverCap) {
-      var es = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      var r = 0
-      var stable = false
-      while (!stable && r < rounds) {
-        val deg = new java.util.HashMap[Long, Long]()
-        es.foreach { case (a, b) =>
-          deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+    if (integralIds(edges, "a", "b")) {
+      val eP = edges.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (eP.count() <= driverCap) {
+          var es = eP.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          var r = 0
+          var stable = false
+          while (!stable && r < rounds) {
+            val deg = new java.util.HashMap[Long, Long]()
+            es.foreach { case (a, b) =>
+              deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+            }
+            val next = es.filter { case (a, b) =>
+              deg.get(a) >= k && deg.get(b) >= k }
+            stable = next.length == es.length
+            es = next
+            r += 1
+          }
+          val coreDeg = new java.util.LinkedHashMap[Long, Long]()
+          es.foreach { case (a, b) =>
+            coreDeg.merge(a, 1L, _ + _); coreDeg.merge(b, 1L, _ + _)
+          }
+          import scala.jdk.CollectionConverters._
+          import spark.implicits._
+          val vT = edges.schema("a").dataType
+          return spark.createDataset(
+              coreDeg.entrySet().asScala.toSeq
+                .map(e => (e.getKey.longValue, e.getValue.longValue)))
+            .select(col("_1").cast(vT).as("vec_id"),
+              col("_2").as("core_degree"))
         }
-        val next = es.filter { case (a, b) =>
-          deg.get(a) >= k && deg.get(b) >= k }
-        stable = next.length == es.length
-        es = next
-        r += 1
-      }
-      val coreDeg = new java.util.LinkedHashMap[Long, Long]()
-      es.foreach { case (a, b) =>
-        coreDeg.merge(a, 1L, _ + _); coreDeg.merge(b, 1L, _ + _)
-      }
-      import scala.jdk.CollectionConverters._
-      import spark.implicits._
-      val vT = edges.schema("a").dataType
-      return spark.createDataset(
-          coreDeg.entrySet().asScala.toSeq
-            .map(e => (e.getKey.longValue, e.getValue.longValue)))
-        .select(col("_1").cast(vT).as("vec_id"),
-          col("_2").as("core_degree"))
+      } finally eP.unpersist()
     }
     var last = -1L
     var done = 0
@@ -375,28 +421,35 @@ object Graph {
     // below run untouched; GraphSpec pins both paths on the
     // hand-unrolled fixture.
     val spark = edges.sparkSession
-    if (edges.count() <= driverCap && nodes.count() <= driverCap) {
-      val eArr = edges.select(col("a").cast("long"), col("b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nArr = nodes.select(col("node").cast("long"))
-        .collect().map(_.getLong(0))
-      val x = new java.util.HashMap[Long, Double]()
-      nArr.foreach(n => x.put(n, 0.0))
-      for (_ <- 1 to rounds) {
-        val micro = new java.util.HashMap[Long, Long]()
-        def add(u: Long, v: Long): Unit = if (x.containsKey(v))
-          micro.merge(u, U.r6MicroLong(alpha * x.get(v)), _ + _)
-        eArr.foreach { case (a, b) => add(a, b); add(b, a) }
-        nArr.foreach { n =>
-          val s = java.math.BigDecimal.valueOf(
-            micro.getOrDefault(n, 0L), 6).doubleValue()
-          x.put(n, U.r6MicroLong(s + 1.0).toDouble / 1e6)
+    if (integralIds(edges, "a", "b") && integralIds(nodes, "node")) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val eP = edges.persist(lvl)
+      val nP = nodes.persist(lvl)
+      try {
+        if (eP.count() <= driverCap && nP.count() <= driverCap) {
+          val eArr = eP.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nArr = nP.select(col("node").cast("long"))
+            .collect().map(_.getLong(0))
+          val x = new java.util.HashMap[Long, Double]()
+          nArr.foreach(n => x.put(n, 0.0))
+          for (_ <- 1 to rounds) {
+            val micro = new java.util.HashMap[Long, Long]()
+            def add(u: Long, v: Long): Unit = if (x.containsKey(v))
+              micro.merge(u, U.r6MicroLong(alpha * x.get(v)), _ + _)
+            eArr.foreach { case (a, b) => add(a, b); add(b, a) }
+            nArr.foreach { n =>
+              val s = java.math.BigDecimal.valueOf(
+                micro.getOrDefault(n, 0L), 6).doubleValue()
+              x.put(n, U.r6MicroLong(s + 1.0).toDouble / 1e6)
+            }
+          }
+          import spark.implicits._
+          val nT = nodes.schema("node").dataType
+          return spark.createDataset(nArr.toSeq.map(n => (n, x.get(n))))
+            .select(col("_1").cast(nT).as("node"), col("_2").as("r"))
         }
-      }
-      import spark.implicits._
-      val nT = nodes.schema("node").dataType
-      return spark.createDataset(nArr.toSeq.map(n => (n, x.get(n))))
-        .select(col("_1").cast(nT).as("node"), col("_2").as("r"))
+      } finally { eP.unpersist(); nP.unpersist() }
     }
     val sym = symEdges(edges)
     var x = nodes.select(col("node"), lit(0.0).as("r"))

@@ -95,9 +95,13 @@ object EntityApi {
         }
       } catch {
         case e: IllegalArgumentException => throw e
-        case e @ (_: java.io.IOException | _: InterruptedException) =>
-          if (e.isInstanceOf[InterruptedException])
-            Thread.currentThread().interrupt()
+        case e: InterruptedException =>
+          // cancellation is NOT a transient endpoint failure: restore
+          // the flag and propagate instead of burning retries and
+          // masking it as an "entity API failed" error
+          Thread.currentThread().interrupt()
+          throw e
+        case e: java.io.IOException =>
           lastTransient = s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
     }

@@ -45,6 +45,21 @@ class MarketSpec extends SparkSpec {
     }
   }
 
+  test("bfsLayers: an edge endpoint OUTSIDE the seeded universe never " +
+    "carries or relays a distance — both paths agree (round-11 review " +
+    "counterexample)") {
+    // node 2 is absent from `seeded`: the distributed left join keeps
+    // the frame = seeded, so 2 never holds a distance and 3 stays NULL
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val seeded = Seq((1L, Some(0)), (3L, None)).toDF("node", "dist")
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val got = Graph.bfsLayers(edges, seeded, rounds = 2, driverCap = cap)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got == Map(1L -> Some(0), 3L -> None), s"cap=$cap")
+    }
+  }
+
   test("mergeIntervals: overlap chains fuse, a touching endpoint " +
     "(start == prev end) still merges, strict gaps split") {
     val iv = Seq(

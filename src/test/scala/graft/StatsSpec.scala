@@ -177,6 +177,17 @@ class StatsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(l2(1L) == 1L && l2(2L) == 2L && l2(5L) == 5L, s"cap=$cap")
     }
+    // an edge endpoint OUTSIDE the node universe never acquires a label
+    // and never votes one onward — both paths agree (round-11 review
+    // counterexample: node 2 is not in `nodes`, so 3 keeps its own label)
+    val bridgeEdges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val subNodes = Seq(1L, 3L).toDF("node")
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val got = operators.Graph.labelPropagate(bridgeEdges, subNodes,
+          rounds = 2, driverCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 3L -> 3L), s"cap=$cap")
+    }
   }
 
   test("ANOVA on the real sf0.001 lineitem is finite and well-formed") {

@@ -19,7 +19,15 @@
 # Usage: GRAFT_ROUND=r11 tools/close_round.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
-ROUND="${GRAFT_ROUND:-r11}"
+# GRAFT_ROUND is REQUIRED: a hardcoded default would silently overwrite
+# the PREVIOUS round's immutable record/headline snapshots when someone
+# runs the ritual bare in a later round — destroying exactly what the
+# tagged artifacts exist to protect.
+if [ -z "${GRAFT_ROUND:-}" ]; then
+  echo "GRAFT_ROUND is required (e.g. GRAFT_ROUND=r12 tools/close_round.sh)" >&2
+  exit 2
+fi
+ROUND="$GRAFT_ROUND"
 
 echo "== 1/5 sbt test"
 sbt -batch test
@@ -46,8 +54,9 @@ fi
 SPARK_GRAFT_SF_DIR=target/testdata/sf1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_OUT="bench/bench_${ROUND}_headline_sf1.json" \
   bash tools/run_bench.sh --headline | tail -1
+# version sort, not lexicographic: r9 < r10 < r100 must order correctly
 PREV=$(ls bench/bench_r*_headline_sf1.json 2>/dev/null \
-  | grep -v "${ROUND}" | sort | tail -1 || true)
+  | grep -v "${ROUND}" | sort -V | tail -1 || true)
 if [ -n "$PREV" ]; then
   python3 - "$PREV" "bench/bench_${ROUND}_headline_sf1.json" <<'EOF'
 import json, statistics, sys
