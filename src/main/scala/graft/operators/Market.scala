@@ -121,15 +121,45 @@ object Market {
   /** ABC classification over a (`l_partkey`, `r` — exact decimal
     * revenue) summary: cumulative-share classes decided by exact
     * decimal cross-multiplication (c·5 ≤ t·4 ⇔ share ≤ 0.8), shares
-    * displayed as rounded doubles. */
+    * displayed as rounded doubles.
+    *
+    * Round-12 rewrite: the cumulative revenue BLOCK-STITCHES
+    * ([[Windows.stitchedRowNumber]] discipline, SUM-shaped like
+    * `Stats.twoSampleCum`) instead of running one global
+    * `Window.orderBy` — part cardinality grows with the data (~10⁹
+    * parts at 100 TB), so the single-task cumulative sort was the
+    * suite's last silent scale-killer (r11 verdict item 1). Block key
+    * = revenue octave eighth, `-floor(log2(r)·8)`: a pure monotone
+    * non-increasing function of `r`, so ties (equal `r`) can never
+    * straddle blocks and ascending block order IS descending revenue
+    * order. Per-block cumulative sums run in partitioned parallel
+    * windows; the only unpartitioned window consumes the per-block
+    * total summary, whose cardinality is bounded by the revenue
+    * DOMAIN (≲8 blocks per power of two — a few hundred rows even
+    * when per-part revenue spans 1e-2..1e12), not by the data. The
+    * stitch is pure exact-decimal re-association, so `c`, `t`, and
+    * every class boundary are bit-identical to the single-window
+    * form. */
   def abcClassify(rev: DataFrame): DataFrame = {
-    val ord = Window.orderBy(col("r").desc, col("l_partkey"))
-    rev
-      .withColumn("c", sum(col("r")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("t", sum(col("r")).over(
-        ord.rowsBetween(Window.unboundedPreceding,
+    val blk = when(col("r") > 0,
+      (-floor(log2(U.dbl(col("r"))) * 8.0)).cast("long"))
+      .otherwise(lit(Long.MaxValue)) // non-positive revenue sorts last
+    val b = rev.withColumn("blk", blk)
+    val wLoc = Window.partitionBy("blk")
+      .orderBy(col("r").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.orderBy("blk")
+    val offs = b.groupBy("blk").agg(sum(col("r")).as("bs"))
+      .withColumn("off", coalesce(
+        sum(col("bs")).over(
+          wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .withColumn("t", sum(col("bs")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
+      .select(col("blk"), col("off"), col("t"))
+    b.withColumn("lc", sum(col("r")).over(wLoc))
+      .join(broadcast(offs), Seq("blk"))
+      .withColumn("c", col("off") + col("lc"))
       .select(col("l_partkey"), U.dbl(col("r")).as("revenue"),
         U.round6(U.dbl(col("c")) / U.dbl(col("t"))).as("cum_share"),
         when(col("c") * 5 <= col("t") * 4, "A")
@@ -180,9 +210,11 @@ object Market {
     // tail. The classification compares EXACT decimals cross-multiplied
     // against integer thresholds (c·5 ≤ t·4 ⇔ share ≤ 0.8) so no
     // float division ever decides a class; the displayed share is the
-    // rounded double. Both the cumulative and the total come from ONE
-    // unpartitioned window sort over the per-part aggregate (bounded
-    // summary — the structural contract PlanSpec enforces).
+    // rounded double. The cumulative sum block-stitches by revenue
+    // octave (per-part cardinality is DATA-scaled — ~10⁹ at 100 TB);
+    // the only unpartitioned window runs over the per-octave summary,
+    // bounded by the revenue domain (the structural contract PlanSpec
+    // enforces).
     "window_abc_classify" -> ((s, d) => {
       abcClassify(t(s, d, "lineitem")
         .groupBy("l_partkey")

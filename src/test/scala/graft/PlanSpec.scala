@@ -427,6 +427,36 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("ABC classify: cumulative revenue block-stitches — no unpartitioned " +
+    "window over the data-cardinality per-part aggregate") {
+    // Part cardinality grows with the data (~10⁹ at 100 TB), so the
+    // per-part revenue table may only cross PARTITIONED (per-octave)
+    // windows; the sole unpartitioned window must consume the per-block
+    // (`blk`-keyed) total summary, whose row count is bounded by the
+    // revenue DOMAIN. This is stronger than the suite-wide hygiene
+    // sweep, which accepts any aggregate below an unpartitioned window
+    // — here even the per-part aggregate does not qualify.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: subtree(a.executedPlan)
+      case _ => p +: p.children.flatMap(subtree)
+    }
+    val exec = SparkEntry.queries("window_abc_classify")(spark, sfDir)
+      .queryExecution.executedPlan
+    val windows = subtree(exec).collect { case w: WindowExec => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected partitioned per-block cumulative windows")
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "expected the block-offset stitch window")
+    global.foreach { w =>
+      val below = subtree(w.child).map(_.toString)
+      assert(below.exists(_.contains("HashAggregate(keys=[blk")),
+        s"unpartitioned window input is not the per-block summary:\n$w")
+    }
+  }
+
   test("KS / Mann-Whitney: the cumulative window runs over the per-value " +
     "aggregate, never raw rows") {
     // Both two-sample tests stitch cumulative counts from a

@@ -218,9 +218,10 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("char entropy: hand-computed H on 'aab'; single-char doc is 0 " +
-    "and flags low_entropy") {
+    "and flags low_entropy; empty doc is excluded (engine-divergence " +
+    "guard: Spark split('','')=[''] vs DuckDB [])") {
     val tmp = java.nio.file.Files.createTempDirectory("ent").toString
-    Seq((1L, "aab"), (2L, "zzzz"))
+    Seq((1L, "aab"), (2L, "zzzz"), (3L, ""))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = TextOps.queries("text_char_entropy")(spark, tmp)
@@ -230,6 +231,11 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0)._1 == 1L && got(0)._2 == 3L && got(0)._3 == 2L)
     assert(math.abs(got(0)._4 - 0.636514) < 1e-9)
     assert(got(1) === ((2L, 4L, 1L, 0.0, true)))
+    // the planted empty doc must be ABSENT, not present-with-garbage:
+    // entropy of '' is undefined and the two engines disagree on the
+    // char split of '', so the explicit length(text) > 0 gate (pinned
+    // identically in query and oracle) is the contract
+    assert(got.length === 2 && !got.exists(_._1 == 3L))
   }
 
   test("corpus prep v3: scrub -> entropy gate -> dedup -> chunk -> " +
