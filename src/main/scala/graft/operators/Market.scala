@@ -47,6 +47,18 @@ object Market {
     * distinct → self-join → post-sym double freq-join shape spent two
     * extra full shuffles of the fact + one of the 2× pair table for
     * the same result. */
+  /** Per-basket size cap (same occurrence-cap discipline as the gram
+    * buckets, `Dedup.substring` occ ≤ 50, and `embeddingLshPairs`
+    * maxBucket = 256): the pair Generate is k·(k−1)/2 per basket, so
+    * ONE pathological 100k-item basket would emit 5×10⁹ pairs in a
+    * single task. Baskets keep their first `MaxBasket` distinct part
+    * ids (deterministic — the basket is sorted), bounding per-basket
+    * fan-out at ~32k pairs; TPC-H baskets (≤ 7 items) never reach it.
+    * The oracle replays the identical truncation (row_number ≤ cap per
+    * order, same id order), so the cap is part of the query CONTRACT,
+    * not a silent divergence. */
+  val MaxBasket = 256
+
   def coPurchaseTopK(dp: DataFrame, k: Int): DataFrame = {
     // Pre-hash on the basket key: the test-SF parquet is one row group
     // per file, so without this the collect_set partial aggregate runs
@@ -55,8 +67,12 @@ object Market {
     // groupBy's distribution requirement (no second exchange) and moves
     // the aggregate to full shuffle parallelism; on a real multi-file
     // 100 TB scan it is a no-op-cost re-key of the (order, part) pairs.
+    // The slice caps each basket at its first MaxBasket sorted members
+    // BEFORE any fan-out; frequencies and pairs both run off the capped
+    // basket so the two sides of the cosine stay mutually consistent.
     val baskets = dp.repartition(col("l_orderkey")).groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("basket"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket)
+        .as("basket"))
       .select(col("basket"))
     // Part frequencies come off a LIGHT basket explode (k elements per
     // basket), not the k²/2 combination fan-out: the two consumers of
@@ -225,7 +241,10 @@ object Market {
 
   val oracles: Map[String, String] = Map(
     "graph_copurchase_topk" ->
-      """WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH dp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |dpr AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_partkey) AS brn FROM dp0),
+        |dp AS (SELECT l_orderkey, l_partkey FROM dpr WHERE brn <= 256),
         |f AS (SELECT l_partkey, count(*) AS fc FROM dp GROUP BY 1),
         |pr AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n

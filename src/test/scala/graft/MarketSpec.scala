@@ -109,4 +109,28 @@ class MarketSpec extends SparkSpec {
       (200L, 100L, 2L, 1.0, 1), (200L, 300L, 1L, 0.707107, 2),
       (300L, 100L, 1L, 0.707107, 1), (300L, 200L, 1L, 0.707107, 2)))
   }
+
+  test("coPurchaseTopK: a pathological mega-basket is capped at " +
+    "MaxBasket members — pair fan-out bounded, small baskets untouched") {
+    // One order with 600 distinct parts: uncapped it would emit
+    // 600·599/2 ≈ 180k pairs from a single Generate; the cap keeps the
+    // first MaxBasket sorted part ids, so only those parts appear as
+    // sources and the emit is ≤ MaxBasket²/2. A disjoint 2-item order
+    // verifies normal baskets pass through unmodified.
+    val mega = (1 to 600).map(i => (1L, 1000L + i))
+    val small = Seq((2L, 10L), (2L, 20L))
+    val dp = (mega ++ small).toDF("l_orderkey", "l_partkey")
+    val got = Market.coPurchaseTopK(dp, k = 700)
+    val srcs = got.select("p_src").distinct().as[Long].collect().toSet
+    val megaSrcs = srcs.filter(_ > 1000L)
+    // exactly the first MaxBasket sorted ids of the mega basket survive
+    assert(megaSrcs === (1 to Market.MaxBasket).map(i => 1000L + i).toSet)
+    // each surviving mega part pairs with the other MaxBasket-1 members
+    val perSrc = got.filter(col("p_src") === 1001L).count()
+    assert(perSrc === (Market.MaxBasket - 1).toLong)
+    // the small basket is untouched: 10 ↔ 20 with cosine 1.0
+    val smallRows = got.filter(col("p_src") === 10L)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(smallRows.toSeq === Seq((20L, 1.0)))
+  }
 }
