@@ -38,11 +38,7 @@ object Joins {
     * self-join would generate more than `cap` candidate pairs. */
   private[graft] def requireCandidatePairs(blocked: DataFrame,
       keys: Seq[String], cap: Long, who: String): Unit = {
-    val pairs = blocked
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - lit(1)) / 2), lit(0L))
-        .cast("long"))
-      .head().getLong(0)
+    val pairs = countBlockedPairs(blocked, keys)
     require(pairs <= cap,
       s"$who: fixed-vocabulary blocking would generate $pairs candidate " +
         s"pairs (> cap $cap) — block occupancy grows linearly with the " +
@@ -50,6 +46,77 @@ object Joins {
         "join_er_sorted_neighborhood (n·w candidates by construction) " +
         "for data-scaled inputs, or a blocking key whose cardinality " +
         "scales with the data (email, zip, shingle).")
+  }
+
+  /** Σ c·(c−1)/2 over the blocking-key groups — the exact candidate
+    * count of the blocked self-join, computed distributedly BEFORE the
+    * join is launched. */
+  private[graft] def countBlockedPairs(blocked: DataFrame,
+      keys: Seq[String]): Long =
+    blocked
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1)) / 2), lit(0L))
+        .cast("long"))
+      .head().getLong(0)
+
+  /** Sorted-neighborhood window width shared by the auto-routed ER
+    * fallback and `join_er_sorted_neighborhood`. */
+  private val SnWidth = 10
+
+  /** Candidate pairs for the ER scoring queries, with the scale
+    * auto-route (round-11 verdict item 2): count the blocked pairs
+    * first; under `cap` run the textbook blocked equi-join (the
+    * oracle-replayable shape — test-SF data always lands here), above
+    * it fall back to sorted-neighborhood candidates (n·w by
+    * construction) on the same match key instead of throwing — a user
+    * asking the ER question at 100 TB gets the scale-safe candidate
+    * set, not an exception. The fallback keeps the cap as ITS guard
+    * too (n·w must also clear it — nothing above the cap ever
+    * materializes on either route).
+    *
+    * `p` carries `nm` (lowercased match/sort key), the blocking keys,
+    * the id column, and `payload` comparison columns; output is one
+    * row per candidate with canonical id1 < id2 and every payload
+    * column suffixed _1/_2, sides swapped consistently so downstream
+    * symmetric comparators see canonical order. */
+  private[graft] def erCandidatePairs(p: DataFrame, idCol: String,
+      blockKeys: Seq[String], payload: Seq[String], cap: Long,
+      who: String): DataFrame = {
+    val blockedPairs = countBlockedPairs(p, blockKeys)
+    if (blockedPairs <= cap) {
+      val a = p.select(col(idCol).as("id1") +: col("nm").as("n1") +:
+        (blockKeys.map(col) ++ payload.map(c => col(c).as(s"${c}_1"))): _*)
+      val b = p.select(col(idCol).as("id2") +: col("nm").as("n2") +:
+        (blockKeys.map(col) ++ payload.map(c => col(c).as(s"${c}_2"))): _*)
+      a.join(b, blockKeys).filter(col("id1") < col("id2"))
+        .select(col("id1") +: col("id2") +: col("n1") +: col("n2") +:
+          payload.flatMap(c =>
+            Seq(col(s"${c}_1"), col(s"${c}_2"))): _*)
+    } else {
+      val n = p.count()
+      require(n * SnWidth <= cap,
+        s"$who: sorted-neighborhood fallback would still generate " +
+          s"${n * SnWidth} candidates (> cap $cap) — raise the cap or " +
+          "pre-partition the corpus before ER scoring.")
+      val ranked = Windows.stitchedRowNumber(p,
+        substring(col("nm"), 1, 2), Seq(col("nm"), col(idCol)), "rn")
+      val a = ranked.select(col("rn") +: col(idCol).as("ida") +:
+          col("nm").as("na") +:
+          payload.map(c => col(c).as(s"${c}_a")): _*)
+        .withColumn("k", explode(sequence(lit(1), lit(SnWidth))))
+        .withColumn("rn2", col("rn") + col("k"))
+        .drop("rn", "k")
+      val b = ranked.select(col("rn").as("rn2") +: col(idCol).as("idb") +:
+        col("nm").as("nb") +: payload.map(c => col(c).as(s"${c}_b")): _*)
+      val swap = col("ida") > col("idb")
+      def pick(x: String, y: String) = when(swap, col(y)).otherwise(col(x))
+      a.join(b, "rn2").select(
+        pick("ida", "idb").as("id1") +: pick("idb", "ida").as("id2") +:
+          pick("na", "nb").as("n1") +: pick("nb", "na").as("n2") +:
+          payload.flatMap(c => Seq(
+            pick(s"${c}_a", s"${c}_b").as(s"${c}_1"),
+            pick(s"${c}_b", s"${c}_a").as(s"${c}_2"))): _*)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,23 +246,19 @@ object Joins {
     // so block occupancy grows linearly with data and candidate pairs
     // QUADRATICALLY — 1.0M pairs at sf0.1 → 100M at sf1 (391 s). Fixed-
     // key blocking is only right when the key cardinality scales with
-    // the data (emails, zips); for a fixed vocabulary use
-    // join_er_sorted_neighborhood below — same scoring model, n·w
-    // candidates by construction.
+    // the data (emails, zips). Round-12: above the pair cap the
+    // candidate generator AUTO-ROUTES to sorted-neighborhood (n·w by
+    // construction — the join_er_sorted_neighborhood shape) instead of
+    // failing fast; test-SF data always stays on the blocked path, so
+    // the oracle replays exactly.
     "join_blocked_jaro" -> ((s, d) => {
       graft.plans.JaroWinkler.register(s)
       val p = t(s, d, "part")
         .select(col("p_partkey"), lower(col("p_name")).as("nm"),
           col("p_brand"))
         .withColumn("tok1", split_part(col("nm"), lit(" "), lit(1)))
-      requireCandidatePairs(p, Seq("p_brand", "tok1"), ErPairCap,
-        "join_blocked_jaro")
-      val a = p.select(col("p_partkey").as("id1"), col("nm").as("n1"),
-        col("p_brand"), col("tok1"))
-      val b = p.select(col("p_partkey").as("id2"), col("nm").as("n2"),
-        col("p_brand"), col("tok1"))
-      a.join(b, Seq("p_brand", "tok1"))
-        .filter(col("id1") < col("id2"))
+      erCandidatePairs(p, "p_partkey", Seq("p_brand", "tok1"), Nil,
+        ErPairCap, "join_blocked_jaro")
         .withColumn("jw",
           U.round6(call_function("jaro_winkler", col("n1"), col("n2"))))
         .filter(col("jw") >= 0.82)
@@ -213,10 +276,10 @@ object Joins {
     // identical 6-decimal literals on both engines (derived constants
     // are never recomputed cross-engine — the last-ulp rule), so the
     // score is a fixed-order sum of identical doubles. Same fixed-
-    // cardinality blocking (and the same measured quadratic candidate
-    // growth) as join_blocked_jaro — the scale-safe variant of THIS
-    // model is join_er_sorted_neighborhood; scoring itself is map-only
-    // over the pair table.
+    // cardinality blocking as join_blocked_jaro, with the same
+    // round-12 auto-route: above the pair cap, candidates come from
+    // sorted-neighborhood (n·w) instead of an exception; scoring
+    // itself is map-only over whichever pair table it gets.
     "join_er_fellegi_sunter" -> ((s, d) => {
       graft.plans.JaroWinkler.register(s)
       val p = t(s, d, "part")
@@ -224,18 +287,16 @@ object Joins {
           col("p_brand"), col("p_type"), col("p_size"),
           col("p_retailprice"))
         .withColumn("tok1", split_part(col("nm"), lit(" "), lit(1)))
-      requireCandidatePairs(p, Seq("p_brand", "tok1"), ErPairCap,
-        "join_er_fellegi_sunter")
-      val a = p.select(col("p_partkey").as("id1"), col("nm").as("n1"),
-        col("p_brand"), col("tok1"), col("p_type").as("t1"),
-        col("p_size").as("s1"), col("p_retailprice").as("r1"))
-      val b = p.select(col("p_partkey").as("id2"), col("nm").as("n2"),
-        col("p_brand"), col("tok1"), col("p_type").as("t2"),
-        col("p_size").as("s2"), col("p_retailprice").as("r2"))
       // log2 m/u weights: name m=.95 u=.05, type m=.9 u=.2,
       // size m=.85 u=.25, price m=.8 u=.3 — literal-pinned
-      val scored = a.join(b, Seq("p_brand", "tok1"))
-        .filter(col("id1") < col("id2"))
+      val scored = erCandidatePairs(p, "p_partkey",
+        Seq("p_brand", "tok1"),
+        Seq("p_type", "p_size", "p_retailprice"), ErPairCap,
+        "join_er_fellegi_sunter")
+        .withColumnsRenamed(Map(
+          "p_type_1" -> "t1", "p_type_2" -> "t2",
+          "p_size_1" -> "s1", "p_size_2" -> "s2",
+          "p_retailprice_1" -> "r1", "p_retailprice_2" -> "r2"))
         .withColumn("jw",
           U.round6(call_function("jaro_winkler", col("n1"), col("n2"))))
         .withColumn("a_name", (col("jw") >= 0.95).cast("int"))

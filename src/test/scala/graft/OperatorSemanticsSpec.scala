@@ -686,6 +686,46 @@ class OperatorSemanticsSpec extends SparkSpec {
       .collect() // guard passes at test SF
   }
 
+  test("blocked-ER auto-route: above the pair cap candidates fall back " +
+    "to sorted-neighborhood (ids canonical, payload sides swapped " +
+    "consistently); below it the blocked path is byte-identical; the " +
+    "fallback keeps the cap as its own guard") {
+    import org.apache.spark.sql.functions._
+    // 30 rows in ONE hot block: blocked pairs = 30·29/2 = 435,
+    // sorted-neighborhood candidates = Σ min(10, 29−i) = 245.
+    // id = (i·7) mod 30 is a permutation of the nm rank i, so roughly
+    // half the SN pairs need the canonical swap — the payload-follows-id
+    // property is exercised on both branches.
+    val rows = (0 until 30).map { i =>
+      val id = (i * 7) % 30
+      (id.toLong, f"nm$i%02d", "BrandX", "w", s"P$id")
+    }
+    val p = rows.toDF("p_partkey", "nm", "p_brand", "tok1", "pay")
+    def run(cap: Long) = operators.Joins.erCandidatePairs(
+      p, "p_partkey", Seq("p_brand", "tok1"), Seq("pay"), cap, "planted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    def canon(i: Int, j: Int) = { // nm ranks i < j → canonical tuple
+      val (a, b) = (rows(i), rows(j))
+      if (a._1 < b._1) (a._1, b._1, a._2, b._2, a._5, b._5)
+      else (b._1, a._1, b._2, a._2, b._5, a._5)
+    }
+    // cap 1000 ≥ 435 → blocked route: every i<j pair of the block
+    val blockedExpect = (for (i <- 0 until 30; j <- i + 1 until 30)
+      yield canon(i, j)).toSet
+    assert(run(1000L) === blockedExpect)
+    // cap 400: blocked 435 > 400 → SN route (n·w = 300 ≤ 400):
+    // exactly the ≤10-forward-neighbor pairs in nm order
+    val snExpect = (for (i <- 0 until 30; j <- i + 1 to math.min(i + 10, 29))
+      yield canon(i, j)).toSet
+    assert(run(400L) === snExpect)
+    assert(snExpect.subsetOf(blockedExpect) && snExpect.size === 245)
+    // cap 200: blocked 435 > 200 → SN route, but n·w = 300 > 200 →
+    // the fallback's own guard fires (nothing above the cap ever runs)
+    val e = intercept[IllegalArgumentException](run(200L))
+    assert(e.getMessage.contains("sorted-neighborhood fallback"))
+  }
+
   test("ml_knn_classify guard: a data-scaled embeddings table fails " +
     "loudly before the all-pairs join launches") {
     val dir = java.nio.file.Files.createTempDirectory("knncap").toString
