@@ -116,14 +116,18 @@ object Bench {
     // ~0.1-0.3 s first-pass codegen-compile overhead means the min
     // usually picks a warm pass anyway. A FAILED pass's (fail-fast)
     // duration must not masquerade as a speedup, so the min ranges over
-    // successful passes only; a query with zero successful passes keeps
-    // its last duration (the pre-round-11 behavior for always-failing
-    // guard-by-contract entries). With SPARK_GRAFT_REPEAT=1 this
+    // successful passes only. A query with ZERO successful passes is
+    // reported in a separate "failed" array, NOT as a timing (round-11
+    // advice: its fail-fast duration would otherwise masquerade as a
+    // speedup to every gate and compare script — a newly-broken query
+    // must read as red, never as fast). With SPARK_GRAFT_REPEAT=1 this
     // degrades to the single cold pass unchanged.
     val byName = allPasses.flatten.groupBy(_._1)
-    val results = allPasses.last.map { case (name, lastDt, _) =>
+    val failed = selected.map(_._1)
+      .filter(n => !byName(n).exists(_._3)).sorted
+    val results = allPasses.last.flatMap { case (name, _, _) =>
       val good = byName(name).filter(_._3).map(_._2)
-      name -> (if (good.nonEmpty) good.min else lastDt)
+      if (good.nonEmpty) Some(name -> good.min) else None
     }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a
     // comma decimal separator would silently break the JSON contract.
@@ -138,9 +142,14 @@ object Bench {
     val sfRaw = sfDir.replaceAll(".*sf", "")
     val sf = if (sfRaw.matches("""-?\d+(\.\d+)?""")) sfRaw
       else "\"" + sfRaw.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // "failed" rides along in every output line (empty array when all
+    // green) so gate/compare scripts can distinguish "not in this run"
+    // from "ran and broke" — consumers must treat entries here as RED.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def mkLine(entries: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,""" +
-        s""""n_queries":${results.size},"queries":${qsJson(entries)},"sf":$sf}"""
+        s""""n_queries":${results.size},"failed":$failedJson,""" +
+        s""""queries":${qsJson(entries)},"sf":$sf}"""
     val fullLine = mkLine(results)
     // Persist the full per-query JSON to a file FIRST: stdout goes through
     // the driver's log-tail capture, which keeps only the last ~2000 chars —

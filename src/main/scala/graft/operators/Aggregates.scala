@@ -386,8 +386,11 @@ object Aggregates {
     // pointed message: at that scale a caller picks a practical accuracy
     // and gets the ε·N rank bound, not bit-equality.
     "agg_approx_percentile" -> ((s, d) => {
-      val nMax = t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+      // max(n) is NULL on an empty table — Option-guard it (0 keeps the
+      // lossless regime trivially) instead of an unhelpful NPE
+      val nMax = Option(t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       require(nMax <= (1L << 24),
         s"agg_approx_percentile: largest group has $nMax rows — beyond " +
           "the lossless-GK oracle regime (per-group quantile buffer would " +

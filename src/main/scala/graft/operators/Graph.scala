@@ -82,14 +82,16 @@ object Graph {
     val spark = edges.sparkSession
     if (integralIds(edges, "a", "b") && integralIds(nodes, "node")) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val eP = edges.persist(lvl)
-      val nP = nodes.persist(lvl)
+      // persist FRESH projections, never the caller's frames: the
+      // finally-unpersist would otherwise evict a cache the caller may
+      // hold on that exact plan (the connectedComponents discipline)
+      val eP = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .persist(lvl)
+      val nP = nodes.select(col("node").cast("long")).persist(lvl)
       try {
         if (eP.count() <= driverCap && nP.count() <= driverCap) {
-          val eArr = eP.select(col("a").cast("long"), col("b").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          val nArr = nP.select(col("node").cast("long"))
-            .collect().map(_.getLong(0))
+          val eArr = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nArr = nP.collect().map(_.getLong(0))
           val lbl = new java.util.HashMap[Long, Long]()
           nArr.foreach(n => lbl.put(n, n))
           for (_ <- 1 to rounds) {
@@ -162,15 +164,16 @@ object Graph {
     val spark = edges.sparkSession
     if (integralIds(edges, "a", "b") && integralIds(seeded, "node")) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val eP = edges.persist(lvl)
-      val sP = seeded.persist(lvl)
+      // fresh projections, not the caller's frames (see labelPropagate)
+      val eP = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .persist(lvl)
+      val sP = seeded
+        .select(col("node").cast("long"), col("dist").cast("int"))
+        .persist(lvl)
       try {
         if (eP.count() <= driverCap && sP.count() <= driverCap) {
-          val eArr = eP.select(col("a").cast("long"), col("b").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          val seedRows = sP
-            .select(col("node").cast("long"), col("dist").cast("int"))
-            .collect()
+          val eArr = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val seedRows = sP.collect()
           val dist = new java.util.HashMap[Long, Int]()
           val universe = new java.util.HashSet[Long]()
           val order = new Array[Long](seedRows.length)
@@ -228,10 +231,21 @@ object Graph {
     * buckets → cosine-thresholded pairs) — byte-identical semantics to
     * [[graft.dedup.Dedup.embeddingLshPairs]] at τ = 0.05. Interpolated
     * as the head of every graph oracle so the replay cannot drift
-    * between siblings. */
+    * between siblings. The quantizer width replays the ADAPTIVE rule
+    * ([[graft.similarity.Similarity.adaptiveNBits]] — integer
+    * thresholds, no float ties): the plane literal carries the full
+    * MaxBits pool and the bucket fold consumes its first nb planes,
+    * where nb derives from count(*) exactly as the Spark side derives
+    * it from embeddings.count() in `PartitionedData.lshEdgeSet`. */
   private def lshEdgesCte: String =
-    s"""pl AS (
-      |  SELECT ${graft.similarity.Similarity.planesSqlLiteral} AS ps),
+    s"""pl0 AS (
+      |  SELECT ${graft.similarity.Similarity.planesSqlLiteralTake(
+           graft.similarity.Similarity.MaxBits)} AS ps0),
+      |nbv AS (
+      |  SELECT ${graft.similarity.Similarity.adaptiveNBitsSql(
+           "count(*)")} AS nb
+      |  FROM embeddings),
+      |pl AS (SELECT list_slice(ps0, 1, nb) AS ps FROM pl0, nbv),
       |e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
       |  FROM embeddings),
@@ -334,12 +348,12 @@ object Graph {
     // both-sides in GraphSpec.
     val spark = edges.sparkSession
     if (integralIds(edges, "a", "b")) {
-      val eP = edges.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // fresh projection, not the caller's frame (see labelPropagate)
+      val eP = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (eP.count() <= driverCap) {
-          var es = eP.select(col("a").cast("long"), col("b").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          var es = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
           var r = 0
           var stable = false
           while (!stable && r < rounds) {
@@ -423,14 +437,14 @@ object Graph {
     val spark = edges.sparkSession
     if (integralIds(edges, "a", "b") && integralIds(nodes, "node")) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val eP = edges.persist(lvl)
-      val nP = nodes.persist(lvl)
+      // fresh projections, not the caller's frames (see labelPropagate)
+      val eP = edges.select(col("a").cast("long"), col("b").cast("long"))
+        .persist(lvl)
+      val nP = nodes.select(col("node").cast("long")).persist(lvl)
       try {
         if (eP.count() <= driverCap && nP.count() <= driverCap) {
-          val eArr = eP.select(col("a").cast("long"), col("b").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1)))
-          val nArr = nP.select(col("node").cast("long"))
-            .collect().map(_.getLong(0))
+          val eArr = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val nArr = nP.collect().map(_.getLong(0))
           val x = new java.util.HashMap[Long, Double]()
           nArr.foreach(n => x.put(n, 0.0))
           for (_ <- 1 to rounds) {

@@ -24,14 +24,55 @@ object Similarity {
   val Dim = 64
   // Bucket-bit count trades selectivity vs recall: 2^8 = 256 buckets is
   // right for ~10^2–10^4 vectors; at 100 TB you raise it so bucket size
-  // stays ~10^3 and make `bucket` the storage partition key.
+  // stays bounded and make `bucket` the storage partition key. The
+  // query-time ANN paths keep this fixed width (their oracles pin the
+  // 8-plane literal); corpus-scaled derivations (the near-dup edge
+  // layout) use [[adaptiveNBits]] instead.
   val NBits = 8
 
+  /** Widest signature the plane pool supports (the adaptive ceiling). */
+  val MaxBits = 16
+
+  /** Target EXPECTED bucket occupancy for the adaptive quantizer: the
+    * near-dup pair stage is occupancy-quadratic per bucket (bounded by
+    * the bucket cap), so holding n/2^b ≈ 64 keeps the derived edge set
+    * ~linear in the corpus (≈ 32·n pairs pre-threshold) instead of the
+    * measured ~quadratic growth under fixed 8 bits (BASELINE.md r11
+    * sf2: graph_kcore 0.9 → 6.1 s as the edge set crossed the driver
+    * cap). */
+  val EdgeTargetOccupancy = 64
+
+  /** Quantizer width for corpus-scaled LSH derivations: the smallest
+    * b in [NBits, MaxBits] with n ≤ EdgeTargetOccupancy·2^b. Pure
+    * integer thresholds — NO log/ceil, so the DuckDB replay (a CASE
+    * ladder over the same 9 thresholds, [[adaptiveNBitsSql]]) can
+    * never diverge on a floating-point tie. Test-gate corpora
+    * (n ≤ 16384) stay at 8 bits, so every sf0.01/sf0.1 result is
+    * unchanged; the width starts growing at n > 2^14. */
+  def adaptiveNBits(n: Long): Int = {
+    var b = NBits
+    while (b < MaxBits && n > (EdgeTargetOccupancy.toLong << b)) b += 1
+    b
+  }
+
+  /** The DuckDB replay of [[adaptiveNBits]] over a corpus count
+    * expression: an integer-threshold CASE ladder (descending), bit-
+    * identical to the Scala loop by construction. */
+  def adaptiveNBitsSql(nExpr: String): String = {
+    val cases = ((NBits + 1) to MaxBits).reverse.map { b =>
+      s"WHEN $nExpr > ${EdgeTargetOccupancy.toLong << (b - 1)} THEN $b"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE $NBits END"
+  }
+
   /** Deterministic Gaussian hyperplanes (fixed seed — no RNG at query
-    * time, signatures reproducible across runs/sessions/executors). */
+    * time, signatures reproducible across runs/sessions/executors).
+    * The pool holds MaxBits planes; Array.fill draws row-major, so the
+    * first NBits rows are bit-identical to the pre-adaptive 8-plane
+    * array and every pinned 8-bit oracle literal is unchanged. */
   lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NBits, Dim)(rnd.nextGaussian())
+    Array.fill(MaxBits, Dim)(rnd.nextGaussian())
   }
 
   /** Sign-bit LSH signature of a double-array column (driver mirror:
@@ -43,14 +84,14 @@ object Similarity {
     }
   }
 
-  /** The hyperplanes as a DuckDB LIST-of-LIST literal. Scala's
-    * `Double.toString` is shortest-round-trip, so DuckDB parses back the
-    * bit-identical doubles — which makes the "engine-defined" sign-bit
-    * bucketing REPLAYABLE in the oracle: same planes, same sequential
-    * dot fold, same signs. Used by the `sim_ann_lsh_topk` and
-    * `dedup_embedding_lsh` oracles. */
-  lazy val planesSqlLiteral: String =
-    planes.map(p => p.mkString("[", ",", "]")).mkString("[", ",", "]")
+  /** The first NBits hyperplanes as a DuckDB LIST-of-LIST literal.
+    * Scala's `Double.toString` is shortest-round-trip, so DuckDB parses
+    * back the bit-identical doubles — which makes the "engine-defined"
+    * sign-bit bucketing REPLAYABLE in the oracle: same planes, same
+    * sequential dot fold, same signs. Used by the `sim_ann_lsh_topk`
+    * and `dedup_embedding_lsh` oracles (pinned 8-bit); the adaptive
+    * edge derivation slices [[planesSqlLiteralTake]](MaxBits). */
+  lazy val planesSqlLiteral: String = planesSqlLiteralTake(NBits)
 
   /** The bucket expression over a DuckDB double-list column `v`:
     * mirror of [[bucketCol]] (fold acc*2 + sign bit, plane order). */

@@ -18,60 +18,105 @@ import org.apache.spark.sql.functions._
   *    partition key prunes fact directories at RUNTIME via the reused
   *    broadcast (`dynamicpruningexpression` in PartitionFilters).
   *
-  * The layout is materialized once per (sfDir, events content) under
-  * `target/graft-derived/` and memoized — identical pattern to the IVF
-  * centroid memo (`Similarity.centroidCache`): the layout is a property
+  * Every layout here is materialized once per (sfDir, content signature)
+  * under `target/graft-derived/` and memoized — identical pattern to the
+  * IVF centroid memo (`Similarity.centroidCache`): a layout is a property
   * of the DATASET, not of any query; at production scale it is the
   * table's permanent storage layout, not a per-query step.
+  *
+  * Write discipline (round-12, ADVICE r11): layouts build in a
+  * process-private `.tmp-<pid>` sibling and publish with ONE atomic
+  * directory rename, so a crash mid-write can never leave a
+  * half-layout under the final name, and a concurrent reader never
+  * observes a partially-written generation. The source-dir tag in the
+  * layout name is a truncated SHA-256 of the absolute path (was:
+  * 32-bit String.hashCode) — a tag collision between two dataset dirs
+  * would let the stale-sibling sweep delete a LIVE layout.
   */
 object PartitionedData {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
-  /** Change-detection signature of the source table (shared
+  /** Change-detection signature of a source table (shared
     * [[graft.U.dirSignature]] semantics — regenerated testdata
     * re-materializes the layout). */
-  private def signature(d: String): Long =
-    graft.U.dirSignature(java.nio.file.Paths.get(d, "events.parquet"))
+  private def signature(d: String, table: String): Long =
+    graft.U.dirSignature(java.nio.file.Paths.get(d, s"$table.parquet"))
+
+  /** Collision-resistant tag of the source dataset dir: first 8 bytes
+    * of SHA-256 over the absolute path. Layouts for DIFFERENT source
+    * dirs (sf0.001/0.01/0.1) coexist; only stale GENERATIONS of the
+    * same source dir are swept. */
+  private def dirTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(java.nio.file.Paths.get(d).toAbsolutePath.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** The shared derived-layout lifecycle: resolve the content-addressed
+    * name, and if the layout is not `ready`, sweep stale same-source
+    * generations, build into a `.tmp-<pid>` sibling via `write`, and
+    * publish with one atomic rename. Returns the final path string.
+    * `ready` decides completion (directory exists for rename-published
+    * layouts; `ManifestTable.versions.nonEmpty` for manifest tables,
+    * which commit atomically themselves and then build IN PLACE). */
+  private def derivedLayout(d: String, kind: String, sig: Long,
+      ready: java.nio.file.Path => Boolean = p =>
+        java.nio.file.Files.isDirectory(p))
+      (write: java.nio.file.Path => Unit): String = {
+    val base = java.nio.file.Paths.get("target", "graft-derived")
+      .toAbsolutePath
+    val prefix = s"${kind}_${dirTag(d)}_"
+    val name = f"$prefix$sig%016x"
+    val out = base.resolve(name)
+    if (!ready(out)) {
+      // stale generations would otherwise accumulate a full table copy
+      // per testdata regeneration — drop same-source siblings (other
+      // sigs AND leftover tmp dirs of crashed builds)
+      if (java.nio.file.Files.isDirectory(base)) {
+        val s = java.nio.file.Files.list(base)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+          }
+        } finally s.close()
+      }
+      java.nio.file.Files.createDirectories(base)
+      val tmp = base.resolve(
+        s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
+      deleteRecursively(tmp)
+      write(tmp)
+      // publish atomically; if a concurrent build won the race, keep
+      // the winner and drop our duplicate (contents are deterministic
+      // functions of (source dir, sig) — either copy is correct)
+      try java.nio.file.Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException =>
+          deleteRecursively(tmp)
+      }
+    }
+    out.toString
+  }
 
   /** Path of the (event_type, dt)-partitioned events layout, writing it
     * on first use. 5 types × 30 days at test SF → 150 directories; the
     * partition columns are dropped from the data files (hive layout). */
   def eventsByTypeDate(spark: SparkSession, d: String): String = {
-    val key = (d, signature(d))
+    val key = (d, signature(d, "events"))
     memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      // the name carries (source-dir hash, content signature): layouts
-      // for DIFFERENT source dirs (sf0.001/0.01/0.1) coexist; only stale
-      // GENERATIONS of the same source dir are replaced
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"events_by_type_date_${dirTag}_"
-      val name = f"$prefix${key._2}%016x"
-      val out = base.resolve(name)
-      val done = out.resolve("_SUCCESS")
-      if (!java.nio.file.Files.exists(done)) {
-        // stale generations would otherwise accumulate a full events
-        // copy per testdata regeneration — drop same-source siblings
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name)
-                deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+      derivedLayout(d, "events_by_type_date", key._2) { tmp =>
         Tables.t(spark, d, "events")
           .withColumn("dt", to_date(col("ts")))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("event_type", "dt")
-          .parquet(out.toString)
+          .parquet(tmp.toString)
       }
-      out.toString
     })
   }
 
@@ -81,32 +126,13 @@ object PartitionedData {
     * every analytic query runs on the columnar store instead. Memoized
     * per (sfDir, orders content) exactly like [[eventsByTypeDate]]. */
   def ordersAvroLanding(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
-    val key = (s"avro:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"orders_avro_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name)
-      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "orders")
+    memo.computeIfAbsent((s"avro:$d", sig), { _ =>
+      derivedLayout(d, "orders_avro", sig) { tmp =>
         Tables.t(spark, d, "orders")
           .write.format("graft-avro").mode(SaveMode.Overwrite)
-          .save(out.toString)
+          .save(tmp.toString)
       }
-      out.toString
     })
   }
 
@@ -123,38 +149,23 @@ object PartitionedData {
     * signature-keyed derived layout is the production shape, not a bench
     * trick. The DuckDB graph oracles replay the edge derivation from the
     * raw table (`Graph.lshEdgesCte`), so a stale or wrong layout fails
-    * the gate loudly. */
+    * the gate loudly. The quantizer width is ADAPTIVE
+    * ([[graft.similarity.Similarity.adaptiveNBits]]): bits grow with
+    * the corpus count so expected bucket occupancy stays bounded —
+    * fixed 8-bit bucketing made the edge set grow ~quadratically with
+    * occupancy (measured at sf2, BASELINE.md r11). */
   def lshEdgeSet(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(
-      java.nio.file.Paths.get(d, "embeddings.parquet"))
-    val key = (s"lshedges:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"lsh_edges_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name)
-      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
-        graft.dedup.Dedup.embeddingLshPairs(
-          Tables.t(spark, d, "embeddings")
-            .select(col("vec_id"), col("embedding")))
+    val sig = signature(d, "embeddings")
+    memo.computeIfAbsent((s"lshedges:$d", sig), { _ =>
+      derivedLayout(d, "lsh_edges", sig) { tmp =>
+        val emb = Tables.t(spark, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        graft.dedup.Dedup.embeddingLshPairs(emb,
+            graft.similarity.Similarity.adaptiveNBits(emb.count()))
           .filter(col("cos_sim") >= 0.05)
           .select(col("id1").as("a"), col("id2").as("b"))
-          .write.mode(SaveMode.Overwrite).parquet(out.toString)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       }
-      out.toString
     })
   }
 
@@ -166,45 +177,24 @@ object PartitionedData {
     * unparseable key, one unparseable region, one token-count
     * overflow. Headerless (schema supplied at read); Spark's CSV
     * writer handles quoting, and the extra bad-lines part file slots
-    * into the directory like any other split. `_BADROWS` (not
-    * Spark's `_SUCCESS`) is the completion marker so a crash between
-    * the clean write and the bad-line append can't memoize a fixture
-    * missing its garbage. */
+    * into the directory like any other split. The bad lines append
+    * inside the tmp dir BEFORE the atomic publish, so a layout missing
+    * its garbage can never be observed under the final name. */
   def nationCsvLanding(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "nation.parquet"))
-    val key = (s"csv:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"nation_csv_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name)
-      if (!java.nio.file.Files.exists(out.resolve("_BADROWS"))) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "nation")
+    memo.computeIfAbsent((s"csv:$d", sig), { _ =>
+      derivedLayout(d, "nation_csv", sig) { tmp =>
         Tables.t(spark, d, "nation")
           .write.mode(SaveMode.Overwrite)
-          .option("header", "false").csv(out.toString)
+          .option("header", "false").csv(tmp.toString)
         java.nio.file.Files.write(
-          out.resolve("part-99999-malformed.csv"),
+          tmp.resolve("part-99999-malformed.csv"),
           java.util.Arrays.asList(
             "notakey,BADLAND planted malformed row,0",
             "98,WORSELAND planted malformed row,notaregion",
             "99,EXTRALAND planted malformed row,1,too,many,columns"),
           java.nio.charset.StandardCharsets.UTF_8)
-        java.nio.file.Files.createFile(out.resolve("_BADROWS"))
       }
-      out.toString
     })
   }
 
@@ -212,36 +202,20 @@ object PartitionedData {
     * range-partitioned and sorted on `o_orderdate` so per-file min/max
     * stats are TIGHT and date-range queries skip whole files from the
     * manifest alone. Memoized like the other derived layouts; at
-    * production scale this is the table's permanent format. */
+    * production scale this is the table's permanent format.
+    * ManifestTable commits snapshots atomically itself, so manifest
+    * layouts build in place with `versions.nonEmpty` as readiness. */
   def ordersManifestTable(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
-    val key = (s"manifest:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"orders_manifest_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name)
-      if (ManifestTable.versions(out.toString).isEmpty) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "orders")
+    memo.computeIfAbsent((s"manifest:$d", sig), { _ =>
+      derivedLayout(d, "orders_manifest", sig,
+        p => ManifestTable.versions(p.toString).nonEmpty) { tmp =>
         ManifestTable.write(
           Tables.t(spark, d, "orders")
             .repartitionByRange(8, col("o_orderdate"))
             .sortWithinPartitions("o_orderdate"),
-          out.toString, statsCols = Seq("o_orderdate"))
+          tmp.toString, statsCols = Seq("o_orderdate"))
       }
-      out.toString
     })
   }
 
@@ -255,33 +229,20 @@ object PartitionedData {
     * the result exercise land → stream → manifest → compact → prune
     * end-to-end, with a CORRECTNESS row against the plain parquet
     * original (`scan_lakehouse_ingest`). Memoized per (sfDir, orders
-    * content) like every derived layout here. */
+    * content) like every derived layout here. The whole multi-step
+    * build (stage dir, checkpoint, snapshots) happens inside the tmp
+    * dir and publishes with one rename; the returned path is the
+    * `table` subdirectory. */
   def ordersLakehouseTable(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
-    val key = (s"lakehouse:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"orders_lakehouse_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name)
-      val table = out.resolve("table").toString
-      if (ManifestTable.versions(table).isEmpty) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "orders")
+    memo.computeIfAbsent((s"lakehouse:$d", sig), { _ =>
+      val root = derivedLayout(d, "orders_lakehouse", sig,
+        p => ManifestTable.versions(
+          p.resolve("table").toString).nonEmpty) { tmp =>
         val landing = ordersAvroLanding(spark, d)
-        val stage = out.resolve("stage").toString
-        val ckpt = out.resolve("ckpt").toString
+        val stage = tmp.resolve("stage").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val table = tmp.resolve("table").toString
         val q = spark.readStream.format("graft-avro")
           .schema(Tables.t(spark, d, "orders").schema)
           .load(landing)
@@ -300,7 +261,7 @@ object PartitionedData {
         ManifestTable.compact(spark, table, Seq("o_orderdate"),
           targetFiles = 4, clusterBy = Some("o_orderdate"))
       }
-      table
+      java.nio.file.Paths.get(root).resolve("table").toString
     })
   }
 
@@ -318,27 +279,11 @@ object PartitionedData {
     * selectivity; `scan_manifest_merge` oracles the merged CONTENT
     * against plain SQL over the original orders. */
   def ordersMergedManifestTable(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
-    val key = (s"merged:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"orders_merged_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name).toString
-      if (ManifestTable.versions(out).isEmpty) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "orders")
+    memo.computeIfAbsent((s"merged:$d", sig), { _ =>
+      derivedLayout(d, "orders_merged", sig,
+        p => ManifestTable.versions(p.toString).nonEmpty) { tmp =>
+        val out = tmp.toString
         val orders = Tables.t(spark, d, "orders")
         ManifestTable.write(
           orders.repartitionByRange(8, col("o_orderkey"))
@@ -358,7 +303,6 @@ object PartitionedData {
           updates.unionByName(deletes).unionByName(inserts),
           keyCol = "o_orderkey", clusterBy = Some("o_orderkey"))
       }
-      out
     })
   }
 
@@ -370,27 +314,10 @@ object PartitionedData {
     * to 8-day buckets from the corpus floor) — unbalanced ranges
     * degenerate the curve to a single-column sort (ZOrderSpec). */
   def ordersZorderManifestTable(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(java.nio.file.Paths.get(d, "orders.parquet"))
-    val key = (s"zorder:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"orders_zorder_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name).toString
-      if (ManifestTable.versions(out).isEmpty) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "orders")
+    memo.computeIfAbsent((s"zorder:$d", sig), { _ =>
+      derivedLayout(d, "orders_zorder", sig,
+        p => ManifestTable.versions(p.toString).nonEmpty) { tmp =>
         graft.plans.ZOrder64.register(spark)
         val orders = Tables.t(spark, d, "orders")
         val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
@@ -402,9 +329,8 @@ object PartitionedData {
             .cast("long") - day0) / lit(8L)).cast("long"))
         ManifestTable.write(
           orders.repartitionByRange(32, zkey).sortWithinPartitions(zkey),
-          out, statsCols = Seq("o_custkey", "o_orderdate"))
+          tmp.toString, statsCols = Seq("o_custkey", "o_orderdate"))
       }
-      out
     })
   }
 
@@ -419,44 +345,25 @@ object PartitionedData {
     * every IVF query shares, so layouts and probes can never disagree
     * on cell ids. */
   def embeddingsByCell(spark: SparkSession, d: String): String = {
-    val sig = graft.U.dirSignature(
-      java.nio.file.Paths.get(d, "embeddings.parquet"))
-    val key = (s"embcell:$d", sig)
-    memo.computeIfAbsent(key, { _ =>
-      val base = java.nio.file.Paths.get("target", "graft-derived")
-        .toAbsolutePath
-      val dirTag = f"${java.nio.file.Paths.get(d).toAbsolutePath.toString.hashCode}%08x"
-      val prefix = s"embeddings_by_cell_${dirTag}_"
-      val name = f"$prefix$sig%016x"
-      val out = base.resolve(name)
-      if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
-        if (java.nio.file.Files.isDirectory(base)) {
-          val s = java.nio.file.Files.list(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val p = it.next()
-              val n = p.getFileName.toString
-              if (n.startsWith(prefix) && n != name) deleteRecursively(p)
-            }
-          } finally s.close()
-        }
+    val sig = signature(d, "embeddings")
+    memo.computeIfAbsent((s"embcell:$d", sig), { _ =>
+      derivedLayout(d, "embeddings_by_cell", sig) { tmp =>
         graft.plans.NearestCentroid.register(spark)
         val cents = graft.similarity.Similarity.ivfCentroids(spark, d, 16)
         Tables.t(spark, d, "embeddings")
           .withColumn("cid", graft.similarity.Similarity.assignCol(
             graft.functions.VectorOps.toDouble(col("embedding")), cents))
           .write.mode(SaveMode.Overwrite)
-          .partitionBy("cid").parquet(out.toString)
+          .partitionBy("cid").parquet(tmp.toString)
       }
-      out.toString
     })
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    finally s.close()
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
 }

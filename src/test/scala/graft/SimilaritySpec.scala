@@ -328,4 +328,30 @@ class SimilaritySpec extends SparkSpec {
     val n = t16.getAs[Long]("n_overlap")
     assert(n >= 0L && n <= 5L)
   }
+
+  test("adaptiveNBits: integer thresholds (gate corpora stay at 8 bits, " +
+    "width grows past 64·2^b, ceiling 16) and the SQL CASE ladder " +
+    "replays the Scala rule exactly") {
+    import Similarity._
+    assert(adaptiveNBits(0L) === 8)
+    assert(adaptiveNBits(2000L) === 8)    // sf0.1 corpus
+    assert(adaptiveNBits(16384L) === 8)   // boundary: 64·2^8 inclusive
+    assert(adaptiveNBits(16385L) === 9)
+    assert(adaptiveNBits(32768L) === 9)
+    assert(adaptiveNBits(32769L) === 10)
+    assert(adaptiveNBits(Long.MaxValue / 4) === 16) // ceiling
+    // the plane pool must cover the ceiling, with the legacy 8-plane
+    // prefix intact (pinned oracle literals depend on it)
+    assert(planes.length === MaxBits)
+    assert(planesSqlLiteral === planesSqlLiteralTake(NBits))
+    // CASE-ladder parity: evaluate the generated SQL (same CASE
+    // semantics in Spark SQL as DuckDB — pure integer comparisons)
+    val ns = Seq(0L, 1L, 16384L, 16385L, 32768L, 32769L,
+      1L << 20, 1L << 30, 1L << 40)
+    for (n <- ns) {
+      val got = spark.sql(s"SELECT ${adaptiveNBitsSql(n.toString + "L")}")
+        .head().getInt(0)
+      assert(got === adaptiveNBits(n), s"n=$n")
+    }
+  }
 }

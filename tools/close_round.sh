@@ -54,14 +54,35 @@ fi
 SPARK_GRAFT_SF_DIR=target/testdata/sf1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_OUT="bench/bench_${ROUND}_headline_sf1.json" \
   bash tools/run_bench.sh --headline | tail -1
-# version sort, not lexicographic: r9 < r10 < r100 must order correctly
+# version sort, not lexicographic: r9 < r10 < r100 must order correctly.
+# Exclude the current round by EXACT filename (grep -vx): substring
+# exclusion mis-fires when one round id is a prefix of another
+# (GRAFT_ROUND=r1 would drop r10/r11 files too).
 PREV=$(ls bench/bench_r*_headline_sf1.json 2>/dev/null \
-  | grep -v "${ROUND}" | sort -V | tail -1 || true)
+  | grep -vx "bench/bench_${ROUND}_headline_sf1.json" \
+  | sort -V | tail -1 || true)
 if [ -n "$PREV" ]; then
   python3 - "$PREV" "bench/bench_${ROUND}_headline_sf1.json" <<'EOF'
 import json, statistics, sys
-old = json.load(open(sys.argv[1]))["queries"]
-new = json.load(open(sys.argv[2]))["queries"]
+oldd = json.load(open(sys.argv[1]))
+newd = json.load(open(sys.argv[2]))
+old, new = oldd["queries"], newd["queries"]
+# A query timed last round but FAILED (or silently absent) this round is
+# red, not a dilution of the median: Bench excludes zero-success queries
+# from "queries" and lists them in "failed" precisely so this gate can
+# catch them.
+failed = set(newd.get("failed", []))
+broken = sorted((set(old) - set(new)) | (failed & set(old)))
+if broken:
+    print("SF1 HEADLINE GATE RED — queries timed in the prior round are "
+          f"failed/missing now: {', '.join(broken)}")
+    sys.exit(1)
+if failed - set(old):
+    # brand-new queries that fail have no prior to compare against but
+    # are still red: they were added to the headline set to be timed
+    print("SF1 HEADLINE GATE RED — new headline queries failed: "
+          f"{', '.join(sorted(failed - set(old)))}")
+    sys.exit(1)
 common = sorted(set(old) & set(new))
 med = statistics.median(new[k] / max(old[k], 1e-9) for k in common)
 print(f"sf1 headline median per-query ratio vs {sys.argv[1]}: {med:.3f} "

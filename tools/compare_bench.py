@@ -39,6 +39,11 @@ def main():
         print(f"  improved  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s (x{r:.2f})")
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
+    failed = sorted(new.get("failed", []))
+    if failed:
+        # zero-success queries carry no timing at all since round 12 —
+        # surface them as RED, never as absent-and-therefore-fine
+        print("  FAILED (red, no timing):", ", ".join(failed))
     if added:
         print("  added:", ", ".join(added))
     if removed:
