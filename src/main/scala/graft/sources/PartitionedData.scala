@@ -58,12 +58,20 @@ object PartitionedData {
     * name, and if the layout is not `ready`, sweep stale same-source
     * generations, build into a `.tmp-<pid>` sibling via `write`, and
     * publish with one atomic rename. Returns the final path string.
-    * `ready` decides completion (directory exists for rename-published
-    * layouts; `ManifestTable.versions.nonEmpty` for manifest tables,
-    * which commit atomically themselves and then build IN PLACE). */
+    *
+    * `inPlace = true` skips the tmp/rename step and builds at the
+    * final path directly — REQUIRED for [[ManifestTable]]-backed
+    * layouts: their manifests reference data files by ABSOLUTE path,
+    * so a directory rename would strand every manifest entry at the
+    * dead tmp path (caught live in the round-12 repro bench: all four
+    * manifest scans PATH_NOT_FOUND after the first refactor). Those
+    * tables already commit each snapshot atomically themselves, and
+    * `ready` (`versions.nonEmpty`) rejects a build that crashed before
+    * its first commit. */
   private def derivedLayout(d: String, kind: String, sig: Long,
       ready: java.nio.file.Path => Boolean = p =>
-        java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.isDirectory(p),
+      inPlace: Boolean = false)
       (write: java.nio.file.Path => Unit): String = {
     val base = java.nio.file.Paths.get("target", "graft-derived")
       .toAbsolutePath
@@ -86,19 +94,24 @@ object PartitionedData {
         } finally s.close()
       }
       java.nio.file.Files.createDirectories(base)
-      val tmp = base.resolve(
-        s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
-      deleteRecursively(tmp)
-      write(tmp)
-      // publish atomically; if a concurrent build won the race, keep
-      // the winner and drop our duplicate (contents are deterministic
-      // functions of (source dir, sig) — either copy is correct)
-      try java.nio.file.Files.move(tmp, out,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.AccessDeniedException =>
-          deleteRecursively(tmp)
+      if (inPlace) {
+        deleteRecursively(out) // a not-ready partial build is garbage
+        write(out)
+      } else {
+        val tmp = base.resolve(
+          s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
+        deleteRecursively(tmp)
+        write(tmp)
+        // publish atomically; if a concurrent build won the race, keep
+        // the winner and drop our duplicate (contents are deterministic
+        // functions of (source dir, sig) — either copy is correct)
+        try java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: java.nio.file.AccessDeniedException =>
+            deleteRecursively(tmp)
+        }
       }
     }
     out.toString
@@ -209,7 +222,8 @@ object PartitionedData {
     val sig = signature(d, "orders")
     memo.computeIfAbsent((s"manifest:$d", sig), { _ =>
       derivedLayout(d, "orders_manifest", sig,
-        p => ManifestTable.versions(p.toString).nonEmpty) { tmp =>
+        p => ManifestTable.versions(p.toString).nonEmpty,
+        inPlace = true) { tmp =>
         ManifestTable.write(
           Tables.t(spark, d, "orders")
             .repartitionByRange(8, col("o_orderdate"))
@@ -238,7 +252,8 @@ object PartitionedData {
     memo.computeIfAbsent((s"lakehouse:$d", sig), { _ =>
       val root = derivedLayout(d, "orders_lakehouse", sig,
         p => ManifestTable.versions(
-          p.resolve("table").toString).nonEmpty) { tmp =>
+          p.resolve("table").toString).nonEmpty,
+        inPlace = true) { tmp =>
         val landing = ordersAvroLanding(spark, d)
         val stage = tmp.resolve("stage").toString
         val ckpt = tmp.resolve("ckpt").toString
@@ -282,7 +297,8 @@ object PartitionedData {
     val sig = signature(d, "orders")
     memo.computeIfAbsent((s"merged:$d", sig), { _ =>
       derivedLayout(d, "orders_merged", sig,
-        p => ManifestTable.versions(p.toString).nonEmpty) { tmp =>
+        p => ManifestTable.versions(p.toString).nonEmpty,
+        inPlace = true) { tmp =>
         val out = tmp.toString
         val orders = Tables.t(spark, d, "orders")
         ManifestTable.write(
@@ -317,7 +333,8 @@ object PartitionedData {
     val sig = signature(d, "orders")
     memo.computeIfAbsent((s"zorder:$d", sig), { _ =>
       derivedLayout(d, "orders_zorder", sig,
-        p => ManifestTable.versions(p.toString).nonEmpty) { tmp =>
+        p => ManifestTable.versions(p.toString).nonEmpty,
+        inPlace = true) { tmp =>
         graft.plans.ZOrder64.register(spark)
         val orders = Tables.t(spark, d, "orders")
         val maxCust = orders.agg(max(col("o_custkey"))).head().getLong(0)
