@@ -125,8 +125,45 @@ object Bench {
     val byName = allPasses.flatten.groupBy(_._1)
     val failed = selected.map(_._1)
       .filter(n => !byName(n).exists(_._3)).sorted
+    // Tie-break pass for noise-hit queries: the round-11 forensics
+    // pinned per-query full-suite times as heavy-tailed (8 of 347
+    // queries at 2.5-4.7x between identical sweeps, a different set
+    // each run), and min-of-2 still lets a query lose BOTH draws — the
+    // round-11 driver tail recorded copurchase at 6.58 s min-of-2 vs
+    // 2.9 s in four builder sweeps. When a query's successful passes
+    // DISAGREE by >1.5x (the noise signature: a stall only ever adds
+    // time, so a wide spread means at least one pass was hit), one
+    // extra pass runs and the min ranges over all three. A genuinely
+    // slow query reports the same number three times and keeps it;
+    // only disagreement buys a re-run, so the expected extra cost is
+    // the ~8-query tail (~10-20 s), not a full third sweep. The 0.5 s
+    // floor skips sub-second queries where a re-run can't move any
+    // gate. Disabled with SPARK_GRAFT_REPEAT=1 (cold-run protocol has
+    // no second opinion to disagree with).
+    val tieBreak =
+      if (passes < 2) Seq.empty
+      else selected.filter { case (name, _) =>
+        val good = byName(name).filter(_._3).map(_._2)
+        good.size >= 2 && good.min >= 0.5 && good.max / good.min > 1.5
+      }.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        var ok = true
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(s"[bench] $name tie-break failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (isolate) { spark.catalog.clearCache(); System.gc() }
+        (name, dt, ok)
+      }
+    if (tieBreak.nonEmpty)
+      System.err.println(s"[bench] tie-break pass over ${tieBreak.size} " +
+        s"noise-suspect queries: ${tieBreak.map(_._1).mkString(", ")}")
+    val tieByName = tieBreak.groupBy(_._1)
     val results = allPasses.last.flatMap { case (name, _, _) =>
-      val good = byName(name).filter(_._3).map(_._2)
+      val good = (byName(name) ++ tieByName.getOrElse(name, Seq.empty))
+        .filter(_._3).map(_._2)
       if (good.nonEmpty) Some(name -> good.min) else None
     }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a

@@ -66,6 +66,15 @@ object GraftSession {
         knob("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
       .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
         knob("SPARK_GRAFT_BLOOM_THRESHOLD", "10GB"))
+      // Harness-only (cluster path `configure` is untouched): shuffle
+      // cleanup runs SYNCHRONOUSLY on the ContextCleaner thread instead
+      // of fire-and-forget. The round-11 bench forensics pinned async
+      // deletion bursts (kicked off by the between-query System.gc())
+      // landing inside the NEXT query's timed window as one of the
+      // heavy-tail noise sources; serializing the deletes keeps the
+      // burst inside the untimed cleanup gap where it was triggered.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle",
+        knob("SPARK_GRAFT_BLOCKING_SHUFFLE_CLEANUP", "true"))
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

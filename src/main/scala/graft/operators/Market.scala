@@ -70,17 +70,38 @@ object Market {
     // The slice caps each basket at its first MaxBasket sorted members
     // BEFORE any fan-out; frequencies and pairs both run off the capped
     // basket so the two sides of the cosine stay mutually consistent.
-    val baskets = dp.repartition(col("l_orderkey")).groupBy("l_orderkey")
+    // The dedup aggregate's clustering requirement (same (order, part)
+    // co-located) is satisfied by the hash(l_orderkey) exchange — a
+    // subset partitioning clusters the pair — so it pipelines into the
+    // post-shuffle stage with no second exchange. It must sit BELOW
+    // both consumers: collect_set deduplicates implicitly, but the
+    // frequency window (next) counts rows, and a part bought twice in
+    // one order must count once.
+    val dpr = dp.repartition(col("l_orderkey"))
+      .dropDuplicates("l_orderkey", "l_partkey")
+    val baskets = dpr.groupBy("l_orderkey")
       .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket)
         .as("basket"))
       .select(col("basket"))
-    // Part frequencies come off a LIGHT basket explode (k elements per
-    // basket), not the k²/2 combination fan-out: the two consumers of
-    // `baskets` share the scan+repartition exchange (AQE exchange
-    // reuse — the subtrees are identical below the Generate), and only
-    // the pair path pays the quadratic-in-basket-size Generate.
-    val f = baskets.select(explode(col("basket")).as("pk"))
-      .groupBy("pk").agg(count(lit(1)).as("fc"))
+    // Part frequencies come off the PRE-basket rows, not a second pass
+    // over the basket aggregate: the round-12 stage profile showed the
+    // previous two-consumer-of-`baskets` shape recomputing the
+    // collect_set ObjectHashAggregate once per consumer (AQE exchange
+    // reuse shares the repartition exchange BELOW it, but the
+    // aggregate above is not an exchange and ran twice — stages 3+4,
+    // 2.6 s + 7.6 s cold; a combined units+pairs Generate fared no
+    // better because the pb-IS-NULL group-key filter pushes through
+    // the aggregate and re-specializes the subtrees). The row_number
+    // window's clustering requirement is satisfied by the SAME
+    // hash(l_orderkey) exchange the basket aggregate reads — one
+    // shuffle feeds both — and replays the cap's "first MaxBasket
+    // sorted members per order" contract exactly, so frequencies and
+    // pairs stay mutually consistent.
+    val f = dpr
+      .withColumn("brn", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_partkey")))
+      .filter(col("brn") <= MaxBasket)
+      .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("fc"))
     // Every i<j combination (pa < pb by construction — the basket is
     // sorted) from ONE codegen'd array expression; no self-join of the
     // fact ever happens.
