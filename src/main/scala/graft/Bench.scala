@@ -8,6 +8,28 @@ import org.apache.spark.sql.SparkSession
   * the work and overstate throughput).
   */
 object Bench {
+  /** One timed execution: (seconds, succeeded). */
+  type Pass = (Double, Boolean)
+
+  /** Steady-state estimate: min across SUCCESSFUL passes; None when
+    * every pass failed (the query must read as red, never as a
+    * timing — a fail-fast duration would masquerade as a speedup). */
+  def minSuccessful(passes: Seq[Pass]): Option[Double] = {
+    val good = passes.filter(_._2).map(_._1)
+    if (good.nonEmpty) Some(good.min) else None
+  }
+
+  /** A query earns a tie-break pass when its successful passes
+    * DISAGREE by >1.5x: the full-suite noise is one-sided (a GC pause
+    * or deletion burst only ever ADDS time), so a wide spread means at
+    * least one pass was hit and the min may still be an unlucky draw.
+    * Agreement — fast or slow — needs no third opinion, and the 0.5 s
+    * floor skips sub-second queries no gate can see. */
+  def needsTieBreak(passes: Seq[Pass]): Boolean = {
+    val good = passes.filter(_._2).map(_._1)
+    good.size >= 2 && good.min >= 0.5 && good.max / good.min > 1.5
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -143,8 +165,7 @@ object Bench {
     val tieBreak =
       if (passes < 2) Seq.empty
       else selected.filter { case (name, _) =>
-        val good = byName(name).filter(_._3).map(_._2)
-        good.size >= 2 && good.min >= 0.5 && good.max / good.min > 1.5
+        needsTieBreak(byName(name).map(p => (p._2, p._3)))
       }.map { case (name, fn) =>
         val t0 = System.nanoTime()
         var ok = true
@@ -162,9 +183,8 @@ object Bench {
         s"noise-suspect queries: ${tieBreak.map(_._1).mkString(", ")}")
     val tieByName = tieBreak.groupBy(_._1)
     val results = allPasses.last.flatMap { case (name, _, _) =>
-      val good = (byName(name) ++ tieByName.getOrElse(name, Seq.empty))
-        .filter(_._3).map(_._2)
-      if (good.nonEmpty) Some(name -> good.min) else None
+      minSuccessful((byName(name) ++ tieByName.getOrElse(name, Seq.empty))
+        .map(p => (p._2, p._3))).map(name -> _)
     }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a
     // comma decimal separator would silently break the JSON contract.

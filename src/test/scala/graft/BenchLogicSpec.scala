@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's pass-summarization rules, pinned as pure
+  * functions: two of the round-11 review findings were silent
+  * estimator bugs in exactly this logic (last-pass-as-steady-state;
+  * fail-fast durations counted as timings), so the selection rules are
+  * now unit-tested instead of only exercised inside a 5-minute sweep.
+  */
+class BenchLogicSpec extends AnyFunSuite {
+
+  test("minSuccessful: min over successful passes only") {
+    assert(Bench.minSuccessful(Seq((2.0, true), (1.2, true))) === Some(1.2))
+    // a failed pass's fail-fast duration must never win
+    assert(Bench.minSuccessful(Seq((0.1, false), (1.2, true))) === Some(1.2))
+  }
+
+  test("minSuccessful: zero successful passes reports None, not a timing") {
+    assert(Bench.minSuccessful(Seq((0.1, false), (0.2, false))) === None)
+    assert(Bench.minSuccessful(Seq.empty) === None)
+  }
+
+  test("needsTieBreak: >1.5x disagreement between successful passes") {
+    assert(Bench.needsTieBreak(Seq((1.0, true), (1.6, true))))
+    // agreement — fast or slow — earns no extra pass
+    assert(!Bench.needsTieBreak(Seq((1.0, true), (1.4, true))))
+    assert(!Bench.needsTieBreak(Seq((6.0, true), (6.2, true))))
+  }
+
+  test("needsTieBreak: sub-0.5s queries and single-opinion runs are skipped") {
+    // below the floor no gate can see the difference
+    assert(!Bench.needsTieBreak(Seq((0.1, true), (0.4, true))))
+    // one successful pass has no second opinion to disagree with
+    assert(!Bench.needsTieBreak(Seq((1.0, true), (9.9, false))))
+    assert(!Bench.needsTieBreak(Seq((1.0, true))))
+  }
+
+  test("tie-break composes with minSuccessful: the extra pass can only lower") {
+    val base = Seq((5.0, true), (2.0, true))
+    assert(Bench.needsTieBreak(base))
+    assert(Bench.minSuccessful(base :+ ((1.8, true))) === Some(1.8))
+    // a failed tie-break pass leaves the original min standing
+    assert(Bench.minSuccessful(base :+ ((0.1, false))) === Some(2.0))
+  }
+}
