@@ -653,6 +653,69 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Gopher REPETITION gate (Rae et al. 2021 §A1.1, the
+    // character-weighted family): fraction of characters inside the
+    // most frequent word 2-gram, inside duplicated 5-grams, and inside
+    // repeated words — the signals that catch boilerplate/spam pages
+    // whose count-based cousins (text_repetition_stats) under-weight
+    // long repeated phrases. Contract pinned for the oracle: grams are
+    // U+0001-joined word windows (the separator keeps "ab c"/"a bc"
+    // distinct), a gram's character weight is its word characters only
+    // (length − (n−1) separators), the doc denominator is its
+    // space-stripped length, the top 2-gram breaks frequency ties by
+    // (char-weight, gram) via struct-max — replayed field-for-field in
+    // DuckDB — and dup fractions cap at 1.0 (overlapping occurrences
+    // can over-count characters). Scale shape: one Generate emits all
+    // three gram widths tagged, one (doc, n, gram) count with map-side
+    // partial aggregation, one per-doc conditional aggregate — Θ(corpus
+    // tokens) rows shuffled, no joins, no windows. Keep thresholds are
+    // Gopher's (top-2-gram ≤ 0.20, dup-5-gram ≤ 0.15), compared on
+    // ROUNDED values so the boolean cannot flip across engines; the
+    // length(text) > 0 gate matches the oracle's WHERE (the
+    // text_char_entropy empty-doc discipline).
+    "text_gopher_repetition" -> ((s, d) => {
+      val gramNs = Seq(1, 2, 5)
+      val emit = gramNs.map { n =>
+        when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => struct(lit(n).as("n"),
+              concat_ws("\u0001", slice(col("w"), i + lit(1), lit(n)))
+                .as("gm"))))
+          .otherwise(array().cast("array<struct<n:int,gm:string>>"))
+      }
+      // U.fan: the gram Generate + partial aggregate otherwise run at
+      // scan parallelism (one row group = one task at test SF).
+      val counts = U.fan(t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), split(col("text"), " ").as("w"),
+          U.lng(length(regexp_replace(col("text"), " ", ""))).as("dchars")))
+        .select(col("doc_id"), col("dchars"),
+          explode(concat(emit: _*)).as("g"))
+        .groupBy(col("doc_id"), col("dchars"),
+          col("g.n").as("n"), col("g.gm").as("gm"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("gl", U.lng(length(col("gm"))) - (col("n") - 1))
+      counts.groupBy("doc_id", "dchars")
+        .agg(
+          max(when(col("n") === 2,
+            struct(col("c"), col("gl"), col("gm")))).as("top2"),
+          sum(when(col("n") === 5 && col("c") >= 2, col("c") * col("gl"))
+            .otherwise(0L)).as("dup5"),
+          sum(when(col("n") === 1 && col("c") >= 2, col("c") * col("gl"))
+            .otherwise(0L)).as("dupw"))
+        .select(col("doc_id"),
+          U.round6(coalesce(
+            U.dbl(col("top2.c") * col("top2.gl")) / U.dbl(col("dchars")),
+            lit(0.0))).as("top2gram_frac"),
+          U.round6(least(lit(1.0),
+            U.dbl(col("dup5")) / U.dbl(col("dchars")))).as("dup5gram_frac"),
+          U.round6(least(lit(1.0),
+            U.dbl(col("dupw")) / U.dbl(col("dchars")))).as("dup_word_frac"))
+        .withColumn("keep",
+          col("top2gram_frac") <= 0.2 && col("dup5gram_frac") <= 0.15)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style hard quality GATE (Rae et al. 2021 §A1.1 adapted to
     // the synthetic corpus): word-count band, mean-word-length band, and
     // a minimum distinct-word ratio, conjoined into a keep flag. The
@@ -1784,6 +1847,45 @@ object TextOps {
         |        len(string_split(text, ' ')) * 1000000) / 1000000) > 0.2)
         |    AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Validated against a python mirror of the Spark contract over all
+    // sf0.01 docs before wiring (struct-max tie order replays
+    // field-for-field; chr(1) is the gram separator the Scala side
+    // spells "\u0001").
+    "text_gopher_repetition" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |         length(replace(text, ' ', '')) AS dchars
+        |  FROM documents WHERE length(text) > 0),
+        |g AS (
+        |  SELECT doc_id, dchars, ns.n,
+        |         unnest(list_transform(range(1, len(w) - ns.n + 2),
+        |                i -> array_to_string(w[i:i+ns.n-1], chr(1)))) AS gm
+        |  FROM d0 CROSS JOIN (VALUES (1), (2), (5)) ns(n)),
+        |c AS (
+        |  SELECT doc_id, dchars, n, gm, count(*) AS c,
+        |         length(gm) - (n - 1) AS gl
+        |  FROM g GROUP BY ALL),
+        |per AS (
+        |  SELECT doc_id, dchars,
+        |    max(CASE WHEN n = 2
+        |        THEN struct_pack(c := c, gl := gl, gm := gm) END) AS top2,
+        |    coalesce(sum(CASE WHEN n = 5 AND c >= 2 THEN c * gl END), 0)
+        |      AS dup5,
+        |    coalesce(sum(CASE WHEN n = 1 AND c >= 2 THEN c * gl END), 0)
+        |      AS dupw
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(coalesce(CAST(top2.c * top2.gl AS DOUBLE) / dchars, 0.0)
+        |        * 1000000) / 1000000 AS top2gram_frac,
+        |  round(least(1.0, CAST(dup5 AS DOUBLE) / dchars)
+        |        * 1000000) / 1000000 AS dup5gram_frac,
+        |  round(least(1.0, CAST(dupw AS DOUBLE) / dchars)
+        |        * 1000000) / 1000000 AS dup_word_frac,
+        |  (round(coalesce(CAST(top2.c * top2.gl AS DOUBLE) / dchars, 0.0)
+        |         * 1000000) / 1000000 <= 0.2
+        |   AND round(least(1.0, CAST(dup5 AS DOUBLE) / dchars)
+        |         * 1000000) / 1000000 <= 0.15) AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
     "sample_topk_hash_group" ->
       """SELECT doc_id, source, rn FROM (
         |  SELECT doc_id, source,

@@ -261,4 +261,31 @@ class TextOpsSpec extends SparkSpec {
     val byRank = got.sortBy(_._4).map(_._3)
     assert(byRank.toSeq === byRank.sorted.toSeq) // n_tokens ascending
   }
+  test("gopher repetition: hand-computed char fractions — alternating " +
+    "bigram saturates top2, repeated 5-gram saturates dup5, unique doc " +
+    "keeps, empty doc excluded, single-word doc has zero signals") {
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      // ab/ba alternation: top 2-gram "a b" occurs 3x, char weight 2,
+      // dchars 6 -> top2 = 1.0; every word repeats -> dup_word = 1.0
+      (1L, "a b a b a b"),
+      // 12 distinct 2-char words: every bigram unique (c=1, gl=4),
+      // dchars 24 -> top2 = 4/24 = 0.166667 <= 0.2 -> keep
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      // "p q r s t" twice: the 5-gram repeats (2 x 5 chars / 10) -> dup5
+      // caps at 1.0; top bigram c=2 gl=2 / 10 = 0.4
+      (3L, "p q r s t p q r s t"),
+      (4L, ""),      // excluded by the length(text) > 0 gate
+      (5L, "solo")   // no 2-/5-grams: all signals 0, keep
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.queries("text_gopher_repetition")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      (1L, 1.0, 0.0, 1.0, false),
+      (2L, 0.166667, 0.0, 0.0, true),
+      (3L, 0.4, 1.0, 1.0, false),
+      (5L, 0.0, 0.0, 0.0, true)))
+  }
 }
