@@ -20,14 +20,18 @@ object Bench {
   }
 
   /** A query earns a tie-break pass when its successful passes
-    * DISAGREE by >1.5x: the full-suite noise is one-sided (a GC pause
-    * or deletion burst only ever ADDS time), so a wide spread means at
-    * least one pass was hit and the min may still be an unlucky draw.
-    * Agreement — fast or slow — needs no third opinion, and the 0.5 s
-    * floor skips sub-second queries no gate can see. */
+    * DISAGREE by >1.5x AND >0.5 s absolute: the full-suite noise is
+    * one-sided (a GC pause or deletion burst only ever ADDS time), so
+    * a wide spread means at least one pass was hit and the min may
+    * still be an unlucky draw. Agreement — fast or slow — needs no
+    * third opinion; the 0.5 s min floor and the absolute-delta guard
+    * skip sub-second queries whose pass-1 codegen-compile overhead
+    * alone clears the ratio (the first full sweep re-ran 36 queries,
+    * mostly 0.5→0.9 s spreads no gate can see). */
   def needsTieBreak(passes: Seq[Pass]): Boolean = {
     val good = passes.filter(_._2).map(_._1)
-    good.size >= 2 && good.min >= 0.5 && good.max / good.min > 1.5
+    good.size >= 2 && good.min >= 0.5 &&
+      good.max / good.min > 1.5 && good.max - good.min > 0.5
   }
 
   def main(args: Array[String]): Unit = {

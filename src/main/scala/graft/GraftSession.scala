@@ -75,6 +75,24 @@ object GraftSession {
       // burst inside the untimed cleanup gap where it was triggered.
       .config("spark.cleaner.referenceTracking.blocking.shuffle",
         knob("SPARK_GRAFT_BLOCKING_SHUFFLE_CLEANUP", "true"))
+      // Status-store retention, capped: even with the UI off, the
+      // app/SQL status listeners process every task event and retain
+      // the last 1000 executions/jobs/stages WITH task metrics. In a
+      // many-query session that store is pure overhead that grows with
+      // position — measured on the 89-query bench prefix: the 90th
+      // query ran 4.25 s under default retention vs 3.11 s capped, and
+      // the prefix total dropped 87.8 → 71.2 s at the same heap (the
+      // round-12 position-dependence forensics, BASELINE.md). Capped
+      // low but nonzero so a dev attaching the UI to a live session
+      // still sees the current query.
+      .config("spark.sql.ui.retainedExecutions",
+        knob("SPARK_GRAFT_RETAINED_EXECUTIONS", "8"))
+      .config("spark.ui.retainedJobs",
+        knob("SPARK_GRAFT_RETAINED_JOBS", "32"))
+      .config("spark.ui.retainedStages",
+        knob("SPARK_GRAFT_RETAINED_STAGES", "64"))
+      .config("spark.ui.retainedTasks",
+        knob("SPARK_GRAFT_RETAINED_TASKS", "1000"))
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

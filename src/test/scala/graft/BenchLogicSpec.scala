@@ -21,11 +21,15 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.minSuccessful(Seq.empty) === None)
   }
 
-  test("needsTieBreak: >1.5x disagreement between successful passes") {
+  test("needsTieBreak: >1.5x AND >0.5s disagreement between successful " +
+    "passes") {
     assert(Bench.needsTieBreak(Seq((1.0, true), (1.6, true))))
     // agreement — fast or slow — earns no extra pass
     assert(!Bench.needsTieBreak(Seq((1.0, true), (1.4, true))))
     assert(!Bench.needsTieBreak(Seq((6.0, true), (6.2, true))))
+    // a wide RATIO with a small absolute spread is pass-1 codegen
+    // overhead on a short query, not a stall worth re-measuring
+    assert(!Bench.needsTieBreak(Seq((0.55, true), (0.95, true))))
   }
 
   test("needsTieBreak: sub-0.5s queries and single-opinion runs are skipped") {
