@@ -88,7 +88,13 @@ object Joins {
         (blockKeys.map(col) ++ payload.map(c => col(c).as(s"${c}_1"))): _*)
       val b = p.select(col(idCol).as("id2") +: col("nm").as("n2") +:
         (blockKeys.map(col) ++ payload.map(c => col(c).as(s"${c}_2"))): _*)
-      a.join(b, blockKeys).filter(col("id1") < col("id2"))
+      // U.fan on the streamed side: the broadcast join and everything
+      // downstream (the k-per-row pair emit, the Jaro-Winkler scoring)
+      // otherwise pipeline into the SCAN stage — one row group = one
+      // task at test SF (measured: the whole 1M-pair score ran
+      // single-task, 3 of the query's 3.7 s). The fan is a bounded
+      // pre-join shuffle of the n input rows, not the pair table.
+      U.fan(a).join(b, blockKeys).filter(col("id1") < col("id2"))
         .select(col("id1") +: col("id2") +: col("n1") +: col("n2") +:
           payload.flatMap(c =>
             Seq(col(s"${c}_1"), col(s"${c}_2"))): _*)
