@@ -79,8 +79,17 @@ object Market {
     // one order must count once.
     val dpr = dp.repartition(col("l_orderkey"))
       .dropDuplicates("l_orderkey", "l_partkey")
+    // collect_list, NOT collect_set, deliberately: the input is already
+    // deduped, and a duplicate-AGNOSTIC upper aggregate lets
+    // RemoveRedundantAggregates eliminate the dropDuplicates from this
+    // branch only — the two consumers' subtrees then diverge below the
+    // exchange and the scan+shuffle runs twice (observed in the r12
+    // plan dump). With the duplicate-sensitive list the dedup aggregate
+    // survives identically in both branches and one exchange feeds
+    // them; the cheap codegen'd dedup recomputes per branch, the scan
+    // and shuffle do not.
     val baskets = dpr.groupBy("l_orderkey")
-      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket)
+      .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, MaxBasket)
         .as("basket"))
       .select(col("basket"))
     // Part frequencies come off the PRE-basket rows, not a second pass
