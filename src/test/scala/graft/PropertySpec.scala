@@ -357,4 +357,44 @@ class PropertySpec extends SparkSpec {
         s"n=$n padA=$padA padB=$padB")
     }
   }
+  test("gopher repetition gate: Spark equals a direct Scala mirror on " +
+    "random small-vocab docs (char-weighted fracs, struct-max tie, " +
+    "rounded keep)") {
+    // Short repeated words from a 5-word vocab with varied lengths
+    // exercise every branch: saturated dups, ties in the top-2-gram
+    // struct-max (broken by char weight then gram bytes), sub-n docs,
+    // and the empty-doc exclusion.
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docGen = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab)))
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+    check(Gen.listOfN(40, docGen), n = 3) { docs =>
+      val tmp = java.nio.file.Files.createTempDirectory("repprop").toString
+      docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = graft.functions.TextOps
+        .queries("text_gopher_repetition")(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      val want = docs.zipWithIndex.filter(_._1.nonEmpty).map { case (ws, i) =>
+        val dchars = ws.map(_.length).sum.toDouble
+        def cnt(n: Int): Map[String, Int] =
+          (0 to ws.length - n).map(j => ws.slice(j, j + n).mkString("\u0001"))
+            .groupBy(identity).map { case (g, o) => (g, o.size) }
+        val c2 = cnt(2)
+        val top2 = if (c2.isEmpty) 0.0 else {
+          val (g, c) = c2.maxBy { case (g, c) => (c, g.length - 1, g) }
+          r6(c * (g.length - 1) / dchars)
+        }
+        def dup(n: Int): Double = r6(math.min(1.0,
+          cnt(n).collect { case (g, c) if c >= 2 =>
+            c.toDouble * (g.length - (n - 1)) }.sum / dchars))
+        val (d5, dw) = (dup(5), dup(1))
+        (i.toLong, top2, d5, dw, top2 <= 0.2 && d5 <= 0.15)
+      }
+      assert(got === want)
+    }
+  }
 }
