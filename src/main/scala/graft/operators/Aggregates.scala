@@ -709,6 +709,43 @@ object Aggregates {
             / (col("n_probe") - col("n_members"))).as("fp_rate"))
     }),
 
+    // Count-min sketch frequency estimation — the sketch family's
+    // point-query member (HLL = distinct, bloom = membership, CMS =
+    // frequency): d = 4 hash rows × w = 512 counters, estimate =
+    // min over rows of the probed cell, one-sided error by
+    // construction (n_cms ≥ n_true always — the report shows the
+    // overestimate per key against exact truth, the sketch-vs-truth
+    // readout that says whether a CMS pre-filter is worth shipping).
+    // Scale shape: per-key counts PRE-aggregate before the sketch
+    // explode (counters are additive, so map-side partials merge and
+    // the cell table is ≤ d·w rows regardless of corpus size —
+    // broadcast back to the probes); positions are integer md5-hex
+    // arithmetic (conv here, strpos in the oracle — the
+    // agg_bloom_membership discipline).
+    "agg_countmin_freq" -> ((s, d) => {
+      val rows = 4
+      val width = 512
+      def pos(key: Column, i: Int): Column =
+        conv(substring(md5(key.cast("string")), i * 3 + 1, 3), 16, 10)
+          .cast("int") % width
+      def withPos(df: DataFrame): DataFrame = df.select(
+        col("*"),
+        explode(array((0 until rows).map(i =>
+          struct(lit(i).as("r"), pos(col("user_id"), i).as("b"))): _*))
+          .as("rb"))
+        .select(col("user_id"), col("n_true"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+      val freq = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_true"))
+      val cells = withPos(freq)
+        .groupBy("r", "b").agg(sum(col("n_true")).as("c"))
+      withPos(freq).join(broadcast(cells), Seq("r", "b"))
+        .groupBy("user_id", "n_true").agg(min(col("c")).as("n_cms"))
+        .select(col("user_id"), col("n_true"), col("n_cms"),
+          (col("n_cms") - col("n_true")).as("err"))
+        .orderBy(col("n_true").desc, col("user_id")).limit(20)
+    }),
+
     // Exponentially time-decayed engagement score per user (30-day
     // half-life anchored at the corpus max event time) — the recency
     // weighting every retention/ranking feature store ships. Pure
@@ -976,6 +1013,16 @@ object Aggregates {
   /** One 12-bit bloom position from md5 hex chars [off+1 .. off+3] of
     * `h` — integer strpos arithmetic, the oracle twin of the engine's
     * `conv(substring(h, off+1, 3), 16, 10)`. */
+  /** 3-hex-char (12-bit) md5 position for the count-min oracle —
+    * bloomPosSql's arithmetic at CMS width 512. */
+  private def cmsPosSql(off: Int): String =
+    s"""((strpos('0123456789abcdef', substring(h, ${off + 1}, 1)) - 1)
+       |      * 256
+       |    + (strpos('0123456789abcdef', substring(h, ${off + 2}, 1))
+       |      - 1) * 16
+       |    + (strpos('0123456789abcdef', substring(h, ${off + 3}, 1))
+       |      - 1)) % 512""".stripMargin
+
   private def bloomPosSql(off: Int): String =
     s"""((strpos('0123456789abcdef', substring(h, ${off + 1}, 1)) - 1)
        |      * 256
@@ -1024,6 +1071,27 @@ object Aggregates {
          |    / (count(*) - SUM(CASE WHEN member THEN 1 ELSE 0 END))
          |    * 1000000) / 1000000 AS fp_rate
          |FROM fl""".stripMargin,
+    // Validated against a python mirror over all sf0.01 keys before
+    // wiring (parallel unnest zips the row index with its position).
+    "agg_countmin_freq" ->
+      s"""WITH f AS (
+         |  SELECT user_id, count(*) AS n_true,
+         |         md5(CAST(user_id AS VARCHAR)) AS h
+         |  FROM events GROUP BY user_id),
+         |pe AS (
+         |  SELECT user_id, n_true, unnest(range(0, 4)) AS r,
+         |         unnest([${cmsPosSql(0)}, ${cmsPosSql(3)},
+         |                 ${cmsPosSql(6)}, ${cmsPosSql(9)}]) AS b
+         |  FROM f),
+         |cells AS (
+         |  SELECT r, b, SUM(n_true) AS c FROM pe GROUP BY 1, 2),
+         |est AS (
+         |  SELECT p.user_id, p.n_true, min(c.c) AS n_cms
+         |  FROM pe p JOIN cells c ON p.r = c.r AND p.b = c.b
+         |  GROUP BY 1, 2)
+         |SELECT user_id, n_true, CAST(n_cms AS BIGINT) AS n_cms,
+         |  CAST(n_cms - n_true AS BIGINT) AS err
+         |FROM est ORDER BY n_true DESC, user_id LIMIT 20""".stripMargin,
     "agg_decay_sum" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, value

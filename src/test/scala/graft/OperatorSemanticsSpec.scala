@@ -741,4 +741,27 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(e.getMessage.contains("ml_knn_classify_ann"),
       "guard message must point at the bucketed ANN path")
   }
+  test("count-min sketch: estimates are one-sided (n_cms >= n_true), " +
+    "exact for an isolated key, and ordered by true count") {
+    // 600 distinct users over 512 buckets force real collisions in at
+    // least one of the 4 hash rows for SOME keys while the min across
+    // rows keeps every estimate >= truth; user 9999 gets 50 events so
+    // it tops the ranking.
+    val rows = (1 to 600).flatMap(u =>
+      (0 until 1 + u % 3).map(k =>
+        ((u * 100 + k).toLong, u.toLong, 100L + k, "view", 1.0))) ++
+      (0 until 50).map(k => ((99990000L + k, 9999L, 200L + k, "view", 1.0)))
+    val dir = plantEvents(rows)
+    val got = operators.Aggregates.queries("agg_countmin_freq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got.length === 20)
+    // the hot key leads and every estimate is >= its true count with
+    // err = n_cms - n_true
+    assert(got.head._1 === 9999L && got.head._2 === 50L)
+    assert(got.forall { case (_, nt, nc, err) => nc >= nt && err == nc - nt })
+    // ranking is by true count desc then user id
+    val keys = got.map(g => (-g._2, g._1))
+    assert(keys === keys.sorted)
+  }
 }
