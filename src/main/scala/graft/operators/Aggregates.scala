@@ -737,6 +737,12 @@ object Aggregates {
           col("rb.r").as("r"), col("rb.b").as("b"))
       val freq = t(s, d, "events").groupBy("user_id")
         .agg(count(lit(1)).as("n_true"))
+      // withPos(freq) appears in BOTH consumers, but the subtrees stay
+      // IDENTICAL below the per-key aggregate (no specializing filter,
+      // unlike the pre-fix copurchase shape), so runtime AQE exchange
+      // reuse shares the scan + user_id shuffle — verified in the r12
+      // stage profile: ONE scan stage; only the cheap final count +
+      // position explode recompute per consumer.
       val cells = withPos(freq)
         .groupBy("r", "b").agg(sum(col("n_true")).as("c"))
       withPos(freq).join(broadcast(cells), Seq("r", "b"))

@@ -341,7 +341,9 @@ object Joins {
     // every candidate with its evidence flags, canonical (lo, hi) ids.
     "join_er_sorted_neighborhood" -> ((s, d) => {
       graft.plans.JaroWinkler.register(s)
-      val w = 10
+      // the ONE width shared with the above-cap ER auto-route
+      // (erCandidatePairs) — widening the window must move both paths
+      val w = SnWidth
       val p0 = t(s, d, "part")
         .select(col("p_partkey"), lower(col("p_name")).as("nm"),
           col("p_type"), col("p_size"), col("p_retailprice"))

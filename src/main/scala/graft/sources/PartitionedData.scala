@@ -78,7 +78,16 @@ object PartitionedData {
     val prefix = s"${kind}_${dirTag(d)}_"
     val name = f"$prefix$sig%016x"
     val out = base.resolve(name)
-    if (!ready(out)) {
+    // In-place builds can span SEVERAL manifest commits (base write +
+    // upsert / appends + compact), so `versions.nonEmpty` alone would
+    // accept a build that crashed between commits. The marker file is
+    // written strictly AFTER `write` returns; in-place readiness
+    // requires both. (Rename-published layouts need no marker — the
+    // atomic move IS the completion signal.)
+    val marker = out.resolve("_GRAFT_COMPLETE")
+    val isReady = ready(out) &&
+      (!inPlace || java.nio.file.Files.exists(marker))
+    if (!isReady) {
       // stale generations would otherwise accumulate a full table copy
       // per testdata regeneration — drop same-source siblings (other
       // sigs AND leftover tmp dirs of crashed builds)
@@ -86,10 +95,29 @@ object PartitionedData {
         val s = java.nio.file.Files.list(base)
         try {
           val it = s.iterator()
+          val liveTmp = """.*\.tmp-(\d+)$""".r
+          // legacy (pre-SHA-256) tags were 32-bit hashCode hex, ≤ 8
+          // chars — a length the new 16-hex tag can never produce;
+          // sweeping them here keeps an upgraded machine from carrying
+          // an orphaned full copy of every layout forever
+          val legacy = ("^" + java.util.regex.Pattern.quote(kind)
+            + "_[0-9a-f]{1,8}_.*").r
           while (it.hasNext) {
             val p = it.next()
             val n = p.getFileName.toString
-            if (n.startsWith(prefix) && n != name) deleteRecursively(p)
+            val isLiveBuilder = n match {
+              // a CONCURRENT process's in-flight .tmp-<pid> build is
+              // NOT a crashed leftover — deleting it under the builder
+              // fails its write tasks mid-flight
+              case liveTmp(pid) =>
+                pid.toLongOption.exists(q =>
+                  q != java.lang.ProcessHandle.current().pid() &&
+                    java.lang.ProcessHandle.of(q).isPresent)
+              case _ => false
+            }
+            if (!isLiveBuilder && n != name &&
+                (n.startsWith(prefix) || legacy.matches(n)))
+              deleteRecursively(p)
           }
         } finally s.close()
       }
@@ -97,6 +125,7 @@ object PartitionedData {
       if (inPlace) {
         deleteRecursively(out) // a not-ready partial build is garbage
         write(out)
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
       } else {
         val tmp = base.resolve(
           s"$name.tmp-${java.lang.ProcessHandle.current().pid()}")
@@ -105,12 +134,17 @@ object PartitionedData {
         // publish atomically; if a concurrent build won the race, keep
         // the winner and drop our duplicate (contents are deterministic
         // functions of (source dir, sig) — either copy is correct)
+        // a lost race surfaces differently per OS/filesystem:
+        // FileAlreadyExists, AccessDenied (Windows), or
+        // DirectoryNotEmpty (Linux rename(2) ENOTEMPTY onto the
+        // winner's non-empty dir) — all subtypes of
+        // FileSystemException. Adopt the winner only if its copy is
+        // actually READY; any other move failure must surface.
         try java.nio.file.Files.move(tmp, out,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.AccessDeniedException =>
-            deleteRecursively(tmp)
+          case e: java.nio.file.FileSystemException =>
+            if (ready(out)) deleteRecursively(tmp) else throw e
         }
       }
     }
