@@ -37,6 +37,11 @@ object PartitionedData {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
 
+  /** Test hook: drop the in-process path memo so a spec can exercise
+    * the on-disk readiness probe (crash-recovery paths start from a
+    * fresh JVM, where the memo is empty by construction). */
+  private[graft] def dropMemoForTests(): Unit = memo.clear()
+
   /** Change-detection signature of a source table (shared
     * [[graft.U.dirSignature]] semantics — regenerated testdata
     * re-materializes the layout). */
