@@ -11,6 +11,15 @@ object Bench {
   /** One timed execution: (seconds, succeeded). */
   type Pass = (Double, Boolean)
 
+  /** One timed execution with self-attribution (VERDICT r12 item 1):
+    * wall seconds plus where they went — GC ms and executor task-time
+    * ms landing inside the timed window, and any [[Attrib]] notes the
+    * operators recorded (e.g. which guarded fast path ran). The min
+    * pass's attribution is what the JSON reports: it describes the
+    * number the gate actually reads. */
+  final case class PassRec(sec: Double, ok: Boolean, gcMs: Long,
+      taskMs: Long, tasks: Long, notes: Seq[(String, String)])
+
   /** Steady-state estimate: min across SUCCESSFUL passes; None when
     * every pass failed (the query must read as red, never as a
     * timing — a fail-fast duration would masquerade as a speedup). */
@@ -37,9 +46,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Bench-start sentinel BEFORE the session spins up: other live
+    // graft/sbt/spark JVMs mean the box is shared and every number in
+    // this run is suspect — recorded in the JSON so a divergent round
+    // artifact names its own contamination instead of leaving a
+    // three-round mystery (the r10-r12 copurchase driver-tail saga).
+    val jvmSentinel = BenchMetrics.concurrentJvms()
+    if (jvmSentinel.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: concurrent JVMs at start: ${jvmSentinel.mkString("; ")}")
     // Session semantics centralized in GraftSession (incl. the AQE
     // coalesce floor that keeps tiny test-SF stages parallel).
     val spark = GraftSession.local(cpus)
+    BenchMetrics.install(spark)
     // JIT/IO warmup on untimed toy plans so per-query numbers reflect
     // steady-state execution, not first-run classloading: the JSON-path
     // machinery, WindowExec, the join execs, HashAggregate, Generate, and
@@ -113,22 +132,33 @@ object Bench {
     // full-suite A/B at sf0.1 (isolated 273.5 s vs contaminated
     // 310.6 s) shows the cleanup also wins on total.
     val isolate = !sys.env.get("SPARK_GRAFT_ISOLATE").contains("0")
-    val allPasses = (1 to passes).map { _ =>
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        var ok = true
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          ok = false
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (isolate) {
-          spark.catalog.clearCache()
-          System.gc() // lets the ContextCleaner reap dead shuffles
-        }
-        (name, dt, ok)
+    // One timed execution with attribution: GC/task-time counters are
+    // snapshotted around the timed window (the listener bus is drained
+    // inside snapshot() so task-end events attribute to THIS query);
+    // Attrib notes are drained before AND after — before, so a previous
+    // non-bench code path can't bleed notes in; after, to collect them.
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tag: String): PassRec = {
+      Attrib.drain()
+      val (gc0, tm0, tc0) = BenchMetrics.snapshot(spark)
+      val t0 = System.nanoTime()
+      var ok = true
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        ok = false
+        System.err.println(s"[bench] $name$tag failed: ${e.getMessage}")
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (gc1, tm1, tc1) = BenchMetrics.snapshot(spark)
+      val notes = Attrib.drain()
+      if (isolate) {
+        spark.catalog.clearCache()
+        System.gc() // lets the ContextCleaner reap dead shuffles
+      }
+      PassRec(dt, ok, gc1 - gc0, tm1 - tm0, tc1 - tc0, notes)
+    }
+    val allPasses = (1 to passes).map { _ =>
+      selected.map { case (name, fn) => (name, runOne(name, fn, "")) }
     }
     // Per-query time = MIN across SUCCESSFUL passes (for passes >= 2),
     // not the last pass: back-to-back identical full sweeps measured a
@@ -150,7 +180,7 @@ object Bench {
     // degrades to the single cold pass unchanged.
     val byName = allPasses.flatten.groupBy(_._1)
     val failed = selected.map(_._1)
-      .filter(n => !byName(n).exists(_._3)).sorted
+      .filter(n => !byName(n).exists(_._2.ok)).sorted
     // Tie-break pass for noise-hit queries: the round-11 forensics
     // pinned per-query full-suite times as heavy-tailed (8 of 347
     // queries at 2.5-4.7x between identical sweeps, a different set
@@ -169,35 +199,42 @@ object Bench {
     val tieBreak =
       if (passes < 2) Seq.empty
       else selected.filter { case (name, _) =>
-        needsTieBreak(byName(name).map(p => (p._2, p._3)))
-      }.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        var ok = true
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          ok = false
-          System.err.println(s"[bench] $name tie-break failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (isolate) { spark.catalog.clearCache(); System.gc() }
-        (name, dt, ok)
-      }
+        needsTieBreak(byName(name).map(p => (p._2.sec, p._2.ok)))
+      }.map { case (name, fn) => (name, runOne(name, fn, " tie-break")) }
     if (tieBreak.nonEmpty)
       System.err.println(s"[bench] tie-break pass over ${tieBreak.size} " +
         s"noise-suspect queries: ${tieBreak.map(_._1).mkString(", ")}")
     val tieByName = tieBreak.groupBy(_._1)
-    val results = allPasses.last.flatMap { case (name, _, _) =>
-      minSuccessful((byName(name) ++ tieByName.getOrElse(name, Seq.empty))
-        .map(p => (p._2, p._3))).map(name -> _)
+    // Per-query record = the MIN successful pass's PassRec, so the
+    // attribution in the JSON describes the exact number the gates read.
+    val results = allPasses.last.flatMap { case (name, _) =>
+      val recs = (byName(name) ++ tieByName.getOrElse(name, Seq.empty))
+        .map(_._2).filter(_.ok)
+      if (recs.isEmpty) None else Some(name -> recs.minBy(_.sec))
     }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a
     // comma decimal separator would silently break the JSON contract.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def qsJson(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def qsJson(entries: Seq[(String, PassRec)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v.sec) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Attribution object, one entry per query: GC ms + executor task-time
+    // ms inside the min pass's timed window, plus operator Attrib notes
+    // (e.g. "resolve_path":"driver"). Numeric note values stay bare.
+    def attribJson(entries: Seq[(String, PassRec)]): String =
+      entries.map { case (k, r) =>
+        val notes = r.notes.map { case (nk, nv) =>
+          val v = if (nv.matches("""-?\d+(\.\d+)?""")) nv else jstr(nv)
+          "\"" + nk + "\":" + v
+        }
+        "\"" + k + "\":" + (Seq(
+          s""""gc_ms":${r.gcMs}""", s""""task_ms":${r.taskMs}""",
+          s""""tasks":${r.tasks}""") ++ notes).mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
     // sf is numeric when the dir follows the .../sfN.N convention; quote
     // anything else so the output line stays valid JSON.
     val sfRaw = sfDir.replaceAll(".*sf", "")
@@ -207,11 +244,20 @@ object Bench {
     // green) so gate/compare scripts can distinguish "not in this run"
     // from "ran and broke" — consumers must treat entries here as RED.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def mkLine(entries: Seq[(String, Double)]): String =
+    // "tiebreak" (ADVICE r12): which queries received a third sample —
+    // round-over-round compare scripts can now tell a 2-sample min from
+    // a 3-sample one without parsing stderr.
+    val tiebreakJson = tieBreak.map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sentinelJson = jvmSentinel.map(jstr).mkString("[", ",", "]")
+    def mkLine(entries: Seq[(String, PassRec)], attrib: Boolean): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
-        s""""queries":${qsJson(entries)},"sf":$sf}"""
-    val fullLine = mkLine(results)
+        s""""tiebreak":$tiebreakJson,"concurrent_jvms":$sentinelJson,""" +
+        s""""queries":${qsJson(entries)},""" +
+        (if (attrib) s""""attrib":${attribJson(entries)},""" else "") +
+        s""""sf":$sf}"""
+    val fullLine = mkLine(results, attrib = true)
     // Persist the full per-query JSON to a file FIRST: stdout goes through
     // the driver's log-tail capture, which keeps only the last ~2000 chars —
     // a file keeps every per-query number on record for round-over-round
@@ -265,14 +311,16 @@ object Bench {
     val line =
       if (fullLine.length <= budget) fullLine
       else {
-        val byCost = results.sortBy(-_._2)
+        // stdout fallback omits attrib (it lives in the full file) and
+        // keeps only the slowest queries up to the tail-capture budget
+        val byCost = results.sortBy(-_._2.sec)
         // fixed overhead of the non-queries fields + the "full" pointer
-        var used = mkLine(Nil).length + fullPtr.length + 1
+        var used = mkLine(Nil, attrib = false).length + fullPtr.length + 1
         val kept = byCost.takeWhile { case (k, v) =>
           val cost = k.length + 10 // "name":12.345,
           if (used + cost <= budget) { used += cost; true } else false
         }
-        mkLine(kept.sortBy(_._1)).dropRight(1) + fullPtr
+        mkLine(kept.sortBy(_._1), attrib = false).dropRight(1) + fullPtr
       }
     println(line)
     spark.stop()

@@ -1,0 +1,98 @@
+// Shim in the Spark namespace: listenerBus/waitUntilEmpty are
+// private[spark], and draining the async listener bus is the only way to
+// attribute task metrics to the query whose timed window just closed
+// (task-end events post asynchronously; without a drain the last tasks'
+// executorRunTime would bleed into the NEXT query's delta).
+package org.apache.spark {
+  object GraftBusDrain {
+    def drain(sc: SparkContext): Unit =
+      try sc.listenerBus.waitUntilEmpty(10000L)
+      catch { case _: Throwable => () }
+  }
+}
+
+package graft {
+
+  import java.lang.management.ManagementFactory
+  import java.util.concurrent.atomic.AtomicLong
+  import scala.jdk.CollectionConverters._
+
+  import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+  import org.apache.spark.sql.SparkSession
+
+  /** Bench self-attribution (VERDICT r12 item 1): the per-query wall time
+    * alone could not explain four rounds of driver-tail divergence
+    * (copurchase 7.03 s under the driver vs 3.13 s in the same-HEAD record
+    * sweep), because nothing recorded WHERE the extra seconds went. This
+    * collector snapshots, per timed window:
+    *
+    *  - `gc_ms`: JVM-wide GC time delta (all collector beans — in
+    *    local[n] driver and executors share the JVM, so this is total GC
+    *    landing inside the window);
+    *  - `task_ms`: sum of executor task run time over tasks that ENDED in
+    *    the window (listener-bus drained first, so the sum is the
+    *    query's own tasks) — wall time far above task_ms/cores + gc means
+    *    the stall was NOT Spark work (scheduler gap, external load);
+    *  - a bench-start sentinel listing concurrent graft/sbt/spark JVMs
+    *    (the stray-duplicate-sweep failure mode that contaminated the
+    *    round-12 close: a "dead" background ritual still timing queries).
+    */
+  object BenchMetrics {
+    private val taskMs = new AtomicLong(0L)
+    private val taskCount = new AtomicLong(0L)
+
+    private final class L extends SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          taskCount.incrementAndGet()
+        }
+      }
+    }
+
+    def install(spark: SparkSession): Unit =
+      spark.sparkContext.addSparkListener(new L)
+
+    /** (gcMs, taskMs, tasks) counters; diff two snapshots for a window. */
+    def snapshot(spark: SparkSession): (Long, Long, Long) = {
+      org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
+      val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+      (gc, taskMs.get(), taskCount.get())
+    }
+
+    /** Other live graft/sbt/spark JVMs at bench start, excluding this
+      * process and its ancestor chain (the sbt that launched us). Each
+      * entry: "pid:cmd-snippet". A non-empty list means the box was NOT
+      * exclusively ours and every number in the run is suspect. */
+    def concurrentJvms(): Seq[String] = {
+      try {
+        val self = ProcessHandle.current()
+        val ancestors = Iterator.iterate(Option(self)) {
+          _.flatMap(p => p.parent().asScala())
+        }.takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+        ProcessHandle.allProcesses().iterator().asScala
+          .filterNot(p => ancestors.contains(p.pid()))
+          .flatMap { p =>
+            p.info().commandLine().asScala()
+              .filter { c =>
+                (c.contains("java") || c.contains("sbt")) &&
+                  (c.contains("graft") || c.contains("sbt-launch") ||
+                    c.contains("spark"))
+              }
+              .map { c =>
+                val snip = c.replaceAll("\\s+", " ").trim
+                s"${p.pid()}:${snip.substring(0, math.min(snip.length, 80))}"
+              }
+          }.toSeq
+      } catch { case _: Throwable => Seq.empty }
+    }
+
+    /** java.util.Optional → Option without requiring scala 2.13.11+
+      * OptionConverters import noise at every call site. */
+    private implicit final class OptOps[T](private val o: java.util.Optional[T]) {
+      def asScala(): Option[T] = if (o.isPresent) Some(o.get) else None
+    }
+  }
+}

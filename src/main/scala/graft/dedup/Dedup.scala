@@ -265,6 +265,10 @@ object Dedup {
         }
         val resolved = rows.map(r => (r.getLong(0), chase(r.getLong(1))))
         lastResolveIters = 0
+        // bench attribution: which guarded path produced the number
+        // (the r12 sf1 doubling was unattributable without this)
+        graft.Attrib.note("resolve_path", "driver")
+        graft.Attrib.note("resolve_rows", nRows)
         import spark.implicits._
         val idT = pts.schema("id").dataType
         val rtT = pts.schema("root").dataType
@@ -302,6 +306,9 @@ object Dedup {
         "(cycle, forward pointer, or raise maxIters)"
     }
     lastResolveIters = iters
+    graft.Attrib.note("resolve_path", "distributed")
+    graft.Attrib.note("resolve_rows", nRows)
+    graft.Attrib.note("resolve_iters", iters.toLong)
     out
   }
 
@@ -412,6 +419,8 @@ object Dedup {
         val stars = nodes.asScala.iterator.map(n => (n.longValue, find(n)))
           .filter(p => p._1 != p._2).toSeq
         lastCcIters = 0
+        graft.Attrib.note("cc_path", "driver")
+        graft.Attrib.note("cc_edges", initSig._1)
         import spark.implicits._
         val aT = ce.schema("a").dataType
         val bT = ce.schema("b").dataType
@@ -466,6 +475,9 @@ object Dedup {
       s"connectedComponents did not converge in $n rounds"
     }
     lastCcIters = iters
+    graft.Attrib.note("cc_path", "distributed")
+    graft.Attrib.note("cc_edges", initSig._1)
+    graft.Attrib.note("cc_iters", iters.toLong)
     out
   }
 
