@@ -685,8 +685,13 @@ object TextOps {
       }
       // U.fan: the gram Generate + partial aggregate otherwise run at
       // scan parallelism (one row group = one task at test SF).
+      // Gate on non-space chars, not raw length (ADVICE r12): a doc of
+      // ONLY spaces has dchars=0, and the fraction denominators diverge
+      // between engines at /0 (Spark non-ANSI → NULL → coalesce 0.0;
+      // DuckDB IEEE → NaN). Such a doc carries no repetition signal, so
+      // both engines exclude it at the source.
       val counts = U.fan(t(s, d, "documents")
-        .filter(length(col("text")) > 0)
+        .filter(length(regexp_replace(col("text"), " ", "")) > 0)
         .select(col("doc_id"), split(col("text"), " ").as("w"),
           U.lng(length(regexp_replace(col("text"), " ", ""))).as("dchars")))
         .select(col("doc_id"), col("dchars"),
@@ -1855,7 +1860,7 @@ object TextOps {
       """WITH d0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
         |         length(replace(text, ' ', '')) AS dchars
-        |  FROM documents WHERE length(text) > 0),
+        |  FROM documents WHERE length(replace(text, ' ', '')) > 0),
         |g AS (
         |  SELECT doc_id, dchars, ns.n,
         |         unnest(list_transform(range(1, len(w) - ns.n + 2),

@@ -113,11 +113,33 @@ object PartitionedData {
             val isLiveBuilder = n match {
               // a CONCURRENT process's in-flight .tmp-<pid> build is
               // NOT a crashed leftover — deleting it under the builder
-              // fails its write tasks mid-flight
+              // fails its write tasks mid-flight. Liveness is pid
+              // presence AND plausibility (ADVICE r12: after OS pid
+              // reuse, a crashed builder's tmp would otherwise be
+              // spared forever): the claimed builder must have STARTED
+              // before the tmp's last write (a later-started process
+              // cannot have produced it), and a tmp idle past a
+              // generous age bound is dead regardless — real builds
+              // write continuously and finish in minutes.
               case liveTmp(pid) =>
-                pid.toLongOption.exists(q =>
-                  q != java.lang.ProcessHandle.current().pid() &&
-                    java.lang.ProcessHandle.of(q).isPresent)
+                pid.toLongOption.exists { q =>
+                  q != java.lang.ProcessHandle.current().pid() && {
+                    val h = java.lang.ProcessHandle.of(q)
+                    h.isPresent && {
+                      val mtime =
+                        try java.nio.file.Files.getLastModifiedTime(p)
+                          .toInstant
+                        catch { case _: java.io.IOException =>
+                          java.time.Instant.EPOCH }
+                      val started = h.get.info().startInstant()
+                      val startsBeforeWrite = !started.isPresent ||
+                        !started.get.isAfter(mtime)
+                      val idleMs = java.time.Duration
+                        .between(mtime, java.time.Instant.now()).toMillis
+                      startsBeforeWrite && idleMs < 6L * 3600 * 1000
+                    }
+                  }
+                }
               case _ => false
             }
             if (!isLiveBuilder && n != name &&

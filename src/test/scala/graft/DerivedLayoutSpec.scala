@@ -40,8 +40,23 @@ class DerivedLayoutSpec extends SparkSpec {
     val legacy = mkdir("orders_merged_ab_stalegen")
     // crashed builder's tmp (pid 999999999 does not exist)
     val dead = mkdir("orders_merged_ab_x.tmp-999999999")
-    // concurrent builder's tmp (pid 1 is init — always alive)
-    val live = mkdir("orders_merged_ab_y.tmp-1")
+    // concurrent builder's tmp, impersonated by a pid that is VISIBLE,
+    // ALIVE, and OLDER than the tmp dir: our own parent (the sbt/test
+    // JVM launcher). PID 1 (ADVICE r12) may be invisible under PID
+    // namespaces with restricted /proc, and our own pid is excluded by
+    // design (a same-pid leftover is by definition from a dead prior
+    // process). Skip the liveness assertion if no parent is visible.
+    val parentPid = java.lang.ProcessHandle.current().parent()
+      .map[java.lang.Long](p => java.lang.Long.valueOf(p.pid()))
+    val live = parentPid.map[java.nio.file.Path](pp =>
+      mkdir(s"orders_merged_ab_y.tmp-$pp"))
+    // a tmp claiming a live pid that STARTED AFTER the tmp's last write
+    // cannot belong to that process (OS pid reuse): backdate an
+    // impersonated tmp far before every live process's start
+    val reused = mkdir("orders_merged_ab_z.tmp-" +
+      parentPid.orElse(java.lang.Long.valueOf(999999998L)))
+    java.nio.file.Files.setLastModifiedTime(reused,
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
     // first access builds the layout and runs the sweep
     val out = java.nio.file.Paths.get(
       sources.PartitionedData.ordersMergedManifestTable(spark, d))
@@ -50,11 +65,15 @@ class DerivedLayoutSpec extends SparkSpec {
       "legacy-tag generation must be swept")
     assert(!java.nio.file.Files.exists(dead),
       "dead builder's tmp must be swept")
-    assert(java.nio.file.Files.exists(live),
-      "LIVE builder's tmp must survive the sweep")
-    // clean the fake live tmp so it doesn't linger for real runs
-    java.nio.file.Files.delete(live.resolve("payload"))
-    java.nio.file.Files.delete(live)
+    assert(!java.nio.file.Files.exists(reused),
+      "a pre-pid-start (reused-pid) tmp must be swept")
+    if (live.isPresent) {
+      assert(java.nio.file.Files.exists(live.get),
+        "LIVE builder's tmp must survive the sweep")
+      // clean the fake live tmp so it doesn't linger for real runs
+      java.nio.file.Files.delete(live.get.resolve("payload"))
+      java.nio.file.Files.delete(live.get)
+    }
   }
 
   test("in-place readiness: a build that crashed between manifest " +

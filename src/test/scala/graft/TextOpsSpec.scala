@@ -275,8 +275,12 @@ class TextOpsSpec extends SparkSpec {
       // "p q r s t" twice: the 5-gram repeats (2 x 5 chars / 10) -> dup5
       // caps at 1.0; top bigram c=2 gl=2 / 10 = 0.4
       (3L, "p q r s t p q r s t"),
-      (4L, ""),      // excluded by the length(text) > 0 gate
-      (5L, "solo")   // no 2-/5-grams: all signals 0, keep
+      (4L, ""),      // excluded by the dchars > 0 gate
+      (5L, "solo"),  // no 2-/5-grams: all signals 0, keep
+      // ADVICE r12: spaces-only doc has dchars=0 — must be excluded by
+      // the gate, not emit engine-divergent /0 fractions (Spark NULL →
+      // 0.0 vs DuckDB NaN)
+      (6L, "   ")
     ).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = TextOps.queries("text_gopher_repetition")(spark, tmp)

@@ -45,6 +45,22 @@ SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   SPARK_GRAFT_BENCH_TAG="${ROUND}_record" \
   bash tools/run_bench.sh | tail -1
+# the record sweep's own failed array must be empty: a fail-fast timing
+# would otherwise ride into the round record as a phantom speedup
+python3 - "bench/bench_${ROUND}_record.json" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+failed = d.get("failed", [])
+if failed:
+    print(f"RECORD SWEEP RED — failed queries: {', '.join(failed)}")
+    sys.exit(1)
+jvms = d.get("concurrent_jvms", [])
+if jvms:
+    print(f"RECORD SWEEP RED — concurrent JVMs contaminated the run: {jvms}")
+    sys.exit(1)
+print(f"record sweep: failed=[] concurrent_jvms=[] ok "
+      f"({d['n_queries']} queries, {d['value']}s)")
+EOF
 
 echo "== 4/5 sf1 headline set (pinned cross-round gate)"
 if [ ! -d target/testdata/sf1 ]; then
@@ -83,6 +99,7 @@ if failed - set(old):
     print("SF1 HEADLINE GATE RED — new headline queries failed: "
           f"{', '.join(sorted(failed - set(old)))}")
     sys.exit(1)
+print("sf1 headline: failed=[] ok — no fail-fast rides into the median")
 common = sorted(set(old) & set(new))
 med = statistics.median(new[k] / max(old[k], 1e-9) for k in common)
 print(f"sf1 headline median per-query ratio vs {sys.argv[1]}: {med:.3f} "
@@ -93,6 +110,16 @@ if med > 1.2:
 EOF
 else
   echo "no prior sf1 headline file — recording baseline for next round"
+  # even a baseline recording must not contain fail-fasts
+  python3 - "bench/bench_${ROUND}_headline_sf1.json" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+failed = d.get("failed", [])
+if failed:
+    print("SF1 HEADLINE GATE RED — failed queries: " + ", ".join(failed))
+    sys.exit(1)
+print("sf1 headline: failed=[] ok")
+EOF
 fi
 
 echo "== 5/5 PLANS.md"
