@@ -354,4 +354,26 @@ class SimilaritySpec extends SparkSpec {
       assert(got === adaptiveNBits(n), s"n=$n")
     }
   }
+
+  test("index eval panel: one row per variant, metrics in [0,1], exact " +
+    "ranking dominates ADC on the identical candidate set") {
+    val rows = Similarity.evalIndexPanel(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rows.keySet === Set("ivf", "ivf_pq", "ivf_pq_residual",
+      "lsh4", "pq"))
+    rows.foreach { case (name, (rec, ndcg)) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"$name recall=$rec")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"$name ndcg=$ndcg")
+    }
+    // IVF and IVF-PQ rank the SAME probed candidate set; exact-cosine
+    // ranking is the optimal selection of ground-truth members from any
+    // candidate pool (a candidate outranking a gt member by exact score
+    // is itself in gt), so ADC scoring can never beat it
+    assert(rows("ivf")._1 >= rows("ivf_pq")._1)
+    assert(rows("ivf")._1 >= rows("ivf_pq_residual")._1)
+    // the panel must actually find signal: exact-within-probes recall
+    // on this corpus is high (0.87 at sf0.01's draw)
+    assert(rows("ivf")._1 > 0.5)
+  }
 }
