@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Market.queries ++
       operators.Stats.queries ++
       operators.Resample.queries ++
+      sources.Discovery.queries ++
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       functions.Bpe.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.Market.oracles ++
       operators.Stats.oracles ++
       operators.Resample.oracles ++
+      sources.Discovery.oracles ++
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++

@@ -133,4 +133,30 @@ class MarketSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(3)))
     assert(smallRows.toSeq === Seq((20L, 1.0)))
   }
+
+  test("coPurchaseTopK support thresholds: pruned parts vanish, " +
+    "survivors keep pre-prune frequencies; defaults reproduce the " +
+    "unpruned result") {
+    // part 100 in 3 baskets (the hub), 200 in 2, 300 in 1 (the tail)
+    val dp = Seq((1L, 100L), (1L, 200L), (1L, 300L),
+      (2L, 100L), (2L, 200L), (3L, 100L)).toDF("l_orderkey", "l_partkey")
+    // floor 2 prunes part 300; cap MaxValue keeps the rest
+    val floored = Market.coPurchaseTopK(dp, k = 3, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // only the 100↔200 edge survives, cosine n/√(f100·f200) = 2/√6 with
+    // the TRUE f(100)=3 — not a recomputed post-prune frequency
+    assert(floored.toSeq.sorted == Seq(
+      (100L, 200L, 2L, 0.816497), (200L, 100L, 2L, 0.816497)))
+    // ceiling 2 prunes the hub 100; remaining basket-mates 200/300
+    val capped = Market.coPurchaseTopK(dp, k = 3, maxSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq.sorted == Seq((200L, 300L), (300L, 200L)))
+    // defaults: byte-identical to the unpruned call
+    val a = Market.coPurchaseTopK(dp, k = 3).orderBy("p_src", "rnk")
+      .collect().toSeq
+    val b = Market.coPurchaseTopK(dp, k = 3, 1L, Long.MaxValue)
+      .orderBy("p_src", "rnk").collect().toSeq
+    assert(a == b)
+  }
 }
