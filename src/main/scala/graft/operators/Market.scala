@@ -62,20 +62,20 @@ object Market {
   /** Optional support-threshold pruning (VERDICT r12 item 4): pair
     * volume grows with co-purchase density² (sf2 measured 2.45 at the
     * doubling, a 288 MB pair table), and the standard market-basket
-    * cure is a frequency floor/ceiling on the ITEMS before pair
-    * generation — drop parts below `minSupport` (tail items whose pairs
-    * are statistical noise) or above `maxSupport` (hub items that
-    * co-occur with everything and contribute support² pairs each). The
-    * filter runs on the capped per-order rows BEFORE any fan-out (an
-    * equi-join against the eligible-part aggregate — broadcast when the
-    * eligible set is small, keyed shuffle linear in the fact
-    * otherwise), so pruned parts never generate pairs at all.
-    * Surviving pairs keep their TRUE frequencies in the cosine (fc is
-    * computed before pruning — the same rows the unpruned query
-    * counts), so enabling thresholds only removes rows, never rescores
-    * one. Defaults (1, MaxValue) compile to the exact pre-r13 plan —
-    * TPC-H results byte-identical. The oracle replays the same
-    * window-cap + eligibility filter as contract. */
+    * cure is a frequency floor/ceiling on the ITEMS — drop parts below
+    * `minSupport` (tail items whose pairs are statistical noise) or
+    * above `maxSupport` (hub items that co-occur with everything and
+    * contribute support² pairs each). A pair survives iff BOTH
+    * endpoints are in-band, so each threshold runs where its cost
+    * model says (see the inline note): the ceiling pre-prunes the
+    * basket arrays via a broadcast hub list (the quadratic saving),
+    * the floor post-filters the scored pair table (tail emission is
+    * linear — nothing to save upstream). Surviving pairs keep their
+    * TRUE frequencies in the cosine (fc counts the capped universe
+    * before pruning), so enabling thresholds only removes rows, never
+    * rescores one. Defaults (1, MaxValue) compile to the exact
+    * pre-r13 plan — TPC-H results byte-identical. The oracle replays
+    * the capped universe + eligibility band as contract. */
   def coPurchaseTopK(dp: DataFrame, k: Int, minSupport: Long = 1L,
       maxSupport: Long = Long.MaxValue): DataFrame = {
     // Pre-hash on the basket key: the test-SF parquet is one row group
@@ -106,34 +106,10 @@ object Market {
     // survives identically in both branches and one exchange feeds
     // them; the cheap codegen'd dedup recomputes per branch, the scan
     // and shuffle do not.
-    val pruned = minSupport > 1L || maxSupport < Long.MaxValue
-    val baskets = if (!pruned)
-      dpr.groupBy("l_orderkey")
-        .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, MaxBasket)
-          .as("basket"))
-        .select(col("basket"))
-    else {
-      // pruned path: the brn window replays the basket cap's "first
-      // MaxBasket sorted members" contract on ROWS (sharing the same
-      // hash(l_orderkey) exchange), the support filter then removes
-      // ineligible parts before the basket re-collect — so the pair
-      // Generate fans out over eligible members only. Eligibility comes
-      // from the SAME capped universe the frequency aggregate counts.
-      val el = dpr
-        .withColumn("brn", row_number().over(
-          Window.partitionBy("l_orderkey").orderBy("l_partkey")))
-        .filter(col("brn") <= MaxBasket)
-        .groupBy(col("l_partkey")).agg(count(lit(1)).as("elc"))
-        .filter(col("elc") >= minSupport && col("elc") <= maxSupport)
-        .select(col("l_partkey"))
-      dpr.withColumn("brn", row_number().over(
-          Window.partitionBy("l_orderkey").orderBy("l_partkey")))
-        .filter(col("brn") <= MaxBasket)
-        .join(el, Seq("l_partkey"))
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_partkey"))).as("basket"))
-        .select(col("basket"))
-    }
+    val baskets = dpr.groupBy("l_orderkey")
+      .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, MaxBasket)
+        .as("basket"))
+      .select(col("basket"))
     // Part frequencies come off the PRE-basket rows, not a second pass
     // over the basket aggregate: the round-12 stage profile showed the
     // previous two-consumer-of-`baskets` shape recomputing the
@@ -153,6 +129,45 @@ object Market {
         Window.partitionBy("l_orderkey").orderBy("l_partkey")))
       .filter(col("brn") <= MaxBasket)
       .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("fc"))
+    // Threshold placement follows the cost model, not the algebra (the
+    // algebra is indifferent: a pair survives iff BOTH endpoints are
+    // in-band, wherever the filter runs):
+    //  - the CEILING pre-prunes: hub parts are the quadratic threat
+    //    (support² pairs each) and are FEW by construction (fc >
+    //    maxSupport bounds the list size at N_rows/maxSupport), so the
+    //    hub ids broadcast as one array and a codegen'd HOF filter
+    //    drops them from the baskets before the pair Generate ever
+    //    fans out;
+    //  - the FLOOR post-filters the scored pair table: tail parts emit
+    //    only fc < minSupport pairs each (linear — no quadratic term to
+    //    save), and the fa/fb frequencies needed for the test are
+    //    already joined there, so the filter is free. A first-draft
+    //    pre-filter spelling (brn window + eligibility join + basket
+    //    re-collect) measured 53.8 s vs the unpruned 26.1 s at sf4 —
+    //    2× SLOWER than not pruning; this shape prunes with no extra
+    //    pass at all.
+    val baskets0 =
+      if (maxSupport == Long.MaxValue) baskets
+      else {
+        // broadcast hash ANTI-join on the rows, then re-collect: the
+        // hash set of hub ids builds once per task and probes O(1) per
+        // row. (A HOF `filter(basket, !array_contains(hub_arr, _))`
+        // spelling was tried first and is the trap: array_contains is a
+        // linear scan, so ~2.5k hubs × every basket element was ~10¹¹
+        // comparisons at sf4 — the pruned query ran minutes instead of
+        // seconds.) Hub removal precedes the cap here (first MaxBasket
+        // NON-HUB members); identical to cap-first for every basket
+        // within the cap, and the oracle replays this order. The
+        // broadcast join is narrow, so the hash(l_orderkey) exchange
+        // still feeds the re-collect with no extra shuffle.
+        val hubs = f.filter(col("fc") > maxSupport)
+          .select(col("pk").as("l_partkey"))
+        dpr.join(broadcast(hubs), Seq("l_partkey"), "left_anti")
+          .groupBy("l_orderkey")
+          .agg(slice(sort_array(collect_list(col("l_partkey"))), 1,
+            MaxBasket).as("basket"))
+          .select(col("basket"))
+      }
     // Every i<j combination (pa < pb by construction — the basket is
     // sorted) from ONE codegen'd array expression; no self-join of the
     // fact ever happens.
@@ -160,7 +175,7 @@ object Market {
       (x, i) => transform(
         slice(col("basket"), i + lit(2), size(col("basket"))),
         y => struct(x.as("pa"), y.as("pb")))))
-    val pairs = baskets
+    val pairs = baskets0
       .select(explode(pairEmit).as("pr"))
       .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n"))
@@ -169,11 +184,16 @@ object Market {
     // self-union: the union shape would duplicate the whole upstream
     // subtree in the physical plan (measured: 6 copies of the basket
     // aggregate before this rewrite).
-    val scored = pairs
+    val scored0 = pairs
       .join(f.select(col("pk").as("pa"), col("fc").as("fa")), "pa")
       .join(f.select(col("pk").as("pb"), col("fc").as("fb")), "pb")
       .withColumn("cosine",
         U.round6(col("n") / sqrt(col("fa") * col("fb"))))
+    // the floor rides the already-joined true frequencies (see above)
+    val scored =
+      if (minSupport <= 1L) scored0
+      else scored0.filter(
+        col("fa") >= minSupport && col("fb") >= minSupport)
     val sym = scored.select(explode(array(
         struct(col("pa").as("src"), col("pb").as("dst"),
           col("n"), col("cosine")),
@@ -348,18 +368,23 @@ object Market {
         |       FROM sc)
         |SELECT src AS p_src, dst AS p_dst, n AS n_co, cosine, rnk
         |FROM rk WHERE rnk <= 3 ORDER BY p_src, rnk""".stripMargin,
-    // support-thresholded replay: same basket cap, then the [20, 40]
-    // eligibility filter before pair generation; cosine keeps the
-    // PRE-prune frequencies (the engine contract)
+    // support-thresholded replay of the engine's exact threshold
+    // placement: frequencies over the cap-first universe (true
+    // support), HUB removal (fc > 40) BEFORE the basket cap, pairs
+    // from the hubless capped rows, floor (fc >= 20) on the scored
+    // pair table — cosine keeps the PRE-prune frequencies
     "graph_copurchase_support" ->
       """WITH dp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |dpr AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey
         |          ORDER BY l_partkey) AS brn FROM dp0),
         |dp AS (SELECT l_orderkey, l_partkey FROM dpr WHERE brn <= 256),
         |f AS (SELECT l_partkey, count(*) AS fc FROM dp GROUP BY 1),
-        |el AS (SELECT l_partkey FROM f WHERE fc >= 20 AND fc <= 40),
-        |dpe AS (SELECT dp.l_orderkey, dp.l_partkey
-        |        FROM dp JOIN el USING (l_partkey)),
+        |hub AS (SELECT l_partkey FROM f WHERE fc > 40),
+        |dph AS (SELECT l_orderkey, l_partkey,
+        |          row_number() OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_partkey) AS brn
+        |        FROM dp0 WHERE l_partkey NOT IN (SELECT l_partkey FROM hub)),
+        |dpe AS (SELECT l_orderkey, l_partkey FROM dph WHERE brn <= 256),
         |pr AS (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
         |  FROM dpe a JOIN dpe b ON a.l_orderkey = b.l_orderkey
@@ -371,7 +396,8 @@ object Market {
         |  SELECT s.src, s.dst, s.n,
         |    round(s.n / sqrt(fa.fc * fb.fc) * 1000000) / 1000000 AS cosine
         |  FROM sym s JOIN f fa ON fa.l_partkey = s.src
-        |  JOIN f fb ON fb.l_partkey = s.dst),
+        |  JOIN f fb ON fb.l_partkey = s.dst
+        |  WHERE fa.fc >= 20 AND fb.fc >= 20),
         |rk AS (SELECT *, row_number() OVER (
         |         PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
         |       FROM sc)
