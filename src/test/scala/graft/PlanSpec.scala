@@ -341,9 +341,12 @@ class PlanSpec extends SparkSpec {
       "ml_conformal_interval", // 1-row (n_cal, n_test) totals + 1-row
                              // rank-threshold scalar broadcasts (the
                              // round-10 zero-driver-action rewrite)
-      "sim_eval_recall_ndcg") // 10-row fixed query-panel broadcast (the
+      "sim_eval_recall_ndcg", // 10-row fixed query-panel broadcast (the
                              // exact ground-truth side is panel × corpus
                              // by construction — linear in N)
+      "sim_eval_index_panel") // same 10-row panel broadcast, shared by
+                             // ground truth + all five index rankings
+                             // (one N×10 pair frame — linear in N)
     // dedup_canonical_resolve's BUILDER runs the whole pointer-doubling
     // fixpoint (count/isEmpty per round, persisted levels) — executing it
     // here just to read a plan string costs many jobs and leaks its final
