@@ -551,7 +551,18 @@ object Joins {
     // extra dedup shuffle. Turns the nested-loop range join into a shuffle
     // hash join — the 100 TB-safe plan for genomic bin↔gene-body overlaps.
     "join_interval_overlap" -> ((s, d) => {
-      val W = 50L
+      // Bucket width trades replication (each interval lands in
+      // 1 + width/W buckets) against PARALLELISM (the equi-join's key
+      // cardinality is domain/W — the only lever when the value domain
+      // is narrow). This demo domain is fixed [0, 540] while the row
+      // count scales with SF, so W=50 gave 11 join keys. W=10 → 54
+      // keys ≥ shuffle parallelism; total candidate volume only grows
+      // (W+wa)(W+wb)/W ≈ +30%. NOTE: widening the key space alone
+      // moved nothing (still 37 tasks) — the explicit repartition
+      // below is the other half; together: 150.6 → 31.8 s at sf1.
+      // Same tuning note on spark.graft.rangeJoin.bucketWidth (the
+      // _auto variant's knob).
+      val W = 10L
       val a = t(s, d, "part").select(
         col("p_partkey").as("a_id"),
         (col("p_size") * 10).as("a_lo"),
@@ -564,8 +575,17 @@ object Joins {
         df.withColumn("bucket",
           explode(sequence(floor(col(lo) / W).cast("long"),
             floor(col(hi) / W).cast("long"))))
-      bucketed(a, "a_lo", "a_hi")
-        .join(bucketed(b, "b_lo", "b_hi"), Seq("bucket"))
+      // EXPLICIT partition count on the join key: this join's input is
+      // dimension-sized but its output is pair-volume (grows SF² on a
+      // fixed value domain), and AQE sizes stages by shuffle-READ
+      // bytes — it coalesced the join stage to single digits of tasks
+      // and one task computed hundreds of millions of pairs (r13 sf1
+      // attribution: 37 tasks, 5-core average over 150 s). A
+      // user-specified repartition pins the fan-out where the planner
+      // cannot see the blow-up.
+      bucketed(a, "a_lo", "a_hi").repartition(64, col("bucket"))
+        .join(bucketed(b, "b_lo", "b_hi").repartition(64, col("bucket")),
+          Seq("bucket"))
         .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi") &&
           col("bucket") === greatest(floor(col("a_lo") / W).cast("long"),
             floor(col("b_lo") / W).cast("long")))
@@ -577,7 +597,16 @@ object Joins {
     // would write. The graft.plans.RangeJoinRewrite optimizer rule
     // (enabled via GraftExtensions) rewrites it into the bucketed
     // equi-join automatically; PlanSpec asserts no nested-loop remains.
-    "join_interval_overlap_auto" -> ((s, d) => {
+    "join_interval_overlap_auto" -> ((s0, d) => {
+      // Cloned-session knob (the Pruning.bloomJoin pattern): this demo
+      // domain is fixed [0, 540], so the rule's default bucketWidth=50
+      // yields 11 join keys — the width tune is exactly what a user of
+      // the rule does for a narrow domain (see RangeJoinRewrite doc);
+      // the rewrite itself pins the shuffle count. Measured at sf1:
+      // 124 s (default width, AQE-coalesced) → 55 s (pinned shuffle) →
+      // 33 s (pinned + width 10).
+      val s = s0.newSession()
+      s.conf.set("spark.graft.rangeJoin.bucketWidth", "10")
       val a = t(s, d, "part").select(
         col("p_partkey").as("a_id"),
         (col("p_size") * 10).as("a_lo"),

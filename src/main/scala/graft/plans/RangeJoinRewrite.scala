@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project, RepartitionByExpression}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -33,8 +33,25 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * Preconditions (documented contract, standard for range-join
   * optimizers): intervals are well-formed (lo <= hi per row). Bucket width
-  * comes from `spark.graft.rangeJoin.bucketWidth` (default 50) — tune to
-  * the typical interval length so each interval spans O(1) buckets.
+  * comes from `spark.graft.rangeJoin.bucketWidth` (default 50) — tune it
+  * BOTH to the typical interval length (each interval should span O(1)
+  * buckets — replication is 1 + length/W) AND to the value DOMAIN
+  * (key cardinality is domain/W; it must exceed the shuffle parallelism
+  * or most cores idle — on a narrow domain, prefer the smallest W the
+  * replication budget allows).
+  *
+  * The rewrite pins its shuffle with an EXPLICIT partition count
+  * (`spark.graft.rangeJoin.numPartitions`, default 2× the session's
+  * shuffle partitions): this join class has dimension-sized INPUT but
+  * pair-volume OUTPUT, and AQE sizes stages by shuffle-READ bytes — left
+  * to itself it coalesces the join to single digits of tasks and one
+  * task computes the entire pair explosion (measured at sf1: 37 tasks,
+  * 5-core average on a 150 s run; pinned: 31.8 s). The 2× multiple
+  * smooths hash collisions when domain/W is only a small multiple of
+  * the core count. Known trade: a user-specified repartition opts out
+  * of AQE skew-splitting — bucket skew is bounded by the uniform
+  * explode, and the canonical-bucket conjunct keeps per-bucket output
+  * proportional to per-bucket input.
   *
   * Enabled via `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
@@ -52,6 +69,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * this cap for genuinely huge intervals. */
   private def maxSpanBuckets: Long =
     conf.getConfString("spark.graft.rangeJoin.maxSpanBuckets", "4096").toLong
+
+  /** Explicit partition count for the bucket shuffle (see class doc);
+    * 0 = derive as 2× the session's shuffle parallelism. */
+  private def numPartitions: Int = {
+    val n = conf.getConfString("spark.graft.rangeJoin.numPartitions", "0").toInt
+    if (n > 0) n else conf.numShufflePartitions * 2
+  }
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -141,8 +165,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(out), child = child)
           }
-          val newLeft = gen(left, aLo, aHi, bucketL)
-          val newRight = gen(right, bLo, bHi, bucketR)
+          val n = numPartitions
+          val newLeft = RepartitionByExpression(
+            Seq(bucketL), gen(left, aLo, aHi, bucketL), Some(n))
+          val newRight = RepartitionByExpression(
+            Seq(bucketR), gen(right, bLo, bHi, bucketR), Some(n))
           val canonical = EqualTo(bucketL,
             Greatest(Seq(divW(aLo, w), divW(bLo, w))))
           val newCond = And(And(EqualTo(bucketL, bucketR), cond), canonical)
