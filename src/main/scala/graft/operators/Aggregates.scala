@@ -20,6 +20,99 @@ import org.apache.spark.sql.functions._
 object Aggregates {
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Exact per-group interpolated quantiles WITHOUT per-group value
+    * buffers — the 100 TB replacement for Spark's `percentile`
+    * aggregate, whose accumulation buffer is a value→count map of the
+    * entire group: that map rides the shuffle, so at scale the
+    * "aggregate" materializes the whole column in executor heaps (and
+    * at sf1 it was already the suite's worst GC producer — r13
+    * attribution: 5.0 s GC of a 15.6 s query at 10% utilization).
+    *
+    * Shape (all plain relational operators, no driver actions):
+    *  1. exact long representation: money-like doubles → cents
+    *     (`round(v·100)` — exact for 2-decimal values, recoverable as
+    *     `cents/100.0` = the identical double), then ONE hash
+    *     aggregate (flag, cents) → count: the only data-scaled
+    *     shuffle, map-side-combining;
+    *  2. cumulative counts by the block-stitch discipline
+    *     ([[Market.abcClassify]], `Windows.stitchedRowNumber`): per
+    *     (flag, cents div 2^16) partitioned running sums in parallel,
+    *     one summary window over the block totals (cardinality bounded
+    *     by the value DOMAIN / 2^16, not the data), offsets broadcast
+    *     back — no single-partition pass over data-scaled rows;
+    *  3. rank targets from Spark's own percentile arithmetic
+    *     (pos = p·(N−1), lower/upper index, linear interpolation with
+    *     the same operation order, so results are bit-identical) as a
+    *     per-flag broadcast; a row "covers" a rank iff
+    *     cum−c < rank ≤ cum, so only the 1-2 boundary rows per target
+    *     survive the join, and a conditional-min aggregate extracts
+    *     both order statistics in one pass.
+    *
+    * Returns one row per group: (fl, q0..q{k−1}) in `ps` order.
+    * Contract: `valCol` holds ≤2-decimal values (money); NULLs are
+    * ignored (the `percentile` convention); groups are assumed
+    * non-empty (no rows → no output row, same as groupBy). */
+  def exactQuantiles(rows: DataFrame, flagCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    // U.fan: the (flag, cents) partial aggregate otherwise runs at scan
+    // parallelism (one row group = one task at test SF), and column
+    // pruning specializes this subtree per consumer (cum needs cv, the
+    // offsets don't) so exchange reuse cannot dedup it — the fan keeps
+    // each planned copy cheap instead of fighting the pruner.
+    val cnts = U.fan(rows.filter(col(valCol).isNotNull)
+      .select(col(flagCol).as("fl"),
+        round(col(valCol) * 100).cast("long").as("cv")))
+      .groupBy(col("fl"), col("cv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("blk", expr("cv div 65536"))
+    val wLoc = Window.partitionBy("fl", "blk").orderBy("cv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.partitionBy("fl").orderBy("blk")
+    val offs = cnts.groupBy("fl", "blk").agg(sum(col("c")).as("bs"))
+      .withColumn("off", coalesce(sum(col("bs")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bs")).over(wBlk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("fl"), col("blk"), col("off"), col("n"))
+    val cum = cnts.withColumn("lc", sum(col("c")).over(wLoc))
+      .join(broadcast(offs), Seq("fl", "blk"))
+      .withColumn("cum", col("off") + col("lc"))
+    // rank targets, one row per (group, percentile) — same arithmetic
+    // as Percentile.getPercentile: pos = p(N−1), floor/ceil indices.
+    // Derived INLINE from the n the offset join already carries (a
+    // separate broadcast-targets side would re-plan the whole cnts→offs
+    // lineage a third time — measured as most of the sf0.1 overhead):
+    // each cum row explodes |ps| ways, computes its own rank targets,
+    // and only the 1-2 boundary rows per (flag, p) survive the filter.
+    def covers(idx: Column): Column =
+      (col("cum") - col("c") < idx + 1) && (idx + 1 <= col("cum"))
+    val hits = cum
+      .select(col("fl"), col("cv"), col("c"), col("cum"), col("n"),
+        posexplode(typedlit(ps)).as(Seq("pi", "p")))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+      .filter(covers(col("lo")) || covers(col("hi")))
+    val q = hits.groupBy("fl", "pi", "pos", "lo", "hi")
+      .agg(min(when(covers(col("lo")), col("cv"))).as("vlo"),
+        min(when(covers(col("hi")), col("cv"))).as("vhi"))
+      .withColumn("vloD", col("vlo").cast("double") / 100.0)
+      .withColumn("vhiD", col("vhi").cast("double") / 100.0)
+      // Percentile.getPercentile's EXACT operation order (percentiles
+      // .scala): equal keys short-circuit, else
+      // (higher − pos)·lower + (pos − lower)·higher — the textbook
+      // lo + (hi−lo)·frac form differs by an ulp on some inputs and
+      // the oracle bridge is exact, not approximate
+      .withColumn("q", when(col("vlo") === col("vhi"), col("vloD"))
+        .otherwise(
+          (col("hi").cast("double") - col("pos")) * col("vloD") +
+            (col("pos") - col("lo").cast("double")) * col("vhiD")))
+    q.groupBy("fl").agg(
+      min(when(col("pi") === 0, col("q"))).as("q0"),
+      ps.indices.drop(1).map(i =>
+        min(when(col("pi") === i, col("q"))).as(s"q$i")): _*)
+  }
+
   /** agg_hll_sketch_merge's relative standard deviation (→ p = 9,
     * m = 512 registers); shared by the query and its oracle SQL. */
   val HllMergeRsd = 0.05
@@ -351,17 +444,20 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
-    // Exact interpolated percentiles per group (B.2; the exact path —
-    // the 100 TB variant is approx_percentile below). ONE array-argument
-    // percentile call: both quantiles read one shared per-group value
-    // buffer instead of building it twice.
+    // Exact interpolated percentiles per group (B.2) through
+    // [[exactQuantiles]] — NOT Spark's `percentile`, whose aggregation
+    // buffer is a value→count map of the whole group: at 100 TB the
+    // buffer IS the data (it cannot execute), and even at sf1 the map
+    // churn was the suite's worst GC (5.0 s of a 15.6 s run, 10% core
+    // utilization, r13 attribution). The stitched shape is a plain
+    // hash aggregate + partitioned windows; identical interpolation
+    // arithmetic, same oracle.
     "agg_percentile" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p50"),
-          round(element_at(col("ps"), 2), 4).as("p90"))
+      exactQuantiles(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.9))
+        .select(col("fl").as("l_returnflag"),
+          round(col("q0"), 4).as("p50"),
+          round(col("q1"), 4).as("p90"))
         .orderBy("l_returnflag")),
 
     // Sketch percentile through Greenwald-Khanna, registered in its
@@ -630,15 +726,15 @@ object Aggregates {
     // decimals first so the clip thresholds are engine-stable (the
     // established agg_percentile precision).
     "feat_winsorize" -> ((s, d) => {
-      // NOT U.fan-ed (measured 2.25 → 5.13 s with it): exact-percentile
-      // partials carry their full value lists, so fanning just shuffles
-      // the column twice. Scan-parallel fit is the cheaper evil here.
-      val qs = t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.05, 0.95))").as("ps"))
-        .select(col("l_returnflag").as("rf"),
-          round(element_at(col("ps"), 1), 4).as("lo"),
-          round(element_at(col("ps"), 2), 4).as("hi"))
+      // Thresholds from the stitched exact quantile ([[exactQuantiles]]
+      // — no per-group value buffers; the old `percentile` spelling
+      // was also why U.fan measured WORSE here: its partials carry
+      // full value lists through any exchange).
+      val qs = exactQuantiles(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.05, 0.95))
+        .select(col("fl").as("rf"),
+          round(col("q0"), 4).as("lo"),
+          round(col("q1"), 4).as("hi"))
       t(s, d, "lineitem")
         .join(broadcast(qs), col("l_returnflag") === col("rf"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -802,10 +898,18 @@ object Aggregates {
     // the value → ids 0..9, monotone, total.
     "feat_bucketize" -> ((s, d) => {
       val ps = (1 to 9).map(_ / 10.0)
-      val bounds = t(s, d, "orders")
-        .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))")
-          .as("ps"))
-        .select(transform(col("ps"), p => round(p, 4)).as("bounds"))
+      // global deciles via the stitched exact quantile — the ungrouped
+      // `percentile` funneled every value into ONE aggregation buffer.
+      // The constant group is spelled NON-FOLDABLE (pmod(key, 1) ≡ 0):
+      // a literal would constant-fold out of the window partition spec
+      // and the bounded block-summary window would plan (and warn) as
+      // a global window.
+      val bounds = exactQuantiles(
+        t(s, d, "orders")
+          .withColumn("g", pmod(col("o_orderkey"), lit(1L))),
+        "g", "o_totalprice", ps)
+        .select(array(ps.indices.map(i =>
+          round(col(s"q$i"), 4)): _*).as("bounds"))
       t(s, d, "orders")
         .crossJoin(broadcast(bounds))
         .select(col("o_orderkey"), col("o_totalprice"),

@@ -807,22 +807,19 @@ object Stats {
     // values land on a 0.001 grid (2-decimal prices × 0.1-step
     // interpolation), so round-4 is boundary-safe.
     "stats_qq_deciles" -> ((s, d) => {
-      val probs = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
-      // ONE grouped scan, not one filtered scan per flag: both decile
-      // vectors ride a single percentile aggregate keyed on the flag,
-      // and the 2-row result folds to one row with first(when(...))
-      // (each branch non-null exactly once). No fan — exact-percentile
-      // partials carry their value lists through any exchange (the
-      // feat_winsorize negative result), so the 1-task scan stays the
-      // cheapest layout at test SF.
-      val q = t(s, d, "lineitem")
-        .filter(col("l_returnflag").isin("R", "A"))
-        .groupBy("l_returnflag")
-        .agg(expr(s"percentile(l_extendedprice, $probs)").as("q"))
+      val probs = (1 to 9).map(_ / 10.0)
+      // Both decile vectors from ONE stitched exact-quantile pass
+      // (Aggregates.exactQuantiles — no per-group value buffers; see
+      // its doc for why Spark's `percentile` cannot run at scale),
+      // then the 2-row (flag × q0..q8) result folds to decile rows.
+      val q = Aggregates.exactQuantiles(
+        t(s, d, "lineitem").filter(col("l_returnflag").isin("R", "A")),
+        "l_returnflag", "l_extendedprice", probs)
+        .withColumn("qarr", array(probs.indices.map(i => col(s"q$i")): _*))
       q.groupBy()
         .agg(
-          first(when(col("l_returnflag") === "R", col("q")), true).as("qr"),
-          first(when(col("l_returnflag") === "A", col("q")), true).as("qa"))
+          first(when(col("fl") === "R", col("qarr")), true).as("qr"),
+          first(when(col("fl") === "A", col("qarr")), true).as("qa"))
         .select(posexplode(arrays_zip(col("qr"), col("qa"))))
         .select(((col("pos") + 1) * 10).cast("long").as("decile"),
           round(col("col.qr"), 4).as("q_r"),

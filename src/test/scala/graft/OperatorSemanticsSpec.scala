@@ -764,4 +764,33 @@ class OperatorSemanticsSpec extends SparkSpec {
     val keys = got.map(g => (-g._2, g._1))
     assert(keys === keys.sorted)
   }
+
+  test("exactQuantiles: bit-identical to Spark's percentile across " +
+    "groups, interpolation fractions, negatives, duplicates, nulls") {
+    import spark.implicits._
+    // planted multisets exercising: even/odd counts (integral and
+    // fractional pos), heavy duplicates (one cv covering several
+    // ranks), negative money values (trunc-div block keys), a
+    // single-value group, and a null (ignored by both paths)
+    val rows = (
+      (1 to 7).map(i => ("a", i * 1.25)) ++
+      Seq.fill(5)(("b", 10.00)) ++ Seq(("b", -3.50), ("b", 99.99)) ++
+      Seq(("c", 42.42)) ++
+      // exact 2-decimal doubles (the helper's money contract): build
+      // from integer cents — i*0.77 would be off by an ulp from the
+      // decimal and the cents round-trip legitimately differs there
+      (1 to 100).map(i => ("d", (i * 77 - 5000).toDouble / 100.0))
+    ).toDF("g", "v")
+      .unionByName(Seq(("a", Option.empty[Double])).toDF("g", "v"))
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+    val want = rows.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = operators.Aggregates.exactQuantiles(rows, "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(1 + i))).toMap
+    assert(got.keySet === want.keySet)
+    for (g <- want.keySet; i <- ps.indices)
+      assert(got(g)(i) === want(g)(i), s"group $g p=${ps(i)}")
+  }
 }
