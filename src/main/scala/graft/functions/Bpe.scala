@@ -69,19 +69,73 @@ object Bpe {
     rs
   }
 
-  private def trainRulesMemo(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
-    rulesCache.computeIfAbsent(
-      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
-        U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
-      _ => {
-        graft.plans.BpeMerge.register(s)
-        val words = Tables.t(s, d, "documents")
-          .select(explode(split(lower(col("text")), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-        var cur = words
-          .select(charSyms(col("word")).as("syms"), col("freq"))
-          .persist()
+  /** Distinct-word ceiling for the driver-side training fast path: BPE
+    * trains on the WORD VOCABULARY (distinct words × freq), which is
+    * bounded by the language, not the corpus — 100k entries ≈ a few MB
+    * on the driver, far above any real tokenizer corpus's vocab and far
+    * below bench heap. Under it the nMerges sequential rounds (each
+    * 2-4 tiny Spark jobs — the r13 sf1 attribution showed
+    * vocab_bpe_apply at 9.9 s with 3% core utilization: pure scheduler
+    * round-trips over a 31-word table) collapse to one collect + a
+    * driver loop; above it the distributed loop runs untouched.
+    * Parity pinned three ways in BpeSpec (distributed twin, driver
+    * path, independent reference). */
+  val DriverVocabCap: Int = 100000
+
+  /** Driver-side trainer — EXACT mirror of the distributed loop's
+    * semantics: adjacent-pair counts weighted by word freq, repeat
+    * floor 2, argmax with (count desc, left, right) tie-break, greedy
+    * left-to-right non-overlapping merge (skip 2 on match). */
+  private[graft] def trainLocal(words: Seq[(String, Long)])
+      : Seq[(Int, String, String, Long)] = {
+    var vocab: Array[(Array[String], Long)] = words.iterator
+      .map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }.toArray
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts(k) + f
+          i += 1
+        }
+      }
+      val eligible = counts.filter(_._2 >= 2L)
+      if (eligible.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = eligible.minBy { case ((x, y), c) => (-c, x, y) }
+        rules += ((rank, a, b, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toArray, f)
+        }
+        rank += 1
+      }
+    }
+    rules.toSeq
+  }
+
+  /** The distributed training loop (the 100 TB path — runs when the
+    * vocabulary exceeds [[DriverVocabCap]]); same semantics as
+    * [[trainLocal]], pinned by BpeSpec's planted-corpus twin test. */
+  private[graft] def trainDistributed(words: org.apache.spark.sql.DataFrame)
+      : Seq[(Int, String, String, Long)] = {
+    val s = words.sparkSession
+    graft.plans.BpeMerge.register(s)
+    var cur = words
+      .select(charSyms(col("word")).as("syms"), col("freq"))
+      .persist()
         val rules = scala.collection.mutable.ArrayBuffer
           .empty[(Int, String, String, Long)]
         var rank = 1
@@ -114,8 +168,33 @@ object Bpe {
             rank += 1
           }
         }
-        cur.unpersist()
-        rules.toSeq
+    cur.unpersist()
+    rules.toSeq
+  }
+
+  private def trainRulesMemo(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    rulesCache.computeIfAbsent(
+      (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+        U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
+      _ => {
+        // U.fan: the explode + count partial otherwise runs at scan
+        // parallelism (2 row groups at sf1 — measured 3.0 s on 2 tasks)
+        val words = U.fan(Tables.t(s, d, "documents")
+            .select(col("text")))
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        // cap+1 limit makes the size probe and the fast-path collect ONE
+        // job: ≤cap rows back means we hold the complete vocabulary
+        val capped = words.limit(DriverVocabCap + 1).collect()
+        if (capped.length <= DriverVocabCap) {
+          graft.Attrib.note("bpe_train_path", "driver")
+          graft.Attrib.note("bpe_vocab", capped.length.toLong)
+          trainLocal(capped.toSeq.map(r => (r.getString(0), r.getLong(1))))
+        } else {
+          graft.Attrib.note("bpe_train_path", "distributed")
+          trainDistributed(words)
+        }
       })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,7 +222,13 @@ object Bpe {
       val sess = s; import sess.implicits._
       val rules = Seq(Tuple1(trainRules(s, d).map(r => s"${r._2} ${r._3}")))
         .toDF("rules")
-      val toks = Tables.t(s, d, "documents")
+      // U.fan the DOCUMENTS (pre-explode — 350 MB of text rows beats
+      // shuffling the 60M-row word stream): the per-word merge kernel
+      // is the query's whole cost and otherwise runs at scan
+      // parallelism — r13 stage profile: 8.9 s on 2 tasks at sf1, 97%
+      // of the query's wall time
+      val toks = U.fan(Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("word"))
         .filter(length(col("word")) > 0)

@@ -54,8 +54,13 @@ object ScalarFuncs {
     // struct in a single Jackson pass — the 100 TB-correct pattern when a
     // document is probed for several fields (get_json_object re-parses
     // per path). Same values as the path-probe form, different engine.
+    // U.fan before the parse: from_json over every event is the whole
+    // cost here and otherwise runs at scan parallelism — and the global
+    // orderBy's range-sampling pass evaluates the child TWICE, so the
+    // 4-task parse was paid twice (r13 sf1 stage profile: 9.0 s wall,
+    // 3% utilization; fanned: every pass runs shuffle-wide)
     "json_parse_once" -> ((s, d) =>
-      t(s, d, "events")
+      U.fan(t(s, d, "events").select(col("event_id"), col("props")))
         .withColumn("j", from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
         .select(col("event_id"), col("j.k").as("k"),

@@ -146,19 +146,34 @@ object Ridge {
       // the ⌈0.9·(n+1)⌉-rank threshold then reduce to 1-row broadcasts
       // (the sanctioned scalar-broadcast shape, whitelisted in
       // PlanSpec), and coverage is one final aggregate over the counts
-      // joined to both scalars. The unpartitioned cum window is safe:
-      // its input is the bounded per-distinct-residual AGGREGATE (the
-      // PlanSpec structural rule).
-      // The cum window rides INSIDE the checkpointed computation, where
-      // its input is the counts aggregate (the bounded-summary rule it
-      // must satisfy); computing it over all rows instead of the
-      // cc>0-filtered view is identity-preserving — cum only increases
-      // at cc>0 rows, so "min a4 with cum ≥ k" lands on the same row.
-      val counts = base.groupBy("a4").agg(
+      // joined to both scalars.
+      // The cumulative count BLOCK-STITCHES (the abcClassify /
+      // exactQuantiles discipline): per-distinct-residual rows are NOT
+      // bounded — residuals are near-continuous, so distinct a4 grows
+      // with the data, and the r13 sf1 attribution caught the old
+      // single `Window.orderBy(a4)` materializing a 64 MB checkpoint
+      // through ONE task (6.2 s of an 8.9 s query). Local running sums
+      // per (a4 div 2^16) block in parallel; the only unpartitioned
+      // window consumes the block-total summary, whose cardinality is
+      // bounded by the residual DOMAIN. cum over all rows (not the
+      // cc>0 view) is identity-preserving — cum only increases at
+      // cc>0 rows, so "min a4 with cum ≥ k" lands on the same row.
+      val cnts0 = base.groupBy("a4").agg(
         sum(when(col("is_cal"), 1L).otherwise(0L)).as("cc"),
         sum(when(!col("is_cal"), 1L).otherwise(0L)).as("tc"))
-        .withColumn("cum", sum(col("cc")).over(Window.orderBy("a4")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("blk", expr("a4 div 65536"))
+      val wLoc = Window.partitionBy("blk").orderBy("a4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBlk = Window.orderBy("blk")
+      val offs = cnts0.groupBy("blk").agg(sum(col("cc")).as("bs"))
+        .withColumn("off", coalesce(sum(col("bs")).over(
+          wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("blk"), col("off"))
+      val counts = cnts0
+        .withColumn("lc", sum(col("cc")).over(wLoc))
+        .join(broadcast(offs), Seq("blk"))
+        .withColumn("cum", col("off") + col("lc"))
+        .select(col("a4"), col("cc"), col("tc"), col("cum"))
         .localCheckpoint(true)
       val tot = counts.agg(sum(col("cc")).as("n_cal"),
         sum(col("tc")).as("n_test"))

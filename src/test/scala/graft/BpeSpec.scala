@@ -141,4 +141,17 @@ class BpeSpec extends SparkSpec {
     // the merges actually compress: some word has fewer tokens than chars
     assert(words.exists { case (_, _, nToks, nChars) => nToks < nChars })
   }
+
+  test("driver fast path and distributed trainer are rule-for-rule " +
+    "identical on a planted corpus (the DriverVocabCap crossover)") {
+    // planted vocab with repeated-pair words, ties, and single-char
+    // words — the edge shapes the merge loop must agree on
+    val wf = Seq(("aaa", 5L), ("aab", 5L), ("banana", 3L), ("bandana", 2L),
+      ("x", 9L), ("nan", 4L), ("ana", 4L))
+    val words = wf.toDF("word", "freq")
+    val dist = functions.Bpe.trainDistributed(words)
+    val local = functions.Bpe.trainLocal(wf)
+    assert(dist === local)
+    assert(dist.nonEmpty)
+  }
 }
