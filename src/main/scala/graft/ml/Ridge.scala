@@ -158,10 +158,15 @@ object Ridge {
       // bounded by the residual DOMAIN. cum over all rows (not the
       // cc>0 view) is identity-preserving — cum only increases at
       // cc>0 rows, so "min a4 with cum ≥ k" lands on the same row.
+      // checkpointed BEFORE the stitch: the block-offset branch and the
+      // local-window branch both consume this aggregate, and without
+      // the cut the whole fan+md5+aggregate lineage runs once per
+      // branch (measured: task-time doubled at sf1)
       val cnts0 = base.groupBy("a4").agg(
         sum(when(col("is_cal"), 1L).otherwise(0L)).as("cc"),
         sum(when(!col("is_cal"), 1L).otherwise(0L)).as("tc"))
         .withColumn("blk", expr("a4 div 65536"))
+        .localCheckpoint(true)
       val wLoc = Window.partitionBy("blk").orderBy("a4")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wBlk = Window.orderBy("blk")

@@ -65,6 +65,13 @@ object Aggregates {
       .groupBy(col("fl"), col("cv"))
       .agg(count(lit(1)).as("c"))
       .withColumn("blk", expr("cv div 65536"))
+      // eager localCheckpoint (the Ridge/Iterate discipline): the
+      // offsets branch and the local-window branch both consume this
+      // aggregate, and column pruning specializes the two subtrees so
+      // exchange reuse cannot dedup them — without the cut the whole
+      // scan+fan+aggregate lineage runs once per branch. Blocks are
+      // GC-released; the checkpoint is distinct-value-sized.
+      .localCheckpoint(true)
     val wLoc = Window.partitionBy("fl", "blk").orderBy("cv")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBlk = Window.partitionBy("fl").orderBy("blk")
