@@ -90,6 +90,7 @@ object Graph {
       val nP = nodes.select(col("node").cast("long")).persist(lvl)
       try {
         if (eP.count() <= driverCap && nP.count() <= driverCap) {
+          graft.Attrib.note("lp_path", "driver")
           val eArr = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
           val nArr = nP.collect().map(_.getLong(0))
           val lbl = new java.util.HashMap[Long, Long]()
@@ -118,6 +119,7 @@ object Graph {
         }
       } finally { eP.unpersist(); nP.unpersist() }
     }
+    graft.Attrib.note("lp_path", "distributed")
     val W = Window
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
@@ -172,6 +174,7 @@ object Graph {
         .persist(lvl)
       try {
         if (eP.count() <= driverCap && sP.count() <= driverCap) {
+          graft.Attrib.note("bfs_path", "driver")
           val eArr = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
           val seedRows = sP.collect()
           val dist = new java.util.HashMap[Long, Int]()
@@ -204,6 +207,7 @@ object Graph {
         }
       } finally { eP.unpersist(); sP.unpersist() }
     }
+    graft.Attrib.note("bfs_path", "distributed")
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
     var dist = seeded.select(col("node"), col("dist").cast("int").as("dist"))
@@ -353,6 +357,7 @@ object Graph {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (eP.count() <= driverCap) {
+          graft.Attrib.note("kcore_path", "driver")
           var es = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
           var r = 0
           var stable = false
@@ -382,6 +387,7 @@ object Graph {
         }
       } finally eP.unpersist()
     }
+    graft.Attrib.note("kcore_path", "distributed")
     var last = -1L
     var done = 0
     val (core, _) = graft.plans.Iterate.fixpoint(
@@ -443,6 +449,7 @@ object Graph {
       val nP = nodes.select(col("node").cast("long")).persist(lvl)
       try {
         if (eP.count() <= driverCap && nP.count() <= driverCap) {
+          graft.Attrib.note("katz_path", "driver")
           val eArr = eP.collect().map(r => (r.getLong(0), r.getLong(1)))
           val nArr = nP.collect().map(_.getLong(0))
           val x = new java.util.HashMap[Long, Double]()
@@ -465,6 +472,7 @@ object Graph {
         }
       } finally { eP.unpersist(); nP.unpersist() }
     }
+    graft.Attrib.note("katz_path", "distributed")
     val sym = symEdges(edges)
     var x = nodes.select(col("node"), lit(0.0).as("r"))
     for (_ <- 1 to rounds) {
