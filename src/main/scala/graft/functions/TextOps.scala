@@ -385,7 +385,12 @@ object TextOps {
     // can't sort ARRAY cells; OracleShapeSpec pins the convention).
     "vocab_apply" -> ((s, d) => {
       val vocab = vocabDf(s, d).select(col("term"), col("token_id"))
-      val exploded = t(s, d, "documents")
+      // U.fan before the tokenize-explode: the per-word fan-out + the
+      // broadcast probe are the query's cost and otherwise run at scan
+      // parallelism (r13 sf1 profile: 1.9 s on 2 tasks, the single
+      // largest stage)
+      val exploded = U.fan(t(s, d, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
         .filter(length(col("term")) > 0)
