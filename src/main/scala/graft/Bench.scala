@@ -18,7 +18,8 @@ object Bench {
     * pass's attribution is what the JSON reports: it describes the
     * number the gate actually reads. */
   final case class PassRec(sec: Double, ok: Boolean, gcMs: Long,
-      taskMs: Long, tasks: Long, notes: Seq[(String, String)])
+      taskMs: Long, tasks: Long, boxNonSelfMs: Long, boxLoad1: Double,
+      notes: Seq[(String, String)])
 
   /** Steady-state estimate: min across SUCCESSFUL passes; None when
     * every pass failed (the query must read as red, never as a
@@ -141,6 +142,7 @@ object Bench {
         tag: String): PassRec = {
       Attrib.drain()
       val (gc0, tm0, tc0) = BenchMetrics.snapshot(spark)
+      val box0 = BenchMetrics.boxStat()
       val t0 = System.nanoTime()
       var ok = true
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -149,13 +151,25 @@ object Bench {
         System.err.println(s"[bench] $name$tag failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val box1 = BenchMetrics.boxStat()
       val (gc1, tm1, tc1) = BenchMetrics.snapshot(spark)
       val notes = Attrib.drain()
       if (isolate) {
         spark.catalog.clearCache()
         System.gc() // lets the ContextCleaner reap dead shuffles
       }
-      PassRec(dt, ok, gc1 - gc0, tm1 - tm0, tc1 - tc0, notes)
+      // Ambient (non-self) CPU ms that landed inside the timed window
+      // (VERDICT r13 item 1): busy-jiffies delta across ALL cores minus
+      // this JVM's own utime+stime delta, at USER_HZ = 100 → ×10 ms.
+      // -1 when /proc was unreadable (non-Linux) — a consumer must not
+      // read that as "zero ambient load".
+      val boxNonSelf =
+        if (box0.busyJiffies < 0 || box1.busyJiffies < 0 ||
+            box0.selfJiffies < 0 || box1.selfJiffies < 0) -1L
+        else math.max(0L, (box1.busyJiffies - box0.busyJiffies) -
+          (box1.selfJiffies - box0.selfJiffies)) * 10L
+      PassRec(dt, ok, gc1 - gc0, tm1 - tm0, tc1 - tc0, boxNonSelf,
+        math.max(box0.load1, box1.load1), notes)
     }
     val allPasses = (1 to passes).map { _ =>
       selected.map { case (name, fn) => (name, runOne(name, fn, "")) }
@@ -232,7 +246,10 @@ object Bench {
         }
         "\"" + k + "\":" + (Seq(
           s""""gc_ms":${r.gcMs}""", s""""task_ms":${r.taskMs}""",
-          s""""tasks":${r.tasks}""") ++ notes).mkString("{", ",", "}")
+          s""""tasks":${r.tasks}""",
+          s""""box_nonself_ms":${r.boxNonSelfMs}""",
+          s""""box_load1":${num(r.boxLoad1)}""") ++ notes)
+          .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum
     // sf is numeric when the dir follows the .../sfN.N convention; quote

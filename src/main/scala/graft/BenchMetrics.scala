@@ -62,6 +62,61 @@ package graft {
       (gc, taskMs.get(), taskCount.get())
     }
 
+    /** Box-level CPU/load sample (VERDICT r13 item 1): the r13
+      * attribution excluded GC and concurrent graft JVMs from the
+      * five-round copurchase driver-window divergence but could not SEE
+      * what inflated task_ms 2.5× — the JVM sentinel only detects
+      * graft/sbt processes, and whatever competed for cores in the
+      * driver window was invisible to it. This sample reads, from
+      * /proc (Linux-only; all fields -1 elsewhere, never a throw):
+      *
+      *  - `load1`: /proc/loadavg 1-minute run-queue average;
+      *  - `busyJiffies`: non-idle CPU jiffies summed over all cores
+      *    (/proc/stat "cpu" line, total minus idle+iowait);
+      *  - `selfJiffies`: THIS process's utime+stime
+      *    (/proc/self/stat — run_bench.sh launches the bench as a bare
+      *    `java` process, so "self" is exactly the benchmarked JVM).
+      *
+      * Diffed across a query's timed window, busy − self is the CPU
+      * time OTHER processes burned while the query ran — the ambient
+      * load share that makes a core-saturated query's inflated wall
+      * time self-explaining at last. Jiffies convert to ms at
+      * USER_HZ = 100 (the Linux default everywhere this runs; the
+      * value is a *ratio* consumer either way — ambient share =
+      * nonself/(cores·wall) is HZ-invariant in the comparison that
+      * matters, nonself vs self). */
+    final case class BoxStat(load1: Double, busyJiffies: Long,
+        selfJiffies: Long)
+
+    private def readFirstLine(path: String): String = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().next() finally src.close()
+    }
+
+    def boxStat(): BoxStat = {
+      val load1 =
+        try readFirstLine("/proc/loadavg").split("\\s+")(0).toDouble
+        catch { case _: Throwable => -1.0 }
+      val busy =
+        try {
+          // "cpu  user nice system idle iowait irq softirq steal ..."
+          val f = readFirstLine("/proc/stat").split("\\s+").drop(1)
+            .map(_.toLong)
+          f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
+        } catch { case _: Throwable => -1L }
+      val self =
+        try {
+          // comm (field 2) may contain spaces/parens: parse after the
+          // LAST ')'; post-paren 0-indexed fields: state=0 … utime=11,
+          // stime=12
+          val line = readFirstLine("/proc/self/stat")
+          val rest = line.substring(line.lastIndexOf(')') + 2)
+            .split("\\s+")
+          rest(11).toLong + rest(12).toLong
+        } catch { case _: Throwable => -1L }
+      BoxStat(load1, busy, self)
+    }
+
     /** Other live graft/sbt/spark JVMs at bench start, excluding this
       * process and its ancestor chain (the sbt that launched us). Each
       * entry: "pid:cmd-snippet". A non-empty list means the box was NOT

@@ -597,16 +597,18 @@ object Joins {
     // would write. The graft.plans.RangeJoinRewrite optimizer rule
     // (enabled via GraftExtensions) rewrites it into the bucketed
     // equi-join automatically; PlanSpec asserts no nested-loop remains.
-    "join_interval_overlap_auto" -> ((s0, d) => {
-      // Cloned-session knob (the Pruning.bloomJoin pattern): this demo
-      // domain is fixed [0, 540], so the rule's default bucketWidth=50
-      // yields 11 join keys — the width tune is exactly what a user of
-      // the rule does for a narrow domain (see RangeJoinRewrite doc);
-      // the rewrite itself pins the shuffle count. Measured at sf1:
-      // 124 s (default width, AQE-coalesced) → 55 s (pinned shuffle) →
-      // 33 s (pinned + width 10).
-      val s = s0.newSession()
-      s.conf.set("spark.graft.rangeJoin.bucketWidth", "10")
+    "join_interval_overlap_auto" -> ((s, d) => {
+      // NO width knob (VERDICT r13 item 3): the rule's default
+      // bucketWidth="auto" measures both sides at plan time (min/max
+      // bounds, mean/max interval length — two tiny aggregates,
+      // memoized) and minimizes its replication-vs-parallelism cost
+      // model. On this demo's [0, 540] domain with lengths 25/40 it
+      // derives W≈8 — the same regime the r13 hand-tune (W=10) landed
+      // on, without the cloned-session conf a 100× user would never
+      // know to set. History: 124 s at sf1 (fixed W=50, AQE-coalesced)
+      // → 55 s (pinned shuffle) → 33 s (pinned + hand W=10) → auto.
+      // The chosen width lands in the bench attribution
+      // (range_join_width / range_join_width_source).
       val a = t(s, d, "part").select(
         col("p_partkey").as("a_id"),
         (col("p_size") * 10).as("a_lo"),

@@ -9,6 +9,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * now unit-tested instead of only exercised inside a 5-minute sweep.
   */
 class BenchLogicSpec extends AnyFunSuite {
+  test("boxStat: /proc sampling yields sane, monotone counters " +
+      "(VERDICT r13 item 1 — box-level load attribution)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("/proc/stat")))
+    val a = BenchMetrics.boxStat()
+    assert(a.load1 >= 0.0, "loadavg parse")
+    assert(a.busyJiffies > 0L, "/proc/stat busy parse")
+    assert(a.selfJiffies >= 0L, "/proc/self/stat parse")
+    // burn a little CPU so self and busy both advance
+    var x = 0.0
+    (1 to 20000000).foreach(i => x += math.sqrt(i.toDouble))
+    assert(x > 0)
+    val b = BenchMetrics.boxStat()
+    assert(b.busyJiffies >= a.busyJiffies, "busy jiffies monotone")
+    assert(b.selfJiffies >= a.selfJiffies, "self jiffies monotone")
+    // self CPU is a subset of box busy CPU over the same window
+    assert(b.busyJiffies - a.busyJiffies >= b.selfJiffies - a.selfJiffies,
+      "self delta cannot exceed box busy delta")
+  }
+
 
   test("minSuccessful: min over successful passes only") {
     assert(Bench.minSuccessful(Seq((2.0, true), (1.2, true))) === Some(1.2))

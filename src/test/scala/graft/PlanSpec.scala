@@ -90,11 +90,46 @@ class PlanSpec extends SparkSpec {
     // Span-guarded bucket explode: explode(if (span <= cap) sequence(...))
     assert(p.contains("Generate explode(") && p.contains("sequence("),
       s"no bucket explode:\n$p")
+    // pinned task fan-out (VERDICT r13 item 3 done-criterion): the
+    // bucket shuffle must carry the rule's explicit partition count
+    // (2× the session's 32 shuffle partitions), not an AQE-coalesced
+    // residue — the r13 sf1 parallelism collapse was exactly this
+    // shuffle shrinking to ≤11 keys
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"bucket shuffle not pinned to an explicit partition count:\n$p")
     // and the rewrite preserves the exact result of the manual form
     val auto = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val manual = SparkEntry.queries("join_interval_overlap")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(auto === manual)
+  }
+
+  test("RangeJoinRewrite.deriveWidth: cost model lands in the measured-" +
+      "optimum regime and respects the span floor") {
+    // the r13 hand-tune scenario: domain 540, lengths 25/40, 64-way
+    // shuffle — measured optimum was W=10 (46.7% over W=50's 11-key
+    // collapse); the model must land in single-digit-to-low-teens W,
+    // NOT back at a parallelism-starving width
+    val w = graft.plans.RangeJoinRewrite.deriveWidth(
+      domain = 540L, wa = 25.0, wb = 40.0, maxLen = 40L,
+      parts = 64, spanCap = 4096L)
+    assert(w >= 4 && w <= 16, s"derived width $w outside the tuned regime")
+    // span floor: a 10M-long interval at spanCap 4096 forces W ≥ 2442
+    // so the per-row sequence() explode stays bounded
+    val w2 = graft.plans.RangeJoinRewrite.deriveWidth(
+      domain = 100000000L, wa = 10000000.0, wb = 10.0,
+      maxLen = 10000000L, parts = 64, spanCap = 4096L)
+    assert(w2 >= 10000000L / 4096L, s"width $w2 violates the span floor")
+    // wide domain, short intervals: parallelism saturates at `parts`
+    // long before replication matters — W should sit near the interval
+    // length scale, never at 1 (candidate volume blows up) and never
+    // at domain/parts (10⁶ — needless key starvation is impossible
+    // here but replication would be fine; the model just must not
+    // degenerate)
+    val w3 = graft.plans.RangeJoinRewrite.deriveWidth(
+      domain = 100000000L, wa = 50.0, wb = 50.0, maxLen = 80L,
+      parts = 64, spanCap = 4096L)
+    assert(w3 >= 16 && w3 <= 500, s"derived width $w3 degenerate")
   }
 
   test("theta band join broadcasts the tiny bands side") {
@@ -120,7 +155,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("RangeJoinRewrite span guard raises a descriptive error on huge intervals") {
-    import spark.implicits._
+    // EXPLICIT width (the guard's audience): auto mode derives a width
+    // that keeps every interval under the span cap by construction —
+    // the guard exists for users who override the width and hand it an
+    // interval spanning millions of buckets.
+    val s = spark.newSession()
+    s.conf.set("spark.graft.rangeJoin.bucketWidth", "50")
+    import s.implicits._
     // one interval spanning ~4M buckets at width 50 — far past the cap
     val a = Seq((1L, 0L, 200000000L)).toDF("a_id", "a_lo", "a_hi")
     val b = Seq((2L, 5L, 10L)).toDF("b_id", "b_lo", "b_hi")
