@@ -1252,6 +1252,10 @@ object TextOps {
     // Composition evidence: the LM scorer is the registered query
     // re-used as a stage, not re-derived.
     "filter_perplexity_gate" -> ((s, d) => {
+      // percentile input = one score per document → enforce + attribute
+      // the dimension bound (VERDICT r13 item 4)
+      graft.operators.Aggregates.pctBoundGuard(s, d, "documents",
+        "filter_perplexity_gate")
       val scores = queries("text_bigram_logprob")(s, d)
         .select(col("doc_id"), col("mean_surprisal"))
       val thr = scores.agg(
@@ -1447,6 +1451,10 @@ object TextOps {
     // exact-dup rate, all from ONE scan + one tiny digest aggregate.
     // Every number is exact integer/decimal math (engine-identical).
     "corpus_report" -> ((s, d) => {
+      // the median-tokens percentile buffers one entry per document →
+      // enforce + attribute the dimension bound (VERDICT r13 item 4)
+      graft.operators.Aggregates.pctBoundGuard(s, d, "documents",
+        "corpus_report")
       val docs = t(s, d, "documents")
       val toks = U.lng(size(split(col("text"), " ")))
       val base = docs.agg(

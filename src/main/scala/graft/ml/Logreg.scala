@@ -199,6 +199,10 @@ object Logreg {
     // broadcast) + one map-side decile assignment + a 10-row window.
     "ml_logreg_lift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // the decile fit buffers one score per document → enforce +
+      // attribute the dimension bound (VERDICT r13 item 4)
+      graft.operators.Aggregates.pctBoundGuard(s, d, "documents",
+        "ml_logreg_lift")
       val w = weights(s, d)
       val sc = features(s, d).select(
         U.round6(sigma12(margin(w))).as("sc"), col("y"))

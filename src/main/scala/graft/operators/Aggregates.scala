@@ -29,9 +29,10 @@ object Aggregates {
     * attribution: 5.0 s GC of a 15.6 s query at 10% utilization).
     *
     * Shape (all plain relational operators, no driver actions):
-    *  1. exact long representation: money-like doubles → cents
-    *     (`round(v·100)` — exact for 2-decimal values, recoverable as
-    *     `cents/100.0` = the identical double), then ONE hash
+    *  1. exact long representation: grid doubles → integer units
+    *     (`round(v·scale)` — exact for values on the 1/scale grid,
+    *     recoverable as `units/scale` = the identical double, and
+    *     guarded per row — see the contract below), then ONE hash
     *     aggregate (flag, cents) → count: the only data-scaled
     *     shuffle, map-side-combining;
     *  2. cumulative counts by the block-stitch discipline
@@ -49,19 +50,36 @@ object Aggregates {
     *     both order statistics in one pass.
     *
     * Returns one row per group: (fl, q0..q{k−1}) in `ps` order.
-    * Contract: `valCol` holds ≤2-decimal values (money); NULLs are
-    * ignored (the `percentile` convention); groups are assumed
-    * non-empty (no rows → no output row, same as groupBy). */
+    * Contract: `valCol` holds values on the 1/`scale` decimal grid
+    * (scale=100 ⇒ ≤2-decimal money, the default; pass scale=10000 for
+    * 4-decimal inputs etc.); NULLs are ignored (the `percentile`
+    * convention); groups are assumed non-empty (no rows → no output
+    * row, same as groupBy). The grid contract is ENFORCED per row
+    * (ADVICE r13): round(v·scale) must round-trip to the identical
+    * double, else the query raises a descriptive error — an off-grid
+    * caller would otherwise silently collapse distinct values into one
+    * bucket and return wrong quantiles. The check is one fused
+    * multiply+compare per row in the map stage — noise next to the
+    * hash aggregate it feeds. */
   def exactQuantiles(rows: DataFrame, flagCol: String, valCol: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double], scale: Long = 100L): DataFrame = {
     // U.fan: the (flag, cents) partial aggregate otherwise runs at scan
     // parallelism (one row group = one task at test SF), and column
     // pruning specializes this subtree per consumer (cum needs cv, the
     // offsets don't) so exchange reuse cannot dedup it — the fan keeps
     // each planned copy cheap instead of fighting the pruner.
+    val cvRaw = round(col(valCol) * scale).cast("long")
+    val cvGuarded = when(cvRaw.cast("double") / scale.toDouble
+        === col(valCol), cvRaw)
+      .otherwise(raise_error(concat(
+        lit(s"graft Aggregates.exactQuantiles: $valCol value "),
+        col(valCol).cast("string"),
+        lit(s" is not on the 1/$scale grid — pass the matching `scale`" +
+          " (values bucket as round(v*scale); an off-grid value would" +
+          " silently collapse into a neighboring bucket)")))
+        .cast("long"))
     val cnts = U.fan(rows.filter(col(valCol).isNotNull)
-      .select(col(flagCol).as("fl"),
-        round(col(valCol) * 100).cast("long").as("cv")))
+      .select(col(flagCol).as("fl"), cvGuarded.as("cv")))
       .groupBy(col("fl"), col("cv"))
       .agg(count(lit(1)).as("c"))
       .withColumn("blk", expr("cv div 65536"))
@@ -103,8 +121,8 @@ object Aggregates {
     val q = hits.groupBy("fl", "pi", "pos", "lo", "hi")
       .agg(min(when(covers(col("lo")), col("cv"))).as("vlo"),
         min(when(covers(col("hi")), col("cv"))).as("vhi"))
-      .withColumn("vloD", col("vlo").cast("double") / 100.0)
-      .withColumn("vhiD", col("vhi").cast("double") / 100.0)
+      .withColumn("vloD", col("vlo").cast("double") / scale.toDouble)
+      .withColumn("vhiD", col("vhi").cast("double") / scale.toDouble)
       // Percentile.getPercentile's EXACT operation order (percentiles
       // .scala): equal keys short-circuit, else
       // (higher − pos)·lower + (pos − lower)·higher — the textbook
@@ -123,6 +141,44 @@ object Aggregates {
   /** agg_hll_sketch_merge's relative standard deviation (→ p = 9,
     * m = 512 registers); shared by the query and its oracle SQL. */
   val HllMergeRsd = 0.05
+
+  /** Boundedness cap for the few remaining Spark `percentile` call
+    * sites (VERDICT r13 item 4): `percentile`'s aggregation buffer is
+    * a value→count map of the WHOLE group riding the shuffle, so it
+    * only belongs on inputs bounded by a dimension, and that contract
+    * was documented but never enforced — a data-shape change would
+    * silently re-create the heap wall [[exactQuantiles]] removed from
+    * agg_percentile. 2²⁴ rows ≈ 128 MB of buffer (~8 B/entry), the
+    * same ceiling agg_approx_percentile's lossless-GK regime uses. */
+  val PctBoundCap: Long = 1L << 24
+
+  // one count-star per (dir, table) per JVM — parquet count() reads
+  // row-group metadata only, and the memo keeps repeat bench passes /
+  // multiple guarded queries from re-running even that
+  private val tableRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Enforce + attribute the boundedness contract of one remaining
+    * `percentile` call site: the site's quantile input has at most one
+    * row per `boundTable` row (per-customer summary, per-document
+    * score, …), so the cheap dimension count IS an upper bound on the
+    * buffered group. Fails loudly past [[PctBoundCap]] with a pointer
+    * at the scale-safe alternatives; records the bound class in the
+    * bench attribution so every BENCH attrib names which dimension
+    * bounds the site (the VERDICT-asked "input distinct-count class"
+    * field). */
+  def pctBoundGuard(s: SparkSession, d: String, boundTable: String,
+      site: String, cap: Long = PctBoundCap): Unit = {
+    val n = tableRowsCache.getOrElseUpdate((d, boundTable),
+      Tables.t(s, d, boundTable).count())
+    graft.Attrib.note("pct_bound", s"$site<=$boundTable:$n")
+    require(n <= cap,
+      s"$site: Spark `percentile` here buffers up to one entry per " +
+        s"$boundTable row ($n > cap $cap ≈ ${cap >> 17} MB of executor-" +
+        "heap buffer riding the shuffle). At this scale swap the fit " +
+        "to Aggregates.exactQuantiles (exact, no per-group buffers) " +
+        "or approx_percentile (GK sketch, ε·N rank bound).")
+  }
 
   /** Typed custom aggregation (B.2 agg_typed_custom): exact money sum in
     * integer cents — associative, overflow-safe at test scale, and a
@@ -626,6 +682,9 @@ object Aggregates {
     // feat_winsorize trade, same note). round(·,4) on the fit values
     // pins the interpolated quartiles cross-engine before the division.
     "feat_robust_scale" -> ((s, d) => {
+      // the quartile fit buffers one entry per customer per nation
+      // group → enforce + attribute the bound (VERDICT r13 item 4)
+      pctBoundGuard(s, d, "customer", "feat_robust_scale")
       val stats = t(s, d, "customer")
         .groupBy("c_nationkey")
         .agg(expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").as("q"))
@@ -710,16 +769,23 @@ object Aggregates {
     // 2.07 — a uniform law has no 3-sigma tail); production robust
     // z-scores use k = 3·1.4826.
     "window_outlier_mad" -> ((s, d) => {
-      val med = t(s, d, "orders")
-        .groupBy("o_orderpriority")
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"))
-        .withColumnRenamed("o_orderpriority", "p1")
+      // Both medians through [[exactQuantiles]] (VERDICT r13 item 4):
+      // the groups here are FACT-scaled (orders/5 rows each), so the
+      // old `percentile` spelling was the same whole-group heap buffer
+      // agg_percentile just escaped — the last data-scaled percentile
+      // in the suite. The deviation rounds to the 1e-4 grid BEFORE its
+      // median (both engines identically) so the second fit satisfies
+      // the grid contract at scale=10⁴: |2-decimal − 4-decimal| is
+      // within an ulp of a 4-decimal value but not ON it.
+      val med = exactQuantiles(t(s, d, "orders"), "o_orderpriority",
+        "o_totalprice", Seq(0.5))
+        .select(col("fl").as("p1"), round(col("q0"), 4).as("med"))
       val withMed = t(s, d, "orders")
         .join(broadcast(med), col("o_orderpriority") === col("p1"))
-        .withColumn("adev", abs(col("o_totalprice") - col("med")))
-      val mad = withMed.groupBy("o_orderpriority")
-        .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
-        .withColumnRenamed("o_orderpriority", "p2")
+        .withColumn("adev", round(abs(col("o_totalprice") - col("med")), 4))
+      val mad = exactQuantiles(withMed, "o_orderpriority", "adev",
+        Seq(0.5), scale = 10000L)
+        .select(col("fl").as("p2"), round(col("q0"), 4).as("mad"))
       withMed.join(broadcast(mad), col("o_orderpriority") === col("p2"))
         .filter(col("adev") > lit(2.0) * col("mad"))
         .select(col("o_orderkey"), col("o_orderpriority"),
@@ -1338,7 +1404,8 @@ object Aggregates {
         |    round(quantile_cont(o_totalprice, 0.5), 4) AS med
         |  FROM orders GROUP BY o_orderpriority),
         |wm AS (
-        |  SELECT o.*, med.med, abs(o_totalprice - med.med) AS adev
+        |  SELECT o.*, med.med,
+        |    round(abs(o_totalprice - med.med), 4) AS adev
         |  FROM orders o JOIN med ON o.o_orderpriority = med.p1),
         |mad AS (
         |  SELECT o_orderpriority AS p2,

@@ -768,6 +768,9 @@ object Stats {
     // EQUALS a data value exactly (frac 0 — both engines agree) or
     // lies strictly between adjacent distinct values.
     "events_rfm_scores" -> ((s, d) => {
+      // the three quintile fits buffer one entry per distinct customer
+      // → enforce + attribute the dimension bound (VERDICT r13 item 4)
+      Aggregates.pctBoundGuard(s, d, "customer", "events_rfm_scores")
       val o = t(s, d, "orders")
       val users = o.groupBy("o_custkey")
         .agg(max(U.tsUs(col("o_orderdate"))).as("last_us"),

@@ -793,4 +793,48 @@ class OperatorSemanticsSpec extends SparkSpec {
     for (g <- want.keySet; i <- ps.indices)
       assert(got(g)(i) === want(g)(i), s"group $g p=${ps(i)}")
   }
+
+  test("exactQuantiles: off-grid input fails loudly (ADVICE r13 — the " +
+    "grid contract is enforced, not assumed) and `scale` widens it") {
+    import spark.implicits._
+    // 3-decimal value under the default cents scale: before the guard
+    // this silently collapsed 1.234 and 1.23 into one bucket
+    val bad = Seq(("a", 1.23), ("a", 1.234)).toDF("g", "v")
+    val e = intercept[Exception] {
+      operators.Aggregates.exactQuantiles(bad, "g", "v", Seq(0.5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exactQuantiles")),
+      s"error did not name the contract: ${msgs(e).mkString(" | ")}")
+    // the same data on the matching 1e-4 grid both passes and agrees
+    // with Spark's percentile bit-for-bit
+    val vals = Seq(1.23, 1.234, 5.0001, -2.75, 0.0)
+    val ok = vals.map(("a", _)).toDF("g", "v")
+    val want = ok.agg(expr("percentile(v, array(0.25, 0.5, 0.75))"))
+      .head().getSeq[Double](0)
+    val got = operators.Aggregates
+      .exactQuantiles(ok, "g", "v", Seq(0.25, 0.5, 0.75), scale = 10000L)
+      .head()
+    assert((1 to 3).map(got.getDouble) === want)
+  }
+
+  test("pctBoundGuard: enforces + attributes the percentile boundedness " +
+    "contract (VERDICT r13 item 4)") {
+    // under the cap: passes and records the bound class for the bench
+    // attribution
+    Attrib.drain()
+    operators.Aggregates.pctBoundGuard(spark, sfDir, "region", "site_ok")
+    val notes = Attrib.drain().toMap
+    assert(notes.get("pct_bound").exists(_.startsWith("site_ok<=region:")),
+      s"missing attribution note: $notes")
+    // over the cap: fails loudly, naming the site, the bound, and the
+    // scale-safe alternative
+    val e = intercept[IllegalArgumentException] {
+      operators.Aggregates.pctBoundGuard(spark, sfDir, "region",
+        "site_hot", cap = 2L)
+    }
+    assert(e.getMessage.contains("site_hot") &&
+      e.getMessage.contains("exactQuantiles"), e.getMessage)
+  }
 }
