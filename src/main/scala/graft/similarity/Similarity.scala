@@ -797,6 +797,43 @@ object Similarity {
     * literals summed through DECIMAL, recall denominators are exact
     * integers — the DuckDB replay ([[evalPanelOracleSqlFor]]) embeds
     * the identical trained-model literals and cannot diverge. */
+  /** THE eval scoring path (VERDICT r13 item 6 — one code path for
+    * both retrieval-quality surfaces): per-query recall@k / nDCG@k of
+    * a ranked candidate list against exact ground truth.
+    *
+    * `ann` carries (qid, vec_id, rn) — the candidate top-k with ranks;
+    * `gt` carries (qid, vec_id) — the exact top-k set; `qids` the full
+    * panel (so zero-candidate queries still report a row of zeros).
+    * Returns per-query rows with BOTH the double dcg (what the
+    * per-query surface shows) and the exact DECIMAL dcg partial
+    * (`dcg_dec`) so an aggregating caller ([[evalIndexPanel]]) can
+    * re-sum across queries exactly — decimal sums are associative, so
+    * panel totals are bit-identical to the pre-refactor single global
+    * aggregate and the DuckDB replay is unchanged. DCG weights are
+    * 1e-6-grid literals (see [[ndcgWeights]]); binary relevance vs the
+    * exact top-k, the repo-wide convention. */
+  private def perQueryEval(qids: DataFrame, ann: DataFrame,
+      gt: DataFrame, k: Int): DataFrame = {
+    val wts = ndcgWeights(k)
+    val wlit = typedlit(wts)
+    val idcg = wts.sum // exact: 1e-6-grid literals, k of them
+    val annN = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+    val hitAgg = ann.join(gt, Seq("qid", "vec_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(U.dec6(element_at(wlit, col("rn")))).as("dcg_dec"))
+    qids.join(annN, Seq("qid"), "left")
+      .join(hitAgg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg_dec"), U.dec6(lit(0))).as("dcg_dec"),
+        U.round6(coalesce(col("n_hits"), lit(0L)).cast("double") / k)
+          .as("recall10"),
+        U.round6(coalesce(U.dbl(col("dcg_dec")), lit(0.0)) / idcg)
+          .as("ndcg10"))
+  }
+
   def evalIndexPanel(s: SparkSession, d: String, nPanel: Int = 10,
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 8, kCent: Int = 16): DataFrame = {
@@ -874,17 +911,20 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("rn"))
     val gt = ranked(j, col("cs")).select(col("qid"), col("vec_id"))
-    val wts = ndcgWeights(k)
-    val wlit = typedlit(wts)
-    val idcg = wts.sum
-    def stats(name: String, ann: DataFrame): DataFrame = ann
-      .join(gt, Seq("qid", "vec_id"))
-      .agg(count(lit(1)).as("nh"),
-        U.dbl(sum(U.dec6(element_at(wlit, col("rn"))))).as("dcg"))
-      .select(lit(name).as("index_name"),
-        U.round6(col("nh").cast("double") / (nPanel * k)).as("recall10"),
-        U.round6(coalesce(col("dcg"), lit(0.0)) / (nPanel * idcg))
-          .as("ndcg10"))
+    val idcg = ndcgWeights(k).sum
+    // per-variant rows fold the SHARED per-query eval path
+    // ([[perQueryEval]] — also the whole of sim_eval_recall_ndcg):
+    // summing the per-query DECIMAL dcg partials re-associates the
+    // pre-refactor single global decimal sum exactly, so the panel
+    // numbers and their oracle replay are unchanged by the collapse.
+    def stats(name: String, ann: DataFrame): DataFrame =
+      perQueryEval(q.select(col("qid")), ann, gt, k)
+        .agg(sum(col("n_hits")).as("nh"),
+          sum(col("dcg_dec")).as("dcg_dec"))
+        .select(lit(name).as("index_name"),
+          U.round6(col("nh").cast("double") / (nPanel * k)).as("recall10"),
+          U.round6(U.dbl(col("dcg_dec")) / (nPanel * idcg))
+            .as("ndcg10"))
     stats("ivf", ranked(j.filter(probed), col("cs")))
       .unionByName(stats("ivf_pq",
         ranked(j.filter(probed), round(adcRaw, 6))))
@@ -1006,44 +1046,39 @@ object Similarity {
     // zero query-time transcendentals, partition-order invariant.
     // Ranks tie-break (cos_sim desc, vec_id); every window is
     // partitioned by query.
+    // Since r14 this is the PER-QUERY surface of the one shared eval
+    // path ([[perQueryEval]] — the same scoring code the index panel's
+    // variant rows fold), applied to the panel's lsh4 configuration:
+    // the r13 verdict flagged two parallel eval implementations as
+    // drift bait, so the DCG/recall math now exists once. This
+    // query's candidate prep stays deliberately light (vd + 4-bit
+    // bucket only — no PQ codes), and its per-query granularity is
+    // what the panel's aggregate rows cannot show: WHICH query a
+    // recall regression hits.
     "sim_eval_recall_ndcg" -> ((s, d) => {
       graft.plans.VectorExprs.register(s)
       val W = org.apache.spark.sql.expressions.Window
       val k = 10
-      val wts = ndcgWeights(k)
-      val wlit = typedlit(wts)
-      val idcg = wts.sum // exact: 1e-6-grid literals, k of them
       val b = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
         .withColumn("bucket", bucketCol(col("vd"), 4))
       val q = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("vd").as("qvd"),
           col("bucket").as("qbucket"))
-      def ranked(cands: DataFrame, rnName: String): DataFrame = cands
+      def ranked(cands: DataFrame): DataFrame = cands
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cs", round(cosine(col("vd"), col("qvd")), 6))
-        .withColumn(rnName, row_number().over(
+        .withColumn("rn", row_number().over(
           W.partitionBy("qid").orderBy(col("cs").desc, col("vec_id"))))
-        .filter(col(rnName) <= k)
-        .select(col("qid"), col("vec_id"), col(rnName))
-      val gt = ranked(b.crossJoin(broadcast(q)), "rn_gt")
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("vec_id"), col("rn"))
+      val gt = ranked(b.crossJoin(broadcast(q)))
+        .select(col("qid"), col("vec_id"))
       val ann = ranked(b.join(broadcast(q),
-        col("bucket") === col("qbucket")), "rn_ann")
-      val hits = ann.join(gt, Seq("qid", "vec_id"))
-      val annN = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
-      val hitAgg = hits.groupBy("qid")
-        .agg(count(lit(1)).as("n_hits"),
-          U.dbl(sum(U.dec6(element_at(wlit, col("rn_ann")))))
-            .as("dcg"))
-      q.select(col("qid"))
-        .join(annN, Seq("qid"), "left")
-        .join(hitAgg, Seq("qid"), "left")
-        .select(col("qid"),
-          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          U.round6(coalesce(col("n_hits"), lit(0L)).cast("double")
-            / k).as("recall10"),
-          U.round6(coalesce(col("dcg"), lit(0.0)) / idcg).as("ndcg10"))
+        col("bucket") === col("qbucket")))
+      perQueryEval(q.select(col("qid")), ann, gt, k)
+        .select(col("qid"), col("n_ann"), col("n_hits"),
+          col("recall10"), col("ndcg10"))
         .orderBy("qid")
     }),
 

@@ -112,13 +112,28 @@ object Discovery {
       respond(ex, 200, pageBody(params("from"), params("size")))
     })
     server.start()
+    val landDir = java.nio.file.Files.createTempDirectory("graft-discovery")
     try {
-      val landDir = java.nio.file.Files.createTempDirectory("graft-discovery")
       val query = """{"query": {"bool": {"must": [
                     |  {"match": {"entity_type": "Dataset"}}]}}}""".stripMargin
       EsFetch.discover(spark, s"http://127.0.0.1:$port/v3/search",
         query, landDir, pageSize = 2)
-    } finally server.stop(0)
+    } finally {
+      server.stop(0)
+      // the returned rows are LOCAL (pagedDatasets materializes before
+      // this method returns — see the class doc), so the landing dir is
+      // dead weight the moment discover() is back; without this delete
+      // every bench/gate pass leaked one temp dir per invocation
+      // (ADVICE r13)
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().forEachRemaining(rm) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(landDir) catch { case _: java.io.IOException => () }
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -59,6 +59,30 @@ object PartitionedData {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  /** Newest last-modified instant across an entire file tree — the
+    * write-recency evidence the stale-tmp sweep keys on. None when ANY
+    * stat fails (deleted-under-us entries, permission hiccups): the
+    * caller must then treat the tmp as live, because fabricated
+    * evidence (the old EPOCH fallback) is what turned a transient stat
+    * failure into deleting a live builder's output (ADVICE r13). */
+  private def newestMtime(
+      root: java.nio.file.Path): Option[java.time.Instant] = {
+    try {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        var newest = java.time.Instant.MIN
+        val it = s.iterator()
+        while (it.hasNext) {
+          val m = java.nio.file.Files.getLastModifiedTime(it.next())
+            .toInstant
+          if (m.isAfter(newest)) newest = m
+        }
+        if (newest == java.time.Instant.MIN) None else Some(newest)
+      } finally s.close()
+    } catch { case _: java.io.IOException | _: java.io.UncheckedIOException =>
+      None }
+  }
+
   /** The shared derived-layout lifecycle: resolve the content-addressed
     * name, and if the layout is not `ready`, sweep stale same-source
     * generations, build into a `.tmp-<pid>` sibling via `write`, and
@@ -126,17 +150,30 @@ object PartitionedData {
                   q != java.lang.ProcessHandle.current().pid() && {
                     val h = java.lang.ProcessHandle.of(q)
                     h.isPresent && {
-                      val mtime =
-                        try java.nio.file.Files.getLastModifiedTime(p)
-                          .toInstant
-                        catch { case _: java.io.IOException =>
-                          java.time.Instant.EPOCH }
-                      val started = h.get.info().startInstant()
-                      val startsBeforeWrite = !started.isPresent ||
-                        !started.get.isAfter(mtime)
-                      val idleMs = java.time.Duration
-                        .between(mtime, java.time.Instant.now()).toMillis
-                      startsBeforeWrite && idleMs < 6L * 3600 * 1000
+                      // Liveness evidence must fail SAFE (ADVICE r13):
+                      // a transient stat failure previously mapped the
+                      // mtime to EPOCH, which made startsBeforeWrite
+                      // false and idleMs huge — classifying a LIVE
+                      // builder's tmp as dead and deleting it under its
+                      // write tasks, the exact hazard this guard
+                      // prevents. No readable mtime → treat as live
+                      // (skip the sweep for this entry; the next sweep
+                      // with working stats reclaims a real corpse).
+                      // The write-recency signal is the NEWEST mtime in
+                      // the tmp TREE, not the top-level dir (which only
+                      // updates on direct-child churn — a long build
+                      // writing deep part files looked idle for hours).
+                      newestMtime(p) match {
+                        case None => true
+                        case Some(mtime) =>
+                          val started = h.get.info().startInstant()
+                          val startsBeforeWrite = !started.isPresent ||
+                            !started.get.isAfter(mtime)
+                          val idleMs = java.time.Duration
+                            .between(mtime, java.time.Instant.now())
+                            .toMillis
+                          startsBeforeWrite && idleMs < 6L * 3600 * 1000
+                      }
                     }
                   }
                 }

@@ -52,11 +52,16 @@ class DerivedLayoutSpec extends SparkSpec {
       mkdir(s"orders_merged_ab_y.tmp-$pp"))
     // a tmp claiming a live pid that STARTED AFTER the tmp's last write
     // cannot belong to that process (OS pid reuse): backdate an
-    // impersonated tmp far before every live process's start
+    // impersonated tmp far before every live process's start. The
+    // write-recency evidence is the newest mtime in the WHOLE tree
+    // (ADVICE r13 — a deep part-file write must count as recent), so
+    // the fixture backdates every entry, not just the dir.
     val reused = mkdir("orders_merged_ab_z.tmp-" +
       parentPid.orElse(java.lang.Long.valueOf(999999998L)))
-    java.nio.file.Files.setLastModifiedTime(reused,
-      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val backdate = java.nio.file.attribute.FileTime.fromMillis(1000L)
+    java.nio.file.Files.setLastModifiedTime(reused.resolve("payload"),
+      backdate)
+    java.nio.file.Files.setLastModifiedTime(reused, backdate)
     // first access builds the layout and runs the sweep
     val out = java.nio.file.Paths.get(
       sources.PartitionedData.ordersMergedManifestTable(spark, d))
