@@ -159,4 +159,41 @@ class MarketSpec extends SparkSpec {
       .orderBy("p_src", "rnk").collect().toSeq
     assert(a == b)
   }
+
+  test("hub fixture (VERDICT r13 item 8): planted hubs collapse the " +
+    "pair-emission universe quadratically and the ceiling equals " +
+    "physically removing the hubs") {
+    // 200 orders of 3 'organic' items each (disjoint triples — support
+    // 1 per organic part) + 20 hub parts present in EVERY order: the
+    // bestsellers-in-every-cart shape the synthetic corpus lacks by
+    // construction (r13 leverage measured only −5% because no real hub
+    // exists there). Basket size 23 → C(23,2) = 253 emitted pairs per
+    // order unpruned; ceiling-pruned back to C(3,2) = 3.
+    val hubs = (1L to 20L)
+    val dp = (0L until 200L).flatMap { o =>
+      val organic = Seq(1000 + 3 * o, 1001 + 3 * o, 1002 + 3 * o)
+      (organic ++ hubs).map(p => (o, p))
+    }.toDF("l_orderkey", "l_partkey")
+    val unpruned = Market.pairEmissionCount(dp)
+    val pruned = Market.pairEmissionCount(dp, maxSupport = 100L)
+    assert(unpruned === 200L * 253, s"unpruned=$unpruned")
+    assert(pruned === 200L * 3, s"pruned=$pruned")
+    // 84× pair-table collapse from 20 hubs in 23-item baskets —
+    // the quadratic term the broadcast-anti ceiling deletes up front
+    assert(unpruned / pruned === 84L)
+    // semantics: ceiling-pruning ≡ removing the hub parts from the
+    // input entirely (organic frequencies are untouched by hub
+    // presence, so every surviving score is identical), and no hub id
+    // survives into the ranked output
+    val gotPruned = Market.coPurchaseTopK(dp, k = 3, maxSupport = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val noHubs = Market.coPurchaseTopK(
+      dp.filter(col("l_partkey") > 20L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(gotPruned === noHubs)
+    assert(gotPruned.nonEmpty &&
+      !gotPruned.exists(t => t._1 <= 20L || t._2 <= 20L))
+  }
 }
