@@ -158,6 +158,12 @@ object Aggregates {
   private val tableRowsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
+  /** Memoized count-star of a base table — the cheap row bound the
+    * percentile guards and routers key on. */
+  def tableRows(s: SparkSession, d: String, table: String): Long =
+    tableRowsCache.getOrElseUpdate((d, table),
+      Tables.t(s, d, table).count())
+
   /** Enforce + attribute the boundedness contract of one remaining
     * `percentile` call site: the site's quantile input has at most one
     * row per `boundTable` row (per-customer summary, per-document
@@ -169,8 +175,7 @@ object Aggregates {
     * field). */
   def pctBoundGuard(s: SparkSession, d: String, boundTable: String,
       site: String, cap: Long = PctBoundCap): Unit = {
-    val n = tableRowsCache.getOrElseUpdate((d, boundTable),
-      Tables.t(s, d, boundTable).count())
+    val n = tableRows(s, d, boundTable)
     graft.Attrib.note("pct_bound", s"$site<=$boundTable:$n")
     require(n <= cap,
       s"$site: Spark `percentile` here buffers up to one entry per " +
@@ -769,23 +774,46 @@ object Aggregates {
     // 2.07 — a uniform law has no 3-sigma tail); production robust
     // z-scores use k = 3·1.4826.
     "window_outlier_mad" -> ((s, d) => {
-      // Both medians through [[exactQuantiles]] (VERDICT r13 item 4):
-      // the groups here are FACT-scaled (orders/5 rows each), so the
-      // old `percentile` spelling was the same whole-group heap buffer
-      // agg_percentile just escaped — the last data-scaled percentile
-      // in the suite. The deviation rounds to the 1e-4 grid BEFORE its
-      // median (both engines identically) so the second fit satisfies
-      // the grid contract at scale=10⁴: |2-decimal − 4-decimal| is
-      // within an ulp of a 4-decimal value but not ON it.
-      val med = exactQuantiles(t(s, d, "orders"), "o_orderpriority",
-        "o_totalprice", Seq(0.5))
-        .select(col("fl").as("p1"), round(col("q0"), 4).as("med"))
+      // ROUTED median fits (VERDICT r13 item 4's "guard that routes to
+      // exactQuantiles above a cap"): the groups here are FACT-scaled
+      // (orders/5 rows each), so Spark's `percentile` — whose buffer
+      // is the whole group — is only taken while the memoized orders
+      // count stays under [[PctBoundCap]]; above it both fits swap to
+      // the stitched [[exactQuantiles]], which is bit-parity-pinned to
+      // percentile (OperatorSemanticsSpec + the routed-parity test),
+      // so the route moves COST, never values. An unconditional
+      // stitched spelling was measured first: 1.0 → 5.1 s at sf0.1
+      // (two stitched fits + the med subplan re-planned per consumer)
+      // — a 5× toll on every test-scale run to pre-pay a wall that the
+      // route dodges for free. Chosen path lands in the attribution.
+      // The conf override exists for the parity test, not for users.
+      val nOrders = tableRows(s, d, "orders")
+      val routeCap = s.conf.getOption("spark.graft.percentile.routeCap")
+        .map(_.toLong).getOrElse(PctBoundCap)
+      val routed = nOrders > routeCap
+      graft.Attrib.note("outlier_mad_fit",
+        if (routed) "stitched" else "percentile")
+      graft.Attrib.note("outlier_mad_bound_rows", nOrders)
+      def fit(df: DataFrame, valCol: String, scale: Long,
+          out: String): DataFrame =
+        if (routed)
+          exactQuantiles(df, "o_orderpriority", valCol, Seq(0.5), scale)
+            .select(col("fl"), round(col("q0"), 4).as(out))
+        else
+          df.groupBy("o_orderpriority")
+            .agg(round(expr(s"percentile($valCol, 0.5)"), 4).as(out))
+            .select(col("o_orderpriority").as("fl"), col(out))
+      val med = fit(t(s, d, "orders"), "o_totalprice", 100L, "med")
+        .withColumnRenamed("fl", "p1")
+      // deviation rounds to the 1e-4 grid BEFORE its median (both
+      // engines, both routes): |2-decimal − 4-decimal| is within an
+      // ulp of a 4-decimal value but not ON it, and the stitched route
+      // requires grid values at scale=10⁴
       val withMed = t(s, d, "orders")
         .join(broadcast(med), col("o_orderpriority") === col("p1"))
         .withColumn("adev", round(abs(col("o_totalprice") - col("med")), 4))
-      val mad = exactQuantiles(withMed, "o_orderpriority", "adev",
-        Seq(0.5), scale = 10000L)
-        .select(col("fl").as("p2"), round(col("q0"), 4).as("mad"))
+      val mad = fit(withMed, "adev", 10000L, "mad")
+        .withColumnRenamed("fl", "p2")
       withMed.join(broadcast(mad), col("o_orderpriority") === col("p2"))
         .filter(col("adev") > lit(2.0) * col("mad"))
         .select(col("o_orderkey"), col("o_orderpriority"),

@@ -819,6 +819,22 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert((1 to 3).map(got.getDouble) === want)
   }
 
+  test("window_outlier_mad routed fits: percentile and stitched paths " +
+    "return identical rows (the route moves cost, never values)") {
+    val q = SparkEntry.queries("window_outlier_mad")
+    val base = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    // force the stitched exactQuantiles route on a cloned session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.percentile.routeCap", "0")
+    val stitched = q(s2, sfDir).collect().map(_.toString).sorted.toSeq
+    assert(base.nonEmpty && stitched === base)
+    // and the attribution names the path that ran
+    Attrib.drain()
+    q(s2, sfDir).queryExecution // building the plan records the note
+    val notes = Attrib.drain().toMap
+    assert(notes.get("outlier_mad_fit").contains("stitched"), notes)
+  }
+
   test("pctBoundGuard: enforces + attributes the percentile boundedness " +
     "contract (VERDICT r13 item 4)") {
     // under the cap: passes and records the bound class for the bench
