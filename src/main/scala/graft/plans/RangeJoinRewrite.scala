@@ -147,39 +147,87 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     scala.collection.concurrent.TrieMap
       .empty[(Int, Int, Int), Option[(Long, Long, Double, Long)]]
 
-  /** Derive the bucket width from the measured stats by minimizing the
-    * rule's own cost model over a geometric grid:
+  /** MEASURED mean bucket replication per candidate width — one more
+    * aggregate per side, every grid width as a column of the same row:
+    * avg(hi divW − lo divW) + 1 under the exact IntegralDivide the
+    * bucket Generate uses. Exists because the closed-form 1 + len/W
+    * is blind to LATTICE ALIGNMENT: the r14 sf1 A/B measured W=9 at
+    * 1.62× the task time of W=10 on the demo data — a_lo is a multiple
+    * of 10, so W=10 spans exactly 3 buckets per interval where the
+    * average-length model predicted 3.5 vs 3.78 (a 6% difference that
+    * was really 26%). Empty map on failure → caller falls back to the
+    * closed form. */
+  private def replStats(child: LogicalPlan, lo: Expression,
+      hi: Expression, grid: Seq[Long]): Map[Long, Double] = {
+    val key = (child.canonicalized.hashCode(), lo.semanticHash(),
+      hi.semanticHash(), grid.hashCode())
+    replCache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val v =
+          try {
+            val aggs = grid.map { w =>
+              val span = Subtract(divW(hi, w), divW(lo, w))
+              Alias(Cast(Average(span).toAggregateExpression(),
+                DoubleType), s"r$w")()
+            }
+            val r = org.apache.spark.sql.GraftPlanRun.head(
+              SparkSession.active, Aggregate(Nil, aggs, child))
+            if (grid.indices.exists(r.isNullAt)) Map.empty[Long, Double]
+            else grid.zipWithIndex
+              .map { case (w, i) => w -> (r.getDouble(i) + 1.0) }.toMap
+          } catch { case _: Throwable => Map.empty[Long, Double] }
+        replCache.synchronized {
+          if (replCache.size > 64) replCache.clear()
+          replCache.update(key, v)
+        }
+        v
+    }
+  }
+  private val replCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int), Map[Long, Double]]
+
+  /** Candidate widths: geometric ×1.15 (≥ +1) from the span-guard
+    * floor up to the domain, capped at 64 evaluations. */
+  private[graft] def widthGrid(domain: Long, maxLen: Long,
+      spanCap: Long): Seq[Long] = {
+    val wMin = math.max(1L, (maxLen + spanCap - 1) / spanCap)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = wMin
+    while (w <= math.max(domain, wMin) && buf.size < 64) {
+      buf += w
+      w = math.max(w + 1, (w * 1.15).toLong)
+    }
+    buf.toSeq
+  }
+
+  /** Pick the width minimizing the rule's cost model over the grid,
+    * with MEASURED mean replications (see [[replStats]]):
     *
-    *   candidates(W) ∝ (W + wa)(W + wb) / W   per overlapping locality
+    *   candidates(W) ∝ replA(W) · replB(W) · W / domain
+    *     (per-bucket co-occupancy: |A|·replA/K · |B|·replB/K summed
+    *      over K = domain/W keys)
     *   parallelism(W) = min(domain / W, numPartitions)
     *   cost(W) = candidates(W) / parallelism(W)
     *
-    * Small W buys parallelism (more bucket keys) at ~linear extra
-    * candidate volume; large W cuts replication but starves the
-    * shuffle — exactly the two-sided constraint the r13 hand-tune
-    * balanced (the demo's measured optimum W=10 on domain 540 /
-    * lengths 25 & 40 / 64 partitions is what this model returns). The
-    * floor `maxLen / maxSpanBuckets` keeps every interval under the
-    * span guard, so auto mode never trips it. */
-  private[graft] def deriveWidth(domain: Long, wa: Double, wb: Double,
-      maxLen: Long, parts: Int, spanCap: Long): Long = {
+    * Small W buys parallelism (more bucket keys) at extra replication
+    * and candidate volume; large W cuts replication but starves the
+    * shuffle — the two-sided constraint the r13 hand-tune balanced.
+    * With the measured replications this lands ON the hand-tuned
+    * optimum for the demo (W=10: the lattice-aligned 3-bucket span
+    * beats W=9's 3.78 despite fewer keys); the closed-form fallback
+    * (repl = 1 + meanLen/W, used when the repl job fails) lands in the
+    * same regime one notch lower. The grid's span-guard floor keeps
+    * auto mode from ever tripping the per-row span error. */
+  private[graft] def deriveWidth(domain: Long, grid: Seq[Long],
+      replA: Long => Double, replB: Long => Double, parts: Int): Long = {
     val dom = math.max(domain, 1L).toDouble
-    val wMin = math.max(1L, (maxLen + spanCap - 1) / spanCap)
     def cost(w: Long): Double = {
-      val cand = (w + wa) * (w + wb) / w
+      val cand = replA(w) * replB(w) * w / dom
       val par = math.min(dom / w, parts.toDouble).max(1.0)
       cand / par
     }
-    var best = wMin
-    var bestCost = cost(wMin)
-    var w = wMin
-    while (w <= domain) {
-      // geometric grid, ≥ +1 per step: ~60 evaluations over any domain
-      val c = cost(w)
-      if (c < bestCost) { best = w; bestCost = c }
-      w = math.max(w + 1, (w * 1.15).toLong)
-    }
-    best
+    grid.minBy(w => cost(w)) // ties resolve to the smaller width
   }
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
@@ -250,10 +298,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               (sideStats(left, aLo, aHi), sideStats(right, bLo, bHi)) match {
                 case (Some((amn, amx, aav, aml)), Some((bmn, bmx, bav, bml))) =>
                   val domain = math.max(amx, bmx) - math.min(amn, bmn) + 1
-                  val dw = deriveWidth(domain, aav, bav,
-                    math.max(aml, bml), numPartitions, maxSpanBuckets)
+                  val grid = widthGrid(domain, math.max(aml, bml),
+                    maxSpanBuckets)
+                  // measured replication where the job succeeds, the
+                  // closed-form 1 + meanLen/W where it doesn't
+                  val ra = replStats(left, aLo, aHi, grid)
+                  val rb = replStats(right, bLo, bHi, grid)
+                  def repl(m: Map[Long, Double], meanLen: Double)(
+                      wc: Long): Double =
+                    m.getOrElse(wc, 1.0 + meanLen / wc)
+                  val dw = deriveWidth(domain, grid,
+                    repl(ra, aav), repl(rb, bav), numPartitions)
                   graft.Attrib.note("range_join_width", dw)
-                  graft.Attrib.note("range_join_width_source", "auto")
+                  graft.Attrib.note("range_join_width_source",
+                    if (ra.nonEmpty && rb.nonEmpty) "auto-measured"
+                    else "auto-closed-form")
                   dw
                 case _ =>
                   // stats unavailable (empty side, exotic child plan):

@@ -105,30 +105,42 @@ class PlanSpec extends SparkSpec {
   }
 
   test("RangeJoinRewrite.deriveWidth: cost model lands in the measured-" +
-      "optimum regime and respects the span floor") {
-    // the r13 hand-tune scenario: domain 540, lengths 25/40, 64-way
-    // shuffle — measured optimum was W=10 (46.7% over W=50's 11-key
-    // collapse); the model must land in single-digit-to-low-teens W,
-    // NOT back at a parallelism-starving width
-    val w = graft.plans.RangeJoinRewrite.deriveWidth(
-      domain = 540L, wa = 25.0, wb = 40.0, maxLen = 40L,
-      parts = 64, spanCap = 4096L)
+      "optimum regime, sees lattice alignment, respects the span floor") {
+    import graft.plans.RangeJoinRewrite.{deriveWidth, widthGrid}
+    def closedForm(len: Double)(w: Long): Double = 1.0 + len / w
+    // the r13 hand-tune scenario under the closed-form fallback:
+    // domain 540, lengths 25/40, 64-way shuffle — must land in
+    // single-digit-to-low-teens W, NOT back at a parallelism-starving
+    // width (W=50 was the 11-key sf1 collapse)
+    val g1 = widthGrid(540L, 40L, 4096L)
+    assert(g1.contains(9L) && g1.contains(10L), s"grid misses 9/10: $g1")
+    val w = deriveWidth(540L, g1, closedForm(25.0), closedForm(40.0), 64)
     assert(w >= 4 && w <= 16, s"derived width $w outside the tuned regime")
+    // MEASURED replication sees what the closed form cannot (the r14
+    // sf1 A/B: W=9 ran 1.62x the task time of W=10): a_lo multiples of
+    // 10 make W=10 span exactly 3 buckets (not 3.5) — with the demo's
+    // exact replications the model must pick the aligned W=10 over the
+    // closed-form favorite W≈8-9
+    val exactA = Map(8L -> 4.145, 9L -> 3.778, 10L -> 3.0, 12L -> 3.08)
+    val exactB = Map(8L -> 6.0, 9L -> 5.444, 10L -> 5.0, 12L -> 4.333)
+    def measured(m: Map[Long, Double], len: Double)(w: Long): Double =
+      m.getOrElse(w, 1.0 + len / w)
+    val wAligned = deriveWidth(540L, g1,
+      measured(exactA, 25.0), measured(exactB, 40.0), 64)
+    assert(wAligned === 10L, s"alignment not exploited: picked $wAligned")
     // span floor: a 10M-long interval at spanCap 4096 forces W ≥ 2442
     // so the per-row sequence() explode stays bounded
-    val w2 = graft.plans.RangeJoinRewrite.deriveWidth(
-      domain = 100000000L, wa = 10000000.0, wb = 10.0,
-      maxLen = 10000000L, parts = 64, spanCap = 4096L)
+    val g2 = widthGrid(100000000L, 10000000L, 4096L)
+    assert(g2.head >= 10000000L / 4096L, s"grid ${g2.head} under the floor")
+    val w2 = deriveWidth(100000000L, g2,
+      closedForm(10000000.0), closedForm(10.0), 64)
     assert(w2 >= 10000000L / 4096L, s"width $w2 violates the span floor")
     // wide domain, short intervals: parallelism saturates at `parts`
-    // long before replication matters — W should sit near the interval
-    // length scale, never at 1 (candidate volume blows up) and never
-    // at domain/parts (10⁶ — needless key starvation is impossible
-    // here but replication would be fine; the model just must not
-    // degenerate)
-    val w3 = graft.plans.RangeJoinRewrite.deriveWidth(
-      domain = 100000000L, wa = 50.0, wb = 50.0, maxLen = 80L,
-      parts = 64, spanCap = 4096L)
+    // long before replication matters — W sits near the interval
+    // length scale, neither 1 (candidate blow-up) nor domain-scale
+    val g3 = widthGrid(100000000L, 80L, 4096L)
+    val w3 = deriveWidth(100000000L, g3,
+      closedForm(50.0), closedForm(50.0), 64)
     assert(w3 >= 16 && w3 <= 500, s"derived width $w3 degenerate")
   }
 
