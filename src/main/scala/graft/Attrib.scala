@@ -19,6 +19,13 @@ import scala.collection.mutable
   * values and leaves numeric ones bare). Notes accumulate until
   * [[drain]] — a query that calls two instrumented operators reports
   * both, keyed by the operator's own prefix.
+  *
+  * Scope (ADVICE r13, accepted as-is): this registry is process-global
+  * and correct under the bench's strictly SEQUENTIAL execution — one
+  * query's notes are drained before the next starts. If runs ever
+  * parallelize, scope notes per-thread or per-query token instead of a
+  * singleton map; until then the singleton keeps operator call sites
+  * one-liner cheap.
   */
 object Attrib {
   private val notes = mutable.LinkedHashMap.empty[String, String]
