@@ -19,7 +19,7 @@ object Bench {
     * number the gate actually reads. */
   final case class PassRec(sec: Double, ok: Boolean, gcMs: Long,
       taskMs: Long, tasks: Long, boxNonSelfMs: Long, boxLoad1: Double,
-      notes: Seq[(String, String)])
+      jitMs: Long, codeCacheMb: Long, notes: Seq[(String, String)])
 
   /** Steady-state estimate: min across SUCCESSFUL passes; None when
     * every pass failed (the query must read as red, never as a
@@ -143,6 +143,7 @@ object Bench {
       Attrib.drain()
       val (gc0, tm0, tc0) = BenchMetrics.snapshot(spark)
       val box0 = BenchMetrics.boxStat()
+      val (jit0, _) = BenchMetrics.jitStat()
       val t0 = System.nanoTime()
       var ok = true
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -152,6 +153,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val box1 = BenchMetrics.boxStat()
+      val (jit1, cc1) = BenchMetrics.jitStat()
       val (gc1, tm1, tc1) = BenchMetrics.snapshot(spark)
       val notes = Attrib.drain()
       if (isolate) {
@@ -168,8 +170,15 @@ object Bench {
             box0.selfJiffies < 0 || box1.selfJiffies < 0) -1L
         else math.max(0L, (box1.busyJiffies - box0.busyJiffies) -
           (box1.selfJiffies - box0.selfJiffies)) * 10L
+      // jit_ms: JVM compiler thread time landing inside the window
+      // (recompilation churn when the code cache flushes); codecache_mb:
+      // CodeHeap bytes in use at window end (near the 1 GiB reserve ⇒
+      // flushing territory). Both -1 when the beans are unavailable.
+      val jitMs =
+        if (jit0 < 0 || jit1 < 0) -1L else math.max(0L, jit1 - jit0)
       PassRec(dt, ok, gc1 - gc0, tm1 - tm0, tc1 - tc0, boxNonSelf,
-        math.max(box0.load1, box1.load1), notes)
+        math.max(box0.load1, box1.load1), jitMs,
+        if (cc1 < 0) -1L else cc1 >> 20, notes)
     }
     val allPasses = (1 to passes).map { _ =>
       selected.map { case (name, fn) => (name, runOne(name, fn, "")) }
@@ -248,7 +257,9 @@ object Bench {
           s""""gc_ms":${r.gcMs}""", s""""task_ms":${r.taskMs}""",
           s""""tasks":${r.tasks}""",
           s""""box_nonself_ms":${r.boxNonSelfMs}""",
-          s""""box_load1":${num(r.boxLoad1)}""") ++ notes)
+          s""""box_load1":${num(r.boxLoad1)}""",
+          s""""jit_ms":${r.jitMs}""",
+          s""""codecache_mb":${r.codeCacheMb}""") ++ notes)
           .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).sum

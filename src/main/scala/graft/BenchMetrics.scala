@@ -62,6 +62,34 @@ package graft {
       (gc, taskMs.get(), taskCount.get())
     }
 
+    /** JIT state sample: (cumulative JIT compilation ms, code-cache
+      * bytes in use across the CodeHeap pools). The round-14 follow-up
+      * to the box sample: with GC, graft JVMs AND box ambient load all
+      * excluded, the remaining suspect for "same plan, double task_ms
+      * late in a 356-query suite" is the JVM compiler — hundreds of
+      * queries of codegen classes fill the reserved code cache, and
+      * under `-XX:+UseCodeCacheFlushing` (run_bench.sh) flushed hot
+      * methods re-interpret until recompiled, inflating executor task
+      * time with no GC signature. A query window with a large `jit_ms`
+      * delta (recompilation churn) or a near-capacity
+      * `codecache_used_mb` names that mechanism in the artifact. */
+    def jitStat(): (Long, Long) = {
+      val comp =
+        try {
+          val c = ManagementFactory.getCompilationMXBean
+          if (c != null && c.isCompilationTimeMonitoringSupported)
+            c.getTotalCompilationTime
+          else -1L
+        } catch { case _: Throwable => -1L }
+      val cc =
+        try ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(p => p.getName.contains("CodeHeap") ||
+            p.getName.contains("Code Cache"))
+          .map(_.getUsage.getUsed).sum
+        catch { case _: Throwable => -1L }
+      (comp, cc)
+    }
+
     /** Box-level CPU/load sample (VERDICT r13 item 1): the r13
       * attribution excluded GC and concurrent graft JVMs from the
       * five-round copurchase driver-window divergence but could not SEE

@@ -99,6 +99,28 @@ object GraftSession {
       // 3.15 → 3.0 s). Set a positive period if attaching a live UI.
       .config("spark.ui.liveUpdate.period",
         knob("SPARK_GRAFT_UI_LIVE_UPDATE", "-1"))
+      // Generated-class cache sized for a MANY-DISTINCT-PLAN workload
+      // (static conf, must be set at session build). The default 100
+      // entries is smaller than one pass of the 356-query suite, so
+      // every entry evicts before its query's next pass and EVERY
+      // timed window recompiles its whole-stage classes from source.
+      // The r14 jit attribution (jit_ms/codecache_mb per query) found
+      // it: 2.4-4.1 s of compiler time inside the heavy queries' WARM
+      // min-pass windows with the codecache flat at ~135 MB of the
+      // 1 GiB reserve (capacity was never the constraint — eviction
+      // was). Same-session A/B at 4096 entries: full suite
+      // 298.5 → 215.6 s (median per-query 0.734), in-window jit_ms
+      // 213 → 114 s, task_ms SUM 1978 → 1085 s — freshly-loaded
+      // classes also run their first profile-gathering executions in
+      // lower JIT tiers, which is why evicting them every pass nearly
+      // doubled executor task time and hit the core-saturated queries
+      // hardest (this was the five-round copurchase "driver window"
+      // divergence: support 4.17 → 2.73 s, topk 2.97 → 1.86 s, now
+      // BELOW their isolated-record numbers). Memory: ~60 MB extra
+      // codecache at suite scale (131 → 191 MB). The same sizing logic
+      // applies to any long-lived many-plan production session.
+      .config("spark.sql.codegen.cache.maxEntries",
+        knob("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
