@@ -32,6 +32,7 @@ object SparkEntry {
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       functions.Bpe.queries ++
+      functions.Unigram.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++
+      functions.Unigram.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
