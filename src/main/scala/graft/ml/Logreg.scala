@@ -128,6 +128,33 @@ object Logreg {
         U.dirSignature(java.nio.file.Paths.get(d, "documents.parquet"))),
       _ => train(s, d))
 
+  /** Bounded per-group top-k as a typed Aggregator — the scale shape
+    * for grouped ranking: the buffer holds AT MOST k (score, id) pairs,
+    * partials combine map-side, and the merge is a sorted take(k) under
+    * a TOTAL order (score, then id), so the result is independent of
+    * partitioning. A `row_number` window would sort entire data-scaled
+    * groups through one task each; this is the B.8 custom-UDAF answer.
+    * `best = true` keeps the highest scores (desc, id asc);
+    * `best = false` the lowest (asc, id desc) — the two orders are
+    * exact mirrors so a group's k-th best and k-th worst pair up. */
+  final class TopKAgg(k: Int, best: Boolean)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def precedes(a: (Double, Long), b: (Double, Long)): Boolean =
+      if (best) a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      else a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(buf: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      merge(buf, Seq(a))
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (x ++ y).sortWith(precedes).take(k)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the learned model itself — one row of weights (round6 for the
     // driver compare; the apply query consumes the unrounded doubles)
@@ -247,6 +274,45 @@ object Logreg {
     // combined), then block-stitched cumulatives — per-block
     // partitioned windows plus a ≤101-row offset table — so no
     // unpartitioned window ever sees the data-scaled distinct-score
+    // Preference-pair construction for DPO/RLHF-style training data:
+    // within each source, the k best-scoring documents (by the trained
+    // quality gate) pair 1-1 with the k worst — rank i best vs rank i
+    // worst, margin = score gap — producing the (chosen, rejected)
+    // table a preference-tuning run consumes. Composition evidence:
+    // the scorer is the registered trained gate, reused, not
+    // re-derived. Shape: ONE map-side-combining aggregate per group
+    // via the bounded [[TopKAgg]] buffers (both extremes in the same
+    // aggregate — never a row_number sort of a data-scaled group
+    // through one task), then a ≤k-row explode. Degenerate pairs
+    // (chosen score ≤ rejected — tiny or uniform groups, incl. the
+    // same doc as both extremes) are filtered: a non-positive margin
+    // teaches nothing.
+    "pair_preference_build" -> ((s, d) => {
+      val k = 10
+      val w = weights(s, d)
+      val sc = features(s, d).select(col("doc_id"),
+        U.round6(sigma12(margin(w))).as("sc"))
+      val scored = sc.join(
+        Tables.t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val topA = udaf(new TopKAgg(k, best = true), enc)
+      val botA = udaf(new TopKAgg(k, best = false), enc)
+      scored.groupBy("source")
+        .agg(topA(col("sc"), col("doc_id")).as("top"),
+          botA(col("sc"), col("doc_id")).as("bot"))
+        .select(col("source"),
+          posexplode(arrays_zip(col("top"), col("bot"))).as(Seq("i", "p")))
+        .select(col("source"), (col("i") + 1).cast("long").as("pair_rank"),
+          col("p.top._2").as("chosen_doc"),
+          col("p.bot._2").as("rejected_doc"),
+          U.round6(col("p.top._1") - col("p.bot._1")).as("margin"))
+        .filter(col("margin") > 0.0)
+        .orderBy("source", "pair_rank")
+    }),
+
     // set. Per-group contributions quantize through U.dec6r (the
     // computed-double cast bridge) before the final exact sum.
     "ml_logreg_auc" -> ((s, d) => {
@@ -417,6 +483,34 @@ object Logreg {
          |  round(CAST(cum_pos AS DOUBLE) / pos_all * 1000000) / 1000000
          |    AS cum_gain
          |FROM c ORDER BY decile""".stripMargin),
+    // replayed weights → scores → the window spelling of the grouped
+    // top/bottom-k (the oracle need not scale; the engine's bounded
+    // TopKAgg buffers are pinned equivalent to row_number under the
+    // same total order)
+    "pair_preference_build" -> (trainSqlCtes +
+      s"""
+         |,
+         |sc AS (
+         |  SELECT f.doc_id, d.source,
+         |    round(${sqlSigma(sqlMargin(s"w$Iters"))} * 1000000)
+         |      / 1000000 AS sc
+         |  FROM feats f JOIN documents d ON d.doc_id = f.doc_id, w$Iters),
+         |top AS (
+         |  SELECT source, doc_id, sc, row_number() OVER (
+         |    PARTITION BY source ORDER BY sc DESC, doc_id) AS pr
+         |  FROM sc),
+         |bot AS (
+         |  SELECT source, doc_id, sc, row_number() OVER (
+         |    PARTITION BY source ORDER BY sc ASC, doc_id DESC) AS pr
+         |  FROM sc),
+         |paired AS (
+         |  SELECT t.source, CAST(t.pr AS BIGINT) AS pair_rank,
+         |    t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+         |    round((t.sc - b.sc) * 1000000) / 1000000 AS margin
+         |  FROM top t JOIN bot b ON b.source = t.source AND b.pr = t.pr
+         |  WHERE t.pr <= 10)
+         |SELECT * FROM paired WHERE margin > 0.0
+         |ORDER BY source, pair_rank""".stripMargin),
     "ml_logreg_auc" -> (trainSqlCtes +
       s"""
          |,

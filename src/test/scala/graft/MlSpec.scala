@@ -248,4 +248,42 @@ class MlSpec extends SparkSpec {
     val gains = rows.map(_.getAs[Double]("cum_gain")).toSeq
     assert(gains.zip(gains.tail).forall { case (a, b) => b >= a })
   }
+
+  test("TopKAgg: bounded-buffer grouped top-k equals the row_number " +
+    "window under the same total order, at ANY partitioning") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 7}", math.round(rnd.nextDouble() * 20) / 20.0, i.toLong))
+    val k = 5
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val topA = udaf(new ml.Logreg.TopKAgg(k, best = true), enc)
+    val botA = udaf(new ml.Logreg.TopKAgg(k, best = false), enc)
+    // reference: full in-memory sort per group
+    val byG = rows.groupBy(_._1)
+    def want(desc: Boolean) = byG.map { case (g, rs) =>
+      val sorted = rs.map(r => (r._2, r._3)).sortWith((a, b) =>
+        if (desc) a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        else a._1 < b._1 || (a._1 == b._1 && a._2 > b._2))
+      g -> sorted.take(k)
+    }
+    for (parts <- Seq(1, 3, 32)) { // merge order must not matter
+      import spark.implicits._
+      val df = rows.toDF("g", "sc", "id").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(topA(col("sc"), col("id")).as("top"),
+          botA(col("sc"), col("id")).as("bot"))
+        .collect().map(r => r.getString(0) -> (
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1))),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => (x.getDouble(0), x.getLong(1))))).toMap
+      want(true).foreach { case (g, w) =>
+        assert(got(g)._1 === w, s"top g=$g parts=$parts") }
+      want(false).foreach { case (g, w) =>
+        assert(got(g)._2 === w, s"bot g=$g parts=$parts") }
+    }
+  }
 }
