@@ -33,6 +33,7 @@ object SparkEntry {
       functions.TextOps.queries ++
       functions.Bpe.queries ++
       functions.Unigram.queries ++
+      functions.TokenizerCompare.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
       multimodal.Multimodal.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++
       functions.Unigram.oracles ++
+      functions.TokenizerCompare.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++

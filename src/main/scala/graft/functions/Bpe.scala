@@ -337,6 +337,11 @@ object Bpe {
        |$union) ORDER BY rank""".stripMargin
   }
 
+  /** Current apply oracle, exposed for [[TokenizerCompare]]'s composed
+    * replay (None until rules have trained this process). */
+  private[functions] def applyOracleSqlCurrent: Option[String] =
+    lastRules.map(applyOracleSqlFor)
+
   def oracles: Map[String, String] =
     Map("vocab_bpe_train" -> trainOracleSql) ++ (lastRules match {
       case None => Map.empty

@@ -222,6 +222,7 @@ object Unigram {
         .groupBy("doc_id")
         .agg(U.lng(sum(col("cnt"))).as("n_words"),
           U.lng(sum(col("cnt") * col("wnp"))).as("n_pieces"),
+          U.lng(sum(col("cnt") * length(col("word")))).as("n_chars"),
           U.round6(U.dbl(sum(U.dec6r(
             U.round6(col("wlp")) * col("cnt"))))).as("unigram_logprob"))
         .orderBy("doc_id")
@@ -281,26 +282,33 @@ object Unigram {
        |    ON d.word = w.word AND d.pos = length(w.word))""".stripMargin
   }
 
+  /** Current apply oracle, exposed for [[TokenizerCompare]]'s composed
+    * replay (None until the model has trained this process). */
+  private[functions] def applyOracleSqlCurrent: Option[String] =
+    lastModel.map(applyOracleSql)
+
   def oracles: Map[String, String] = lastModel match {
     case None => Map.empty
     case Some(m) =>
-      val dp = dpSql(m)
       Map(
         "vocab_unigram_segment" ->
-          s"""WITH $dp
+          s"""WITH ${dpSql(m)}
              |SELECT word, CAST(wnp AS BIGINT) AS n_pieces,
              |  round(wlp * 1000000) / 1000000 AS word_logprob
              |FROM scored ORDER BY word""".stripMargin,
-        "vocab_unigram_apply" ->
-          s"""WITH $dp
+        "vocab_unigram_apply" -> applyOracleSql(m))
+  }
+
+  private def applyOracleSql(m: Seq[(String, Double)]): String =
+    s"""WITH ${dpSql(m)}
              |SELECT t.doc_id,
              |  CAST(sum(t.cnt) AS BIGINT) AS n_words,
              |  CAST(sum(t.cnt * sc.wnp) AS BIGINT) AS n_pieces,
+             |  CAST(sum(t.cnt * length(t.word)) AS BIGINT) AS n_chars,
              |  round(CAST(sum(CAST(round(
              |      (round(sc.wlp * 1000000) / 1000000) * t.cnt * 1000000
              |    ) / 1000000 AS DECIMAL(18,6))) AS DOUBLE) * 1000000)
              |    / 1000000 AS unigram_logprob
              |FROM tw t JOIN scored sc ON sc.word = t.word
-             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
-  }
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 }

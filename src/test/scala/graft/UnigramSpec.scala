@@ -103,9 +103,10 @@ class UnigramSpec extends SparkSpec {
       .collect()
     assert(app.nonEmpty)
     app.foreach { r =>
-      val (nw, np) = (r.getLong(1), r.getLong(2))
+      val (nw, np, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(np >= nw, "at least one piece per word")
-      assert(r.getDouble(3) < 0.0)
+      assert(nc >= np, "pieces are at least one char")
+      assert(r.getDouble(4) < 0.0)
     }
     // spot-check one document against a driver-side recomputation from
     // the segment table + raw tokenization
