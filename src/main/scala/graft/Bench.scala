@@ -21,6 +21,17 @@ object Bench {
       taskMs: Long, tasks: Long, boxNonSelfMs: Long, boxLoad1: Double,
       jitMs: Long, codeCacheMb: Long, notes: Seq[(String, String)])
 
+  /** Final per-query record: the min successful pass plus `warmMs`, the
+    * measured warm-up tax (first-pass seconds minus the min) — the
+    * round-15 tier proxy. Under the back-to-back pass protocol the
+    * first pass absorbs codegen compilation AND the JIT profile warm-up
+    * of the query's generated classes, so warmMs names exactly the cost
+    * the old sweep-ordered protocol leaked into its timed windows (the
+    * six-round copurchase "driver window" residual, VERDICT r14 item 1).
+    * -1 when the first pass failed (its fail-fast duration is not a
+    * warm-up measurement). */
+  final case class QueryRec(min: PassRec, warmMs: Long)
+
   /** Steady-state estimate: min across SUCCESSFUL passes; None when
     * every pass failed (the query must read as red, never as a
     * timing — a fail-fast duration would masquerade as a speedup). */
@@ -43,6 +54,15 @@ object Bench {
     good.size >= 2 && good.min >= 0.5 &&
       good.max / good.min > 1.5 && good.max - good.min > 0.5
   }
+
+  /** Warm-up tax in ms: first-pass seconds minus the reported min.
+    * Defined only when the FIRST pass succeeded (-1 otherwise: a
+    * fail-fast first-pass duration is not a warm-up measurement);
+    * clamped at 0 — the first pass being the min means no tax, not a
+    * negative one. */
+  def warmUpMs(passes: Seq[Pass], minSec: Double): Long =
+    if (passes.isEmpty || !passes.head._2) -1L
+    else math.max(0L, math.round((passes.head._1 - minSec) * 1000))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,11 +110,13 @@ object Bench {
     // (dev-only) times the n-th pass, isolating steady-state execution
     // from first-run classload/codegen-compile cost.
     val only = args.toSet
-    // Default is 2 passes with the LAST pass timed: the first pass absorbs
-    // per-query classload/codegen-compile cost (~5-8 s on the first query
-    // that touches each exec — measured in BASELINE.md), so the recorded
-    // numbers are steady-state execution, which is what round-over-round
-    // comparison needs on a box with intermittent external load.
+    // Default is 2 passes run BACK-TO-BACK PER QUERY with the min taken:
+    // the first pass absorbs per-query classload/codegen-compile cost AND
+    // the JIT tier warm-up of the query's generated classes (see the
+    // per-query loop below for why consecutive passes replaced the old
+    // sweep-ordered protocol in round 15), so the recorded numbers are
+    // steady-tier execution, which is what round-over-round comparison
+    // needs on a box with intermittent external load.
     // SPARK_GRAFT_REPEAT overrides (1 = old cold-run behavior).
     val passes = sys.env.get("SPARK_GRAFT_REPEAT") match {
       case Some(v) => v.trim.toIntOption.filter(_ >= 1).getOrElse {
@@ -180,75 +202,88 @@ object Bench {
         math.max(box0.load1, box1.load1), jitMs,
         if (cc1 < 0) -1L else cc1 >> 20, notes)
     }
-    val allPasses = (1 to passes).map { _ =>
-      selected.map { case (name, fn) => (name, runOne(name, fn, "")) }
-    }
-    // Per-query time = MIN across SUCCESSFUL passes (for passes >= 2),
-    // not the last pass: back-to-back identical full sweeps measured a
-    // median per-query ratio of 1.01 but INDIVIDUAL queries at 2.5-4.7x
-    // between runs with unchanged code (round-11 forensics — 8 of 347
-    // queries above 2.5x, a different set each sweep; the round-9/10
-    // driver-tail "anomaly cluster" was this noise, not code). The
-    // noise is one-sided (a GC pause, an async ContextCleaner deletion
-    // burst, or ambient box load lands IN some query's timed window and
-    // only adds time), so the min is the steady-state estimator; the
-    // ~0.1-0.3 s first-pass codegen-compile overhead means the min
-    // usually picks a warm pass anyway. A FAILED pass's (fail-fast)
-    // duration must not masquerade as a speedup, so the min ranges over
-    // successful passes only. A query with ZERO successful passes is
-    // reported in a separate "failed" array, NOT as a timing (round-11
-    // advice: its fail-fast duration would otherwise masquerade as a
-    // speedup to every gate and compare script — a newly-broken query
-    // must read as red, never as fast). With SPARK_GRAFT_REPEAT=1 this
-    // degrades to the single cold pass unchanged.
-    val byName = allPasses.flatten.groupBy(_._1)
+    // Passes run BACK-TO-BACK PER QUERY (round 15), not as full sweeps.
+    // The r14 codegen-cache fix removed recompilation between sweeps,
+    // but the residual copurchase in-suite divergence (support 1.74x /
+    // topk 1.85x vs record with GC, ambient load and concurrent JVMs
+    // all excluded, jit_ms covering only ~half) was low-TIER execution:
+    // with sweep-ordered passes, 359 other queries run between a
+    // query's pass 1 and pass 2, so its generated classes' JIT profiles
+    // decay (code-cache flushing + tiered deopt) and even the "warm"
+    // pass re-runs in interpreter/C1 while C2 re-warms — compiler-
+    // thread time (jit_ms) never sees the interpreted execution itself.
+    // Consecutive passes make pass 1 absorb codegen compile AND tier
+    // warm-up seconds before the timed min, so the min measures
+    // steady-tier execution by construction; the absorbed tax is
+    // REPORTED per query as `warm_ms` (first-pass minus min), the
+    // instrumentation half of the same fix.
+    //
+    // Per-query time = MIN across SUCCESSFUL passes (for passes >= 2):
+    // back-to-back identical full sweeps measured a median per-query
+    // ratio of 1.01 but INDIVIDUAL queries at 2.5-4.7x between runs
+    // with unchanged code (round-11 forensics). The noise is one-sided
+    // (a GC pause, a deletion burst, or ambient box load lands IN some
+    // query's timed window and only adds time), so the min is the
+    // steady-state estimator. A FAILED pass's (fail-fast) duration must
+    // not masquerade as a speedup, so the min ranges over successful
+    // passes only; a query with ZERO successful passes is reported in a
+    // separate "failed" array, NOT as a timing. With
+    // SPARK_GRAFT_REPEAT=1 this degrades to the single cold pass.
+    //
+    // Tie-break pass for noise-hit queries: min-of-2 still lets a query
+    // lose BOTH draws (the round-11 driver tail recorded copurchase at
+    // 6.58 s min-of-2 vs 2.9 s in four builder sweeps). When a query's
+    // successful passes DISAGREE by >1.5x AND >0.5 s (a stall only ever
+    // adds time, so a wide spread means at least one pass was hit), one
+    // extra pass runs immediately and the min ranges over all three.
+    // Disabled with SPARK_GRAFT_REPEAT=1 (no second opinion).
+    val perQuery: Seq[(String, (Seq[PassRec], Boolean))] =
+      selected.map { case (name, fn) =>
+        val base = (1 to passes).map(i =>
+          runOne(name, fn, if (i == 1) "" else s" pass$i"))
+        val tied = passes >= 2 &&
+          needsTieBreak(base.map(r => (r.sec, r.ok)))
+        val all = if (tied) base :+ runOne(name, fn, " tie-break")
+          else base
+        name -> (all, tied)
+      }
+    val byName = perQuery.toMap
     val failed = selected.map(_._1)
-      .filter(n => !byName(n).exists(_._2.ok)).sorted
-    // Tie-break pass for noise-hit queries: the round-11 forensics
-    // pinned per-query full-suite times as heavy-tailed (8 of 347
-    // queries at 2.5-4.7x between identical sweeps, a different set
-    // each run), and min-of-2 still lets a query lose BOTH draws — the
-    // round-11 driver tail recorded copurchase at 6.58 s min-of-2 vs
-    // 2.9 s in four builder sweeps. When a query's successful passes
-    // DISAGREE by >1.5x (the noise signature: a stall only ever adds
-    // time, so a wide spread means at least one pass was hit), one
-    // extra pass runs and the min ranges over all three. A genuinely
-    // slow query reports the same number three times and keeps it;
-    // only disagreement buys a re-run, so the expected extra cost is
-    // the ~8-query tail (~10-20 s), not a full third sweep. The 0.5 s
-    // floor skips sub-second queries where a re-run can't move any
-    // gate. Disabled with SPARK_GRAFT_REPEAT=1 (cold-run protocol has
-    // no second opinion to disagree with).
-    val tieBreak =
-      if (passes < 2) Seq.empty
-      else selected.filter { case (name, _) =>
-        needsTieBreak(byName(name).map(p => (p._2.sec, p._2.ok)))
-      }.map { case (name, fn) => (name, runOne(name, fn, " tie-break")) }
+      .filter(n => !byName(n)._1.exists(_.ok)).sorted
+    val tieBreak = selected.map(_._1).filter(n => byName(n)._2)
     if (tieBreak.nonEmpty)
       System.err.println(s"[bench] tie-break pass over ${tieBreak.size} " +
-        s"noise-suspect queries: ${tieBreak.map(_._1).mkString(", ")}")
-    val tieByName = tieBreak.groupBy(_._1)
-    // Per-query record = the MIN successful pass's PassRec, so the
-    // attribution in the JSON describes the exact number the gates read.
-    val results = allPasses.last.flatMap { case (name, _) =>
-      val recs = (byName(name) ++ tieByName.getOrElse(name, Seq.empty))
-        .map(_._2).filter(_.ok)
-      if (recs.isEmpty) None else Some(name -> recs.minBy(_.sec))
-    }
+        s"noise-suspect queries: ${tieBreak.mkString(", ")}")
+    // Per-query record = the MIN successful pass's PassRec (so the
+    // attribution in the JSON describes the exact number the gates
+    // read) plus the measured warm-up tax.
+    val results: Seq[(String, QueryRec)] =
+      selected.flatMap { case (name, _) =>
+        val all = byName(name)._1
+        val good = all.filter(_.ok)
+        if (good.isEmpty) None
+        else {
+          val min = good.minBy(_.sec)
+          Some(name -> QueryRec(min,
+            warmUpMs(all.map(r => (r.sec, r.ok)), min.sec)))
+        }
+      }
     // Locale.ROOT formatting: f"" uses the JVM default locale, and a
     // comma decimal separator would silently break the JSON contract.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def qsJson(entries: Seq[(String, PassRec)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + num(v.sec) }
+    def qsJson(entries: Seq[(String, QueryRec)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v.min.sec) }
         .mkString("{", ",", "}")
     // Attribution object, one entry per query: GC ms + executor task-time
-    // ms inside the min pass's timed window, plus operator Attrib notes
-    // (e.g. "resolve_path":"driver"). Numeric note values stay bare.
-    def attribJson(entries: Seq[(String, PassRec)]): String =
-      entries.map { case (k, r) =>
+    // ms inside the min pass's timed window, the measured warm-up tax
+    // (warm_ms, r15), plus operator Attrib notes (e.g.
+    // "resolve_path":"driver"). Numeric note values stay bare.
+    def attribJson(entries: Seq[(String, QueryRec)]): String =
+      entries.map { case (k, q) =>
+        val r = q.min
         val notes = r.notes.map { case (nk, nv) =>
           val v = if (nv.matches("""-?\d+(\.\d+)?""")) nv else jstr(nv)
           "\"" + nk + "\":" + v
@@ -259,10 +294,11 @@ object Bench {
           s""""box_nonself_ms":${r.boxNonSelfMs}""",
           s""""box_load1":${num(r.boxLoad1)}""",
           s""""jit_ms":${r.jitMs}""",
-          s""""codecache_mb":${r.codeCacheMb}""") ++ notes)
+          s""""codecache_mb":${r.codeCacheMb}""",
+          s""""warm_ms":${q.warmMs}""") ++ notes)
           .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-    val total = results.map(_._2.sec).sum
+    val total = results.map(_._2.min.sec).sum
     // sf is numeric when the dir follows the .../sfN.N convention; quote
     // anything else so the output line stays valid JSON.
     val sfRaw = sfDir.replaceAll(".*sf", "")
@@ -275,10 +311,10 @@ object Bench {
     // "tiebreak" (ADVICE r12): which queries received a third sample —
     // round-over-round compare scripts can now tell a 2-sample min from
     // a 3-sample one without parsing stderr.
-    val tiebreakJson = tieBreak.map(_._1).sorted
+    val tiebreakJson = tieBreak.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinelJson = jvmSentinel.map(jstr).mkString("[", ",", "]")
-    def mkLine(entries: Seq[(String, PassRec)], attrib: Boolean): String =
+    def mkLine(entries: Seq[(String, QueryRec)], attrib: Boolean): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
         s""""tiebreak":$tiebreakJson,"concurrent_jvms":$sentinelJson,""" +
@@ -341,7 +377,7 @@ object Bench {
       else {
         // stdout fallback omits attrib (it lives in the full file) and
         // keeps only the slowest queries up to the tail-capture budget
-        val byCost = results.sortBy(-_._2.sec)
+        val byCost = results.sortBy(-_._2.min.sec)
         // fixed overhead of the non-queries fields + the "full" pointer
         var used = mkLine(Nil, attrib = false).length + fullPtr.length + 1
         val kept = byCost.takeWhile { case (k, v) =>

@@ -127,9 +127,13 @@ package graft {
         catch { case _: Throwable => -1.0 }
       val busy =
         try {
-          // "cpu  user nice system idle iowait irq softirq steal ..."
+          // "cpu  user nice system idle iowait irq softirq steal guest
+          // guest_nice" — only the first 8 fields (through steal) are
+          // summed: the kernel already folds guest/guest_nice into
+          // user/nice, so including columns 9-10 would double-count
+          // guest CPU on VM hosts (ADVICE r14).
           val f = readFirstLine("/proc/stat").split("\\s+").drop(1)
-            .map(_.toLong)
+            .map(_.toLong).take(8)
           f.sum - f(3) - (if (f.length > 4) f(4) else 0L)
         } catch { case _: Throwable => -1L }
       val self =

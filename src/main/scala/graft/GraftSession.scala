@@ -31,6 +31,25 @@ object GraftSession {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Generated-class cache sized for a MANY-DISTINCT-PLAN workload.
+    // This is a STATIC, PER-JVM conf (must be set at session build; on
+    // a cluster it ships via SparkConf so every executor JVM gets it
+    // too — each executor has its own CodeGenerator cache with the same
+    // 100-entry default). The default is smaller than one pass of this
+    // engine's 360-query suite, so in any long-lived many-query session
+    // every entry evicts before its plan re-runs and EVERY execution
+    // recompiles its whole-stage classes from source — and the freshly
+    // loaded classes then run their first profile-gathering executions
+    // in low JIT tiers, which nearly doubled executor task time in the
+    // r14 forensics (sf0.1 suite A/B at 4096: wall 298.5 → 215.6 s,
+    // Σtask_ms 1978 → 1085 s, in-window jit_ms 213 → 114 s). Memory
+    // cost is codecache, not heap: ~60 MB extra at 360-plan scale
+    // (131 → 191 MB of the JVM's 1 GiB reserved code cache, i.e. ~19%
+    // — capacity is nowhere near the constraint; eviction was). Sized
+    // at 4096 so a production session cycling thousands of distinct
+    // plans stays eviction-free; see DESIGN_SCALE.md §codegen.
+    .config("spark.sql.codegen.cache.maxEntries",
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
     // Untagged parquet timestamp[us] (isAdjustedToUTC=false) must read as
     // TIMESTAMP, not TIMESTAMP_NTZ: event-time arithmetic (unix_micros)
     // operates on instants, and the DuckDB oracle reads the same naive
@@ -99,28 +118,9 @@ object GraftSession {
       // 3.15 → 3.0 s). Set a positive period if attaching a live UI.
       .config("spark.ui.liveUpdate.period",
         knob("SPARK_GRAFT_UI_LIVE_UPDATE", "-1"))
-      // Generated-class cache sized for a MANY-DISTINCT-PLAN workload
-      // (static conf, must be set at session build). The default 100
-      // entries is smaller than one pass of the 356-query suite, so
-      // every entry evicts before its query's next pass and EVERY
-      // timed window recompiles its whole-stage classes from source.
-      // The r14 jit attribution (jit_ms/codecache_mb per query) found
-      // it: 2.4-4.1 s of compiler time inside the heavy queries' WARM
-      // min-pass windows with the codecache flat at ~135 MB of the
-      // 1 GiB reserve (capacity was never the constraint — eviction
-      // was). Same-session A/B at 4096 entries: full suite
-      // 298.5 → 215.6 s (median per-query 0.734), in-window jit_ms
-      // 213 → 114 s, task_ms SUM 1978 → 1085 s — freshly-loaded
-      // classes also run their first profile-gathering executions in
-      // lower JIT tiers, which is why evicting them every pass nearly
-      // doubled executor task time and hit the core-saturated queries
-      // hardest (this was the five-round copurchase "driver window"
-      // divergence: support 4.17 → 2.73 s, topk 2.97 → 1.86 s, now
-      // BELOW their isolated-record numbers). Memory: ~60 MB extra
-      // codecache at suite scale (131 → 191 MB). The same sizing logic
-      // applies to any long-lived many-plan production session.
-      .config("spark.sql.codegen.cache.maxEntries",
-        knob("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // codegen.cache.maxEntries moved INTO `configure` (VERDICT r14
+      // item 4): it is static and per-JVM, so the cluster path needs it
+      // on every executor, not just this harness.
       .config("spark.ui.enabled", uiEnabled.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

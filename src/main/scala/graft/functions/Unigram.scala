@@ -65,18 +65,31 @@ object Unigram {
     * by dump time this holds the verified dataset's model). */
   @volatile private var lastModel: Option[Seq[(String, Double)]] = None
 
+  /** Unicode CODE POINTS of `w` — the indexing unit of every position
+    * in this object (ADVICE r14): Spark's `length()` filters and the
+    * DuckDB oracle's `substr`/`length` both count code points, so a
+    * UTF-16 code-unit kernel would segment non-BMP words (emoji)
+    * differently from both and could split surrogate pairs into
+    * invalid pieces. */
+  private[graft] def codePoints(w: String): Array[Int] =
+    w.codePoints().toArray
+
+  private def cpSub(c: Array[Int], from: Int, until: Int): String =
+    new String(c, from, until - from)
+
   /** Viterbi-best segmentation of `w` under piece log-probs:
-    * (total logprob, piece count, path). Position DP; per position the
-    * winner maximizes logprob, then minimizes piece count, then takes
-    * the SHORTEST last piece (first candidate in plen order) — only
-    * the first two levels are observable in query output (max/min are
-    * order-free); the third pins the E-step's path counts. None iff
-    * some character has no piece (cannot happen for corpus words —
-    * the seed keeps every char). */
+    * (total logprob, piece count, path). Code-point position DP; per
+    * position the winner maximizes logprob, then minimizes piece
+    * count, then takes the SHORTEST last piece (first candidate in
+    * plen order) — only the first two levels are observable in query
+    * output (max/min are order-free); the third pins the E-step's path
+    * counts. None iff some character has no piece (cannot happen for
+    * corpus words — the seed keeps every char). */
   private[graft] def viterbi(w: String, lp: collection.Map[String, Double])
       : Option[(Double, Int, List[String])] = {
-    val n = w.length
-    // dp(k): best (logprob, pieces, backpointer start) covering w[0,k)
+    val c = codePoints(w)
+    val n = c.length
+    // dp(k): best (logprob, pieces, backpointer start) covering c[0,k)
     val best = new Array[Double](n + 1)
     val np = new Array[Int](n + 1)
     val bp = new Array[Int](n + 1)
@@ -88,7 +101,7 @@ object Unigram {
       while (plen <= math.min(MaxPiece, k)) {
         val j = k - plen
         if (ok(j)) {
-          lp.get(w.substring(j, k)) match {
+          lp.get(cpSub(c, j, k)) match {
             case Some(l) =>
               val cl = best(j) + l
               val cn = np(j) + 1
@@ -106,7 +119,7 @@ object Unigram {
     else {
       var path = List.empty[String]
       var p = n
-      while (p > 0) { path = w.substring(bp(p), p) :: path; p = bp(p) }
+      while (p > 0) { path = cpSub(c, bp(p), p) :: path; p = bp(p) }
       Some((best(n), np(n), path))
     }
   }
@@ -134,10 +147,11 @@ object Unigram {
     // emissions), top SeedTarget by count·length with a total (piece)
     // tie order, plus every character with its true count
     val subs = words.flatMap { case (w, f) =>
+      val c = codePoints(w) // code-point units, like the DP (ADVICE r14)
       for {
-        st <- 0 until w.length
-        en <- (st + 1) to math.min(st + MaxPiece, w.length)
-      } yield (w.substring(st, en), f)
+        st <- 0 until c.length
+        en <- (st + 1) to math.min(st + MaxPiece, c.length)
+      } yield (cpSub(c, st, en), f)
     }.toDF("piece", "f").groupBy("piece").agg(sum(col("f")).as("cnt"))
       .persist()
     val top = subs
@@ -162,9 +176,12 @@ object Unigram {
       }.toDF("piece", "f").groupBy("piece").agg(sum(col("f")).as("cnt"))
         .as[(String, Long)].collect().toMap
       bc.destroy()
-      // chars stay segmentation-complete at a floor count of 1
+      // chars stay segmentation-complete at a floor count of 1 (a
+      // "char" is one CODE POINT — String.length would miss astral
+      // single-char pieces, ADVICE r14)
+      def isChar(p: String) = p.codePointCount(0, p.length) == 1
       pieces = pieces.map { case (p, _) =>
-        p -> math.max(counts.getOrElse(p, 0L), if (p.length == 1) 1L else 0L)
+        p -> math.max(counts.getOrElse(p, 0L), if (isChar(p)) 1L else 0L)
       }.filter(_._2 > 0L)
       probs = logprobs(pieces)
     }
@@ -172,7 +189,8 @@ object Unigram {
     val kept = pieces.toSeq
       .sortBy { case (p, c) => (-c, p) }
       .take(VocabTarget)
-      .map(_._1).toSet ++ pieces.keysIterator.filter(_.length == 1)
+      .map(_._1).toSet ++
+      pieces.keysIterator.filter(p => p.codePointCount(0, p.length) == 1)
     words.unpersist()
     val finalCounts = pieces.filter { case (p, _) => kept(p) }
     logprobs(finalCounts).toSeq.sortBy(_._1)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, L
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
+import scala.util.control.NonFatal
+
 /** Optimizer rule: rewrite interval-overlap theta joins into bucketed
   * equi-joins (SURVEY.md §4.3 — the range-join weakness of vanilla Spark).
   *
@@ -113,8 +115,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * default. */
   private def sideStats(child: LogicalPlan, lo: Expression,
       hi: Expression): Option[(Long, Long, Double, Long)] = {
-    val key = (child.canonicalized.hashCode(), lo.semanticHash(),
-      hi.semanticHash())
+    // Keyed on the CANONICALIZED plan/expressions themselves, not their
+    // hashes (ADVICE r14): a hash collision would silently reuse another
+    // plan's interval stats and derive a wrong width (perf-only, but the
+    // whole point of measuring is not to guess). Canonicalized trees
+    // compare structurally, and the 64-entry clear bounds retention.
+    val key = (child.canonicalized, lo.canonicalized, hi.canonicalized)
     statsCache.get(key) match {
       case Some(v) => v
       case None =>
@@ -135,7 +141,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             if ((0 to 3).exists(r.isNullAt)) None
             else Some((r.getLong(0), r.getLong(1), r.getDouble(2),
               r.getLong(3)))
-          } catch { case _: Throwable => None }
+          } catch { case NonFatal(_) => None }
         statsCache.synchronized {
           if (statsCache.size > 64) statsCache.clear()
           statsCache.update(key, v)
@@ -145,7 +151,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
   private val statsCache =
     scala.collection.concurrent.TrieMap
-      .empty[(Int, Int, Int), Option[(Long, Long, Double, Long)]]
+      .empty[(LogicalPlan, Expression, Expression),
+        Option[(Long, Long, Double, Long)]]
 
   /** MEASURED mean bucket replication per candidate width — one more
     * aggregate per side, every grid width as a column of the same row:
@@ -159,8 +166,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * closed form. */
   private def replStats(child: LogicalPlan, lo: Expression,
       hi: Expression, grid: Seq[Long]): Map[Long, Double] = {
-    val key = (child.canonicalized.hashCode(), lo.semanticHash(),
-      hi.semanticHash(), grid.hashCode())
+    val key = (child.canonicalized, lo.canonicalized, hi.canonicalized,
+      grid)
     replCache.get(key) match {
       case Some(v) => v
       case None =>
@@ -176,7 +183,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             if (grid.indices.exists(r.isNullAt)) Map.empty[Long, Double]
             else grid.zipWithIndex
               .map { case (w, i) => w -> (r.getDouble(i) + 1.0) }.toMap
-          } catch { case _: Throwable => Map.empty[Long, Double] }
+          } catch { case NonFatal(_) => Map.empty[Long, Double] }
         replCache.synchronized {
           if (replCache.size > 64) replCache.clear()
           replCache.update(key, v)
@@ -185,7 +192,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
   private val replCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, Int, Int, Int), Map[Long, Double]]
+    .empty[(LogicalPlan, Expression, Expression, Seq[Long]),
+      Map[Long, Double]]
 
   /** Candidate widths: geometric ×1.15 (≥ +1) from the span-guard
     * floor up to the domain, capped at 64 evaluations. */

@@ -132,7 +132,12 @@ object Discovery {
         }
         java.nio.file.Files.deleteIfExists(p)
       }
-      try rm(landDir) catch { case _: java.io.IOException => () }
+      // UncheckedIOException too (ADVICE r14): Files.list stream
+      // iteration inside rm throws it, and an escape from this finally
+      // block would mask the primary exception from discover()
+      try rm(landDir) catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
     }
   }
 

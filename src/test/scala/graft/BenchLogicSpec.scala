@@ -59,6 +59,17 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.needsTieBreak(Seq((1.0, true))))
   }
 
+  test("warmUpMs: first-pass tax over the min, -1 when pass 1 failed " +
+      "(VERDICT r14 item 1 — the tier-warm-up proxy field)") {
+    // typical shape: cold first pass, warm min
+    assert(Bench.warmUpMs(Seq((2.5, true), (1.0, true)), 1.0) === 1500L)
+    // first pass IS the min: zero tax, never negative
+    assert(Bench.warmUpMs(Seq((1.0, true), (1.3, true)), 1.0) === 0L)
+    // a failed first pass's fail-fast duration is not a warm-up sample
+    assert(Bench.warmUpMs(Seq((0.1, false), (1.2, true)), 1.2) === -1L)
+    assert(Bench.warmUpMs(Seq.empty, 1.0) === -1L)
+  }
+
   test("tie-break composes with minSuccessful: the extra pass can only lower") {
     val base = Seq((5.0, true), (2.0, true))
     assert(Bench.needsTieBreak(base))

@@ -71,6 +71,22 @@ class UnigramSpec extends SparkSpec {
       Some((-2.5, 1)))
   }
 
+  test("viterbi indexes by CODE POINTS, not UTF-16 units (ADVICE r14): " +
+    "non-BMP chars segment whole and pieces are valid strings") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, 2 UTF-16 units
+    val w = s"a${emoji}b"
+    assert(Unigram.codePoints(w).length === 3)
+    val lp = Map("a" -> -1.0, "b" -> -1.0, emoji -> -2.0)
+    // a UTF-16 kernel would need 4 positions and try to split the
+    // surrogate pair; the code-point DP sees exactly 3 pieces
+    assert(Unigram.viterbi(w, lp) ===
+      Some((-4.0, 3, List("a", emoji, "b"))))
+    // a piece SPANNING the astral char keeps code-point boundaries
+    val lp2 = lp + (s"a$emoji" -> -1.5)
+    assert(Unigram.viterbi(w, lp2) ===
+      Some((-2.5, 2, List(s"a$emoji", "b"))))
+  }
+
   test("trainer invariants on sf0.001: full char coverage, bounded vocab, " +
     "normalized probabilities, every corpus word segmentable") {
     val m = Unigram.model(spark, sfDir)
