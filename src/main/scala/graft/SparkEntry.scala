@@ -33,6 +33,7 @@ object SparkEntry {
       functions.TextOps.queries ++
       functions.Bpe.queries ++
       functions.Unigram.queries ++
+      functions.WordPiece.queries ++
       functions.TokenizerCompare.queries ++
       dedup.Dedup.queries ++
       similarity.Similarity.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++
       functions.Unigram.oracles ++
+      functions.WordPiece.oracles ++
       functions.TokenizerCompare.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++

@@ -7,19 +7,21 @@ import graft.U
 
 /** Tokenizer selection eval — the corpus-level readout a pipeline runs
   * before committing to a vocabulary: BPE ([[Bpe]]) vs unigram-LM
-  * ([[Unigram]]) fertility (tokens per word) and compression (chars
-  * per token) on the SAME corpus. Composition evidence by design: both
-  * rows aggregate the REGISTERED apply queries (the trained models,
-  * reused, not re-derived), and the oracle composes both engines'
-  * existing replay stacks (the BPE replace-chain and the unigram
-  * Viterbi DP) as subqueries.
+  * ([[Unigram]]) vs WordPiece ([[WordPiece]]) fertility (tokens per
+  * word) and compression (chars per token) on the SAME corpus.
+  * Composition evidence by design: every row aggregates the REGISTERED
+  * apply queries (the trained models, reused, not re-derived), and the
+  * oracle composes the engines' existing replay stacks (the BPE
+  * replace-chain, the unigram Viterbi DP, and the WordPiece
+  * longest-match walk) as subqueries.
   *
   * Universe note (part of the contract, mirrored in the oracle): each
   * tokenizer reports over ITS OWN qualifying-word universe — BPE over
   * all non-empty words, unigram over words of length 1..
-  * [[Unigram.MaxWordLen]] — so n_words/n_chars can differ between the
-  * rows; the per-word and per-token RATIOS are what the comparison is
-  * for, and each is internally consistent.
+  * [[Unigram.MaxWordLen]], WordPiece over the same minus `#`-bearing
+  * words — so n_words/n_chars can differ between the rows; the
+  * per-word and per-token RATIOS are what the comparison is for, and
+  * each is internally consistent.
   */
 object TokenizerCompare {
 
@@ -34,6 +36,9 @@ object TokenizerCompare {
       shape(Bpe.queries("vocab_bpe_apply")(s, d), "bpe", "n_bpe_tokens")
         .unionByName(shape(Unigram.queries("vocab_unigram_apply")(s, d),
           "unigram", "n_pieces"))
+        .unionByName(shape(
+          WordPiece.queries("vocab_wordpiece_apply")(s, d),
+          "wordpiece", "n_pieces"))
         .select(col("tokenizer"), col("n_words"), col("n_tokens"),
           col("n_chars"),
           U.round6(col("n_tokens").cast("double") / col("n_words"))
@@ -43,12 +48,13 @@ object TokenizerCompare {
         .orderBy("tokenizer")
     }))
 
-  /** Dynamic: composes the two trained-model replays once both have
+  /** Dynamic: composes the three trained-model replays once all have
     * materialized (graft.Verify's run-queries-then-dump order
-    * guarantees it — the compare query itself trains both). */
+    * guarantees it — the compare query itself trains all three). */
   def oracles: Map[String, String] =
-    (Bpe.applyOracleSqlCurrent, Unigram.applyOracleSqlCurrent) match {
-      case (Some(b), Some(u)) => Map(
+    (Bpe.applyOracleSqlCurrent, Unigram.applyOracleSqlCurrent,
+      WordPiece.applyOracleSqlCurrent) match {
+      case (Some(b), Some(u), Some(wp)) => Map(
         "vocab_compare_tokenizers" ->
           s"""SELECT tokenizer, n_words, n_tokens, n_chars,
              |  round(CAST(n_tokens AS DOUBLE) / n_words * 1000000)
@@ -70,7 +76,15 @@ object TokenizerCompare {
              |    CAST(sum(n_chars) AS BIGINT) AS n_chars
              |  FROM (
              |$u
-             |  ) uni_rows)
+             |  ) uni_rows
+             |  UNION ALL
+             |  SELECT 'wordpiece' AS tokenizer,
+             |    CAST(sum(n_words) AS BIGINT) AS n_words,
+             |    CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+             |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |  FROM (
+             |$wp
+             |  ) wp_rows)
              |ORDER BY tokenizer""".stripMargin)
       case _ => Map.empty
     }

@@ -626,6 +626,68 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pair_preference_build: grouped extremes are ONE map-side-" +
+    "combining ObjectHashAggregate — no row_number sort of data-scaled " +
+    "groups (VERDICT r14 item 3)") {
+    // string-based like the rest of this suite: TreeNode.collect does
+    // not descend into AdaptiveSparkPlanExec's hidden inner plan, but
+    // toString prints it
+    val p = formatted("pair_preference_build")
+    // the scale contract: both extremes ride the bounded TopKAgg buffers
+    // through a partial (map-side) + final typed aggregate pair — the
+    // alternative (row_number over a per-source window) sorts entire
+    // data-scaled groups through single tasks
+    assert(!p.contains("Window"),
+      s"preference pairs must not rank via a window sort:\n$p")
+    assert(p.contains("partial_topkagg"),
+      s"TopKAgg must have a map-side partial aggregate:\n$p")
+    assert(p.contains("functions=[topkagg"),
+      s"TopKAgg must have a final merge aggregate:\n$p")
+    // both extremes (top AND bottom buffers) in the SAME aggregate —
+    // one pass over the scored rows, not two: the partial aggregate
+    // line carries two topkagg functions
+    assert(p.linesIterator.exists(l =>
+      "partial_topkagg".r.findAllIn(l).size >= 2),
+      s"top and bottom buffers should share one aggregate:\n$p")
+  }
+
+  test("vocab_compare_tokenizers: the only nested-loop is the whitelisted " +
+    "1-row rules-array scalar broadcast (VERDICT r14 item 3)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // TreeNode.collect does not descend into AdaptiveSparkPlanExec's
+    // inner plan — unwrap explicitly so the BNLJ inspection is real
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val df = SparkEntry.queries("vocab_compare_tokenizers")(spark, sfDir)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val pstr = nodes.map(_.nodeName).mkString("\n")
+    assert(!pstr.contains("CartesianProduct"), pstr)
+    // the BNLJs present must all be the vocab_bpe_apply rules broadcast:
+    // a 1-row LocalTableScan under the broadcast side, never a scan of a
+    // data-scaled table
+    val bnljs = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.nonEmpty,
+      "expected the whitelisted 1-row rules-array BNLJ to be present " +
+        s"(plan shape changed?):\n$pstr")
+    bnljs.foreach { j =>
+      val broadcastSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      val s = broadcastSide.toString
+      assert(s.contains("LocalTableScan") && !s.contains("parquet"),
+        s"BNLJ broadcast side must be the local 1-row rules array:\n$s")
+    }
+    // and the comparison itself is 1-row-per-tokenizer aggregates
+    // unioned — the corpus-scaled inputs sit below partial+final
+    // HashAggregates
+    assert(nodes.exists(_.nodeName.contains("Union")), pstr)
+  }
+
   test("materialized-view rewrite: a subsumed rollup reads the summary; " +
     "non-stored measures and non-group filters read the fact") {
     val df = SparkEntry.queries("scan_mv_rewrite")(spark, sfDir)
