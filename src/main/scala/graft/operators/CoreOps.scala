@@ -47,6 +47,22 @@ object CoreOps {
           max(U.tsUs(col("o_orderdate"))).as("max_date_us"))
         .orderBy("o_orderpriority")),
 
+    // ORC ingest scan (scan_orc_roundtrip): events landed as ORC (the
+    // Hive-ecosystem columnar landing format, Spark's bundled
+    // reader/writer), aggregated straight off the landing zone.
+    // Oracled against the parquet original — a value mismatch means
+    // the ORC round-trip corrupted a long, timestamp, string, or
+    // double. Splittable scan with predicate/column pushdown like any
+    // file-source read; at production scale the landing dir is what a
+    // Hive/Trino pipeline drops.
+    "scan_orc_roundtrip" -> ((s, d) =>
+      s.read.orc(graft.sources.PartitionedData.eventsOrcLanding(s, d))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          U.dsum(col("value")).as("sum_value"),
+          max(U.tsUs(col("ts"))).as("max_ts_us"))
+        .orderBy("event_type")),
+
     // Permissive CSV ingest (scan_csv_permissive): the landing-zone
     // read real feeds need — a garbage line must quarantine into the
     // corrupt-record column, not kill the job and not silently vanish.
@@ -292,6 +308,13 @@ object CoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle reads the PARQUET original — a value mismatch means the
+    // ORC round-trip corrupted something.
+    "scan_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The oracle reads the PARQUET original — a value mismatch means the
     // avro round-trip corrupted something.
     "scan_avro_roundtrip" ->

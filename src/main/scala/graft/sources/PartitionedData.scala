@@ -247,6 +247,23 @@ object PartitionedData {
     })
   }
 
+  /** ORC landing-zone copy of `events` — the second real columnar
+    * ingest format next to [[ordersAvroLanding]] (Hive/Trino shops land
+    * ORC the way Kafka shops land Avro). Spark's built-in ORC
+    * reader/writer (the bundled orc-core jars) carries the full type
+    * mix this fixture checks: long, timestamp[us] (instant semantics
+    * under the UTC session), string, double. Memoized per (sfDir,
+    * events content). */
+  def eventsOrcLanding(spark: SparkSession, d: String): String = {
+    val sig = signature(d, "events")
+    memo.computeIfAbsent((s"orc:$d", sig), { _ =>
+      derivedLayout(d, "events_orc", sig) { tmp =>
+        Tables.t(spark, d, "events")
+          .write.mode(SaveMode.Overwrite).orc(tmp.toString)
+      }
+    })
+  }
+
   /** The near-dup EDGE SET the whole graph family iterates on
     * (plane-literal hyperplane LSH → capped buckets → cosine ≥ 0.05
     * pairs, stored once as a < b) — materialized as a derived layout.
