@@ -387,7 +387,28 @@ object Similarity {
   @volatile private var lastSemCentroids:
     Option[(Array[(Int, Array[Double])], Double)] = None
 
+  /** Per-cluster keep budget of sample_cluster_cap. */
+  val CapK = 8
+  @volatile private var lastCapCentroids:
+    Option[Array[(Int, Array[Double])]] = None
+
   def clearSemCache(): Unit = semCentroidCache.clear()
+
+  /** The corpus-adaptive cluster quantizer shared by [[semDedup]] and
+    * sample_cluster_cap: k ∝ N (constant expected cluster size), Lloyd
+    * trained on a ≤20k deterministic id-stride sample, memoized per
+    * (dataset, content signature, k). */
+  def semCentroids(s: SparkSession, d: String, nCentroids: Int = 0)
+      : Array[(Int, Array[Double])] = {
+    val n = Tables.t(s, d, "embeddings").count()
+    val k = if (nCentroids > 0) nCentroids
+      else math.max(16, (n / 300L).toInt)
+    val sampleEvery = math.max(1L, n / 20000L)
+    val sig = (java.nio.file.Paths.get(d).toAbsolutePath.toString,
+      tableSignature(d) * 31 + k)
+    semCentroidCache.computeIfAbsent(sig,
+      _ => trainIvfCentroids(s, d, k, 2, sampleEvery))
+  }
 
   def semDedup(s: SparkSession, d: String, nCentroids: Int = 0,
       tau: Double = 0.3): DataFrame = {
@@ -416,14 +437,7 @@ object Similarity {
     // d-dim dot — c is the dial trading dedup radius (bigger clusters
     // see more candidate pairs) against pair flops. Measured at sf1:
     // c=1250 → 125M pairs dominated the query; c=300 → 30M.
-    val n = Tables.t(s, d, "embeddings").count()
-    val k = if (nCentroids > 0) nCentroids
-      else math.max(16, (n / 300L).toInt)
-    val sampleEvery = math.max(1L, n / 20000L)
-    val sig = (java.nio.file.Paths.get(d).toAbsolutePath.toString,
-      tableSignature(d) * 31 + k)
-    val cents = semCentroidCache.computeIfAbsent(sig,
-      _ => trainIvfCentroids(s, d, k, 2, sampleEvery))
+    val cents = semCentroids(s, d, nCentroids)
     lastSemCentroids = Some((cents, tau))
     val cidCol = assignCol(col("vd"), cents).cast("long")
     // Norms precompute per VECTOR, not per pair — inside a cluster of c
@@ -999,6 +1013,45 @@ object Similarity {
     // (semDedupOracleEntry replays assignment + within-cluster pairs +
     // the lowest-id survivor rule).
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
+
+    // Cluster-capped diversity selection (the D4/cluster-balance
+    // recipe): cap each embedding cluster at CapK most-representative
+    // vectors (smallest squared distance to the assigned centroid) so
+    // no dominant mode floods the training mix. Same memoized
+    // quantizer as SemDeDup; the grouped per-cluster keep rides the
+    // bounded TopKAgg buffers (≤CapK entries, map-side combine — the
+    // pair_preference_build shape, never a data-scaled row_number
+    // sort). Distance spells as dot(v,v) − 2·dot(v,c) + c2 with c2 a
+    // trained literal, so the oracle replays the exact same fold.
+    // Output is |clusters|×CapK bounded. Oracled via centroid literals
+    // (clusterCapOracleEntry).
+    "sample_cluster_cap" -> ((s, d) => {
+      graft.plans.NearestCentroid.register(s)
+      val sess = s; import sess.implicits._
+      val cents = semCentroids(s, d)
+      lastCapCentroids = Some(cents)
+      val centDf = broadcast(cents.sortBy(_._1).toSeq
+        .map { case (id, v) =>
+          (id.toLong, v.toSeq, v.map(x => x * x).sum) }
+        .toDF("cid", "cv", "c2"))
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+        .withColumn("cid", assignCol(col("vd"), cents).cast("long"))
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val keepA = udaf(new graft.ml.Logreg.TopKAgg(CapK, best = false), enc)
+      e.join(centDf, "cid")
+        .select(col("cid"), col("vec_id"),
+          (dot(col("vd"), col("vd")) - lit(2.0) * dot(col("vd"), col("cv"))
+            + col("c2")).as("dist"))
+        .groupBy("cid")
+        .agg(keepA(col("dist"), col("vec_id")).as("kept"))
+        .select(col("cid"), posexplode(col("kept")).as(Seq("i", "p")))
+        .select(col("cid"), (col("i") + 1).cast("long").as("keep_rank"),
+          col("p._2").as("vec_id"), U.round6(col("p._1")).as("dist2"))
+        .orderBy("cid", "keep_rank")
+    }),
 
     // Product-quantization ADC variant. Oracled via codebook literals
     // (pqOracleEntry replays per-subspace assignment + the LUT sum in
@@ -1925,6 +1978,51 @@ object Similarity {
        |ORDER BY asg.vec_id""".stripMargin
   }
 
+  /** sample_cluster_cap replay: assignment via the proven semdedup
+    * spelling (row_number over the per-centroid squared distances),
+    * then the SAME expanded distance fold the engine uses —
+    * list_dot_product(v,v) − 2·list_dot_product(v,c) + c2 with c2 the
+    * trained literal — and the per-cluster cap as the window spelling
+    * of TopKAgg's total order (dist asc, vec_id DESC on ties — the
+    * aggregator's pinned tie rule). */
+  private def clusterCapOracleEntry: Map[String, String] =
+    lastCapCentroids match {
+      case None => Map.empty
+      case Some(cs) => Map("sample_cluster_cap" -> {
+        val dim = cs.head._2.length
+        val values = cs.sortBy(_._1)
+          .map { case (id, v) =>
+            s"($id, ${v.mkString("[", ",", "]")}, ${v.map(x => x * x).sum})"
+          }.mkString(",\n    ")
+        def sq(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+        s"""WITH cents(cid, cv, c2) AS (VALUES
+           |    $values),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+           |asg AS (
+           |  SELECT vec_id, vd, CAST(cid AS BIGINT) AS cid FROM (
+           |    SELECT e.vec_id, e.vd, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |                         ORDER BY ${sq("c.cv", "e.vd")}, c.cid) AS rn
+           |    FROM e, cents c)
+           |  WHERE rn = 1),
+           |scored AS (
+           |  SELECT a.cid, a.vec_id,
+           |    (list_dot_product(a.vd, a.vd)
+           |      - 2 * list_dot_product(a.vd, c.cv)) + c.c2 AS dist
+           |  FROM asg a JOIN cents c ON CAST(c.cid AS BIGINT) = a.cid),
+           |ranked AS (
+           |  SELECT cid, vec_id, dist,
+           |    row_number() OVER (PARTITION BY cid
+           |                       ORDER BY dist, vec_id DESC) AS rk
+           |  FROM scored)
+           |SELECT cid, CAST(rk AS BIGINT) AS keep_rank, vec_id,
+           |  round(dist * 1000000) / 1000000 AS dist2
+           |FROM ranked WHERE rk <= $CapK
+           |ORDER BY cid, keep_rank""".stripMargin
+      })
+    }
+
   private def ivfOracleSqlFor(cs: Array[(Int, Array[Double])]): String = {
     val dim = cs.head._2.length
     val values = cs.sortBy(_._1)
@@ -2374,5 +2472,6 @@ object Similarity {
 
   def oracles: Map[String, String] =
     staticOracles ++ ivfOracleEntry ++ pqOracleEntry ++ ivfPqOracleEntry ++
-      ivfPqResidualOracleEntry ++ semDedupOracleEntry ++ evalPanelOracleEntry
+      ivfPqResidualOracleEntry ++ semDedupOracleEntry ++
+      clusterCapOracleEntry ++ evalPanelOracleEntry
 }

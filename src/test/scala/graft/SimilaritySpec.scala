@@ -376,4 +376,49 @@ class SimilaritySpec extends SparkSpec {
     // on this corpus is high (0.87 at sf0.01's draw)
     assert(rows("ivf")._1 > 0.5)
   }
+
+  test("cluster-cap selection: <= CapK per cluster, keeps exactly the " +
+    "min-distance vectors under the aggregator's total order") {
+    import graft.similarity.Similarity
+    val rows = SparkEntry.queries("sample_cluster_cap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byCid = rows.groupBy(_._1)
+    byCid.foreach { case (cid, rs) =>
+      assert(rs.length <= Similarity.CapK, s"cluster $cid over cap")
+      // ranks contiguous from 1, dist non-decreasing along rank
+      assert(rs.sortBy(_._2).map(_._2).toSeq === (1L to rs.length).toSeq)
+      val ds = rs.sortBy(_._2).map(_._4).toSeq
+      assert(ds === ds.sorted, s"rank order not by distance in $cid")
+    }
+    // brute-force reference: full per-cluster assignment + sort
+    val cents = Similarity.semCentroids(spark, sfDir)
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    val want = vecs.map { case (id, v) =>
+      val (cid, _) = cents.map(c => (c._1.toLong, sq(v, c._2))).minBy(x => (x._2, x._1))
+      (cid, id)
+    }.groupBy(_._1).iterator.flatMap { case (cid, members) =>
+      val scored = members.map { case (_, id) =>
+        val c = cents.find(_._1.toLong == cid).get._2
+        val v = vecs.find(_._1 == id).get._2
+        // the engine's expanded fold: dot(v,v) - 2 dot(v,c) + dot(c,c)
+        val dvv = v.zip(v).map { case (x, y) => x * y }.sum
+        val dvc = v.zip(c).map { case (x, y) => x * y }.sum
+        val dcc = c.map(x => x * x).sum
+        (dvv - 2.0 * dvc + dcc, id)
+      }
+      scored.sortBy { case (dist, id) => (dist, -id) } // TopKAgg tie rule
+        .take(Similarity.CapK).map(_._2).map(id => (cid, id))
+    }.toSet
+    assert(rows.map(r => (r._1, r._3)).toSet === want)
+  }
 }
