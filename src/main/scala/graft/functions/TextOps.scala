@@ -515,6 +515,44 @@ object TextOps {
         .orderBy("rank")
     }),
 
+    // Length-bucketed batching efficiency (batch_padding_waste): the
+    // eval that justifies sorting-by-length before batching — per
+    // strategy ('arrival' = doc_id order, 'sorted' = token-count
+    // order), docs deal into consecutive batches of 32 and every batch
+    // pads to its longest member; waste = Σ(batch_max − len). Exact
+    // integer accounting end to end (the ratio rounds once at the
+    // edge). Rankings come from the block-stitched numbering helper —
+    // NEVER a global single-partition window — and the per-batch
+    // aggregate is one keyed shuffle, linear in documents.
+    "batch_padding_waste" -> ((s, d) => {
+      val B = 32
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        U.lng(size(split(col("text"), " "))).as("n_tokens"))
+      def waste(df: DataFrame, block: Column, order: Seq[Column],
+          name: String): DataFrame = {
+        val ranked = graft.operators.Windows.stitchedRowNumber(
+          df, block, order, "rank")
+        ranked
+          .withColumn("batch_id", ((col("rank") - 1) / B).cast("long"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).as("cnt"), max(col("n_tokens")).as("mx"),
+            sum(col("n_tokens")).as("tot"))
+          .agg(count(lit(1)).as("n_batches"),
+            U.lng(sum(col("tot"))).as("real_tokens"),
+            U.lng(sum(col("cnt") * col("mx"))).as("padded_tokens"))
+          .select(lit(name).as("strategy"), col("n_batches"),
+            col("real_tokens"), col("padded_tokens"),
+            (col("padded_tokens") - col("real_tokens")).as("waste"),
+            U.round6((col("padded_tokens") - col("real_tokens"))
+              .cast("double") / col("padded_tokens")).as("pad_ratio"))
+      }
+      waste(toks, floor(col("doc_id") / 8192).cast("long"),
+          Seq(col("doc_id")), "arrival")
+        .unionByName(waste(toks, floor(col("n_tokens") / 64).cast("long"),
+          Seq(col("n_tokens"), col("doc_id")), "sorted"))
+        .orderBy("strategy")
+    }),
+
     "pack_sequences" -> ((s, d) => {
       val budget = 512
       val w = org.apache.spark.sql.expressions.Window
@@ -1839,6 +1877,38 @@ object TextOps {
         |  CAST((rank - 1) % 8 AS BIGINT) AS shard,
         |  CAST((rank - 1) // 8 AS BIGINT) AS pos_in_shard
         |FROM r ORDER BY rank""".stripMargin,
+    "batch_padding_waste" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ra AS (SELECT n_tokens,
+        |         row_number() OVER (ORDER BY doc_id) AS rank FROM toks),
+        |rs AS (SELECT n_tokens,
+        |         row_number() OVER (ORDER BY n_tokens, doc_id) AS rank
+        |       FROM toks),
+        |ba AS (
+        |  SELECT (rank - 1) // 32 AS batch_id, count(*) AS cnt,
+        |    max(n_tokens) AS mx, sum(n_tokens) AS tot
+        |  FROM ra GROUP BY 1),
+        |bs AS (
+        |  SELECT (rank - 1) // 32 AS batch_id, count(*) AS cnt,
+        |    max(n_tokens) AS mx, sum(n_tokens) AS tot
+        |  FROM rs GROUP BY 1),
+        |agg AS (
+        |  SELECT 'arrival' AS strategy, count(*) AS n_batches,
+        |    CAST(sum(tot) AS BIGINT) AS real_tokens,
+        |    CAST(sum(cnt * mx) AS BIGINT) AS padded_tokens
+        |  FROM ba
+        |  UNION ALL
+        |  SELECT 'sorted', count(*),
+        |    CAST(sum(tot) AS BIGINT), CAST(sum(cnt * mx) AS BIGINT)
+        |  FROM bs)
+        |SELECT strategy, n_batches, real_tokens, padded_tokens,
+        |  padded_tokens - real_tokens AS waste,
+        |  round(CAST(padded_tokens - real_tokens AS DOUBLE)
+        |    / padded_tokens * 1000000) / 1000000 AS pad_ratio
+        |FROM agg ORDER BY strategy""".stripMargin,
     "pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

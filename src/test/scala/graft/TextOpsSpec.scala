@@ -292,4 +292,32 @@ class TextOpsSpec extends SparkSpec {
       (3L, 0.4, 1.0, 1.0, false),
       (5L, 0.0, 0.0, 0.0, true)))
   }
+
+  test("batch_padding_waste: exact integer accounting vs a local " +
+    "reference; sorted batching never pads more than arrival order") {
+    val rows = SparkEntry.queries("batch_padding_waste")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(rows.keySet === Set("arrival", "sorted"))
+    // local brute-force reference over the same whitespace tokens
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ref(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(32).toSeq
+      val real = ordered.sum
+      val padded = batches.map(b => b.length * b.max).sum
+      (batches.length.toLong, real, padded)
+    }
+    val (na, ra, pa) = ref(toks.sortBy(_._1).map(_._2).toSeq)
+    val (ns, rs, ps) = ref(toks.sortBy(t => (t._2, t._1)).map(_._2).toSeq)
+    assert(rows("arrival") === ((na, ra, pa, pa - ra,
+      math.round((pa - ra).toDouble / pa * 1e6) / 1e6)))
+    assert(rows("sorted") === ((ns, rs, ps, ps - rs,
+      math.round((ps - rs).toDouble / ps * 1e6) / 1e6)))
+    // consecutive-sorted grouping minimizes the sum of batch maxima
+    assert(rows("sorted")._4 <= rows("arrival")._4)
+    assert(rows("arrival")._2 === rows("sorted")._2, "same real tokens")
+  }
 }
