@@ -567,6 +567,46 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // No-split next-fit sequence packing — pack_sequences' concat-and-
+    // chunk layout (GPT-style pretraining) slices documents across pack
+    // boundaries; instruction-tuning and contrastive batches need WHOLE
+    // documents, so this packs greedily without splitting: a doc that
+    // would overflow the 512-token budget closes the pack and opens the
+    // next (an oversized doc rides alone in its own pack). The fold is
+    // inherently sequential — the house secondary-sort shape (one
+    // exchange, partition-local sort, O(1) state; the window_cusum_drift
+    // pattern) — but keyed by (lang, SHARD of 256 doc_ids), not lang
+    // alone: per-lang chains would cap parallelism at the language count
+    // at 100 TB, while sharding scales parallelism with data and bounds
+    // the cost at one partial pack per shard boundary. The oracle
+    // replays the identical fold as a recursive CTE per (lang, shard).
+    "pack_nextfit" -> ((s, d) => {
+      import s.implicits._
+      val budget = 512L
+      val src = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          floor(col("doc_id") / 256).cast("long").as("shard"),
+          col("doc_id"),
+          U.lng(size(split(col("text"), " "))).as("n_tokens"))
+        .as[(String, Long, Long, Long)]
+      src.repartition(col("lang"), col("shard"))
+        .sortWithinPartitions("lang", "shard", "doc_id")
+        .mapPartitions { it =>
+          var curLang: String = null; var curShard = Long.MinValue
+          var pack = 1L; var fill = 0L
+          it.map { case (lang, shard, did, n) =>
+            if (lang != curLang || shard != curShard) {
+              curLang = lang; curShard = shard; pack = 1L; fill = n
+            } else if (fill + n > budget) { pack += 1L; fill = n }
+            else fill += n
+            (did, lang, shard, n, pack, fill)
+          }
+        }
+        .toDF("doc_id", "lang", "shard", "n_tokens", "pack_seq",
+          "pack_fill")
+        .orderBy("doc_id")
+    }),
+
     // Heuristic language ID (deterministic stopword-hit argmax, ties to
     // the earliest profile — oracled as a CASE cascade in DuckDB).
     "text_lang_id" -> ((s, d) =>
@@ -1923,6 +1963,29 @@ object TextOps {
         |  CAST(start_tok AS BIGINT) AS start_tok,
         |  CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // identical left fold as the scan, per (lang, shard) chain
+    "pack_nextfit" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(doc_id / 256) AS BIGINT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang, floor(doc_id / 256)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, lang, shard, n_tokens, rn,
+        |    CAST(1 AS BIGINT) AS pack_seq, n_tokens AS pack_fill
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.lang, s.shard, s.n_tokens, s.rn,
+        |    CASE WHEN r.pack_fill + s.n_tokens > 512
+        |         THEN r.pack_seq + 1 ELSE r.pack_seq END,
+        |    CASE WHEN r.pack_fill + s.n_tokens > 512
+        |         THEN s.n_tokens ELSE r.pack_fill + s.n_tokens END
+        |  FROM s JOIN r ON s.lang IS NOT DISTINCT FROM r.lang
+        |    AND s.shard = r.shard AND s.rn = r.rn + 1)
+        |SELECT doc_id, lang, shard, n_tokens, pack_seq, pack_fill
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

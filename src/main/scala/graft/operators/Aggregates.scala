@@ -466,6 +466,45 @@ object Aggregates {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // Differentially-private count release (ε = 0.5, sensitivity 1 →
+    // Laplace scale b = 1/ε = 2) — the privacy family's RELEASE step:
+    // k-anonymity / l-diversity / t-closeness audit what may leave the
+    // boundary; this is the mechanism that actually publishes a noised
+    // statistic. Noise is HASH-derived, not RNG (the repo's
+    // hash-not-random doctrine): u = centered uniform from
+    // xxhash64(group key) via the sample_weighted_ares unsigned bridge,
+    // pushed through the Laplace inverse CDF
+    //   noise = −b · sgn(u−½) · ln(1 − 2|u−½|)
+    // so the release is deterministic end to end and the DuckDB oracle
+    // replays the exact hash→noise arithmetic (plans.XxhSqlOracle
+    // longHashCtes — bit-identical XXH64). ln rounds at 1e-12 (the
+    // transcendental bridge). Scale shape: one group-cardinality
+    // aggregate; the noise math is per-GROUP, never per-row. NOTE a
+    // real release DROPS the true n; it stays in the output because
+    // the oracle gate compares both sides of the mechanism.
+    "privacy_dp_count_laplace" -> ((s, d) => {
+      val two64 = 1.8446744073709552e19 // 2^64, the ares spelling
+      val h = xxhash64(col("c_nationkey").cast("long"))
+      val unsigned = h.cast("double") +
+        when(h < 0, lit(two64)).otherwise(lit(0.0))
+      val u = (unsigned + lit(0.5)) / lit(two64)
+      val cu = u - lit(0.5) // exactly 0 is unreachable: u=(k+½)/2^64
+      val lnr = round(log(lit(1.0) - lit(2.0) * abs(cu)) * lit(1e12)) /
+        lit(1e12)
+      val noise = lit(-2.0) * signum(cu) * lnr
+      t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("n"),
+          U.round6(noise).as("noise"),
+          U.round6(col("n") + noise).as("released"),
+          // the integer form a count release would publish (never
+          // negative); floor(x+½) of identical doubles is identical
+          U.lng(greatest(lit(0.0), floor(col("n") + noise + lit(0.5))))
+            .as("released_int"))
+        .orderBy("c_nationkey")
+    }),
+
     // t-closeness — the release gate one level past l-diversity: a
     // quasi-identifier group leaks even with diverse sensitive values
     // if its DISTRIBUTION skews far from the table's (Li et al. 2007).
@@ -1550,6 +1589,38 @@ object Aggregates {
         |    AS meets_l
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // bit-exact XXH64 replay (longHashCtes) feeding the same unsigned
+    // bridge + Laplace inverse CDF + 1e-12 ln bridge as the scan
+    "privacy_dp_count_laplace" ->
+      ("""WITH ids AS (
+         |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS v
+         |  FROM customer),
+         |""".stripMargin +
+        graft.plans.XxhSqlOracle.longHashCtes("ids", "dph") +
+        """,
+          |nz AS (
+          |  SELECT v,
+          |    ((CAST(h AS DOUBLE) +
+          |       CASE WHEN h < 0 THEN 1.8446744073709552e19
+          |            ELSE 0.0 END) + 0.5) / 1.8446744073709552e19
+          |      - 0.5 AS cu
+          |  FROM dph),
+          |no AS (
+          |  SELECT v, -2.0 *
+          |    (CASE WHEN cu > 0 THEN 1.0 WHEN cu < 0 THEN -1.0
+          |          ELSE 0.0 END) *
+          |    (round(ln(1.0 - 2.0 * abs(cu)) * 1e12) / 1e12) AS noise
+          |  FROM nz),
+          |g AS (
+          |  SELECT c_nationkey, count(*) AS n
+          |  FROM customer GROUP BY c_nationkey)
+          |SELECT g.c_nationkey, g.n,
+          |  round(no.noise * 1000000) / 1000000 AS noise,
+          |  round((g.n + no.noise) * 1000000) / 1000000 AS released,
+          |  CAST(greatest(0.0, floor(g.n + no.noise + 0.5)) AS BIGINT)
+          |    AS released_int
+          |FROM g JOIN no ON no.v = CAST(g.c_nationkey AS BIGINT)
+          |ORDER BY g.c_nationkey""".stripMargin),
     // full group×segment grid via cross-joined marginals (missing
     // cells contribute |0 − P(s)|), per-cell TV deviation rounded
     // 1e-6 then decimal-summed

@@ -510,6 +510,77 @@ object Stats {
         when(abs(z) >= 1.959964, 1).otherwise(0).as("significant"))
     }),
 
+    // CUPED variance reduction (Deng et al., WSDM 2013) — the industry-
+    // standard A/B sharpener stats_ab_lift feeds into: regress the
+    // experiment metric on its own PRE-period value and subtract the
+    // explained component.
+    //   θ   = cov(pre, post) / var(pre)        (pooled over both arms)
+    //   adj = post − θ·(pre − mean_all(pre))
+    // var(adj) shrinks by the squared pre/post correlation — often the
+    // difference between a week and a month of experiment runtime. The
+    // per-user rollup is the only data-scaled stage (one keyed
+    // aggregate); everything after runs on the 2-row per-arm co-moment
+    // table, and the POOLED moments are the column sums of those two
+    // rows — no second pass over the fact. Co-moments go through the
+    // exact decimal bridge (agg_corr_exact's discipline) so θ and both
+    // variances are partition-order invariant; θ rounds at 1e-6 BEFORE
+    // it multiplies anything (one bridge point instead of three).
+    // Arm = the same md5 hash-split as stats_ab_lift; pre/post split at
+    // the series midpoint 2024-01-16.
+    "stats_cuped" -> ((s, d) => {
+      // 2024-01-16T00:00:00Z in epoch micros — the tz-proof split
+      // spelling (epoch_us on both engines, no date-cast semantics)
+      val splitUs = 1705363200000000L
+      val z6 = U.dec6(lit(0.0))
+      val perUser = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          U.dec6(sum(when(U.tsUs(col("ts")) < splitUs,
+            U.dec6(col("value"))).otherwise(z6))).as("pre"),
+          U.dec6(sum(when(U.tsUs(col("ts")) >= splitUs,
+            U.dec6(col("value"))).otherwise(z6))).as("post"))
+        .withColumn("arm", when(
+          substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+      val byArm = perUser.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        U.dbl(sum(col("pre"))).as("sx"),
+        U.dbl(sum(col("post"))).as("sy"),
+        U.dbl(sum(col("pre") * col("post"))).as("sxy"),
+        U.dbl(sum(col("pre") * col("pre"))).as("sxx"),
+        U.dbl(sum(col("post") * col("post"))).as("syy"))
+      // pooled moments = column sums of the (≤2)-row arm table; FP
+      // addition of two doubles is commutative, so the tiny re-agg is
+      // order-safe without another decimal pass
+      val nt = col("nt").cast("double")
+      val pooled = byArm.agg(
+        U.lng(sum(col("n"))).as("nt"),
+        sum(col("sx")).as("tx"), sum(col("sy")).as("ty"),
+        sum(col("sxy")).as("txy"), sum(col("sxx")).as("txx"))
+        .select(
+          U.round6((col("txy") - col("tx") * col("ty") / nt) /
+            (col("txx") - col("tx") * col("tx") / nt)).as("theta"),
+          (col("tx") / nt).as("mp"))
+      val n = col("n").cast("double")
+      val meanPost = col("sy") / n
+      val meanPre = col("sx") / n
+      val varPost = (col("syy") - col("sy") * col("sy") / n) / (n - 1)
+      val varPre = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+      val covPP = (col("sxy") - col("sx") * col("sy") / n) / (n - 1)
+      val varAdj = varPost + col("theta") * col("theta") * varPre -
+        lit(2.0) * col("theta") * covPP
+      byArm.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n"),
+          U.round6(meanPost).as("mean_post"),
+          U.round6(meanPost - col("theta") * (meanPre - col("mp")))
+            .as("mean_adj"),
+          U.round6(varPost).as("var_post"),
+          U.round6(varAdj).as("var_adj"),
+          U.round6(lit(1.0) - varAdj / varPost).as("var_reduction"),
+          col("theta"))
+        .orderBy("arm")
+    }),
+
     // Kaplan-Meier survival curve with right-censoring — time from a
     // user's first event to their first 'error', censored at their
     // last activity if none: S(t) = ∏_{tᵢ≤t} (1 − dᵢ/nᵢ). The fact
@@ -1419,6 +1490,63 @@ object Stats {
         |  CASE WHEN abs(zr) >= 1.959964 THEN 1 ELSE 0 END
         |    AS significant
         |FROM z""".stripMargin,
+    // same decimal co-moment bridge + the same one-point θ rounding as
+    // the scan; pooled sums are the column sums of the 2-row arm table
+    "stats_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+        |        THEN CAST(value AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+        |      AS pre,
+        |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+        |        THEN CAST(value AS DECIMAL(18,6))
+        |        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+        |      AS post,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ba AS (
+        |  SELECT arm, count(*) AS n,
+        |    CAST(sum(pre) AS DOUBLE) AS sx,
+        |    CAST(sum(post) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(pre AS DECIMAL(28,6))
+        |           * CAST(post AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(pre AS DECIMAL(28,6))
+        |           * CAST(pre AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(post AS DECIMAL(28,6))
+        |           * CAST(post AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM pu GROUP BY arm),
+        |pl AS (
+        |  SELECT
+        |    round((sum(sxy) - sum(sx) * sum(sy) / CAST(sum(n) AS DOUBLE))
+        |      / (sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE))
+        |      * 1000000) / 1000000 AS theta,
+        |    sum(sx) / CAST(sum(n) AS DOUBLE) AS mp
+        |  FROM ba),
+        |c AS (
+        |  SELECT arm, n, theta, mp,
+        |    sy / CAST(n AS DOUBLE) AS mean_post,
+        |    sx / CAST(n AS DOUBLE) AS mean_pre,
+        |    (syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+        |      AS var_post,
+        |    (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+        |      AS var_pre,
+        |    (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+        |      AS cov_pp
+        |  FROM ba CROSS JOIN pl)
+        |SELECT arm, n,
+        |  round(mean_post * 1000000) / 1000000 AS mean_post,
+        |  round((mean_post - theta * (mean_pre - mp)) * 1000000)
+        |    / 1000000 AS mean_adj,
+        |  round(var_post * 1000000) / 1000000 AS var_post,
+        |  round((var_post + theta * theta * var_pre
+        |         - 2.0 * theta * cov_pp) * 1000000) / 1000000 AS var_adj,
+        |  round((1.0 - (var_post + theta * theta * var_pre
+        |                - 2.0 * theta * cov_pp) / var_post) * 1000000)
+        |    / 1000000 AS var_reduction,
+        |  theta
+        |FROM c ORDER BY arm""".stripMargin,
     "stats_ks_two_sample" ->
       """WITH src AS (
         |  SELECT l_extendedprice AS v, l_returnflag AS g

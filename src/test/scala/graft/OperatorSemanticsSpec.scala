@@ -853,4 +853,51 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(e.getMessage.contains("site_hot") &&
       e.getMessage.contains("exactQuantiles"), e.getMessage)
   }
+
+  test("privacy_dp_count_laplace: noise equals the XXH64-seeded Laplace " +
+    "inverse CDF, depends on the group key only, and the integer " +
+    "release never goes negative") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def plant(counts: Map[Int, Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("dp").toString
+      counts.toSeq.flatMap { case (nat, n) =>
+        (0 until n).map(i => (nat, s"c$nat-$i"))
+      }.toDF("c_nationkey", "c_name")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      dir
+    }
+    // independent reference: raw XXH64 → unsigned bridge → Laplace
+    // inverse CDF with the 1e-12 ln bridge, b = 2
+    def refNoise(key: Long): Double = {
+      val two64 = 1.8446744073709552e19
+      val h = XXH64.hashLong(key, 42L)
+      val unsigned = h.toDouble + (if (h < 0) two64 else 0.0)
+      val u = (unsigned + 0.5) / two64
+      val cu = u - 0.5
+      val lnr = math.round(math.log(1.0 - 2.0 * math.abs(cu)) * 1e12) / 1e12
+      -2.0 * math.signum(cu) * lnr
+    }
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    def run(dir: String): Map[Int, (Long, Double, Double, Long)] =
+      operators.Aggregates.queries("privacy_dp_count_laplace")(spark, dir)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+        .toMap
+    val a = run(plant(Map(1 -> 3, 2 -> 4, 3 -> 5)))
+    for ((nat, (n, noise, released, relInt)) <- a) {
+      assert(math.abs(noise - r6(refNoise(nat.toLong))) < 1e-9,
+        s"noise($nat)")
+      assert(math.abs(released - r6(n + refNoise(nat.toLong))) < 1e-9,
+        s"released($nat)")
+      assert(relInt >= 0L && relInt ===
+        math.max(0L, math.floor(n + refNoise(nat.toLong) + 0.5).toLong),
+        s"released_int($nat)")
+    }
+    // key-only dependence: same nations, different counts → same noise
+    val b = run(plant(Map(1 -> 30, 2 -> 1)))
+    assert(b(1)._2 === a(1)._2 && b(2)._2 === a(2)._2,
+      "noise must be a function of the group key alone")
+    // tiny count + strongly negative noise must clamp, not go negative
+    assert(b.values.forall(_._4 >= 0L))
+  }
 }

@@ -410,4 +410,71 @@ class StatsSpec extends SparkSpec {
       r.toString)
     assert(!r.getAs[Boolean]("is_normal_95"), r.toString)
   }
+
+  test("cuped: θ, adjusted means and variance reduction match a " +
+    "directly-computed reference on planted integral pre/post values") {
+    // integral values → every double sum below is exact, so the spec's
+    // plain-double reference and the engine's decimal-bridged pipeline
+    // must agree to the last rounded digit
+    val splitMs = 1705363200000L // 2024-01-16T00:00:00Z
+    def md5Arm(uid: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    // (user, pre, post) — ids picked so md5 populates BOTH arms with
+    // 4 users each (md5('6')='1…' → A, md5('1')='c…' → B, …); the arm
+    // split itself is still recomputed below, never assumed
+    val users = Seq(
+      (6L, 10.0, 30.0), (9L, 20.0, 45.0), (11L, 5.0, 12.0),
+      (17L, 40.0, 90.0), (1L, 15.0, 28.0), (2L, 25.0, 60.0),
+      (3L, 8.0, 20.0), (4L, 30.0, 55.0))
+    assert(users.map(u => md5Arm(u._1)).distinct.sorted === Seq("A", "B"))
+    assert(users.groupBy(u => md5Arm(u._1)).values.forall(_.size >= 3))
+    val rows = users.flatMap { case (u, pre, post) => Seq(
+      (u * 10 + 1, u, new java.sql.Timestamp(splitMs - 86400000L),
+        "view", pre),
+      (u * 10 + 2, u, new java.sql.Timestamp(splitMs + 86400000L),
+        "view", post))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cuped").toString
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val n = users.size.toDouble
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val theta = r6((sxy - sx * sy / n) / (sxx - sx * sx / n))
+    val mp = sx / n
+    val byArm = users.groupBy(u => md5Arm(u._1))
+    val got = Stats.queries("stats_cuped")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === byArm.keySet)
+    for ((arm, us) <- byArm) {
+      val m = us.size.toDouble
+      val ax = us.map(_._2).sum; val ay = us.map(_._3).sum
+      val axy = us.map(u => u._2 * u._3).sum
+      val axx = us.map(u => u._2 * u._2).sum
+      val ayy = us.map(u => u._3 * u._3).sum
+      val meanPost = ay / m; val meanPre = ax / m
+      val varPost = (ayy - ay * ay / m) / (m - 1)
+      val varPre = (axx - ax * ax / m) / (m - 1)
+      val cov = (axy - ax * ay / m) / (m - 1)
+      val varAdj = varPost + theta * theta * varPre - 2.0 * theta * cov
+      val r = got(arm)
+      assert(r.getLong(1) === us.size.toLong, s"n($arm)")
+      assert(math.abs(r.getDouble(2) - r6(meanPost)) < 1e-9, s"mean_post($arm)")
+      assert(math.abs(r.getDouble(3) -
+        r6(meanPost - theta * (meanPre - mp))) < 1e-9, s"mean_adj($arm)")
+      assert(math.abs(r.getDouble(4) - r6(varPost)) < 1e-9, s"var_post($arm)")
+      assert(math.abs(r.getDouble(5) - r6(varAdj)) < 1e-9, s"var_adj($arm)")
+      assert(math.abs(r.getDouble(6) -
+        r6(1.0 - varAdj / varPost)) < 1e-9, s"var_reduction($arm)")
+      assert(math.abs(r.getDouble(7) - theta) < 1e-9, s"theta($arm)")
+      // the sharpener must actually sharpen on correlated pre/post
+      assert(r.getDouble(6) > 0.5, s"var_reduction($arm) should be large")
+    }
+  }
 }

@@ -320,4 +320,37 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("sorted")._4 <= rows("arrival")._4)
     assert(rows("arrival")._2 === rows("sorted")._2, "same real tokens")
   }
+
+  test("pack_nextfit: overflow closes the pack, an oversized doc rides " +
+    "alone, shard and lang boundaries reset the chain, null text drops; " +
+    "invariant across shuffle parallelism") {
+    val tmp = java.nio.file.Files.createTempDirectory("nextfit").toString
+    def txt(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // budget 512; en/shard0 fold: 300 | 300 | 500 | 600(alone) | 10
+    Seq(
+      (1L, "en", txt(300)), (2L, "en", txt(300)), (3L, "en", txt(500)),
+      (4L, "en", txt(600)), (5L, "en", txt(10)),
+      (256L, "en", txt(100)),            // shard 1 → chain resets
+      (6L, "fr", txt(400)), (7L, "fr", txt(200)), // independent lang
+      (8L, "en", null.asInstanceOf[String]))      // dropped
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def run(): Seq[(Long, Long, Long)] =
+      TextOps.queries("pack_nextfit")(spark, tmp)
+        .select("doc_id", "pack_seq", "pack_fill").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (1L, 1L, 300L), (2L, 2L, 300L), (3L, 3L, 500L),
+      (4L, 4L, 600L), (5L, 5L, 10L),
+      (6L, 1L, 400L), (7L, 2L, 200L), // fr: 400+200 = 600 > 512 → new pack
+      (256L, 1L, 100L))
+    assert(run() === want)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "7")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(run() === want, s"parallelism $p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
