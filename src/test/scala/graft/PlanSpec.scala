@@ -688,6 +688,50 @@ class PlanSpec extends SparkSpec {
     assert(nodes.exists(_.nodeName.contains("Union")), pstr)
   }
 
+  test("stats_cuped: per-user rollup is a partial+final aggregate pair, " +
+    "the scan reads only (ts, user_id, value), and the pooled-θ side " +
+    "joins as a broadcast") {
+    val p = formatted("stats_cuped")
+    // map-side combine on the only data-scaled stage
+    assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),
+      s"per-user rollup must have a partial aggregate:\n$p")
+    // column pruning all the way to the parquet scan
+    assert(p.contains("ReadSchema: struct<ts:timestamp,user_id:bigint,value:double>"),
+      s"events scan should read exactly ts/user_id/value:\n$p")
+    // the 1-row pooled (θ, mean_pre) table must broadcast, never shuffle
+    // the arm table against it
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"pooled θ must join via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$p")
+  }
+
+  test("privacy_dp_count_laplace: count-only release prunes the scan to " +
+    "the group key and aggregates partial+final") {
+    val p = formatted("privacy_dp_count_laplace")
+    assert(p.contains("ReadSchema: struct<c_nationkey:int>"),
+      s"a keyed count must read ONLY the group key:\n$p")
+    assert(p.contains("partial_count"),
+      s"count must map-side combine:\n$p")
+  }
+
+  test("pack_nextfit: one (lang, shard) exchange feeds a partition-" +
+    "local sort and the O(1)-state fold — the only global sort is the " +
+    "final presentation orderBy") {
+    val p = formatted("pack_nextfit")
+    assert(p.contains("MapPartitions"),
+      s"the next-fit fold runs as a mapPartitions scan:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"the chain exchange must hash on (lang, shard):\n$p")
+    // the fold's 3-key sort is partition-local (printed ', false, 0');
+    // only the doc_id presentation sort may be global
+    val sorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("shard")).toSeq
+    assert(sorts.nonEmpty && sorts.forall(_.contains("false")),
+      s"the pre-fold sort must be partition-local:\n$p")
+  }
+
   test("materialized-view rewrite: a subsumed rollup reads the summary; " +
     "non-stored measures and non-group filters read the fact") {
     val df = SparkEntry.queries("scan_mv_rewrite")(spark, sfDir)
