@@ -378,6 +378,7 @@ class PlanSpec extends SparkSpec {
       "text_kneser_ney_bigram", // 1-row bigram-type-count scalar broadcast
       "stats_bootstrap_ci",  // 1-row obs-mean × 1-row sorted-replicates join
       "stats_permutation_test", // 1-row observed-diff scalar broadcast
+      "stats_cuped",         // 1-row pooled (θ, mean_pre) scalar broadcast
       "timeseries_changepoint", // 1-row (total, n_days) scalar broadcast
       "ml_decision_stump",   // 1-row (min,max) + 1-row class-total broadcasts
       "ml_mutual_info",      // 1-row (min,max) + 1-row N broadcasts
