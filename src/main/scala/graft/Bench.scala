@@ -18,8 +18,9 @@ object Bench {
     * pass's attribution is what the JSON reports: it describes the
     * number the gate actually reads. */
   final case class PassRec(sec: Double, ok: Boolean, gcMs: Long,
-      taskMs: Long, tasks: Long, boxNonSelfMs: Long, boxLoad1: Double,
-      jitMs: Long, codeCacheMb: Long, notes: Seq[(String, String)])
+      taskMs: Long, cpuMs: Long, tasks: Long, boxNonSelfMs: Long,
+      boxLoad1: Double, jitMs: Long, codeCacheMb: Long,
+      notes: Seq[(String, String)])
 
   /** Final per-query record: the min successful pass plus `warmMs`, the
     * measured warm-up tax (first-pass seconds minus the min) — the
@@ -163,7 +164,7 @@ object Bench {
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tag: String): PassRec = {
       Attrib.drain()
-      val (gc0, tm0, tc0) = BenchMetrics.snapshot(spark)
+      val (gc0, tm0, cp0, tc0) = BenchMetrics.snapshot(spark)
       val box0 = BenchMetrics.boxStat()
       val (jit0, _) = BenchMetrics.jitStat()
       val t0 = System.nanoTime()
@@ -176,7 +177,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val box1 = BenchMetrics.boxStat()
       val (jit1, cc1) = BenchMetrics.jitStat()
-      val (gc1, tm1, tc1) = BenchMetrics.snapshot(spark)
+      val (gc1, tm1, cp1, tc1) = BenchMetrics.snapshot(spark)
       val notes = Attrib.drain()
       if (isolate) {
         spark.catalog.clearCache()
@@ -198,8 +199,8 @@ object Bench {
       // flushing territory). Both -1 when the beans are unavailable.
       val jitMs =
         if (jit0 < 0 || jit1 < 0) -1L else math.max(0L, jit1 - jit0)
-      PassRec(dt, ok, gc1 - gc0, tm1 - tm0, tc1 - tc0, boxNonSelf,
-        math.max(box0.load1, box1.load1), jitMs,
+      PassRec(dt, ok, gc1 - gc0, tm1 - tm0, cp1 - cp0, tc1 - tc0,
+        boxNonSelf, math.max(box0.load1, box1.load1), jitMs,
         if (cc1 < 0) -1L else cc1 >> 20, notes)
     }
     // Passes run BACK-TO-BACK PER QUERY (round 15), not as full sweeps.
@@ -290,6 +291,7 @@ object Bench {
         }
         "\"" + k + "\":" + (Seq(
           s""""gc_ms":${r.gcMs}""", s""""task_ms":${r.taskMs}""",
+          s""""cpu_ms":${r.cpuMs}""",
           s""""tasks":${r.tasks}""",
           s""""box_nonself_ms":${r.boxNonSelfMs}""",
           s""""box_load1":${num(r.boxLoad1)}""",
@@ -308,6 +310,17 @@ object Bench {
     // green) so gate/compare scripts can distinguish "not in this run"
     // from "ran and broke" — consumers must treat entries here as RED.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Warm-up tax aggregates in the header (VERDICT r15 item 7): the
+    // back-to-back protocol absorbs Σwarm_ms ≈ 80+ s per sweep OUTSIDE
+    // the timed mins; promoting total + the top-5 payers to header
+    // fields makes round-over-round drift in that tax visible without
+    // parsing 368 attribution entries. Queries whose first pass failed
+    // (warmMs = -1, not a measurement) are excluded.
+    val warmKnown = results.filter(_._2.warmMs >= 0)
+    val warmTotalMs = warmKnown.map(_._2.warmMs).sum
+    val warmTopJson = warmKnown.sortBy(-_._2.warmMs).take(5)
+      .map { case (k, q) => "\"" + k + "\":" + q.warmMs }
+      .mkString("{", ",", "}")
     // "tiebreak" (ADVICE r12): which queries received a third sample —
     // round-over-round compare scripts can now tell a 2-sample min from
     // a 3-sample one without parsing stderr.
@@ -317,6 +330,7 @@ object Bench {
     def mkLine(entries: Seq[(String, QueryRec)], attrib: Boolean): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","passes":$passes,""" +
         s""""n_queries":${results.size},"failed":$failedJson,""" +
+        s""""warm_total_ms":$warmTotalMs,"warm_top":$warmTopJson,""" +
         s""""tiebreak":$tiebreakJson,"concurrent_jvms":$sentinelJson,""" +
         s""""queries":${qsJson(entries)},""" +
         (if (attrib) s""""attrib":${attribJson(entries)},""" else "") +

@@ -39,6 +39,7 @@ package graft {
     */
   object BenchMetrics {
     private val taskMs = new AtomicLong(0L)
+    private val taskCpuNs = new AtomicLong(0L)
     private val taskCount = new AtomicLong(0L)
 
     private final class L extends SparkListener {
@@ -46,6 +47,14 @@ package graft {
         val m = e.taskMetrics
         if (m != null) {
           taskMs.addAndGet(m.executorRunTime)
+          // executorCpuTime is nanoseconds of ON-CPU time (VERDICT r15
+          // item 2): task_ms (wall inside tasks) minus cpu_ms names the
+          // time tasks spent scheduled-out — CPU steal from ambient
+          // load, run-queue waits — which no JVM-internal counter
+          // (gc_ms, jit_ms) can see. The copurchase driver-window
+          // "task_ms doubled" signature becomes self-explaining when
+          // cpu_ms stays flat while task_ms inflates.
+          taskCpuNs.addAndGet(m.executorCpuTime)
           taskCount.incrementAndGet()
         }
       }
@@ -54,12 +63,13 @@ package graft {
     def install(spark: SparkSession): Unit =
       spark.sparkContext.addSparkListener(new L)
 
-    /** (gcMs, taskMs, tasks) counters; diff two snapshots for a window. */
-    def snapshot(spark: SparkSession): (Long, Long, Long) = {
+    /** (gcMs, taskMs, taskCpuMs, tasks) counters; diff two snapshots
+      * for a window. */
+    def snapshot(spark: SparkSession): (Long, Long, Long, Long) = {
       org.apache.spark.GraftBusDrain.drain(spark.sparkContext)
       val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(b => math.max(0L, b.getCollectionTime)).sum
-      (gc, taskMs.get(), taskCount.get())
+      (gc, taskMs.get(), taskCpuNs.get() / 1000000L, taskCount.get())
     }
 
     /** JIT state sample: (cumulative JIT compilation ms, code-cache

@@ -526,8 +526,13 @@ object TextOps {
     // aggregate is one keyed shuffle, linear in documents.
     "batch_padding_waste" -> ((s, d) => {
       val B = 32
-      val toks = t(s, d, "documents").select(col("doc_id"),
-        U.lng(size(split(col("text"), " "))).as("n_tokens"))
+      // null text would yield null n_tokens, and Spark (NULLS FIRST asc)
+      // vs DuckDB row_number() (NULLS LAST) would rank it differently,
+      // shifting every 'sorted' batch boundary — filter it like
+      // pack_nextfit does (ADVICE r15).
+      val toks = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          U.lng(size(split(col("text"), " "))).as("n_tokens"))
       def waste(df: DataFrame, block: Column, order: Seq[Column],
           name: String): DataFrame = {
         val ranked = graft.operators.Windows.stitchedRowNumber(
@@ -1921,7 +1926,7 @@ object TextOps {
       """WITH toks AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |ra AS (SELECT n_tokens,
         |         row_number() OVER (ORDER BY doc_id) AS rank FROM toks),
         |rs AS (SELECT n_tokens,

@@ -376,11 +376,13 @@ object WordPiece {
     }.mkString("\nUNION ALL\n")
     s"""WITH ${wordsSql("words")},
        |w0 AS MATERIALIZED (
-       |  SELECT '|' || substr(word, 1, 1) ||
+       |  SELECT CASE WHEN word LIKE '%|%'
+       |    THEN error('wordpiece oracle: word contains the | delimiter')
+       |    ELSE '|' || substr(word, 1, 1) ||
        |    CASE WHEN len(word) > 1
        |         THEN '||##' ||
        |           array_to_string(string_split(substr(word, 2), ''), '||##')
-       |         ELSE '' END || '|' AS s, freq
+       |         ELSE '' END || '|' END AS s, freq
        |  FROM words),
        |${rounds.mkString(",\n")}
        |SELECT * FROM (

@@ -553,13 +553,19 @@ object Stats {
       // addition of two doubles is commutative, so the tiny re-agg is
       // order-safe without another decimal pass
       val nt = col("nt").cast("double")
+      // degenerate corpus (zero pooled pre-period variance): Spark's
+      // non-ANSI 0/0 is NULL while DuckDB's IEEE division is nan/inf —
+      // define θ = 0 instead (CUPED degenerates to the unadjusted
+      // estimate) so both engines agree (ADVICE r15).
+      val thNum = col("txy") - col("tx") * col("ty") / nt
+      val thDen = col("txx") - col("tx") * col("tx") / nt
       val pooled = byArm.agg(
         U.lng(sum(col("n"))).as("nt"),
         sum(col("sx")).as("tx"), sum(col("sy")).as("ty"),
         sum(col("sxy")).as("txy"), sum(col("sxx")).as("txx"))
         .select(
-          U.round6((col("txy") - col("tx") * col("ty") / nt) /
-            (col("txx") - col("tx") * col("tx") / nt)).as("theta"),
+          U.round6(when(thDen =!= 0.0, thNum / thDen)
+            .otherwise(lit(0.0))).as("theta"),
           (col("tx") / nt).as("mp"))
       val n = col("n").cast("double")
       val meanPost = col("sy") / n
@@ -1519,9 +1525,12 @@ object Stats {
         |  FROM pu GROUP BY arm),
         |pl AS (
         |  SELECT
-        |    round((sum(sxy) - sum(sx) * sum(sy) / CAST(sum(n) AS DOUBLE))
-        |      / (sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE))
-        |      * 1000000) / 1000000 AS theta,
+        |    round(CASE WHEN
+        |      sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE) = 0
+        |      THEN 0.0
+        |      ELSE (sum(sxy) - sum(sx) * sum(sy) / CAST(sum(n) AS DOUBLE))
+        |        / (sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE))
+        |      END * 1000000) / 1000000 AS theta,
         |    sum(sx) / CAST(sum(n) AS DOUBLE) AS mp
         |  FROM ba),
         |c AS (

@@ -78,8 +78,9 @@ PREV=$(ls bench/bench_r*_headline_sf1.json 2>/dev/null \
   | grep -vx "bench/bench_${ROUND}_headline_sf1.json" \
   | sort -V | tail -1 || true)
 if [ -n "$PREV" ]; then
+  GRAFT_ROUND="$ROUND" \
   python3 - "$PREV" "bench/bench_${ROUND}_headline_sf1.json" <<'EOF'
-import json, statistics, sys
+import json, os, statistics, sys
 oldd = json.load(open(sys.argv[1]))
 newd = json.load(open(sys.argv[2]))
 old, new = oldd["queries"], newd["queries"]
@@ -100,12 +101,57 @@ if failed - set(old):
           f"{', '.join(sorted(failed - set(old)))}")
     sys.exit(1)
 print("sf1 headline: failed=[] ok — no fail-fast rides into the median")
-common = sorted(set(old) & set(new))
-med = statistics.median(new[k] / max(old[k], 1e-9) for k in common)
+# Documented-quadratic keys (VERDICT r15 item 4): ml_knn_classify is the
+# exact brute-force ground truth for ml_knn_classify_ann — quadratic BY
+# CONTRACT, 25-50 s at sf1 with 1.8x run-to-run swing that would hold
+# the whole gate median hostage. It stays in headline.txt (still timed,
+# still red if it FAILS above), but its wall-clock ratio is excluded
+# from the median.
+QUADRATIC_BY_CONTRACT = {"ml_knn_classify"}
+common = sorted((set(old) & set(new)) - QUADRATIC_BY_CONTRACT)
+ratios = {k: new[k] / max(old[k], 1e-9) for k in common}
+med = statistics.median(ratios.values())
 print(f"sf1 headline median per-query ratio vs {sys.argv[1]}: {med:.3f} "
-      f"({len(common)} common queries)")
+      f"({len(common)} common queries, quadratic-by-contract excluded: "
+      f"{', '.join(sorted(QUADRATIC_BY_CONTRACT))})")
 if med > 1.2:
-    print("SF1 HEADLINE GATE RED (median ratio > 1.2) — do not commit")
+    # FAIL LOUDLY (VERDICT r15 item 1): the r15 close gate fired inside
+    # a backgrounded ritual and shipped unread in the snapshot commit.
+    # A fired gate now writes a git-tracked marker carrying its own
+    # adjudication evidence — worst keys plus the ambient-load fields
+    # (box_nonself_ms/box_load1) that distinguish a real regression
+    # from external load in the close window — so no later commit can
+    # ride over it silently.
+    round_id = os.environ.get("GRAFT_ROUND", "unknown")
+    attrib = newd.get("attrib", {})
+    worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
+    nonself = [attrib[k].get("box_nonself_ms", -1)
+               for k in common if k in attrib]
+    nonself = [v for v in nonself if v >= 0]
+    with open(f"bench/GATE_FIRED_{round_id}.md", "w") as f:
+        f.write(f"# SF1 HEADLINE GATE FIRED — {round_id}\n\n")
+        f.write(f"median per-query ratio {med:.3f} > 1.2 vs {sys.argv[1]}"
+                f" ({len(common)} common keys)\n\n")
+        f.write("This file must not survive the round: either the gate "
+                "run is re-measured clean (ambient contamination, see "
+                "box_nonself_ms below) or the regression is named and "
+                "fixed, the adjudication written into BASELINE.md, and "
+                "this marker deleted.\n\n")
+        f.write("Ambient check (read FIRST): box_nonself_ms median "
+                f"{statistics.median(nonself) if nonself else 'n/a'} / "
+                f"max {max(nonself) if nonself else 'n/a'} over the new "
+                "run's common keys. High values = the close window was "
+                "shared, not a code regression.\n\n")
+        f.write("| key | ratio | prev s | now s | box_nonself_ms | "
+                "cpu_ms | task_ms |\n|---|---|---|---|---|---|---|\n")
+        for k, r in worst:
+            a = attrib.get(k, {})
+            f.write(f"| {k} | {r:.2f} | {old[k]:.2f} | {new[k]:.2f} | "
+                    f"{a.get('box_nonself_ms', 'n/a')} | "
+                    f"{a.get('cpu_ms', 'n/a')} | "
+                    f"{a.get('task_ms', 'n/a')} |\n")
+    print(f"SF1 HEADLINE GATE RED (median ratio > 1.2) — do not commit; "
+          f"marker written to bench/GATE_FIRED_{round_id}.md")
     sys.exit(1)
 EOF
 else
