@@ -32,6 +32,7 @@ object SparkEntry {
       functions.ScalarFuncs.queries ++
       functions.TextOps.queries ++
       functions.Bpe.queries ++
+      functions.ByteBpe.queries ++
       functions.Unigram.queries ++
       functions.WordPiece.queries ++
       functions.TokenizerCompare.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       functions.ScalarFuncs.oracles ++
       functions.TextOps.oracles ++
       functions.Bpe.oracles ++
+      functions.ByteBpe.oracles ++
       functions.Unigram.oracles ++
       functions.WordPiece.oracles ++
       functions.TokenizerCompare.oracles ++

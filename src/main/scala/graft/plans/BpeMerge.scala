@@ -13,11 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * each rule `"a b"` (two space-separated symbols) in sequence to the
   * symbol array, replacing adjacent (a, b) pairs with the concatenation
   * `ab` greedily left-to-right non-overlapping — the classic BPE apply
-  * step (Sennrich et al. 2016). A codegen'd kernel rather than a lambda
-  * chain because the equivalent HOF composition would be one interpreted
-  * `aggregate()` fold PER RULE per row — on the tokenize path over a
-  * corpus, the same interpreted-lambda bottleneck that motivated
-  * [[WordKGrams]] and [[MinHashSig]].
+  * step (Sennrich et al. 2016). A rule may carry an explicit merged
+  * spelling as a third field `"a b m"` (byte-level BPE needs it:
+  * decimal byte symbols join with `_` because plain concatenation is
+  * ambiguous — `[1,11]` and `[11,1]` both concat to `"111"`); symbols
+  * never contain spaces in either family, so the 3-field form is
+  * unambiguous and the 2-field form keeps its `ab` default. A codegen'd
+  * kernel rather than a lambda chain because the equivalent HOF
+  * composition would be one interpreted `aggregate()` fold PER RULE per
+  * row — on the tokenize path over a corpus, the same
+  * interpreted-lambda bottleneck that motivated [[WordKGrams]] and
+  * [[MinHashSig]].
   *
   * Null semantics: null symbol array → null result; null RULE entries
   * are skipped; null symbols inside the array never merge (compared by
@@ -74,8 +80,13 @@ object BpeMerge {
         val sep = rule.indexOf(SPACE, 0)
         if (sep > 0) {
           val a = rule.substring(0, sep)
-          val b = rule.substring(sep + 1, rule.numChars())
-          val merged = UTF8String.concat(a, b)
+          val sep2 = rule.indexOf(SPACE, sep + 1)
+          val b =
+            if (sep2 > sep) rule.substring(sep + 1, sep2)
+            else rule.substring(sep + 1, rule.numChars())
+          val merged =
+            if (sep2 > sep) rule.substring(sep2 + 1, rule.numChars())
+            else UTF8String.concat(a, b)
           val out = new Array[UTF8String](len)
           var o = 0
           var j = 0

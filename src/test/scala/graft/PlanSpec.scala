@@ -362,8 +362,10 @@ class PlanSpec extends SparkSpec {
       "filter_perplexity_gate", // 1-row p90-threshold scalar broadcast
       "text_bm25_batch",   // 1-row (N, avgdl) corpus-stats broadcast
       "vocab_bpe_apply",   // 1-row learned-rules array broadcast
-      "vocab_compare_tokenizers", // composes vocab_bpe_apply: the same
-                                  // 1-row rules-array broadcast
+      "vocab_bytebpe_apply", // same 1-row rules-array broadcast (the
+                             // byte-level family's merges.txt scalar)
+      "vocab_compare_tokenizers", // composes both BPE applies: the same
+                                  // 1-row rules-array broadcasts
       "agg_percent_of_total", // 1-row exact-total scalar broadcast
       "pair_hard_negatives", // 8-row broadcast anchor set (label-disequality join)
       "sql_recursive_cte",  // 24-row recursive month spine broadcast (range join)

@@ -164,7 +164,7 @@ class WordPieceSpec extends SparkSpec {
     val cmp = SparkEntry.queries("vocab_compare_tokenizers")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(cmp.keySet === Set("bpe", "unigram", "wordpiece"))
+    assert(cmp.keySet === Set("bpe", "bytebpe", "unigram", "wordpiece"))
     val ap = SparkEntry.queries("vocab_wordpiece_apply")(spark, sfDir)
       .agg(sum("n_words"), sum("n_pieces"), sum("n_chars"))
       .collect().head
