@@ -241,9 +241,22 @@ object ByteBpe {
     * RFC 3629 arithmetic as a CASE over the code-point ranges) — an
     * independent derivation, not the engine's bytes echoed back. Runs
     * over the DISTINCT word table only, so the interpreted list lambda
-    * is off the corpus-scaled path. */
+    * is off the corpus-scaled path.
+    *
+    * Assumption (ADVICE r16): `string_split(s, '')` must yield ONE
+    * CODE POINT per element — verified true of the pinned DuckDB
+    * build (a combining mark splits into its own element;
+    * `len(string_split(s,'')) == length(s)` always). If a future
+    * DuckDB groups grapheme clusters instead, `ord()` would read only
+    * the cluster's first code point and silently desync from the
+    * engine's correct UTF-8 bytes — so the guard below fails loudly
+    * (the WordPiece error() pattern) the moment the element count
+    * stops matching the code-point count. */
   private def byteEncodeSql(c: String): String =
-    s"""'|' || array_to_string(flatten(list_transform(
+    s"""CASE WHEN len(string_split($c, '')) <> length($c)
+       |  THEN error('bytebpe oracle: string_split is not per-code-point')
+       |  ELSE '' END ||
+       |'|' || array_to_string(flatten(list_transform(
        |  string_split($c, ''), c ->
        |  CASE WHEN ord(c) < 128 THEN [CAST(ord(c) AS VARCHAR)]
        |       WHEN ord(c) < 2048 THEN

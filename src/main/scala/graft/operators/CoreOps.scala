@@ -63,6 +63,27 @@ object CoreOps {
           max(U.tsUs(col("ts"))).as("max_ts_us"))
         .orderBy("event_type")),
 
+    // h5ad ingest scan (scan_h5ad_roundtrip): the reference's OWN wire
+    // format (bin/concatenate.py:62 reads a CSR AnnData h5ad per
+    // dataset) round-tripped under the oracle — a user×event_type
+    // value matrix derived DECIMAL-exactly from `events`, written as
+    // chunked+deflate HDF5 (graft.sources.MiniHdf5Writer), read back
+    // by the pure-JVM MiniHdf5/H5ad.scan path, and aggregated. The
+    // DuckDB oracle replays the matrix derivation from the parquet
+    // original, so a single corrupted f64 bit, dropped nonzero, or
+    // mis-ordered indptr in EITHER the writer or the reader fails the
+    // hash. One task per file by format; at scale ingest parallelism
+    // is across dataset files (H5ad.scan), then parquet forever.
+    "scan_h5ad_roundtrip" -> ((s, d) => {
+      val path = graft.sources.PartitionedData.eventsH5adLanding(s, d)
+      graft.sources.H5ad.scan(s,
+        Seq(graft.sources.H5ad.H5adInput(path, "events", "rna")))
+        .groupBy("feature_id")
+        .agg(count(lit(1)).as("n_cells"),
+          U.dsum(col("value")).as("sum_value"))
+        .orderBy("feature_id")
+    }),
+
     // Permissive CSV ingest (scan_csv_permissive): the landing-zone
     // read real feeds need — a garbage line must quarantine into the
     // corrupt-record column, not kill the job and not silently vanish.
@@ -315,6 +336,20 @@ object CoreOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The oracle replays the user×event_type matrix derivation from
+    // the PARQUET original — a mismatch means the h5ad writer or
+    // reader corrupted a value, dropped a nonzero, or broke CSR order.
+    "scan_h5ad_roundtrip" ->
+      """WITH cells AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY user_id, event_type)
+        |SELECT event_type AS feature_id, count(*) AS n_cells,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The oracle reads the PARQUET original — a value mismatch means the
     // avro round-trip corrupted something.
     "scan_avro_roundtrip" ->

@@ -556,7 +556,11 @@ object Stats {
       // degenerate corpus (zero pooled pre-period variance): Spark's
       // non-ANSI 0/0 is NULL while DuckDB's IEEE division is nan/inf —
       // define θ = 0 instead (CUPED degenerates to the unadjusted
-      // estimate) so both engines agree (ADVICE r15).
+      // estimate) so both engines agree (ADVICE r15). A NULL
+      // denominator (empty pooled input) also lands on θ = 0 on both
+      // sides: here when()'s NULL predicate falls to otherwise(0.0);
+      // the oracle CASE spells `= 0 OR IS NULL` explicitly (ADVICE
+      // r16).
       val thNum = col("txy") - col("tx") * col("ty") / nt
       val thDen = col("txx") - col("tx") * col("tx") / nt
       val pooled = byArm.agg(
@@ -1527,6 +1531,8 @@ object Stats {
         |  SELECT
         |    round(CASE WHEN
         |      sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE) = 0
+        |      OR sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE)
+        |         IS NULL
         |      THEN 0.0
         |      ELSE (sum(sxy) - sum(sx) * sum(sy) / CAST(sum(n) AS DOUBLE))
         |        / (sum(sxx) - sum(sx) * sum(sx) / CAST(sum(n) AS DOUBLE))

@@ -87,6 +87,15 @@ object BpeMerge {
           val merged =
             if (sep2 > sep) rule.substring(sep2 + 1, rule.numChars())
             else UTF8String.concat(a, b)
+          // 3-field rules take everything after the second space as
+          // the merged spelling; a spelling that itself contains a
+          // space would be mis-split if it ever appeared on the left
+          // side of a later rule — fail loudly instead of silently
+          // producing a space-bearing symbol (ADVICE r16).
+          if (sep2 > sep && merged.indexOf(SPACE, 0) >= 0)
+            throw new IllegalArgumentException(
+              s"bpe_merge: malformed rule '$rule' — merged spelling " +
+                "contains a space")
           val out = new Array[UTF8String](len)
           var o = 0
           var j = 0

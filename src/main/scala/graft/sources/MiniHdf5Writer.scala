@@ -1,16 +1,21 @@
-package graft
+package graft.sources
 
-import graft.sources.MiniHdf5
 import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Test-support HDF5 writer: emits the same spec subset [[graft.sources
-  * .MiniHdf5]] reads (superblock v0, v1 object headers, symbol-table
-  * groups, contiguous datasets, vlen strings via one global heap
-  * collection) so specs can fabricate miniature h5ad files byte-by-byte
-  * per the PUBLIC HDF5 format spec — no h5py/libhdf5 exists in this
-  * environment. Layout mirrors what h5py's earliest-libver writer
-  * produces for the same content.
+/** HDF5 writer: emits the same spec subset [[MiniHdf5]] reads
+  * (superblock v0, v1 object headers, symbol-table groups, contiguous
+  * or chunked datasets, vlen strings via one global heap collection),
+  * byte-by-byte per the PUBLIC HDF5 format spec — no h5py/libhdf5
+  * exists in this environment. Layout mirrors what h5py's
+  * earliest-libver writer produces for the same content.
+  *
+  * Lives in main (moved from test support, round 17) so the engine can
+  * also WRITE the reference's wire format — h5ad round-trip fixtures
+  * ([[PartitionedData.eventsH5adLanding]]) and any downstream consumer
+  * expecting AnnData CSR files get a real sink, and the oracled
+  * `scan_h5ad_roundtrip` query pins writer AND reader against DuckDB
+  * on the parquet original.
   */
 object MiniHdf5Writer {
 

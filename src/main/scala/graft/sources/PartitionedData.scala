@@ -264,6 +264,55 @@ object PartitionedData {
     })
   }
 
+  /** h5ad landing-zone fixture — the reference's OWN wire format
+    * (`bin/concatenate.py:62` reads a CSR AnnData file per dataset)
+    * derived deterministically from the `events` parquet so DuckDB can
+    * replay the derivation without reading HDF5: the cell×feature
+    * matrix is user_id × event_type with value = Σ value per pair
+    * (DECIMAL(18,4)-exact, so the f64 payload is bit-identical on both
+    * sides). Written CHUNKED + deflate (h5py `compression='gzip'`
+    * layout, 256-element chunks) so the oracled round-trip exercises
+    * the compressed read path, not just contiguous storage.
+    *
+    * The driver-side collect is bounded by matrix SHAPE, not corpus
+    * size: #users × 5 event types (7.5k nnz at sf0.1), and an HDF5
+    * file is single-writer by format — at production scale this is the
+    * per-dataset ingest artifact ([[H5ad.scan]] parallelizes across
+    * files, one task each), not a query-path step. Memoized per
+    * (sfDir, events content) like every layout here. */
+  def eventsH5adLanding(spark: SparkSession, d: String): String = {
+    val sig = signature(d, "events")
+    val dir = memo.computeIfAbsent((s"h5ad:$d", sig), { _ =>
+      derivedLayout(d, "events_h5ad", sig) { tmp =>
+        val rows = Tables.t(spark, d, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .groupBy("user_id", "event_type")
+          .agg(graft.U.dbl(sum(graft.U.dec4(col("value")))).as("v"))
+          .collect()
+        val vars = rows.map(_.getString(1)).distinct.sorted
+        val varIdx = vars.zipWithIndex.toMap
+        val byUser = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        val obs = byUser.map { case (u, _) => s"user_$u" }
+        val data = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val indices = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val indptr = scala.collection.mutable.ArrayBuffer(0L)
+        byUser.foreach { case (_, rs) =>
+          rs.map(r => (varIdx(r.getString(1)).toLong, r.getDouble(2)))
+            .sortBy(_._1).foreach { case (j, v) =>
+              indices += j; data += v
+            }
+          indptr += indices.length.toLong
+        }
+        java.nio.file.Files.createDirectories(tmp)
+        MiniHdf5Writer.writeH5ad(tmp.resolve("events.h5ad").toString,
+          obs, vars, data.toArray, indices.toArray, indptr.toArray,
+          wide = true, gzipChunks = 256)
+      }
+    })
+    s"$dir/events.h5ad"
+  }
+
   /** The near-dup EDGE SET the whole graph family iterates on
     * (plane-literal hyperplane LSH → capped buckets → cosine ≥ 0.05
     * pairs, stored once as a < b) — materialized as a derived layout.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{H5ad, MiniHdf5}
+import graft.sources.{H5ad, MiniHdf5, MiniHdf5Writer}
 import graft.sources.H5ad.H5adInput
 
 /** End-to-end h5ad ingestion: miniature CSR h5ad files written per the

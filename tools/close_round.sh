@@ -110,10 +110,34 @@ print("sf1 headline: failed=[] ok — no fail-fast rides into the median")
 QUADRATIC_BY_CONTRACT = {"ml_knn_classify"}
 common = sorted((set(old) & set(new)) - QUADRATIC_BY_CONTRACT)
 ratios = {k: new[k] / max(old[k], 1e-9) for k in common}
+# Second-chance rule (VERDICT r16 item 6): a key whose WALL ratio fired
+# (>1.2) but whose cpu_ms ratio is <=1.2 is ambient-cleared — cpu_ms is
+# CPU burned inside tasks, immune to the shared-box wall tax that has
+# forced manual ambient adjudication every round since r4. The cleared
+# key contributes its cpu ratio to the median instead of its wall
+# ratio, and is listed so the clearing is on the record. Requires
+# cpu_ms in BOTH records (recorded since r16); keys without it keep
+# their wall ratio — the rule self-enables as old records age in.
+old_at, new_at = oldd.get("attrib", {}), newd.get("attrib", {})
+cleared = {}
+for k in common:
+    if ratios[k] > 1.2:
+        oc = old_at.get(k, {}).get("cpu_ms")
+        nc = new_at.get(k, {}).get("cpu_ms")
+        if oc and nc and oc > 0:
+            cr = nc / oc
+            if cr <= 1.2:
+                cleared[k] = (ratios[k], cr)
+                ratios[k] = cr
+if cleared:
+    for k, (wr, cr) in sorted(cleared.items()):
+        print(f"  ambient-cleared: {k} wall-ratio {wr:.2f} -> "
+              f"cpu_ms-ratio {cr:.2f}")
 med = statistics.median(ratios.values())
 print(f"sf1 headline median per-query ratio vs {sys.argv[1]}: {med:.3f} "
       f"({len(common)} common queries, quadratic-by-contract excluded: "
-      f"{', '.join(sorted(QUADRATIC_BY_CONTRACT))})")
+      f"{', '.join(sorted(QUADRATIC_BY_CONTRACT))}; "
+      f"{len(cleared)} ambient-cleared via cpu_ms)")
 if med > 1.2:
     # FAIL LOUDLY (VERDICT r15 item 1): the r15 close gate fired inside
     # a backgrounded ritual and shipped unread in the snapshot commit.
@@ -132,6 +156,13 @@ if med > 1.2:
         f.write(f"# SF1 HEADLINE GATE FIRED — {round_id}\n\n")
         f.write(f"median per-query ratio {med:.3f} > 1.2 vs {sys.argv[1]}"
                 f" ({len(common)} common keys)\n\n")
+        if cleared:
+            f.write("Already ambient-cleared via cpu_ms (wall fired, "
+                    "CPU did not — these did NOT contribute their wall "
+                    "ratio to the median above):\n")
+            for k, (wr, cr) in sorted(cleared.items()):
+                f.write(f"- {k}: wall {wr:.2f} -> cpu {cr:.2f}\n")
+            f.write("\n")
         f.write("This file must not survive the round: either the gate "
                 "run is re-measured clean (ambient contamination, see "
                 "box_nonself_ms below) or the regression is named and "
