@@ -71,6 +71,21 @@ object ByteBpe {
     w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map(b => (b & 0xff).toString)
 
+  /** Inverse of the tokenization (tiktoken `decode`): token spellings
+    * → UTF-8 bytes → string. A token spells its bytes as `_`-joined
+    * decimals (`"195_169"`), so the word's full byte sequence is the
+    * `_`-flattened token list in order; each decimal becomes a 2-digit
+    * hex pair and one `unhex` + `decode(UTF-8)` reassembles the word.
+    * Codegen end to end (split/transform/conv/lpad/unhex/decode are
+    * all built-ins) — the exact mirror of [[byteSyms]]'s
+    * encode/substr/hex/conv seeding, so `decode(encode(w)) == w` holds
+    * for EVERY string by construction (pinned over multibyte/emoji in
+    * ByteBpeSpec, oracled corpus-wide by `vocab_bytebpe_decode`). */
+  private[graft] def decodeToks(toks: Column): Column =
+    decode(unhex(array_join(transform(
+      split(array_join(toks, "_"), "_"),
+      b => lpad(conv(b, 10, 16), 2, "0")), "")), "UTF-8")
+
   @volatile private var lastRules
       : Option[Seq[(Int, String, String, Long)]] = None
 
@@ -234,6 +249,43 @@ object ByteBpe {
           U.lng(sum(col("n_b"))).as("n_bytes"),
           U.lng(sum(size(col("toks")))).as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Detokenize (vocab_bytebpe_decode): encode then DECODE every word
+    // and check the round trip corpus-wide — real pipelines run ids →
+    // text as often as text → ids (tiktoken decode). n_chars counts
+    // CHARACTERS of the decoded string (bytes ≠ chars exactly where
+    // multibyte reassembly could break), n_roundtrip counts words
+    // where decode(encode(w)) == w — byte level guarantees ALL of
+    // them, and the oracle re-derives the inverse itself (hex → blob →
+    // UTF-8) rather than trusting the engine's claim. Same broadcast-
+    // rules map-only shape as apply: no shuffle before the final
+    // per-doc aggregate.
+    "vocab_bytebpe_decode" -> ((s, d) => {
+      graft.plans.BpeMerge.register(s)
+      val sess = s; import sess.implicits._
+      val rules = Seq(Tuple1(
+        trainRules(s, d).map(r => s"${r._2} ${r._3} ${join(r._2, r._3)}")))
+        .toDF("rules")
+      val toks = U.fan(Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .crossJoin(broadcast(rules))
+        .select(col("doc_id"), col("word"),
+          call_function("bpe_merge", byteSyms(col("word")),
+            col("rules")).as("toks"))
+      toks
+        .select(col("doc_id"), col("word"), col("toks"),
+          decodeToks(col("toks")).as("dec"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          U.lng(sum(size(col("toks")))).as("n_tokens"),
+          U.lng(sum(length(col("dec")))).as("n_chars"),
+          U.lng(sum(when(col("dec") === col("word"), 1L)
+            .otherwise(0L))).as("n_roundtrip"))
+        .orderBy("doc_id")
     }))
 
   /** DuckDB-side byte seeding: `ord()` is a CODE POINT, so the oracle
@@ -308,6 +360,49 @@ object ByteBpe {
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
   }
 
+  /** Decode replay — the INVERSE rederived independently: after the
+    * same replace() chain as apply, the oracle parses the final
+    * `|sym||sym|` string back to the byte sequence (`||` → `_`, trim
+    * `|`, split on `_`), re-hexes each decimal byte, and reassembles
+    * the word via `from_hex` + `decode` (blob → UTF-8). A decode bug
+    * on EITHER side (byte order, multibyte reassembly, hex padding)
+    * breaks `dec = word` or the character count. */
+  private def decodeOracleSqlFor(
+      rules: Seq[(Int, String, String, Long)]): String = {
+    val passes = rules.sortBy(_._1).zipWithIndex.map {
+      case ((_, a, b, _), i) =>
+        val src = if (i == 0) "v0" else s"v$i"
+        s"v${i + 1} AS (SELECT word, replace(s, '|$a||$b|'," +
+          s" '|${join(a, b)}|') AS s FROM $src)"
+    }
+    val last = s"v${rules.size}"
+    s"""WITH words AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0),
+       |vocab AS (SELECT DISTINCT word FROM words),
+       |v0 AS (
+       |  SELECT word, ${byteEncodeSql("word")} AS s
+       |  FROM vocab),
+       |${if (passes.isEmpty) "" else passes.mkString(",\n") + ",\n"}vt AS (SELECT word,
+       |         CAST((len(s) - len(replace(s, '||', ''))) // 2 + 1 AS BIGINT)
+       |           AS n_toks,
+       |         decode(from_hex(array_to_string(list_transform(
+       |           string_split(replace(trim(s, '|'), '||', '_'), '_'),
+       |           b -> lpad(to_hex(CAST(b AS INT)), 2, '0')), '')))
+       |           AS dec
+       |       FROM $last)
+       |SELECT w.doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(vt.n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(vt.dec)) AS BIGINT) AS n_chars,
+       |  CAST(sum(CASE WHEN vt.dec = w.word THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_roundtrip
+       |FROM words w JOIN vt USING (word)
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }
+
   /** Training replay: the greedy merge loop UNROLLED as nMerges DuckDB
     * rounds ([[Bpe.trainOracleSql]]'s shape) — pair counts over the
     * byte-symbol encoding, (cnt DESC, a, b) argmax with the cnt >= 2
@@ -357,6 +452,8 @@ object ByteBpe {
   def oracles: Map[String, String] =
     Map("vocab_bytebpe_train" -> trainOracleSql) ++ (lastRules match {
       case None => Map.empty
-      case Some(rs) => Map("vocab_bytebpe_apply" -> applyOracleSqlFor(rs))
+      case Some(rs) => Map(
+        "vocab_bytebpe_apply" -> applyOracleSqlFor(rs),
+        "vocab_bytebpe_decode" -> decodeOracleSqlFor(rs))
     })
 }

@@ -122,6 +122,43 @@ class ByteBpeSpec extends SparkSpec {
     }
   }
 
+  test("decode(encode(s)) == s for every string: multibyte, emoji, " +
+    "ZWJ sequences, combining marks — with and without merges firing") {
+    graft.plans.BpeMerge.register(spark)
+    val emoji = new String(Character.toChars(0x1F600))
+    val zwj = "👩‍💻" // woman technologist
+    val words = Seq("a", "the", "café", "€uro", s"${emoji}grin", zwj,
+      "déjà", "éclair" /* combining acute */, "漢字", "ß", "ｱｲｳ")
+    // rules that merge ACROSS a multibyte boundary (the '€' lead byte
+    // with the next) and inside one ('é' = 195 169) — decode must
+    // reassemble regardless of how merges regrouped the bytes
+    val rules = array(lit("195 169 195_169"), lit("226 130 226_130"),
+      lit("226_130 172 226_130_172"))
+    val got = words.toDF("word")
+      .select(col("word"), functions.ByteBpe.decodeToks(
+        org.apache.spark.sql.functions.call_function("bpe_merge",
+          functions.ByteBpe.byteSyms(col("word")), rules)).as("dec"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { w => assert(got(w) === w, s"word=$w") }
+  }
+
+  test("vocab_bytebpe_decode on sf0.001: every word round-trips, " +
+    "token accounting matches apply") {
+    val dec = SparkEntry.queries("vocab_bytebpe_decode")(spark, sfDir)
+      .collect()
+    assert(dec.nonEmpty)
+    dec.foreach { r =>
+      assert(r.getLong(4) === r.getLong(1),
+        s"n_roundtrip == n_words: $r") // byte level: no lossy word
+    }
+    val ap = SparkEntry.queries("vocab_bytebpe_apply")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    dec.foreach { r =>
+      assert(r.getLong(2) === ap(r.getLong(0)),
+        s"n_tokens consistent with apply: $r")
+    }
+  }
+
   test("compare eval carries the bytebpe row, internally consistent " +
     "with vocab_bytebpe_apply") {
     val cmp = SparkEntry.queries("vocab_compare_tokenizers")(spark, sfDir)
