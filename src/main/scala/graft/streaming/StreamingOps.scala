@@ -241,6 +241,48 @@ object StreamingOps {
         })
   }
 
+  /** [[ewmaPerKey]] ported to Spark 4's `transformWithState` API
+    * (`StatefulProcessor` — the successor of flatMapGroupsWithState:
+    * named state variables with their own encoders, TTL support,
+    * timers, and a state store the runtime can evolve independently of
+    * the function). IDENTICAL fold semantics — sort the batch's group
+    * by (event time, event_id), fold 0.2·x + 0.8·acc from the stored
+    * (n, ewma), emit the running summary — so the same
+    * `stream_ewma` oracle pins both APIs; StreamingSpec runs this
+    * processor over the same shuffled two-batch stream as the
+    * flatMapGroupsWithState test and asserts the final summaries are
+    * equal to the batch query exactly. transformWithState requires the
+    * RocksDB state-store provider (the spec sets it per-query); the
+    * registered query keeps the fMGWS engine, which runs on the
+    * default provider. */
+  class EwmaProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Long, Long, Double),
+        (Long, Long, Double)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("ewma",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var cur = if (st.exists()) Option(st.get()) else None
+      sorted.foreach { case (_, _, _, v) =>
+        cur = Some(cur match {
+          case None => (1L, v)
+          case Some((n, acc)) => (n + 1, 0.2 * v + 0.8 * acc)
+        })
+      }
+      cur.foreach(st.update)
+      cur.map(c => (key, c._1, c._2)).iterator
+    }
+  }
+
   /** Streaming Holt linear-trend smoothing per key — EWMA's two-state
     * sibling (level + trend), the forecast-capable smoother: for each
     * event-time-ordered x,

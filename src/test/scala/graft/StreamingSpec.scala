@@ -420,6 +420,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EwmaProcessor (transformWithState) matches the batch stream_ewma " +
+    "query across shuffled batches — same fold, successor API") {
+    implicit val ctx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = Tables.t(spark, sfDir, "events")
+        .filter($"value".isNotNull)
+        .select($"user_id", unix_micros($"ts").as("tsu"), $"event_id", $"value")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._2, r._3))
+      val (b1s, b2s) = ev.splitAt(ev.length / 2)
+      // shuffle within each batch: the processor must order its group
+      val rnd = new scala.util.Random(17)
+      val (b1, b2) = (rnd.shuffle(b1s.toSeq), rnd.shuffle(b2s.toSeq))
+      val input = MemoryStream[(Long, Long, Long, Double)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new StreamingOps.EwmaProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+      val q = out.toDF("user_id", "n_events", "ewma").writeStream
+        .format("memory").queryName("tws_ewma_out")
+        .outputMode("update").start()
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+        // last summary per user = state at stream end; must equal the
+        // batch fold (and therefore the unchanged stream_ewma oracle)
+        val streamed = spark.table("tws_ewma_out")
+          .groupBy($"user_id")
+          .agg(max(struct($"n_events", $"ewma")).as("s"))
+          .select($"user_id", $"s.n_events", round($"s.ewma" * 1e6) / 1e6)
+          .as[(Long, Long, Double)].collect().toSet
+        val batch = StreamingOps.queries("stream_ewma")(spark, sfDir)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(streamed === batch)
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState (Spark 4 arbitrary-state API): running max per user") {
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
