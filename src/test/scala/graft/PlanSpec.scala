@@ -364,6 +364,8 @@ class PlanSpec extends SparkSpec {
       "vocab_bpe_apply",   // 1-row learned-rules array broadcast
       "vocab_bytebpe_apply", // same 1-row rules-array broadcast (the
                              // byte-level family's merges.txt scalar)
+      "vocab_bytebpe_decode", // same 1-row rules-array broadcast as
+                              // vocab_bytebpe_apply (encode→decode twin)
       "vocab_compare_tokenizers", // composes both BPE applies: the same
                                   // 1-row rules-array broadcasts
       "agg_percent_of_total", // 1-row exact-total scalar broadcast
