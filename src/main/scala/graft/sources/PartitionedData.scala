@@ -413,12 +413,20 @@ object PartitionedData {
     * `table` subdirectory. */
   def ordersLakehouseTable(spark: SparkSession, d: String): String = {
     val sig = signature(d, "orders")
+    // The Avro landing memoizes on the SAME map, and
+    // ConcurrentHashMap.computeIfAbsent forbids a nested update from
+    // inside the mapping function — the JDK throws "Recursive update"
+    // whenever the two keys happen to land in the same hash bin, so the
+    // failure is flaky by key hash (first caught by the full sf0.01
+    // sweep, where map iteration order ran lakehouse before avro).
+    // Resolve the landing BEFORE entering this memo's lambda; the call
+    // is itself memoized and a ready layout returns immediately.
+    val landing = ordersAvroLanding(spark, d)
     memo.computeIfAbsent((s"lakehouse:$d", sig), { _ =>
       val root = derivedLayout(d, "orders_lakehouse", sig,
         p => ManifestTable.versions(
           p.resolve("table").toString).nonEmpty,
         inPlace = true) { tmp =>
-        val landing = ordersAvroLanding(spark, d)
         val stage = tmp.resolve("stage").toString
         val ckpt = tmp.resolve("ckpt").toString
         val table = tmp.resolve("table").toString
