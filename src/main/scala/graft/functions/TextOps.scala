@@ -34,13 +34,20 @@ object TextOps {
     * and engine-identical. Keyed shuffles carry (doc_id, char) counts. */
   private[graft] def charEntropyOf(docs: DataFrame, txt: Column): DataFrame = {
     val h = log(col("n").cast("double")) - col("sl") / col("n")
-    docs.select(col("doc_id"), explode(split(txt, "")).as("c"))
-      .groupBy("doc_id", "c").agg(count(lit(1)).as("cc"))
-      .groupBy("doc_id")
-      .agg(U.lng(sum(col("cc"))).as("n"),
-        count(lit(1)).as("n_distinct_chars"),
-        U.dbl(sum(U.dec6r(
-          col("cc") * log(col("cc").cast("double"))))).as("sl"))
+    // Fused per-doc kernel (r17, plans.CharEntropyStats): the explode-
+    // per-character + (doc_id, char) aggregate shape shuffled one row
+    // per CORPUS CHARACTER to compute a per-doc reduction (measured
+    // 20 s CPU of text_char_entropy's 2.2 s sf0.1 wall). The kernel
+    // counts code points where the document already is — map-only —
+    // and its micro-unit term sum is bit-identical to the old
+    // round6→DECIMAL(18,6) sum (see the kernel's Scaladoc). The
+    // isNotNull filter replicates explode's drop of null-text docs.
+    docs.select(col("doc_id"),
+        call_function("char_entropy_stats", txt).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.n").as("n"),
+        col("st.n_distinct").as("n_distinct_chars"),
+        (col("st.sl_micro").cast("double") / lit(1e6)).as("sl"))
       .select(col("doc_id"), col("n"), col("n_distinct_chars"),
         U.round6(h).as("entropy"))
   }
@@ -758,57 +765,42 @@ object TextOps {
     // space-stripped length, the top 2-gram breaks frequency ties by
     // (char-weight, gram) via struct-max — replayed field-for-field in
     // DuckDB — and dup fractions cap at 1.0 (overlapping occurrences
-    // can over-count characters). Scale shape: one Generate emits all
-    // three gram widths tagged, one (doc, n, gram) count with map-side
-    // partial aggregation, one per-doc conditional aggregate — Θ(corpus
-    // tokens) rows shuffled, no joins, no windows. Keep thresholds are
+    // can over-count characters). Scale shape (r17): the fused
+    // plans.GopherRep kernel counts all three gram widths per doc in
+    // one map-only pass — no Generate, no gram-string shuffle, no
+    // joins, no windows. Keep thresholds are
     // Gopher's (top-2-gram ≤ 0.20, dup-5-gram ≤ 0.15), compared on
     // ROUNDED values so the boolean cannot flip across engines; the
     // length(text) > 0 gate matches the oracle's WHERE (the
     // text_char_entropy empty-doc discipline).
     "text_gopher_repetition" -> ((s, d) => {
-      val gramNs = Seq(1, 2, 5)
-      val emit = gramNs.map { n =>
-        when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - n),
-            i => struct(lit(n).as("n"),
-              concat_ws("\u0001", slice(col("w"), i + lit(1), lit(n)))
-                .as("gm"))))
-          .otherwise(array().cast("array<struct<n:int,gm:string>>"))
-      }
-      // U.fan: the gram Generate + partial aggregate otherwise run at
-      // scan parallelism (one row group = one task at test SF).
+      // Fused per-doc kernel (r17, plans.GopherRep): the three-width
+      // gram Generate + two string-keyed hash aggregates shuffled every
+      // gram string of the corpus to compute a PER-DOC reduction
+      // (measured 32 s CPU of the query's 2.5 s sf0.1 wall); the kernel
+      // counts all three widths in one pass where the document already
+      // is — map-only, exact same (count, char-length) accounting, the
+      // oracle unchanged. U.fan: the kernel otherwise runs at scan
+      // parallelism (one row group = one task at test SF).
       // Gate on non-space chars, not raw length (ADVICE r12): a doc of
       // ONLY spaces has dchars=0, and the fraction denominators diverge
       // between engines at /0 (Spark non-ANSI → NULL → coalesce 0.0;
       // DuckDB IEEE → NaN). Such a doc carries no repetition signal, so
       // both engines exclude it at the source.
-      val counts = U.fan(t(s, d, "documents")
+      U.fan(t(s, d, "documents")
         .filter(length(regexp_replace(col("text"), " ", "")) > 0)
         .select(col("doc_id"), split(col("text"), " ").as("w"),
           U.lng(length(regexp_replace(col("text"), " ", ""))).as("dchars")))
         .select(col("doc_id"), col("dchars"),
-          explode(concat(emit: _*)).as("g"))
-        .groupBy(col("doc_id"), col("dchars"),
-          col("g.n").as("n"), col("g.gm").as("gm"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("gl", U.lng(length(col("gm"))) - (col("n") - 1))
-      counts.groupBy("doc_id", "dchars")
-        .agg(
-          max(when(col("n") === 2,
-            struct(col("c"), col("gl"), col("gm")))).as("top2"),
-          sum(when(col("n") === 5 && col("c") >= 2, col("c") * col("gl"))
-            .otherwise(0L)).as("dup5"),
-          sum(when(col("n") === 1 && col("c") >= 2, col("c") * col("gl"))
-            .otherwise(0L)).as("dupw"))
+          call_function("gopher_rep", col("w")).as("g"))
         .select(col("doc_id"),
           U.round6(coalesce(
-            U.dbl(col("top2.c") * col("top2.gl")) / U.dbl(col("dchars")),
+            U.dbl(col("g.top2_c") * col("g.top2_gl")) / U.dbl(col("dchars")),
             lit(0.0))).as("top2gram_frac"),
           U.round6(least(lit(1.0),
-            U.dbl(col("dup5")) / U.dbl(col("dchars")))).as("dup5gram_frac"),
+            U.dbl(col("g.dup5")) / U.dbl(col("dchars")))).as("dup5gram_frac"),
           U.round6(least(lit(1.0),
-            U.dbl(col("dupw")) / U.dbl(col("dchars")))).as("dup_word_frac"))
+            U.dbl(col("g.dupw")) / U.dbl(col("dchars")))).as("dup_word_frac"))
         .withColumn("keep",
           col("top2gram_frac") <= 0.2 && col("dup5gram_frac") <= 0.15)
         .orderBy("doc_id")
@@ -1191,6 +1183,12 @@ object TextOps {
       val docs = corpus
         .filter(instr(col("text"), " ") >= 1)
         .select(col("doc_id"), words.as("w"))
+      // Instance table cut with an EAGER localCheckpoint (r17): it has
+      // two consumers (the bigram-count aggregate and the scoring join)
+      // whose exchanges differ in shape (partial-agg rows vs raw rows),
+      // so AQE reuse cannot dedup them — without the cut the whole
+      // tokenize+explode subtree ran once per consumer. Executor-disk
+      // materialization, same storage class as the shuffle it feeds.
       val inst = docs.select(col("doc_id"),
         explode(arrays_zip(
           slice(col("w"), lit(1), size(col("w")) - 1),
@@ -1198,18 +1196,25 @@ object TextOps {
         .select(col("doc_id"),
           concat_ws(" ", col("g").getField("0"), col("g").getField("1"))
             .as("gram"))
+        .localCheckpoint(true)
       val bc = inst.groupBy("gram").agg(count(lit(1)).as("c_xy"))
       val uc = corpus // unigrams count ALL docs (no ≥2-word filter)
         .select(explode(split(lower(col("text")), " ")).as("wd"))
         .groupBy("wd").agg(count(lit(1)).as("c1"))
       val v = uc.agg(count(lit(1)).as("v"))
-      inst.join(bc, "gram")
+      // Per-GRAM surprisal computed on the vocab²-bounded gram table,
+      // not per instance (r17): the old shape joined the data-scaled
+      // instance table twice (by gram for c_xy, then by w1 for c1);
+      // attaching c1/v to the gram rows first makes the instance table
+      // cross exactly ONE join — same term per gram, identical result.
+      val gramTerm = bc
         .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
         .join(uc.withColumnRenamed("wd", "w1"), "w1")
         .crossJoin(broadcast(v))
-        .select(col("doc_id"), U.round6(-log(
+        .select(col("gram"), U.round6(-log(
           (col("c_xy") + lit(1)).cast("double") /
             (col("c1") + col("v")).cast("double"))).as("term"))
+      inst.join(gramTerm, "gram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           U.dbl(sum(U.dec6(col("term")))).as("ssum"))
@@ -1339,8 +1344,14 @@ object TextOps {
       // the dimension bound (VERDICT r13 item 4)
       graft.operators.Aggregates.pctBoundGuard(s, d, "documents",
         "filter_perplexity_gate")
+      // EAGER localCheckpoint (r17): the scored table has two consumers
+      // (the threshold aggregate and the gate filter), and the entire
+      // composed LM-scoring pipeline re-ran once per consumer — the cut
+      // materializes one row per document (executor disk) and both
+      // consumers read that.
       val scores = queries("text_bigram_logprob")(s, d)
         .select(col("doc_id"), col("mean_surprisal"))
+        .localCheckpoint(true)
       val thr = scores.agg(
         round(expr("percentile(mean_surprisal, 0.9)"), 4).as("thr"))
       scores.crossJoin(broadcast(thr))

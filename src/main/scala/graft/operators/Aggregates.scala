@@ -63,11 +63,6 @@ object Aggregates {
     * hash aggregate it feeds. */
   def exactQuantiles(rows: DataFrame, flagCol: String, valCol: String,
       ps: Seq[Double], scale: Long = 100L): DataFrame = {
-    // U.fan: the (flag, cents) partial aggregate otherwise runs at scan
-    // parallelism (one row group = one task at test SF), and column
-    // pruning specializes this subtree per consumer (cum needs cv, the
-    // offsets don't) so exchange reuse cannot dedup it — the fan keeps
-    // each planned copy cheap instead of fighting the pruner.
     val cvRaw = round(col(valCol) * scale).cast("long")
     val cvGuarded = when(cvRaw.cast("double") / scale.toDouble
         === col(valCol), cvRaw)
@@ -78,8 +73,19 @@ object Aggregates {
           " (values bucket as round(v*scale); an off-grid value would" +
           " silently collapse into a neighboring bucket)")))
         .cast("long"))
-    val cnts = U.fan(rows.filter(col(valCol).isNotNull)
-      .select(col(flagCol).as("fl"), cvGuarded.as("cv")))
+    // Hash-repartition directly on the GROUP KEYS (r17; replaces the
+    // former round-robin U.fan): the keyed exchange both parallelizes
+    // the aggregate past the one-row-group test-SF scan AND satisfies
+    // the groupBy's distribution requirement, so the histogram build is
+    // exactly one shuffle of the (flag, cents) rows and one aggregate —
+    // the fan spelling paid a sort-before-repartition of every row
+    // (SPARK-23207 determinism sort), a partial aggregate that barely
+    // compresses (cents are near-distinct), and a SECOND full exchange
+    // into the groupBy. (fl, cv) is near-unique, so the hash spreads
+    // evenly — no skew concern at any scale.
+    val cnts = rows.filter(col(valCol).isNotNull)
+      .select(col(flagCol).as("fl"), cvGuarded.as("cv"))
+      .repartition(col("fl"), col("cv"))
       .groupBy(col("fl"), col("cv"))
       .agg(count(lit(1)).as("c"))
       .withColumn("blk", expr("cv div 65536"))

@@ -157,53 +157,45 @@ object Market {
     // The dedup aggregate's clustering requirement (same (order, part)
     // co-located) is satisfied by the hash(l_orderkey) exchange — a
     // subset partitioning clusters the pair — so it pipelines into the
-    // post-shuffle stage with no second exchange. It must sit BELOW
-    // both consumers: collect_set deduplicates implicitly, but the
-    // frequency window (next) counts rows, and a part bought twice in
-    // one order must count once.
+    // post-shuffle stage with no second exchange.
     val dpr = dp.repartition(col("l_orderkey"))
       .dropDuplicates("l_orderkey", "l_partkey")
-    // collect_list, NOT collect_set, deliberately: the input is already
-    // deduped, and a duplicate-AGNOSTIC upper aggregate lets
-    // RemoveRedundantAggregates eliminate the dropDuplicates from this
-    // branch only — the two consumers' subtrees then diverge below the
-    // exchange and the scan+shuffle runs twice (observed in the r12
-    // plan dump). With the duplicate-sensitive list the dedup aggregate
-    // survives identically in both branches and one exchange feeds
-    // them; the cheap codegen'd dedup recomputes per branch, the scan
-    // and shuffle do not.
-    val baskets = dpr.groupBy("l_orderkey")
+    // collect_list, NOT collect_set: the input is already deduped, and
+    // a duplicate-AGNOSTIC upper aggregate would let
+    // RemoveRedundantAggregates eliminate the dropDuplicates (the
+    // frequency explode below counts rows, and a part bought twice in
+    // one order must count once).
+    def collectBaskets(rows: DataFrame): DataFrame = rows
+      .groupBy("l_orderkey")
       .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, MaxBasket)
         .as("basket"))
       .select(col("basket"))
-    // Part frequencies come off the PRE-basket rows, not a second pass
-    // over the basket aggregate: the round-12 stage profile showed the
-    // previous two-consumer-of-`baskets` shape recomputing the
-    // collect_set ObjectHashAggregate once per consumer (AQE exchange
-    // reuse shares the repartition exchange BELOW it, but the
-    // aggregate above is not an exchange and ran twice — stages 3+4,
-    // 2.6 s + 7.6 s cold; a combined units+pairs Generate fared no
-    // better because the pb-IS-NULL group-key filter pushes through
-    // the aggregate and re-specializes the subtrees). The row_number
-    // window's clustering requirement is satisfied by the SAME
-    // hash(l_orderkey) exchange the basket aggregate reads — one
-    // shuffle feeds both — and replays the cap's "first MaxBasket
-    // sorted members per order" contract exactly, so frequencies and
-    // pairs stay mutually consistent.
-    val f = dpr
-      .withColumn("brn", row_number().over(
-        Window.partitionBy("l_orderkey").orderBy("l_partkey")))
-      .filter(col("brn") <= MaxBasket)
-      .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("fc"))
+    // Part frequencies come off the EXPLODED capped basket (r17
+    // rewrite): explode(basket) is by construction exactly the capped
+    // universe ("first MaxBasket sorted distinct parts per order"), so
+    // a count per exploded element equals the old row_number-window
+    // replay — minus the window's full 600k-row sort AND minus the
+    // second dedup aggregate the old two-branch shape paid (the r16
+    // stage profile charged 5.7 s CPU of the query's 39 s to that
+    // branch). The basket aggregate feeding both the pair Generate and
+    // the frequency explode is cut with an EAGER localCheckpoint
+    // (the exactQuantiles/Ridge discipline): an aggregate is not an
+    // exchange, so AQE reuse cannot dedup its two consumers — without
+    // the cut the dedup+collect lineage runs once per branch. The
+    // checkpoint is order-cardinality (spills to executor disk, never
+    // the driver) — the same storage class as the shuffle files the
+    // exchange it replaces would have written.
+    def freqOf(baskets: DataFrame): DataFrame = baskets
+      .select(explode(col("basket")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("fc"))
     // Threshold placement follows the cost model, not the algebra (the
     // algebra is indifferent: a pair survives iff BOTH endpoints are
     // in-band, wherever the filter runs):
     //  - the CEILING pre-prunes: hub parts are the quadratic threat
     //    (support² pairs each) and are FEW by construction (fc >
     //    maxSupport bounds the list size at N_rows/maxSupport), so the
-    //    hub ids broadcast as one array and a codegen'd HOF filter
-    //    drops them from the baskets before the pair Generate ever
-    //    fans out;
+    //    hub ids broadcast and a hash anti-join drops them from the
+    //    rows before the pair Generate ever fans out;
     //  - the FLOOR post-filters the scored pair table: tail parts emit
     //    only fc < minSupport pairs each (linear — no quadratic term to
     //    save), and the fa/fb frequencies needed for the test are
@@ -212,29 +204,30 @@ object Market {
     //    re-collect) measured 53.8 s vs the unpruned 26.1 s at sf4 —
     //    2× SLOWER than not pruning; this shape prunes with no extra
     //    pass at all.
-    val baskets0 =
-      if (maxSupport == Long.MaxValue) baskets
-      else {
-        // broadcast hash ANTI-join on the rows, then re-collect: the
-        // hash set of hub ids builds once per task and probes O(1) per
-        // row. (A HOF `filter(basket, !array_contains(hub_arr, _))`
-        // spelling was tried first and is the trap: array_contains is a
-        // linear scan, so ~2.5k hubs × every basket element was ~10¹¹
-        // comparisons at sf4 — the pruned query ran minutes instead of
-        // seconds.) Hub removal precedes the cap here (first MaxBasket
-        // NON-HUB members); identical to cap-first for every basket
-        // within the cap, and the oracle replays this order. The
-        // broadcast join is narrow, so the hash(l_orderkey) exchange
-        // still feeds the re-collect with no extra shuffle.
-        val hubs = f.filter(col("fc") > maxSupport)
-          .select(col("pk").as("l_partkey"))
-        dpr.join(broadcast(hubs), Seq("l_partkey"), "left_anti")
-          .groupBy("l_orderkey")
-          .agg(slice(sort_array(collect_list(col("l_partkey"))), 1,
-            MaxBasket).as("basket"))
-          .select(col("basket"))
-      }
-    (baskets0, f)
+    if (maxSupport == Long.MaxValue) {
+      val baskets = collectBaskets(dpr).localCheckpoint(true)
+      (baskets, freqOf(baskets))
+    } else {
+      // The hub variant consumes the deduped rows TWICE (frequency
+      // universe + hubless re-collect), so the checkpoint cut moves
+      // DOWN to the dedup output; each basket collect then reads the
+      // materialized 1×-fact rows instead of re-running the dedup
+      // aggregate per branch. Hub removal precedes the cap (first
+      // MaxBasket NON-HUB members), identical to cap-first for every
+      // basket within the cap, and the oracle replays this order. The
+      // broadcast anti-join is narrow, so the checkpoint's partitioning
+      // still feeds the re-collect with no extra shuffle. (A HOF
+      // `filter(basket, !array_contains(hub_arr, _))` spelling was
+      // tried in r13 and is the trap: array_contains is a linear scan,
+      // ~2.5k hubs × every basket element ≈ 10¹¹ comparisons at sf4.)
+      val dprC = dpr.localCheckpoint(true)
+      val f = freqOf(collectBaskets(dprC))
+      val hubs = f.filter(col("fc") > maxSupport)
+        .select(col("pk").as("l_partkey"))
+      val hubless = collectBaskets(
+        dprC.join(broadcast(hubs), Seq("l_partkey"), "left_anti"))
+      (hubless, f)
+    }
   }
 
   /** Merge overlapping intervals (`user_id`, `st`, `en` — µs longs)
