@@ -510,11 +510,20 @@ object Dedup {
     // self-join needs, so no additional shuffle on either side.
     // Measured 2.28 → 1.26 s at sf0.1. Same occ semantics: total
     // occurrence count per gram across the corpus.
+    // EAGER localCheckpoint (r17): the self-join's two inputs are the
+    // same capped-hit table, and each side re-ran the tokenize + K-gram
+    // build + occurrence window without the cut (the "two computations"
+    // the window form had accepted). The checkpoint materializes the
+    // occurrence-capped hits ONCE — output-bounded (occ ∈ [2, 50]
+    // grams only) — and both join sides read it; its partitioning from
+    // the window's hash(gram) exchange is exactly the join's
+    // distribution requirement, so no re-shuffle either.
     val hits = grams
       .withColumn("occ", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("gram")))
       .filter(col("occ") >= 2 && col("occ") <= 50)
       .select("doc_id", "p", "gram")
+      .localCheckpoint(true)
     val pairs = hits
       .select(col("gram"), col("doc_id").as("da"), col("p").as("pa"))
       .join(hits.select(col("gram"), col("doc_id").as("db"),
@@ -969,12 +978,16 @@ object Dedup {
       // U.fan before the chunk explode: split+slice+concat of every
       // document ran on the 1-task single-row-group scan (1.9 s at
       // sf0.1); the narrow corpus shuffle buys 32-way chunking.
+      // EAGER localCheckpoint (r17): the chunk table has two consumers
+      // (keeper election + the join back), and the split+slice+concat
+      // chunk build re-ran once per consumer without the cut.
       val chunks = graft.U.fan(t(s, d, "documents")
           .select("doc_id", "text")).select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nChunks - 1),
             i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))))
         .withColumnRenamed("pos", "chunk_idx")
         .withColumnRenamed("col", "chunk")
+        .localCheckpoint(true)
       val keeper = chunks.groupBy("chunk")
         .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
       chunks.join(keeper, "chunk")

@@ -895,8 +895,12 @@ object TextOps {
     // window, output-bounded chunk Generate, block-stitched rank — no
     // stage shuffles more than the operators' own.
     "pipeline_corpus_prep_v3" -> ((s, d) => {
+      // EAGER localCheckpoint (r17): the scrubbed corpus has two
+      // consumers (the entropy gate and the kept-join), and the
+      // 3-pattern regexp scrub re-ran once per consumer without the cut.
       val scrubbed = U.fan(t(s, d, "documents").select("doc_id", "text"))
         .select(col("doc_id"), piiScrubbed(col("text")).as("st"))
+        .localCheckpoint(true)
       val gate = charEntropyOf(scrubbed, col("st"))
         .filter(col("entropy") >= 2.0).select("doc_id")
       val kept = scrubbed
@@ -1373,10 +1377,17 @@ object TextOps {
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).as("tot"))
-      toks.join(broadcast(vocab), "w")
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"),
+      // Per-WORD surprisal precomputed on the Zipf-bounded vocabulary
+      // (r17): the old shape joined raw counts and evaluated
+      // round6(-log(...)) once per corpus TOKEN; the term is a function
+      // of the word alone, so computing it on the vocab rows and
+      // broadcasting (w, term) gives identical per-token terms with the
+      // transcendental evaluated |vocab| times instead of |corpus|.
+      val terms = vocab.crossJoin(broadcast(total))
+        .select(col("w"),
           U.round6(-log(col("cnt").cast("double") / col("tot"))).as("term"))
+      toks.join(broadcast(terms), "w")
+        .select(col("doc_id"), col("term"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           U.dbl(sum(U.dec6(col("term")))).as("ssum"))

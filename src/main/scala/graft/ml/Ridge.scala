@@ -128,11 +128,16 @@ object Ridge {
       val (w1, w2) = weights(s, d)
       val resid = col("l_extendedprice") -
         (lit(w1) * col("l_quantity") + lit(w2) * col("l_discount"))
-      // fan BEFORE the md5/residual projection (that per-row compute is
-      // what must run at shuffle parallelism, not scan parallelism)
-      val base = U.fan(Tables.t(s, d, "lineitem")
+      // Parallelizing exchange BEFORE the md5/residual projection (that
+      // per-row compute is what must run at shuffle parallelism, not
+      // the one-row-group scan parallelism). Hash on the natural key
+      // (r17; was round-robin U.fan): same spread — (orderkey,
+      // linenumber) is unique — without the SPARK-23207
+      // sort-before-repartition that round-robin pays on every row.
+      val base = Tables.t(s, d, "lineitem")
         .select("l_extendedprice", "l_quantity", "l_discount",
-          "l_orderkey", "l_linenumber")).select(
+          "l_orderkey", "l_linenumber")
+        .repartition(col("l_orderkey"), col("l_linenumber")).select(
         round(abs(resid) * lit(1e4)).cast("long").as("a4"),
         (substring(md5(concat(col("l_orderkey").cast("string"),
           lit("_"), col("l_linenumber").cast("string"))), 1, 1) < "8")

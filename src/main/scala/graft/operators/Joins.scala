@@ -226,7 +226,10 @@ object Joins {
     // expensive verifier (levenshtein) runs only within blocks. Same
     // candidates-then-verify shape as the MinHash LSH path, for strings.
     "join_blocked_levenshtein" -> ((s, d) => {
-      val c = t(s, d, "customer")
+      // U.fan (r17): the block-key build + join-side shuffles otherwise
+      // run at the 1-row-group scan parallelism — two ~0.45 s 1-task
+      // stages were the bulk of the query's wall at sf0.1.
+      val c = U.fan(t(s, d, "customer").select("c_custkey", "c_name"))
         .select(col("c_custkey"), lower(col("c_name")).as("name"))
         .withColumn("blk", expr("substring(name, 1, length(name) - 1)"))
       val a = c.select(col("c_custkey").as("id1"), col("name").as("n1"),
@@ -681,7 +684,11 @@ object Joins {
         col("id").as("lbl_id"),
         concat(lit("CL:"), lpad(col("id").cast("string"), 7, "0")).as("cl_id"),
         concat(lit("type_"), col("id") % 25).as("label"))
-      t(s, d, "lineitem")
+      // U.fan (r17): the symbol build + two broadcast probes + partial
+      // aggregate otherwise run at the 3-row-group scan parallelism
+      // (651 ms of the query's wall at sf0.1); one narrow 2-column
+      // exchange buys full-core parallelism for the probe pipeline.
+      U.fan(t(s, d, "lineitem").select("l_partkey", "l_quantity"))
         .select(concat(lit("SYM"), col("l_partkey") % 40000).as("symbol"),
           col("l_quantity"))
         .join(broadcast(genes), Seq("symbol"))

@@ -90,6 +90,11 @@ object SetOps {
         .select(col("l_orderkey"),
           coalesce(col("qty"), lit(0.0)).as("qty"),
           coalesce(col("price"), lit(0.0)).as("price"))
+        // keyed exchange BEFORE the aggregate (r17, the exactQuantiles
+        // shape): the decimal-sum partial aggregate otherwise runs at
+        // the one-row-group scan parallelism and barely compresses
+        // (~2 rows per order); same single shuffle either way
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(U.dsum(col("qty")).as("sum_qty"),
           U.dsum(col("price")).as("sum_price"),

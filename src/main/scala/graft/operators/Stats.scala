@@ -100,42 +100,57 @@ object Stats {
     * group counts through that value) and the constant totals n_r/n_a.
     */
   private def twoSampleCum(s: SparkSession, d: String): DataFrame = {
-    // NO U.fan here (measured 2.2 → 3.6 s with it at sf0.1): the
-    // when/sum partial aggregate is cheap enough that the round-robin
-    // shuffle+sort costs more than 3-task parallelism loses. The
-    // three consumers (block offsets, totals, the windowed main path)
-    // do re-execute this subtree — an eager-checkpoint dedup (the
-    // conformal-interval fix) would save ~0.8 s here but hide the
-    // per-value aggregate from PlanSpec's windows-sit-above-aggregates
-    // proof, which this helper exists to exemplify; the structural
-    // guarantee is worth more than the re-execution.
+    // Hash-repartition on the VALUE key (r17; the exactQuantiles
+    // shape): the keyed exchange parallelizes the when/sum aggregate
+    // past the one-row-group scan AND satisfies groupBy(v)'s
+    // distribution — one shuffle of narrow (v, g) rows, no
+    // sort-before-repartition, no second exchange. (A round-robin
+    // U.fan was measured WORSE here in r13 — 2.2 → 3.6 s — precisely
+    // because it paid the RR sort plus a second full exchange into the
+    // groupBy; the keyed spelling pays neither.) The three consumers
+    // (block offsets, totals, the windowed main path) still re-execute
+    // this subtree — an eager-checkpoint dedup would save ~0.8 s but
+    // hide the per-value aggregate from PlanSpec's
+    // windows-sit-above-aggregates proof, which this helper exists to
+    // exemplify; the structural guarantee is worth more than the
+    // re-execution.
     val pv = t(s, d, "lineitem")
       .filter(col("l_returnflag").isin("R", "A"))
       .select(col("l_extendedprice").as("v"), col("l_returnflag").as("g"))
+      .repartition(col("v"))
       .groupBy("v")
       .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"),
         sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"))
       .withColumn("blk", floor(col("v") / 2000.0).cast("long"))
     val wLoc = Window.partitionBy("blk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Totals ride the SAME block-summary window pass as the offsets
+    // (r17; the exactQuantiles `n` shape): n_r/n_a are the whole-frame
+    // sums over the ≤~60-row block table, so the separate groupBy().agg
+    // consumer — a third full execution of the per-value aggregate —
+    // and its scalar crossJoin both disappear; identical values land on
+    // every row through the one block-keyed broadcast join.
+    val wBlk = Window.orderBy("blk")
     val offs = pv.groupBy("blk")
       .agg(sum(col("cr")).as("bcr"), sum(col("ca")).as("bca"))
       .withColumn("offr", coalesce(
-        sum(col("bcr")).over(Window.orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        sum(col("bcr")).over(
+          wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("offa", coalesce(
-        sum(col("bca")).over(Window.orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("blk"), col("offr"), col("offa"))
-    val tot = pv.groupBy()
-      .agg(sum(col("cr")).as("n_r"), sum(col("ca")).as("n_a"))
+        sum(col("bca")).over(
+          wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_r", sum(col("bcr")).over(wBlk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_a", sum(col("bca")).over(wBlk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("blk"), col("offr"), col("offa"),
+        col("n_r"), col("n_a"))
     pv
       .withColumn("lcr", sum(col("cr")).over(wLoc))
       .withColumn("lca", sum(col("ca")).over(wLoc))
       .join(broadcast(offs), Seq("blk"))
       .withColumn("cumr", col("offr") + col("lcr"))
       .withColumn("cuma", col("offa") + col("lca"))
-      .crossJoin(broadcast(tot))
       .select(col("v"), col("cr"), col("ca"), col("cumr"), col("cuma"),
         col("n_r"), col("n_a"))
   }

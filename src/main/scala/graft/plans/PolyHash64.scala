@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GramStats.info, GramStats.builder))
     ext.injectFunction((FunctionIdentifier("word_kgrams"),
       WordKGrams.info, WordKGrams.builder))
+    ext.injectFunction((FunctionIdentifier("gopher_rep"),
+      GopherRep.info, GopherRep.builder))
+    ext.injectFunction((FunctionIdentifier("char_entropy_stats"),
+      CharEntropyStats.info, CharEntropyStats.builder))
     VectorExprs.entries.foreach { case (n, c, b) =>
       ext.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo(c.getName, n), b))
