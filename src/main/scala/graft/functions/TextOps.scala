@@ -2294,14 +2294,14 @@ object TextOps {
          |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
          |  FROM documents
          |  WHERE len(string_split(lower(text), ' ')) >= 2),
-         |grams AS (
+         |grams AS MATERIALIZED (
          |  SELECT doc_id, lang, unnest(list_transform(
          |    generate_series(1, len(w) - 1),
          |    i -> array_to_string(w[i:i+1], ' '))) AS g
          |  FROM docs),
          |vocab AS (SELECT DISTINCT g FROM grams),
          |${graft.plans.XxhSqlOracle.hashBucketCtes("vocab", 256)},
-         |db AS (
+         |db AS MATERIALIZED (
          |  SELECT grams.doc_id, grams.lang, bkt.b, count(*) AS n
          |  FROM grams JOIN bkt USING (g)
          |  GROUP BY grams.doc_id, grams.lang, bkt.b),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.U
+import graft.{Tables, U}
 
 /** Tokenizer selection eval — the corpus-level readout a pipeline runs
   * before committing to a vocabulary: BPE ([[Bpe]]) vs byte-level BPE
@@ -29,22 +29,87 @@ import graft.U
 object TokenizerCompare {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r18 reshape (VERDICT r17 item 3): the previous spelling composed
+    // the four FULL apply queries, so the corpus was scanned, word-split
+    // and kernel-tokenized four times (plus four per-doc aggregates the
+    // comparison immediately re-summed away). Every per-word statistic
+    // here depends only on the WORD, so ONE corpus scan + ONE
+    // distinct-word aggregate (Zipf-bounded vocab) feeds all four
+    // branches: the two BPE kernels run once per DISTINCT word instead
+    // of once per occurrence, the unigram/WordPiece piece counts come
+    // from the same broadcast scored tables the applies use, and the
+    // corpus totals are occurrence-weighted (cnt ×) conditional sums in
+    // ONE aggregate. All sums are exact integers, so the reshape is
+    // bit-identical to the composed-replay totals (each tokenizer still
+    // reports over ITS OWN qualifying-word universe — see the scaladoc).
     "vocab_compare_tokenizers" -> ((s, d) => {
-      def shape(df: DataFrame, name: String, tokCol: String,
-          charsCol: String = "n_chars"): DataFrame =
-        df.agg(U.lng(sum(col("n_words"))).as("n_words"),
-            U.lng(sum(col(tokCol))).as("n_tokens"),
-            U.lng(sum(col(charsCol))).as("n_chars"))
-          .select(lit(name).as("tokenizer"), col("n_words"),
-            col("n_tokens"), col("n_chars"))
-      shape(Bpe.queries("vocab_bpe_apply")(s, d), "bpe", "n_bpe_tokens")
-        .unionByName(shape(ByteBpe.queries("vocab_bytebpe_apply")(s, d),
-          "bytebpe", "n_tokens", "n_bytes"))
-        .unionByName(shape(Unigram.queries("vocab_unigram_apply")(s, d),
-          "unigram", "n_pieces"))
-        .unionByName(shape(
-          WordPiece.queries("vocab_wordpiece_apply")(s, d),
-          "wordpiece", "n_pieces"))
+      graft.plans.BpeMerge.register(s)
+      val sess = s; import sess.implicits._
+      val rules = Seq((
+        Bpe.trainRules(s, d).map(r => s"${r._2} ${r._3}"),
+        ByteBpe.trainRules(s, d).map(r => s"${r._2} ${r._3} ${r._2}_${r._3}")))
+        .toDF("bpe_rules", "bb_rules")
+      val charSyms = array_remove(split(col("word"), ""), "")
+      // ONE corpus scan, cut with an eager localCheckpoint (Zipf-bounded
+      // vocab rows): the two scored-table broadcast builds below would
+      // otherwise each re-run the scan+split+distinct lineage.
+      val words = U.fan(Tables.t(s, d, "documents").select(col("text")))
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val uniWords = words
+        .filter(length(col("word")).between(1, Unigram.MaxWordLen))
+        .select("word")
+      val wpWords = uniWords.filter(!col("word").contains("#"))
+      val vocab = words
+        .crossJoin(broadcast(rules))
+        .select(col("word"), col("cnt"),
+          length(col("word")).as("wlen"),
+          length(encode(col("word"), "UTF-8")).as("wbytes"),
+          size(call_function("bpe_merge", charSyms, col("bpe_rules")))
+            .as("bpe_t"),
+          size(call_function("bpe_merge", ByteBpe.byteSyms(col("word")),
+            col("bb_rules"))).as("bb_t"))
+        .join(broadcast(Unigram.scoredOf(s, d, uniWords)
+          .select(col("word"), col("wnp").as("uni_np"))), Seq("word"), "left")
+        .join(broadcast(WordPiece.scoredOf(s, d, wpWords)
+          .select(col("word"), col("wnp").as("wp_np"))), Seq("word"), "left")
+      // universe flags replicate each apply's word filter + inner join:
+      // both BPEs see every non-empty word; unigram sees length
+      // 1..MaxWordLen words its Viterbi segmented (scored-table hit);
+      // WordPiece the same minus '#'-bearing words.
+      val uniOk = col("uni_np").isNotNull &&
+        length(col("word")).between(1, Unigram.MaxWordLen)
+      val wpOk = col("wp_np").isNotNull &&
+        length(col("word")).between(1, Unigram.MaxWordLen) &&
+        !col("word").contains("#")
+      def csum(flag: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) = U.lng(sum(when(flag, v)))
+      val a = vocab.agg(
+        U.lng(sum(col("cnt"))).as("bpe_w"),
+        U.lng(sum(col("cnt") * col("bpe_t"))).as("bpe_t"),
+        U.lng(sum(col("cnt") * col("wlen"))).as("bpe_c"),
+        U.lng(sum(col("cnt") * col("bb_t"))).as("bb_t"),
+        U.lng(sum(col("cnt") * col("wbytes"))).as("bb_c"),
+        csum(uniOk, col("cnt")).as("uni_w"),
+        csum(uniOk, col("cnt") * col("uni_np")).as("uni_t"),
+        csum(uniOk, col("cnt") * col("wlen")).as("uni_c"),
+        csum(wpOk, col("cnt")).as("wp_w"),
+        csum(wpOk, col("cnt") * col("wp_np")).as("wp_t"),
+        csum(wpOk, col("cnt") * col("wlen")).as("wp_c"))
+      a.select(explode(array(
+          struct(lit("bpe").as("tokenizer"), col("bpe_w").as("n_words"),
+            col("bpe_t").as("n_tokens"), col("bpe_c").as("n_chars")),
+          struct(lit("bytebpe").as("tokenizer"), col("bpe_w").as("n_words"),
+            col("bb_t").as("n_tokens"), col("bb_c").as("n_chars")),
+          struct(lit("unigram").as("tokenizer"), col("uni_w").as("n_words"),
+            col("uni_t").as("n_tokens"), col("uni_c").as("n_chars")),
+          struct(lit("wordpiece").as("tokenizer"), col("wp_w").as("n_words"),
+            col("wp_t").as("n_tokens"), col("wp_c").as("n_chars")))).as("r"))
+        .select(col("r.tokenizer").as("tokenizer"),
+          col("r.n_words").as("n_words"), col("r.n_tokens").as("n_tokens"),
+          col("r.n_chars").as("n_chars"))
         .select(col("tokenizer"), col("n_words"), col("n_tokens"),
           col("n_chars"),
           U.round6(col("n_tokens").cast("double") / col("n_words"))

@@ -199,11 +199,20 @@ object Unigram {
   /** (word, wlp, wnp) for every distinct qualifying corpus word under
     * the memoized model — the shared core of both registered queries.
     * Distinct words are vocabulary-bounded, so the result broadcasts. */
-  private def scoredWords(s: SparkSession, d: String): DataFrame = {
+  private[functions] def scoredWords(s: SparkSession, d: String): DataFrame =
+    scoredOf(s, d, wordTable(s, d).select("word"))
+
+  /** Viterbi-score an explicit distinct-word table under the trained
+    * model — the seam [[TokenizerCompare]] uses to feed all tokenizers
+    * from ONE shared corpus scan instead of re-deriving this object's
+    * [[wordTable]] (r18). Callers must pass exactly the qualifying-word
+    * universe ([[wordTable]]'s filter) for apply-identical results. */
+  private[functions] def scoredOf(s: SparkSession, d: String,
+      words: DataFrame): DataFrame = {
     val sess = s; import sess.implicits._
     val probs = model(s, d).toMap
     val bc = s.sparkContext.broadcast(probs)
-    wordTable(s, d).select("word").as[String]
+    words.as[String]
       .mapPartitions { it =>
         val lp = bc.value
         it.flatMap(w => viterbi(w, lp).map(v => (w, v._1, v._2)))

@@ -277,11 +277,20 @@ object WordPiece {
 
   /** (word, n_pieces, is_unk) for every distinct qualifying corpus word
     * under the memoized model — vocabulary-bounded, broadcasts. */
-  private def scoredWords(s: SparkSession, d: String): DataFrame = {
+  private[functions] def scoredWords(s: SparkSession, d: String): DataFrame =
+    scoredOf(s, d, wordTable(s, d).select("word"))
+
+  /** Piece-count an explicit distinct-word table under the trained
+    * model (the [[Unigram.scoredOf]] seam, r18): lets
+    * [[TokenizerCompare]] feed every tokenizer from one shared corpus
+    * scan. Callers must pass exactly [[wordTable]]'s qualifying-word
+    * universe for apply-identical results. */
+  private[functions] def scoredOf(s: SparkSession, d: String,
+      words: DataFrame): DataFrame = {
     val sess = s; import sess.implicits._
     val vocab = model(s, d)._2
     val bc = s.sparkContext.broadcast(vocab)
-    wordTable(s, d).select("word").as[String]
+    words.as[String]
       .mapPartitions { it =>
         val v = bc.value
         it.map { w =>

@@ -154,20 +154,16 @@ object Market {
     // The slice caps each basket at its first MaxBasket sorted members
     // BEFORE any fan-out; frequencies and pairs both run off the capped
     // basket so the two sides of the cosine stay mutually consistent.
-    // The dedup aggregate's clustering requirement (same (order, part)
-    // co-located) is satisfied by the hash(l_orderkey) exchange — a
-    // subset partitioning clusters the pair — so it pipelines into the
-    // post-shuffle stage with no second exchange.
     val dpr = dp.repartition(col("l_orderkey"))
-      .dropDuplicates("l_orderkey", "l_partkey")
-    // collect_list, NOT collect_set: the input is already deduped, and
-    // a duplicate-AGNOSTIC upper aggregate would let
-    // RemoveRedundantAggregates eliminate the dropDuplicates (the
-    // frequency explode below counts rows, and a part bought twice in
-    // one order must count once).
+    // collect_set IS the per-order distinct (r18): the previous
+    // dropDuplicates + collect_list spelling paid a separate dedup
+    // HashAggregate pass for the same set; one set-aggregate folds the
+    // dedup into the collect (a part bought twice in one order still
+    // counts once — set semantics), and sort_array keeps the basket
+    // engine-deterministic.
     def collectBaskets(rows: DataFrame): DataFrame = rows
       .groupBy("l_orderkey")
-      .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, MaxBasket)
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasket)
         .as("basket"))
       .select(col("basket"))
     // Part frequencies come off the EXPLODED capped basket (r17
@@ -208,24 +204,42 @@ object Market {
       val baskets = collectBaskets(dpr).localCheckpoint(true)
       (baskets, freqOf(baskets))
     } else {
-      // The hub variant consumes the deduped rows TWICE (frequency
-      // universe + hubless re-collect), so the checkpoint cut moves
-      // DOWN to the dedup output; each basket collect then reads the
-      // materialized 1×-fact rows instead of re-running the dedup
-      // aggregate per branch. Hub removal precedes the cap (first
-      // MaxBasket NON-HUB members), identical to cap-first for every
-      // basket within the cap, and the oracle replays this order. The
-      // broadcast anti-join is narrow, so the checkpoint's partitioning
-      // still feeds the re-collect with no extra shuffle. (A HOF
-      // `filter(basket, !array_contains(hub_arr, _))` spelling was
-      // tried in r13 and is the trap: array_contains is a linear scan,
-      // ~2.5k hubs × every basket element ≈ 10¹¹ comparisons at sf4.)
-      val dprC = dpr.localCheckpoint(true)
-      val f = freqOf(collectBaskets(dprC))
+      // r18 reshape (VERDICT r17 item 1): the r17 spelling cut the
+      // lineage at the DEDUPED FACT ROWS (`dpr.localCheckpoint(true)`)
+      // and re-ran the full basket collect once per consumer — a
+      // fact-cardinality deserialized materialization that the driver
+      // measured anti-scaling at 32 cores (25.0 s @32c vs 2.41 s @8c,
+      // vs 3.1 s in isolated runs). The cut now lands on the FULL
+      // sorted-basket aggregate instead: ONE dedup+collect pass,
+      // order-cardinality blocks (~4× fewer rows, same part ids), and
+      // the collect aggregate itself runs once instead of twice.
+      //  - frequencies come from the capped slice of the full basket
+      //    (by construction exactly the "first MaxBasket sorted
+      //    distinct parts per order" universe — same as before);
+      //  - hub removal precedes the cap (first MaxBasket NON-HUB
+      //    members, the oracle's replay order): the full basket
+      //    re-explodes — hash(l_orderkey) partitioning intact — drops
+      //    hub members via the broadcast anti-join, and re-collects
+      //    with NO exchange (clustering still satisfied). (A HOF
+      //    `filter(basket, !array_contains(hub_arr, _))` spelling was
+      //    tried in r13 and is the trap: array_contains is a linear
+      //    scan, ~2.5k hubs × every basket element ≈ 10¹¹ comparisons
+      //    at sf4.)
+      val fullB = dpr.groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("fb"))
+        .localCheckpoint(true)
+      val f = fullB
+        .select(explode(slice(col("fb"), 1, MaxBasket)).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("fc"))
       val hubs = f.filter(col("fc") > maxSupport)
         .select(col("pk").as("l_partkey"))
-      val hubless = collectBaskets(
-        dprC.join(broadcast(hubs), Seq("l_partkey"), "left_anti"))
+      val hubless = fullB
+        .select(col("l_orderkey"), explode(col("fb")).as("l_partkey"))
+        .join(broadcast(hubs), Seq("l_partkey"), "left_anti")
+        .groupBy("l_orderkey")
+        .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, MaxBasket)
+          .as("basket"))
+        .select(col("basket"))
       (hubless, f)
     }
   }

@@ -227,7 +227,11 @@ object XxhSqlOracle {
     val sig = (0 until 64)
       .map(b => s"CASE WHEN v$b > 0 THEN ${h(BigInt(1) << b)} ELSE ${h(0)} END")
       .mkString(" + ")
-    s"""WITH toks AS (
+    // MATERIALIZED on the multiply-referenced CTEs (r18): DuckDB
+    // inlines plain CTEs at every reference, so `toks` (vocab + hashed)
+    // and the self-joined `sigs` otherwise recompute the whole hash
+    // chain per reference — pure evaluation hint, results identical.
+    s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS g
        |  FROM documents),
        |vocab AS (SELECT DISTINCT g FROM toks),
@@ -239,7 +243,7 @@ object XxhSqlOracle {
        |votes AS (SELECT doc_id,
        |    $votes
        |  FROM hashed GROUP BY doc_id),
-       |sigs AS (SELECT doc_id, ${sign64(s"($sig)")} AS simhash FROM votes)""".stripMargin
+       |sigs AS MATERIALIZED (SELECT doc_id, ${sign64(s"($sig)")} AS simhash FROM votes)""".stripMargin
   }
 
   val simhashSql: String =
@@ -283,14 +287,24 @@ object XxhSqlOracle {
     * the doc's shingle set taken over SIGNED values (Java long order,
     * exactly MinHashSig's `h < mins(j)`). Also leaves `toks(doc_id, g)`
     * in scope for downstream exact-Jaccard verification. */
-  private def minhashCtes(k: Int, toksBody: String): String = {
+  private def minhashCtes(k: Int, toksBody: String,
+      matToks: Boolean = true): String = {
     val (strChain, strLast) = chain("s0", "s", hashStages)
     val (seedChain, seedLast) =
       chain("sj0", "mh", hashIntStages("mh", "bs", "ju"))
     val pivot = (0 until k)
       .map(j => s"max(CASE WHEN j = $j THEN mh END) AS m$j")
       .mkString(",\n    ")
-    s"""WITH toks AS (
+    // MATERIALIZED on the multiply-referenced CTEs (r18): plain CTEs
+    // inline at every reference in DuckDB — `toks` feeds vocab + the
+    // min fold (+ downstream exact-Jaccard), `msig` feeds the band
+    // folds; without the hint each reference recomputes the whole
+    // chain. Evaluation hint only — results identical. `matToks` is
+    // measured per call site: with ≥3 toks references (the exact-
+    // Jaccard verifiers) materializing wins ~5×; with only the two
+    // prunable references (kshingle digest) it LOSES 2× because the
+    // inlined copies each prune to the columns they need.
+    s"""WITH toks AS ${if (matToks) "MATERIALIZED " else ""}(
        |  $toksBody),
        |vocab AS (SELECT DISTINCT g FROM toks),
        |${byteTableCte("sb", "vocab")},
@@ -303,7 +317,7 @@ object XxhSqlOracle {
        |wh AS (SELECT g, j, ${sign64("mhx5")} AS hv FROM $seedLast),
        |mins AS (SELECT t.doc_id, w.j, min(w.hv) AS mh
        |         FROM toks t JOIN wh w USING (g) GROUP BY t.doc_id, w.j),
-       |msig AS (SELECT doc_id,
+       |msig AS MATERIALIZED (SELECT doc_id,
        |    $pivot
        |  FROM mins GROUP BY doc_id)""".stripMargin
   }
@@ -331,7 +345,7 @@ object XxhSqlOracle {
        |    $elems
        |  FROM msig CROSS JOIN bandsl),
        |$foldChain,
-       |bb AS (SELECT doc_id, band, ${sign64("bix5")} AS bh FROM $foldLast)""".stripMargin
+       |bb AS MATERIALIZED (SELECT doc_id, band, ${sign64("bix5")} AS bh FROM $foldLast)""".stripMargin
   }
 
   /** Exact word-set Jaccard CTEs over candidate pairs `<candCte>(id1,
@@ -341,7 +355,7 @@ object XxhSqlOracle {
     * shingles never reach `jac` (inner join) — they cannot pass any
     * positive threshold, matching Spark's jaccard=0 filter-out. */
   private def jaccardCtes(candCte: String): String =
-    s"""tsz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    s"""tsz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
        |ixc AS (SELECT c.id1, c.id2, count(*) AS ic
        |        FROM $candCte c
        |        JOIN toks w1 ON w1.doc_id = c.id1
@@ -359,7 +373,7 @@ object XxhSqlOracle {
     s"""${minhashCtes(32, wordSetToks)},
        |${bandedCtes(32, 8)},
        |bsz AS (SELECT band, bh, count(*) AS n FROM bb GROUP BY band, bh),
-       |okb AS (SELECT bb.doc_id, bb.band, bb.bh
+       |okb AS MATERIALIZED (SELECT bb.doc_id, bb.band, bb.bh
        |        FROM bb JOIN bsz USING (band, bh) WHERE bsz.n BETWEEN 2 AND 64),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |         FROM okb a JOIN okb b
@@ -378,7 +392,7 @@ object XxhSqlOracle {
       hashLongStages(s"dg$r", acc, unsign64(s"m$r"))
     }
     val (foldChain, foldLast) = chain("msig", "dg", foldStages)
-    s"""${minhashCtes(16, kgramToks(3))},
+    s"""${minhashCtes(16, kgramToks(3), matToks = false)},
        |$foldChain
        |SELECT doc_id, ${sign64(s"dg15x5")} AS sig_hash FROM $foldLast
        |ORDER BY doc_id""".stripMargin
@@ -392,7 +406,7 @@ object XxhSqlOracle {
   val incrementalNearSql: String =
     s"""${minhashCtes(32, wordSetToks)},
        |${bandedCtes(32, 8)},
-       |hb AS (SELECT * FROM bb WHERE doc_id % 2 = 0),
+       |hb AS MATERIALIZED (SELECT * FROM bb WHERE doc_id % 2 = 0),
        |tb AS (SELECT * FROM bb WHERE doc_id % 2 = 1),
        |hsz AS (SELECT band, bh, count(*) AS n FROM hb GROUP BY band, bh),
        |okidx AS (SELECT hb.doc_id, hb.band, hb.bh
@@ -418,7 +432,7 @@ object XxhSqlOracle {
     s"""${byteTableCte("hbb", vocabCte)},
        |hb0 AS (SELECT $scalarExtract FROM hbb),
        |$chainSql,
-       |bkt AS (SELECT g, CAST(x5v % $buckets AS BIGINT) AS b FROM $lastCte)""".stripMargin
+       |bkt AS MATERIALIZED (SELECT g, CAST(x5v % $buckets AS BIGINT) AS b FROM $lastCte)""".stripMargin
   }
 
   /** sql_native_fns replay: poly_hash64 (31-polynomial fold — mirrors

@@ -656,6 +656,42 @@ class PlanSpec extends SparkSpec {
       s"top and bottom buffers should share one aggregate:\n$p")
   }
 
+  test("eager localCheckpoints materialize PRUNED projections (VERDICT " +
+    "r17 item 5): every ExistingRDD scan carries only the documented " +
+    "column set, never unpruned fact rows") {
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    // query → the column sets its checkpoint sites are allowed to
+    // materialize (each site's documented cardinality bound lives at
+    // the call site; this guard pins the WIDTH half of the contract).
+    val allowed: Map[String, Set[Set[String]]] = Map(
+      "graph_copurchase_topk" -> Set(Set("basket")),
+      "graph_copurchase_support" -> Set(Set("l_orderkey", "fb")),
+      "dedup_substring_span" -> Set(Set("doc_id", "p", "gram")),
+      "dedup_paragraph" -> Set(Set("doc_id", "chunk_idx", "chunk")),
+      "vocab_compare_tokenizers" -> Set(Set("word", "cnt")),
+      "agg_percentile" -> Set(Set("fl", "cv", "c", "blk")),
+      "filter_perplexity_gate" -> Set(
+        Set("doc_id", "mean_surprisal"),   // the gate's score table
+        Set("doc_id", "gram")))            // bigram_logprob's instance cut
+    allowed.foreach { case (q, sets) =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val scans = flatten(df.queryExecution.executedPlan)
+        .collect { case r: RDDScanExec => r }
+      assert(scans.nonEmpty, s"$q: expected checkpoint scans in the plan")
+      scans.foreach { r =>
+        val cols = r.output.map(_.name.replaceAll("#.*", "")).toSet
+        assert(sets.exists(cols.subsetOf),
+          s"$q: checkpoint scan materializes undocumented columns " +
+            s"$cols — allowed: $sets")
+      }
+    }
+  }
+
   test("vocab_compare_tokenizers: the only nested-loop is the whitelisted " +
     "1-row rules-array scalar broadcast (VERDICT r14 item 3)") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -687,10 +723,19 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("LocalTableScan") && !s.contains("parquet"),
         s"BNLJ broadcast side must be the local 1-row rules array:\n$s")
     }
-    // and the comparison itself is 1-row-per-tokenizer aggregates
-    // unioned — the corpus-scaled inputs sit below partial+final
-    // HashAggregates
-    assert(nodes.exists(_.nodeName.contains("Union")), pstr)
+    // r18 reshape: ONE corpus scan + ONE distinct-word aggregate feeds
+    // all four tokenizer branches — the old shape unioned four full
+    // apply replays (four scans, four per-doc aggregates). The 4-row
+    // output comes from a Generate (explode of per-tokenizer structs)
+    // over the single conditional aggregate, so the plan must have NO
+    // Union and exactly one parquet scan of the corpus.
+    assert(!nodes.exists(_.nodeName.contains("Union")),
+      s"compare should not union four apply replays anymore:\n$pstr")
+    val parquetScans = nodes.count(_.nodeName.contains("Scan parquet"))
+    assert(parquetScans <= 1,
+      s"compare should scan the corpus once, found $parquetScans:\n$pstr")
+    assert(nodes.exists(_.nodeName.contains("Generate")),
+      s"the 4-row reshape explode must be present:\n$pstr")
   }
 
   test("stats_cuped: per-user rollup is a partial+final aggregate pair, " +
