@@ -1071,24 +1071,30 @@ object Dedup {
         .agg(min(col("st")).as("st"), max(col("en")).as("en"))
       val docs = t(s, d, "documents").select("doc_id", "text")
         .filter(length(col("text")) > 0)
-      val words = graft.U.fan(docs)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "word")
-      val kept = words.join(merged,
-        words("doc_id") === merged("doc_id")
-          && col("p") >= col("st") && col("p") < col("en"), "left_anti")
-      val ka = kept.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            sort_array(collect_list(struct(col("p"), col("word")))),
-            x => x.getField("word"))).as("clean_text"))
-      docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_words"))
-        .join(ka, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
-          (col("n_words") - coalesce(col("n_kept"), lit(0L)))
-            .as("n_dropped"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+      // Map-only strip apply (r18): the old shape posexploded EVERY
+      // word of the corpus to rows, left-anti-joined the interval
+      // table, and re-assembled each doc with a sort_array+collect_list
+      // aggregate — three data-scaled passes for what is a per-doc
+      // array transform. The merged islands are SPAN-cardinality
+      // (duplicated-run docs only, ≤ a handful of intervals each), so
+      // they collect to one tiny array per doc and BROADCAST-join to
+      // the corpus; the drop test and reassembly then run inside one
+      // codegen'd per-row expression — no explode, no anti-join, no
+      // collect_list, and the only corpus pass is the scan itself.
+      // Word w at 0-based position p drops iff some [st, en) holds it —
+      // exactly the old anti-join predicate; filter() preserves word
+      // order, so clean_text is byte-identical.
+      val ivAgg = merged.groupBy("doc_id")
+        .agg(collect_list(struct(col("st"), col("en"))).as("ivs"))
+      val wArr = split(col("text"), " ")
+      val keptArr = filter(wArr, (wd, i) =>
+        !coalesce(exists(col("ivs"), v =>
+          i >= v.getField("st") && i < v.getField("en")), lit(false)))
+      docs.join(broadcast(ivAgg), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(wArr).cast("long").as("n_words"),
+          (size(wArr) - size(keptArr)).cast("long").as("n_dropped"),
+          concat_ws(" ", keptArr).as("clean_text"))
         .orderBy("doc_id")
     }),
 

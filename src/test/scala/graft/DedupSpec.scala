@@ -236,13 +236,21 @@ class DedupSpec extends SparkSpec {
     val passage = ws("p", 30) // shared 30-word passage (≥ L = 16)
     val short = ws("q", 15)   // shared 15-word run (< L) — must NOT report
     val dup = ws("f", 40).mkString(" ") // exact duplicate pair
+    // docs 8/9 share TWO disjoint 20-word passages — doc 9 carries two
+    // separate drop intervals, pinning the strip kernel's
+    // exists-over-interval-ARRAY path (r18 map-only apply rewrite)
+    val pA = ws("g", 20)
+    val pB = ws("h", 20)
     Seq(
       (1L, (ws("a", 10) ++ passage ++ ws("x", 50)).mkString(" ")),
       (2L, (ws("b", 20) ++ passage ++ ws("y", 20)).mkString(" ")),
       (3L, ws("c", 50).mkString(" ")), // no overlap with anything
       (4L, (ws("d", 5) ++ short ++ ws("u", 20)).mkString(" ")),
       (5L, (ws("e", 10) ++ short ++ ws("v", 10)).mkString(" ")),
-      (6L, dup), (7L, dup))
+      (6L, dup), (7L, dup),
+      (8L, (pA ++ ws("m", 10) ++ pB).mkString(" ")),
+      (9L, (ws("n", 5) ++ pA ++ ws("o", 7) ++ pB ++ ws("k", 5))
+        .mkString(" ")))
       .toDF("doc_id", "text").repartition(2)
       .write.mode("overwrite")
       .parquet("/tmp/graft_test_span/documents.parquet")
@@ -251,13 +259,16 @@ class DedupSpec extends SparkSpec {
     // the 30-word passage reports ONCE, maximal, at its exact offsets
     // (interior 8-grams match positions 10..32 vs 20..42 on one diagonal);
     // the duplicate pair reports its full 40 words; the 15-word run and
-    // doc 3 are silent
-    assert(out === Seq((1L, 2L, 10L, 20L, 30L), (6L, 7L, 0L, 0L, 40L)))
+    // doc 3 are silent; the 8/9 pair reports BOTH passages as separate
+    // maximal spans (different diagonals)
+    assert(out === Seq((1L, 2L, 10L, 20L, 30L), (6L, 7L, 0L, 0L, 40L),
+      (8L, 9L, 0L, 5L, 20L), (8L, 9L, 30L, 32L, 20L)))
 
     // apply step: the LATER doc of each pair loses its copy — doc 2
-    // drops words 20..49 (the passage), doc 7 (exact duplicate) empties;
-    // every other doc (including the below-threshold 15-word run pair)
-    // passes through verbatim
+    // drops words 20..49 (the passage), doc 7 (exact duplicate) empties,
+    // doc 9 drops BOTH intervals (5..24 and 32..51) and keeps the three
+    // interleaved runs; every other doc (including the below-threshold
+    // 15-word run pair) passes through verbatim
     val strip = Dedup.queries("dedup_substring_strip")(
         spark, "/tmp/graft_test_span")
       .as[(Long, Long, Long, String)].collect()
@@ -265,7 +276,10 @@ class DedupSpec extends SparkSpec {
     assert(strip(2L) === ((70L, 30L,
       (ws("b", 20) ++ ws("y", 20)).mkString(" "))))
     assert(strip(7L) === ((40L, 40L, "")))
-    assert(strip(1L)._2 === 0L && strip(6L)._2 === 0L)
+    assert(strip(9L) === ((57L, 40L,
+      (ws("n", 5) ++ ws("o", 7) ++ ws("k", 5)).mkString(" "))))
+    assert(strip(1L)._2 === 0L && strip(6L)._2 === 0L
+      && strip(8L)._2 === 0L)
     assert(strip(4L)._2 === 0L && strip(5L)._2 === 0L) // below L: kept
     assert(strip(3L) === ((50L, 0L, ws("c", 50).mkString(" "))))
   }
