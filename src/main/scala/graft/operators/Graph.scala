@@ -612,24 +612,27 @@ object Graph {
     "graph_pagerank_types" -> ((s, d) => {
       val perUser = Window.partitionBy("user_id")
         .orderBy(U.tsUs(col("ts")), col("event_id"))
-      val edgesDf = t(s, d, "events")
+      // cap+1 limit makes the guard probe and the collect ONE job (the
+      // Bpe.DriverVocabCap pattern, r18): the limit bounds what the
+      // driver materializes at cap+1 rows — the same OOM protection the
+      // old persist + distributed-count + collect + unpersist spelling
+      // bought with three extra scheduler round-trips — and ≤cap rows
+      // back proves the bound held.
+      val cap = 100000
+      val edgeRows = t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("dst"))
         .withColumn("src", lag(col("dst"), 1).over(perUser))
         .filter(col("src").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .persist()
-      // guard BEFORE collect — a distributed count so a data-scaled node
-      // set fails loudly here instead of OOMing the driver materializing
-      // the edge list it was about to reject
-      val nEdges = edgesDf.count()
-      require(nEdges <= 100000,
-        s"contracted transition graph has $nEdges edges — beyond " +
+        .limit(cap + 1)
+        .collect()
+      require(edgeRows.length <= cap,
+        s"contracted transition graph has > $cap edges — beyond " +
           "the driver-iteration guard; for data-scaled node sets keep the " +
           "power iteration distributed (persist/unpersist per step)")
-      val edges = edgesDf
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      edgesDf.unpersist()
+      val edges = edgeRows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val nodes = t(s, d, "events")
         .select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted
@@ -676,21 +679,25 @@ object Graph {
     "graph_hits_types" -> ((s, d) => {
       val perUser = Window.partitionBy("user_id")
         .orderBy(U.tsUs(col("ts")), col("event_id"))
-      val edgesDf = t(s, d, "events")
+      // cap+1 limit makes the size probe and the collect ONE job (the
+      // Bpe.DriverVocabCap pattern, r18 — replaces persist + count +
+      // collect + unpersist, three scheduler round-trips on a
+      // ≤|types|²-bounded table): ≤cap rows back proves the guard.
+      val cap = 100000
+      val edgeRows = t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type").as("dst"))
         .withColumn("src", lag(col("dst"), 1).over(perUser))
         .filter(col("src").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .persist()
-      val nEdges = edgesDf.count()
-      require(nEdges <= 100000,
-        s"contracted transition graph has $nEdges edges — beyond " +
+        .limit(cap + 1)
+        .collect()
+      require(edgeRows.length <= cap,
+        s"contracted transition graph has > $cap edges — beyond " +
           "the driver-iteration guard (keep the iteration distributed " +
           "for data-scaled node sets)")
-      val edges = edgesDf
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      edgesDf.unpersist()
+      val edges = edgeRows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val nodes = t(s, d, "events")
         .select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted
