@@ -60,7 +60,10 @@ object ScalarFuncs {
     // 4-task parse was paid twice (r13 sf1 stage profile: 9.0 s wall,
     // 3% utilization; fanned: every pass runs shuffle-wide)
     "json_parse_once" -> ((s, d) =>
-      U.fan(t(s, d, "events").select(col("event_id"), col("props")))
+      // keyed exchange (r18; was round-robin U.fan — no SPARK-23207
+      // pre-shuffle sort of the props strings; event_id is unique)
+      t(s, d, "events").select(col("event_id"), col("props"))
+        .repartition(col("event_id"))
         .withColumn("j", from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
         .select(col("event_id"), col("j.k").as("k"),

@@ -47,8 +47,11 @@ object Ridge {
   // one ~10 MB shuffle buys 32-way partial aggregation. On a multi-file
   // production layout this is one redundant narrow exchange.
   private def stats(s: SparkSession, d: String): DataFrame =
-    U.fan(Tables.t(s, d, "lineitem")
-      .select("l_quantity", "l_discount", "l_extendedprice")).agg(
+    // keyed exchange (r18; was round-robin U.fan — the near-unique
+    // price spreads evenly with no SPARK-23207 pre-shuffle sort)
+    Tables.t(s, d, "lineitem")
+      .select("l_quantity", "l_discount", "l_extendedprice")
+      .repartition(col("l_extendedprice")).agg(
       count(lit(1)).as("n"),
       U.dsum(col("l_quantity") * col("l_quantity")).as("s11"),
       U.dsum(col("l_quantity") * col("l_discount")).as("s12"),
@@ -100,8 +103,10 @@ object Ridge {
       val resid = col("l_extendedprice") -
         (lit(w1) * col("l_quantity") + lit(w2) * col("l_discount"))
       val r4 = round(resid * lit(1e4)).cast("long")
-      U.fan(Tables.t(s, d, "lineitem")
-          .select("l_quantity", "l_discount", "l_extendedprice"))
+      // keyed exchange (r18) — same rationale as `stats` above
+      Tables.t(s, d, "lineitem")
+          .select("l_quantity", "l_discount", "l_extendedprice")
+          .repartition(col("l_extendedprice"))
         .agg(count(lit(1)).as("n"),
           sum((r4 * r4).cast("decimal(38,0)")).as("ss4"),
           sum(abs(r4).cast("decimal(38,0)")).as("sa4"))

@@ -246,13 +246,17 @@ object Aggregates {
     // TPC-H Q1-shaped scan-heavy group-by: the canonical map-side-combine
     // aggregation (tiny key cardinality → partial agg collapses the scan).
     "agg_hash_group" -> ((s, d) =>
-      // U.fan: the four decimal sums dominate (3.6 s at 3-task scan
-      // parallelism on the single-row-group layout); one ~15 MB narrow
-      // shuffle buys 32-way partials. Partial+final shape unchanged
-      // (PlanSpec asserts it).
-      U.fan(t(s, d, "lineitem")
+      // Keyed parallelizing exchange (r18; was round-robin U.fan — the
+      // RR spelling pays the SPARK-23207 sort-before-repartition of
+      // every row AT SCAN PARALLELISM): the four decimal sums dominate
+      // (3.6 s at 3-task scan parallelism on the single-row-group
+      // layout); one ~15 MB narrow shuffle keyed on the near-unique
+      // price buys the same 32-way partials with no pre-shuffle sort.
+      // Partial+final shape unchanged (PlanSpec asserts it).
+      t(s, d, "lineitem")
           .select("l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount"))
+            "l_extendedprice", "l_discount")
+          .repartition(col("l_extendedprice"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           U.dsum(col("l_quantity")).as("sum_qty"),
@@ -1083,11 +1087,13 @@ object Aggregates {
       val vx = col("sxx") - col("sx") * col("sx") / n
       val vy = col("syy") - col("sy") * col("sy") / n
       val cxy = col("sxy") - col("sx") * col("sy") / n
-      // U.fan: five decimal co-moment sums at 3-task scan parallelism
-      // measured 2.0 s — the jarque_bera class (heavy compute, tiny
-      // aggregate state).
-      U.fan(t(s, d, "lineitem")
-          .select("l_returnflag", "l_quantity", "l_extendedprice"))
+      // Keyed parallelizing exchange (r18; was round-robin U.fan and
+      // its SPARK-23207 pre-shuffle sort): five decimal co-moment sums
+      // at 3-task scan parallelism measured 2.0 s — the jarque_bera
+      // class (heavy compute, tiny aggregate state).
+      t(s, d, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice")
+          .repartition(col("l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           U.dbl(sum(x)).as("sx"), U.dbl(sum(y)).as("sy"),

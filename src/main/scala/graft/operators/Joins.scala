@@ -684,11 +684,15 @@ object Joins {
         col("id").as("lbl_id"),
         concat(lit("CL:"), lpad(col("id").cast("string"), 7, "0")).as("cl_id"),
         concat(lit("type_"), col("id") % 25).as("label"))
-      // U.fan (r17): the symbol build + two broadcast probes + partial
-      // aggregate otherwise run at the 3-row-group scan parallelism
-      // (651 ms of the query's wall at sf0.1); one narrow 2-column
-      // exchange buys full-core parallelism for the probe pipeline.
-      U.fan(t(s, d, "lineitem").select("l_partkey", "l_quantity"))
+      // Keyed parallelizing exchange (r18; was round-robin U.fan): the
+      // symbol build + two broadcast probes + partial aggregate
+      // otherwise run at the 3-row-group scan parallelism (651 ms of
+      // the query's wall at sf0.1). Hashing on l_partkey (near-unique,
+      // even spread) buys the same full-core parallelism WITHOUT the
+      // SPARK-23207 sort-before-repartition that round-robin pays on
+      // every row (the exactQuantiles r17 lesson).
+      t(s, d, "lineitem").select("l_partkey", "l_quantity")
+        .repartition(col("l_partkey"))
         .select(concat(lit("SYM"), col("l_partkey") % 40000).as("symbol"),
           col("l_quantity"))
         .join(broadcast(genes), Seq("symbol"))

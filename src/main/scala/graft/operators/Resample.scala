@@ -88,10 +88,12 @@ object Resample {
         .withColumn("h64", concat(md5(col("k")),
           md5(concat(col("k"), lit("~")))))
       val h = substring(col("h64"), col("b") * 2 + 1, lit(2))
-      // U.fan: the ×B explode below multiplies work BEFORE the first
-      // exchange — without it the whole resample runs on the single
-      // scan task (single-row-group input)
-      val rm = U.fan(base)
+      // Keyed parallelizing exchange (r18; was round-robin U.fan + its
+      // SPARK-23207 pre-shuffle sort): the ×B explode below multiplies
+      // work BEFORE the first exchange — without it the whole resample
+      // runs on the single scan task. The unique order key spreads
+      // evenly.
+      val rm = base.repartition(col("k"))
         .select(col("h64"), col("x"),
           explode(sequence(lit(0), lit(B_BOOT - 1))).as("b"))
         .select(col("b"), col("x"), poissonWeight(h).as("w"))
@@ -131,9 +133,11 @@ object Resample {
           - sum(when(!col("is_u"), col("x"))).cast("double")
           / sum(when(!col("is_u"), 1L).otherwise(0L))).as("diff_obs"))
       val coin = substring(col("h64"), col("b") + 1, lit(1))
-      val diffs = U.fan(base
+      // keyed exchange (r18) — same rationale as the bootstrap above
+      val diffs = base
         .withColumn("h64", concat(md5(col("k")),
-          md5(concat(col("k"), lit("~"))))))
+          md5(concat(col("k"), lit("~")))))
+        .repartition(col("k"))
         .select(col("h64"), col("x"),
           explode(sequence(lit(0), lit(B_PERM - 1))).as("b"))
         .select(col("b"), col("x"), (coin < "8").as("a"))

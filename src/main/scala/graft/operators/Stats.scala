@@ -284,10 +284,13 @@ object Stats {
     // the Gmm/Neyman rationale).
     "stats_jarque_bera" -> ((s, d) => {
       val x = col("l_extendedprice") / lit(100000.0)
-      // U.fan on the 1-column projection: the four decimal power sums
-      // ran at scan parallelism on the single-row-group test layout
-      // (3 tasks, 3.8 s measured); a ~5 MB shuffle buys 32-way partials.
-      val a = U.fan(t(s, d, "lineitem").select("l_extendedprice")).agg(
+      // Keyed parallelizing exchange on the 1-column projection (r18;
+      // was round-robin U.fan + its SPARK-23207 pre-shuffle sort): the
+      // four decimal power sums ran at scan parallelism on the
+      // single-row-group test layout (3 tasks, 3.8 s measured); a ~5 MB
+      // shuffle keyed on the near-unique price buys 32-way partials.
+      val a = t(s, d, "lineitem").select("l_extendedprice")
+        .repartition(col("l_extendedprice")).agg(
         count(lit(1)).as("n"),
         sum(U.dec6r(x)).cast("double").as("s1"),
         sum(U.dec6r(x * x)).cast("double").as("s2"),
