@@ -324,19 +324,29 @@ object WordPiece {
     // occurrence counts); all outputs exact longs.
     "vocab_wordpiece_apply" -> ((s, d) => {
       val scored = scoredWords(s, d)
-      val wc = U.fan(Tables.t(s, d, "documents")
+      // Instances join the broadcast scored table DIRECTLY (r18): the
+      // old (doc_id, word) pre-aggregate shuffled the full word-instance
+      // stream just to compress it before the broadcast probe — but the
+      // probe is O(1) per row and every per-doc sum is an exact integer
+      // (Σ wnp over instances ≡ Σ cnt·wnp over pairs), so one map-side-
+      // combining per-doc aggregate after the join carries only per-doc
+      // partials through the exchange. (vocab_unigram_apply keeps the
+      // pair shape: its logprob rounds on the cnt-weighted PRODUCT, a
+      // bridge the instance sum would not replicate bit-for-bit.)
+      val inst = U.fan(Tables.t(s, d, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("word"))
         .filter(length(col("word")).between(1, Unigram.MaxWordLen) &&
           !col("word").contains("#"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      wc.join(broadcast(scored), "word")
+      inst.join(broadcast(scored), "word")
         .groupBy("doc_id")
-        .agg(U.lng(sum(col("cnt"))).as("n_words"),
-          U.lng(sum(col("cnt") * col("wnp"))).as("n_pieces"),
-          U.lng(sum(col("cnt") * length(col("word")))).as("n_chars"),
-          U.lng(sum(col("cnt") * col("wunk"))).as("n_unk"))
+        // sum(1L), not count(*): keeps n_words NULLABLE like the old
+        // sum(cnt) so the output schema stays byte-identical
+        .agg(U.lng(sum(lit(1L))).as("n_words"),
+          U.lng(sum(col("wnp"))).as("n_pieces"),
+          U.lng(sum(length(col("word")))).as("n_chars"),
+          U.lng(sum(col("wunk"))).as("n_unk"))
         .orderBy("doc_id")
     }))
 
